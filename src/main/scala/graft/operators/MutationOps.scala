@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.core.Schemas
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** MAF transforms — O13 (mutation_event projection), O14 (mutation
+  * projection), O15 (schema-drift-tolerant column lookup), O16 (contiguous
+  * global sequence id). Reference: mutation/transformer.go:312-418.
+  */
+object MutationOps {
+
+  /** O15: drift-tolerant column — present column by name, else literal ""
+    * (mutation/transformer.go:312-325 `getFieldValue`, missing→"").
+    *
+    * The reference resolves the column by a linear name scan *per cell*
+    * (O(rows×fields×cols)); here presence is resolved once at plan-build
+    * time and Catalyst compiles either a column ref or a constant — the
+    * per-cell cost disappears (SURVEY.md §4.2 "known perf bug").
+    */
+  def colOrEmpty(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) coalesce(col(name).cast("string"), lit(""))
+    else lit("")
+
+  /** O13: MAF → `mutation_event` columns (sans id — see withContiguousId).
+    * 13 by-name MAF lookups + 7 always-"" fields
+    * (mutation/transformer.go:350-371, schema :254-276). */
+  def eventProjection(df: DataFrame): Seq[Column] =
+    Schemas.mutationEventColumns.map { case (out, src) =>
+      (if (src.isEmpty) lit("") else colOrEmpty(df, src)).as(out)
+    }
+
+  /** O14: MAF → `mutation` columns (sans id): profile id, prefixed
+    * SAMPLE_ID = study + "_" + Tumor_Sample_Barcode
+    * (mutation/transformer.go:377-380), 24 by-name lookups,
+    * ANNOTATION_JSON always "" (:407). */
+  def mutationProjection(df: DataFrame, study: String, profile: String): Seq[Column] =
+    Seq(
+      lit(profile).as("GENETIC_PROFILE_ID"),
+      CnaOps.prefixed(study, colOrEmpty(df, "Tumor_Sample_Barcode")).as("SAMPLE_ID")) ++
+      Schemas.mutationColumns.map { case (out, src) => colOrEmpty(df, src).as(out) } :+
+      lit("").as("ANNOTATION_JSON")
+
+  /** O16: contiguous global sequence id starting at `start`
+    * (mutation/transformer.go:217-247 across batches, :30-52 across files).
+    *
+    * `monotonically_increasing_id` is non-contiguous by design, and a global
+    * `row_number()` window funnels everything through one partition — neither
+    * is acceptable. `zipWithIndex` computes per-partition counts in one extra
+    * narrow job and assigns contiguous offsets per partition: distributed,
+    * no shuffle, order = partition order (file/offset order for a scan).
+    */
+  def withContiguousId(df: DataFrame, idName: String = "MUTATION_EVENT_ID",
+      start: Long = 0L): DataFrame = {
+    val outSchema = StructType(
+      StructField(idName, LongType, nullable = false) +: df.schema.fields)
+    val indexed = df.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq((i + start) +: row.toSeq)
+    }
+    df.sparkSession.createDataFrame(indexed, outSchema)
+  }
+
+  /** O13+O14 combined: one id-stamped scan, two projections (the reference
+    * emits both tables from a single pass — mutation/transformer.go:330-418).
+    * The id stamp is materialized once; both outputs project from it. */
+  def transformMaf(df: DataFrame, study: String, profile: String,
+      startEventId: Long = 0L): (DataFrame, DataFrame) = {
+    val stamped = withContiguousId(df, start = startEventId)
+    val id = col("MUTATION_EVENT_ID")
+    val events = stamped.select(id +: eventProjection(df): _*)
+    val mutations = stamped.select(id +: mutationProjection(df, study, profile): _*)
+    (events, mutations)
+  }
+}
