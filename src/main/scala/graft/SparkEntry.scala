@@ -1,13 +1,630 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Schemas
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import scala.collection.immutable.ListMap
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2
+  * (O* reference parity, E* extension suite), each with an equivalent
+  * DuckDB oracle in `oracleSql`.
+  *
+  * Oracle-stability design rules (SURVEY.md §5.2.1):
+  *  - outputs contain ONLY strings and integers: money/quantities as
+  *    integer cents, similarity scores as integer micro-units — no raw
+  *    doubles, so cross-engine float accumulation/format differences can
+  *    never flip a hash;
+  *  - all hashing is md5 (identical hex in any engine), never Murmur3;
+  *  - vector similarity uses 1e3-quantized integer dot products (exact in
+  *    any summation order), divided/rooted only at the final scalar;
+  *  - every query ends in a deterministic ORDER BY.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it with the
+    // legacy nanos-as-long mapping, so `ts` arrives as LongType nanoseconds
+    // (see tsMicros below). Runtime-settable, harmless for the other tables.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts (long nanoseconds, see T) → microsecond TIMESTAMP (UTC).
+    * Integer `div` — nanosecond epochs exceed 2^53, double math would lose
+    * precision. */
+  private def tsMicros(name: String): Column =
+    timestamp_micros(expr(s"$name div 1000"))
+
+  /** cents(c) = round(c*100) as long — exact integer money/quantity. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** 1e3-quantized integer copy of a float vector (see header). */
+  private def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized cosine: integer dot over sqrt of integer norms — identical
+    * doubles in any engine; emitted as micro-units. */
+  private def qcosMicro(a: Column, b: Column): Column = {
+    val cos = qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+    round(cos * 1000000).cast("long")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("e5_q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Reference-parity operators (SURVEY.md §2.1-2.4), demonstrated on the
+  // driver test tables so the DuckDB oracle can check them.
+  // ====================================================================
+
+  private def o08CnaPack(s: SparkSession, dir: String): DataFrame = {
+    // part as a wide "matrix": key col 0, descriptor col 1, value cols 2..N
+    val wide = T(s, dir, "part").select(
+      col("p_partkey").cast("string"), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size").cast("string"))
+    CnaOps.packGeneCentric(wide, "tpch", "tpch_gistic")
+      .orderBy("GENE_SYMBOL")
+  }
+
+  private def o09SampleList(s: SparkSession, dir: String): DataFrame =
+    CnaOps.sampleList(s, T(s, dir, "part").columns.toSeq, "tpch", "tpch_gistic")
+
+  private def o11Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = T(s, dir, "part").select(
+      col("p_partkey").cast("string"), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size").cast("string"))
+    CnaOps.unpivotDerived(wide, "tpch", "tpch_gistic")
+      .orderBy("GENE_SYMBOL", "SAMPLE_ID")
+  }
+
+  private def o13Drift(s: SparkSession, dir: String): DataFrame = {
+    // drift-tolerant by-name projection (O15 inside O13): `Chromosome`
+    // does not exist on documents → constant "" column, resolved at plan time
+    val d = T(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      MutationOps.colOrEmpty(d, "lang").as("LANG"),
+      MutationOps.colOrEmpty(d, "source").as("SOURCE"),
+      MutationOps.colOrEmpty(d, "Chromosome").as("CHROMOSOME"))
+      .orderBy("doc_id")
+  }
+
+  private def o16SeqId(s: SparkSession, dir: String): DataFrame =
+    MutationOps.withContiguousId(
+      T(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"),
+      idName = "seq_id")
+      .orderBy("seq_id")
+
+  private def o18Combine(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.unionByName(li)
+      .groupBy("l_returnflag").agg(count("*").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // ====================================================================
+  // E5 aggregation suite
+  // ====================================================================
+
+  private def e5Q1(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price_c"),
+        count("*").as("n"))
+      .withColumn("avg_qty_milli",
+        round(col("sum_qty_c").cast("double") / col("n") * 10).cast("long"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def e5Rollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count("*").as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty_c"))
+      .orderBy("rf", "ls")
+
+  private def e5Distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  // ====================================================================
+  // E6 join suite
+  // ====================================================================
+
+  private def e6Broadcast(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(broadcast(T(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count("*").as("n"))
+      .orderBy("c_mktsegment")
+
+  private def e6Semi(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "lineitem").where(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count("*").as("n"))
+      .orderBy("o_orderstatus")
+
+  private def e6Anti(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .join(T(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count("*").as("n"))
+      .orderBy("c_mktsegment")
+
+  private def e6FiveWay(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_c"))
+      .orderBy("r_name", "n_name")
+
+  // ====================================================================
+  // E7 window suite
+  // ====================================================================
+
+  private def e7TopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def e7Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), cents(col("l_quantity")).as("qty_c"))
+      .withColumn("running_qty_c", sum(col("qty_c")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty_c")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private def e7Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"),
+        col("ts"))
+      .withColumn("prev_value_c",
+        coalesce(lag(col("value_c"), 1).over(w), lit(0L)))
+      .select("event_id", "user_id", "value_c", "prev_value_c")
+      .orderBy("event_id")
+  }
+
+  // ====================================================================
+  // E8 time-window suite (events)
+  // ====================================================================
+
+  private def e8Tumbling(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(tsMicros("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count("*").as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("sum_value_c"))
+      .orderBy("bucket_start", "event_type")
+
+  private def e8Sliding(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(tsMicros("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count("*").as("n"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
+  private def e8Session(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(session_window(tsMicros("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count("*").as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        col("n"), col("sum_value_c"))
+      .orderBy("user_id", "session_start")
+
+  // ====================================================================
+  // E1/E2 dedup suite (documents)
+  // ====================================================================
+
+  private def e1Exact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  private def e2Minhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text",
+      bands = 4, shingleN = 3)
+      .orderBy("id_a", "id_b")
+
+  private def e2Simhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashBuckets(T(s, dir, "documents"), "doc_id", "text", bits = 8)
+      .orderBy("simhash")
+
+  private def e2Jaccard(s: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardVerifiedPairs(T(s, dir, "documents"), "doc_id", "text",
+      bands = 4, shingleN = 3, thresholdMicro = 200000)
+      .orderBy("id_a", "id_b")
+
+  private def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings").withColumn("qe", qvec(col("embedding")))
+    val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"),
+      col("qe").as("qa"))
+    val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"),
+      col("qe").as("qb"))
+    a.join(b, "blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_micro", qcosMicro(col("qa"), col("qb")))
+      .where(col("cos_micro") >= 300000)
+      .select("id_a", "id_b", "cos_micro")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ====================================================================
+  // E3 similarity search (embeddings; query = vector of vec_id 0)
+  // ====================================================================
+
+  private def queryVec(s: SparkSession, dir: String): Column = {
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(qvec(col("embedding"))).head.getSeq[Long](0)
+    array(q.map(lit): _*)
+  }
+
+  private def e3TopK(s: SparkSession, dir: String): DataFrame = {
+    val qv = queryVec(s, dir)
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), qcosMicro(qvec(col("embedding")), qv).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def e3SignBucket(s: SparkSession, dir: String): DataFrame = {
+    val bits = 6
+    val qSigns = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(VF.signBucket(col("embedding"), bits)).head.getString(0)
+    val qv = queryVec(s, dir)
+    T(s, dir, "embeddings")
+      .where(VF.signBucket(col("embedding"), bits) === lit(qSigns))
+      .select(col("vec_id"), qcosMicro(qvec(col("embedding")), qv).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ====================================================================
+  // E4 text analysis (documents)
+  // ====================================================================
+
+  private def e4TokenStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.bpeTokenEstimate(col("text")).cast("long").as("bpe_est"),
+      round(TF.qualityScore(col("text")) * 1000000).cast("long")
+        .as("quality_micro"),
+      TF.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private def e4TopTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  private def e4LangId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count("*").as("n"))
+      .orderBy("lang", "predicted")
+
+  // ====================================================================
+  // Multimodal plumbing (documents → binary payload → stub decode)
+  // ====================================================================
+
+  private def m1Multimodal(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeMeta(
+      MultimodalOps.withPayload(T(s, dir, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
+
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "o08_cna_pack" -> (o08CnaPack _),
+    "o09_sample_list" -> (o09SampleList _),
+    "o11_unpivot" -> (o11Unpivot _),
+    "o13_drift_projection" -> (o13Drift _),
+    "o16_seq_id" -> (o16SeqId _),
+    "o18_combine_union" -> (o18Combine _),
+    "e5_q1_agg" -> (e5Q1 _),
+    "e5_rollup" -> (e5Rollup _),
+    "e5_distinct" -> (e5Distinct _),
+    "e6_join_broadcast" -> (e6Broadcast _),
+    "e6_join_semi" -> (e6Semi _),
+    "e6_join_anti" -> (e6Anti _),
+    "e6_join_5way" -> (e6FiveWay _),
+    "e7_window_topk" -> (e7TopK _),
+    "e7_window_running" -> (e7Running _),
+    "e7_window_lag" -> (e7Lag _),
+    "e8_tumbling" -> (e8Tumbling _),
+    "e8_sliding" -> (e8Sliding _),
+    "e8_session" -> (e8Session _),
+    "e1_exact_dedup" -> (e1Exact _),
+    "e2_minhash_pairs" -> (e2Minhash _),
+    "e2_simhash_buckets" -> (e2Simhash _),
+    "e2_jaccard_pairs" -> (e2Jaccard _),
+    "e2_embed_neardup" -> (e2EmbedNearDup _),
+    "e3_topk_cosine" -> (e3TopK _),
+    "e3_ann_signbucket" -> (e3SignBucket _),
+    "e4_token_stats" -> (e4TokenStats _),
+    "e4_top_tokens" -> (e4TopTokens _),
+    "e4_langid" -> (e4LangId _),
+    "m1_multimodal" -> (m1Multimodal _)
+  )
+
+  // ====================================================================
+  // DuckDB oracle SQL — same tables, same aliases, same ORDER BY.
+  // ====================================================================
+
+  /** Shared SQL fragments (DuckDB dialect). */
+  private val sqlTokens = "string_split(lower(text), ' ')"
+  private def sqlShingles(n: Int) =
+    s"CASE WHEN len($sqlTokens) >= $n THEN list_transform(range(len($sqlTokens) - ${n - 1}), " +
+      (if (n == 3)
+        s"i -> $sqlTokens[i+1] || ' ' || $sqlTokens[i+2] || ' ' || $sqlTokens[i+3])"
+       else s"i -> $sqlTokens[i+1])") +
+      " ELSE CAST([] AS VARCHAR[]) END"
+  private val sqlQvec =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  def oracleSql: Map[String, String] = ListMap(
+    "o08_cna_pack" ->
+      """SELECT 'tpch' AS CANCER_STUDY, 'tpch_gistic' AS GENETIC_PROFILE,
+        |CAST(p_partkey AS VARCHAR) AS GENE_SYMBOL,
+        |p_brand || ',' || p_type || ',' || CAST(p_size AS VARCHAR) AS "VALUES"
+        |FROM part ORDER BY GENE_SYMBOL""".stripMargin,
+    "o09_sample_list" ->
+      """SELECT 'tpch' AS CANCER_STUDY, 'tpch_gistic' AS GENETIC_PROFILE,
+        |'tpch_p_brand,tpch_p_type,tpch_p_size,tpch_p_retailprice' AS ORDERED_SAMPLE_LIST""".stripMargin,
+    "o11_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'tpch_p_brand' AS SAMPLE_ID, CAST(p_partkey AS VARCHAR) AS GENE_SYMBOL, p_brand AS ALTERATION FROM part
+        |  UNION ALL
+        |  SELECT 'tpch_p_type', CAST(p_partkey AS VARCHAR), p_type FROM part
+        |  UNION ALL
+        |  SELECT 'tpch_p_size', CAST(p_partkey AS VARCHAR), CAST(p_size AS VARCHAR) FROM part)
+        |SELECT SAMPLE_ID, 'tpch' AS CANCER_STUDY, GENE_SYMBOL,
+        |'tpch_gistic' AS GENETIC_PROFILE, ALTERATION
+        |FROM u ORDER BY GENE_SYMBOL, SAMPLE_ID""".stripMargin,
+    "o13_drift_projection" ->
+      """SELECT doc_id, lang AS LANG, source AS SOURCE, '' AS CHROMOSOME
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "o16_seq_id" ->
+      """SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS seq_id,
+        |l_orderkey, l_linenumber
+        |FROM lineitem ORDER BY seq_id""".stripMargin,
+    "o18_combine_union" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e5_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / count(*) * 10) AS BIGINT) AS avg_qty_milli
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "e5_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "e5_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e6_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e6_join_semi" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "e6_join_anti" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e6_join_5way" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "e7_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e7_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_c
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "e7_window_lag" ->
+      """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_c,
+        |COALESCE(lag(CAST(round(value*100) AS BIGINT), 1) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id), 0) AS prev_value_c
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e8_tumbling" ->
+      """SELECT (epoch_us(ts) // 600000000) * 600 AS bucket_start, event_type,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "e8_sliding" ->
+      """WITH b AS (SELECT (epoch_us(ts) // 1000000) AS es, event_type FROM events),
+        |w AS (SELECT (es // 300) * 300 AS window_start, event_type FROM b
+        |      UNION ALL
+        |      SELECT (es // 300) * 300 - 300, event_type FROM b)
+        |SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "e8_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |  OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+        |CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sum_value_c
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "e1_exact_dedup" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "e2_minhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, ${sqlShingles(3)} AS sl FROM documents),
+        |sig AS (SELECT doc_id, b.band,
+        |  list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS sig
+        |  FROM sh, (SELECT unnest(range(4)) AS band) b
+        |  WHERE len(sl) > 0)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e2_simhash_buckets" ->
+      (s"""WITH s AS (SELECT doc_id, """ +
+        (1 to 8).map(p =>
+          s"""CASE WHEN list_sum(list_transform($sqlTokens, x -> CASE WHEN substr(md5(x), $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END""")
+          .mkString(" || ") +
+        s""" AS simhash FROM documents)
+        |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_id
+        |FROM s GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin),
+    "e2_jaccard_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
+        |sig AS (SELECT doc_id, b.band,
+        |  list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS sig
+        |  FROM sh, (SELECT unnest(range(4)) AS band) b
+        |  WHERE len(sl) > 0),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+        |inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs p JOIN ds da ON da.doc_id = p.id_a
+        |  WHERE EXISTS (SELECT 1 FROM ds db WHERE db.doc_id = p.id_b AND db.s = da.s)
+        |  GROUP BY p.id_a, p.id_b),
+        |j AS (SELECT i.id_a, i.id_b,
+        |  CAST(round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000) AS BIGINT) AS jaccard_micro
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b)
+        |SELECT id_a, id_b, jaccard_micro FROM j WHERE jaccard_micro >= 200000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e2_embed_neardup" ->
+      s"""WITH q AS (SELECT vec_id, label, $sqlQvec AS qe FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qe AS qa, b.qe AS qb
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |c AS (SELECT id_a, id_b,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qb[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qa, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qb, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM p)
+        |SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e3_topk_cosine" ->
+      s"""WITH q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM s, q ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    "e3_ann_signbucket" ->
+      s"""WITH s AS (SELECT vec_id, $sqlQvec AS qe,
+        |  array_to_string(list_transform(range(1, 7),
+        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT qe AS qv, bucket AS qb FROM s WHERE vec_id = 0)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM s, q WHERE s.bucket = q.qb
+        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    "e4_token_stats" ->
+      s"""SELECT doc_id,
+        |CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+        |CAST(list_sum(list_transform($sqlTokens, w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_est,
+        |CAST(round((
+        |  0.4 * least(CAST(len($sqlTokens) AS DOUBLE) / 100.0, 1.0) +
+        |  0.3 * (CAST(list_sum(list_transform($sqlTokens, x -> CASE WHEN x IN ('the','a','of','and','is','in','to','it','on','for') THEN 1 ELSE 0 END)) AS DOUBLE) / len($sqlTokens)) +
+        |  0.3 * (CAST(len(list_distinct($sqlTokens)) AS DOUBLE) / len($sqlTokens))
+        |) * 1000000) AS BIGINT) AS quality_micro,
+        |md5(array_to_string(list_sort(list_distinct($sqlTokens)), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e4_top_tokens" ->
+      s"""SELECT t.token, CAST(count(*) AS BIGINT) AS n
+        |FROM documents, unnest($sqlTokens) AS t(token)
+        |GROUP BY t.token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "e4_langid" -> {
+      def score(markers: Seq[String]) =
+        s"list_sum(list_transform($sqlTokens, x -> CASE WHEN x IN (${markers.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END))"
+      val scores = TF.langMarkers.map { case (l, m) => l -> score(m) }
+      val greatest = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val caseExpr = scores.map { case (l, sc) =>
+        s"WHEN $sc = __mx THEN '$l'"
+      }.mkString(" ")
+      s"""WITH p AS (SELECT lang, $greatest AS __mx,
+        |CASE WHEN $greatest = 0 THEN 'und' $caseExpr END AS predicted
+        |FROM documents)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+    "m1_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST((ord(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS width,
+        |CAST((strlen(text) % 64) + 1 AS INTEGER) AS height,
+        |'fake/v1' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash/SimHash signatures, fingerprinting,
+  * language-ID and quality heuristics — all as `Column` expressions built
+  * from `org.apache.spark.sql.functions` (codegen'd, no UDFs, no shuffle;
+  * every function here is embarrassingly parallel over rows, which is what
+  * makes them safe at 100 TB).
+  *
+  * Portability note: signatures hash with `md5` (identical lowercase-hex
+  * output in every engine) rather than Spark's Murmur3 `hash`, so results
+  * are reproducible outside Spark — which also makes them oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word n-gram shingles, space-joined. Empty array when the document has
+    * fewer than n tokens (guard required: Spark's `sequence(0, negative)`
+    * counts *down*, it does not return empty). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val cnt = size(t)
+    when(cnt >= n,
+      transform(sequence(lit(0), cnt - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash value for one hash family `seed`: min over shingles of
+    * md5(seed|shingle), compared lexicographically (uniform on hex strings).
+    * Null when the document has no shingles. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** SimHash over `bits` bit positions (max 32 — md5 hex prefix). Bit p of a
+    * token = high bit of the p-th md5 nibble; document bit p = sign of the
+    * sum of (2*bit-1) over all tokens. Returns a '0'/'1' string of length
+    * `bits` (integer arithmetic throughout — exactly reproducible). */
+  def simhash(text: Column, bits: Int): Column = {
+    val t = tokens(text)
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
+    val bitCols = (1 to bits).map { p =>
+      val contrib = aggregate(t, lit(0),
+        (acc, tok) => acc + when(substring(md5(tok), p, 1).isin(hexHigh: _*), 1)
+          .otherwise(-1))
+      when(contrib >= 0, "1").otherwise("0")
+    }
+    concat(bitCols: _*)
+  }
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct
+    * token bag. Two documents with the same vocabulary collide — the cheap
+    * first-pass near-dup key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: ceil(len/4) per word, summed — the
+    * standard "~4 chars per token" heuristic, in exact integer math. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, w) => acc + ((length(w) + lit(3)) / lit(4)).cast("int"))
+
+  /** Tiny per-language marker vocabularies for the language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"))
+
+  private def markerHits(t: Column, markers: Seq[String]): Column =
+    aggregate(t, lit(0),
+      (acc, tok) => acc + when(tok.isin(markers.map(lit): _*), 1).otherwise(0))
+
+  /** N-gram/stopword language-ID heuristic: score = marker-token hits per
+    * language; predict the argmax, ties broken alphabetically, no hits →
+    * "und" (undetermined). Integer scoring — deterministic. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = langMarkers.map { case (l, m) => (l, markerHits(t, m)) }
+    // fold from the end so earlier (alphabetically smaller) langs win ties
+    val best = scored.reverse.tail.foldLeft(
+      struct(scored.last._2.as("s"), lit(scored.last._1).as("l"))) {
+      case (acc, (l, s)) =>
+        when(s >= acc.getField("s"), struct(s.as("s"), lit(l).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "is", "in", "to", "it", "on", "for")
+
+  /** Quality score in [0,1]: blends length saturation, stopword presence and
+    * vocabulary diversity. All ratios are int/int divisions of identical
+    * integers in any engine, so the double result is bit-reproducible. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val stopRatio = markerHits(t, stopwords).cast("double") / n
+    val distinctRatio = size(array_distinct(t)).cast("double") / n
+    val lengthSat = least(n / lit(100.0), lit(1.0))
+    round(lit(0.4) * lengthSat + lit(0.3) * stopRatio + lit(0.3) * distinctRatio, 6)
+  }
+}

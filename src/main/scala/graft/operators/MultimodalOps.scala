@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) carried as opaque
+  * `BinaryType` payloads with typed metadata alongside, and per-partition
+  * batch decoding for feature extraction.
+  *
+  * The Spark-side architecture is the real deliverable here: binary columns
+  * survive parquet round-trips, partition sizing bounds per-task decode
+  * memory, and the decode runs via `mapPartitions` so a codec can amortize
+  * init across a whole batch (the JVM analogue of a vectorized Python UDF).
+  * The codec itself is STUBBED — no image/audio libraries exist in this
+  * environment — with `FakeCodec`, a deterministic stand-in that derives
+  * "decoded" dimensions from the payload bytes. Swap `MediaCodec` for a
+  * real JNI/Java codec without touching any of the plumbing.
+  */
+object MultimodalOps {
+
+  /** One decoded media record. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int, format: String)
+
+  /** Batch decode interface — implement with a real codec in production. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, String)
+  }
+
+  /** STUB: deterministic fake decode — dimensions derived from payload
+    * bytes, so tests and oracles can predict outputs exactly. */
+  object FakeCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): (Int, Int, String) = {
+      val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val width = (first % 64) + 1
+      val height = (payload.length % 64).toInt + 1
+      (width, height, "fake/v1")
+    }
+  }
+
+  /** Attach a binary payload column. In a real pipeline the payload IS the
+    * stored bytes (parquet binary); here we synthesize one from text so the
+    * driver test tables can exercise the path. */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Decode payloads partition-at-a-time. Returns a typed Dataset; the
+    * codec is constructed once per partition, not per row. */
+  def decodeMeta(payloads: DataFrame, codec: MediaCodec = FakeCodec)
+      : Dataset[MediaMeta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec setup would go here (e.g. native lib init)
+        it.map { case (id, payload) =>
+          val (w, h, fmt) = codec.decode(payload)
+          MediaMeta(id, payload.length.toLong, w, h, fmt)
+        }
+      }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** E3 — similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Baseline: brute-force cosine top-k — one narrow pass over all vectors
+  * (the query vector is a literal folded into the plan; no join, no shuffle
+  * except the final k-row ordering, which Spark executes as a per-partition
+  * `TakeOrderedAndProject` + driver merge of k-row heaps: exactly the
+  * pattern that survives 1000 executors).
+  *
+  * Scale path: sign-bucket LSH — restrict the scan to vectors sharing the
+  * query's hyperplane-sign bucket; with b bits the candidate set shrinks
+  * ~2^b×, and the bucket id is an exact (FP-free) partition/filter key that
+  * parquet min/max stats can prune on when data is written bucketed.
+  */
+object SimilarityOps {
+
+  /** Query vector as a plan literal (broadcast-free: it travels in the
+    * serialized plan, not as a join side). */
+  def vecLit(v: Seq[Float]): Column = array(v.map(lit): _*)
+
+  /** Brute-force cosine top-k. Returns (id, cos) rounded to 6dp, ordered
+    * by similarity desc with id tiebreak. */
+  def topKCosine(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    df.select(col(idCol),
+        round(VF.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** LSH-bucketed ANN: same ranking, but only vectors whose `bits`-bit sign
+    * bucket equals the query's. Approximate — recall depends on bits. */
+  def topKSignBucket(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, bits: Int): DataFrame = {
+    val queryBucket = query.take(bits).map(x => if (x >= 0f) "1" else "0").mkString
+    df.where(VF.signBucket(col(vecCol), bits) === lit(queryBucket))
+      .select(col(idCol),
+        round(VF.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style two-stage ANN: coarse quantize by `labelCol` (pre-clustered
+    * partition, e.g. k-means cell), pick the `nprobe` labels whose centroid
+    * is nearest the query, then exact-rank only within those labels. The
+    * centroid table is tiny (one row per label) → computed in one shuffle,
+    * auto-broadcast back; the fine scan reads only probed partitions. */
+  def topKIvf(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      query: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val dim = query.length
+    val centroids = df.groupBy(col(labelCol))
+      .agg(array((0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1))): _*).as("centroid"))
+    val probed = centroids
+      .select(col(labelCol), VF.l2Sq(col("centroid").cast("array<float>"),
+        vecLit(query)).as("d2"))
+      .orderBy(col("d2"), col(labelCol))
+      .limit(nprobe)
+      .select(labelCol)
+    df.join(broadcast(probed), labelCol)
+      .select(col(idCol),
+        round(VF.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}
