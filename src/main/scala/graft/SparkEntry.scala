@@ -49,14 +49,6 @@ object SparkEntry {
   private def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Quantized cosine: integer dot over sqrt of integer norms — identical
-    * doubles in any engine; emitted as micro-units. */
-  private def qcosMicro(a: Column, b: Column): Column = {
-    val cos = qdot(a, b).cast("double") /
-      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
-    round(cos * 1000000).cast("long")
-  }
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("e5_q1_agg")(spark, "/root/testdata/sf0.001")
@@ -277,14 +269,21 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = T(s, dir, "embeddings").withColumn("qe", qvec(col("embedding")))
+    // norms precomputed per VECTOR (n of them), not per pair (n²/labels):
+    // same doubles as recomputing inside the pair — integer dots are exact.
+    val e = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("label"), col("qe"),
+        sqrt(qdot(col("qe"), col("qe")).cast("double")).as("nrm"))
     val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"),
-      col("qe").as("qa"))
+      col("qe").as("qa"), col("nrm").as("na"))
     val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"),
-      col("qe").as("qb"))
+      col("qe").as("qb"), col("nrm").as("nb"))
     a.join(b, "blk")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos_micro", qcosMicro(col("qa"), col("qb")))
+      .withColumn("cos_micro",
+        round(qdot(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")) * 1000000).cast("long"))
       .where(col("cos_micro") >= 300000)
       .select("id_a", "id_b", "cos_micro")
       .orderBy("id_a", "id_b")
@@ -294,16 +293,24 @@ object SparkEntry {
   // E3 similarity search (embeddings; query = vector of vec_id 0)
   // ====================================================================
 
-  private def queryVec(s: SparkSession, dir: String): Column = {
+  /** Query vector (vec_id 0) as quantized longs + its precomputed norm —
+    * a driver-side constant folded into the plan, not recomputed per row.
+    * The driver-side Long sum is the same exact integer the oracle's
+    * list_sum produces, so sqrt yields the identical double. */
+  private def queryVecAndNorm(s: SparkSession, dir: String): (Column, Double) = {
     val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(qvec(col("embedding"))).head.getSeq[Long](0)
-    array(q.map(lit): _*)
+    (array(q.map(lit): _*), math.sqrt(q.map(x => x * x).sum.toDouble))
   }
 
   private def e3TopK(s: SparkSession, dir: String): DataFrame = {
-    val qv = queryVec(s, dir)
+    val (qv, qn) = queryVecAndNorm(s, dir)
     T(s, dir, "embeddings")
-      .select(col("vec_id"), qcosMicro(qvec(col("embedding")), qv).as("cos_micro"))
+      .select(col("vec_id"), qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"),
+        round(qdot(col("qe"), qv).cast("double") /
+          (sqrt(qdot(col("qe"), col("qe")).cast("double")) * lit(qn)) * 1000000)
+          .cast("long").as("cos_micro"))
       .orderBy(col("cos_micro").desc, col("vec_id"))
       .limit(10)
   }
@@ -312,10 +319,14 @@ object SparkEntry {
     val bits = 6
     val qSigns = T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(VF.signBucket(col("embedding"), bits)).head.getString(0)
-    val qv = queryVec(s, dir)
+    val (qv, qn) = queryVecAndNorm(s, dir)
     T(s, dir, "embeddings")
       .where(VF.signBucket(col("embedding"), bits) === lit(qSigns))
-      .select(col("vec_id"), qcosMicro(qvec(col("embedding")), qv).as("cos_micro"))
+      .select(col("vec_id"), qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"),
+        round(qdot(col("qe"), qv).cast("double") /
+          (sqrt(qdot(col("qe"), col("qe")).cast("double")) * lit(qn)) * 1000000)
+          .cast("long").as("cos_micro"))
       .orderBy(col("cos_micro").desc, col("vec_id"))
       .limit(10)
   }
@@ -325,13 +336,15 @@ object SparkEntry {
   // ====================================================================
 
   private def e4TokenStats(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
-      col("doc_id"),
-      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TF.bpeTokenEstimate(col("text")).cast("long").as("bpe_est"),
-      round(TF.qualityScore(col("text")) * 1000000).cast("long")
-        .as("quality_micro"),
-      TF.fingerprint(col("text")).as("fingerprint"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("__t")) // tokenize once
+      .select(
+        col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        TF.bpeTokenEstimateFromTokens(col("__t")).cast("long").as("bpe_est"),
+        round(TF.qualityScoreFromTokens(col("__t")) * 1000000).cast("long")
+          .as("quality_micro"),
+        TF.fingerprintFromTokens(col("__t")).as("fingerprint"))
       .orderBy("doc_id")
 
   private def e4TopTokens(s: SparkSession, dir: String): DataFrame =
@@ -343,7 +356,8 @@ object SparkEntry {
 
   private def e4LangId(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      .select(col("lang"), TF.tokens(col("text")).as("__t")) // tokenize once
+      .select(col("lang"), TF.langIdFromTokens(col("__t")).as("predicted"))
       .groupBy("lang", "predicted").agg(count("*").as("n"))
       .orderBy("lang", "predicted")
 
@@ -525,11 +539,13 @@ object SparkEntry {
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "e2_minhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, ${sqlShingles(3)} AS sl FROM documents),
-        |sig AS (SELECT doc_id, b.band,
-        |  list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS sig
-        |  FROM sh, (SELECT unnest(range(4)) AS band) b
-        |  WHERE len(sl) > 0)
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
+        |e AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM e),
+        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band)
         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
@@ -543,13 +559,14 @@ object SparkEntry {
         |FROM s GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin),
     "e2_jaccard_pairs" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
-        |sig AS (SELECT doc_id, b.band,
-        |  list_min(list_transform(sl, s -> md5(CAST(b.band AS VARCHAR) || '|' || s))) AS sig
-        |  FROM sh, (SELECT unnest(range(4)) AS band) b
-        |  WHERE len(sl) > 0),
+        |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM ds),
+        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
-        |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
         |inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_common
         |  FROM pairs p JOIN ds da ON da.doc_id = p.id_a

@@ -19,17 +19,31 @@ object TextFunctions {
   /** Whitespace tokenization of lowercased text. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Word n-gram shingles, space-joined. Empty array when the document has
-    * fewer than n tokens (guard required: Spark's `sequence(0, negative)`
-    * counts *down*, it does not return empty). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Word n-gram shingles from an already-materialized token array column.
+    *
+    * Performance contract: pass an *attribute* (a column projected in a
+    * previous select), not the `tokens(...)` expression itself. The lambda
+    * below references the array once per n-gram element; if the reference is
+    * an expression tree rather than an attribute, interpreted higher-order
+    * evaluation re-computes the tokenization per element access — O(tokens²)
+    * per row. (Catalyst's CollapseProject deliberately keeps a projection
+    * boundary when a non-cheap alias is referenced more than once, so the
+    * staged form stays staged.)
+    *
+    * Empty array when the document has fewer than n tokens (guard required:
+    * Spark's `sequence(0, negative)` counts *down*, it does not return
+    * empty). */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val cnt = size(t)
     when(cnt >= n,
       transform(sequence(lit(0), cnt - n), i =>
         concat_ws(" ", (1 to n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles of raw text — convenience form for small inputs;
+    * hot paths should stage `tokens` first (see shinglesFromTokens). */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
   /** MinHash value for one hash family `seed`: min over shingles of
     * md5(seed|shingle), compared lexicographically (uniform on hex strings).
@@ -40,18 +54,23 @@ object TextFunctions {
   /** SimHash over `bits` bit positions (max 32 — md5 hex prefix). Bit p of a
     * token = high bit of the p-th md5 nibble; document bit p = sign of the
     * sum of (2*bit-1) over all tokens. Returns a '0'/'1' string of length
-    * `bits` (integer arithmetic throughout — exactly reproducible). */
-  def simhash(text: Column, bits: Int): Column = {
-    val t = tokens(text)
+    * `bits` (integer arithmetic throughout — exactly reproducible).
+    *
+    * Each token is hashed exactly once: the md5s are materialized as an
+    * array first, then folded into a per-bit sum vector in one pass. */
+  def simhashFromTokens(t: Column, bits: Int): Column = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f").map(lit)
-    val bitCols = (1 to bits).map { p =>
-      val contrib = aggregate(t, lit(0),
-        (acc, tok) => acc + when(substring(md5(tok), p, 1).isin(hexHigh: _*), 1)
-          .otherwise(-1))
-      when(contrib >= 0, "1").otherwise("0")
-    }
-    concat(bitCols: _*)
+    val hashes = transform(t, tok => md5(tok))
+    val sums = aggregate(hashes, array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(bits)), p =>
+          when(h.substr(p, lit(1)).isin(hexHigh: _*), 1).otherwise(-1)),
+        (a, b) => a + b))
+    array_join(transform(sums, x => when(x >= 0, "1").otherwise("0")), "")
   }
+
+  def simhash(text: Column, bits: Int): Column =
+    simhashFromTokens(tokens(text), bits)
 
   /** Order-insensitive document fingerprint: md5 of the sorted distinct
     * token bag. Two documents with the same vocabulary collide — the cheap
@@ -82,9 +101,10 @@ object TextFunctions {
 
   /** N-gram/stopword language-ID heuristic: score = marker-token hits per
     * language; predict the argmax, ties broken alphabetically, no hits →
-    * "und" (undetermined). Integer scoring — deterministic. */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
+    * "und" (undetermined). Integer scoring — deterministic. Pass a
+    * materialized token-array attribute in hot paths (the token column is
+    * referenced once per language). */
+  def langIdFromTokens(t: Column): Column = {
     val scored = langMarkers.map { case (l, m) => (l, markerHits(t, m)) }
     // fold from the end so earlier (alphabetically smaller) langs win ties
     val best = scored.reverse.tail.foldLeft(
@@ -95,18 +115,31 @@ object TextFunctions {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
   val stopwords: Seq[String] = Seq(
     "the", "a", "of", "and", "is", "in", "to", "it", "on", "for")
 
   /** Quality score in [0,1]: blends length saturation, stopword presence and
     * vocabulary diversity. All ratios are int/int divisions of identical
     * integers in any engine, so the double result is bit-reproducible. */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+  def qualityScoreFromTokens(t: Column): Column = {
     val n = size(t).cast("double")
     val stopRatio = markerHits(t, stopwords).cast("double") / n
     val distinctRatio = size(array_distinct(t)).cast("double") / n
     val lengthSat = least(n / lit(100.0), lit(1.0))
     round(lit(0.4) * lengthSat + lit(0.3) * stopRatio + lit(0.3) * distinctRatio, 6)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text))
+
+  /** BPE-ish estimate from a materialized token array. */
+  def bpeTokenEstimateFromTokens(t: Column): Column =
+    aggregate(t, lit(0),
+      (acc, w) => acc + ((length(w) + lit(3)) / lit(4)).cast("int"))
+
+  /** Fingerprint from a materialized token array. */
+  def fingerprintFromTokens(t: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(t))))
 }

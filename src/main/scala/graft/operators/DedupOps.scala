@@ -24,17 +24,49 @@ object DedupOps {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(tieBreak)).as(tieBreak))
 
+  /** Distinct (id, shingle) pairs, with tokenization and shingling staged
+    * through separate projections so each is computed once per row (see
+    * TF.shinglesFromTokens' performance contract). The explode is a narrow
+    * generator — no shuffle. */
+  private def docShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        array_distinct(TF.shinglesFromTokens(col("__toks"), shingleN)).as("__sh"))
+      // explode_outer, not explode: plain explode makes the optimizer infer a
+      // `size(__sh) > 0` filter and push it below the projections with the
+      // alias substituted — re-evaluating the whole shingle pipeline against
+      // raw text at the scan. outer explode infers nothing; the cheap
+      // null-filter below drops shingle-less documents instead.
+      .select(col("id"), explode_outer(col("__sh")).as("s"))
+      .where(col("s").isNotNull)
+
   /** E2 stage 1 (MinHash+LSH): per-document band signatures. One output row
     * per (doc, band): the band's minhash over word-`shingleN`-gram shingles.
-    * Documents with no shingles produce no rows. */
+    * Documents with no shingles produce no rows.
+    *
+    * Signatures are LONGS, not hex strings: each shingle is md5'd ONCE, two
+    * 60-bit halves (h1, h2) are parsed from the hex, and band b's hash is
+    * the classic combination h1 + b·h2 (no overflow: h < 2^60, b ≤ 7).
+    * Long mins keep the aggregation in HashAggregate + whole-stage codegen
+    * (string mins force SortAggregate), and the shuffle carries `bands`
+    * longs per document regardless of document length. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3): DataFrame = {
-    val sh = TF.shingles(col(textCol), shingleN)
-    val bandSigs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"), TF.minhash(sh, b).as("sig"))): _*)
-    df.select(col(idCol), explode(bandSigs).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .where(col("sig").isNotNull)
+    require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
+    val perBand = docShingles(df, idCol, textCol, shingleN)
+      .select(col("id"), md5(col("s")).as("__h"))
+      .select(col("id"),
+        conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("__h"), 17, 15), 16, 10).cast("long").as("h2"))
+      .groupBy("id")
+      .agg(min(col("h1")).as("sig0"),
+        (1 until bands).map(b =>
+          min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b")): _*)
+    perBand.select(col("id").as("__id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+      .select(col("__id").as("id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
   }
 
   /** E2 stage 2: candidate near-dup pairs = documents sharing any band
@@ -43,9 +75,14 @@ object DedupOps {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3): DataFrame = {
     val sigs = minhashBands(df, idCol, textCol, bands, shingleN)
-    val a = sigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = sigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "sig"))
+    val a = sigs.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = sigs.select(col("band"), col("sig"), col("id").as("id_b"))
+    // shuffle join, not broadcast: both sides are the SAME signature
+    // pipeline, and with identical shuffle Exchanges Catalyst's
+    // ReuseExchange computes it once — a broadcast side would force a full
+    // second evaluation (and a broadcast of every signature defeats the
+    // point at 100 TB, where sigs ~ #docs × bands rows).
+    a.join(b.hint("shuffle_hash"), Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -70,14 +107,13 @@ object DedupOps {
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
-    val docShingles = df.select(col(idCol).as("id"),
-      explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("s"))
-    val sizes = docShingles.groupBy("id").agg(count("*").as("n"))
+    val ds = docShingles(df, idCol, textCol, shingleN)
+    val sizes = ds.groupBy("id").agg(count("*").as("n"))
     // |A∩B| per pair: expand pair × A-shingles, then semi-join "B also has
     // this shingle" on (id_b, s) — never materializes A×B per pair.
     val inter = pairs
-      .join(docShingles.withColumnRenamed("id", "id_a"), "id_a")
-      .join(docShingles.withColumnRenamed("id", "id_b"), Seq("id_b", "s"), "left_semi")
+      .join(ds.withColumnRenamed("id", "id_a"), "id_a")
+      .join(ds.withColumnRenamed("id", "id_b"), Seq("id_b", "s"), "left_semi")
       .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
