@@ -46,8 +46,7 @@ object SparkEntry {
   private def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def qdot(a: Column, b: Column): Column = VF.dotLong(a, b)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,17 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision. */
+  import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
+
+  /** Codegen'd integer dot product (ArrayType(LongType) inputs). */
+  def dotLong(a: Column, b: Column): Column =
+    toCol(DotProductLong(toExpr(a), toExpr(b)))
+
+  /** Codegen'd float dot product with double accumulation. */
+  def dotFloat(a: Column, b: Column): Column =
+    toCol(DotProductFloat(toExpr(a), toExpr(b)))
+
+  /** Dot product in double precision — composable higher-order form (same
+    * sequential accumulation as dotFloat, but interpreted; prefer dotFloat /
+    * dotLong in hot paths). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = sqrt(dotFloat(a, a))
 
   /** Cosine similarity: dot / (||a|| * ||b||). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    dotFloat(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 routes `Column` through `ColumnNode`, and the converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is private[sql] —
+  * so this one-file shim sits inside the org.apache.spark.sql package tree,
+  * the standard pattern for libraries that ship custom Catalyst expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

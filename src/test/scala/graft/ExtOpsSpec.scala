@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the extension (training-data pipeline) operators on
+  * hand-built inputs with known answers. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "tiny")                                         // < 3 tokens: no shingles
+  ).toDF("doc_id", "text")
+
+  test("E1 exact dedup keeps deterministic min id") {
+    val kept = DedupOps.exactDedupKeep(docs, Seq("text"), "doc_id")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 4L)) // doc 3 deduped into doc 0
+  }
+
+  test("E2 minhash candidates find near-dup and exact-dup pairs") {
+    val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text", bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // identical → all bands collide
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup likely shares a band
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // no shingles → never a candidate
+  }
+
+  test("E2 jaccard verification: exact dup = 1e6, near-dup in (0, 1e6)") {
+    val j = DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text", bands = 4,
+      thresholdMicro = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(j((0L, 3L)) == 1000000L)
+    j.get((0L, 1L)).foreach(v => assert(v > 0 && v < 1000000L))
+  }
+
+  test("E2 simhash: identical docs share buckets") {
+    val sigs = docs.select(col("doc_id"), TF.simhash(col("text"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(sigs.values.forall(s => s.length == 8 && s.forall("01".contains(_))))
+  }
+
+  test("E3 similarity: self-query ranks itself first with cos=1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.topKCosine(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), k = 2).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    assert(top(1).getLong(0) == 1L)
+
+    val ivf = SimilarityOps.topKIvf(vecs, "vec_id", "embedding", "label",
+      Seq(1.0f, 0.0f, 0.0f), k = 2, nprobe = 1)
+    // nprobe=1 restricts to label 0's partition (nearest centroid)
+    assert(ivf.collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
+  test("custom dot expressions agree with interpreted fold") {
+    val vecs = Seq((Array(1.5f, -2.0f, 3.0f), Array(2.0f, 0.5f, -1.0f)))
+      .toDF("a", "b")
+    val r = vecs.select(
+      VF.dotFloat(col("a"), col("b")).as("fast"),
+      VF.dot(col("a"), col("b")).as("fold")).head
+    assert(r.getDouble(0) == r.getDouble(1))
+    val l = Seq((Seq(2L, 3L, 5L), Seq(7L, 11L, 13L))).toDF("a", "b")
+      .select(VF.dotLong(col("a"), col("b"))).head.getLong(0)
+    assert(l == 2 * 7 + 3 * 11 + 5 * 13)
+  }
+
+  test("E4 text functions: counts, estimate, fingerprint invariance") {
+    val r = docs.where(col("doc_id") === 0)
+      .select(TF.tokenCount(col("text")), TF.bpeTokenEstimate(col("text")),
+        TF.fingerprint(col("text")), TF.langId(col("text")))
+      .head
+    assert(r.getInt(0) == 9)
+    // ceil(len/4) per word: the,quick,brown,fox,jumps,over,the,lazy,dog
+    assert(r.getInt(1) == Seq(3, 5, 5, 3, 5, 4, 3, 4, 3).map(n => (n + 3) / 4).sum)
+    assert(r.getString(3) == "en") // two "the" hits
+    // fingerprint is bag-of-words: word order must not matter
+    val fpPermuted = Seq("dog lazy the over jumps fox brown quick the")
+      .toDF("text").select(TF.fingerprint(col("text"))).head.getString(0)
+    assert(r.getString(2) == fpPermuted)
+  }
+
+  test("multimodal: payload plumbing + stub decode round trip") {
+    val meta = MultimodalOps.decodeMeta(
+      MultimodalOps.withPayload(docs, "doc_id", "text"))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(4L).n_bytes == 4L) // "tiny"
+    assert(meta(4L).width == ('t'.toInt % 64) + 1)
+    assert(meta(4L).height == (4 % 64) + 1)
+    assert(meta.values.forall(_.format == "fake/v1"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{CnaOps, MutationOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5.2.3) over randomized inputs —
+  * raw scalacheck driven from scalatest (no scalatestplus shim needed). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withMaxSize(8), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val cell = Gen.oneOf("-2", "-1", "0", "1", "2", "")
+  private val matrixGen = for {
+    nGenes <- Gen.choose(1, 6)
+    nSamples <- Gen.choose(1, 5)
+    cells <- Gen.listOfN(nGenes * nSamples, cell)
+  } yield (nGenes, nSamples, cells)
+
+  test("pack ∘ unpivot roundtrip: derived melt re-packs to VALUES") {
+    check("roundtrip", Prop.forAllNoShrink(matrixGen) {
+      case (nGenes, nSamples, cells) =>
+        val sampleNames = (1 to nSamples).map(i => s"S$i")
+        val header = Seq("Hugo_Symbol", "Entrez_Gene_Id") ++ sampleNames
+        val rows = (0 until nGenes).map { g =>
+          Seq(s"G$g", g.toString) ++
+            (0 until nSamples).map(s => cells(g * nSamples + s))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map(org.apache.spark.sql.Row(_: _*)), 2),
+          graft.core.Schemas.allStringSchema(header))
+
+        val packed = CnaOps.packGeneCentric(df, "st", "pf")
+          .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+        val repacked = CnaOps.unpivotDerived(df, "st", "pf", withOrder = true)
+          .groupBy("GENE_SYMBOL")
+          .agg(concat_ws(",", array_sort(collect_list(
+            struct(col("__sample_pos"), col("ALTERATION"))))
+            .getField("ALTERATION")).as("VALUES"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        repacked == packed
+    })
+  }
+
+  test("contiguous id invariant: ids are exactly [start, start+count)") {
+    check("contiguous", Prop.forAllNoShrink(
+      Gen.choose(1, 200), Gen.choose(0L, 1000L)) { (n, start) =>
+      val df = (1 to n).map(i => (s"r$i", i)).toDF("k", "v").repartition(3)
+      val ids = MutationOps.withContiguousId(df, "id", start)
+        .select("id").collect().map(_.getLong(0)).sorted
+      ids.toSeq == (start until start + n)
+    })
+  }
+
+  test("union-all additivity: combine preserves row counts") {
+    check("union", Prop.forAllNoShrink(
+      Gen.choose(0, 50), Gen.choose(0, 50)) { (a, b) =>
+      val d1 = (0 until a).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      val d2 = (0 until b).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      d1.unionByName(d2).count() == a.toLong + b
+    })
+  }
+
+  test("drift tolerance: any MAF column subset yields full-schema output") {
+    val mafCols = Seq("Entrez_Gene_Id", "Chromosome", "Start_Position",
+      "Tumor_Sample_Barcode", "Tumor_Seq_Allele2", "HGVSp_Short",
+      "Variant_Classification", "NCBI_Build")
+    check("drift", Prop.forAllNoShrink(Gen.someOf(mafCols)) { subset =>
+      val header = subset.toSeq
+      header.isEmpty || {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row(header.map(_ => "val"): _*))),
+          graft.core.Schemas.allStringSchema(header))
+        val (ev, mu) = MutationOps.transformMaf(df, "st", "pf")
+        val evRow = ev.head
+        val idx = ev.columns.indexOf("NCBI_BUILD")
+        ev.columns.toSeq == graft.core.Schemas.mutationEvent.fieldNames.toSeq &&
+          mu.columns.toSeq == graft.core.Schemas.mutation.fieldNames.toSeq &&
+          evRow.getString(idx) == (if (header.contains("NCBI_Build")) "val" else "")
+      }
+    })
+  }
+}
