@@ -90,11 +90,12 @@ object SparkEntry {
   }
 
   private def o16SeqId(s: SparkSession, dir: String): DataFrame =
+    // no trailing orderBy: zipWithIndex output is already globally ordered
+    // (range partitions from the sort, in-partition order preserved)
     MutationOps.withContiguousId(
       T(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber"),
       idName = "seq_id")
-      .orderBy("seq_id")
 
   private def o18Combine(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
@@ -330,6 +331,17 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** IVF ANN over the pre-clustered `label` partitions. No SQL oracle: the
+    * centroid AVERAGES are float accumulations whose cross-engine bit
+    * equality is not guaranteed — the driver records a rows-only check, and
+    * ExtOpsSpec covers the semantics on known vectors. */
+  private def e3Ivf(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    SimilarityOps.topKIvf(T(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", q, k = 10, nprobe = 3)
+  }
+
   // ====================================================================
   // E4 text analysis (documents)
   // ====================================================================
@@ -399,6 +411,7 @@ object SparkEntry {
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_topk_cosine" -> (e3TopK _),
     "e3_ann_signbucket" -> (e3SignBucket _),
+    "e3_ann_ivf" -> (e3Ivf _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),

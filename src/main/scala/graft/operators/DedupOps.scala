@@ -74,17 +74,24 @@ object DedupOps {
     * a uniform key; `<` keeps each unordered pair once. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3): DataFrame = {
+    // Bucket-group instead of self-join: a self-join would evaluate the
+    // whole signature pipeline twice (Spark has no cross-branch plan CSE)
+    // and shuffle it twice. One groupBy on (band, sig) collects each LSH
+    // bucket's member ids — bucket sizes are near-dup cluster sizes, small
+    // by construction — and the i<j combinations explode bucket-locally.
+    // Output pair count is identical either way.
     val sigs = minhashBands(df, idCol, textCol, bands, shingleN)
-    val a = sigs.select(col("band"), col("sig"), col("id").as("id_a"))
-    val b = sigs.select(col("band"), col("sig"), col("id").as("id_b"))
-    // shuffle join, not broadcast: both sides are the SAME signature
-    // pipeline, and with identical shuffle Exchanges Catalyst's
-    // ReuseExchange computes it once — a broadcast side would force a full
-    // second evaluation (and a broadcast of every signature defeats the
-    // point at 100 TB, where sigs ~ #docs × bands rows).
-    a.join(b.hint("shuffle_hash"), Seq("band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val buckets = sigs.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(sequence(i + 1, size(col("ids")) - 1),
+          j => struct(element_at(col("ids"), i + 1).as("id_a"),
+            element_at(col("ids"), j + 1).as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** E2 variant: SimHash buckets — documents sharing a `bits`-bit simhash

@@ -14,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a LIVE session (the builder-time path
+    * is GraftExtensions; sessionState is private[sql], hence here). */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

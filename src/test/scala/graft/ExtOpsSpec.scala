@@ -65,6 +65,15 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.collect().map(_.getLong(0)).toSet == Set(0L, 1L))
   }
 
+  test("dot_long/dot_float usable from SQL after registration") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT dot_long(array(2L,3L), array(5L,7L)) AS d").head
+    assert(r.getLong(0) == 31L)
+    val f = spark.sql(
+      "SELECT dot_float(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").head
+    assert(f.getDouble(0) == 3.0)
+  }
+
   test("custom dot expressions agree with interpreted fold") {
     val vecs = Seq((Array(1.5f, -2.0f, 3.0f), Array(2.0f, 0.5f, -1.0f)))
       .toDF("a", "b")
