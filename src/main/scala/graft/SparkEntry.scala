@@ -176,6 +176,55 @@ object SparkEntry {
         .as("revenue_c"))
       .orderBy("r_name", "n_name")
 
+  /** Salted join (skew-mitigation shape) — result-identical to the plain
+    * join, which is exactly what the oracle checks. */
+  private def e6Salted(s: SparkSession, dir: String): DataFrame =
+    JoinOps.saltedJoin(T(s, dir, "orders"), T(s, dir, "customer"),
+      "o_custkey", "c_custkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count("*").as("n"))
+      .orderBy("c_mktsegment")
+
+  /** HLL sketch distinct-count. No oracle: Spark's HyperLogLog++ and
+    * DuckDB's approx_count_distinct are different sketches — rows-only. */
+  private def e5Approx(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Calendar aggregation over the orders timestamp column. */
+  private def e5DateAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count("*").as("n"), sum(cents(col("o_totalprice"))).as("revenue_c"))
+      .orderBy("y", "m")
+
+  /** JSON column access: events.props is a JSON string payload. */
+  private def e4JsonProps(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy("k").agg(count("*").as("n"))
+      .orderBy(length(col("k")), col("k")) // numeric-ish order, portable
+
+  /** O14 exercised as a query: rename document columns to MAF names and run
+    * the full 29-column mutation projection — by-name mapping + drift fill
+    * + prefix concat, oracle-checked column by column. */
+  private def o14Mutation(s: SparkSession, dir: String): DataFrame = {
+    val maf = T(s, dir, "documents").select(
+      col("doc_id"),
+      col("source").as("Center"),
+      col("lang").as("Sequencer"),
+      col("text").substr(1, 8).as("Tumor_Sample_Barcode"))
+    val stamped = maf.orderBy("doc_id")
+    stamped.select(col("doc_id") +:
+      MutationOps.mutationProjection(maf, "st", "st_mut"): _*)
+      .select("doc_id", "GENETIC_PROFILE_ID", "SAMPLE_ID", "CENTER",
+        "SEQUENCER", "MUTATION_STATUS", "ANNOTATION_JSON")
+      .orderBy("doc_id")
+  }
+
   // ====================================================================
   // E7 window suite
   // ====================================================================
@@ -389,15 +438,19 @@ object SparkEntry {
     "o09_sample_list" -> (o09SampleList _),
     "o11_unpivot" -> (o11Unpivot _),
     "o13_drift_projection" -> (o13Drift _),
+    "o14_mutation_projection" -> (o14Mutation _),
     "o16_seq_id" -> (o16SeqId _),
     "o18_combine_union" -> (o18Combine _),
     "e5_q1_agg" -> (e5Q1 _),
     "e5_rollup" -> (e5Rollup _),
     "e5_distinct" -> (e5Distinct _),
+    "e5_approx_distinct" -> (e5Approx _),
+    "e5_date_agg" -> (e5DateAgg _),
     "e6_join_broadcast" -> (e6Broadcast _),
     "e6_join_semi" -> (e6Semi _),
     "e6_join_anti" -> (e6Anti _),
     "e6_join_5way" -> (e6FiveWay _),
+    "e6_join_salted" -> (e6Salted _),
     "e7_window_topk" -> (e7TopK _),
     "e7_window_running" -> (e7Running _),
     "e7_window_lag" -> (e7Lag _),
@@ -415,6 +468,7 @@ object SparkEntry {
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
+    "e4_json_props" -> (e4JsonProps _),
     "m1_multimodal" -> (m1Multimodal _)
   )
 
@@ -455,6 +509,12 @@ object SparkEntry {
     "o13_drift_projection" ->
       """SELECT doc_id, lang AS LANG, source AS SOURCE, '' AS CHROMOSOME
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "o14_mutation_projection" ->
+      """SELECT doc_id, 'st_mut' AS GENETIC_PROFILE_ID,
+        |'st_' || substr(text, 1, 8) AS SAMPLE_ID,
+        |source AS CENTER, lang AS SEQUENCER,
+        |'' AS MUTATION_STATUS, '' AS ANNOTATION_JSON
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "o16_seq_id" ->
       """SELECT CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS seq_id,
         |l_orderkey, l_linenumber
@@ -483,6 +543,21 @@ object SparkEntry {
         |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
         |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e5_date_agg" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "e4_json_props" ->
+      """SELECT json_extract_string(props, '$.k') AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY length(k), k""".stripMargin,
+    "e6_join_salted" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "e6_join_broadcast" ->
       """SELECT c_mktsegment,
         |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,

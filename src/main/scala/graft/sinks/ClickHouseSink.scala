@@ -22,15 +22,20 @@ object ClickHouseSink {
       batchSize: Int = 100000,
       numWritePartitions: Int = 0)       // 0 = keep current partitioning
 
-  def write(df: DataFrame, cfg: Config): Unit = {
+  /** The write shape, exposed for testing: repartition to bound per-task
+    * insert size, then sort within partitions by the ClickHouse ORDER BY
+    * key (pre-sorted parts → cheap merges on the server). */
+  def shape(df: DataFrame, cfg: Config): DataFrame = {
     val shaped0 =
       if (cfg.numWritePartitions > 0) df.repartition(cfg.numWritePartitions)
       else df
-    val shaped =
-      if (cfg.orderByKey.nonEmpty)
-        shaped0.sortWithinPartitions(cfg.orderByKey.map(df(_)): _*)
-      else shaped0
-    shaped.write
+    if (cfg.orderByKey.nonEmpty)
+      shaped0.sortWithinPartitions(cfg.orderByKey.map(df(_)): _*)
+    else shaped0
+  }
+
+  def write(df: DataFrame, cfg: Config): Unit = {
+    shape(df, cfg).write
       .format("jdbc")
       .mode(SaveMode.Append)
       .option("url", cfg.url)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.JoinOps
+import graft.sinks.ClickHouseSink
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the scale mechanisms: bucketed co-located
+  * joins, salted joins, and the ClickHouse write shape. These check the
+  * PLAN, not just the rows — the property that must hold at 100 TB. */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+    val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
+    val c = spark.read.parquet(sf("0.001") + "/customer.parquet")
+    val plain = o.join(c, $"o_custkey" === $"c_custkey")
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = JoinOps.saltedJoin(o, c, "o_custkey", "c_custkey", salt = 8)
+      .select("o_orderkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("ClickHouse write shape: partition count + in-partition sort") {
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+    val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
+      table = "lineitem", orderByKey = Seq("l_orderkey", "l_linenumber"),
+      numWritePartitions = 6)
+    val shaped = ClickHouseSink.shape(li, cfg)
+    assert(shaped.rdd.getNumPartitions == 6)
+    // each partition individually sorted by the ORDER BY key
+    val ok = shaped.mapPartitions { it =>
+      val keys = it.map(r => (r.getLong(0), r.getInt(3))).toSeq
+      Iterator.single(keys == keys.sorted)
+    }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(ok.forall(identity))
+  }
+}
