@@ -239,6 +239,19 @@ object SparkEntry {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Same result as e7_window_topk (and the same oracle), via the custom
+    * bounded-heap aggregate: O(n log k) per group, k-entry shuffle rows,
+    * map-side combine — the formulation that survives 100 TB groups. */
+  private def e7TopKAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAggregate
+        .topKByValue(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+
   private def e7Running(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
@@ -452,6 +465,7 @@ object SparkEntry {
     "e6_join_5way" -> (e6FiveWay _),
     "e6_join_salted" -> (e6Salted _),
     "e7_window_topk" -> (e7TopK _),
+    "e7_topk_agg" -> (e7TopKAgg _),
     "e7_window_running" -> (e7Running _),
     "e7_window_lag" -> (e7Lag _),
     "e8_tumbling" -> (e8Tumbling _),
@@ -584,6 +598,12 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "e7_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e7_topk_agg" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn

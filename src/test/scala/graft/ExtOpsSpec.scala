@@ -86,6 +86,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(l == 2 * 7 + 3 * 11 + 5 * 13)
   }
 
+  test("top-k aggregate: rank order, ties, cross-partition merge") {
+    val rows = Seq(
+      (1L, 10.0, 100L), (1L, 30.0, 101L), (1L, 20.0, 102L),
+      (1L, 30.0, 99L),  // tie on value: lower payload ranks first
+      (2L, 5.0, 200L)   // group smaller than k
+    ).toDF("g", "v", "p").repartition(4) // force partial/merge path
+    val got = rows.groupBy("g")
+      .agg(graft.functions.TopKAggregate.topKByValue(col("v"), col("p"), 3).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(99L, 101L, 102L)) // 30(99), 30(101), 20(102); 10 evicted
+    assert(got(2L) == Seq(200L))
+  }
+
   test("E4 text functions: counts, estimate, fingerprint invariance") {
     val r = docs.where(col("doc_id") === 0)
       .select(TF.tokenCount(col("text")), TF.bpeTokenEstimate(col("text")),
