@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.types._
 
 /** North-star sink (BASELINE.json): batch DataFrame → ClickHouse over JDBC.
   *
@@ -32,6 +33,40 @@ object ClickHouseSink {
     if (cfg.orderByKey.nonEmpty)
       shaped0.sortWithinPartitions(cfg.orderByKey.map(df(_)): _*)
     else shaped0
+  }
+
+  /** Spark type → ClickHouse type. Strings are non-Nullable by default
+    * (matching the reference's all-string tables, which cgds.sql declares
+    * NOT NULL); pass nullable=true columns through Nullable(T). */
+  def clickhouseType(dt: DataType): String = dt match {
+    case StringType => "String"
+    case LongType => "Int64"
+    case IntegerType => "Int32"
+    case ShortType => "Int16"
+    case ByteType => "Int8"
+    case DoubleType => "Float64"
+    case FloatType => "Float32"
+    case BooleanType => "Bool"
+    case DateType => "Date32"
+    case _: TimestampType => "DateTime64(6, 'UTC')"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case ArrayType(e, _) => s"Array(${clickhouseType(e)})"
+    case BinaryType => "String"
+    case other =>
+      throw new IllegalArgumentException(s"no ClickHouse mapping for $other")
+  }
+
+  /** CREATE TABLE DDL for a DataFrame schema — MergeTree ordered by the
+    * sink's ORDER BY key, the engine the cgds tables target. */
+  def ddl(schema: StructType, cfg: Config): String = {
+    val cols = schema.fields.map { f =>
+      val t = clickhouseType(f.dataType)
+      s"  `${f.name}` ${if (f.nullable && f.dataType != StringType) s"Nullable($t)" else t}"
+    }.mkString(",\n")
+    val orderBy =
+      if (cfg.orderByKey.nonEmpty) cfg.orderByKey.mkString("(", ", ", ")")
+      else "tuple()"
+    s"CREATE TABLE IF NOT EXISTS ${cfg.table} (\n$cols\n) ENGINE = MergeTree ORDER BY $orderBy"
   }
 
   def write(df: DataFrame, cfg: Config): Unit = {

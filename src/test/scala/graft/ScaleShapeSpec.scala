@@ -29,6 +29,25 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(sf("0.001") + "/events.parquet")
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .where(col("day") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the day filter must become a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"), s"expected partition pruning:\n$plan")
+    assert(pruned.count() > 0)
+    // directory count read should be 1 of ~31 days
+    val allDays = new java.io.File(out).listFiles.count(_.getName.startsWith("day="))
+    assert(allDays > 5)
+  }
+
   test("salted join returns exactly the plain join result") {
     val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
     val c = spark.read.parquet(sf("0.001") + "/customer.parquet")
@@ -39,6 +58,21 @@ class ScaleShapeSpec extends SparkSpec {
       .select("o_orderkey", "c_custkey")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(salted == plain)
+  }
+
+  test("ClickHouse DDL generation from engine output schemas") {
+    val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
+      table = "mutation_event", orderByKey = Seq("MUTATION_EVENT_ID"))
+    val ddl = ClickHouseSink.ddl(graft.core.Schemas.mutationEvent, cfg)
+    assert(ddl.contains("`MUTATION_EVENT_ID` Int64"))
+    assert(ddl.contains("`ENTREZ_GENE_ID` String"))
+    assert(ddl.contains("ENGINE = MergeTree ORDER BY (MUTATION_EVENT_ID)"))
+    val emb = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)))
+    assert(ClickHouseSink.ddl(emb, cfg.copy(orderByKey = Nil))
+      .contains("`embedding` Nullable(Array(Float32))"))
   }
 
   test("ClickHouse write shape: partition count + in-partition sort") {
