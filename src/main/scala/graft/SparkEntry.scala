@@ -57,6 +57,68 @@ object SparkEntry {
   // driver test tables so the DuckDB oracle can check them.
   // ====================================================================
 
+  /** O1/O3 driven through the driver gate: round-trip `part` through a TSV
+    * file (distributed csv write, all-string header-inferred read) and
+    * oracle the result against the original parquet. The temp TSV is
+    * per-sfDir and rewritten each run. */
+  private def o01TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tsvDir = s"/tmp/graft_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    T(s, dir, "part")
+      .select(col("p_partkey").cast("string"), col("p_name"), col("p_brand"))
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(tsvDir)
+    val tsvFile = new java.io.File(tsvDir).listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.toString).min
+    graft.core.TsvReader.readTsv(s, tsvFile).orderBy("p_partkey")
+  }
+
+  /** O2: same TSV with `#` comment lines prepended — the comment-aware MAF
+    * reader must skip them and produce identical rows. */
+  private def o02CommentSkip(s: SparkSession, dir: String): DataFrame = {
+    val tsvDir = s"/tmp/graft_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    o01TsvRoundtrip(s, dir).count() // ensure the TSV exists/refreshed
+    val tsvFile = new java.io.File(tsvDir).listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.toString).min
+    val commented = s"$tsvDir/commented.maf"
+    val body = java.nio.file.Files.readString(java.nio.file.Paths.get(tsvFile))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(commented),
+      "#version 2.4\n#build test\n" + body)
+    graft.core.TsvReader.readMaf(s, commented).orderBy("p_partkey")
+  }
+
+  /** O5/O6/O7 driven through the driver gate: author a miniature datahub
+    * tree, run discovery + meta parse + pairing, return the paired file
+    * table. The oracle is the literal expected pairing. */
+  private def o05Discovery(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_disc")
+    val st = root.resolve("study_x"); Files.createDirectories(st)
+    Files.createDirectories(st.resolve("case_lists"))
+    Files.writeString(st.resolve("meta_cna.txt"),
+      "cancer_study_identifier: study_x\nstable_id: gistic\ndata_filename: data_cna.txt\n")
+    Files.writeString(st.resolve("data_cna.txt"),
+      "Hugo_Symbol\tEntrez_Gene_Id\tS1\nBRCA1\t672\t0\n")
+    Files.writeString(st.resolve("meta_mutations.txt"),
+      "cancer_study_identifier: study_x\nstable_id: mutations\ndata_filename: data_mutations.txt\n")
+    Files.writeString(st.resolve("data_mutations.txt"),
+      "Hugo_Symbol\tEntrez_Gene_Id\nTP53\t7157\n")
+    Files.writeString(st.resolve("case_lists").resolve("data_cna.txt"),
+      "must\tbe\tskipped\n")
+    // an orphan data file: pairs with empty ids (left-outer semantics)
+    Files.writeString(st.resolve("data_log2cna.txt"),
+      "Hugo_Symbol\tEntrez_Gene_Id\tS1\nMYC\t4609\t1\n")
+    val cna = graft.core.StudyDiscovery.findCnaFiles(root.toString)
+      .map(f => ("cna", Paths.get(f.path).getFileName.toString,
+        f.cancerStudyId, f.geneticProfileId))
+    val mut = graft.core.StudyDiscovery.findMutationFiles(root.toString)
+      .map(f => ("mutations", Paths.get(f.path).getFileName.toString,
+        f.cancerStudyId, f.geneticProfileId))
+    (cna ++ mut).toDF("kind", "file", "study", "profile")
+      .orderBy("kind", "file")
+  }
+
   private def o08CnaPack(s: SparkSession, dir: String): DataFrame = {
     // part as a wide "matrix": key col 0, descriptor col 1, value cols 2..N
     val wide = T(s, dir, "part").select(
@@ -447,6 +509,9 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
+    "o02_comment_skip" -> (o02CommentSkip _),
+    "o05_discovery" -> (o05Discovery _),
     "o08_cna_pack" -> (o08CnaPack _),
     "o09_sample_list" -> (o09SampleList _),
     "o11_unpivot" -> (o11Unpivot _),
@@ -502,6 +567,18 @@ object SparkEntry {
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   def oracleSql: Map[String, String] = ListMap(
+    "o01_tsv_roundtrip" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "o02_comment_skip" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "o05_discovery" ->
+      """SELECT * FROM (VALUES
+        |  ('cna', 'data_cna.txt', 'study_x', 'study_x_gistic'),
+        |  ('cna', 'data_log2cna.txt', '', ''),
+        |  ('mutations', 'data_mutations.txt', 'study_x', 'study_x_mutations'))
+        |AS t(kind, file, study, profile) ORDER BY kind, file""".stripMargin,
     "o08_cna_pack" ->
       """SELECT 'tpch' AS CANCER_STUDY, 'tpch_gistic' AS GENETIC_PROFILE,
         |CAST(p_partkey AS VARCHAR) AS GENE_SYMBOL,
