@@ -34,6 +34,18 @@ object StreamingOps {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Session windows per user with a gap timeout — the streaming twin of the
+    * batch `e8_session` query. Sessions close (and emit, in append mode)
+    * once the watermark passes their gap horizon. */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count("*").as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+
   /** Per-user running state via mapGroupsWithState: event count + running
     * value sum per user, emitted on every update — the custom-state
     * primitive (sessionization, CDC-style dedup, enrichment caches all

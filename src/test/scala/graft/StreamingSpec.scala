@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert((batch -- streamed).forall(_._1 >= horizon))
   }
 
+  test("streaming session windows match batch session_window") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessionAggregates(eventsWithTs),
+      "session_out", OutputMode.Append())
+      .select(unix_timestamp(col("session_start")).as("s"), col("user_id"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+      .agg(count("*").as("n"))
+      .select(unix_timestamp(col("session_window.start")).as("s"),
+        col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // append mode holds back sessions the watermark hasn't closed
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size > batch.size / 2)
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningUserTotals(eventsWithTs).toDF(),
