@@ -42,9 +42,11 @@ object SparkEntry {
   /** cents(c) = round(c*100) as long — exact integer money/quantity. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** 1e3-quantized integer copy of a float vector (see header). */
+  /** 1e3-quantized integer copy of a float vector (see header) — codegen'd
+    * expression, bit-identical to transform(v, x -> round(x*1000) as long)
+    * (parity asserted in ExtOpsSpec). */
   private def qvec(c: Column): Column =
-    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+    graft.functions.QuantizeVector.quantize(c, 1000.0)
 
   private def qdot(a: Column, b: Column): Column = VF.dotLong(a, b)
 

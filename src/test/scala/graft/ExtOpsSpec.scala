@@ -99,6 +99,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(2L) == Seq(200L))
   }
 
+  test("QuantizeVector matches the round-transform formulation bit-for-bit") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val mismatch = emb.select(
+      graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0).as("fast"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch == 0)
+    // negative-half edge with an EXACT product (-0.5f * 5 = -2.5): must
+    // round away from zero (-3), where Math.round would give -2
+    val edge = Seq(Tuple1(Array(-0.5f, 0.5f))).toDF("v")
+      .select(graft.functions.QuantizeVector.quantize(col("v"), 5.0))
+      .head.getSeq[Long](0)
+    assert(edge == Seq(-3L, 3L))
+  }
+
   test("E4 text functions: counts, estimate, fingerprint invariance") {
     val r = docs.where(col("doc_id") === 0)
       .select(TF.tokenCount(col("text")), TF.bpeTokenEstimate(col("text")),
