@@ -289,6 +289,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** As-of join over events: for each click, the cents value of that user's
+    * most recent purchase at-or-before the click (-1 if none). Micros
+    * resolution on both sides so oracle ordering is identical. */
+  private def e6Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), cents(col("value")).as("vc"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "us")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us", "vc")
+    JoinOps.asofJoin(clicks, purchases, key = "user_id", ts = "us",
+      valueCol = "vc", asofCol = "last_purchase_c", tieBreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("last_purchase_c"), lit(-1L)).as("last_purchase_c"))
+      .orderBy("event_id")
+  }
+
   // ====================================================================
   // E7 window suite
   // ====================================================================
@@ -531,6 +549,7 @@ object SparkEntry {
     "e6_join_anti" -> (e6Anti _),
     "e6_join_5way" -> (e6FiveWay _),
     "e6_join_salted" -> (e6Salted _),
+    "e6_asof_join" -> (e6Asof _),
     "e7_window_topk" -> (e7TopK _),
     "e7_topk_agg" -> (e7TopKAgg _),
     "e7_window_running" -> (e7Running _),
@@ -651,6 +670,18 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e6_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        |u AS (SELECT event_id, user_id, us, 0 AS mk, CAST(NULL AS BIGINT) AS rv
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, user_id, us, 1 AS mk, vc FROM e WHERE event_type = 'purchase'),
+        |w AS (SELECT *, last_value(rv IGNORE NULLS) OVER (
+        |  PARTITION BY user_id ORDER BY us, mk DESC, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_c FROM u)
+        |SELECT event_id, user_id, COALESCE(asof_c, -1) AS last_purchase_c
+        |FROM w WHERE mk = 0 ORDER BY event_id""".stripMargin,
     "e6_join_broadcast" ->
       """SELECT c_mktsegment,
         |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,

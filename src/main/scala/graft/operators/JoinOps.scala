@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join utilities for skewed keys at scale.
@@ -31,5 +32,40 @@ object JoinOps {
           saltedLeft("__salt") === saltedRight("__salt"))
       .drop(saltedLeft("__salt"))
       .drop(saltedRight("__salt"))
+  }
+
+  /** As-of (point-in-time) join — for each left row, the `valueCol` of the
+    * latest right row with the same `key` and `ts` ≤ the left row's `ts`
+    * (inclusive). Spark has no native as-of join; per the composition-first
+    * rule this is the union+window formulation: tag both sides, union, and
+    * take `last(value) ignoreNulls` over (key, ts)-ordered rows — ONE
+    * shuffle on the key, no range-join blowup, arbitrarily many left rows
+    * per right row. `tieBreak` columns (present on both sides) make
+    * ordering deterministic when timestamps collide; right rows sort before
+    * left rows at equal ts so same-instant values are visible.
+    *
+    * Returns all left columns + `asofCol` (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String, asofCol: String = "asof_value",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val leftCols = left.columns.toSeq
+    val lt = left
+      .select(leftCols.map(col) :+ lit(null).cast(valueType).as("__rv"): _*)
+      .withColumn("__mk", lit(0))
+    val rt = right.select(
+      leftCols.map(c =>
+        if (c == key || c == ts || tieBreak.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(valueCol).as("__rv"): _*)
+      .withColumn("__mk", lit(1))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("__mk").desc +: tieBreak.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.unionByName(rt)
+      .withColumn(asofCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__mk") === 0)
+      .drop("__rv", "__mk")
   }
 }

@@ -60,6 +60,20 @@ class ScaleShapeSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("as-of join: inclusive latest-at-or-before semantics") {
+    val clicks = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 50L),
+      (4L, 20L, 500L)).toDF("event_id", "user_id", "us")
+    val purchases = Seq((90L, 10L, 100L, 111L), (91L, 10L, 150L, 222L))
+      .toDF("event_id", "user_id", "us", "vc")
+    val got = JoinOps.asofJoin(clicks, purchases, "user_id", "us", "vc",
+      asofCol = "pv", tieBreak = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(1L).contains(111L)) // same-instant purchase visible (inclusive)
+    assert(got(2L).contains(222L)) // latest of the two priors
+    assert(got(3L).isEmpty)        // before any purchase
+    assert(got(4L).isEmpty)        // user with no purchases at all
+  }
+
   test("ClickHouse DDL generation from engine output schemas") {
     val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
       table = "mutation_event", orderByKey = Seq("MUTATION_EVENT_ID"))
