@@ -52,9 +52,13 @@ object DedupOps {
     * (string mins force SortAggregate), and the shuffle carries `bands`
     * longs per document regardless of document length. */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3): DataFrame = {
+      bands: Int, shingleN: Int = 3): DataFrame =
+    minhashBandsFromShingles(docShingles(df, idCol, textCol, shingleN), bands)
+
+  /** Same, over an already-built (id, s) shingle relation. */
+  def minhashBandsFromShingles(ds: DataFrame, bands: Int): DataFrame = {
     require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
-    val perBand = docShingles(df, idCol, textCol, shingleN)
+    val perBand = ds
       .select(col("id"), md5(col("s")).as("__h"))
       .select(col("id"),
         conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
@@ -73,14 +77,19 @@ object DedupOps {
     * signature. Self-equi-join on (band, sig) — a plain shuffle hash join on
     * a uniform key; `<` keeps each unordered pair once. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3): DataFrame = {
+      bands: Int, shingleN: Int = 3): DataFrame =
+    minhashCandidatePairsFromShingles(
+      docShingles(df, idCol, textCol, shingleN), bands)
+
+  /** Same, over an already-built (id, s) shingle relation. */
+  def minhashCandidatePairsFromShingles(ds: DataFrame, bands: Int): DataFrame = {
     // Bucket-group instead of self-join: a self-join would evaluate the
     // whole signature pipeline twice (Spark has no cross-branch plan CSE)
     // and shuffle it twice. One groupBy on (band, sig) collects each LSH
     // bucket's member ids — bucket sizes are near-dup cluster sizes, small
     // by construction — and the i<j combinations explode bucket-locally.
     // Output pair count is identical either way.
-    val sigs = minhashBands(df, idCol, textCol, bands, shingleN)
+    val sigs = minhashBandsFromShingles(ds, bands)
     val buckets = sigs.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -113,8 +122,14 @@ object DedupOps {
     * double on every engine, and the integer output can never drift. */
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
+    // The shingle relation feeds four plan branches (two sides of the
+    // candidate join via the signatures, the size table, and the
+    // intersection); Spark re-evaluates each branch, so materialize it once.
+    // MEMORY_AND_DISK: at scale this is (doc, shingle) pairs — large but
+    // spillable, and recomputing tokenize+shingle+md5 four times is worse.
     val ds = docShingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashCandidatePairsFromShingles(ds, bands)
     val sizes = ds.groupBy("id").agg(count("*").as("n"))
     // |A∩B| per pair: expand pair × A-shingles, then semi-join "B also has
     // this shingle" on (id_b, s) — never materializes A×B per pair.
