@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // conf-gated (spark.graft.topkRewrite.enabled); see the rule's scaladoc
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     e.injectFunction((
       FunctionIdentifier("dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),

@@ -334,6 +334,24 @@ object SparkEntry {
         (col("pos") + 1).cast("long").as("rn"))
       .orderBy("o_custkey", "rn")
 
+  /** The SAME plain window formulation as e7_window_topk, optimized by the
+    * RewriteRankFilterToTopK rule into the bounded-heap aggregate (no
+    * window, no sort — see graft/plans). The optimized plan is forced while
+    * the rule's conf flag is up, so only THIS query is rewritten and the
+    * rewrite is live no matter when the caller executes the frame. */
+  private def e7TopKRewrite(s: SparkSession, dir: String): DataFrame = {
+    val rule = graft.plans.RewriteRankFilterToTopK
+    rule.install(s)
+    s.conf.set(rule.CONF_KEY, "true")
+    try {
+      val df = e7TopK(s, dir)
+      assert(df.queryExecution.optimizedPlan.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "rank-filter rewrite did not fire")
+      df
+    } finally s.conf.set(rule.CONF_KEY, "false")
+  }
+
   private def e7Running(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
@@ -552,6 +570,7 @@ object SparkEntry {
     "e6_asof_join" -> (e6Asof _),
     "e7_window_topk" -> (e7TopK _),
     "e7_topk_agg" -> (e7TopKAgg _),
+    "e7_topk_rewrite" -> (e7TopKRewrite _),
     "e7_window_running" -> (e7Running _),
     "e7_window_lag" -> (e7Lag _),
     "e8_tumbling" -> (e8Tumbling _),
@@ -714,6 +733,12 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "e7_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e7_topk_rewrite" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
