@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Codegen-friendly replacements for the interpreted higher-order-function
+  * text signatures in TextFunctions. Higher-order functions
+  * (`transform`/`aggregate`) are CodegenFallback: per-element lambda frames,
+  * boxed accumulators, and a materialized intermediate array per token.
+  * These expressions run one tight JVM loop per row instead, invoked from
+  * inside whole-stage codegen via a single instance call — semantics are
+  * bit-identical to the composable forms (parity-tested in ExtOpsSpec).
+  */
+object TextExpressions {
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private[functions] def md5Digest(s: UTF8String): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(s.getBytes)
+  }
+
+  import org.apache.spark.sql.graft.Bridge
+
+  /** Codegen'd SimHash (see TextFunctions.simhashFromTokens). */
+  def simhashBits(tokens: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(tokens), bits))
+
+  /** Membership counts of a token array against each of `sets`. */
+  def tokenSetCounts(tokens: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(TokenSetCounts(Bridge.expression(tokens), sets))
+}
+
+/** SimHash over `bits` bit positions of each token's md5 (nibble p high bit
+  * → +1 else -1; per-bit sums; sign → '0'/'1' string). Exactly
+  * TextFunctions.simhashFromTokens — including its treatment of null
+  * elements (a null token contributes -1 to every bit) — with one md5
+  * digest per token and no intermediate hex strings. */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 32, "bits must be in [1, 32] (md5 nibbles)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  def compute(arr: ArrayData): UTF8String = {
+    val sums = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var p = 0
+        while (p < bits) { sums(p) -= 1; p += 1 }
+      } else {
+        val digest = TextExpressions.md5Digest(arr.getUTF8String(i))
+        var p = 0
+        while (p < bits) {
+          val b = digest(p >> 1) & 0xff
+          val nib = if ((p & 1) == 0) b >>> 4 else b & 0xf
+          if (nib >= 8) sums(p) += 1 else sums(p) -= 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val chars = new Array[Char](bits)
+    var p = 0
+    while (p < bits) {
+      chars(p) = if (sums(p) >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromString(new String(chars))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashBits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** For a token array, the number of elements contained in each of `sets`
+  * (null tokens count in none) — `array<int>` aligned with `sets`. One pass
+  * with hash-set membership, replacing one interpreted `aggregate(...isin…)`
+  * scan of the token array PER set (language-ID runs five). */
+case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "token_set_counts"
+
+  @transient private lazy val compiled: Array[java.util.HashSet[UTF8String]] =
+    sets.map { s =>
+      val hs = new java.util.HashSet[UTF8String](s.size * 2)
+      s.foreach(w => hs.add(UTF8String.fromString(w)))
+      hs
+    }.toArray
+
+  def compute(arr: ArrayData): ArrayData = {
+    val counts = new Array[Int](compiled.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        var j = 0
+        while (j < compiled.length) {
+          if (compiled(j).contains(tok)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("setCounts", this, classOf[TokenSetCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
+    copy(child = newChild)
+}

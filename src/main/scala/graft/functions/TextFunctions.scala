@@ -101,11 +101,25 @@ object TextFunctions {
 
   /** N-gram/stopword language-ID heuristic: score = marker-token hits per
     * language; predict the argmax, ties broken alphabetically, no hits →
-    * "und" (undetermined). Integer scoring — deterministic. Pass a
-    * materialized token-array attribute in hot paths (the token column is
-    * referenced once per language). */
+    * "und" (undetermined). Integer scoring — deterministic. All five
+    * languages are scored in ONE codegen'd pass over the tokens
+    * (TokenSetCounts); the argmax fold is ordinary codegen'd expressions. */
   def langIdFromTokens(t: Column): Column = {
+    val counts = TextExpressions.tokenSetCounts(t, langMarkers.map(_._2))
+    val scored = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(counts, i + 1))
+    }
+    argmaxLang(scored)
+  }
+
+  /** The composable (interpreted higher-order) formulation — parity
+    * reference for TokenSetCounts, not a hot path. */
+  def langIdFromTokensComposable(t: Column): Column = {
     val scored = langMarkers.map { case (l, m) => (l, markerHits(t, m)) }
+    argmaxLang(scored)
+  }
+
+  private def argmaxLang(scored: Seq[(String, Column)]): Column = {
     // fold from the end so earlier (alphabetically smaller) langs win ties
     val best = scored.reverse.tail.foldLeft(
       struct(scored.last._2.as("s"), lit(scored.last._1).as("l"))) {
@@ -125,7 +139,8 @@ object TextFunctions {
     * integers in any engine, so the double result is bit-reproducible. */
   def qualityScoreFromTokens(t: Column): Column = {
     val n = size(t).cast("double")
-    val stopRatio = markerHits(t, stopwords).cast("double") / n
+    val stopRatio = element_at(
+      TextExpressions.tokenSetCounts(t, Seq(stopwords)), 1).cast("double") / n
     val distinctRatio = size(array_distinct(t)).cast("double") / n
     val lengthSat = least(n / lit(100.0), lit(1.0))
     round(lit(0.4) * lengthSat + lit(0.3) * stopRatio + lit(0.3) * distinctRatio, 6)

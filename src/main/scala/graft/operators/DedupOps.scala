@@ -108,7 +108,8 @@ object DedupOps {
     * with ≥ minSize members. */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
       bits: Int, minSize: Int = 2): DataFrame =
-    df.select(col(idCol), TF.simhash(col(textCol), bits).as("simhash"))
+    df.select(col(idCol), graft.functions.TextExpressions
+        .simhashBits(TF.tokens(col(textCol)), bits).as("simhash"))
       .groupBy("simhash")
       .agg(count(col(idCol)).as("n_docs"), min(col(idCol)).as("min_id"))
       .where(col("n_docs") >= minSize)

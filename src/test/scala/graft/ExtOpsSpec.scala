@@ -46,6 +46,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(sigs.values.forall(s => s.length == 8 && s.forall("01".contains(_))))
   }
 
+  test("codegen SimHashBits / TokenSetCounts match the interpreted forms") {
+    // parity over real data (sf0.001 documents), not just the toy docs
+    val d = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+    val simCmp = d.select(
+      TF.simhashFromTokens(col("t"), 8).as("a"),
+      graft.functions.TextExpressions.simhashBits(col("t"), 8).as("b"),
+      TF.langIdFromTokensComposable(col("t")).as("la"),
+      TF.langIdFromTokens(col("t")).as("lb"))
+    assert(simCmp.where(col("a") =!= col("b") || col("la") =!= col("lb"))
+      .count() == 0)
+    // empty and null-element arrays
+    val edge = Seq(Seq.empty[String], Seq("x", "the")).toDF("t")
+    val rows = edge.select(
+      TF.simhashFromTokens(col("t"), 4).as("a"),
+      graft.functions.TextExpressions.simhashBits(col("t"), 4).as("b"),
+      graft.functions.TextExpressions
+        .tokenSetCounts(col("t"), Seq(Seq("the"), Seq("x", "y"))).as("c"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    assert(rows(0).getSeq[Int](2) == Seq(0, 0))
+    assert(rows(1).getSeq[Int](2) == Seq(1, 1))
+  }
+
   test("E3 similarity: self-query ranks itself first with cos=1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
