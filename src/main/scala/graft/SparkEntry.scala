@@ -203,6 +203,80 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_part"))
       .orderBy("l_returnflag")
 
+  private def e5Cube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count("*").as("n"), sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_price_c"))
+      .orderBy("rf", "ls")
+
+  /** Explicit GROUPING SETS: (rf, shipmode), (rf), () — the general form
+    * rollup/cube specialize. */
+  private def e5GroupingSets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("sy"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("sy")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("sy"))
+      .agg(count("*").as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("sy"), lit(-1L)).as("sy"),
+        col("n"))
+      .orderBy("rf", "sy")
+
+  /** Pivot: linestatus values become columns — a projection-after-groupBy
+    * (no extra shuffle beyond the aggregation). */
+  private def e5Pivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(cents(col("l_quantity"))))
+      .select(col("l_returnflag"),
+        col("F").cast("long").as("qty_f_c"), col("O").cast("long").as("qty_o_c"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated percentiles (not approx — cross-engine comparable)
+    * over integer cents. */
+  private def e5Percentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        percentile(cents(col("o_totalprice")), lit(0.5)).as("p50"),
+        percentile(cents(col("o_totalprice")), lit(0.9)).as("p90"))
+      .select(col("o_orderstatus"),
+        round(col("p50") * 10).cast("long").as("p50_milli"),
+        round(col("p90") * 10).cast("long").as("p90_milli"))
+      .orderBy("o_orderstatus")
+
+  /** Conditional aggregation: FILTER/CASE-gated sums and counts in one
+    * grouped pass. */
+  private def e5Conditional(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("l_discount") >= 0.08, cents(col("l_extendedprice")))
+          .otherwise(0L)).as("disc_rev_c"),
+        sum(when(col("l_discount") >= 0.08, 1L).otherwise(0L)).as("n_disc"),
+        max(when(col("l_discount") >= 0.05, cents(col("l_quantity")))).as("max_disc_qty_c"))
+      .orderBy("l_returnflag")
+
+  /** Set operations: suppliers shipping both 'R'- and 'A'-flag items, minus
+    * those that ever shipped AIR. */
+  private def e5SetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.where(col("l_returnflag") === "R").select("l_suppkey").distinct()
+      .intersect(
+        li.where(col("l_returnflag") === "A").select("l_suppkey").distinct())
+      .except(li.where(col("l_quantity") >= 49).select("l_suppkey").distinct())
+      .orderBy("l_suppkey")
+  }
+
   // ====================================================================
   // E6 join suite
   // ====================================================================
@@ -307,6 +381,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Time-range (interval) join: for each click, purchases by the same user
+    * within the next 10 minutes. Equi-join on user + range predicate — the
+    * shuffle keys on user_id only; the range condition filters within the
+    * joined group, never a cross product across users. */
+  private def e6RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"), cents(col("value")).as("vc"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("c_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"), col("vc"))
+    clicks.join(purchases, "user_id")
+      .where(col("p_us") > col("c_us") &&
+        col("p_us") <= col("c_us") + expr("600000000"))
+      .groupBy("click_id")
+      .agg(count("*").as("n_purchases"), sum(col("vc")).as("sum_purchase_c"))
+      .orderBy("click_id")
+  }
+
   // ====================================================================
   // E7 window suite
   // ====================================================================
@@ -373,6 +468,47 @@ object SparkEntry {
         coalesce(lag(col("value_c"), 1).over(w), lit(0L)))
       .select("event_id", "user_id", "value_c", "prev_value_c")
       .orderBy("event_id")
+  }
+
+  /** ntile bucketing — total order in the window, so bucket assignment is
+    * engine-independent. */
+  private def e7Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** first_value / last_value over the FULL partition frame — constant per
+    * partition, emitted once per key via distinct. */
+  private def e7FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "orders")
+      .select(col("o_custkey"),
+        first_value(col("o_orderkey")).over(w).as("best_order"),
+        last_value(col("o_orderkey")).over(w).as("worst_order"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** RANGE frame: peers (equal order-by values) are included together, so
+    * the running sum is deterministic even though the value ordering alone
+    * is not total. */
+  private def e7RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_quantity")).as("qty_c"))
+      .withColumn("range_qty_c", sum(col("qty_c")).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "range_qty_c")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   // ====================================================================
@@ -534,6 +670,34 @@ object SparkEntry {
       .groupBy("lang", "predicted").agg(count("*").as("n"))
       .orderBy("lang", "predicted")
 
+  /** Regex suite: extract / replace / match-count with portable ASCII
+    * character-class patterns (Java regex and RE2 agree on these). */
+  private def e4Regex(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(regexp_extract(col("text"), "([a-z]+ing)", 1), lit(""))
+          .as("first_ing"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("novowel_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[ae]", "")))
+          .cast("long").as("n_ae"))
+      .orderBy("doc_id")
+
+  /** String-function suite over part: case, substring, padding, replace,
+    * trim, positional split — the scalar-function surface a SQL user
+    * expects, oracle-checked for cross-engine semantics. */
+  private def e4Strings(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_u"),
+        trim(col("p_type")).as("ptype"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
   // ====================================================================
   // Multimodal plumbing (documents → binary payload → stub decode)
   // ====================================================================
@@ -562,17 +726,27 @@ object SparkEntry {
     "e5_distinct" -> (e5Distinct _),
     "e5_approx_distinct" -> (e5Approx _),
     "e5_date_agg" -> (e5DateAgg _),
+    "e5_cube" -> (e5Cube _),
+    "e5_grouping_sets" -> (e5GroupingSets _),
+    "e5_pivot" -> (e5Pivot _),
+    "e5_percentile" -> (e5Percentile _),
+    "e5_conditional" -> (e5Conditional _),
+    "e5_setops" -> (e5SetOps _),
     "e6_join_broadcast" -> (e6Broadcast _),
     "e6_join_semi" -> (e6Semi _),
     "e6_join_anti" -> (e6Anti _),
     "e6_join_5way" -> (e6FiveWay _),
     "e6_join_salted" -> (e6Salted _),
     "e6_asof_join" -> (e6Asof _),
+    "e6_range_join" -> (e6RangeJoin _),
     "e7_window_topk" -> (e7TopK _),
     "e7_topk_agg" -> (e7TopKAgg _),
     "e7_topk_rewrite" -> (e7TopKRewrite _),
     "e7_window_running" -> (e7Running _),
     "e7_window_lag" -> (e7Lag _),
+    "e7_ntile" -> (e7Ntile _),
+    "e7_first_last" -> (e7FirstLast _),
+    "e7_range_frame" -> (e7RangeFrame _),
     "e8_tumbling" -> (e8Tumbling _),
     "e8_sliding" -> (e8Sliding _),
     "e8_session" -> (e8Session _),
@@ -588,6 +762,8 @@ object SparkEntry {
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
     "e4_json_props" -> (e4JsonProps _),
+    "e4_regex" -> (e4Regex _),
+    "e4_strings" -> (e4Strings _),
     "m1_multimodal" -> (m1Multimodal _)
   )
 
@@ -683,6 +859,87 @@ object SparkEntry {
     "e4_json_props" ->
       """SELECT json_extract_string(props, '$.k') AS k, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY length(k), k""".stripMargin,
+    "e5_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "e5_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |COALESCE(CAST(EXTRACT(year FROM l_shipdate) AS BIGINT), -1) AS sy,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, EXTRACT(year FROM l_shipdate)), (l_returnflag), ())
+        |ORDER BY rf, sy""".stripMargin,
+    "e5_pivot" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS BIGINT) AS qty_f_c,
+        |CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS BIGINT) AS qty_o_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e5_percentile" ->
+      """SELECT o_orderstatus,
+        |CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) * 10) AS BIGINT) AS p50_milli,
+        |CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) * 10) AS BIGINT) AS p90_milli
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "e5_conditional" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_discount >= 0.08 THEN CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS disc_rev_c,
+        |CAST(SUM(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |CAST(MAX(CASE WHEN l_discount >= 0.05 THEN CAST(round(l_quantity*100) AS BIGINT) END) AS BIGINT) AS max_disc_qty_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e5_setops" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |EXCEPT
+        |SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_suppkey""".stripMargin,
+    "e6_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT c.event_id AS click_id,
+        |CAST(count(*) AS BIGINT) AS n_purchases,
+        |CAST(SUM(p.vc) AS BIGINT) AS sum_purchase_c
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.us > c.us AND p.us <= c.us + 600000000
+        |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
+    "e7_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e7_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |first_value(o_orderkey) OVER w AS best_order,
+        |last_value(o_orderkey) OVER w AS worst_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+    "e7_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) OVER (
+        |  PARTITION BY l_suppkey ORDER BY CAST(round(l_extendedprice*100) AS BIGINT)
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS range_qty_c
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "e4_regex" ->
+      """SELECT doc_id,
+        |COALESCE(regexp_extract(text, '([a-z]+ing)', 1), '') AS first_ing,
+        |CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+        |CAST(length(text) - length(regexp_replace(text, '[ae]', '', 'g')) AS BIGINT) AS n_ae
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e4_strings" ->
+      """SELECT p_partkey,
+        |upper(p_name) AS uname,
+        |substr(p_name, 1, 5) AS prefix5,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |regexp_replace(p_brand, '#', '_', 'g') AS brand_u,
+        |trim(p_type) AS ptype,
+        |string_split(p_type, ' ')[1] AS type_head,
+        |CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "e6_join_salted" ->
       """SELECT c_mktsegment,
         |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
