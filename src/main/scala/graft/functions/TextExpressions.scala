@@ -37,6 +37,54 @@ object TextExpressions {
   /** Membership counts of a token array against each of `sets`. */
   def tokenSetCounts(tokens: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(TokenSetCounts(Bridge.expression(tokens), sets))
+
+  /** Two 60-bit longs from a string's md5 (see Md5Halves). */
+  def md5Halves(s: Column): Column =
+    Bridge.column(Md5Halves(Bridge.expression(s)))
+}
+
+/** struct(h1, h2): the two 60-bit halves of md5(input) that the MinHash
+  * pipeline combines as h1 + band·h2. Bit-identical to
+  *   conv(substring(hex, 1, 15), 16, 10)  /  conv(substring(hex, 17, 15), 16, 10)
+  * (hex chars 1-15 = high nibbles of digest bytes 0-7 shifted; chars 17-31
+  * = bytes 8-15 likewise) — but straight from the digest bytes: no hex
+  * rendering, no substring allocs, no base-16 string parse per shingle. */
+case class Md5Halves(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+  override def prettyName: String = "md5_halves"
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val d = TextExpressions.md5Digest(s)
+    def be64(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+      v
+    }
+    val h1 = be64(0) >>> 4 // first 15 hex chars (nibbles 0-14)
+    val h2 = be64(8) >>> 4 // hex chars 17-31 (nibbles 16-30)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h1, h2))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5h", this, classOf[Md5Halves].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Halves =
+    copy(child = newChild)
 }
 
 /** SimHash over `bits` bit positions of each token's md5 (nibble p high bit

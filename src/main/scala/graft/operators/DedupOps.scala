@@ -59,10 +59,10 @@ object DedupOps {
   def minhashBandsFromShingles(ds: DataFrame, bands: Int): DataFrame = {
     require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
     val perBand = ds
-      .select(col("id"), md5(col("s")).as("__h"))
       .select(col("id"),
-        conv(substring(col("__h"), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(col("__h"), 17, 15), 16, 10).cast("long").as("h2"))
+        graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
+      .select(col("id"),
+        col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
       .groupBy("id")
       .agg(min(col("h1")).as("sig0"),
         (1 until bands).map(b =>

@@ -70,6 +70,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](2) == Seq(1, 1))
   }
 
+  test("Md5Halves matches conv(substring(md5)) on real shingles") {
+    val sh = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(explode(TF.shingles(col("text"), 3)).as("s"))
+    val cmp = sh.select(
+      graft.functions.TextExpressions.md5Halves(col("s")).as("hh"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long").as("h2"))
+    assert(cmp.where(col("hh.h1") =!= col("h1") || col("hh.h2") =!= col("h2"))
+      .count() == 0)
+    assert(cmp.count() > 1000)
+  }
+
   test("E3 similarity: self-query ranks itself first with cos=1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
