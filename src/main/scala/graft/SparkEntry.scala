@@ -708,6 +708,14 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Frame-sampling over the synthesized binary payload: 64-byte frames,
+    * every 2nd kept, md5 of the sampled bytes. */
+  private def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.frameSample(
+      MultimodalOps.withPayload(T(s, dir, "documents"), "doc_id", "text"),
+      frameLen = 64, stride = 2)
+      .orderBy("doc_id")
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -764,7 +772,8 @@ object SparkEntry {
     "e4_json_props" -> (e4JsonProps _),
     "e4_regex" -> (e4Regex _),
     "e4_strings" -> (e4Strings _),
-    "m1_multimodal" -> (m1Multimodal _)
+    "m1_multimodal" -> (m1Multimodal _),
+    "m2_frame_sample" -> (m2FrameSample _)
   )
 
   // ====================================================================
@@ -1141,6 +1150,13 @@ object SparkEntry {
         |CAST((ord(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS width,
         |CAST((strlen(text) % 64) + 1 AS INTEGER) AS height,
         |'fake/v1' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id,
+        |CAST(ceil(CAST(strlen(text) AS DOUBLE) / 64) AS BIGINT) AS n_frames,
+        |md5(array_to_string(list_transform(
+        |  range(CAST(greatest(ceil(ceil(CAST(strlen(text) AS DOUBLE) / 64) / 2), 1) AS BIGINT)),
+        |  j -> substr(text, CAST(1 + j * 128 AS BIGINT), 64)), '')) AS sample_md5
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -45,6 +45,29 @@ object MultimodalOps {
     df.select(col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"))
 
+  /** Frame sampling over a binary media payload: treat the payload as
+    * consecutive `frameLen`-byte frames ("video"), keep every `stride`-th
+    * frame, and emit the frame count plus an md5 checksum of the sampled
+    * concatenation. A real video pipeline swaps byte-chunking for codec
+    * keyframe offsets; the SELECT/no-shuffle shape — decode bound, narrow,
+    * codegen'd — is what matters at scale. Payload bytes are treated as
+    * UTF-8 text (the driver tables synthesize them from text), keeping the
+    * result DuckDB-checkable. */
+  def frameSample(payloads: DataFrame, frameLen: Int, stride: Int): DataFrame = {
+    val txt = decode(col("payload"), "UTF-8")
+    val nFrames = ceil(length(txt).cast("double") / frameLen).cast("long")
+    val nSampled = ceil(nFrames.cast("double") / stride).cast("long")
+    payloads.select(
+      col("doc_id"),
+      nFrames.as("n_frames"),
+      // greatest(..,0): empty payloads still sample one (empty) frame —
+      // sequence(0, -1) would count DOWN, not produce an empty array
+      md5(array_join(transform(
+        sequence(lit(0), greatest(nSampled - 1, lit(0L)).cast("int")),
+        j => txt.substr(lit(1) + j * (frameLen * stride), lit(frameLen))),
+        "")).as("sample_md5"))
+  }
+
   /** Decode payloads partition-at-a-time. Returns a typed Dataset; the
     * codec is constructed once per partition, not per row. */
   def decodeMeta(payloads: DataFrame, codec: MediaCodec = FakeCodec)

@@ -69,6 +69,84 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream inner join: for each click, purchases by the
+    * same user within `horizon` after it. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered state — the requirement for an unbounded stream-stream join.
+    * Expects (event_id, user_id, ts, value) on both inputs. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "10 minutes", watermark: String = "30 minutes")
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.ts > c.ts AND p.ts <= c.ts + interval $horizon""".stripMargin))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"), col("p.value").as("purchase_value"))
+  }
+
+  /** Streaming exact dedup: first occurrence of each key wins; the
+    * watermark bounds how long per-key state is retained (`dropDuplicates`
+    * without one never forgets — unusable on an unbounded stream). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
+  final case class SessionEvent(user_id: Long, us: Long)
+  final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n: Long)
+  // not private: the state encoder's generated code constructs it reflectively
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState: gap-separated
+    * sessions per user, emitting each session as it CLOSES — either because
+    * a later event left a gap > `gapUs` within the stream, or because the
+    * event-time timeout fired (watermark passed the gap horizon with no new
+    * events). The primitive behind session semantics `session_window` can't
+    * express (e.g. per-session early emit, enriched state). */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long)
+      : Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap horizon: close the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(uid, s.start_us, s.end_us, s.n))
+          } else {
+            val times = batch.map(_._2).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.end_us < gapUs =>
+                  open = Some(OpenSession(s.start_us, t, s.n + 1))
+                case Some(s) =>
+                  closed += SessionSummary(uid, s.start_us, s.end_us, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table until all
     * currently-available input is processed; returns the result table.
     * Update mode suits stateful queries; Append for watermarked windows. */

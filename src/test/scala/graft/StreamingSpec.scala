@@ -73,6 +73,77 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size > batch.size / 2)
   }
 
+  test("watermarked stream-stream join matches the batch range join") {
+    def side(t: String) = eventsWithTs.where(col("event_type") === t)
+      .select("event_id", "user_id", "ts", "value")
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.clickPurchaseJoin(side("click"), side("purchase")),
+      "ssjoin_out", OutputMode.Append())
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("us").as("cus"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us").as("pus"))
+    val batch = c.join(p, "user_id")
+      .where(col("pus") > col("cus") && col("pus") <= col("cus") + 600000000L)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // a single file microbatch: everything is co-buffered, so the join is
+    // complete — exact match, not just subset
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup keeps one row per key") {
+    // duplicate the stream by unioning it with itself: every (event_id, ts)
+    // appears twice; watermarked dropDuplicates must emit each once
+    val doubled = eventsWithTs.select("event_id", "user_id", "ts")
+      .union(eventsWithTs.select("event_id", "user_id", "ts"))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.dedupStream(doubled, Seq("event_id")),
+      "dedup_out", OutputMode.Append())
+    val n = streamed.count()
+    val distinctN = streamed.select("event_id").distinct().count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = spark.read.parquet(sf("0.001") + "/events.parquet").count()
+    assert(n == want && distinctN == want)
+  }
+
+  test("flatMapGroupsWithState sessionization: closed sessions match batch") {
+    import spark.implicits._
+    val ev = eventsWithTs
+      .select(col("user_id").cast("long"), expr("unix_micros(ts)").as("us"))
+      .as[StreamingOps.SessionEvent]
+    val gapUs = 30L * 60 * 1000000
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessionize(ev, gapUs).toDF(),
+      "sessfm_out", OutputMode.Append())
+      .select("user_id", "start_us", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+      .agg(count("*").as("n"))
+      .select(expr("unix_micros(session_window.start)").as("s"),
+        col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+
+    // sessions CLOSED by an observed gap are emitted and must match batch
+    // sessions exactly; still-open sessions (no later event, watermark not
+    // past their horizon) remain in state — so subset, mostly complete
+    assert(streamed.subsetOf(batch), s"${(streamed -- batch).take(3)}")
+    assert(streamed.size > batch.size / 2)
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningUserTotals(eventsWithTs).toDF(),
