@@ -89,6 +89,19 @@ object SparkEntry {
     graft.core.TsvReader.readMaf(s, commented).orderBy("p_partkey")
   }
 
+  /** O4-adjacent source coverage: JSON-lines round-trip — distributed
+    * json write of a documents projection, schema-explicit streaming-safe
+    * read back, oracled against the original parquet. */
+  private def o03JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val jsonDir = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    T(s, dir, "documents").select("doc_id", "lang", "source")
+      .write.mode("overwrite").json(jsonDir)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, source STRING")
+      .json(jsonDir)
+      .orderBy("doc_id")
+  }
+
   /** O5/O6/O7 driven through the driver gate: author a miniature datahub
     * tree, run discovery + meta parse + pairing, return the paired file
     * table. The oracle is the literal expected pairing. */
@@ -670,6 +683,15 @@ object SparkEntry {
       .groupBy("lang", "predicted").agg(count("*").as("n"))
       .orderBy("lang", "predicted")
 
+  /** Winnowed rolling-hash fingerprints (MOSS sketch) per document,
+    * exploded to (doc_id, fp) rows — k=8-byte grams, window 4. */
+  private def e4Winnow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(graft.functions.TextExpressions
+        .winnowFingerprints(col("text"), 8, 4)).as("fp"))
+      .where(col("fp").isNotNull)
+      .orderBy("doc_id", "fp")
+
   /** Regex suite: extract / replace / match-count with portable ASCII
     * character-class patterns (Java regex and RE2 agree on these). */
   private def e4Regex(s: SparkSession, dir: String): DataFrame =
@@ -721,6 +743,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
     "o02_comment_skip" -> (o02CommentSkip _),
+    "o03_json_roundtrip" -> (o03JsonRoundtrip _),
     "o05_discovery" -> (o05Discovery _),
     "o08_cna_pack" -> (o08CnaPack _),
     "o09_sample_list" -> (o09SampleList _),
@@ -772,6 +795,7 @@ object SparkEntry {
     "e4_json_props" -> (e4JsonProps _),
     "e4_regex" -> (e4Regex _),
     "e4_strings" -> (e4Strings _),
+    "e4_winnow" -> (e4Winnow _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_frame_sample" -> (m2FrameSample _)
   )
@@ -791,6 +815,17 @@ object SparkEntry {
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+  /** B^(k-1-j) mod M for the winnowing oracle's closed-form gram hash —
+    * identical modular arithmetic to the rolling form. */
+  private val winnowPowersSql: String = {
+    val B = 257L; val M = 1000000007L; val k = 8
+    (0 until k).map { j =>
+      var v = 1L
+      (0 until (k - 1 - j)).foreach(_ => v = v * B % M)
+      v
+    }.mkString("[", ", ", "]")
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "o01_tsv_roundtrip" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand
@@ -798,6 +833,8 @@ object SparkEntry {
     "o02_comment_skip" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "o03_json_roundtrip" ->
+      """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""",
     "o05_discovery" ->
       """SELECT * FROM (VALUES
         |  ('cna', 'data_cna.txt', 'study_x', 'study_x_gistic'),
@@ -1145,6 +1182,18 @@ object SparkEntry {
         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
     },
+    "e4_winnow" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  list_transform(range(strlen(text) - 7), i ->
+        |    CAST(list_sum(list_transform(range(8), j ->
+        |      CAST(ord(substr(text, CAST(i + j + 1 AS INTEGER), 1)) AS BIGINT) * ($winnowPowersSql)[j + 1]
+        |    )) % 1000000007 AS BIGINT)) AS hs
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |  list_transform(range(len(hs) - 3), w -> list_min(hs[w+1:w+4])) AS mins
+        |  FROM h)
+        |SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS fp
+        |FROM w ORDER BY doc_id, fp""".stripMargin,
     "m1_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST((ord(substr(text, 1, 1)) % 64) + 1 AS INTEGER) AS width,

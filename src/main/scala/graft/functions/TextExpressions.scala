@@ -41,6 +41,84 @@ object TextExpressions {
   /** Two 60-bit longs from a string's md5 (see Md5Halves). */
   def md5Halves(s: Column): Column =
     Bridge.column(Md5Halves(Bridge.expression(s)))
+
+  /** Winnowed rolling-hash fingerprints (see WinnowFingerprints). */
+  def winnowFingerprints(s: Column, k: Int, window: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(s), k, window))
+}
+
+/** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03 — the MOSS sketch): Rabin-Karp rolling hashes of every
+  * `k`-byte gram (base 257, mod 1e9+7 — products fit long), then the MIN
+  * hash of each `window` consecutive grams, deduplicated and sorted. Two
+  * documents sharing any sufficiently long substring share fingerprints,
+  * and the sketch is position-independent — the standard near-dup /
+  * provenance fingerprint a training-data pipeline needs.
+  *
+  * O(n) per document via the rolling update (the SQL-oracle formulation
+  * recomputes each gram — same values, quadratic; this expression is the
+  * scale path). Documents shorter than k + window - 1 bytes yield an empty
+  * array. ASCII-byte semantics (byte == ord(char)). */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+  require(k >= 1 && window >= 1)
+
+  private val B = 257L
+  private val M = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val nh = n - k + 1
+    if (nh < window) return new GenericArrayData(Array.emptyLongArray)
+    // B^(k-1) mod M for the rolling leading-byte removal
+    var bk1 = 1L
+    var i = 0
+    while (i < k - 1) { bk1 = bk1 * B % M; i += 1 }
+    val hs = new Array[Long](nh)
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if (i >= k) h = (h - (bytes(i - k) & 0xffL) * bk1 % M + M) % M
+      h = (h * B + (bytes(i) & 0xffL)) % M
+      if (i >= k - 1) hs(i - k + 1) = h
+      i += 1
+    }
+    // min per window of `window` consecutive hashes, distinct, sorted
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w + window <= nh) {
+      var m = hs(w)
+      var j = 1
+      while (j < window) { if (hs(w + j) < m) m = hs(w + j); j += 1 }
+      mins.add(m)
+      w += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
 }
 
 /** struct(h1, h2): the two 60-bit halves of md5(input) that the MinHash

@@ -70,6 +70,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](2) == Seq(1, 1))
   }
 
+  test("winnowing: shared substrings share fingerprints, short docs none") {
+    import graft.functions.TextExpressions.winnowFingerprints
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "yesterday the quick brown fox jumps over a fence"), // shares prefix run
+      (2L, "zzzz totally unrelated content qqqq"),
+      (3L, "short") // < k + window - 1 bytes at k=8,w=4 → no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+        winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty) // "the quick brown fox jumps over"
+    assert((fps(0L) & fps(2L)).isEmpty)
+    assert(fps(3L).isEmpty)
+    // sorted distinct contract
+    val arr = fps(0L).toSeq
+    assert(arr.size == fps(0L).size)
+  }
+
   test("Md5Halves matches conv(substring(md5)) on real shingles") {
     val sh = spark.read.parquet(sf("0.001") + "/documents.parquet")
       .select(explode(TF.shingles(col("text"), 3)).as("s"))
