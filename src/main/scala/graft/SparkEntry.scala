@@ -565,6 +565,23 @@ object SparkEntry {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** CDC-style compaction: latest record per key (max event time, event_id
+    * tiebreak) via max_by — ONE hash aggregation with map-side partial
+    * combine, versus the window row_number formulation's full per-key sort.
+    * The upsert/merge primitive for incrementally maintained tables. */
+  private def e1LatestByKey(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        cents(col("value")).as("vc"))
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("vc")),
+          struct(col("us"), col("event_id"))).as("m"),
+        max(struct(col("us"), col("event_id"))).as("k"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.vc").as("value_c"), col("k.us").as("us"))
+      .orderBy("user_id")
+
   private def e2Minhash(s: SparkSession, dir: String): DataFrame =
     DedupOps.minhashCandidatePairs(T(s, dir, "documents"), "doc_id", "text",
       bands = 4, shingleN = 3)
@@ -782,6 +799,7 @@ object SparkEntry {
     "e8_sliding" -> (e8Sliding _),
     "e8_session" -> (e8Session _),
     "e1_exact_dedup" -> (e1Exact _),
+    "e1_latest_by_key" -> (e1LatestByKey _),
     "e2_minhash_pairs" -> (e2Minhash _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
@@ -1083,6 +1101,14 @@ object SparkEntry {
     "e1_exact_dedup" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "e1_latest_by_key" ->
+      """SELECT user_id, event_id, value_c, us FROM (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS value_c,
+        |  epoch_us(ts) AS us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "e2_minhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
         |e AS (SELECT doc_id, unnest(sl) AS s FROM sh),
