@@ -670,6 +670,16 @@ object SparkEntry {
       "label", q, k = 10, nprobe = 3)
   }
 
+  /** IVF with k-means-TRAINED centroids (full build+search loop). No SQL
+    * oracle — clustering is float-iterative; rows-only check + ExtOpsSpec
+    * semantics on known vectors. */
+  private def e3IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    SimilarityOps.topKIvfKmeans(T(s, dir, "embeddings"), "vec_id", "embedding",
+      q, k = 10, nlist = 8, nprobe = 3)
+  }
+
   // ====================================================================
   // E4 text analysis (documents)
   // ====================================================================
@@ -807,6 +817,7 @@ object SparkEntry {
     "e3_topk_cosine" -> (e3TopK _),
     "e3_ann_signbucket" -> (e3SignBucket _),
     "e3_ann_ivf" -> (e3Ivf _),
+    "e3_ann_ivf_kmeans" -> (e3IvfKmeans _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),

@@ -44,6 +44,42 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF with TRAINED centroids: k-means (fixed seed) learns `nlist` cells
+    * from the data itself — the full IVF build+search loop, vs `topKIvf`
+    * which reuses a pre-existing partition label. Train on the embedding
+    * column, assign every vector its nearest cell, then probe the `nprobe`
+    * cells nearest the query and exact-rank only inside them. At scale the
+    * model trains on a sample, the assignment is one narrow pass, and
+    * writing the table partitioned by `cell` makes every later query read
+    * only probed partitions. Returns (id, cos) like the other ANN paths. */
+  def topKIvfKmeans(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int, nprobe: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+      .fit(feats)
+    val assigned = model.transform(feats) // narrow: broadcast centroids
+    val queryCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d2 = c.toArray.zip(query.map(_.toDouble))
+          .map { case (a, b) => val d = a - b; d * d }.sum
+        (i, d2)
+      }
+      .sortBy { case (i, d2) => (d2, i) }
+      .take(nprobe).map(_._1).toSeq
+    assigned
+      .where(col("cell").isin(queryCells: _*))
+      .select(col(idCol),
+        round(VF.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style two-stage ANN: coarse quantize by `labelCol` (pre-clustered
     * partition, e.g. k-means cell), pick the `nprobe` labels whose centroid
     * is nearest the query, then exact-rank only within those labels. The

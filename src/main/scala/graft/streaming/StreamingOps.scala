@@ -94,6 +94,37 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Streaming near-dup dedup by MinHash SIGNATURE equality: the per-row
+    * banded minhash (computed entirely within the row — array transforms
+    * over shingles, no shuffle, no state beyond the dedup map) keys a
+    * watermark-bounded dropDuplicates. Documents whose full band signature
+    * matches an already-seen one are dropped — exact dups always, near-dups
+    * with probability rising in their similarity. Expects (ts, idCol,
+    * textCol); emits the survivors. */
+  def minhashDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3, watermark: String = "30 minutes")
+      : DataFrame = {
+    import graft.functions.{TextFunctions => TF, TextExpressions => TE}
+    val sig = {
+      val halves = transform(
+        array_distinct(TF.shingles(col(textCol), shingleN)),
+        s => TE.md5Halves(s))
+      // shingle-less (short) docs: fall back to the full-text hash, so they
+      // dedup on exact text only instead of all sharing a null signature
+      val fb = TE.md5Halves(col(textCol))
+      array((0 until bands).map(b =>
+        coalesce(
+          array_min(transform(halves,
+            h => h.getField("h1") + lit(b.toLong) * h.getField("h2"))),
+          fb.getField("h1") + lit(b.toLong) * fb.getField("h2"))): _*)
+    }
+    docs
+      .withColumn("__sig", sig)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("__sig")
+      .drop("__sig")
+  }
+
   final case class SessionEvent(user_id: Long, us: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n: Long)
   // not private: the state encoder's generated code constructs it reflectively

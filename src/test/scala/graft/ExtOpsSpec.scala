@@ -70,6 +70,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(rows(1).getSeq[Int](2) == Seq(1, 1))
   }
 
+  test("E3 IVF with k-means-trained centroids finds the query's neighbors") {
+    val vecs = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val q = vecs.where(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val got = SimilarityOps.topKIvfKmeans(vecs, "vec_id", "embedding",
+      q, k = 5, nlist = 4, nprobe = 2)
+      .collect()
+    // the query vector's own cell is always probed → itself first, cos 1
+    assert(got.head.getLong(0) == 0L)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-9)
+    assert(got.length == 5)
+    // ranked descending
+    val sims = got.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("winnowing: shared substrings share fingerprints, short docs none") {
     import graft.functions.TextExpressions.winnowFingerprints
     val d = Seq(

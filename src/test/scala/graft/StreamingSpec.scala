@@ -144,6 +144,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size > batch.size / 2)
   }
 
+  test("streaming minhash dedup drops exact dups, keeps distinct docs") {
+    // documents as a stream, synthetic event time, unioned with itself:
+    // every doc arrives twice; signature dedup must emit each text once
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf("0.001") + "/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      .select("doc_id", "text", "ts")
+    val doubled = stream.union(stream)
+    val out = StreamingOps.runToMemory(
+      StreamingOps.minhashDedupStream(doubled, "doc_id", "text", bands = 4),
+      "mh_dedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val nDistinctTexts = spark.read.parquet(docsDir)
+      .select("text").distinct().count()
+    // every distinct text survives at most once; near-dup collisions may
+    // drop a few more, exact dups always collapse
+    val n = out.count()
+    assert(n <= nDistinctTexts)
+    assert(n > nDistinctTexts / 2)
+    assert(out.select("text").distinct().count() == n)
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningUserTotals(eventsWithTs).toDF(),
