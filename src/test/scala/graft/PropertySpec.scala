@@ -48,6 +48,57 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("winnow rolling hash == closed-form polynomial on random ASCII") {
+    val asciiText = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126)).map(_.map(_.toChar).mkString))
+    check("winnow", Prop.forAllNoShrink(Gen.listOfN(4, asciiText)) { texts =>
+      val k = 4; val w = 3; val B = 257L; val M = 1000000007L
+      def closedForm(t: String): Set[Long] = {
+        val bs = t.getBytes("UTF-8").map(_ & 0xffL)
+        val hs = (0 to bs.length - k).map { i =>
+          (0 until k).map { j =>
+            var p = 1L
+            (0 until (k - 1 - j)).foreach(_ => p = p * B % M)
+            bs(i + j) * p % M
+          }.sum % M
+        }
+        (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }
+      val got = texts.toDF("text")
+        .select(graft.functions.TextExpressions
+          .winnowFingerprints(col("text"), k, w).as("fp"))
+        .collect().map(_.getSeq[Long](0).toSet)
+      got.zip(texts.map(closedForm)) forall { case (a, b) => a == b }
+    }, n = 10)
+  }
+
+  test("TopKRows rewrite result == sort-take per group on random data") {
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 4)
+      v <- Gen.chooseNum(-100, 100)
+      p <- Gen.chooseNum(0L, 1000L)
+    } yield (g, v, p)
+    check("topk", Prop.forAllNoShrink(Gen.listOfN(60, rowGen)) { rows =>
+      val k = 3
+      val df = rows.toDF("g", "v", "p")
+      val rule = graft.plans.RewriteRankFilterToTopK
+      rule.install(spark)
+      spark.conf.set(rule.CONF_KEY, "true")
+      val got = try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("p"))
+        val d = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        d.queryExecution.optimizedPlan // force while enabled
+        d.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      } finally spark.conf.set(rule.CONF_KEY, "false")
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case ((_, v, p), i) => (g, v, p, i + 1) }
+      }.toSet
+      got == want
+    }, n = 10)
+  }
+
   test("contiguous id invariant: ids are exactly [start, start+count)") {
     check("contiguous", Prop.forAllNoShrink(
       Gen.choose(1, 200), Gen.choose(0L, 1000L)) { (n, start) =>
