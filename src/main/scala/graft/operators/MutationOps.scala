@@ -53,12 +53,34 @@ object MutationOps {
     */
   def withContiguousId(df: DataFrame, idName: String = "MUTATION_EVENT_ID",
       start: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.graft.Bridge
     val outSchema = StructType(
       StructField(idName, LongType, nullable = false) +: df.schema.fields)
-    val indexed = df.rdd.zipWithIndex.map { case (row, i) =>
-      Row.fromSeq((i + start) +: row.toSeq)
+    // zipWithIndex's structure (per-partition counts in one narrow job,
+    // offsets broadcast, ids assigned partition-locally) — but over
+    // InternalRows: `df.rdd` would deserialize every row to a boxed Row and
+    // createDataFrame would re-encode it; this stays in the unsafe format.
+    val rdd = Bridge.internalRows(df)
+    val counts = rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(start)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val idRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var id = bc.value(i)
+      it.map { r =>
+        idRow.update(0, id)
+        id += 1
+        // copy: the projection's output buffer is reused per row
+        proj(joined(idRow, r)).copy(): InternalRow
+      }
     }
-    df.sparkSession.createDataFrame(indexed, outSchema)
+    Bridge.fromInternalRows(df.sparkSession, stamped, outSchema)
   }
 
   /** O13+O14 combined: one id-stamped scan, two projections (the reference

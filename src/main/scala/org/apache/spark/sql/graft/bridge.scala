@@ -15,6 +15,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame's physical rows without Row boxing (`df.rdd` inserts a
+    * deserializing projection per row). */
+  def internalRows(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Rebuild a DataFrame from InternalRows (the private[sql] twin of
+    * createDataFrame — no Row re-encoding pass). */
+  def fromInternalRows(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a temp SQL function on a LIVE session (the builder-time path
     * is GraftExtensions; sessionState is private[sql], hence here). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
