@@ -69,6 +69,30 @@ object ClickHouseSink {
     s"CREATE TABLE IF NOT EXISTS ${cfg.table} (\n$cols\n) ENGINE = MergeTree ORDER BY $orderBy"
   }
 
+  /** Streaming → ClickHouse incremental load: every micro-batch goes
+    * through the SAME shape+write path as batch (foreachBatch), stamped
+    * with its batchId. The checkpoint gives at-least-once delivery; the
+    * batchId column makes replays deduplicable server-side
+    * (ReplacingMergeTree keyed on (orderByKey, __graft_batch_id), or the
+    * insert-dedup window) — the standard exactly-once-to-ClickHouse
+    * recipe. */
+  def writeStream(df: DataFrame, cfg: Config, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    writeStreamWith(df, checkpointDir, (batch, id) =>
+      write(batch.withColumn("__graft_batch_id",
+        org.apache.spark.sql.functions.lit(id)), cfg))
+
+  /** foreachBatch plumbing with a pluggable batch sink — lets tests (and
+    * alternative targets) reuse the streaming machinery without a JDBC
+    * server. */
+  def writeStreamWith(df: DataFrame, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+      .start()
+
   def write(df: DataFrame, cfg: Config): Unit = {
     shape(df, cfg).write
       .format("jdbc")

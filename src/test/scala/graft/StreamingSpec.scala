@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("text").distinct().count() == n)
   }
 
+  test("foreachBatch incremental sink delivers every row exactly once") {
+    import graft.sinks.ClickHouseSink
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val cfg = ClickHouseSink.Config(url = "", table = "events_inc",
+      orderByKey = Seq("user_id", "event_id"))
+    val q = ClickHouseSink.writeStreamWith(
+      eventsWithTs.select("event_id", "user_id", "value", "ts"), ckpt,
+      (batch, id) => ClickHouseSink.shape(batch, cfg)
+        .withColumn("__graft_batch_id", lit(id))
+        .write.mode("append").parquet(outDir))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = spark.read.parquet(sf("0.001") + "/events.parquet")
+    assert(got.count() == want.count())
+    assert(got.select("event_id").distinct().count() == want.count())
+    assert(got.columns.contains("__graft_batch_id"))
+  }
+
   test("mapGroupsWithState running totals match batch groupBy") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.runningUserTotals(eventsWithTs).toDF(),
