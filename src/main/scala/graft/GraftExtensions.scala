@@ -29,13 +29,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Integer parameters arrive as SQL literals and are folded at
   * registration. */
 object GraftFunctionRegistry {
-  private def int(e: Expression): Int =
-    e.eval(null) match {
+  /** Folds a constant function parameter; a non-foldable argument (a column
+    * reference) raises the standard NON_FOLDABLE_ARGUMENT AnalysisException
+    * naming the function, instead of a confusing NPE from eval(null). */
+  private def lit(e: Expression, fn: String, param: String,
+      tpe: org.apache.spark.sql.types.DataType): Any = {
+    if (!e.foldable)
+      throw org.apache.spark.sql.graft.Bridge.nonFoldableArgument(fn, param, tpe)
+    e.eval(null)
+  }
+
+  private def int(e: Expression, fn: String, param: String): Int =
+    lit(e, fn, param, org.apache.spark.sql.types.IntegerType) match {
       case i: Int => i
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
-        s"expected integer literal, got $other")
+        s"$fn($param): expected integer literal, got $other")
     }
+
+  private def dbl(e: Expression, fn: String, param: String): Double =
+    lit(e, fn, param, org.apache.spark.sql.types.DoubleType).toString.toDouble
 
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_long", classOf[DotProductLong].getName,
@@ -43,13 +56,14 @@ object GraftFunctionRegistry {
     ("dot_float", classOf[DotProductFloat].getName,
       es => DotProductFloat(es(0), es(1))),
     ("quantize_vector", classOf[QuantizeVector].getName,
-      es => QuantizeVector(es(0), es(1).eval(null).toString.toDouble)),
+      es => QuantizeVector(es(0), dbl(es(1), "quantize_vector", "scale"))),
     ("simhash_bits", classOf[SimHashBits].getName,
-      es => SimHashBits(es(0), int(es(1)))),
+      es => SimHashBits(es(0), int(es(1), "simhash_bits", "bits"))),
     ("md5_halves", classOf[Md5Halves].getName,
       es => Md5Halves(es(0))),
     ("winnow_fingerprints", classOf[WinnowFingerprints].getName,
-      es => WinnowFingerprints(es(0), int(es(1)), int(es(2)))))
+      es => WinnowFingerprints(es(0), int(es(1), "winnow_fingerprints", "k"),
+        int(es(2), "winnow_fingerprints", "window"))))
 }
 
 /** Runtime twin of GraftExtensions for sessions that already exist. */

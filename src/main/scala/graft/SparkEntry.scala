@@ -59,12 +59,18 @@ object SparkEntry {
   // driver test tables so the DuckDB oracle can check them.
   // ====================================================================
 
+  /** Per-JVM scratch root: concurrent runs (separate JVMs) over the same
+    * data dir get distinct roots, while o02 can still find the TSV o01
+    * wrote within this run. */
+  private lazy val tmpRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_run_").toString
+
   /** O1/O3 driven through the driver gate: round-trip `part` through a TSV
     * file (distributed csv write, all-string header-inferred read) and
     * oracle the result against the original parquet. The temp TSV is
     * per-sfDir and rewritten each run. */
   private def o01TsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tsvDir = s"/tmp/graft_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tsvDir = s"$tmpRoot/tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     T(s, dir, "part")
       .select(col("p_partkey").cast("string"), col("p_name"), col("p_brand"))
       .coalesce(1)
@@ -78,7 +84,7 @@ object SparkEntry {
   /** O2: same TSV with `#` comment lines prepended — the comment-aware MAF
     * reader must skip them and produce identical rows. */
   private def o02CommentSkip(s: SparkSession, dir: String): DataFrame = {
-    val tsvDir = s"/tmp/graft_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val tsvDir = s"$tmpRoot/tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     o01TsvRoundtrip(s, dir).count() // ensure the TSV exists/refreshed
     val tsvFile = new java.io.File(tsvDir).listFiles()
       .filter(_.getName.endsWith(".csv")).map(_.toString).min
@@ -93,7 +99,10 @@ object SparkEntry {
     * json write of a documents projection, schema-explicit streaming-safe
     * read back, oracled against the original parquet. */
   private def o03JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val jsonDir = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // per-run temp dir: concurrent runs over the same data dir must not
+    // race on a shared fixed path
+    val jsonDir = java.nio.file.Files
+      .createTempDirectory("graft_json_").toString
     T(s, dir, "documents").select("doc_id", "lang", "source")
       .write.mode("overwrite").json(jsonDir)
     s.read

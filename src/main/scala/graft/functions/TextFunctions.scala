@@ -103,13 +103,17 @@ object TextFunctions {
     * language; predict the argmax, ties broken alphabetically, no hits →
     * "und" (undetermined). Integer scoring — deterministic. All five
     * languages are scored in ONE codegen'd pass over the tokens
-    * (TokenSetCounts); the argmax fold is ordinary codegen'd expressions. */
+    * (TokenSetCounts); the argmax is `array_position(counts, max)`, whose
+    * first-match rule IS the alphabetical tie-break (langMarkers is sorted)
+    * — and whose expression tree stays O(langs), unlike a when-chain fold
+    * that duplicates the accumulator struct per level. */
   def langIdFromTokens(t: Column): Column = {
     val counts = TextExpressions.tokenSetCounts(t, langMarkers.map(_._2))
-    val scored = langMarkers.zipWithIndex.map { case ((l, _), i) =>
-      (l, element_at(counts, i + 1))
-    }
-    argmaxLang(scored)
+    val names = array(langMarkers.map(m => lit(m._1)): _*)
+    val best = array_max(counts)
+    when(best > 0,
+      element_at(names, array_position(counts, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** The composable (interpreted higher-order) formulation — parity

@@ -96,9 +96,12 @@ case class TopKRows(
   }
 
   override def eval(buf: mutable.PriorityQueue[InternalRow]): Any = {
-    val worstToBest = buf.dequeueAll // priority (= worst-rank-first) order
+    // non-destructive: a second eval over the same buffer (window reuse /
+    // retried tasks) must see the heap intact, so sort a snapshot instead
+    // of draining the queue
+    val bestToWorst = buf.toArray.sorted(rankOrdering)
     new GenericArrayData(
-      worstToBest.reverseIterator.map(r => payloadProj(r).copy()).toArray[Any])
+      bestToWorst.iterator.map(r => payloadProj(r).copy()).toArray[Any])
   }
 
   override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {

@@ -57,11 +57,18 @@ object SimilarityOps {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cached: k-means makes one pass per iteration (plus k-means|| init),
+    // and without a cache every pass re-reads + re-converts the vectors
     val feats = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .cache()
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell")
+      // coarse quantizer, not a clustering deliverable: IVF recall needs
+      // roughly-balanced cells, which early iterations already give —
+      // default 20 iterations triples train time for no search benefit
+      .setMaxIter(8)
       .fit(feats)
     val assigned = model.transform(feats) // narrow: broadcast centroids
     val queryCells = model.clusterCenters.zipWithIndex

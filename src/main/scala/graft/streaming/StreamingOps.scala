@@ -86,21 +86,28 @@ object StreamingOps {
         col("p.event_id").as("purchase_id"), col("p.value").as("purchase_value"))
   }
 
-  /** Streaming exact dedup: first occurrence of each key wins; the
-    * watermark bounds how long per-key state is retained (`dropDuplicates`
-    * without one never forgets — unusable on an unbounded stream). */
+  /** Streaming exact per-key dedup: the first occurrence of each key wins
+    * among events arriving within the watermark delay of each other;
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes it, so state stays bounded WITHOUT having to put the
+    * event-time column in the key (plain `dropDuplicates(keys)` on a
+    * stream never forgets; `keys :+ ts` dedups per (key, ts) instead of
+    * per key). */
   def dedupStream(events: DataFrame, keys: Seq[String],
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming near-dup dedup by MinHash SIGNATURE equality: the per-row
     * banded minhash (computed entirely within the row — array transforms
     * over shingles, no shuffle, no state beyond the dedup map) keys a
-    * watermark-bounded dropDuplicates. Documents whose full band signature
-    * matches an already-seen one are dropped — exact dups always, near-dups
-    * with probability rising in their similarity. Expects (ts, idCol,
-    * textCol); emits the survivors. */
+    * `dropDuplicatesWithinWatermark` — per-signature state is evicted once
+    * the watermark passes it, so state stays bounded even though the
+    * signature itself is not an event-time column. Documents whose full
+    * band signature matches one seen within the watermark delay are
+    * dropped — exact dups always, near-dups with probability rising in
+    * their similarity. Expects (ts, idCol, textCol); emits the
+    * survivors. */
   def minhashDedupStream(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, watermark: String = "30 minutes")
       : DataFrame = {
@@ -121,7 +128,7 @@ object StreamingOps {
     docs
       .withColumn("__sig", sig)
       .withWatermark("ts", watermark)
-      .dropDuplicates("__sig")
+      .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
   }
 

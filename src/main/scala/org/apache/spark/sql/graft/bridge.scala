@@ -29,6 +29,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Standard NON_FOLDABLE_ARGUMENT AnalysisException for a SQL function
+    * handed a column where a constant parameter is required
+    * (QueryCompilationErrors is private[sql], hence here). */
+  def nonFoldableArgument(funcName: String, paramName: String,
+      tpe: org.apache.spark.sql.types.DataType): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(funcName, paramName, tpe)
+
   /** Register a temp SQL function on a LIVE session (the builder-time path
     * is GraftExtensions; sessionState is private[sql], hence here). */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
