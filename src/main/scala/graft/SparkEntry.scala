@@ -775,6 +775,234 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ====================================================================
+  // Round-3 coverage: moment statistics, collect/bool aggregates, cross &
+  // sort-merge joins, SQL subqueries, rank-function suite, bigrams, TF-IDF,
+  // int8-quantized ANN, array higher-order functions, partitioned write,
+  // bucketed join.
+  // ====================================================================
+
+  /** Second-order statistics (variance / stddev / correlation) derived from
+    * EXACT integer moments — one map-side-combinable pass collects
+    * (n, Σx, Σx², Σy, Σy², Σxy) over small-int units, and the closed-form
+    * derivation runs on identical integers in any engine, so the doubles
+    * (and their rounding) are bit-reproducible. This is also the 100 TB
+    * formulation: moments merge associatively, unlike quantile-style
+    * stats. */
+  private def e5Stats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_discount") * 100).cast("long").as("d"))
+      .groupBy("l_returnflag")
+      .agg(count("*").as("n"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum("d").as("sd"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("d")).as("sqd"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double") * 1000).cast("long")
+          .as("var_q_milli"),
+        round(sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) * 1000).cast("long")
+          .as("std_d_milli"),
+        round((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+          (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+           sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))) * 1000000)
+          .cast("long").as("corr_qd_micro"))
+      .orderBy("l_returnflag")
+
+  /** collect_set/collect_list surfaced deterministically: the collected set
+    * is sorted before joining, so the (inherently unordered) aggregation
+    * becomes oracle-stable. */
+  private def e5Collect(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy("o_orderpriority")
+
+  /** Boolean aggregates: every / any / count_if. */
+  private def e5Bool(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).cast("int").cast("long").as("all_pos_qty"),
+        bool_or(col("l_discount") >= 0.1).cast("int").cast("long").as("any_max_disc"),
+        count_if(col("l_tax") >= 0.07).as("n_hitax"))
+      .orderBy("l_returnflag")
+
+  /** Cross join — bounded dimension × dimension (the only safe shape). */
+  private def e6Cross(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .crossJoin(T(s, dir, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Sort-merge join forced via the `merge` hint — the strategy for two
+    * LARGE sides where broadcast is impossible; asserted in the pre-AQE
+    * physical plan (AQE may still locally improve it at runtime). */
+  private def e6SortMerge(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").hint("merge")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), max(cents(col("o_totalprice"))).as("max_price_c"))
+      .orderBy("c_mktsegment")
+    assert(df.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+      "merge hint did not produce a sort-merge join")
+    df
+  }
+
+  /** SQL subquery surface: scalar subquery (average as exact-integer sum /
+    * count — deterministic), uncorrelated IN, correlated EXISTS. */
+  private def e6Subquery(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    T(s, dir, "customer").createOrReplaceTempView("v_customer")
+    T(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM v_orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |      (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |              / count(*) FROM v_orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM v_customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM v_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Rank-function suite: percent_rank / cume_dist (exact rationals of the
+    * same integers in any engine → stable micro-units), lead, nth_value
+    * over the default standard frame. */
+  private def e7PercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w) * 1000000).cast("long").as("prank_micro"),
+        round(cume_dist().over(w) * 1000000).cast("long").as("cdist_micro"),
+        coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_key"),
+        coalesce(nth_value(col("o_orderkey"), 2).over(w), lit(-1L)).as("second_key"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Word bigram counts — the n=2 instantiation of the shingle machinery
+    * (staged tokens → explode_outer, see DedupOps.docShingles for why). */
+  private def e4Bigrams(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(TF.tokens(col("text")).as("__t"))
+      .select(TF.shinglesFromTokens(col("__t"), 2).as("__sh"))
+      .select(explode_outer(col("__sh")).as("bigram"))
+      .where(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count("*").as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** TF-IDF top term per document, log-free: score = tf · N / df is an
+    * exact rational of integers (same double in any engine), and the
+    * per-document argmax is a fully-ordered row_number. Two aggregations
+    * (term frequency, document frequency) over one exploded token relation
+    * + a broadcast-sized vocabulary join — the classic scalable shape. */
+  private def e4Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val nDocs = docs.count() // parquet row-group count — metadata-cheap
+    val toks = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), explode_outer(col("__t")).as("token"))
+      .where(col("token").isNotNull)
+    val tf = toks.groupBy("doc_id", "token").agg(count("*").as("tf"))
+    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score_micro",
+        round(col("tf").cast("double") * nDocs / col("df") * 1000).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "token", "score_micro")
+      .orderBy("doc_id")
+  }
+
+  /** int8 scalar quantization (SQ8): clamp(round(x·127)) — 4× smaller
+    * vectors, exact integer dot products. */
+  private def sq8(c: Column): Column =
+    transform(c, x =>
+      greatest(lit(-127L), least(lit(127L), round(x.cast("double") * 127).cast("long"))))
+
+  /** Brute-force top-k cosine over SQ8-quantized vectors — the
+    * memory-bandwidth-bound ANN variant (quarter the bytes per scan of the
+    * float vectors; integer math throughout, so oracle-exact). */
+  private def e3AnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(sq8(col("embedding"))).head.getSeq[Long](0)
+    val qv = array(q.map(lit): _*)
+    val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), sq8(col("embedding")).as("q8"))
+      .select(col("vec_id"),
+        round(qdot(col("q8"), qv).cast("double") /
+          (sqrt(qdot(col("q8"), col("q8")).cast("double")) * lit(qn)) * 1000000)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Array higher-order-function suite (filter / exists / forall /
+    * aggregate / sort+slice / zip_with) over quantized vectors — all
+    * integer outputs, all codegen-friendly single-pass lambdas. */
+  private def e9HofArrays(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"),
+        size(filter(col("qe"), x => x > 0)).cast("long").as("n_pos"),
+        exists(col("qe"), x => abs(x) >= 2000).cast("int").cast("long").as("has_big"),
+        forall(col("qe"), x => abs(x) <= 5000).cast("int").cast("long").as("all_small"),
+        aggregate(col("qe"), lit(0L), (a, x) => a + abs(x)).as("l1"),
+        aggregate(slice(sort_array(col("qe"), asc = false), 1, 3), lit(0L),
+          (a, x) => a + x).as("top3_sum"),
+        (element_at(col("qe"), 1) + element_at(col("qe"), -1)).as("ends_sum"))
+      .orderBy("vec_id")
+
+  /** Hive-style partitioned write + partition-pruned read-back: the filter
+    * on the partition column prunes directories at planning time (asserted
+    * in ScaleShapeSpec) — the layout that turns a 100 TB scan into a
+    * one-partition read. */
+  private def o19PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/events_parted_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count("*").as("n"), sum("vc").as("sum_c"))
+      .orderBy("user_id")
+  }
+
+  /** Bucketed write + bucket-aligned join: both sides pre-hashed into the
+    * same bucket count on the join key, so the join needs NO shuffle
+    * (asserted in ScaleShapeSpec) — at 100 TB this converts every repeated
+    * join on the key into a local zip of bucket files. */
+  private def o20BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ot = s"g_orders_b_$sfx"
+    val ct = s"g_cust_b_$sfx"
+    T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+    T(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count("*").as("n"), sum(cents(col("o_totalprice"))).as("revenue_c"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
@@ -835,7 +1063,20 @@ object SparkEntry {
     "e4_strings" -> (e4Strings _),
     "e4_winnow" -> (e4Winnow _),
     "m1_multimodal" -> (m1Multimodal _),
-    "m2_frame_sample" -> (m2FrameSample _)
+    "m2_frame_sample" -> (m2FrameSample _),
+    "e5_stats" -> (e5Stats _),
+    "e5_collect" -> (e5Collect _),
+    "e5_bool" -> (e5Bool _),
+    "e6_join_cross" -> (e6Cross _),
+    "e6_join_sortmerge" -> (e6SortMerge _),
+    "e6_subquery" -> (e6Subquery _),
+    "e7_percent_rank" -> (e7PercentRank _),
+    "e4_bigrams" -> (e4Bigrams _),
+    "e4_tfidf" -> (e4Tfidf _),
+    "e3_ann_sq8" -> (e3AnnSq8 _),
+    "e9_hof_arrays" -> (e9HofArrays _),
+    "o19_partitioned_write" -> (o19PartitionedWrite _),
+    "o20_bucketed_join" -> (o20BucketedJoin _)
   )
 
   // ====================================================================
@@ -846,9 +1087,7 @@ object SparkEntry {
   private val sqlTokens = "string_split(lower(text), ' ')"
   private def sqlShingles(n: Int) =
     s"CASE WHEN len($sqlTokens) >= $n THEN list_transform(range(len($sqlTokens) - ${n - 1}), " +
-      (if (n == 3)
-        s"i -> $sqlTokens[i+1] || ' ' || $sqlTokens[i+2] || ' ' || $sqlTokens[i+3])"
-       else s"i -> $sqlTokens[i+1])") +
+      s"i -> ${(1 to n).map(j => s"$sqlTokens[i+$j]").mkString(" || ' ' || ")})" +
       " ELSE CAST([] AS VARCHAR[]) END"
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -1252,6 +1491,105 @@ object SparkEntry {
         |md5(array_to_string(list_transform(
         |  range(CAST(greatest(ceil(ceil(CAST(strlen(text) AS DOUBLE) / 64) / 2), 1) AS BIGINT)),
         |  j -> substr(text, CAST(1 + j * 128 AS BIGINT), 64)), '')) AS sample_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e5_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+        |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sd,
+        |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sdd,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |CAST(round(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) * 1000) AS BIGINT) AS var_q_milli,
+        |CAST(round(sqrt(CAST(n*sdd - sd*sd AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) * 1000) AS BIGINT) AS std_d_milli,
+        |CAST(round(CAST(n*sqd - sq*sd AS DOUBLE) /
+        |  (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) * 1000000) AS BIGINT) AS corr_qd_micro
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "e5_collect" ->
+      """SELECT o_orderpriority,
+        |array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "e5_bool" ->
+      """SELECT l_returnflag,
+        |CAST(CAST(bool_and(l_quantity > 0) AS INTEGER) AS BIGINT) AS all_pos_qty,
+        |CAST(CAST(bool_or(l_discount >= 0.1) AS INTEGER) AS BIGINT) AS any_max_disc,
+        |CAST(count(*) FILTER (WHERE l_tax >= 0.07) AS BIGINT) AS n_hitax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e6_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "e6_join_sortmerge" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |CAST(MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e6_subquery" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |      (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |              / count(*) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "e7_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_micro,
+        |CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_micro,
+        |COALESCE(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+        |COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "e4_bigrams" ->
+      s"""SELECT s.bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM documents, unnest(${sqlShingles(2)}) AS s(bigram)
+        |GROUP BY s.bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "e4_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT doc_id, token,
+        |  CAST(round(CAST(tf AS DOUBLE) * nd.n / dfq.df * 1000) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (token), nd),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score_micro DESC, token) AS rn FROM sc)
+        |SELECT doc_id, token, score_micro FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "e3_ann_sq8" -> {
+      val q8 = "list_transform(embedding, x -> greatest(-127, least(127, CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT))))"
+      s"""WITH q AS (SELECT $q8 AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, $q8 AS q8 FROM embeddings)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> q8[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(q8, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM s, q ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "e9_hof_arrays" ->
+      s"""WITH v AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings)
+        |SELECT vec_id,
+        |CAST(len(list_filter(qe, x -> x > 0)) AS BIGINT) AS n_pos,
+        |CAST(CASE WHEN list_sum(list_transform(qe, x -> CASE WHEN abs(x) >= 2000 THEN 1 ELSE 0 END)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_big,
+        |CAST(CASE WHEN list_sum(list_transform(qe, x -> CASE WHEN abs(x) > 5000 THEN 1 ELSE 0 END)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS all_small,
+        |CAST(list_sum(list_transform(qe, x -> abs(x))) AS BIGINT) AS l1,
+        |CAST(list_sum(list_sort(qe, 'DESC')[1:3]) AS BIGINT) AS top3_sum,
+        |CAST(qe[1] + qe[-1] AS BIGINT) AS ends_sum
+        |FROM v ORDER BY vec_id""".stripMargin,
+    "o19_partitioned_write" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "o20_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

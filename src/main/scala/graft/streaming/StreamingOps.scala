@@ -185,6 +185,24 @@ object StreamingOps {
       }
   }
 
+  /** foreachBatch sink: the escape hatch for targets with no native
+    * streaming writer (JDBC/ClickHouse, multi-table fan-out, merge/upsert).
+    * Each micro-batch arrives as a PLAIN batch DataFrame plus its batchId;
+    * the id is the idempotence key — a sink that records the last committed
+    * id per target can safely skip replayed batches after a restart, which
+    * is exactly the ClickHouse-loading pattern (see ClickHouseSink for the
+    * batch write shape this composes with). Runs until all currently
+    * available input is drained. */
+  def runForeachBatch(df: DataFrame, mode: OutputMode)
+      (f: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .foreachBatch(f)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table until all
     * currently-available input is processed; returns the result table.
     * Update mode suits stateful queries; Append for watermarked windows. */

@@ -48,6 +48,32 @@ class ScaleShapeSpec extends SparkSpec {
     assert(allDays > 5)
   }
 
+  test("o19 registry query partition-prunes the event_type filter") {
+    val df = SparkEntry.queries("o19_partitioned_write")(spark, sf("0.001"))
+    // the filtered read-back inside the query: its scan must carry the
+    // event_type predicate as a PartitionFilter, not a data filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"), s"expected partition pruning:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("o20 registry query's bucketed tables join with no shuffle") {
+    SparkEntry.queries("o20_bucketed_join")(spark, sf("0.001")).count()
+    val sfx = sf("0.001").replaceAll("[^a-zA-Z0-9]", "_")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"g_orders_b_$sfx")
+        .join(spark.table(s"g_cust_b_$sfx"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed registry tables must join shuffle-free:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join returns exactly the plain join result") {
     val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
     val c = spark.read.parquet(sf("0.001") + "/customer.parquet")

@@ -116,6 +116,19 @@ class StreamingSpec extends SparkSpec {
     assert(n == want && distinctN == want)
   }
 
+  test("foreachBatch sink: batches partition the input, batchId provided") {
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    StreamingOps.runForeachBatch(
+      eventsWithTs.select("event_id", "user_id"), OutputMode.Append()) {
+      (batch, id) => seen.put(id, batch.count())
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = spark.read.parquet(sf("0.001") + "/events.parquet").count()
+    import scala.jdk.CollectionConverters._
+    assert(seen.values.asScala.sum == want) // batches cover input exactly once
+    assert(seen.keySet.asScala.min == 0L)   // ids start at 0, contiguous
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match batch") {
     import spark.implicits._
     val ev = eventsWithTs
