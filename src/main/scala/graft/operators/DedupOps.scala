@@ -149,6 +149,50 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard_micro")
   }
 
+  /** E2 final stage: near-dup CLUSTERS = connected components over the
+    * LSH candidate-pair graph, via iterative min-label propagation — each
+    * round every vertex adopts the smallest label in its neighborhood, so
+    * labels converge to the component's minimum doc id (the canonical
+    * "keep" document) in O(component diameter) rounds.
+    *
+    * Scale notes: each round is one shuffle join on the edge list (skew
+    * bounded by near-dup cluster sizes, which LSH keeps small), and
+    * `localCheckpoint()` truncates the lineage each round — the classic
+    * iterative-join trap where the plan tree doubles per iteration.
+    * Components are near-dup clusters: diameters are tiny, so the loop
+    * converges in a handful of rounds; non-convergence within `maxIter`
+    * throws rather than returning a silently-wrong clustering. */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3, maxIter: Int = 20): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy("src").agg(min("dlbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"label propagation did not converge within $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup: pairs within the same blocking key whose
     * cosine ≥ threshold. Blocking (e.g. a cluster label or LSH sign bucket)
     * bounds the pair blow-up; cosine is an exact sequential double fold. */

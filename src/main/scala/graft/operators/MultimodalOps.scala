@@ -68,6 +68,21 @@ object MultimodalOps {
         "")).as("sample_md5"))
   }
 
+  /** Windowed audio-energy features over a binary payload (codegen'd
+    * WindowEnergy loop, partial final window kept): one row per
+    * (doc, window index) — the exploded feature-table shape a downstream
+    * trainer consumes. Narrow (generator, no shuffle); empty payloads
+    * produce no rows. */
+  def audioEnergy(payloads: DataFrame, win: Int): DataFrame =
+    payloads
+      .select(col("doc_id"), graft.functions.MultimodalExpressions
+        .windowEnergy(col("payload"), win).as("__e"))
+      // outer + null-filter: plain posexplode would infer a size>0 filter
+      // that re-evaluates the energy expression at the scan
+      .select(col("doc_id"), posexplode_outer(col("__e")).as(Seq("w", "energy")))
+      .where(col("energy").isNotNull)
+      .select(col("doc_id"), col("w").cast("long").as("w"), col("energy"))
+
   /** Decode payloads partition-at-a-time. Returns a typed Dataset; the
     * codec is constructed once per partition, not per row. */
   def decodeMeta(payloads: DataFrame, codec: MediaCodec = FakeCodec)

@@ -39,6 +39,46 @@ class ExtOpsSpec extends SparkSpec {
     j.get((0L, 1L)).foreach(v => assert(v > 0 && v < 1000000L))
   }
 
+  test("E2 dup clusters: components get min-id labels, singletons absent") {
+    // docs 0/1/3 form one near-dup component (0-3 exact, 0-1 near); doc 2
+    // and shingle-less doc 4 never enter the pair graph
+    val clusters = DedupOps.dupClusters(docs, "doc_id", "text", bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.get(0L).contains(0L))
+    assert(clusters.get(3L).contains(0L)) // exact dup joins 0's cluster
+    clusters.get(1L).foreach(c => assert(c == 0L)) // near-dup, if a candidate
+    assert(!clusters.contains(4L))
+    // transitivity: A-B and B-C candidates ⇒ one cluster even if A-C never
+    // collided — a chain of three where the ends differ more than the middle
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"),
+      (12L, "alpha beta gamma delta theta eta")
+    ).toDF("doc_id", "text")
+    val cc = DedupOps.dupClusters(chain, "doc_id", "text", bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (cc.contains(10L) && cc.contains(12L)) assert(cc(10L) == cc(12L))
+  }
+
+  test("multimodal window energy: sums per window, partial tail, empty") {
+    import graft.functions.MultimodalExpressions
+    val payloads = Seq((0L, "abcd"), (1L, "abcde"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = payloads
+      .select(col("doc_id"),
+        MultimodalExpressions.windowEnergy(col("payload"), 2).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) == Seq('a' + 'b', 'c' + 'd').map(_.toLong))
+    assert(got(1L) == Seq('a' + 'b', 'c' + 'd', 'e'.toLong))
+    assert(got(2L) == Seq.empty)
+    // parity with the exploded operator form
+    val rows = MultimodalOps.audioEnergy(payloads, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((0L, 0L, ('a' + 'b').toLong), (0L, 1L, ('c' + 'd').toLong),
+      (1L, 0L, ('a' + 'b').toLong), (1L, 1L, ('c' + 'd').toLong), (1L, 2L, 'e'.toLong)))
+  }
+
   test("E2 simhash: identical docs share buckets") {
     val sigs = docs.select(col("doc_id"), TF.simhash(col("text"), 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -74,6 +74,28 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val fact = spark.read.parquet(out)
+    // the selective filter must sit ON the dim side as a real predicate —
+    // a filtered in-memory Seq constant-folds into a LocalRelation with no
+    // Filter node left for the pruning rule to extract, so the dim must be
+    // a scan (parquet) carrying the filter
+    val dimPath = s"${out}_dim"
+    Seq(("purchase", 1), ("click", 0)).toDF("etype", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("flag") === 1)
+    val joined = fact.join(dim, fact("event_type") === dim("etype"))
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("salted join returns exactly the plain join result") {
     val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
     val c = spark.read.parquet(sf("0.001") + "/customer.parquet")
