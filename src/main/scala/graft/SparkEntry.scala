@@ -1014,6 +1014,88 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Full outer join: even-keyed customers ⟗ per-customer order counts —
+    * both unmatched sides exercised (odd custkeys only from the right,
+    * orderless customers only from the left). */
+  private def e6FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer").where(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment")
+    val ords = T(s, dir, "orders").groupBy("o_custkey")
+      .agg(count("*").as("n_orders"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("seg"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity —
+    * the survivor counts are the check that ALL semantics (not DISTINCT)
+    * actually ran. */
+  private def e5SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.where(col("l_returnflag") === "R").select("l_suppkey")
+      .intersectAll(li.where(col("l_returnflag") === "A").select("l_suppkey"))
+      .exceptAll(li.where(col("l_quantity") >= 49).select("l_suppkey"))
+      .groupBy("l_suppkey").agg(count("*").as("n"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Deterministic MODE per group: value counts + max_by over
+    * (count, -value) — most frequent wins, ties to the smallest value;
+    * two hash aggregations, no sort. */
+  private def e5Mode(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count("*").as("n"))
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("q"), struct(col("n"), (lit(0L) - col("q")).as("negq")))
+          .as("mode_q"),
+        max(struct(col("n"), (lit(0L) - col("q")).as("negq"))).as("k"))
+      .select(col("l_returnflag"), col("mode_q"), col("k.n").as("mode_n"))
+      .orderBy("l_returnflag")
+
+  /** Calendar scalar-function suite: trunc/last_day/day-of-week/diff/add,
+    * emitted as strings so cross-engine date rendering is explicit. */
+  private def e5Dates(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(lit("1996-01-01").cast("date"), col("o_orderdate")).cast("long")
+          .as("days_to_96"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"))
+      .orderBy("o_orderkey")
+
+  /** rank vs dense_rank under REAL ties (price bucketed to create them):
+    * equal order-by values share a rank, and the two functions differ in
+    * gap behavior — per-row output is still deterministic because rank
+    * depends only on the value. */
+  private def e7RankDense(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("price_k").desc)
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") / 1000).cast("long").as("price_k"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_k"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
+  /** IVF with exact integer centroids — the oracle-checkable IVF (unlike
+    * e3_ann_ivf's float AVG centroids, which are rows-only). */
+  private def e3IvfInt(s: SparkSession, dir: String): DataFrame = {
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(qvec(col("embedding"))).head.getSeq[Long](0)
+    SimilarityOps.topKIvfExact(T(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", q, k = 10, nprobe = 3)
+  }
+
   /** Near-dup clusters: connected components over the MinHash candidate
     * graph (iterative min-label propagation; oracle = recursive CTE). */
   private def e2DupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1105,7 +1187,13 @@ object SparkEntry {
     "o19_partitioned_write" -> (o19PartitionedWrite _),
     "o20_bucketed_join" -> (o20BucketedJoin _),
     "e2_dup_clusters" -> (e2DupClusters _),
-    "m3_audio_energy" -> (m3AudioEnergy _)
+    "m3_audio_energy" -> (m3AudioEnergy _),
+    "e6_join_full" -> (e6FullOuter _),
+    "e5_setops_all" -> (e5SetOpsAll _),
+    "e5_mode" -> (e5Mode _),
+    "e5_dates" -> (e5Dates _),
+    "e7_rank_dense" -> (e7RankDense _),
+    "e3_ann_ivf_int" -> (e3IvfInt _)
   )
 
   // ====================================================================
@@ -1646,6 +1734,66 @@ object SparkEntry {
         |CAST(list_sum(list_transform(
         |  range(CAST(least(256, strlen(d.text) - e.w * 256) AS INTEGER)),
         |  j -> ord(substr(d.text, CAST(e.w * 256 + j + 1 AS INTEGER), 1)))) AS BIGINT) AS energy
-        |FROM e JOIN documents d USING (doc_id) ORDER BY doc_id, w""".stripMargin
+        |FROM e JOIN documents d USING (doc_id) ORDER BY doc_id, w""".stripMargin,
+    "e6_join_full" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+        |ords AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |COALESCE(c_mktsegment, 'NONE') AS seg,
+        |COALESCE(n_orders, 0) AS n_orders
+        |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "e5_setops_all" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |   INTERSECT ALL
+        |   SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "e5_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+        |  CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY l_returnflag ORDER BY n DESC, q) AS rn FROM c)
+        |SELECT l_returnflag, q AS mode_q, n AS mode_n FROM r WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
+    "e5_dates" ->
+      """SELECT o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |CAST(date_diff('day', o_orderdate, DATE '1996-01-01') AS BIGINT) AS days_to_96,
+        |strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "e7_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(round(o_totalprice / 1000) AS BIGINT) AS price_k,
+        |CAST(rank() OVER w AS BIGINT) AS rnk,
+        |CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(round(o_totalprice / 1000) AS BIGINT) DESC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "e3_ann_ivf_int" ->
+      s"""WITH q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
+        |v AS (SELECT vec_id, label, $sqlQvec AS qe FROM embeddings),
+        |cen AS (SELECT label, i,
+        |  CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM v, (SELECT unnest(range(1, 65)) AS i) dims GROUP BY label, i),
+        |d2 AS (SELECT label,
+        |  CAST(SUM((c * qv[CAST(i AS INTEGER)] - s) * (c * qv[CAST(i AS INTEGER)] - s)) AS DOUBLE)
+        |    / (MAX(c) * MAX(c)) AS d2
+        |  FROM cen, q GROUP BY label),
+        |probe AS (SELECT label FROM d2 ORDER BY d2, label LIMIT 3)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM v JOIN probe USING (label), q
+        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
   )
 }

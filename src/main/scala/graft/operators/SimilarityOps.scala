@@ -87,6 +87,51 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF over EXACT integer centroids: cells come from `labelCol` as in
+    * `topKIvf`, but centroids are kept as (Σ quantized-vector, count) —
+    * never divided into floats — and the query→centroid distance is
+    * computed as Σ(c·q − s)² / c² : the numerator is exact integer math,
+    * so the resulting double (and the probe choice) is bit-reproducible in
+    * any engine. The oracle-checkable IVF formulation (`topKIvf`'s float
+    * AVG centroids are not hash-stable cross-engine); same two-stage scale
+    * shape — tiny centroid aggregate, broadcast probe filter, fine ranking
+    * only inside probed cells. */
+  def topKIvfExact(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.QuantizeVector
+    val dim = query.length
+    val qv = vecLit2(query)
+    val quant = df.select(col(idCol), col(labelCol),
+      QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    val centroids = quant.groupBy(col(labelCol))
+      .agg(array((0 until dim).map(i =>
+        sum(element_at(col("qe"), i + 1))): _*).as("s"),
+        count("*").as("c"))
+    val probed = centroids
+      .select(col(labelCol),
+        // Σ(c·q_i − s_i)² / c²  — exact integer numerator
+        aggregate(
+          zip_with(qv, col("s"), (q, s) => {
+            val d = col("c") * q - s; d * d
+          }),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          ./(col("c").cast("double") * col("c").cast("double")).as("d2"))
+      .orderBy(col("d2"), col(labelCol))
+      .limit(nprobe)
+      .select(labelCol)
+    quant.join(broadcast(probed), labelCol)
+      .select(col(idCol),
+        round(VF.dotLong(col("qe"), qv).cast("double") /
+          (sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")) *
+           math.sqrt(query.map(x => x * x).sum.toDouble)) * 1000000)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Long-vector literal. */
+  private def vecLit2(v: Seq[Long]): Column = array(v.map(lit): _*)
+
   /** IVF-style two-stage ANN: coarse quantize by `labelCol` (pre-clustered
     * partition, e.g. k-means cell), pick the `nprobe` labels whose centroid
     * is nearest the query, then exact-rank only within those labels. The
