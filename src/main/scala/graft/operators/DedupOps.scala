@@ -155,15 +155,17 @@ object DedupOps {
     * labels converge to the component's minimum doc id (the canonical
     * "keep" document) in O(component diameter) rounds.
     *
-    * Scale notes: each round is one shuffle join on the edge list (skew
-    * bounded by near-dup cluster sizes, which LSH keeps small), and
+    * Scale notes: each round is a shuffle join on the edge list (skew
+    * bounded by near-dup cluster sizes, which LSH keeps small) PLUS a
+    * pointer-jumping self-join (lbl ← lbl(lbl)) that shortcuts label
+    * chains, so convergence is O(log diameter) rounds, not O(diameter) —
+    * long near-dup chains otherwise force one round per hop.
     * `localCheckpoint()` truncates the lineage each round — the classic
     * iterative-join trap where the plan tree doubles per iteration.
-    * Components are near-dup clusters: diameters are tiny, so the loop
-    * converges in a handful of rounds; non-convergence within `maxIter`
-    * throws rather than returning a silently-wrong clustering. */
+    * Non-convergence within `maxIter` throws rather than returning a
+    * silently-wrong clustering. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3, maxIter: Int = 20): DataFrame = {
+      bands: Int, shingleN: Int = 3, maxIter: Int = 25): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -174,13 +176,23 @@ object DedupOps {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      // min label among neighbors
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
         .groupBy("src").agg(min("dlbl").as("nlbl"))
+        .select(col("src").as("id"), col("nlbl"))
+      // pointer jump: my label's CURRENT label (labels always point at
+      // real vertex ids — they are mins of ids present)
+      val jump = labels
+        .join(labels.select(col("id").as("pid"), col("lbl").as("plbl")),
+          col("lbl") === col("pid"), "left")
+        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("jlbl"))
       val next = labels
-        .join(nbrMin.select(col("src").as("id"), col("nlbl")), Seq("id"), "left")
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, Seq("id"))
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl"))
+            .as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .where(col("lbl") =!= col("prev")).count()
