@@ -99,6 +99,55 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("window energy conserves total byte sum on random ASCII") {
+    import graft.functions.MultimodalExpressions
+    val asciiGen = Gen.listOf(Gen.choose(32, 126)).map(_.map(_.toChar).mkString)
+    val winGen = Gen.choose(1, 16)
+    check("energy", Prop.forAllNoShrink(Gen.listOfN(4, asciiGen), winGen) {
+      (texts, win) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        val got = df.select(col("doc_id"),
+          MultimodalExpressions.windowEnergy(col("payload"), win).as("e"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val e = got(i.toLong)
+          e.sum == t.map(_.toLong).sum &&
+            e.length == (t.length + win - 1) / win &&
+            e.zipWithIndex.forall { case (v, w) =>
+              v == t.slice(w * win, (w + 1) * win).map(_.toLong).sum }
+        }
+    })
+  }
+
+  test("moment-derived variance/corr match direct formulas on random ints") {
+    val rowGen = for {
+      q <- Gen.choose(1L, 50L)
+      d <- Gen.choose(0L, 10L)
+    } yield (q, d)
+    check("moments", Prop.forAllNoShrink(Gen.listOfN(40, rowGen)) { rows =>
+      val df = rows.toDF("q", "d")
+      val m = df.agg(count("*").as("n"),
+        sum("q").as("sq"), sum(expr("q*q")).as("sqq"),
+        sum("d").as("sd"), sum(expr("d*d")).as("sdd"),
+        sum(expr("q*d")).as("sqd")).head()
+      val (n, sq, sqq, sd, sdd, sqd) = (m.getLong(0), m.getLong(1),
+        m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+      val varQ = (n * sqq - sq * sq).toDouble / (n.toDouble * (n - 1))
+      val qs = rows.map(_._1.toDouble); val ds = rows.map(_._2.toDouble)
+      val mean = qs.sum / qs.size
+      val direct = qs.map(x => (x - mean) * (x - mean)).sum / (qs.size - 1)
+      val covOk = {
+        val md = ds.sum / ds.size
+        val cov = qs.zip(ds).map { case (a, b) => (a - mean) * (b - md) }.sum
+        val num = (n * sqd - sq * sd).toDouble
+        math.abs(num / n - cov) < 1e-6 * math.max(1.0, math.abs(cov))
+      }
+      math.abs(varQ - direct) < 1e-9 * math.max(1.0, direct) && covOk
+    })
+  }
+
   test("contiguous id invariant: ids are exactly [start, start+count)") {
     check("contiguous", Prop.forAllNoShrink(
       Gen.choose(1, 200), Gen.choose(0L, 1000L)) { (n, start) =>
