@@ -99,13 +99,13 @@ object SimilarityOps {
   def topKIvfExact(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     import graft.functions.QuantizeVector
-    val dim = query.length
     val qv = vecLit2(query)
     val quant = df.select(col(idCol), col(labelCol),
       QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    // single-pass element-wise sum aggregate (one long[] per group), not
+    // d separate sum(element_at) aggregates
     val centroids = quant.groupBy(col(labelCol))
-      .agg(array((0 until dim).map(i =>
-        sum(element_at(col("qe"), i + 1))): _*).as("s"),
+      .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
         count("*").as("c"))
     val probed = centroids
       .select(col(labelCol),

@@ -79,6 +79,24 @@ class ExtOpsSpec extends SparkSpec {
       (1L, 0L, ('a' + 'b').toLong), (1L, 1L, ('c' + 'd').toLong), (1L, 2L, 'e'.toLong)))
   }
 
+  test("vector_sum_long: element-wise sums, null handling, cross-partition") {
+    import graft.functions.VectorSum
+    val df = Seq(
+      (0L, Seq(1L, 2L, 3L)),
+      (0L, Seq(10L, 20L, 30L)),
+      (1L, Seq(5L, 5L, 5L))
+    ).toDF("g", "v").repartition(4) // force partial/merge path
+    val got = df.groupBy("g").agg(VectorSum.vectorSumLong(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) == Seq(11L, 22L, 33L))
+    assert(got(1L) == Seq(5L, 5L, 5L))
+    // parity with the per-dimension sum formulation
+    val perDim = df.groupBy("g").agg(
+      array((0 until 3).map(i => sum(element_at(col("v"), i + 1))): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == perDim)
+  }
+
   test("E2 simhash: identical docs share buckets") {
     val sigs = docs.select(col("doc_id"), TF.simhash(col("text"), 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

