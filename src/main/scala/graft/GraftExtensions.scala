@@ -63,7 +63,13 @@ object GraftFunctionRegistry {
       es => Md5Halves(es(0))),
     ("winnow_fingerprints", classOf[WinnowFingerprints].getName,
       es => WinnowFingerprints(es(0), int(es(1), "winnow_fingerprints", "k"),
-        int(es(2), "winnow_fingerprints", "window"))))
+        int(es(2), "winnow_fingerprints", "window"))),
+    ("window_energy", classOf[WindowEnergy].getName,
+      es => WindowEnergy(es(0), int(es(1), "window_energy", "win"))),
+    // an AggregateFunction builder: the analyzer wraps it in an
+    // AggregateExpression like any built-in aggregate
+    ("vector_sum_long", classOf[VectorSumLong].getName,
+      es => VectorSumLong(es(0))))
 }
 
 /** Runtime twin of GraftExtensions for sessions that already exist. */

@@ -1014,6 +1014,27 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** regexp_extract_all + split/slice array-string suite. */
+  private def e4RegexAll(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("([a-z]+ing)"), lit(1)), ",")
+          .as("ings"),
+        size(split(col("text"), " ")).cast("long").as("n_sp"),
+        array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"))
+      .orderBy("doc_id")
+
+  /** Bitwise aggregates + shifts. */
+  private def e5Bits(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bit_and(col("l_suppkey")).as("k_and"),
+        bit_or(col("l_suppkey")).as("k_or"),
+        bit_xor(col("l_suppkey")).as("k_xor"),
+        max(shiftleft(col("l_linenumber"), 2).cast("long")).as("max_shift"))
+      .orderBy("l_returnflag")
+
   /** Full outer join: even-keyed customers ⟗ per-customer order counts —
     * both unmatched sides exercised (odd custkeys only from the right,
     * orderless customers only from the left). */
@@ -1193,7 +1214,9 @@ object SparkEntry {
     "e5_mode" -> (e5Mode _),
     "e5_dates" -> (e5Dates _),
     "e7_rank_dense" -> (e7RankDense _),
-    "e3_ann_ivf_int" -> (e3IvfInt _)
+    "e3_ann_ivf_int" -> (e3IvfInt _),
+    "e4_regex_all" -> (e4RegexAll _),
+    "e5_bits" -> (e5Bits _)
   )
 
   // ====================================================================
@@ -1794,6 +1817,19 @@ object SparkEntry {
         |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
         |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
         |FROM v JOIN probe USING (label), q
-        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    "e4_regex_all" ->
+      """SELECT doc_id,
+        |COALESCE(array_to_string(regexp_extract_all(text, '([a-z]+ing)', 1), ','), '') AS ings,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_sp,
+        |array_to_string(string_split(text, ' ')[1:3], '_') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e5_bits" ->
+      """SELECT l_returnflag,
+        |CAST(bit_and(l_suppkey) AS BIGINT) AS k_and,
+        |CAST(bit_or(l_suppkey) AS BIGINT) AS k_or,
+        |CAST(bit_xor(l_suppkey) AS BIGINT) AS k_xor,
+        |CAST(MAX(l_linenumber << 2) AS BIGINT) AS max_shift
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
