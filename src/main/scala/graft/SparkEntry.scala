@@ -1024,6 +1024,20 @@ object SparkEntry {
         array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"))
       .orderBy("doc_id")
 
+  /** BPE-ish REGEX tokenization (GPT-2-style pattern, ASCII-simplified):
+    * contractions | space-prefixed letter runs | digit runs | punctuation
+    * runs. Both engines use leftmost-first alternation with greedy runs, so
+    * token counts agree exactly; compared against the whitespace count. */
+  private def e4BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+          .as("n_bpe"),
+        TF.tokenCount(col("text")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
+  }
+
   /** Bitwise aggregates + shifts. */
   private def e5Bits(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -1216,7 +1230,8 @@ object SparkEntry {
     "e7_rank_dense" -> (e7RankDense _),
     "e3_ann_ivf_int" -> (e3IvfInt _),
     "e4_regex_all" -> (e4RegexAll _),
-    "e5_bits" -> (e5Bits _)
+    "e5_bits" -> (e5Bits _),
+    "e4_bpe_tokens" -> (e4BpeTokens _)
   )
 
   // ====================================================================
@@ -1830,6 +1845,12 @@ object SparkEntry {
         |CAST(bit_or(l_suppkey) AS BIGINT) AS k_or,
         |CAST(bit_xor(l_suppkey) AS BIGINT) AS k_xor,
         |CAST(MAX(l_linenumber << 2) AS BIGINT) AS max_shift
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e4_bpe_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text,
+        |  '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+', 0)) AS BIGINT) AS n_bpe,
+        |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-property assertions for the flagship registry queries: the scan
+  * must be pruned and pushed-down, aggregation must be two-phase, and
+  * dimension joins must broadcast. These are the properties that decide
+  * 100 TB behavior — asserting them here pins them against regressions
+  * (a plan that silently reads all columns or shuffles a dimension would
+  * still pass the row-level oracle). */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q1 aggregation prunes the lineitem scan to the referenced columns") {
+    val df = SparkEntry.queries("e5_q1_agg")(spark, sf("0.001"))
+    val s = scans(df)
+    assert(s.nonEmpty)
+    val read = s.head.requiredSchema.fieldNames.toSet
+    // 11-column table, 5 referenced
+    assert(read == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount"), s"read too much: $read")
+  }
+
+  test("filters reach the parquet scan as pushed-down predicates") {
+    val df = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+      .where(col("l_quantity") >= 30 && col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val s = scans(df).head
+    val pushed = s.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,30") &&
+      pushed.contains("EqualTo(l_returnflag,R)"), s"not pushed: $pushed")
+    assert(s.requiredSchema.fieldNames.length <= 3) // key + filter cols only
+  }
+
+  test("grouped aggregation is two-phase (map-side partial + final)") {
+    val df = SparkEntry.queries("e5_q1_agg")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("five-way join broadcasts all three dimension sides") {
+    val df = SparkEntry.queries("e6_join_5way")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected 3 broadcast joins, got $broadcasts")
+  }
+
+  test("whole-stage codegen covers the text-signature pipeline") {
+    val df = SparkEntry.queries("e2_simhash_buckets")(spark, sf("0.001"))
+    df.collect() // AQE: codegen stages only materialize in the FINAL plan
+                 // of THIS dataframe (count() would plan a different query)
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators render with a "*(stageId)" prefix; the projection
+    // evaluating the signature expression must carry one
+    val sigLine = plan.linesIterator
+      .find(_.contains("simhash_bits")).getOrElse("")
+    assert(sigLine.contains("*("),
+      s"signature projection fell out of codegen:\n$plan")
+  }
+
+  test("top-k rewrite plan has no Window or global Sort operator") {
+    val df = SparkEntry.queries("e7_topk_agg")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(plan.contains("top_k_by_value") || plan.contains("TopK"),
+      s"bounded-heap aggregate missing:\n$plan")
+  }
+
+  test("brute-force ANN top-k is TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("e3_topk_cosine")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition heap + driver merge:\n$plan")
+  }
+}
