@@ -1038,6 +1038,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Count-Min sketch over all document tokens, dumped as (depth, bucket,
+    * count) rows. The md5-derived bucketing makes the ENTIRE sketch
+    * deterministic, so the oracle rebuilds it with a plain GROUP BY — a
+    * differential test of the sketch aggregate itself, not just its
+    * estimates. */
+  private def e5CmsSketch(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 64
+    T(s, dir, "documents")
+      .select(TF.tokens(col("text")).as("__t"))
+      .select(explode_outer(col("__t")).as("tok"))
+      .where(col("tok").isNotNull)
+      .agg(graft.functions.CountMin.countMinLong(col("tok"), depth, width)
+        .as("sk"))
+      .select(posexplode(col("sk")).as(Seq("idx", "n")))
+      .where(col("n") > 0)
+      .select(expr(s"CAST(idx div $width AS BIGINT)").as("depth"),
+        (col("idx") % width).cast("long").as("bucket"), col("n"))
+      .orderBy("depth", "bucket")
+  }
+
   /** Bitwise aggregates + shifts. */
   private def e5Bits(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -1231,7 +1251,8 @@ object SparkEntry {
     "e3_ann_ivf_int" -> (e3IvfInt _),
     "e4_regex_all" -> (e4RegexAll _),
     "e5_bits" -> (e5Bits _),
-    "e4_bpe_tokens" -> (e4BpeTokens _)
+    "e4_bpe_tokens" -> (e4BpeTokens _),
+    "e5_cms_sketch" -> (e5CmsSketch _)
   )
 
   // ====================================================================
@@ -1851,6 +1872,14 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text,
         |  '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+', 0)) AS BIGINT) AS n_bpe,
         |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e5_cms_sketch" ->
+      s"""WITH t AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+        |b AS (SELECT d.d AS depth,
+        |  CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM t, (SELECT unnest(range(4)) AS d) d)
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin
   )
 }

@@ -185,6 +185,39 @@ object StreamingOps {
       }
   }
 
+  final case class TopKState(items: List[(Long, Long)]) // (value desc, id)
+  final case class RankedItem(key: String, rank: Int, id: Long, value: Long)
+
+  /** Streaming grouped top-k via flatMapGroupsWithState: per key, a
+    * k-element (value desc, id asc) leaderboard lives in state; each
+    * micro-batch merges its rows and re-emits the CURRENT top-k (Update
+    * mode). The streaming twin of the TopKByValue bounded-heap aggregate —
+    * state is O(k) per key no matter how much history has streamed past.
+    * Expects (key, id, value) columns. */
+  def streamingTopK(rows: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, k: Int): Dataset[RankedItem] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(valueCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, RankedItem](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long, Long)],
+            state: GroupState[TopKState]) =>
+          val merged =
+            (state.getOption.map(_.items).getOrElse(Nil) ++
+              batch.map { case (_, id, v) => (v, id) })
+              .sortBy { case (v, id) => (-v, id) }
+              .take(k)
+          state.update(TopKState(merged))
+          merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+            RankedItem(key, i + 1, id, v)
+          }
+      }
+  }
+
   /** foreachBatch sink: the escape hatch for targets with no native
     * streaming writer (JDBC/ClickHouse, multi-table fan-out, merge/upsert).
     * Each micro-batch arrives as a PLAIN batch DataFrame plus its batchId;

@@ -79,6 +79,26 @@ class ExtOpsSpec extends SparkSpec {
       (1L, 0L, ('a' + 'b').toLong), (1L, 1L, ('c' + 'd').toLong), (1L, 2L, 'e'.toLong)))
   }
 
+  test("count-min sketch: estimates dominate true counts, exact when wide") {
+    import graft.functions.CountMin
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = toks.toDF("tok").repartition(4) // force partial/merge path
+    val (depth, width) = (4, 1024)          // wide → collisions improbable
+    val sketch = df.agg(CountMin.countMinLong(col("tok"), depth, width).as("sk"))
+    val est = sketch.select(
+      CountMin.estimate(col("sk"), lit("alpha"), depth, width).as("a"),
+      CountMin.estimate(col("sk"), lit("beta"), depth, width).as("b"),
+      CountMin.estimate(col("sk"), lit("gamma"), depth, width).as("g"),
+      CountMin.estimate(col("sk"), lit("absent"), depth, width).as("x")).head()
+    assert(est.getLong(0) == 7L && est.getLong(1) == 3L && est.getLong(2) == 1L)
+    assert(est.getLong(3) >= 0L) // absent: only overestimates possible
+    // total mass per depth row equals the input count
+    val sk = sketch.head().getSeq[Long](0)
+    (0 until depth).foreach { d =>
+      assert(sk.slice(d * width, (d + 1) * width).sum == toks.size)
+    }
+  }
+
   test("vector_sum_long: element-wise sums, null handling, cross-partition") {
     import graft.functions.VectorSum
     val df = Seq(

@@ -129,6 +129,33 @@ class StreamingSpec extends SparkSpec {
     assert(seen.keySet.asScala.min == 0L)   // ids start at 0, contiguous
   }
 
+  test("streaming top-k leaderboard matches the batch top-k") {
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.streamingTopK(
+        eventsWithTs.select(col("event_type"), col("event_id"),
+          (col("value") * 100).cast("long").as("vc")),
+        "event_type", "event_id", "vc", k = 5).toDF(),
+      "topk_out", OutputMode.Update())
+    // one input file = one micro-batch → the table holds exactly the final
+    // leaderboard per key
+    val got = streamed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("vc").desc, col("event_id"))
+    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        (col("value") * 100).cast("long").as("vc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch + ClickHouse write shape: idempotent batch loading") {
     // the streaming → ClickHouse pattern: each micro-batch is shaped
     // (repartitioned + sorted by the table's ORDER BY key) and written
