@@ -1151,6 +1151,32 @@ object SparkEntry {
       "label", q, k = 10, nprobe = 3)
   }
 
+  /** The full training-data CLEANING PIPELINE as ONE declarative plan —
+    * the composition story: length + quality + language-ID gates (all
+    * computed from one staged tokenization), exact dedup keeping the
+    * smallest doc_id per text, then MinHash-LSH near-dup removal dropping
+    * every non-canonical pair member. Narrow gates → one dedup shuffle →
+    * signature shuffles; nothing quadratic, nothing driver-side. */
+  private def e10CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val staged = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        round(TF.qualityScoreFromTokens(col("__t")) * 1000000).cast("long")
+          .as("q_micro"),
+        TF.langIdFromTokens(col("__t")).as("lang_pred"))
+      .where(col("n_tokens") >= 5 && col("q_micro") >= 300000 &&
+        col("lang_pred") === "en")
+    val keep = staged.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val exact = staged.join(keep.select("doc_id"), Seq("doc_id"))
+    val nearDupB = DedupOps
+      .minhashCandidatePairs(exact, "doc_id", "text", bands = 4, shingleN = 3)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(nearDupB, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tokens", "q_micro")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters: connected components over the MinHash candidate
     * graph (iterative min-label propagation; oracle = recursive CTE). */
   private def e2DupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1252,7 +1278,8 @@ object SparkEntry {
     "e4_regex_all" -> (e4RegexAll _),
     "e5_bits" -> (e5Bits _),
     "e4_bpe_tokens" -> (e4BpeTokens _),
-    "e5_cms_sketch" -> (e5CmsSketch _)
+    "e5_cms_sketch" -> (e5CmsSketch _),
+    "e10_clean_pipeline" -> (e10CleanPipeline _)
   )
 
   // ====================================================================
@@ -1267,6 +1294,27 @@ object SparkEntry {
       " ELSE CAST([] AS VARCHAR[]) END"
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** quality_micro over `text` — same formula as the e4_token_stats oracle. */
+  private lazy val sqlQualityMicro: String =
+    s"""CAST(round((
+       |  0.4 * least(CAST(len($sqlTokens) AS DOUBLE) / 100.0, 1.0) +
+       |  0.3 * (CAST(list_sum(list_transform($sqlTokens, x -> CASE WHEN x IN ('the','a','of','and','is','in','to','it','on','for') THEN 1 ELSE 0 END)) AS DOUBLE) / len($sqlTokens)) +
+       |  0.3 * (CAST(len(list_distinct($sqlTokens)) AS DOUBLE) / len($sqlTokens))
+       |) * 1000000) AS BIGINT)""".stripMargin
+
+  /** Self-contained language-ID prediction over `text` (argmax with
+    * alphabetical tie-break, 'und' on zero hits) — the WHERE-clause form of
+    * the e4_langid oracle. */
+  private lazy val sqlLangPred: String = {
+    def score(markers: Seq[String]) =
+      s"list_sum(list_transform($sqlTokens, x -> CASE WHEN x IN (${markers.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END))"
+    val scores = TF.langMarkers.map { case (l, m) => l -> score(m) }
+    val mx = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, sc) => s"WHEN $sc = $mx THEN '$l'" }
+      .mkString(" ")
+    s"CASE WHEN $mx = 0 THEN 'und' $cases END"
+  }
 
   /** B^(k-1-j) mod M for the winnowing oracle's closed-form gram hash —
     * identical modular arithmetic to the rolling form. */
@@ -1880,6 +1928,29 @@ object SparkEntry {
         |  FROM t, (SELECT unnest(range(4)) AS d) d)
         |SELECT CAST(depth AS BIGINT) AS depth, CAST(bucket AS BIGINT) AS bucket,
         |CAST(count(*) AS BIGINT) AS n
-        |FROM b GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
+    "e10_clean_pipeline" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+        |    $sqlQualityMicro AS q_micro
+        |  FROM documents
+        |  WHERE len($sqlTokens) >= 5 AND $sqlQualityMicro >= 300000
+        |    AND ($sqlLangPred) = 'en'),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+        |fk AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+        |sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM fk),
+        |e AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM e),
+        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |dropb AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+        |SELECT doc_id, n_tokens, q_micro FROM fk
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
+        |ORDER BY doc_id""".stripMargin
   )
 }
