@@ -1158,6 +1158,10 @@ object SparkEntry {
     * every non-canonical pair member. Narrow gates → one dedup shuffle →
     * signature shuffles; nothing quadratic, nothing driver-side. */
   private def e10CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // staged feeds two join branches and exact feeds two consumers; Spark
+    // re-evaluates each branch (no cross-branch CSE), so both are persisted
+    // — the gates' token/quality/langid pass runs ONCE over the corpus
     val staged = T(s, dir, "documents")
       .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("__t"))
       .select(col("doc_id"), col("text"),
@@ -1167,8 +1171,10 @@ object SparkEntry {
         TF.langIdFromTokens(col("__t")).as("lang_pred"))
       .where(col("n_tokens") >= 5 && col("q_micro") >= 300000 &&
         col("lang_pred") === "en")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keep = staged.groupBy("text").agg(min("doc_id").as("doc_id"))
     val exact = staged.join(keep.select("doc_id"), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nearDupB = DedupOps
       .minhashCandidatePairs(exact, "doc_id", "text", bands = 4, shingleN = 3)
       .select(col("id_b").as("doc_id")).distinct()
