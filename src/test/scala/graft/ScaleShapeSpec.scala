@@ -96,6 +96,33 @@ class ScaleShapeSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("AQE splits skewed partitions in a sort-merge join") {
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~all rows vs a uniform right side: the classic
+      // shape where a static plan stalls on one straggler task
+      val left = spark.range(0, 80000).select(lit(0L).as("k"), col("id"))
+        .union(spark.range(1, 100).select(col("id").as("k"), col("id")))
+      val right = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.hint("merge").join(right, "k")
+      joined.collect() // AQE decisions only exist in the executed final plan
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("skew"),
+        s"expected AQE skew-join handling in the final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
     val c = spark.read.parquet(sf("0.001") + "/customer.parquet")

@@ -129,6 +129,24 @@ class StreamingSpec extends SparkSpec {
     assert(seen.keySet.asScala.min == 0L)   // ids start at 0, contiguous
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    import spark.implicits._
+    val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L))
+      .toDF("event_type", "weight")
+    val streamed = StreamingOps.runToMemory(
+      eventsWithTs.select("event_id", "event_type")
+        .join(broadcast(dim), "event_type"), // static side broadcast per batch
+      "enrich_out", OutputMode.Append())
+      .select("event_id", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .join(dim, "event_type")
+      .select("event_id", "weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming top-k leaderboard matches the batch top-k") {
     val streamed = StreamingOps.runToMemory(
       StreamingOps.streamingTopK(
