@@ -170,12 +170,19 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // warm start: lbl = min(id, min neighbor id) — one aggregation instead
+    // of a full first round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("lbl"))
       .localCheckpoint()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    // labels are monotone non-increasing per vertex, so Σlbl strictly
+    // decreases until the fixpoint — a one-aggregate convergence check
+    // (the join-and-compare formulation costs a shuffle join per round)
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    while (curSum != prevSum && iter < maxIter) {
       // min label among neighbors
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
@@ -194,13 +201,13 @@ object DedupOps {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl")), col("jlbl"))
             .as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") =!= col("prev")).count()
       labels = next
+      prevSum = curSum
+      curSum = labels.agg(sum("lbl")).head.getLong(0)
       iter += 1
     }
     edges.unpersist()
-    require(changed == 0,
+    require(curSum == prevSum,
       s"label propagation did not converge within $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
