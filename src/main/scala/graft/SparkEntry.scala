@@ -563,6 +563,27 @@ object SparkEntry {
         col("n"), col("sum_value_c"))
       .orderBy("user_id", "session_start")
 
+  /** Strict event FUNNEL: per user, first view → first click AFTER that
+    * view → first purchase AFTER that click; emit per-stage user counts.
+    * Three stage aggregations, each a keyed join back on user_id (the
+    * previous stage's timestamp gates the next) — no window over the whole
+    * event history, so each stage shuffles only (user, ts) pairs. */
+  private def e8Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.agg(count("*").as("n_view"))
+      .crossJoin(c.agg(count("*").as("n_view_click")))
+      .crossJoin(p.agg(count("*").as("n_full_funnel")))
+  }
+
   // ====================================================================
   // E1/E2 dedup suite (documents)
   // ====================================================================
@@ -1285,7 +1306,8 @@ object SparkEntry {
     "e5_bits" -> (e5Bits _),
     "e4_bpe_tokens" -> (e4BpeTokens _),
     "e5_cms_sketch" -> (e5CmsSketch _),
-    "e10_clean_pipeline" -> (e10CleanPipeline _)
+    "e10_clean_pipeline" -> (e10CleanPipeline _),
+    "e8_funnel" -> (e8Funnel _)
   )
 
   // ====================================================================
@@ -1957,6 +1979,16 @@ object SparkEntry {
         |dropb AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
         |SELECT doc_id, n_tokens, q_micro FROM fk
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "e8_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.us) AS c_us FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.us) AS p_us FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin
   )
 }
