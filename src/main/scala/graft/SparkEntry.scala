@@ -1204,6 +1204,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** ANN over a CELL-PARTITIONED store: quantized vectors are written
+    * partitioned by their IVF cell, the probe picks cells via exact
+    * integer centroids, and the fine scan reads ONLY the probed partition
+    * directories (PartitionFilters — asserted in ScaleShapeSpec). At
+    * 100 TB this is the layout that turns every ANN query into an
+    * nprobe-partition read. Same result (and oracle) as e3_ann_ivf_int. */
+  private def o21AnnPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/emb_cells_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(qvec(col("embedding"))).head.getSeq[Long](0)
+    val quant = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qe"))
+    quant.write.mode("overwrite").partitionBy("label").parquet(out)
+    val probed = SimilarityOps.exactProbeCells(quant, "label", q, nprobe = 3)
+      .collect().map(_.get(0))
+    val qv = array(q.map(lit): _*)
+    val qn = math.sqrt(q.map(x => x * x).sum.toDouble)
+    s.read.parquet(out)
+      .where(col("label").isin(probed.toSeq: _*))
+      .select(col("vec_id"),
+        round(qdot(col("qe"), qv).cast("double") /
+          (sqrt(qdot(col("qe"), col("qe")).cast("double")) * lit(qn)) * 1000000)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Near-dup clusters: connected components over the MinHash candidate
     * graph (iterative min-label propagation; oracle = recursive CTE). */
   private def e2DupClusters(s: SparkSession, dir: String): DataFrame =
@@ -1307,7 +1334,8 @@ object SparkEntry {
     "e4_bpe_tokens" -> (e4BpeTokens _),
     "e5_cms_sketch" -> (e5CmsSketch _),
     "e10_clean_pipeline" -> (e10CleanPipeline _),
-    "e8_funnel" -> (e8Funnel _)
+    "e8_funnel" -> (e8Funnel _),
+    "o21_ann_partitioned" -> (o21AnnPartitioned _)
   )
 
   // ====================================================================
@@ -1989,6 +2017,24 @@ object SparkEntry {
         |  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY e.user_id)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
         |(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
-        |(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin
+        |(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin,
+    "o21_ann_partitioned" ->
+      s"""WITH q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
+        |v AS (SELECT vec_id, label, $sqlQvec AS qe FROM embeddings),
+        |cen AS (SELECT label, i,
+        |  CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM v, (SELECT unnest(range(1, 65)) AS i) dims GROUP BY label, i),
+        |d2 AS (SELECT label,
+        |  CAST(SUM((c * qv[CAST(i AS INTEGER)] - s) * (c * qv[CAST(i AS INTEGER)] - s)) AS DOUBLE)
+        |    / (MAX(c) * MAX(c)) AS d2
+        |  FROM cen, q GROUP BY label),
+        |probe AS (SELECT label FROM d2 ORDER BY d2, label LIMIT 3)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM v JOIN probe USING (label), q
+        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
   )
 }

@@ -96,18 +96,19 @@ object SimilarityOps {
     * AVG centroids are not hash-stable cross-engine); same two-stage scale
     * shape — tiny centroid aggregate, broadcast probe filter, fine ranking
     * only inside probed cells. */
-  def topKIvfExact(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    import graft.functions.QuantizeVector
+  /** The nprobe cells nearest `query` under EXACT integer centroid math:
+    * centroids stay (Σ quantized-vector, count) pairs and the distance is
+    * Σ(c·q − s)² / c² — exact integer numerator, so the probe choice is
+    * bit-reproducible in any engine. */
+  def exactProbeCells(quant: DataFrame, labelCol: String, query: Seq[Long],
+      nprobe: Int): DataFrame = {
     val qv = vecLit2(query)
-    val quant = df.select(col(idCol), col(labelCol),
-      QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
     // single-pass element-wise sum aggregate (one long[] per group), not
     // d separate sum(element_at) aggregates
     val centroids = quant.groupBy(col(labelCol))
       .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
         count("*").as("c"))
-    val probed = centroids
+    centroids
       .select(col(labelCol),
         // Σ(c·q_i − s_i)² / c²  — exact integer numerator
         aggregate(
@@ -119,6 +120,15 @@ object SimilarityOps {
       .orderBy(col("d2"), col(labelCol))
       .limit(nprobe)
       .select(labelCol)
+  }
+
+  def topKIvfExact(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.QuantizeVector
+    val qv = vecLit2(query)
+    val quant = df.select(col(idCol), col(labelCol),
+      QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    val probed = exactProbeCells(quant, labelCol, query, nprobe)
     quant.join(broadcast(probed), labelCol)
       .select(col(idCol),
         round(VF.dotLong(col("qe"), qv).cast("double") /

@@ -74,6 +74,15 @@ class ScaleShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("o21 partition-pruned ANN reads only the probed cell directories") {
+    val df = SparkEntry.queries("o21_ann_partitioned")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("label"), s"expected probed-cell partition pruning:\n$plan")
+    assert(df.count() == 10)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
