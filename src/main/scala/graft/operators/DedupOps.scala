@@ -165,8 +165,37 @@ object DedupOps {
     * Non-convergence within `maxIter` throws rather than returning a
     * silently-wrong clustering. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3, maxIter: Int = 25): DataFrame = {
+      bands: Int, shingleN: Int = 3, maxIter: Int = 25,
+      driverEdgeLimit: Long = 10000000L): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hybrid strategy: the candidate graph holds ONLY near-dup members, so
+    // it is orders of magnitude smaller than the corpus. Below the limit
+    // (10M edges ≈ 160 MB) exact union-find on the driver beats ~30
+    // sequential distributed jobs whose per-job latency dominates at this
+    // size; above it, the pointer-jumping loop takes over.
+    if (pairs.count() <= driverEdgeLimit) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      pairs.unpersist()
+      return out.toDF("doc_id", "cluster_id")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -207,6 +236,7 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     require(curSum == prevSum,
       s"label propagation did not converge within $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

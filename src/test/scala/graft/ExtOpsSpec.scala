@@ -40,24 +40,38 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("E2 dup clusters: components get min-id labels, singletons absent") {
-    // docs 0/1/3 form one near-dup component (0-3 exact, 0-1 near); doc 2
-    // and shingle-less doc 4 never enter the pair graph
-    val clusters = DedupOps.dupClusters(docs, "doc_id", "text", bands = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters.get(0L).contains(0L))
-    assert(clusters.get(3L).contains(0L)) // exact dup joins 0's cluster
-    clusters.get(1L).foreach(c => assert(c == 0L)) // near-dup, if a candidate
-    assert(!clusters.contains(4L))
-    // transitivity: A-B and B-C candidates ⇒ one cluster even if A-C never
-    // collided — a chain of three where the ends differ more than the middle
-    val chain = Seq(
-      (10L, "alpha beta gamma delta epsilon zeta"),
-      (11L, "alpha beta gamma delta epsilon eta"),
-      (12L, "alpha beta gamma delta theta eta")
-    ).toDF("doc_id", "text")
-    val cc = DedupOps.dupClusters(chain, "doc_id", "text", bands = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (cc.contains(10L) && cc.contains(12L)) assert(cc(10L) == cc(12L))
+    // both strategies must agree: driver union-find (default) and the
+    // distributed pointer-jumping loop (forced via driverEdgeLimit = 0)
+    for (limit <- Seq(10000000L, 0L)) {
+      // docs 0/1/3 form one near-dup component (0-3 exact, 0-1 near); doc 2
+      // and shingle-less doc 4 never enter the pair graph
+      val clusters = DedupOps.dupClusters(docs, "doc_id", "text", bands = 4,
+        driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.get(0L).contains(0L))
+      assert(clusters.get(3L).contains(0L)) // exact dup joins 0's cluster
+      clusters.get(1L).foreach(c => assert(c == 0L)) // near-dup, if candidate
+      assert(!clusters.contains(4L))
+      // transitivity: A-B and B-C candidates ⇒ one cluster even if A-C
+      // never collided
+      val chain = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "alpha beta gamma delta epsilon eta"),
+        (12L, "alpha beta gamma delta theta eta")
+      ).toDF("doc_id", "text")
+      val cc = DedupOps.dupClusters(chain, "doc_id", "text", bands = 4,
+        driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (cc.contains(10L) && cc.contains(12L)) assert(cc(10L) == cc(12L))
+    }
+    // the two strategies produce IDENTICAL clusterings on real data
+    val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val a = DedupOps.dupClusters(real, "doc_id", "text", bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = DedupOps.dupClusters(real, "doc_id", "text", bands = 4,
+      driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("multimodal window energy: sums per window, partial tail, empty") {
