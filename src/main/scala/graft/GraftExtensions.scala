@@ -66,10 +66,13 @@ object GraftFunctionRegistry {
         int(es(2), "winnow_fingerprints", "window"))),
     ("window_energy", classOf[WindowEnergy].getName,
       es => WindowEnergy(es(0), int(es(1), "window_energy", "win"))),
-    // an AggregateFunction builder: the analyzer wraps it in an
+    // AggregateFunction builders: the analyzer wraps them in an
     // AggregateExpression like any built-in aggregate
     ("vector_sum_long", classOf[VectorSumLong].getName,
-      es => VectorSumLong(es(0))))
+      es => VectorSumLong(es(0))),
+    ("count_min_long", classOf[CountMinLong].getName,
+      es => CountMinLong(es(0), int(es(1), "count_min_long", "depth"),
+        int(es(2), "count_min_long", "width"))))
 }
 
 /** Runtime twin of GraftExtensions for sessions that already exist. */
