@@ -1079,6 +1079,36 @@ object SparkEntry {
       .orderBy("depth", "bucket")
   }
 
+  /** Equal-width histogram in exact integer math: bucket =
+    * ⌊(x−lo)·10 / (hi−lo+1)⌋ over cents — the min/max scalars come from one
+    * aggregation broadcast back via cross join, and every division is
+    * integer, so bucket assignment is engine-exact. */
+  private def e5Histogram(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+    val mm = o.agg(min("pc").as("lo"), max("pc").as("hi"))
+    o.crossJoin(mm)
+      .select(expr("CAST(((pc - lo) * 10) div (hi - lo + 1) AS BIGINT)")
+        .as("bucket"))
+      .groupBy("bucket").agg(count("*").as("n"))
+      .orderBy("bucket")
+  }
+
+  /** LATERAL correlated subquery: per order-priority, that priority's two
+    * most expensive orders — the SQL surface for correlated per-row
+    * subplans (Spark plans it as a rewritten join). */
+  private def e6Lateral(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT p.o_orderpriority, t.o_orderkey, t.price_c
+        |FROM (SELECT DISTINCT o_orderpriority FROM v_orders) p,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM v_orders o
+        |  WHERE o.o_orderpriority = p.o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY o_orderpriority, price_c DESC, o_orderkey""".stripMargin)
+  }
+
   /** Bitwise aggregates + shifts. */
   private def e5Bits(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -1335,7 +1365,9 @@ object SparkEntry {
     "e5_cms_sketch" -> (e5CmsSketch _),
     "e10_clean_pipeline" -> (e10CleanPipeline _),
     "e8_funnel" -> (e8Funnel _),
-    "o21_ann_partitioned" -> (o21AnnPartitioned _)
+    "o21_ann_partitioned" -> (o21AnnPartitioned _),
+    "e5_histogram" -> (e5Histogram _),
+    "e6_join_lateral" -> (e6Lateral _)
   )
 
   // ====================================================================
@@ -2035,6 +2067,21 @@ object SparkEntry {
         |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
         |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
         |FROM v JOIN probe USING (label), q
-        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    "e5_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+        |mm AS (SELECT MIN(pc) AS lo, MAX(pc) AS hi FROM o)
+        |SELECT CAST(((pc - lo) * 10) // (hi - lo + 1) AS BIGINT) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM o, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "e6_join_lateral" ->
+      """SELECT p.o_orderpriority, t.o_orderkey, t.price_c
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders o
+        |  WHERE o.o_orderpriority = p.o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY o_orderpriority, price_c DESC, o_orderkey""".stripMargin
   )
 }
