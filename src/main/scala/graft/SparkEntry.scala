@@ -111,6 +111,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** O4-adjacent source coverage: ORC round-trip — the columnar format
+    * besides parquet that warehouse migrations actually encounter;
+    * vectorized read path, predicate pushdown, same lazy-source model. */
+  private def o22OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val orcDir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").orc(orcDir)
+    s.read.orc(orcDir)
+      .where(col("n_chars") >= 0) // pushed to the ORC reader
+      .orderBy("doc_id")
+  }
+
   /** O5/O6/O7 driven through the driver gate: author a miniature datahub
     * tree, run discovery + meta parse + pairing, return the paired file
     * table. The oracle is the literal expected pairing. */
@@ -582,6 +594,38 @@ object SparkEntry {
     v.agg(count("*").as("n_view"))
       .crossJoin(c.agg(count("*").as("n_view_click")))
       .crossJoin(p.agg(count("*").as("n_full_funnel")))
+  }
+
+  /** The typed-Aggregator surface: variance from exact integer moments via
+    * a registered case-class UDAF (same math as e5_stats, different API —
+    * compile-time-typed zero/reduce/merge with product encoders). */
+  private def e5StatsTyped(s: SparkSession, dir: String): DataFrame = {
+    val moments = udaf(graft.functions.MomentsAgg)
+    T(s, dir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(moments(col("q")).as("m"))
+      .select(col("l_returnflag"), col("m.n").as("n"),
+        round((col("m.n") * col("m.sxx") - col("m.sx") * col("m.sx")).cast("double") /
+          (col("m.n") * (col("m.n") - 1)).cast("double") * 1000).cast("long")
+          .as("var_q_milli"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Adjacent-pair sequence pattern: per user, count view→click
+    * adjacencies in event-time order (the lag-based core of funnel /
+    * MATCH_RECOGNIZE-style detection; one keyed window, no self-join). */
+  private def e8Pattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count_if(col("prev_type") === "view" && col("event_type") === "click")
+        .as("n_view_click"))
+      .where(col("n_view_click") > 0)
+      .orderBy("user_id")
   }
 
   // ====================================================================
@@ -1367,7 +1411,10 @@ object SparkEntry {
     "e8_funnel" -> (e8Funnel _),
     "o21_ann_partitioned" -> (o21AnnPartitioned _),
     "e5_histogram" -> (e5Histogram _),
-    "e6_join_lateral" -> (e6Lateral _)
+    "e6_join_lateral" -> (e6Lateral _),
+    "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
+    "e8_pattern" -> (e8Pattern _),
+    "e5_stats_typed" -> (e5StatsTyped _)
   )
 
   // ====================================================================
@@ -2082,6 +2129,28 @@ object SparkEntry {
         |  FROM orders o
         |  WHERE o.o_orderpriority = p.o_orderpriority
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-        |ORDER BY o_orderpriority, price_c DESC, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, price_c DESC, o_orderkey""".stripMargin,
+    "o22_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars >= 0 ORDER BY doc_id""".stripMargin,
+    "e8_pattern" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type,
+        |  event_type FROM e)
+        |SELECT user_id,
+        |CAST(count(*) FILTER (WHERE prev_type = 'view' AND event_type = 'click') AS BIGINT) AS n_view_click
+        |FROM l GROUP BY user_id
+        |HAVING count(*) FILTER (WHERE prev_type = 'view' AND event_type = 'click') > 0
+        |ORDER BY user_id""".stripMargin,
+    "e5_stats_typed" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |CAST(round(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) * 1000) AS BIGINT) AS var_q_milli
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }
