@@ -99,10 +99,10 @@ object SparkEntry {
     * json write of a documents projection, schema-explicit streaming-safe
     * read back, oracled against the original parquet. */
   private def o03JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // per-run temp dir: concurrent runs over the same data dir must not
-    // race on a shared fixed path
-    val jsonDir = java.nio.file.Files
-      .createTempDirectory("graft_json_").toString
+    // under the per-JVM tmpRoot (race-safe across JVMs) and overwritten in
+    // place per call — a fresh createTempDirectory per call would strand a
+    // full table copy on every invocation
+    val jsonDir = s"$tmpRoot/json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     T(s, dir, "documents").select("doc_id", "lang", "source")
       .write.mode("overwrite").json(jsonDir)
     s.read
@@ -115,7 +115,8 @@ object SparkEntry {
     * besides parquet that warehouse migrations actually encounter;
     * vectorized read path, predicate pushdown, same lazy-source model. */
   private def o22OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val orcDir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    // per-JVM tmpRoot, overwritten in place (see o03 for why)
+    val orcDir = s"$tmpRoot/orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     T(s, dir, "documents").select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").orc(orcDir)
     s.read.orc(orcDir)
@@ -581,19 +582,26 @@ object SparkEntry {
     * previous stage's timestamp gates the next) — no window over the whole
     * event history, so each stage shuffles only (user, ts) pairs. */
   private def e8Funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import s.implicits._
     val ev = T(s, dir, "events")
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    // each stage feeds the next AND its own count — persist the two reused
+    // ones, take the three scalar counts eagerly, release the caches
     val v = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("v_us"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val c = ev.where(col("event_type") === "click")
       .join(v, "user_id").where(col("us") > col("v_us"))
       .groupBy("user_id").agg(min("us").as("c_us"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val p = ev.where(col("event_type") === "purchase")
       .join(c, "user_id").where(col("us") > col("c_us"))
       .groupBy("user_id").agg(min("us").as("p_us"))
-    v.agg(count("*").as("n_view"))
-      .crossJoin(c.agg(count("*").as("n_view_click")))
-      .crossJoin(p.agg(count("*").as("n_full_funnel")))
+    val result = try Seq((v.count(), c.count(), p.count()))
+      .toDF("n_view", "n_view_click", "n_full_funnel")
+    finally { v.unpersist(blocking = false); c.unpersist(blocking = false) }
+    result
   }
 
   /** The typed-Aggregator surface: variance from exact integer moments via
@@ -1252,8 +1260,18 @@ object SparkEntry {
     * smallest doc_id per text, then MinHash-LSH near-dup removal dropping
     * every non-canonical pair member. Narrow gates → one dedup shuffle →
     * signature shuffles; nothing quadratic, nothing driver-side. */
+  /** Previous invocation's cached stages, unpersisted on the next call —
+    * the returned DataFrame is lazy, so the caches must outlive the call,
+    * but CacheManager holds them forever otherwise (the ContextCleaner
+    * only reclaims UNregistered cache entries). */
+  private var e10PrevCaches: Seq[DataFrame] = Nil
+
   private def e10CleanPipeline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    synchronized {
+      e10PrevCaches.foreach(_.unpersist(blocking = false))
+      e10PrevCaches = Nil
+    }
     // staged feeds two join branches and exact feeds two consumers; Spark
     // re-evaluates each branch (no cross-branch CSE), so both are persisted
     // — the gates' token/quality/langid pass runs ONCE over the corpus
@@ -1273,6 +1291,7 @@ object SparkEntry {
     val nearDupB = DedupOps
       .minhashCandidatePairs(exact, "doc_id", "text", bands = 4, shingleN = 3)
       .select(col("id_b").as("doc_id")).distinct()
+    synchronized { e10PrevCaches = Seq(staged, exact) }
     exact.join(nearDupB, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tokens", "q_micro")
       .orderBy("doc_id")

@@ -45,12 +45,17 @@ case class CountMinLong(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  /** "d|" prefixes as bytes, computed once — the per-row hot path feeds
+    * them straight into the digest instead of allocating a concatenated
+    * UTF8String per row per depth. */
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(d => s"$d|".getBytes("UTF-8"))
+
   /** Row-d bucket of an item: the 60-bit h1 half of md5("d|item") mod
     * width — matches the SQL formulation
     * CAST('0x' || substr(md5(d || '|' || item), 1, 15) AS BIGINT) % width. */
-  private def bucket(d: Int, item: UTF8String): Int = {
-    val digest = TextExpressions.md5Digest(
-      UTF8String.concat(UTF8String.fromString(s"$d|"), item))
+  private def bucket(d: Int, itemBytes: Array[Byte]): Int = {
+    val digest = TextExpressions.md5DigestPrefixed(prefixes(d), itemBytes)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
@@ -60,10 +65,10 @@ case class CountMinLong(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      val itemBytes = v.asInstanceOf[UTF8String].getBytes
       var d = 0
       while (d < depth) {
-        buf(d * width + bucket(d, s)) += 1
+        buf(d * width + bucket(d, itemBytes)) += 1
         d += 1
       }
     }

@@ -28,6 +28,15 @@ object TextExpressions {
     md.digest(s.getBytes)
   }
 
+  /** md5(prefix ++ body) without materializing the concatenation. */
+  private[functions] def md5DigestPrefixed(prefix: Array[Byte],
+      body: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(prefix)
+    md.digest(body)
+  }
+
   import org.apache.spark.sql.graft.Bridge
 
   /** Codegen'd SimHash (see TextFunctions.simhashFromTokens). */

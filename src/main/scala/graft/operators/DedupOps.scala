@@ -166,14 +166,17 @@ object DedupOps {
     * silently-wrong clustering. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, maxIter: Int = 25,
-      driverEdgeLimit: Long = 10000000L): DataFrame = {
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
     val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hybrid strategy: the candidate graph holds ONLY near-dup members, so
-    // it is orders of magnitude smaller than the corpus. Below the limit
-    // (10M edges ≈ 160 MB) exact union-find on the driver beats ~30
-    // sequential distributed jobs whose per-job latency dominates at this
-    // size; above it, the pointer-jumping loop takes over.
+    // it is orders of magnitude smaller than the corpus. Below the limit,
+    // exact union-find on the driver beats ~30 sequential distributed jobs
+    // whose per-job latency dominates at this size; above it, the
+    // pointer-jumping loop takes over. 2M edges collected as Tuple2s
+    // (~60 B each boxed) ≈ 120 MB — safe on a default driver heap, unlike
+    // collecting generic Rows whose per-object overhead is several times
+    // the payload.
     if (pairs.count() <= driverEdgeLimit) {
       val spark = df.sparkSession
       import spark.implicits._
@@ -185,13 +188,13 @@ object DedupOps {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
+      pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
       val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
       pairs.unpersist()
       return out.toDF("doc_id", "cluster_id")
@@ -223,6 +226,9 @@ object DedupOps {
         .join(labels.select(col("id").as("pid"), col("lbl").as("plbl")),
           col("lbl") === col("pid"), "left")
         .select(col("id"), coalesce(col("plbl"), col("lbl")).as("jlbl"))
+      // each round's localCheckpoint blocks are reclaimed by the
+      // ContextCleaner once the previous round's frame is dereferenced
+      // below — eventual, not immediate, but bounded by GC cadence
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .join(jump, Seq("id"))

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Query vector as a plan literal (broadcast-free: it travels in the
-    * serialized plan, not as a join side). */
-  def vecLit(v: Seq[Float]): Column = array(v.map(lit): _*)
+    * serialized plan, not as a join side). Works for any literal element
+    * type (Float, Long, ...). */
+  def vecLit[T](v: Seq[T]): Column = array(v.map(x => lit(x)): _*)
 
   /** Brute-force cosine top-k. Returns (id, cos) rounded to 6dp, ordered
     * by similarity desc with id tiebreak. */
@@ -70,6 +71,10 @@ object SimilarityOps {
       // default 20 iterations triples train time for no search benefit
       .setMaxIter(8)
       .fit(feats)
+    // fit is eager and was the multi-pass consumer; release the cache so
+    // it doesn't pin the vector table for the session's lifetime (the lazy
+    // transform below re-reads the source once — a narrow pass)
+    feats.unpersist(blocking = false)
     val assigned = model.transform(feats) // narrow: broadcast centroids
     val queryCells = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
@@ -87,22 +92,13 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** IVF over EXACT integer centroids: cells come from `labelCol` as in
-    * `topKIvf`, but centroids are kept as (Σ quantized-vector, count) —
-    * never divided into floats — and the query→centroid distance is
-    * computed as Σ(c·q − s)² / c² : the numerator is exact integer math,
-    * so the resulting double (and the probe choice) is bit-reproducible in
-    * any engine. The oracle-checkable IVF formulation (`topKIvf`'s float
-    * AVG centroids are not hash-stable cross-engine); same two-stage scale
-    * shape — tiny centroid aggregate, broadcast probe filter, fine ranking
-    * only inside probed cells. */
   /** The nprobe cells nearest `query` under EXACT integer centroid math:
     * centroids stay (Σ quantized-vector, count) pairs and the distance is
     * Σ(c·q − s)² / c² — exact integer numerator, so the probe choice is
     * bit-reproducible in any engine. */
   def exactProbeCells(quant: DataFrame, labelCol: String, query: Seq[Long],
       nprobe: Int): DataFrame = {
-    val qv = vecLit2(query)
+    val qv = vecLit(query)
     // single-pass element-wise sum aggregate (one long[] per group), not
     // d separate sum(element_at) aggregates
     val centroids = quant.groupBy(col(labelCol))
@@ -122,10 +118,17 @@ object SimilarityOps {
       .select(labelCol)
   }
 
+  /** IVF over EXACT integer centroids: cells come from `labelCol` as in
+    * `topKIvf`, but centroids are kept as (Σ quantized-vector, count) —
+    * never divided into floats — so the probe choice is bit-reproducible
+    * and the whole query is oracle-checkable (`topKIvf`'s float AVG
+    * centroids are not hash-stable cross-engine). Same two-stage scale
+    * shape — tiny centroid aggregate, broadcast probe filter, fine ranking
+    * only inside probed cells. */
   def topKIvfExact(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     import graft.functions.QuantizeVector
-    val qv = vecLit2(query)
+    val qv = vecLit(query)
     val quant = df.select(col(idCol), col(labelCol),
       QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
     val probed = exactProbeCells(quant, labelCol, query, nprobe)
@@ -139,8 +142,6 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Long-vector literal. */
-  private def vecLit2(v: Seq[Long]): Column = array(v.map(lit): _*)
 
   /** IVF-style two-stage ANN: coarse quantize by `labelCol` (pre-clustered
     * partition, e.g. k-means cell), pick the `nprobe` labels whose centroid

@@ -193,7 +193,9 @@ object StreamingOps {
     * micro-batch merges its rows and re-emits the CURRENT top-k (Update
     * mode). The streaming twin of the TopKByValue bounded-heap aggregate —
     * state is O(k) per key no matter how much history has streamed past.
-    * Expects (key, id, value) columns. */
+    * An id appears at most once on the board (its BEST value wins), so
+    * at-least-once replays and score updates can never occupy two slots
+    * and evict a legitimate entry. Expects (key, id, value) columns. */
   def streamingTopK(rows: DataFrame, keyCol: String, idCol: String,
       valueCol: String, k: Int): Dataset[RankedItem] = {
     val spark = rows.sparkSession
@@ -209,6 +211,8 @@ object StreamingOps {
           val merged =
             (state.getOption.map(_.items).getOrElse(Nil) ++
               batch.map { case (_, id, v) => (v, id) })
+              .groupMapReduce(_._2)(identity)((a, b) => if (a._1 >= b._1) a else b)
+              .values.toList
               .sortBy { case (v, id) => (-v, id) }
               .take(k)
           state.update(TopKState(merged))
@@ -220,18 +224,18 @@ object StreamingOps {
 
   /** foreachBatch sink: the escape hatch for targets with no native
     * streaming writer (JDBC/ClickHouse, multi-table fan-out, merge/upsert).
-    * Each micro-batch arrives as a PLAIN batch DataFrame plus its batchId;
-    * the id is the idempotence key — a sink that records the last committed
-    * id per target can safely skip replayed batches after a restart, which
-    * is exactly the ClickHouse-loading pattern (see ClickHouseSink for the
-    * batch write shape this composes with). Runs until all currently
-    * available input is drained. */
-  def runForeachBatch(df: DataFrame, mode: OutputMode)
+    * Each micro-batch arrives as a PLAIN batch DataFrame plus its batchId.
+    * WITH a `checkpoint` location, batchIds survive restarts, so a sink
+    * that records the last committed id per target can safely skip
+    * replayed batches — the ClickHouse-loading pattern (see ClickHouseSink
+    * for the batch write shape this composes with). Without a checkpoint,
+    * a restarted query renumbers from 0 and batchId is only unique WITHIN
+    * the run. Runs until all currently available input is drained. */
+  def runForeachBatch(df: DataFrame, mode: OutputMode,
+      checkpoint: Option[String] = None)
       (f: (DataFrame, Long) => Unit): Unit = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .foreachBatch(f)
-      .start()
+    val w = df.writeStream.outputMode(mode).foreachBatch(f)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     try q.processAllAvailable()
     finally q.stop()
   }
