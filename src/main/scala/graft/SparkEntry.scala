@@ -1040,6 +1040,24 @@ object SparkEntry {
         (element_at(col("qe"), 1) + element_at(col("qe"), -1)).as("ends_sum"))
       .orderBy("vec_id")
 
+  /** Map/struct function surface: map_from_arrays, element_at on maps,
+    * map_keys (insertion-ordered for array-built maps), map_concat, struct
+    * field access — emitted as plain strings so the oracle checks values
+    * without needing cross-engine map encodings. */
+  private def e9MapStruct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        map_from_arrays(array(lit("lang"), lit("source")),
+          array(col("lang"), col("source"))).as("m"),
+        struct(col("lang").as("l"), col("n_chars").as("nc")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("m"), "lang").as("m_lang"),
+        array_join(map_keys(col("m")), ",").as("m_keys"),
+        concat_ws(":", col("st.l"), col("st.nc").cast("string")).as("packed"),
+        element_at(map_concat(col("m"), map(lit("x"), lit("1"))), "x")
+          .as("extra"))
+      .orderBy("doc_id")
+
   /** Hive-style partitioned write + partition-pruned read-back: the filter
     * on the partition column prunes directories at planning time (asserted
     * in ScaleShapeSpec) — the layout that turns a 100 TB scan into a
@@ -1433,7 +1451,8 @@ object SparkEntry {
     "e6_join_lateral" -> (e6Lateral _),
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "e8_pattern" -> (e8Pattern _),
-    "e5_stats_typed" -> (e5StatsTyped _)
+    "e5_stats_typed" -> (e5StatsTyped _),
+    "e9_map_struct" -> (e9MapStruct _)
   )
 
   // ====================================================================
@@ -2170,6 +2189,10 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |CAST(round(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) * 1000) AS BIGINT) AS var_q_milli
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "e9_map_struct" ->
+      """SELECT doc_id, lang AS m_lang, 'lang,source' AS m_keys,
+        |lang || ':' || CAST(n_chars AS VARCHAR) AS packed, '1' AS extra
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
