@@ -1327,7 +1327,14 @@ object SparkEntry {
       .select(qvec(col("embedding"))).head.getSeq[Long](0)
     val quant = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qe"))
-    quant.write.mode("overwrite").partitionBy("label").parquet(out)
+    // like o20's bucketed tables: the partitioned LAYOUT is written once
+    // per JVM and queried many times
+    bucketedReady.synchronized {
+      if (!bucketedReady.contains(out)) {
+        quant.write.mode("overwrite").partitionBy("label").parquet(out)
+        bucketedReady += out
+      }
+    }
     val probed = SimilarityOps.exactProbeCells(quant, "label", q, nprobe = 3)
       .collect().map(_.get(0))
     val qv = array(q.map(lit): _*)
