@@ -148,6 +148,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("count-min estimates dominate true frequencies on random streams") {
+    import graft.functions.CountMin
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    check("cms", Prop.forAllNoShrink(tokGen) { toks =>
+      toks.isEmpty || {
+        val df = toks.toDF("tok").repartition(3)
+        val sk = df.agg(CountMin.countMinLong(col("tok"), 3, 16).as("sk"))
+        val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ests = sk.select(truth.keys.toSeq.map(t =>
+          CountMin.estimate(col("sk"), lit(t), 3, 16).as(t)): _*).head()
+        truth.keys.zipWithIndex.forall { case (t, i) =>
+          ests.getLong(i) >= truth(t) // CMS never undercounts
+        }
+      }
+    })
+  }
+
   test("contiguous id invariant: ids are exactly [start, start+count)") {
     check("contiguous", Prop.forAllNoShrink(
       Gen.choose(1, 200), Gen.choose(0L, 1000L)) { (n, start) =>
