@@ -18,18 +18,30 @@ object Bench {
     // single shots; the second run measures steady state (plans are fresh
     // per call — only JIT/codegen caches persist, as they would in any
     // long-running Spark application)
+    // A crashing query must NOT benchmark as fast: record the error string
+    // in place of a time, print every failure to stderr, and exit non-zero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v)) => s"\"" + k + "\":" + v
+      case (k, None) =>
+        s"\"" + k + "\":\"err: " + errors(k).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.flatten.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.size}}""")
+    errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

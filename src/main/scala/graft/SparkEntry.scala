@@ -302,13 +302,16 @@ object SparkEntry {
       .orderBy("l_returnflag")
 
   /** Set operations: suppliers shipping both 'R'- and 'A'-flag items, minus
-    * those that ever shipped AIR. */
+    * those with a big discounted 'N' shipment. Predicates chosen so all
+    * three branches AND the final result are non-empty at sf0.001+
+    * (a 0-row differential verifies almost nothing). */
   private def e5SetOps(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
     li.where(col("l_returnflag") === "R").select("l_suppkey").distinct()
       .intersect(
         li.where(col("l_returnflag") === "A").select("l_suppkey").distinct())
-      .except(li.where(col("l_quantity") >= 49).select("l_suppkey").distinct())
+      .except(li.where(col("l_quantity") >= 48 && col("l_discount") >= 0.1 &&
+        col("l_returnflag") === "N").select("l_suppkey").distinct())
       .orderBy("l_suppkey")
   }
 
@@ -1090,6 +1093,18 @@ object SparkEntry {
     val ct = s"g_cust_b_$sfx"
     bucketedReady.synchronized {
       if (!bucketedReady.contains(sfx)) {
+        // The session catalog is in-memory, but the warehouse directory
+        // persists across JVMs: a stale g_* location from a previous run
+        // makes saveAsTable fail (non-empty location, no catalog entry).
+        // Drop any catalog entry AND delete the stale directory first.
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(ot, ct).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
         T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
@@ -1620,7 +1635,8 @@ object SparkEntry {
         |INTERSECT
         |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
         |EXCEPT
-        |SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_quantity >= 48 AND l_discount >= 0.1 AND l_returnflag = 'N'
         |ORDER BY l_suppkey""".stripMargin,
     "e6_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,

@@ -51,6 +51,14 @@ object MutationOps {
     * narrow job and assigns contiguous offsets per partition: distributed,
     * no shuffle, order = partition order (file/offset order for a scan).
     */
+  /** Previous withContiguousId call's persisted input, released on the next
+    * call (same lifecycle pattern as SparkEntry.e10PrevCaches): per-file
+    * import pipelines materialize each file's outputs before the next file
+    * starts, so at most one cache is live. */
+  private var seqIdPrevCache:
+      Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+  private val seqIdCacheLock = new Object
+
   def withContiguousId(df: DataFrame, idName: String = "MUTATION_EVENT_ID",
       start: Long = 0L): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -62,7 +70,19 @@ object MutationOps {
     // offsets broadcast, ids assigned partition-locally) — but over
     // InternalRows: `df.rdd` would deserialize every row to a boxed Row and
     // createDataFrame would re-encode it; this stays in the unsafe format.
+    //
+    // Persisted between the count pass and the stamp pass: without it both
+    // passes re-evaluate the upstream plan (for the import workload that
+    // upstream is a GLOBAL SORT — at 100 TB running it twice is the
+    // dominant cost). The copy is required because the scan reuses its
+    // UnsafeRow buffer; the previous call's cache is released via the memo.
     val rdd = Bridge.internalRows(df)
+      .mapPartitions(it => it.map(_.copy()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    seqIdCacheLock.synchronized {
+      seqIdPrevCache.foreach(_.unpersist(blocking = false))
+      seqIdPrevCache = Some(rdd)
+    }
     val counts = rdd
       .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
       .collect().sortBy(_._1).map(_._2)

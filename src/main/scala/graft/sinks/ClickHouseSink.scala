@@ -21,7 +21,9 @@ object ClickHouseSink {
       user: String = "default",
       password: String = "",
       batchSize: Int = 100000,
-      numWritePartitions: Int = 0)       // 0 = keep current partitioning
+      numWritePartitions: Int = 0,       // 0 = keep current partitioning
+      driver: String = "",               // explicit JDBC driver class, if any
+      isolationLevel: String = "NONE")   // ClickHouse has no transactions
 
   /** The write shape, exposed for testing: repartition to bound per-task
     * insert size, then sort within partitions by the ClickHouse ORDER BY
@@ -94,7 +96,7 @@ object ClickHouseSink {
       .start()
 
   def write(df: DataFrame, cfg: Config): Unit = {
-    shape(df, cfg).write
+    val w = shape(df, cfg).write
       .format("jdbc")
       .mode(SaveMode.Append)
       .option("url", cfg.url)
@@ -102,7 +104,7 @@ object ClickHouseSink {
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("batchsize", cfg.batchSize.toString)
-      .option("isolationLevel", "NONE") // ClickHouse has no transactions
-      .save()
+      .option("isolationLevel", cfg.isolationLevel)
+    (if (cfg.driver.nonEmpty) w.option("driver", cfg.driver) else w).save()
   }
 }

@@ -325,4 +325,56 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("RocksDB state store: stateful agg state survives a restart") {
+    // The 100 TB state backend: HDFSBackedStateStoreProvider keeps every
+    // key on the JVM heap; RocksDB spills to local disk with changelog
+    // checkpointing, which is the only shape that survives wide keyspaces.
+    // This drives a stateful aggregation through TWO query incarnations on
+    // the RocksDB provider: the second run's counts must include the
+    // first run's state (i.e., state was rebuilt from the checkpoint).
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_rdb_src").toString
+      val ckpt = Files.createTempDirectory("graft_rdb_ckpt").toString
+      val schema = spark.read.parquet(sf("0.001") + "/events.parquet").schema
+      val finalCounts =
+        new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(srcDir)
+          .groupBy("user_id").agg(count("*").as("n"))
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r =>
+              finalCounts.put(r.getLong(0), r.getLong(1)))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      Files.copy(Paths.get(sf("0.001") + "/events.parquet"),
+        Paths.get(s"$srcDir/a.parquet"))
+      runOnce()
+      // second copy lands while the query is DOWN; the restarted query must
+      // resume the per-user counts, not start them from zero
+      Files.copy(Paths.get(sf("0.001") + "/events.parquet"),
+        Paths.get(s"$srcDir/b.parquet"))
+      runOnce()
+      val want = spark.read.parquet(sf("0.001") + "/events.parquet")
+        .groupBy("user_id").agg(count("*").as("n"))
+        .collect().map(r => (r.getLong(0), 2 * r.getLong(1))).toMap
+      import scala.jdk.CollectionConverters._
+      assert(finalCounts.asScala.toMap == want)
+      // and the checkpoint really is RocksDB-format state (zip/changelog
+      // snapshots, not the HDFS provider's .delta files)
+      val stateFiles = Files.walk(Paths.get(ckpt, "state")).iterator()
+        .asScala.map(_.getFileName.toString).toList
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"no RocksDB artifacts in $stateFiles")
+      assert(!stateFiles.exists(_.endsWith(".delta")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
