@@ -124,6 +124,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** O4-adjacent source coverage: XML round-trip via Spark 4's NATIVE xml
+    * data source (the spark-xml package folded into spark-sql) — the
+    * integration-feed format the reference's TSV world sits next to.
+    * Schema-explicit read back (inference would widen n_chars), oracled
+    * against the original parquet. */
+  private def o23XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val xmlDir = s"$tmpRoot/xml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").option("rowTag", "doc").xml(xmlDir)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .option("rowTag", "doc")
+      .xml(xmlDir)
+      .orderBy("doc_id")
+  }
+
   /** O5/O6/O7 driven through the driver gate: author a miniature datahub
     * tree, run discovery + meta parse + pairing, return the paired file
     * table. The oracle is the literal expected pairing. */
@@ -639,6 +655,26 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** MATCH_RECOGNIZE-style sequence detection: every contiguous
+    * view→click→purchase run per user, via SequenceOps' streaming NFA over
+    * flatMapSortedGroups. The oracle re-derives the same matches with an
+    * INDEPENDENT formulation (two LEADs) — a true differential test of the
+    * matcher; quantified steps ({min,max}) are covered in ExtOpsSpec. */
+  private def e8SeqMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, dir, "events")
+      .select(col("user_id").as("key"), expr("ts div 1000").as("us"),
+        col("event_id").as("id"), col("event_type").as("etype"))
+      .as[SequenceOps.SeqEvent]
+    SequenceOps.matchPattern(s, ev, Seq(
+        SequenceOps.Step.one("view"), SequenceOps.Step.one("click"),
+        SequenceOps.Step.one("purchase")))
+      .toDF()
+      .select(col("key").as("user_id"), col("start_id").as("start_eid"),
+        col("end_id").as("end_eid"))
+      .orderBy("user_id", "start_eid")
+  }
+
   // ====================================================================
   // E1/E2 dedup suite (documents)
   // ====================================================================
@@ -744,10 +780,12 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** IVF ANN over the pre-clustered `label` partitions. No SQL oracle: the
-    * centroid AVERAGES are float accumulations whose cross-engine bit
-    * equality is not guaranteed — the driver records a rows-only check, and
-    * ExtOpsSpec covers the semantics on known vectors. */
+  /** IVF ANN over the pre-clustered `label` partitions. Approximate BY
+    * DESIGN — no SQL oracle: the centroid AVERAGES are float accumulations
+    * whose cross-engine bit equality is not guaranteed, so the driver
+    * records a rows-only check. Its quality verdict lives in ExtOpsSpec's
+    * recall@10-vs-brute-force test at this exact config (plus the
+    * hash-checked integer-centroid sibling e3_ann_ivf_int). */
   private def e3Ivf(s: SparkSession, dir: String): DataFrame = {
     val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0)
@@ -755,9 +793,10 @@ object SparkEntry {
       "label", q, k = 10, nprobe = 3)
   }
 
-  /** IVF with k-means-TRAINED centroids (full build+search loop). No SQL
-    * oracle — clustering is float-iterative; rows-only check + ExtOpsSpec
-    * semantics on known vectors. */
+  /** IVF with k-means-TRAINED centroids (full build+search loop).
+    * Approximate BY DESIGN — clustering is float-iterative, so no SQL
+    * oracle; the quality verdict is ExtOpsSpec's recall@10 bound (0.8
+    * measured at this config) against the brute-force ranking. */
   private def e3IvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0)
@@ -1472,7 +1511,9 @@ object SparkEntry {
     "e5_histogram" -> (e5Histogram _),
     "e6_join_lateral" -> (e6Lateral _),
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
+    "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
     "e8_pattern" -> (e8Pattern _),
+    "e8_seq_match" -> (e8SeqMatch _),
     "e5_stats_typed" -> (e5StatsTyped _),
     "e9_map_struct" -> (e9MapStruct _)
   )
@@ -2194,6 +2235,19 @@ object SparkEntry {
     "o22_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE n_chars >= 0 ORDER BY doc_id""".stripMargin,
+    "o23_xml_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "e8_seq_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT user_id, event_id, event_type,
+        |  lead(event_type, 1) OVER win AS t1,
+        |  lead(event_type, 2) OVER win AS t2,
+        |  lead(event_id, 2) OVER win AS eid2
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, event_id AS start_eid, eid2 AS end_eid FROM w
+        |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |ORDER BY user_id, start_eid""".stripMargin,
     "e8_pattern" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id,
