@@ -97,4 +97,54 @@ object SequenceOps {
     events.groupByKey(_.key)
       .flatMapSortedGroups($"us", $"id") { (k, it) => scanKey(k, it, pat) }
   }
+
+  /** Incremental scan over a SORTED ready prefix (the streaming building
+    * block). Unlike `scanKey`, running out of events is NOT automatically a
+    * definitive failure: later micro-batches may deliver the completion.
+    * The rule is the CEP `WITHIN` clause: an anchor at or below `cutoffUs`
+    * has waited out its completion window and is resolved with the events
+    * that arrived; a younger starved anchor stops the scan and waits.
+    * Returns emitted matches plus the leftover suffix to carry as state
+    * (everything from the first still-undecided anchor). Batch semantics =
+    * cutoffUs = Long.MaxValue (every starvation is definitive). */
+  private[graft] def scanReady(key: Long, ready: IndexedSeq[SeqEvent],
+      steps: IndexedSeq[Step], cutoffUs: Long)
+      : (Seq[SeqMatch], IndexedSeq[SeqEvent]) = {
+    val out = scala.collection.mutable.ArrayBuffer[SeqMatch]()
+    var i = 0
+    var pendingAt = -1
+    while (i < ready.length && pendingAt < 0) {
+      // anchors past their window resolve now; younger ones may wait
+      val definitive = ready(i).us <= cutoffUs
+      // try to match anchored at i; verdict: 0 = scanning, -1 fail,
+      // -2 pending (starved and still inside its window)
+      var pos = i
+      var si = 0
+      var verdict = 0
+      while (si < steps.length && verdict == 0) {
+        val st = steps(si)
+        var taken = 0
+        var ok = true
+        while (ok && taken < st.max && verdict == 0) {
+          if (pos < ready.length) {
+            if (st.allowed(ready(pos).etype)) { pos += 1; taken += 1 }
+            else ok = false
+          } else if (definitive) ok = false
+          else verdict = -2 // starved mid-decision: wait for more events
+        }
+        if (verdict == 0) {
+          if (taken < st.min) verdict = -1
+          else si += 1
+        }
+      }
+      if (verdict == -2) pendingAt = i
+      else if (verdict == -1) i += 1
+      else {
+        out += SeqMatch(key, ready(i).id, ready(pos - 1).id, (pos - i).toLong)
+        i = pos
+      }
+    }
+    val keepFrom = if (pendingAt >= 0) pendingAt else i
+    (out.toSeq, ready.drop(keepFrom))
+  }
 }

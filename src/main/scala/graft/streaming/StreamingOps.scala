@@ -240,6 +240,65 @@ object StreamingOps {
     finally q.stop()
   }
 
+  final case class SeqPending(events: Seq[graft.operators.SequenceOps.SeqEvent],
+      lastWmUs: Long)
+
+  /** Streaming MATCH_RECOGNIZE (Flink-CEP shape): the batch NFA of
+    * SequenceOps.matchPattern run incrementally per key under an event-time
+    * watermark. Events at or below the watermark are scanned in (us, id)
+    * order; an anchor whose verdict still depends on unseen events waits in
+    * state until the events arrive or it ages past `withinUs` (CEP's
+    * WITHIN clause), at which point it resolves with what arrived. Arrivals
+    * below the previous watermark are late and dropped — the same contract
+    * as Spark's own watermarked stateful operators. State per key is the
+    * undecided suffix plus above-watermark events: bounded by the pattern
+    * window + watermark delay, never by stream length.
+    *
+    * Input columns: key LONG, us LONG (event-time micros), id LONG,
+    * etype STRING. Emits one row per completed match (Append mode). */
+  def matchPatternStream(events: DataFrame,
+      steps: Seq[graft.operators.SequenceOps.Step],
+      delay: String = "30 minutes",
+      withinUs: Long = 30L * 60 * 1000000)
+      : Dataset[graft.operators.SequenceOps.SeqMatch] = {
+    import graft.operators.SequenceOps
+    import SequenceOps.{SeqEvent, SeqMatch}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pat = steps.toIndexedSeq
+    events
+      .select(col("key").cast("long"), col("us").cast("long"),
+        col("id").cast("long"), col("etype").cast("string"),
+        timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeqPending, SeqMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, batch: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[SeqPending]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val prior = state.getOption.getOrElse(SeqPending(Nil, Long.MinValue))
+          val incoming = batch
+            .map(t => SeqEvent(t._1, t._2, t._3, t._4))
+            .filter(_.us >= prior.lastWmUs) // late: region already resolved
+            .toVector
+          val (readyRaw, future) =
+            (prior.events.toVector ++ incoming).partition(_.us <= wmUs)
+          val ready = readyRaw.sortBy(e => (e.us, e.id))
+          val (matches, leftover) =
+            SequenceOps.scanReady(key, ready, pat, wmUs - withinUs)
+          val keep = leftover ++ future
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SeqPending(keep, wmUs))
+            // re-examine as soon as the watermark moves again
+            state.setTimeoutTimestamp(wmUs / 1000 + 1)
+          }
+          matches.iterator
+      }
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table until all
     * currently-available input is processed; returns the result table.
     * Update mode suits stateful queries; Append for watermarked windows. */

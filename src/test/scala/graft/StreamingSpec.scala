@@ -326,6 +326,71 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming CEP pattern match agrees with the batch matcher") {
+    import graft.operators.SequenceOps
+    import SequenceOps.Step
+    val pat = Seq(Step.one("view"), Step.one("click"), Step.one("purchase"))
+    val streamInput = eventsWithTs
+      .select(col("user_id").as("key"), expr("unix_micros(ts)").as("us"),
+        col("event_id").as("id"), col("event_type").as("etype"))
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.matchPatternStream(streamInput, pat, delay = "1 minute")
+        .toDF(),
+      "cep_out", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+    val batchEv = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select(col("user_id").as("key"), expr("ts div 1000").as("us"),
+        col("event_id").as("id"), col("event_type").as("etype"))
+      .as[SequenceOps.SeqEvent]
+    val batch = SequenceOps.matchPattern(spark, batchEv, pat)
+      .collect().map(m => (m.key, m.start_id, m.end_id)).toSet
+
+    // anchors still inside the final watermark horizon stay pending (the
+    // stream "never ends"), so streamed ⊆ batch and nearly complete
+    assert(streamed.subsetOf(batch),
+      s"stream emitted non-batch matches: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= batch.size - 2 && batch.nonEmpty,
+      s"streamed ${streamed.size} of ${batch.size}")
+  }
+
+  test("streaming CEP: cross-batch completion, WITHIN expiry, late drop") {
+    import graft.operators.SequenceOps.Step
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def s(sec: Long) = sec * 1000000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingOps.matchPatternStream(
+      mem.toDF().toDF("key", "us", "id", "etype"),
+      Seq(Step.one("A"), Step(Set("B"), 0, 2), Step.one("C")),
+      delay = "10 seconds", withinUs = 20 * 1000000L)
+    val q = out.toDF().writeStream.format("memory").queryName("cep_mem")
+      .outputMode("append").start()
+    try {
+      // key 1 starves after A B (C never arrives) → must expire, not match
+      mem.addData((1L, s(1), 1L, "A"), (1L, s(2), 2L, "B"))
+      q.processAllAvailable()
+      // key 3's anchor arrives one batch...
+      mem.addData((3L, s(20), 30L, "A"))
+      q.processAllAvailable()
+      // ...its completion the next, plus a kicker that drives the
+      // watermark (90s) past everyone's WITHIN horizon
+      mem.addData((3L, s(22), 31L, "C"), (9L, s(100), 99L, "X"))
+      q.processAllAvailable()
+      // a late arrival below the resolved region must be ignored, not
+      // resurrect a match
+      mem.addData((1L, s(3), 3L, "C"))
+      q.processAllAvailable()
+      val got = spark.table("cep_mem")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((3L, 30L, 31L)),
+        s"want only key 3's cross-batch match, got $got")
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful agg state survives a restart") {
     // The 100 TB state backend: HDFSBackedStateStoreProvider keeps every
     // key on the JVM heap; RocksDB spills to local disk with changelog
