@@ -706,21 +706,20 @@ object SparkEntry {
   }
 
   /** Sequence packing for pretraining batches: documents are chunked into
-    * token-budget bins by cumulative token count, partitioned per language
-    * stream (the realistic sharding — a GLOBAL running sum would funnel
-    * through one partition; per-shard windows scale with shard count). */
-  private def e10PackChunks(s: SparkSession, dir: String): DataFrame = {
-    val budget = 512L
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    T(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TF.tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("cum", coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("chunk", expr(s"cum div $budget")) // exact integer div
-      .drop("cum")
+    * token-budget bins by cumulative token count per language stream —
+    * computed as PackOps' distributed prefix sum (sharded local windows +
+    * broadcast shard offsets), NOT one window per stream, so no stream
+    * ever funnels through a single task. shardSize 64 exercises ~8 shards
+    * even at sf0.001; the result is shardSize-invariant. */
+  private def e10PackChunks(s: SparkSession, dir: String): DataFrame =
+    PackOps.packChunks(
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok")),
+      streamCol = "lang", orderCol = "doc_id", tokCol = "n_tok",
+      budget = 512L, shardSize = 64L)
+      .select("doc_id", "lang", "n_tok", "chunk")
       .orderBy("doc_id")
-  }
 
   // ====================================================================
   // E1/E2 dedup suite (documents)

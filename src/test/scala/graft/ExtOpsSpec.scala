@@ -208,6 +208,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.contains(0L) && km.contains(0L))
   }
 
+  test("PackOps distributed prefix sum is shard-size invariant") {
+    import graft.operators.PackOps
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+    // the single-window reference (what the oracle computes)
+    val ref = docs
+      .withColumn("chunk", expr("coalesce(sum(n_tok) over (" +
+        "partition by lang order by doc_id " +
+        "rows between unbounded preceding and 1 preceding), 0L) div 512"))
+      .select("doc_id", "chunk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (shardSize <- Seq(1L, 17L, 64L, 1000000L)) {
+      val got = PackOps.packChunks(docs, "lang", "doc_id", "n_tok",
+          budget = 512L, shardSize = shardSize)
+        .select("doc_id", "chunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == ref, s"shardSize=$shardSize diverges")
+    }
+  }
+
   test("SequenceOps quantified patterns: greedy, bounded, non-overlapping") {
     import graft.operators.SequenceOps
     import graft.operators.SequenceOps.{SeqEvent, Step}
