@@ -208,6 +208,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.contains(0L) && km.contains(0L))
   }
 
+  test("approx_count_distinct stays within its configured error bound") {
+    // e5_approx_distinct is rows-only at the driver gate (engine-specific
+    // HLL sketches); this is its quality verdict: rsd=0.01 keeps the
+    // estimate within a conservative 5% of the exact count per group.
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+    val cmp = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("PackOps distributed prefix sum is shard-size invariant") {
     import graft.operators.PackOps
     val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")

@@ -83,6 +83,20 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("e10_pack_chunks broadcasts shard offsets, windows stay sharded") {
+    val df = SparkEntry.queries("e10_pack_chunks")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the offsets side (one row per shard) must come back as a broadcast,
+    // never a shuffle join against the document-sized side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast:\n$plan")
+    // the per-row window is partitioned by (stream, shard) — bounded
+    // partitions — not by the 5-value stream column alone
+    assert(plan.contains("__shard"),
+      s"row window must include the shard key:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
