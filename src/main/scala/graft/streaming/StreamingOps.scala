@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming counterparts of the batch time-window suite (E8):
   * `readStream` → event-time transforms → `writeStream`, with watermarks
@@ -238,6 +239,45 @@ object StreamingOps {
     val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
     try q.processAllAvailable()
     finally q.stop()
+  }
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Spark 4 `transformWithState` StatefulProcessor: running per-user row
+    * count in a named ValueState with a TTL. The successor API to
+    * flatMapGroupsWithState — typed state VARIABLES (value/list/map, each
+    * independently TTL'd) instead of one state object, explicit timers,
+    * RocksDB-backed — i.e. the state model a 100 TB keyspace needs: state
+    * lives in the store, not as a deserialized per-key blob on the heap,
+    * and idle keys age out by TTL instead of accumulating forever. */
+  private class RunningCountProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, Long, UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** Running per-user event counts via transformWithState (requires the
+    * RocksDB state store provider; emits the updated count per key per
+    * micro-batch in Update mode). With a TTL the state is clocked by
+    * processing time (TTL requires ProcessingTime mode). */
+  def runningCountsTws(events: DataFrame,
+      ttl: Option[java.time.Duration] = None): Dataset[UserCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   final case class SeqPending(events: Seq[graft.operators.SequenceOps.SeqEvent],

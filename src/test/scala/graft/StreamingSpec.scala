@@ -391,6 +391,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counts match batch, resume on restart") {
+    // Spark 4's StatefulProcessor API (typed state variables + TTL on
+    // RocksDB). Two query incarnations over a growing directory: final
+    // per-user counts must equal the batch group-by — doubled after the
+    // second file — proving the ValueState was rebuilt from checkpoint.
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_tws_src").toString
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+      val schema = spark.read.parquet(sf("0.001") + "/events.parquet").schema
+      val latest = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      def runOnce(): Unit = {
+        val q = StreamingOps.runningCountsTws(
+            spark.readStream.schema(schema).parquet(srcDir))
+          .toDF()
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r => latest.put(r.getLong(0), r.getLong(1)))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      Files.copy(Paths.get(sf("0.001") + "/events.parquet"),
+        Paths.get(s"$srcDir/a.parquet"))
+      runOnce()
+      Files.copy(Paths.get(sf("0.001") + "/events.parquet"),
+        Paths.get(s"$srcDir/b.parquet"))
+      runOnce()
+      val want = spark.read.parquet(sf("0.001") + "/events.parquet")
+        .groupBy("user_id").count()
+        .collect().map(r => (r.getLong(0), 2 * r.getLong(1))).toMap
+      import scala.jdk.CollectionConverters._
+      assert(latest.asScala.toMap == want)
+
+      // TTL leg: ProcessingTime time mode never quiesces for
+      // processAllAvailable in this version, so poll for output instead —
+      // proves the TTL'd ValueState path processes data end-to-end
+      val ttlSeen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q2 = StreamingOps.runningCountsTws(
+          spark.readStream.schema(schema).parquet(srcDir),
+          ttl = Some(java.time.Duration.ofHours(1)))
+        .toDF()
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_tws_ttl_ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => ttlSeen.put(r.getLong(0), r.getLong(1)))
+        }
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (ttlSeen.size() < want.size && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      } finally q2.stop()
+      assert(ttlSeen.asScala.toMap == want, "TTL'd state path diverged")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("RocksDB state store: stateful agg state survives a restart") {
     // The 100 TB state backend: HDFSBackedStateStoreProvider keeps every
     // key on the JVM heap; RocksDB spills to local disk with changelog
