@@ -3,7 +3,7 @@ package graft
 import graft.core.Schemas
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1132,6 +1132,34 @@ object SparkEntry {
     * map_keys (insertion-ordered for array-built maps), map_concat, struct
     * field access — emitted as plain strings so the oracle checks values
     * without needing cross-engine map encodings. */
+  /** Typed Dataset[T] pipeline showcase: case-class encoders end to end —
+    * `as[Doc]`, typed filter/map lambdas, `groupByKey` + typed Aggregator
+    * column. The lambdas are opaque to Catalyst (no pushdown inside them,
+    * encoder serialization at the boundary), which is why the engine's hot
+    * paths stay in expression form; this query documents the API surface
+    * AND pins its semantics to the same DuckDB oracle as everything else. */
+  private def e9TypedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long), (Long, Long), (Long, Long)] {
+      def zero = (0L, 0L)
+      def reduce(b: (Long, Long), a: (String, Long)) = (b._1 + 1, b._2 + a._2)
+      def merge(x: (Long, Long), y: (Long, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Long, Long)) = r
+      def bufferEncoder = implicitly[Encoder[(Long, Long)]]
+      def outputEncoder = implicitly[Encoder[(Long, Long)]]
+    }
+    T(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").as[DocRow]
+      .filter((d: DocRow) => d.lang == "en" && d.n_chars >= 100)
+      .map((d: DocRow) => (d.source, d.text.split(" ").length.toLong))
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .map { case (src, (n, tok)) => (src, n, tok) }
+      .toDF("source", "n_docs", "n_tokens")
+      .orderBy("source")
+  }
+
   private def e9MapStruct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"),
@@ -1574,7 +1602,8 @@ object SparkEntry {
     "e8_pattern" -> (e8Pattern _),
     "e8_seq_match" -> (e8SeqMatch _),
     "e5_stats_typed" -> (e5StatsTyped _),
-    "e9_map_struct" -> (e9MapStruct _)
+    "e9_map_struct" -> (e9MapStruct _),
+    "e9_typed_pipeline" -> (e9TypedPipeline _)
   )
 
   // ====================================================================
@@ -2347,6 +2376,16 @@ object SparkEntry {
     "e9_map_struct" ->
       """SELECT doc_id, lang AS m_lang, 'lang,source' AS m_keys,
         |lang || ':' || CAST(n_chars AS VARCHAR) AS packed, '1' AS extra
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e9_typed_pipeline" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents WHERE lang = 'en' AND n_chars >= 100
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }
+
+/** Row type for the typed Dataset showcase (top-level so the case-class
+  * encoder derives outside the query closure). */
+final case class DocRow(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long)

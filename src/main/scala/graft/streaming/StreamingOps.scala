@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming counterparts of the batch time-window suite (E8):
   * `readStream` → event-time transforms → `writeStream`, with watermarks
@@ -337,6 +338,83 @@ object StreamingOps {
           }
           matches.iterator
       }
+  }
+
+  /** Streaming CEP on the Spark 4 transformWithState API: the same
+    * watermark-incremental NFA as `matchPatternStream`, with the state
+    * decomposed into typed variables — a ListState of undecided events
+    * plus a ValueState watermark floor — and re-examination driven by a
+    * real EVENT-TIME TIMER instead of a timeout re-registration. On
+    * RocksDB (this API is RocksDB-only) each state variable is its own
+    * column family: appending an event does not rewrite the whole per-key
+    * blob, which is the difference that matters when a key's pending
+    * window is large. */
+  private class CepProcessor(steps: IndexedSeq[graft.operators.SequenceOps.Step],
+      withinUs: Long)
+      extends StatefulProcessor[Long,
+        (Long, Long, Long, String, java.sql.Timestamp),
+        graft.operators.SequenceOps.SeqMatch] {
+    import graft.operators.SequenceOps
+    import SequenceOps.{SeqEvent, SeqMatch}
+    @transient private var pending: ListState[SeqEvent] = _
+    @transient private var wmFloor: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[SeqEvent]("pending",
+        org.apache.spark.sql.Encoders.product[SeqEvent], TTLConfig.NONE)
+      wmFloor = getHandle.getValueState[Long]("wmFloor",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def scan(key: Long, incoming: Vector[SeqEvent], wmUs: Long)
+        : Iterator[SeqMatch] = {
+      val floor = if (wmFloor.exists()) wmFloor.get() else Long.MinValue
+      val all = (if (pending.exists()) pending.get().toVector else Vector.empty) ++
+        incoming.filter(_.us >= floor) // below the floor = late, resolved region
+      val (readyRaw, future) = all.partition(_.us <= wmUs)
+      val ready = readyRaw.sortBy(e => (e.us, e.id))
+      val (matches, leftover) =
+        SequenceOps.scanReady(key, ready, steps, wmUs - withinUs)
+      val keep = leftover ++ future
+      if (keep.isEmpty) { pending.clear(); wmFloor.clear() }
+      else {
+        pending.put(keep.toArray)
+        wmFloor.update(wmUs)
+        getHandle.registerTimer(wmUs / 1000 + 1) // fire on next wm advance
+      }
+      matches.iterator
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SeqMatch] =
+      scan(key, rows.map(t => SeqEvent(t._1, t._2, t._3, t._4)).toVector,
+        timerValues.getCurrentWatermarkInMs() * 1000)
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SeqMatch] =
+      scan(key, Vector.empty, timerValues.getCurrentWatermarkInMs() * 1000)
+  }
+
+  /** `matchPatternStream` on transformWithState (see CepProcessor). Same
+    * input/output contract; requires the RocksDB state store provider. */
+  def matchPatternStreamTws(events: DataFrame,
+      steps: Seq[graft.operators.SequenceOps.Step],
+      delay: String = "30 minutes",
+      withinUs: Long = 30L * 60 * 1000000)
+      : Dataset[graft.operators.SequenceOps.SeqMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("us").cast("long"),
+        col("id").cast("long"), col("etype").cast("string"),
+        timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new CepProcessor(steps.toIndexedSeq, withinUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Drive a streaming DataFrame to a named in-memory table until all

@@ -391,6 +391,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState CEP matches the fMGWS matcher batch-for-batch") {
+    // same scenario as the fMGWS MemoryStream test: cross-batch
+    // completion, WITHIN expiry, late drop — on the timer-driven
+    // ListState processor (RocksDB-only API)
+    import graft.operators.SequenceOps.Step
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def s(sec: Long) = sec * 1000000L
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val out = StreamingOps.matchPatternStreamTws(
+        mem.toDF().toDF("key", "us", "id", "etype"),
+        Seq(Step.one("A"), Step(Set("B"), 0, 2), Step.one("C")),
+        delay = "10 seconds", withinUs = 20 * 1000000L)
+      val q = out.toDF().writeStream.format("memory").queryName("cep_tws")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, s(1), 1L, "A"), (1L, s(2), 2L, "B"))
+        q.processAllAvailable()
+        mem.addData((3L, s(20), 30L, "A"))
+        q.processAllAvailable()
+        mem.addData((3L, s(22), 31L, "C"), (9L, s(100), 99L, "X"))
+        q.processAllAvailable()
+        mem.addData((1L, s(3), 3L, "C"))
+        q.processAllAvailable()
+        val got = spark.table("cep_tws")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == Set((3L, 30L, 31L)),
+          s"want only key 3's cross-batch match, got $got")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState running counts match batch, resume on restart") {
     // Spark 4's StatefulProcessor API (typed state variables + TTL on
     // RocksDB). Two query incarnations over a growing directory: final
