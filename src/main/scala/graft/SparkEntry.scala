@@ -1243,6 +1243,35 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Dynamic partition overwrite — the warehouse upsert pattern at 100 TB:
+    * an incremental job recomputes ONE partition's rows and `overwrite`
+    * replaces exactly the partitions present in the incoming frame,
+    * leaving every other partition's files untouched (no read-modify-write
+    * of the table). Base layout: events partitioned by type; incremental:
+    * the 'click' partition rewritten with doubled cents. The read-back
+    * aggregate proves untouched partitions kept their data. */
+  private def o24DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/events_dynover_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val base = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+    base.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      base.where(col("event_type") === "click")
+        .withColumn("vc", col("vc") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("vc").as("sum_c"))
+      .orderBy("event_type")
+  }
+
   /** regexp_extract_all + split/slice array-string suite. */
   private def e4RegexAll(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -1599,6 +1628,7 @@ object SparkEntry {
     "e6_join_lateral" -> (e6Lateral _),
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
+    "o24_dynamic_overwrite" -> (o24DynamicOverwrite _),
     "e8_pattern" -> (e8Pattern _),
     "e8_seq_match" -> (e8SeqMatch _),
     "e5_stats_typed" -> (e5StatsTyped _),
@@ -2326,6 +2356,12 @@ object SparkEntry {
     "o23_xml_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "o24_dynamic_overwrite" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CASE WHEN event_type = 'click'
+        |  THEN 2 * CAST(round(value*100) AS BIGINT)
+        |  ELSE CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS sum_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e4_redact" ->
       """SELECT doc_id,
         |md5(regexp_replace(text, '\b(customer|key|window)\b', '[X]', 'g')) AS red_md5,

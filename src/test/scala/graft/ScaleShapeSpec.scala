@@ -97,6 +97,38 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = Files.createTempDirectory("graft_dynover").toString
+    val base = spark.read.parquet(sf("0.001") + "/events.parquet")
+      .select($"event_id", $"user_id", $"event_type")
+    base.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    def files(p: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(s"$out/event_type=$p")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    val viewBefore = files("view")
+    val clickBefore = files("click")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      base.where($"event_type" === "click")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // untouched partition: identical files; rewritten partition: new files
+    assert(files("view") == viewBefore)
+    assert(files("click") != clickBefore)
+    // and no rows were lost anywhere
+    assert(spark.read.parquet(out).count() == base.count())
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
