@@ -400,6 +400,20 @@ object SparkEntry {
       .groupBy("k").agg(count("*").as("n"))
       .orderBy(length(col("k")), col("k")) // numeric-ish order, portable
 
+  /** Spark 4 VARIANT type: parse_json → binary variant → typed
+    * variant_get extraction — the semi-structured column encoding that
+    * replaces string re-parsing per access (the variant is decoded once
+    * into a navigable binary, and shredded extraction is columnar). The
+    * output is plain ints so the oracle checks the EXTRACTED values, not
+    * the encoding. */
+  private def e9Variant(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(parse_json(col("props")).as("v"), col("event_id"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy("k").agg(count("*").as("n"), min("event_id").as("first_id"))
+      .orderBy("k")
+
   /** O14 exercised as a query: rename document columns to MAF names and run
     * the full 29-column mutation projection — by-name mapping + drift fill
     * + prefix concat, oracle-checked column by column. */
@@ -709,15 +723,16 @@ object SparkEntry {
     * token-budget bins by cumulative token count per language stream —
     * computed as PackOps' distributed prefix sum (sharded local windows +
     * broadcast shard offsets), NOT one window per stream, so no stream
-    * ever funnels through a single task. shardSize 64 exercises ~8 shards
-    * even at sf0.001; the result is shardSize-invariant. */
+    * ever funnels through a single task. The result is shardSize-invariant
+    * (pinned in ExtOpsSpec across 1/17/64/1M); 512 balances shard count
+    * across the SFs — at 100 TB you'd size shards to the task budget. */
   private def e10PackChunks(s: SparkSession, dir: String): DataFrame =
     PackOps.packChunks(
       T(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TF.tokenCount(col("text")).cast("long").as("n_tok")),
       streamCol = "lang", orderCol = "doc_id", tokCol = "n_tok",
-      budget = 512L, shardSize = 64L)
+      budget = 512L, shardSize = 512L)
       .select("doc_id", "lang", "n_tok", "chunk")
       .orderBy("doc_id")
 
@@ -1588,6 +1603,7 @@ object SparkEntry {
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
     "e4_json_props" -> (e4JsonProps _),
+    "e9_variant" -> (e9Variant _),
     "e4_regex" -> (e4Regex _),
     "e4_strings" -> (e4Strings _),
     "e4_winnow" -> (e4Winnow _),
@@ -1760,6 +1776,11 @@ object SparkEntry {
     "e4_json_props" ->
       """SELECT json_extract_string(props, '$.k') AS k, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY length(k), k""".stripMargin,
+    "e9_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(min(event_id) AS BIGINT) AS first_id
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
     "e5_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |CAST(count(*) AS BIGINT) AS n,
