@@ -354,6 +354,20 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted non-batch matches: ${(streamed -- batch).take(3)}")
     assert(streamed.size >= batch.size - 2 && batch.nonEmpty,
       s"streamed ${streamed.size} of ${batch.size}")
+
+    // the transformWithState implementation must agree on the same input
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamedTws = StreamingOps.runToMemory(
+        StreamingOps.matchPatternStreamTws(streamInput, pat,
+          delay = "1 minute").toDF(),
+        "cep_tws_out", OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamedTws == streamed,
+        s"tws/fMGWS diverge: ${(streamedTws -- streamed).take(3)} / " +
+          s"${(streamed -- streamedTws).take(3)}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("streaming CEP: cross-batch completion, WITHIN expiry, late drop") {
