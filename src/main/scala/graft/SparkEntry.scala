@@ -219,6 +219,24 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** O18b under SCHEMA DRIFT: combine inputs whose schemas evolved (a
+    * column added later) via unionByName(allowMissingColumns) — missing
+    * columns null-fill, matching by NAME not position (the reference
+    * combines schema-identical files; real lakes accrete columns). The
+    * aggregate distinguishes the null-filled rows from real data. */
+  private def o25CombineEvolved(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val v1 = docs.select(col("doc_id"), col("lang"))           // old schema
+    val v2 = docs.select(col("doc_id"), col("lang"),
+      col("n_chars"))                                          // evolved
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("lang")
+      .agg(count("*").as("n_rows"),
+        count("n_chars").as("n_with_chars"),
+        coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // ====================================================================
   // E5 aggregation suite
   // ====================================================================
@@ -1645,6 +1663,7 @@ object SparkEntry {
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
     "o24_dynamic_overwrite" -> (o24DynamicOverwrite _),
+    "o25_combine_evolved" -> (o25CombineEvolved _),
     "e8_pattern" -> (e8Pattern _),
     "e8_seq_match" -> (e8SeqMatch _),
     "e5_stats_typed" -> (e5StatsTyped _),
@@ -2377,6 +2396,15 @@ object SparkEntry {
     "o23_xml_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "o25_combine_evolved" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, NULL AS n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+        |CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
     "o24_dynamic_overwrite" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |CAST(SUM(CASE WHEN event_type = 'click'

@@ -208,6 +208,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.contains(0L) && km.contains(0L))
   }
 
+  test("approx_percentile lands within the accuracy-implied rank window") {
+    // the sketch quantile's contract is RANK error ≤ 1/accuracy of n: the
+    // estimate must be a value whose exact rank is within that window of
+    // the target rank
+    val orders = spark.read.parquet(sf("0.001") + "/orders.parquet")
+    val n = orders.count()
+    val acc = 100 // rank error ≤ n/acc
+    for (q <- Seq(0.5, 0.9)) {
+      val est = orders
+        .select(expr(s"approx_percentile(o_totalprice, $q, $acc)"))
+        .head.getDouble(0)
+      val rank = orders.where(col("o_totalprice") <= est).count()
+      val target = q * n
+      assert(math.abs(rank - target) <= n.toDouble / acc + 1,
+        s"q=$q est=$est rank=$rank target=$target n=$n")
+    }
+  }
+
   test("approx_count_distinct stays within its configured error bound") {
     // e5_approx_distinct is rows-only at the driver gate (engine-specific
     // HLL sketches); this is its quality verdict: rsd=0.01 keeps the
