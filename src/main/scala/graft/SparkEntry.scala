@@ -140,6 +140,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** O4-adjacent source coverage: Avro round-trip — the row-major container
+    * format completing the matrix (JSON/ORC/XML/Avro). No spark-avro
+    * datasource ships in this environment, so this drives the engine's own
+    * avro-mapred-backed [[graft.sources.AvroSource]]: distributed write of
+    * an orders projection (task-local container files), splittable read
+    * back, by-name field resolution. Money goes through cents() BEFORE the
+    * write so the avro file carries oracle-stable integers. */
+  private def o26AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = s"$tmpRoot/avro_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.AvroSource.write(
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents")),
+      avroDir)
+    graft.sources.AvroSource.read(s, avroDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderstatus STRING, price_cents BIGINT"))
+      .orderBy("o_orderkey")
+  }
+
   /** O5/O6/O7 driven through the driver gate: author a miniature datahub
     * tree, run discovery + meta parse + pairing, return the paired file
     * table. The oracle is the literal expected pairing. */
@@ -430,7 +450,10 @@ object SparkEntry {
       .select(col("event_id"),
         expr("variant_get(v, '$.k', 'long')").as("k"))
       .groupBy("k").agg(count("*").as("n"), min("event_id").as("first_id"))
-      .orderBy("k")
+      // explicit null position: Spark asc defaults NULLS FIRST, DuckDB
+      // NULLS LAST — pin both sides so a props row without '$.k' (NULL
+      // extraction) can't flip the oracle's row order
+      .orderBy(asc_nulls_first("k"))
 
   /** O14 exercised as a query: rename document columns to MAF names and run
     * the full 29-column mutation projection — by-name mapping + drift fill
@@ -1185,7 +1208,10 @@ object SparkEntry {
     T(s, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars").as[DocRow]
       .filter((d: DocRow) => d.lang == "en" && d.n_chars >= 100)
-      .map((d: DocRow) => (d.source, d.text.split(" ").length.toLong))
+      // limit -1 keeps trailing empty strings, matching both the engine's
+      // TF.tokens (Spark split) and DuckDB string_split — Java's default
+      // split(" ") drops them and would diverge on trailing-space text
+      .map((d: DocRow) => (d.source, d.text.split(" ", -1).length.toLong))
       .groupByKey(_._1)
       .agg(agg.toColumn)
       .map { case (src, (n, tok)) => (src, n, tok) }
@@ -1662,6 +1688,7 @@ object SparkEntry {
     "e6_join_lateral" -> (e6Lateral _),
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
+    "o26_avro_roundtrip" -> (o26AvroRoundtrip _),
     "o24_dynamic_overwrite" -> (o24DynamicOverwrite _),
     "o25_combine_evolved" -> (o25CombineEvolved _),
     "e8_pattern" -> (e8Pattern _),
@@ -1799,7 +1826,7 @@ object SparkEntry {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |CAST(count(*) AS BIGINT) AS n,
         |CAST(min(event_id) AS BIGINT) AS first_id
-        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+        |FROM events GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
     "e5_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |CAST(count(*) AS BIGINT) AS n,
@@ -2396,6 +2423,10 @@ object SparkEntry {
     "o23_xml_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "o26_avro_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "o25_combine_evolved" ->
       """WITH u AS (
         |  SELECT doc_id, lang, NULL AS n_chars FROM documents

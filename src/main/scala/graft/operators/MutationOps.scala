@@ -59,6 +59,24 @@ object MutationOps {
       Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
   private val seqIdCacheLock = new Object
 
+  /** Release the persisted input of the most recent `withContiguousId`
+    * call. Callers that have fully materialized the last result (or are
+    * shutting down) can use this instead of waiting for the next call's
+    * implicit release. */
+  def releaseSeqIdCache(): Unit = seqIdCacheLock.synchronized {
+    seqIdPrevCache.foreach(_.unpersist(blocking = false))
+    seqIdPrevCache = None
+  }
+
+  /** SINGLE-LIVE-RESULT CONTRACT: each call unpersists the previous call's
+    * cached input, so only the most recent returned DataFrame has its
+    * global sort pinned. An earlier result kept around lazily stays
+    * CORRECT (ids were assigned from the collected per-partition counts,
+    * which don't change) but silently recomputes its upstream sort on next
+    * evaluation — materialize each result before calling again, and use
+    * [[releaseSeqIdCache]] when done with the last one. This mirrors the
+    * per-file import pipeline, which fully writes file N's outputs before
+    * file N+1 starts (mutation/transformer.go:30-52). */
   def withContiguousId(df: DataFrame, idName: String = "MUTATION_EVENT_ID",
       start: Long = 0L): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow

@@ -101,14 +101,23 @@ object SequenceOps {
   /** Incremental scan over a SORTED ready prefix (the streaming building
     * block). Unlike `scanKey`, running out of events is NOT automatically a
     * definitive failure: later micro-batches may deliver the completion.
-    * The rule is the CEP `WITHIN` clause: an anchor at or below `cutoffUs`
-    * has waited out its completion window and is resolved with the events
-    * that arrived; a younger starved anchor stops the scan and waits.
+    * The rule is the CEP `WITHIN` clause, enforced on BOTH axes the way
+    * Flink CEP / MATCH_RECOGNIZE define it:
+    *  - duration bound: a match may only consume events with
+    *    `us <= anchor.us + withinUs` — an event past the window ends the
+    *    anchored attempt, even if it arrived promptly (e.g. after a large
+    *    watermark jump);
+    *  - wait bound: an anchor at or below `cutoffUs` (= watermark −
+    *    within) has waited out its completion window and resolves with the
+    *    events that arrived; a younger starved anchor stops the scan and
+    *    waits in state.
     * Returns emitted matches plus the leftover suffix to carry as state
     * (everything from the first still-undecided anchor). Batch semantics =
-    * cutoffUs = Long.MaxValue (every starvation is definitive). */
+    * cutoffUs = Long.MaxValue (every starvation is definitive) with
+    * withinUs = Long.MaxValue (no duration bound). */
   private[graft] def scanReady(key: Long, ready: IndexedSeq[SeqEvent],
-      steps: IndexedSeq[Step], cutoffUs: Long)
+      steps: IndexedSeq[Step], cutoffUs: Long,
+      withinUs: Long = Long.MaxValue)
       : (Seq[SeqMatch], IndexedSeq[SeqEvent]) = {
     val out = scala.collection.mutable.ArrayBuffer[SeqMatch]()
     var i = 0
@@ -116,6 +125,7 @@ object SequenceOps {
     while (i < ready.length && pendingAt < 0) {
       // anchors past their window resolve now; younger ones may wait
       val definitive = ready(i).us <= cutoffUs
+      val anchorUs = ready(i).us
       // try to match anchored at i; verdict: 0 = scanning, -1 fail,
       // -2 pending (starved and still inside its window)
       var pos = i
@@ -127,7 +137,12 @@ object SequenceOps {
         var ok = true
         while (ok && taken < st.max && verdict == 0) {
           if (pos < ready.length) {
-            if (st.allowed(ready(pos).etype)) { pos += 1; taken += 1 }
+            // subtraction (not anchorUs + withinUs) so Long.MaxValue can't
+            // overflow; an out-of-window event ends the attempt (duration
+            // bound) — and since ready is final up to the watermark, no
+            // in-window event can still arrive behind it
+            if (ready(pos).us - anchorUs > withinUs) ok = false
+            else if (st.allowed(ready(pos).etype)) { pos += 1; taken += 1 }
             else ok = false
           } else if (definitive) ok = false
           else verdict = -2 // starved mid-decision: wait for more events

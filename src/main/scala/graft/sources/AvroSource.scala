@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Distributed Avro container-file source/sink built directly on the Avro
+  * Hadoop MapReduce formats (`avro-mapred`), because this environment ships
+  * the Avro core jars but not the `spark-avro` datasource module.
+  *
+  * The shape is the classic pre-datasource-API pattern: a sink that maps
+  * rows to `GenericRecord`s inside each task and writes through
+  * `AvroKeyOutputFormat` (one container file per partition — the same
+  * file-per-task layout the parquet sink produces), and a source that reads
+  * through `AvroKeyInputFormat` (splittable by sync markers, so one large
+  * file still fans out across tasks) and converts each record to a `Row`
+  * *inside the same iterator step* — mandatory, because Hadoop record
+  * readers reuse the key object and a lazily-consumed `AvroKey` would alias
+  * the last record of the split.
+  *
+  * Scale notes: no shuffle on either path; the write is task-local append,
+  * the read is a splittable scan. Column pruning/filter pushdown do NOT
+  * reach an RDD-backed scan, so callers should project/filter on the
+  * *write* side (as `o26_avro_roundtrip` does) — the honest trade of using
+  * a format Spark has no native reader for.
+  *
+  * Reference parity: the importer reads columnar inputs generically
+  * (cna/reader_parquet.go:25-60); Avro is the row-major container format
+  * counterpart in our format matrix (JSON/ORC/XML/Avro).
+  */
+object AvroSource {
+
+  /** Spark → Avro schema for the flat primitive subset the engine's
+    * oracle-stable outputs use (long/int/double/string/boolean/binary).
+    * Every field is a `[null, T]` union — Avro's idiom for nullable. */
+  def toAvroSchema(st: StructType, name: String = "GraftRecord"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case dt => throw new IllegalArgumentException(
+          s"AvroSource supports flat primitive columns only, got $dt for ${f.name}")
+      }
+      val sch =
+        if (f.nullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
+        else base
+      new Schema.Field(f.name, sch, null, null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  /** Write `df` as Avro container files under `path` (overwrite). */
+  def write(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    val sparkSchema = df.schema
+    val avroJson = toAvroSchema(sparkSchema).toString // Schema isn't serializable; ship JSON
+    val job = Job.getInstance(hconf)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+
+    val pairs = df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val n = sparkSchema.length
+      rows.map { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < n) {
+          val v = r.get(i)
+          rec.put(i, v match {
+            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+            case other          => other // primitives/strings pass through; null stays null
+          })
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get)
+      }
+    }
+    pairs.saveAsNewAPIHadoopFile(
+      path,
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  /** Read Avro container files at `path` into a DataFrame with the given
+    * (flat primitive) schema. Fields are matched by NAME against the
+    * record, so field-order drift between writer and reader schemas is
+    * tolerated; a field missing from the file reads as null. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fieldNames = schema.fields.map(_.name)
+    val dataTypes = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable])
+      .mapPartitions { iter =>
+        // convert inside the same step — the record reader reuses `k`
+        iter.map { case (k, _) =>
+          val rec = k.datum()
+          val vals = new Array[Any](fieldNames.length)
+          var i = 0
+          while (i < fieldNames.length) {
+            val f = rec.getSchema.getField(fieldNames(i))
+            val raw = if (f == null) null else rec.get(f.pos())
+            vals(i) = (raw, dataTypes(i)) match {
+              case (null, _)                      => null
+              case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+              case (s: CharSequence, StringType)  => s.toString
+              case (bb: java.nio.ByteBuffer, BinaryType) =>
+                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+              case (other, _)                     => other
+            }
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

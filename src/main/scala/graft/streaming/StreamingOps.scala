@@ -289,7 +289,10 @@ object StreamingOps {
     * watermark. Events at or below the watermark are scanned in (us, id)
     * order; an anchor whose verdict still depends on unseen events waits in
     * state until the events arrive or it ages past `withinUs` (CEP's
-    * WITHIN clause), at which point it resolves with what arrived. Arrivals
+    * WITHIN clause), at which point it resolves with what arrived — and a
+    * match may never span more than `withinUs` from its anchor (the
+    * duration bound is enforced during the scan, not just the wait, so a
+    * large watermark jump cannot smuggle an over-long match). Arrivals
     * below the previous watermark are late and dropped — the same contract
     * as Spark's own watermarked stateful operators. State per key is the
     * undecided suffix plus above-watermark events: bounded by the pattern
@@ -328,7 +331,7 @@ object StreamingOps {
             (prior.events.toVector ++ incoming).partition(_.us <= wmUs)
           val ready = readyRaw.sortBy(e => (e.us, e.id))
           val (matches, leftover) =
-            SequenceOps.scanReady(key, ready, pat, wmUs - withinUs)
+            SequenceOps.scanReady(key, ready, pat, wmUs - withinUs, withinUs)
           val keep = leftover ++ future
           if (keep.isEmpty) state.remove()
           else {
@@ -374,7 +377,7 @@ object StreamingOps {
       val (readyRaw, future) = all.partition(_.us <= wmUs)
       val ready = readyRaw.sortBy(e => (e.us, e.id))
       val (matches, leftover) =
-        SequenceOps.scanReady(key, ready, steps, wmUs - withinUs)
+        SequenceOps.scanReady(key, ready, steps, wmUs - withinUs, withinUs)
       val keep = leftover ++ future
       if (keep.isEmpty) { pending.clear(); wmFloor.clear() }
       else {

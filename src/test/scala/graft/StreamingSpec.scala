@@ -330,11 +330,16 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.SequenceOps
     import SequenceOps.Step
     val pat = Seq(Step.one("view"), Step.one("click"), Step.one("purchase"))
+    // the events table's contiguous view→click→purchase runs span 840-2101
+    // minutes; 1000 min keeps 4 of 7 in-window, so the WITHIN duration
+    // bound is exercised non-vacuously in both directions
+    val withinUs = 1000L * 60 * 1000000
     val streamInput = eventsWithTs
       .select(col("user_id").as("key"), expr("unix_micros(ts)").as("us"),
         col("event_id").as("id"), col("event_type").as("etype"))
     val streamed = StreamingOps.runToMemory(
-      StreamingOps.matchPatternStream(streamInput, pat, delay = "1 minute")
+      StreamingOps.matchPatternStream(streamInput, pat, delay = "1 minute",
+        withinUs = withinUs)
         .toDF(),
       "cep_out", OutputMode.Append())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -345,15 +350,23 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id").as("key"), expr("ts div 1000").as("us"),
         col("event_id").as("id"), col("event_type").as("etype"))
       .as[SequenceOps.SeqEvent]
-    val batch = SequenceOps.matchPattern(spark, batchEv, pat)
+    val batchAll = SequenceOps.matchPattern(spark, batchEv, pat)
       .collect().map(m => (m.key, m.start_id, m.end_id)).toSet
+    // the streaming matcher enforces the WITHIN duration bound that the
+    // unbounded batch matcher doesn't have — apply the same bound to the
+    // batch reference before comparing
+    val usById = batchEv.collect().map(e => e.id -> e.us).toMap
+    val batch = batchAll.filter { case (_, s, e) =>
+      usById(e) - usById(s) <= withinUs }
+    assert(batch.nonEmpty && batch.size < batchAll.size,
+      s"bound not exercised: ${batch.size} of ${batchAll.size} in-window")
 
     // anchors still inside the final watermark horizon stay pending (the
     // stream "never ends"), so streamed ⊆ batch and nearly complete
     assert(streamed.subsetOf(batch),
       s"stream emitted non-batch matches: ${(streamed -- batch).take(3)}")
     assert(streamed.size >= batch.size - 2 && batch.nonEmpty,
-      s"streamed ${streamed.size} of ${batch.size}")
+      s"streamed ${streamed.size} of ${batch.size} (unbounded ${batchAll.size})")
 
     // the transformWithState implementation must agree on the same input
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -361,7 +374,7 @@ class StreamingSpec extends SparkSpec {
     try {
       val streamedTws = StreamingOps.runToMemory(
         StreamingOps.matchPatternStreamTws(streamInput, pat,
-          delay = "1 minute").toDF(),
+          delay = "1 minute", withinUs = withinUs).toDF(),
         "cep_tws_out", OutputMode.Append())
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(streamedTws == streamed,
