@@ -92,6 +92,98 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF with a TRAINED quantizer that stays ORACLE-CHECKABLE end to end:
+    * deterministic k-means (Lloyd) over 1e3-quantized integer vectors —
+    * seeds are the vectors at evenly-spaced id-ranks (rank `j*n/nlist`),
+    * every distance is the exact-integer form Σ(c·p_i − s_i)² with ONE
+    * final IEEE double division by c² (identical in any engine, see
+    * `exactProbeCells`), ties break on lower cell id. Two Lloyd passes,
+    * then probe the `nprobe` cells nearest the query and exact-rank inside
+    * them by integer-dot cosine. No RNG, no float accumulation ⇒ the whole
+    * build+search is reproducible in plain SQL (the DuckDB oracle runs the
+    * identical iterations), unlike the MLlib path (`topKIvfKmeans`) whose
+    * k-means|| init is seeded-random and float.
+    *
+    * Scale shape: per pass, assignment is a narrow map (centroids are a
+    * driver-collected nlist-row array folded into the plan — IVF codebooks
+    * are small by construction) and the recompute is one map-side-combined
+    * aggregate of (Σvec, count) per cell. The quantized relation is
+    * persisted across the training passes and released before the final
+    * scan. The id-rank seeding sorts a single column once; at 100 TB the
+    * training input would be a bounded sample (fit-on-sample,
+    * assign-everything — the standard IVF build), which this mirrors. */
+  def topKIvfLloydExact(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Long], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import graft.functions.QuantizeVector
+    import org.apache.spark.sql.expressions.Window
+    val quant = df
+      .select(col(idCol), QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = quant.count()
+    require(n >= nlist, s"need at least $nlist vectors, got $n")
+
+    // seeds: the vectors at id-ranks j*n/nlist, j = 0..nlist-1 (cell = j)
+    val seedRanks = (0 until nlist).map(j => j.toLong * n / nlist).toSet
+    val seeds: Array[(Long, Array[Long], Long)] = quant
+      .withColumn("r", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .where(col("r").isin(seedRanks.toSeq: _*))
+      .orderBy("r")
+      .collect()
+      .zipWithIndex
+      .map { case (row, j) => (j.toLong, row.getSeq[Long](1).toArray, 1L) }
+
+    // one Lloyd assignment pass: nearest centroid as a pure projection —
+    // d2 array staged in its own projection so the interpreted HOFs aren't
+    // re-evaluated through the argmin's double reference
+    def assign(cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+      val d2s = array(cents.map { case (_, sv, c) =>
+        aggregate(
+          zip_with(col("qe"), vecLit(sv.toSeq), (p, s) => {
+            val d = lit(c) * p - s; d * d
+          }),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double") / lit((c * c).toDouble)
+      }: _*)
+      val cellIds = vecLit(cents.map(_._1).toSeq)
+      quant.select(col(idCol), col("qe"), d2s.as("d2s"))
+        .select(col(idCol), col("qe"),
+          element_at(cellIds,
+            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+            .as("cell"))
+    }
+    def recompute(assigned: DataFrame): Array[(Long, Array[Long], Long)] =
+      assigned.groupBy("cell")
+        .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
+          count("*").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy(_._1)
+
+    val c1 = recompute(assign(seeds))
+    val c2 = recompute(assign(c1))
+    quant.unpersist(blocking = false) // final scan below re-reads the source
+
+    // probe choice on the collected codebook — same exact-integer d2, same
+    // (d2, cell) order as the oracle SQL
+    val probed = c2.map { case (cell, sv, c) =>
+      var d2 = 0L
+      var i = 0
+      while (i < sv.length) { val d = c * query(i) - sv(i); d2 += d * d; i += 1 }
+      (d2.toDouble / (c * c).toDouble, cell)
+    }.sortBy(identity).take(nprobe).map(_._2)
+
+    val qv = vecLit(query)
+    assign(c1) // candidate membership comes from the SAME assignment c2 aggregated
+      .where(col("cell").isin(probed.toSeq: _*))
+      .select(col(idCol),
+        round(VF.dotLong(col("qe"), qv).cast("double") /
+          (sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")) *
+           math.sqrt(query.map(x => x * x).sum.toDouble)) * 1000000)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The nprobe cells nearest `query` under EXACT integer centroid math:
     * centroids stay (Σ quantized-vector, count) pairs and the distance is
     * Σ(c·q − s)² / c² — exact integer numerator, so the probe choice is

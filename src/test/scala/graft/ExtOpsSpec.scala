@@ -178,34 +178,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
-  test("E3 float ANN paths: recall@10 vs brute force (registry configs)") {
-    // e3_ann_ivf / e3_ann_ivf_kmeans are approximate-BY-DESIGN (float
-    // centroids aren't cross-engine hash-stable, so the driver gate only
-    // row-counts them). This is their quality verdict: recall@k against
-    // the exact brute-force ranking, at the registry entries' exact
-    // configs (k=10, nprobe=3; kmeans nlist=8, seed 42). Deterministic:
-    // fixed data, fixed seed → fixed recall.
+  test("E3 ANN paths: recall@10 vs brute force (registry configs)") {
+    // e3_ann_ivf is the deliberate UNTRAINED-PARTITION BASELINE (rows-only
+    // at the driver gate; float centroids); this is its quality verdict.
+    // The registry's trained path (e3_ann_ivf_kmeans = topKIvfLloydExact)
+    // is oracle-checked for VALUES, and this test pins its QUALITY: the
+    // trained quantizer recovers (nearly) the exact ranking where the
+    // label baseline structurally cannot (probing even 5/10 label cells
+    // only reaches 0.6 — labels are not geometric clusters).
     val vecs = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
     val q = vecs.where(col("vec_id") === 0)
       .select("embedding").collect().head.getSeq[Float](0)
+    val qL = vecs.where(col("vec_id") === 0)
+      .select(graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0))
+      .collect().head.getSeq[Long](0)
     val exact = SimilarityOps.topKCosine(vecs, "vec_id", "embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
     val ivf = SimilarityOps.topKIvf(vecs, "vec_id", "embedding", "label",
       q, k = 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val lloyd = SimilarityOps.topKIvfLloydExact(vecs, "vec_id", "embedding",
+      qL, k = 10, nlist = 8, nprobe = 3).collect().map(_.getLong(0)).toSet
     val km = SimilarityOps.topKIvfKmeans(vecs, "vec_id", "embedding",
       q, k = 10, nlist = 8, nprobe = 3).collect().map(_.getLong(0)).toSet
     val rIvf = (ivf & exact).size / 10.0
+    val rLloyd = (lloyd & exact).size / 10.0
     val rKm = (km & exact).size / 10.0
-    info(f"recall@10 ivf=$rIvf%.1f kmeans=$rKm%.1f")
-    // label-IVF inherits the pre-given 10-way `label` partition (probing
-    // 3/10 cells); measured 0.5 here — IVF recall is only as good as its
-    // clustering. The k-means-trained variant on the same data reaches
-    // 0.8, which is the point of training the quantizer.
-    assert(rIvf >= 0.5, s"ivf recall@10 $rIvf < 0.5")
+    info(f"recall@10 ivf=$rIvf%.1f lloyd=$rLloyd%.1f kmeans=$rKm%.1f")
+    assert(rIvf >= 0.5, s"baseline ivf recall@10 $rIvf < 0.5")
+    // the registry's trained path: measured 1.0 at this config; 0.9 floor
+    // leaves one borderline-tie of slack
+    assert(rLloyd >= 0.9, s"lloyd recall@10 $rLloyd < 0.9")
+    // the MLlib fit-on-sample API keeps its own bound (measured 0.8)
     assert(rKm >= 0.7, s"kmeans recall@10 $rKm < 0.7")
-    assert(rKm >= rIvf, "trained quantizer should not lose to arbitrary labels")
-    // both must contain the query itself (its own cell is always probed)
-    assert(ivf.contains(0L) && km.contains(0L))
+    assert(rLloyd >= rIvf && rKm >= rIvf,
+      "trained quantizer should not lose to arbitrary labels")
+    // all must contain the query itself (its own cell is always probed)
+    assert(ivf.contains(0L) && lloyd.contains(0L) && km.contains(0L))
   }
 
   test("approx_percentile lands within the accuracy-implied rank window") {
