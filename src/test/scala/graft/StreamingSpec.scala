@@ -454,6 +454,74 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState CEP pending anchors survive a RocksDB restart") {
+    // The recovery case that matters for the CEP matcher: an anchor whose
+    // match is UNDECIDED (waiting on future events) sits in ListState when
+    // the query stops. Across three restarts from the same checkpoint:
+    // key 3's anchor (inc 1) must complete when its C arrives (inc 2) and
+    // the watermark passes (inc 3); key 1's anchor must expire at its
+    // WITHIN horizon and NOT be resurrected by a late completion (inc 4).
+    // All scans after inc 1 run against state rebuilt from the RocksDB
+    // checkpoint, exercising ListState + ValueState + event-time timer
+    // recovery together.
+    import graft.operators.SequenceOps.Step
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_cep_src").toString
+      val ckpt = Files.createTempDirectory("graft_cep_ckpt").toString
+      def s(sec: Long) = sec * 1000000L
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long)]()
+      var nFile = 0
+      def addFile(rows: (Long, Long, Long, String)*): Unit = {
+        import spark.implicits._
+        nFile += 1
+        rows.toSeq.toDF("key", "us", "id", "etype")
+          .coalesce(1).write.parquet(f"$srcDir/f$nFile%02d")
+      }
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema("key LONG, us LONG, id LONG, etype STRING")
+          .parquet(s"$srcDir/*")
+        val q = StreamingOps.matchPatternStreamTws(src,
+            Seq(Step.one("A"), Step(Set("B"), 0, 2), Step.one("C")),
+            delay = "10 seconds", withinUs = 20 * 1000000L)
+          .toDF()
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r =>
+              got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // inc 1: key 1's partial A B, key 3's lone anchor, watermark kicker —
+      // everything lands in ListState pending, nothing resolvable yet
+      addFile((1L, s(1), 1L, "A"), (1L, s(2), 2L, "B"),
+        (3L, s(20), 30L, "A"), (9L, s(25), 99L, "X"))
+      runOnce()
+      assert(got.isEmpty, s"nothing should resolve in incarnation 1: $got")
+      // inc 2: key 3's completion + kicker past everyone's WITHIN horizon
+      addFile((3L, s(22), 31L, "C"), (9L, s(100), 98L, "X"))
+      runOnce()
+      // inc 3: another kicker batch lets the recovered event-time timer
+      // fire with the advanced watermark — key 3 completes, key 1 expires
+      addFile((9L, s(200), 97L, "X"))
+      runOnce()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set((3L, 30L, 31L)),
+        s"want key 3's cross-restart match only, got $got")
+      // inc 4: key 1's completion arrives far too late — the expired
+      // anchor must not come back
+      addFile((1L, s(3), 3L, "C"))
+      runOnce()
+      assert(got.asScala.toSet == Set((3L, 30L, 31L)),
+        s"late completion resurrected an expired anchor: $got")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("transformWithState running counts match batch, resume on restart") {
     // Spark 4's StatefulProcessor API (typed state variables + TTL on
     // RocksDB). Two query incarnations over a growing directory: final
