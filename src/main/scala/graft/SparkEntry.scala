@@ -456,7 +456,7 @@ object SparkEntry {
       .orderBy(asc_nulls_first("k"))
 
   /** O14 exercised as a query: rename document columns to MAF names and run
-    * the full 29-column mutation projection — by-name mapping + drift fill
+    * the full 30-column mutation projection — by-name mapping + drift fill
     * + prefix concat, oracle-checked column by column. */
   private def o14Mutation(s: SparkSession, dir: String): DataFrame = {
     val maf = T(s, dir, "documents").select(

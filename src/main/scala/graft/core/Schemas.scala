@@ -62,6 +62,7 @@ object Schemas {
   /** mutation — mutation/transformer.go:279-309 (mapping :373-407).
     * GENETIC_PROFILE_ID and SAMPLE_ID are computed, not direct MAF lookups. */
   val mutationColumns: Seq[(String, String)] = Seq(
+    "ENTREZ_GENE_ID"                -> "Entrez_Gene_Id",
     "CENTER"                        -> "Center",
     "SEQUENCER"                     -> "Sequencer",
     "MUTATION_STATUS"               -> "Mutation_Status",

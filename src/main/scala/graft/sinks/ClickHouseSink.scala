@@ -71,6 +71,92 @@ object ClickHouseSink {
     s"CREATE TABLE IF NOT EXISTS ${cfg.table} (\n$cols\n) ENGINE = MergeTree ORDER BY $orderBy"
   }
 
+  /** Full ClickHouse table definition for the dialect-specific DDL the
+    * importer's target tables need: engine family, ORDER BY (primary key),
+    * optional PARTITION BY, and the columns that should be dictionary-
+    * encoded (`LowCardinality`). */
+  final case class TableSpec(
+      name: String,
+      schema: StructType,
+      orderBy: Seq[String],
+      engine: String = "ReplacingMergeTree",
+      versionCol: Option[String] = None,     // ReplacingMergeTree(ver)
+      partitionBy: Option[String] = None,
+      lowCardinality: Set[String] = Set.empty) {
+    require(orderBy.forall(schema.fieldNames.contains),
+      s"ORDER BY ${orderBy.mkString(",")} not all in ${schema.fieldNames.mkString(",")}")
+    require(partitionBy.forall(schema.fieldNames.contains), s"bad partitionBy")
+    require(versionCol.forall(schema.fieldNames.contains), s"bad versionCol")
+  }
+
+  /** CREATE TABLE in full ClickHouse dialect. Conventions:
+    *  - enumerated-ish String columns render as `LowCardinality(String)`
+    *    (dictionary encoding — the right call for study/profile/status
+    *    columns whose distinct count is tiny next to row count);
+    *  - ORDER BY columns are never Nullable (ClickHouse default constraint
+    *    `allow_nullable_key=0`), enforced here rather than at the server;
+    *  - the default engine is ReplacingMergeTree: re-importing a study
+    *    replaces rows with the same ORDER BY key at merge time, which is
+    *    the importer's re-run semantics (reference README.md:1-61 —
+    *    repeated conversion of the same study must not duplicate).
+    */
+  def createTableDdl(spec: TableSpec): String = {
+    val orderBySet = spec.orderBy.toSet
+    val cols = spec.schema.fields.map { f =>
+      val base = clickhouseType(f.dataType)
+      val lowCard =
+        if (spec.lowCardinality(f.name) && base == "String")
+          s"LowCardinality($base)"
+        else base
+      val t =
+        if (f.nullable && f.dataType != StringType && !orderBySet(f.name))
+          s"Nullable($lowCard)"
+        else lowCard
+      s"  `${f.name}` $t"
+    }.mkString(",\n")
+    val engine = spec.versionCol match {
+      case Some(v) => s"${spec.engine}(`$v`)"
+      case None    => s"${spec.engine}()"
+    }
+    val partition =
+      spec.partitionBy.map(p => s"\nPARTITION BY `$p`").getOrElse("")
+    val orderBy = spec.orderBy.map(c => s"`$c`").mkString("(", ", ", ")")
+    s"""CREATE TABLE IF NOT EXISTS `${spec.name}` (
+       |$cols
+       |) ENGINE = $engine$partition
+       |ORDER BY $orderBy""".stripMargin
+  }
+
+  /** The five cgds.sql-mirroring output tables (reference schema goals:
+    * cna/transformer.go:438-459, mutation/transformer.go:254-309) as
+    * ClickHouse targets. ORDER BY = the natural replace key of each
+    * table; the per-study tables partition by CANCER_STUDY so a study
+    * re-import is a cheap partition-scoped operation; dictionary-encoded
+    * columns are the study/profile/status/enum-ish ones. */
+  val cgdsTables: Seq[TableSpec] = Seq(
+    TableSpec("genetic_alteration", graft.core.Schemas.geneticAlteration,
+      orderBy = Seq("CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL"),
+      partitionBy = Some("CANCER_STUDY"),
+      lowCardinality = Set("CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL")),
+    TableSpec("genetic_profile_samples", graft.core.Schemas.geneticProfileSamples,
+      orderBy = Seq("CANCER_STUDY", "GENETIC_PROFILE"),
+      partitionBy = Some("CANCER_STUDY"),
+      lowCardinality = Set("CANCER_STUDY", "GENETIC_PROFILE")),
+    TableSpec("cna_derived", graft.core.Schemas.cnaDerived,
+      orderBy = Seq("CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL", "SAMPLE_ID"),
+      partitionBy = Some("CANCER_STUDY"),
+      lowCardinality = Set("CANCER_STUDY", "GENETIC_PROFILE", "GENE_SYMBOL")),
+    TableSpec("mutation_event", graft.core.Schemas.mutationEvent,
+      orderBy = Seq("MUTATION_EVENT_ID"),
+      lowCardinality = Set("CHR", "MUTATION_TYPE", "NCBI_BUILD", "STRAND",
+        "VARIANT_TYPE", "DB_SNP_VAL_STATUS", "CANONICAL_TRANSCRIPT")),
+    TableSpec("mutation", graft.core.Schemas.mutation,
+      orderBy = Seq("GENETIC_PROFILE_ID", "SAMPLE_ID", "MUTATION_EVENT_ID"),
+      partitionBy = Some("GENETIC_PROFILE_ID"),
+      lowCardinality = Set("GENETIC_PROFILE_ID", "CENTER", "SEQUENCER",
+        "MUTATION_STATUS", "VALIDATION_STATUS", "VERIFICATION_STATUS",
+        "SEQUENCING_PHASE", "SEQUENCE_SOURCE", "VALIDATION_METHOD")))
+
   /** Streaming → ClickHouse incremental load: every micro-batch goes
     * through the SAME shape+write path as batch (foreachBatch), stamped
     * with its batchId. The checkpoint gives at-least-once delivery; the

@@ -74,6 +74,90 @@ class SinkSpec extends SparkSpec {
     assert(readBack("region_inc").count() == 2 * src.count())
   }
 
+  test("ClickHouse-dialect golden DDL for the five cgds tables") {
+    // No ClickHouse server exists in this sandbox, so the dialect surface
+    // is pinned as goldens: ReplacingMergeTree re-import semantics,
+    // ORDER BY replace keys, per-study PARTITION BY, LowCardinality
+    // dictionary columns. A drift in Schemas or the DDL generator fails
+    // here, not at a production CREATE TABLE.
+    val ddl = ClickHouseSink.cgdsTables
+      .map(t => t.name -> ClickHouseSink.createTableDdl(t)).toMap
+    assert(ddl.keySet == Set("genetic_alteration", "genetic_profile_samples",
+      "cna_derived", "mutation_event", "mutation"))
+
+    assert(ddl("genetic_alteration") ==
+      """CREATE TABLE IF NOT EXISTS `genetic_alteration` (
+        |  `CANCER_STUDY` LowCardinality(String),
+        |  `GENETIC_PROFILE` LowCardinality(String),
+        |  `GENE_SYMBOL` LowCardinality(String),
+        |  `VALUES` String
+        |) ENGINE = ReplacingMergeTree()
+        |PARTITION BY `CANCER_STUDY`
+        |ORDER BY (`CANCER_STUDY`, `GENETIC_PROFILE`, `GENE_SYMBOL`)""".stripMargin)
+
+    assert(ddl("genetic_profile_samples") ==
+      """CREATE TABLE IF NOT EXISTS `genetic_profile_samples` (
+        |  `CANCER_STUDY` LowCardinality(String),
+        |  `GENETIC_PROFILE` LowCardinality(String),
+        |  `ORDERED_SAMPLE_LIST` String
+        |) ENGINE = ReplacingMergeTree()
+        |PARTITION BY `CANCER_STUDY`
+        |ORDER BY (`CANCER_STUDY`, `GENETIC_PROFILE`)""".stripMargin)
+
+    assert(ddl("cna_derived") ==
+      """CREATE TABLE IF NOT EXISTS `cna_derived` (
+        |  `SAMPLE_ID` String,
+        |  `CANCER_STUDY` LowCardinality(String),
+        |  `GENE_SYMBOL` LowCardinality(String),
+        |  `GENETIC_PROFILE` LowCardinality(String),
+        |  `ALTERATION` String
+        |) ENGINE = ReplacingMergeTree()
+        |PARTITION BY `CANCER_STUDY`
+        |ORDER BY (`CANCER_STUDY`, `GENETIC_PROFILE`, `GENE_SYMBOL`, `SAMPLE_ID`)""".stripMargin)
+
+    // mutation_event: Int64 id key + the 20 string fields of the
+    // reference schema (mutation/transformer.go:254-276)
+    val evDdl = ddl("mutation_event")
+    assert(evDdl.startsWith(
+      """CREATE TABLE IF NOT EXISTS `mutation_event` (
+        |  `MUTATION_EVENT_ID` Int64,
+        |  `ENTREZ_GENE_ID` String,
+        |  `CHR` LowCardinality(String),""".stripMargin))
+    assert(evDdl.endsWith(
+      """) ENGINE = ReplacingMergeTree()
+        |ORDER BY (`MUTATION_EVENT_ID`)""".stripMargin))
+    assert(evDdl.linesIterator.count(_.startsWith("  `")) ==
+      graft.core.Schemas.mutationEvent.length)
+
+    // mutation: the FK table keys on (profile, sample, event) and carries
+    // ENTREZ_GENE_ID like the reference (mutation/transformer.go:279-309)
+    val muDdl = ddl("mutation")
+    assert(muDdl.startsWith(
+      """CREATE TABLE IF NOT EXISTS `mutation` (
+        |  `MUTATION_EVENT_ID` Int64,
+        |  `GENETIC_PROFILE_ID` LowCardinality(String),
+        |  `SAMPLE_ID` String,
+        |  `ENTREZ_GENE_ID` String,
+        |  `CENTER` LowCardinality(String),""".stripMargin))
+    assert(muDdl.endsWith(
+      """) ENGINE = ReplacingMergeTree()
+        |PARTITION BY `GENETIC_PROFILE_ID`
+        |ORDER BY (`GENETIC_PROFILE_ID`, `SAMPLE_ID`, `MUTATION_EVENT_ID`)""".stripMargin))
+    assert(muDdl.linesIterator.count(_.startsWith("  `")) ==
+      graft.core.Schemas.mutation.length)
+
+    // dialect invariants across all five: never a Nullable ORDER BY
+    // column, version-less ReplacingMergeTree, ticked identifiers
+    ClickHouseSink.cgdsTables.foreach { t =>
+      val d = ddl(t.name)
+      t.orderBy.foreach { k =>
+        val line = d.linesIterator.find(_.startsWith(s"  `$k`")).get
+        assert(!line.contains("Nullable"), s"${t.name}.$k must not be Nullable")
+      }
+      assert(d.contains("ENGINE = ReplacingMergeTree()"))
+    }
+  }
+
   test("streaming foreachBatch lands every micro-batch in the database") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcPath = sf("0.001") + "/events.parquet"
