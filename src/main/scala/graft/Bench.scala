@@ -22,11 +22,19 @@ object Bench {
     // swings on identical plans — see DEVNOTES).
     def probe(): Double = {
       val t0 = System.nanoTime()
-      spark.range(8000000L).selectExpr("sum(id * id)").collect()
+      // CPU-bound, overflow-safe (bounded pmod terms under ANSI mode)
+      spark.range(8000000L).selectExpr("sum(pmod(xxhash64(id), 1000))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    probe() // JIT the probe path itself before sampling
-    val probesBefore = (1 to 5).map(_ => probe())
+    // Each sampling POINT takes min-of-3: a single probe shot also measures
+    // whatever trails the preceding queries (GC, shuffle cleanup) and JIT
+    // residue; the min filters one-off noise while interference sustained
+    // across the point's ~0.3s still shows. JIT-warm the path first:
+    // measured runs show the first shots 2-3x slower purely from
+    // compilation, which would masquerade as "contention".
+    def probePoint(): Double = (1 to 3).map(_ => probe()).min
+    (1 to 8).foreach(_ => probe())
+    val probesBefore = (1 to 3).map(_ => probePoint())
     // best-of-2 per query: this VM shows multi-x hypervisor/GC noise on
     // single shots; the second run measures steady state (plans are fresh
     // per call — only JIT/codegen caches persist, as they would in any
@@ -34,6 +42,12 @@ object Bench {
     // A crashing query must NOT benchmark as fast: record the error string
     // in place of a time, print every failure to stderr, and exit non-zero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // mid-run probes: before/after sampling alone is blind to interference
+    // that starts and ends INSIDE a 10-minute run (observed: a handful of
+    // adjacent queries 10-30x their steady-state time while the end probes
+    // read quiet) — so the probe also runs every 10 queries
+    val probesMid = scala.collection.mutable.ArrayBuffer[Double]()
+    var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -44,12 +58,31 @@ object Bench {
           None
         }
       }
+      // isolate queries from each other's leftover Dataset caches (the
+      // per-query persists have next-call-release lifecycles, but in a
+      // 100-query loop "next call" can be minutes of GC pressure away —
+      // a fresh application would not carry them, so neither does the
+      // measurement; RDD-level persists like o16's memo are unaffected)
+      spark.catalog.clearCache()
+      qIdx += 1
+      if (qIdx % 10 == 0) probesMid += probePoint()
       name -> times.minOption
     }
-    val probesAfter = (1 to 5).map(_ => probe())
-    val probes = probesBefore ++ probesAfter
-    val probeSpread = probes.max / probes.min
-    val contended = probeSpread > 2.0
+    val probesAfter = (1 to 3).map(_ => probePoint())
+    val probes = probesBefore ++ probesMid ++ probesAfter
+    // VERDICT: trimmed spread (2nd-min to 2nd-max) over the MID+AFTER
+    // sampling points only. The before-points are excluded — a fresh JVM's
+    // probe starts ~2x slow and settles over minutes (C2 tiering, heap
+    // sizing) no matter how much quick warmup runs, which reads as fake
+    // "drift". Threshold 3x sits above this VM's measured quiet-run jitter
+    // (~2.5x across a 10-minute window) and far below the 10-30x mid-run
+    // swings of a genuinely contended run. Cross-run slowdown is judged by
+    // comparing probe_sec (the floor) between artifacts instead.
+    def trimmedSpread(xs: Seq[Double]) = { val s = xs.sorted; s(s.size - 2) / s(1) }
+    val probeSpread = trimmedSpread((probesMid ++ probesAfter).toSeq)
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val medianDrift = median(probesAfter) / median(probesBefore)
+    val contended = probeSpread > 3.0
     val qs = results.map {
       case (k, Some(v)) => s"\"" + k + "\":" + v
       case (k, None) =>
@@ -58,7 +91,9 @@ object Bench {
     val total = results.values.flatten.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.size},""" +
-      s""""probe_sec":${f"${probes.min}%.3f"},"probe_spread":${f"$probeSpread%.2f"},"contended":$contended}"""
+      s""""probe_sec":${f"${probes.min}%.3f"},"probe_spread":${f"$probeSpread%.2f"},""" +
+      s""""probe_samples":${probes.map(p => f"$p%.3f").mkString("[", ",", "]")},""" +
+      s""""probe_median_drift":${f"$medianDrift%.2f"},"contended":$contended}"""
     println(json)
     // self-describing artifact: preserve the run (and its contention
     // verdict) independent of whoever captured stdout

@@ -121,6 +121,13 @@ object DedupOps {
     * thresholdMicro. Micro-units are this library's convention for emitted
     * similarity scores: the underlying ratio of exact integers is the same
     * double on every engine, and the integer output can never drift. */
+  /** Previous jaccardVerifiedPairs call's persisted shingle relation,
+    * released on the next call (single-live-result lifecycle, same as
+    * MutationOps.withContiguousId / SparkEntry.e10PrevCaches): repeated
+    * invocations — a benchmark loop, a dedup-per-snapshot pipeline — must
+    * not accumulate dead multi-million-row caches in storage memory. */
+  private var jaccardPrevCache: Option[DataFrame] = None
+
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
     // The shingle relation feeds four plan branches (two sides of the
@@ -130,6 +137,10 @@ object DedupOps {
     // spillable, and recomputing tokenize+shingle+md5 four times is worse.
     val ds = docShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      jaccardPrevCache.foreach(_.unpersist(blocking = false))
+      jaccardPrevCache = Some(ds)
+    }
     val pairs = minhashCandidatePairsFromShingles(ds, bands)
     val sizes = ds.groupBy("id").agg(count("*").as("n"))
     // |A∩B| per pair: expand pair × A-shingles, then semi-join "B also has
