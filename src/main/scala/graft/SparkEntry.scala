@@ -1318,6 +1318,81 @@ object SparkEntry {
     * of the table). Base layout: events partitioned by type; incremental:
     * the 'click' partition rewritten with doubled cents. The read-back
     * aggregate proves untouched partitions kept their data. */
+  /** O27: small-file compaction (LayoutOps.compact) driven through the
+    * gate: fragment a documents projection into 64 tiny files, compact to
+    * target-size files with a narrow coalesce, and oracle the read-back
+    * against the original table — layout changed, content bit-identical.
+    * The file-count reduction itself is asserted here (fail loud, not
+    * just fast) and pinned again in ScaleShapeSpec. */
+  private val compactReady = scala.collection.mutable.Set[String]()
+  private def o27Compact(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val frag = s"$tmpRoot/frag_$key"
+    val comp = s"$tmpRoot/compact_$key"
+    compactReady.synchronized {
+      if (!compactReady.contains(comp)) {
+        T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val (before, after) =
+          operators.LayoutOps.compact(s, frag, comp, targetBytes = 8L * 1024 * 1024)
+        require(after < before, s"compaction must reduce files: $before -> $after")
+        compactReady += comp
+      }
+    }
+    s.read.parquet(comp).orderBy("doc_id")
+  }
+
+  /** O28: z-order clustered write (LayoutOps.zOrderWrite): lineitem laid
+    * out by the Morton interleave of (l_partkey, l_suppkey), then a
+    * two-dimensional range predicate aggregated off the clustered copy.
+    * Content equality is the oracle; the data-skipping property (per-file
+    * min/max spans shrink on BOTH dimensions) is pinned in ScaleShapeSpec. */
+  private val zorderReady = scala.collection.mutable.Set[String]()
+  private def o28ZOrder(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/zorder_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val li = T(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        cents(col("l_quantity")).as("qty_c"))
+    val r = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (pLo, pHi, sLo, sHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    zorderReady.synchronized {
+      if (!zorderReady.contains(out)) {
+        operators.LayoutOps.zOrderWrite(li, out, nFiles = 16,
+          "l_partkey", (pLo, pHi), "l_suppkey", (sLo, sHi))
+        zorderReady += out
+      }
+    }
+    // 2-d corner predicate: an eighth of each key range — the shape whose
+    // file-skipping only a multi-dimensional layout serves
+    s.read.parquet(out)
+      .where(col("l_partkey") < lit(pLo + (pHi - pLo) / 8) &&
+        col("l_suppkey") < lit(sLo + (sHi - sLo) / 8))
+      .groupBy("l_returnflag")
+      .agg(count("*").as("n"), sum("qty_c").as("qty_sum_c"))
+      .orderBy("l_returnflag")
+  }
+
+  /** O29: Bloom-reduced join (JoinOps.bloomReducedJoin): lineitem joined
+    * to a selective supplier subset, with the big side pre-filtered by a
+    * plan-embedded Bloom filter before its shuffle. Exact join on the
+    * survivors keeps the result identical to the plain join — which is
+    * exactly what the oracle checks. */
+  private def o29BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    // 4000 keeps a non-empty subset at every driver sf (sf0.001's ten
+    // suppliers top out near 6000); the shuffle-reduction property itself
+    // is pinned in ScaleShapeSpec with a selective subset
+    val sup = T(s, dir, "supplier").where(col("s_acctbal") >= 4000)
+    JoinOps.bloomReducedJoin(li, "l_suppkey", sup, "s_suppkey",
+        expectedItems = 100000)
+      .groupBy("s_nationkey")
+      .agg(count("*").as("n"), sum(cents(col("l_extendedprice"))).as("rev_c"))
+      .orderBy("s_nationkey")
+  }
+
   private def o24DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
     val out = s"$tmpRoot/events_dynover_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     val base = T(s, dir, "events")
@@ -1698,6 +1773,9 @@ object SparkEntry {
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
     "o26_avro_roundtrip" -> (o26AvroRoundtrip _),
+    "o27_compact" -> (o27Compact _),
+    "o28_zorder" -> (o28ZOrder _),
+    "o29_bloom_join" -> (o29BloomJoin _),
     "o24_dynamic_overwrite" -> (o24DynamicOverwrite _),
     "o25_combine_evolved" -> (o25CombineEvolved _),
     "e8_pattern" -> (e8Pattern _),
@@ -2474,6 +2552,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         |CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "o27_compact" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
+    "o28_zorder" ->
+      """WITH r AS (SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+        |  min(l_suppkey) AS slo, max(l_suppkey) AS shi FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_sum_c
+        |FROM lineitem, r
+        |WHERE l_partkey < plo + (phi - plo) // 8
+        |  AND l_suppkey < slo + (shi - slo) // 8
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o29_bloom_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal >= 4000
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "o25_combine_evolved" ->
       """WITH u AS (
         |  SELECT doc_id, lang, NULL AS n_chars FROM documents

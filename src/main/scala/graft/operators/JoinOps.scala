@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
+  /** Bloom-reduced equi-join: build a Bloom filter over the small side's
+    * join keys, pre-filter the BIG side with a codegen'd might-contain
+    * predicate BEFORE its shuffle, then run the exact join on survivors.
+    * At scale this is the difference between shuffling the full fact table
+    * and shuffling only the (tiny) fraction that can possibly match a
+    * selective dimension subset; false positives just shuffle a few extra
+    * rows — the exact join keeps the result identical, so the operator is
+    * oracle-checkable. `expectedItems`/`fpp` size the filter (~1.2 MB per
+    * million keys at 1% fpp). */
+  def bloomReducedJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // building the filter is an action anyway; an empty build side would
+    // NPE inside stat.bloomFilter (null aggregate buffer) — and means the
+    // join result is empty by definition
+    if (small.isEmpty)
+      return big.where(lit(false)).join(small, col(bigKey) === small(smallKey))
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    big.where(graft.functions.BloomMightContain.mightContain(col(bigKey), bf))
+      .join(small, col(bigKey) === small(smallKey))
+  }
+
   /** Inner equi-join of `left` and `right` on left(`leftKey`) ==
     * right(`rightKey`), salted `salt` ways. The probe-side salt is a
     * deterministic hash of the whole row, so results are reproducible. */

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.ZOrderLong
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout management — the table-maintenance operators a 100 TB
+  * lakehouse pipeline runs continuously (no counterpart in the reference,
+  * whose outputs are written once per study; at warehouse scale layout IS
+  * a first-class operator).
+  *
+  *  - `compact`: small-file compaction. Streaming ingestion and
+  *    fine-grained partitioning strand tables in thousands of KB-sized
+  *    files whose per-file open/footer cost dominates scans; compaction
+  *    rewrites them into target-sized files with a NARROW coalesce (no
+  *    shuffle — reducing file count needs no data movement).
+  *  - `zOrderWrite`: multi-dimensional clustering. Range-partition + sort
+  *    by the Morton interleave of two normalized keys, so per-file min/max
+  *    stats become selective for predicates on EITHER dimension — the
+  *    data-skipping layout single-column sorting cannot give.
+  */
+object LayoutOps {
+
+  /** Total on-disk bytes and file count of a parquet directory. */
+  def dirStats(spark: SparkSession, dir: String): (Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    var files = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; files += 1 }
+    }
+    (bytes, files)
+  }
+
+  /** Rewrite `inDir` into `outDir` with ~`targetBytes`-sized files.
+    * Returns (filesBefore, filesAfter). Narrow: coalesce merges partitions
+    * without a shuffle — each output task concatenates whole input splits,
+    * so compaction cost is one read+write pass, no exchange. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): (Int, Int) = {
+    val (bytes, filesBefore) = dirStats(spark, inDir)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(parts)
+      .write.mode("overwrite").parquet(outDir)
+    (filesBefore, dirStats(spark, outDir)._2)
+  }
+
+  /** `x` min/max-normalized to [0, 65535] as a long (z-order input). */
+  def norm16(x: Column, min: Long, max: Long): Column =
+    ((x - lit(min)) * lit(65535L) / lit(math.max(1L, max - min))).cast("long")
+
+  /** Write `df` clustered by the z-order of two long columns (each with
+    * its [min,max] key range for normalization), into `nFiles` files.
+    * Range-partitioning by z gives globally contiguous z-runs per file;
+    * the within-partition sort keeps row groups tight too. */
+  def zOrderWrite(df: DataFrame, outDir: String, nFiles: Int,
+      colA: String, rangeA: (Long, Long), colB: String,
+      rangeB: (Long, Long)): Unit = {
+    df.withColumn("__z", ZOrderLong.zOrder(
+        norm16(col(colA), rangeA._1, rangeA._2),
+        norm16(col(colB), rangeB._1, rangeB._2)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Mean per-file min/max span of `c` in `dir`, as a fraction of the
+    * global span — the data-skipping selectivity measure: 1.0 means every
+    * file covers the whole key range (no skipping possible), k files of
+    * perfectly clustered data approach 1/k. */
+  def meanFileSpanFraction(spark: SparkSession, dir: String, c: String): Double = {
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .agg(avg(col("hi") - col("lo")).as("span"),
+        (max("hi") - min("lo")).as("global"))
+      .head()
+    spans.getDouble(0) / math.max(1.0, spans.getLong(1).toDouble)
+  }
+}

@@ -219,6 +219,77 @@ class ScaleShapeSpec extends SparkSpec {
       .contains("`embedding` Nullable(Array(Float32))"))
   }
 
+  test("compaction reduces file count without touching content") {
+    import graft.operators.LayoutOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$tmp/frag")
+    val (before, after) =
+      LayoutOps.compact(spark, s"$tmp/frag", s"$tmp/out", 32L * 1024 * 1024)
+    assert(before == 32 && after < 4, s"$before -> $after")
+    // content survives byte-for-byte (modulo order)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$tmp/out").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // and the rewrite was NARROW — no exchange in the compaction plan
+    val plan = docs.coalesce(2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("z-order layout shrinks per-file spans on BOTH dimensions") {
+    import graft.operators.LayoutOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val r = li.agg(org.apache.spark.sql.functions.min("l_partkey"),
+      org.apache.spark.sql.functions.max("l_partkey"),
+      org.apache.spark.sql.functions.min("l_suppkey"),
+      org.apache.spark.sql.functions.max("l_suppkey")).head()
+    LayoutOps.zOrderWrite(li, s"$tmp/z", nFiles = 16,
+      "l_partkey", (r.getLong(0), r.getLong(1)),
+      "l_suppkey", (r.getLong(2), r.getLong(3)))
+    // single-column sort: perfect on its own column, useless on the other
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/single")
+    val zP = LayoutOps.meanFileSpanFraction(spark, s"$tmp/z", "l_partkey")
+    val zS = LayoutOps.meanFileSpanFraction(spark, s"$tmp/z", "l_suppkey")
+    val sP = LayoutOps.meanFileSpanFraction(spark, s"$tmp/single", "l_partkey")
+    val sS = LayoutOps.meanFileSpanFraction(spark, s"$tmp/single", "l_suppkey")
+    info(f"z: part=$zP%.2f supp=$zS%.2f | single-col: part=$sP%.2f supp=$sS%.2f")
+    // z-order: BOTH dims well under the full span (skippable on either);
+    // single-column sort: the unsorted dim covers ~the whole range
+    assert(zP < 0.5 && zS < 0.5, f"z spans $zP%.2f/$zS%.2f")
+    assert(sS > 0.9, f"single-col layout should not cluster l_suppkey: $sS%.2f")
+    assert(zS < sS / 2, "z-order must beat single-column sort on the second dim")
+    // the morton interleave itself round-trips bit-exactly
+    assert(graft.functions.ZOrderLong.interleave(0xffffL, 0L) == 0xaaaaaaaaL)
+    assert(graft.functions.ZOrderLong.interleave(0L, 0xffffL) == 0x55555555L)
+  }
+
+  test("bloom-reduced join pre-filters the big side before the shuffle") {
+    import graft.operators.JoinOps
+    val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
+    // sf0.001's 10 suppliers top out near 6000 — threshold keeps a few
+    val sup = spark.read.parquet(sf("0.001") + "/supplier.parquet")
+      .where(col("s_acctbal") >= 4000)
+    val joined = JoinOps.bloomReducedJoin(li, "l_suppkey", sup, "s_suppkey",
+      expectedItems = 1000)
+    // exactness: identical to the plain join
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+    assert(joined.count() == plain.count())
+    // the predicate sits in the scan stage (before any exchange), and it
+    // actually reduces the shuffled volume to ~the matching fraction
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    val bf = sup.stat.bloomFilter("s_suppkey", 1000, 0.01)
+    val pre = li.where(
+      graft.functions.BloomMightContain.mightContain(col("l_suppkey"), bf)).count()
+    val full = li.count()
+    assert(pre < full / 2, s"pre-filter kept $pre of $full")
+  }
+
   test("ClickHouse write shape: partition count + in-partition sort") {
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
     val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
