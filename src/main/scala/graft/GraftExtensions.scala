@@ -66,6 +66,13 @@ object GraftFunctionRegistry {
         int(es(2), "winnow_fingerprints", "window"))),
     ("window_energy", classOf[WindowEnergy].getName,
       es => WindowEnergy(es(0), int(es(1), "window_energy", "win"))),
+    // SQL ints cast up to the expression's bigint contract here (the
+    // sql-api AbstractDataType needed for ImplicitCastInputTypes is
+    // private[sql])
+    ("z_order_long", classOf[ZOrderLong].getName,
+      es => ZOrderLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType))),
     // AggregateFunction builders: the analyzer wraps them in an
     // AggregateExpression like any built-in aggregate
     ("vector_sum_long", classOf[VectorSumLong].getName,
