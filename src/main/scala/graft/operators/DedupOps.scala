@@ -82,14 +82,18 @@ object DedupOps {
       docShingles(df, idCol, textCol, shingleN), bands)
 
   /** Same, over an already-built (id, s) shingle relation. */
-  def minhashCandidatePairsFromShingles(ds: DataFrame, bands: Int): DataFrame = {
-    // Bucket-group instead of self-join: a self-join would evaluate the
-    // whole signature pipeline twice (Spark has no cross-branch plan CSE)
-    // and shuffle it twice. One groupBy on (band, sig) collects each LSH
-    // bucket's member ids — bucket sizes are near-dup cluster sizes, small
-    // by construction — and the i<j combinations explode bucket-locally.
-    // Output pair count is identical either way.
-    val sigs = minhashBandsFromShingles(ds, bands)
+  def minhashCandidatePairsFromShingles(ds: DataFrame, bands: Int): DataFrame =
+    candidatePairsFromSigs(minhashBandsFromShingles(ds, bands))
+
+  /** LSH bucket → unordered candidate pairs, from an (id, band, sig)
+    * signature relation. Bucket-group instead of self-join: a self-join
+    * would evaluate the signature pipeline twice (Spark has no
+    * cross-branch plan CSE) and shuffle it twice. One groupBy on
+    * (band, sig) collects each LSH bucket's member ids — bucket sizes are
+    * near-dup cluster sizes, small by construction — and the i<j
+    * combinations explode bucket-locally. Output pair count is identical
+    * either way. */
+  def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
     val buckets = sigs.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -121,28 +125,48 @@ object DedupOps {
     * thresholdMicro. Micro-units are this library's convention for emitted
     * similarity scores: the underlying ratio of exact integers is the same
     * double on every engine, and the integer output can never drift. */
-  /** Previous jaccardVerifiedPairs call's persisted shingle relation,
-    * released on the next call (single-live-result lifecycle, same as
+  /** Previous jaccardVerifiedPairs call's persisted relations, released on
+    * the next call (single-live-result lifecycle, same as
     * MutationOps.withContiguousId / SparkEntry.e10PrevCaches): repeated
     * invocations — a benchmark loop, a dedup-per-snapshot pipeline — must
     * not accumulate dead multi-million-row caches in storage memory. */
-  private var jaccardPrevCache: Option[DataFrame] = None
+  private var jaccardPrevCaches: Seq[DataFrame] = Nil
 
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
-    // The shingle relation feeds four plan branches (two sides of the
-    // candidate join via the signatures, the size table, and the
-    // intersection); Spark re-evaluates each branch, so materialize it once.
-    // MEMORY_AND_DISK: at scale this is (doc, shingle) pairs — large but
-    // spillable, and recomputing tokenize+shingle+md5 four times is worse.
+    // The shingle relation feeds four plan branches (signatures, sizes,
+    // the pair-expansion join, and the intersection); Spark re-evaluates
+    // each branch, so materialize it once — AND pre-partition it by id
+    // before caching, so every id-keyed consumer (the per-doc aggregate
+    // and the id_a expansion join) reads the cache exchange-free instead
+    // of re-shuffling the multi-million-row relation per branch.
+    // MEMORY_AND_DISK: (doc, shingle) pairs — large but spillable.
     val ds = docShingles(df, idCol, textCol, shingleN)
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signatures and set sizes in ONE per-doc aggregate (formerly two
+    // separate shuffles over the shingle relation); one row per doc →
+    // cheap to cache, feeds the bucket path and both size lookups
+    val perDoc = ds
+      .select(col("id"),
+        graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
+      .select(col("id"), col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"),
+        (min(col("h1")).as("sig0") +: (1 until bands).map(b =>
+          min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
-      jaccardPrevCache.foreach(_.unpersist(blocking = false))
-      jaccardPrevCache = Some(ds)
+      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
+      jaccardPrevCaches = Seq(ds, perDoc)
     }
-    val pairs = minhashCandidatePairsFromShingles(ds, bands)
-    val sizes = ds.groupBy("id").agg(count("*").as("n"))
+    val sigs = perDoc
+      .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+      .select(col("__id").as("id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val pairs = candidatePairsFromSigs(sigs)
+    val sizes = perDoc.select(col("id"), col("n"))
     // |A∩B| per pair: expand pair × A-shingles, then semi-join "B also has
     // this shingle" on (id_b, s) — never materializes A×B per pair.
     val inter = pairs
