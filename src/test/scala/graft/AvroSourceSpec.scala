@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.AvroSource
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** AvroSource contracts beyond the oracled round-trip (o26): null unions,
+  * by-name field resolution under reader/writer schema drift, and the
+  * split-read path producing exactly the written rows. */
+class AvroSourceSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/data"
+
+  test("nullable unions round-trip nulls and every primitive type") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "a", 1.5, true, Array[Byte](1, 2)),
+      Row(2L, null, null, null, null),
+      Row(3L, "c", -0.25, false, Array[Byte]()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val path = tmp("graft_avro_null")
+    AvroSource.write(df, path)
+    val back = AvroSource.read(spark, path, schema)
+      .collect().sortBy(_.getLong(0))
+    assert(back.length == 3)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3))
+    assert(back(0).getString(1) == "a" && back(0).getDouble(2) == 1.5)
+    assert(back(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2))
+    assert(back(2).getAs[Array[Byte]](4).isEmpty)
+  }
+
+  test("reader schema drift: reordered and missing fields resolve by name") {
+    val writerSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "x", 2.0), Row(2L, "y", 3.0)).toSeq, 1), writerSchema)
+    val path = tmp("graft_avro_drift")
+    AvroSource.write(df, path)
+    // reordered + a field the file never had → matched by NAME, absent
+    // field reads as null (the schema-evolution contract the scaladoc
+    // promises)
+    val readerSchema = StructType(Seq(
+      StructField("score", DoubleType, nullable = true),
+      StructField("added_later", StringType, nullable = true),
+      StructField("id", LongType, nullable = false)))
+    val back = AvroSource.read(spark, path, readerSchema)
+      .collect().sortBy(_.getLong(2))
+    assert(back.map(r => (r.getDouble(0), r.getLong(2))).toSeq ==
+      Seq((2.0, 1L), (3.0, 2L)))
+    assert(back.forall(_.isNullAt(1)))
+  }
+
+  test("multi-partition write fans out files; read returns the union") {
+    import spark.implicits._
+    val df = spark.range(1000).select($"id", ($"id" % 7).as("m"))
+    val path = tmp("graft_avro_parts")
+    AvroSource.write(df.repartition(8), path)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".avro"))
+    assert(files == 8, s"one container file per task, got $files")
+    val back = AvroSource.read(spark, path,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("m", LongType, nullable = false))))
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 1000L).sum)
+  }
+}
