@@ -1675,6 +1675,131 @@ object SparkEntry {
       .orderBy("doc_id", "w")
 
   // ====================================================================
+  // Round-5 additions: MERGE/SCD2 (CDC write path), profiling, search
+  // (BM25 + inverted index).
+  // ====================================================================
+
+  /** MERGE INTO (upsert + conditional delete) through `MergeOps.merge`:
+    * CDC batch = updates (key%7==3: status 'U', price bumped; every 5th
+    * flagged delete) + inserts (key%97==0 re-keyed above the key space).
+    * One full-outer shuffle on the key; oracle = the same FULL OUTER JOIN
+    * CASE semantics in SQL. */
+  private def o30MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("price_c"))
+    val upd = t.where(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (col("price_c") + 500).as("price_c"),
+        when(col("o_orderkey") % 35 === 3, 1).otherwise(0).as("del"))
+    val ins = t.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("I").as("status"), col("price_c"), lit(0).as("del"))
+    MergeOps.merge(t, upd.unionByName(ins), Seq("o_orderkey"),
+      deleteWhen = Some(col("del") === 1))
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD Type-2 dimension build from a change log: each purchase event is
+    * a new version of (user, value); valid_to = next version's valid_from
+    * (-1 = open), is_current flags the head. One window shuffle on the
+    * natural key — the standard CDC-to-dimension pipeline stage. */
+  private def e1Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val nextFrom = lead(col("valid_from_us"), 1).over(w)
+    T(s, dir, "events").where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("valid_from_us"),
+        cents(col("value")).as("value_c"))
+      .select(col("user_id"), col("event_id"), col("value_c"),
+        col("valid_from_us"),
+        coalesce(nextFrom, lit(-1L)).as("valid_to_us"),
+        when(nextFrom.isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** One-pass column profiling (the data-quality gate a pipeline runs
+    * before training): null count, exact distinct, min/max per column from
+    * a SINGLE aggregate (Spark plans the multi-distinct via Expand — one
+    * shuffle; the approximate sibling is e5_approx_distinct). */
+  private def e10Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n"),
+        col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"))
+    }
+    T(s, dir, "documents").agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** BM25 ranking for a fixed term query (k1=1.2, b=0.75) with Lucene's
+    * idf ARGUMENT kept rational — no log(): transcendental libm calls
+    * differ in the last ulp across engines, rational double arithmetic
+    * does not (same IEEE ops in the same order ⇒ identical bits). Scores
+    * quantized to micro per term BEFORE the per-doc sum, so the sum is
+    * exact integer math in any order. */
+  private def e4Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "stream", "window")
+    val docs = T(s, dir, "documents")
+    // two exact-long scalars (corpus size / total token count) — bounded
+    // driver work, same role as e4_tfidf's nDocs
+    val st = docs.agg(count(lit(1)).as("n"),
+      sum(size(TF.tokens(col("text"))).cast("long")).as("sdl")).head
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val tf = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode_outer(col("__t")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // idf = 1 + (N - df + 0.5)/(df + 0.5)  (positive for every df)
+    val idf = (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0
+    val score = idf * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.join(dfreq, "token")
+      .select(col("doc_id"),
+        round(score * 1e6).cast("long").as("term_micro"))
+      .groupBy("doc_id").agg(sum("term_micro").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Inverted-index build (token → df + capped posting list): the search-
+    * side counterpart of e4_tfidf. Postings are capped at 20 doc_ids PER
+    * TOKEN BEFORE collect_list (row_number under the same hash
+    * partitioning the groupBy reuses — no second exchange), so per-group
+    * state stays bounded no matter how common the token is at 100 TB. */
+  private def e4InvIndex(s: SparkSession, dir: String): DataFrame = {
+    val posting = T(s, dir, "documents")
+      .select(col("doc_id"), explode_outer(TF.tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .distinct()
+    val w = Window.partitionBy("token").orderBy("doc_id")
+    posting.withColumn("rn", row_number().over(w))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))),
+            _.cast("string")),
+          ",").as("postings"))
+      .orderBy("token")
+  }
+
+  // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
@@ -1782,7 +1907,12 @@ object SparkEntry {
     "e8_seq_match" -> (e8SeqMatch _),
     "e5_stats_typed" -> (e5StatsTyped _),
     "e9_map_struct" -> (e9MapStruct _),
-    "e9_typed_pipeline" -> (e9TypedPipeline _)
+    "e9_typed_pipeline" -> (e9TypedPipeline _),
+    "o30_merge_upsert" -> (o30MergeUpsert _),
+    "e1_scd2" -> (e1Scd2 _),
+    "e10_profile" -> (e10Profile _),
+    "e4_bm25" -> (e4Bm25 _),
+    "e4_inverted_index" -> (e4InvIndex _)
   )
 
   // ====================================================================
@@ -2639,7 +2769,80 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents WHERE lang = 'en' AND n_chars >= 100
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "o30_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |u AS (SELECT o_orderkey, 'U' AS status, price_c + 500 AS price_c,
+        |  CASE WHEN o_orderkey % 35 = 3 THEN 1 ELSE 0 END AS del
+        |  FROM t WHERE o_orderkey % 7 = 3),
+        |i AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS status,
+        |  price_c, 0 AS del FROM t WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        |SELECT COALESCE(src.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.status ELSE t.status END AS status,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE t.price_c END AS price_c
+        |FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
+        |WHERE NOT (t.o_orderkey IS NOT NULL AND src.o_orderkey IS NOT NULL AND src.del = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+    "e1_scd2" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, value_c, valid_from_us,
+        |  CAST(COALESCE(lead(valid_from_us) OVER win, -1) AS BIGINT) AS valid_to_us,
+        |  CAST(CASE WHEN lead(valid_from_us) OVER win IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM p WINDOW win AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "e10_profile" ->
+      """SELECT * FROM (
+        |SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT lang) AS BIGINT),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents
+        |) ORDER BY col_name""".stripMargin,
+    "e4_bm25" ->
+      s"""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(len($sqlTokens)) AS DOUBLE) / count(*) AS avgdl FROM documents),
+        |tok AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl,
+        |  unnest($sqlTokens) AS token FROM documents),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('vector', 'stream', 'window')
+        |  GROUP BY doc_id, dl, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+        |SELECT doc_id, CAST(SUM(CAST(round(
+        |  ((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |  (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micro
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN c
+        |GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "e4_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        |t AS (SELECT DISTINCT doc_id, token FROM tok WHERE token IS NOT NULL),
+        |r AS (SELECT doc_id, token,
+        |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM t)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',') AS postings
+        |FROM r GROUP BY token ORDER BY token""".stripMargin
   )
 }
 

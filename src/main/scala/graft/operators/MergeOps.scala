@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO (CDC upsert) as one declarative plan — the missing lakehouse
+  * write primitive next to compaction (o27) / Z-order (o28) / dynamic
+  * partition overwrite (o24). The reference re-imports whole studies to
+  * update them (ReplacingMergeTree semantics, cf. reference
+  * clickhouse/schema.go and cna/transformer.go:438-459 replace keys); MERGE
+  * is the row-level form a 100 TB lakehouse actually runs.
+  *
+  * Semantics (SQL MERGE):
+  *   - matched (key in both)            -> source row (WHEN MATCHED UPDATE),
+  *                                         or dropped if `deleteWhen` fires
+  *                                         (WHEN MATCHED AND cond DELETE)
+  *   - not matched by source            -> target row unchanged
+  *   - not matched by target            -> source row (WHEN NOT MATCHED INSERT)
+  *
+  * Scale shape: ONE full-outer shuffle join on the merge key (broadcast if
+  * the CDC batch is small — Spark picks it from stats/AQE; at 100 TB the
+  * CDC batch is always the small side). No driver loops, no per-row RPC.
+  * Output columns are exactly the target's, so the result can overwrite the
+  * target in place; pair with dynamic partition overwrite (o24) to rewrite
+  * only the partitions the CDC batch touches — see `touchedPartitions`.
+  */
+object MergeOps {
+
+  /** Merge `source` into `target` on equality of `keys`.
+    *
+    * `source` must carry every target column (same names); extra source
+    * columns (e.g. a CDC delete flag) are usable in `deleteWhen` and are
+    * dropped from the output. `deleteWhen` is evaluated against MATCHED
+    * source rows only (SQL `WHEN MATCHED AND cond THEN DELETE`).
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None): DataFrame = {
+    val outCols = target.columns.toSeq
+    require(outCols.forall(source.columns.contains),
+      s"source must carry every target column; missing " +
+        s"${outCols.filterNot(source.columns.contains).mkString(",")}")
+    // presence flags, not key-null checks: a null key in the DATA must not
+    // read as "row absent" (full-outer emits null keys for absent sides)
+    val t = target.withColumn("__t_present", lit(1)).alias("__t")
+    val s = source.withColumn("__s_present", lit(1)).alias("__s")
+    val cond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+    val matched =
+      col("__t.__t_present").isNotNull && col("__s.__s_present").isNotNull
+    val srcOnly =
+      col("__t.__t_present").isNull && col("__s.__s_present").isNotNull
+    val kept = deleteWhen match {
+      case Some(d) => joined.where(!(matched && d))
+      case None    => joined
+    }
+    kept.select(outCols.map { c =>
+      when(matched || srcOnly, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+    }: _*)
+  }
+
+  /** Distinct values of `partCol` the CDC batch touches — the partition
+    * pruning list for a merge-write: read/rewrite ONLY these partitions
+    * (dynamic overwrite), leave the rest of the table's files untouched.
+    * Collect is bounded by partition count, not data size. */
+  def touchedPartitions(source: DataFrame, partCol: String): Seq[Any] =
+    source.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+
+  /** Partition-pruned MERGE against a partitioned parquet table at `path`:
+    * only partitions present in `source` are read, merged, and rewritten
+    * (dynamic partition overwrite); untouched partitions keep their exact
+    * files (asserted in ScaleShapeSpec). This is the 100 TB merge: cost
+    * scales with the CDC batch's partition footprint, not table size. */
+  def mergeWritePartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, keys: Seq[String], partCol: String,
+      deleteWhen: Option[Column] = None): Unit = {
+    val touched = touchedPartitions(source, partCol)
+    val slice = spark.read.parquet(path)
+      .where(col(partCol).isin(touched: _*))
+    // localCheckpoint breaks lineage to the input files: the write below
+    // targets the SAME path it reads from, which Spark (correctly) refuses
+    // for a lazy plan ("cannot overwrite a path that is also being read
+    // from"). Materialized size = the CDC batch's partition footprint.
+    val merged = merge(slice, source, keys, deleteWhen).localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}
