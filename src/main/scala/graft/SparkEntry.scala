@@ -415,12 +415,24 @@ object SparkEntry {
       .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count("*").as("n"))
       .orderBy("c_mktsegment")
 
-  /** HLL sketch distinct-count. No oracle: Spark's HyperLogLog++ and
-    * DuckDB's approx_count_distinct are different sketches — rows-only. */
+  /** HLL sketch distinct-count, SELF-VERIFYING: Spark's HyperLogLog++ and
+    * DuckDB's sketch differ, so the sketch value itself can never hash-match
+    * an oracle. Instead the plan computes the sketch AND the exact distinct
+    * count side by side and emits `(group, exact_parts, bound_ok)` where
+    * bound_ok = 1 iff |approx − exact| ≤ 5%·exact (the rsd=0.01 sketch is
+    * far inside that). The DuckDB oracle emits the exact count and literal
+    * 1 — a full hash-match that FAILS if the sketch ever drifts out of
+    * bound, upgrading the old rows-only check (ExtOpsSpec pins the same
+    * bound standalone). */
   private def e5Approx(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("__approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")) <=
+          lit(0.05) * col("exact_parts")).cast("long").as("bound_ok"))
       .orderBy("l_returnflag")
 
   /** Calendar aggregation over the orders timestamp column. */
@@ -889,14 +901,40 @@ object SparkEntry {
     * clusters), which is exactly the point: it is the control that shows
     * why the quantizer must be TRAINED (`e3_ann_ivf_kmeans`, recall 1.0 at
     * the same nprobe). Approximate BY DESIGN — float AVG centroids are not
-    * cross-engine hash-stable, so the driver records a rows-only check;
-    * the 0.5 recall floor is pinned in ExtOpsSpec. */
+    * cross-engine hash-stable — so the query is SELF-VERIFYING instead:
+    * the output rows are the exact brute-force top-10 (fully oracle-
+    * reproducible, same formulation as e3_topk_cosine) plus a
+    * `recall_floor_ok` column = 1 iff the IVF probe recovered at least
+    * `ivfRecallFloor10` of those 10 ids. The DuckDB oracle emits the
+    * brute-force rows and literal 1, so the row HASH-MATCHES while still
+    * failing loudly if the IVF path ever degrades below its pinned floor
+    * (the floor itself is also asserted standalone in ExtOpsSpec). */
   private def e3Ivf(s: SparkSession, dir: String): DataFrame = {
     val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0)
-    SimilarityOps.topKIvf(T(s, dir, "embeddings"), "vec_id", "embedding",
-      "label", q, k = 10, nprobe = 3)
+    val ivfIds = SimilarityOps.topKIvf(T(s, dir, "embeddings"), "vec_id",
+      "embedding", "label", q, k = 10, nprobe = 3)
+      .select(col("vec_id").as("__ivf_id"))
+    val brute = e3TopK(s, dir)
+    val hits = brute
+      .join(ivfIds, col("vec_id") === col("__ivf_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    brute.crossJoin(broadcast(hits))
+      .select(col("vec_id"), col("cos_micro"),
+        (col("__hits") >= lit(ivfRecallFloor10)).cast("long")
+          .as("recall_floor_ok"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
   }
+
+  /** Pinned recall@10 floor (hits out of 10) for the untrained label-IVF
+    * baseline. Measured hits: 5 at sf0.001, 5 at sf0.01 (the driver's
+    * oracle scale factors), 3 at sf0.1 (bench scale) — the DECAY with
+    * corpus size is itself the documented property of an untrained
+    * partitioner (more points spread the true top-10 across more cells;
+    * probing harder doesn't fix it — see class doc). Floor 3 holds at all
+    * measured scales; the tighter 0.5 recall at gate scale stays pinned
+    * in ExtOpsSpec. Probe: `runMain graft.tools.Explain dev:ivf_hits`. */
+  private val ivfRecallFloor10 = 3
 
   /** IVF with TRAINED centroids — full build+search loop, now ORACLE-
     * CHECKED: deterministic integer Lloyd (evenly-spaced seeds, two
@@ -2025,6 +2063,13 @@ object SparkEntry {
         |CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    // Self-verifying HLL: oracle emits the exact distinct count plus the
+    // literal in-bound verdict the Spark plan computes — see e5Approx.
+    "e5_approx_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |CAST(1 AS BIGINT) AS bound_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e5_distinct" ->
       """SELECT l_returnflag,
         |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
@@ -2288,6 +2333,18 @@ object SparkEntry {
         |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
         |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
         |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM s, q ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    // Self-verifying IVF baseline: output rows are the exact brute-force
+    // top-10 (reproducible here) + the in-plan recall verdict, which the
+    // oracle asserts as literal 1 — see e3Ivf scaladoc.
+    "e3_ann_ivf" ->
+      s"""WITH q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings)
+        |SELECT vec_id,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qv[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro,
+        |CAST(1 AS BIGINT) AS recall_floor_ok
         |FROM s, q ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
     "e3_ann_signbucket" ->
       s"""WITH s AS (SELECT vec_id, $sqlQvec AS qe,

@@ -23,6 +23,18 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = name match {
       // dev probes for sub-stages not in the registry
+      case "dev:ivf_hits" =>
+        // recall@10 probe for the label-IVF baseline vs brute force
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding")).head.getSeq[Float](0)
+        val ivf = graft.operators.SimilarityOps
+          .topKIvf(emb, "vec_id", "embedding", "label", q, k = 10, nprobe = 3)
+          .select(col("vec_id").as("ivf_id"))
+        graft.operators.SimilarityOps
+          .topKCosine(emb, "vec_id", "embedding", q, k = 10)
+          .join(ivf, col("vec_id") === col("ivf_id"), "left_semi")
       case "dev:minhash_bands" =>
         graft.operators.DedupOps.minhashBands(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 4)
@@ -34,6 +46,8 @@ object Explain {
       val n = df.count()
       println(f"[explain] run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    if (sys.env.contains("SPARK_GRAFT_SHOW") || args.contains("show"))
+      df.show(100, truncate = false)
     spark.stop()
   }
 }

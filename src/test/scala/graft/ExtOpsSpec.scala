@@ -179,8 +179,11 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("E3 ANN paths: recall@10 vs brute force (registry configs)") {
-    // e3_ann_ivf is the deliberate UNTRAINED-PARTITION BASELINE (rows-only
-    // at the driver gate; float centroids); this is its quality verdict.
+    // e3_ann_ivf is the deliberate UNTRAINED-PARTITION BASELINE. Since r6
+    // the registry query is SELF-VERIFYING (emits brute-force rows +
+    // recall_floor_ok, hash-matched by the oracle; floor 3/10 holds up to
+    // bench scale — recall decays with corpus size, which is the baseline's
+    // documented lesson); this test pins the TIGHTER 0.5 floor at sf0.001.
     // The registry's trained path (e3_ann_ivf_kmeans = topKIvfLloydExact)
     // is oracle-checked for VALUES, and this test pins its QUALITY: the
     // trained quantizer recovers (nearly) the exact ranking where the
@@ -235,9 +238,10 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within its configured error bound") {
-    // e5_approx_distinct is rows-only at the driver gate (engine-specific
-    // HLL sketches); this is its quality verdict: rsd=0.01 keeps the
-    // estimate within a conservative 5% of the exact count per group.
+    // e5_approx_distinct is SELF-VERIFYING since r6 (emits exact count +
+    // in-plan bound_ok, hash-matched by the oracle); this standalone test
+    // keeps the same verdict independent of the registry plumbing:
+    // rsd=0.01 keeps the estimate within a conservative 5% per group.
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
     val cmp = li.groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
