@@ -134,6 +134,9 @@ object DedupOps {
 
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
+    // same overflow guard as minhashBandsFromShingles:60 — the inlined band
+    // signature below uses the identical h1 + b*h2 combination
+    require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
     // The shingle relation feeds four plan branches (signatures, sizes,
     // the pair-expansion join, and the intersection); Spark re-evaluates
     // each branch, so materialize it once — AND pre-partition it by id

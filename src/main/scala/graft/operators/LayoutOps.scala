@@ -48,9 +48,31 @@ object LayoutOps {
     (filesBefore, dirStats(spark, outDir)._2)
   }
 
-  /** `x` min/max-normalized to [0, 65535] as a long (z-order input). */
-  def norm16(x: Column, min: Long, max: Long): Column =
-    ((x - lit(min)) * lit(65535L) / lit(math.max(1L, max - min))).cast("long")
+  /** `x` min/max-normalized to [0, 65535] as a long (z-order input).
+    * Two exact-integer forms, picked by span at plan-build time: the
+    * multiply-first form `(x-min)*65535/span` overflows Long once
+    * `span ≥ ~2^47` (65535 ≈ 2^16 of headroom), so wide key ranges —
+    * plausible for synthetic 64-bit ids — switch to divide-first
+    * fixed-width bucketing `(x-min)/ceil(span/65536)`, which also lands in
+    * [0, 65535] and never overflows. */
+  def norm16(x: Column, min: Long, max: Long): Column = {
+    val span = (BigInt(max) - BigInt(min)).max(BigInt(1))
+    if (span <= BigInt(1L << 46))
+      ((x - lit(min)) * lit(65535L) / lit(span.toLong)).cast("long")
+    else if (span < BigInt(Long.MaxValue)) {
+      // multiply-first would overflow; (x-min) itself still fits in Long
+      val bucket = (span / 65536 + 1).toLong
+      ((x - lit(min)) / lit(bucket)).cast("long")
+    } else {
+      // span exceeds Long entirely (e.g. full 64-bit id range): bucket in
+      // double space — monotone, and the ~2^48 bucket width dwarfs the
+      // 2^11-ulp double rounding at this magnitude. Rounding can inflate
+      // (x-min) past the true span at the extremes, so clamp to 65535.
+      val bucket = (span / 65536 + 1).toDouble
+      least(lit(65535L),
+        ((x.cast("double") - lit(min.toDouble)) / lit(bucket)).cast("long"))
+    }
+  }
 
   /** Write `df` clustered by the z-order of two long columns (each with
     * its [min,max] key range for normalization), into `nFiles` files.

@@ -32,7 +32,13 @@ object MergeOps {
     * columns (e.g. a CDC delete flag) are usable in `deleteWhen` and are
     * dropped from the output. `deleteWhen` is evaluated against MATCHED
     * source rows only (SQL `WHEN MATCHED AND cond THEN DELETE`).
-    */
+    *
+    * Duplicate source keys RAISE at execution (SQL MERGE's
+    * multiple-match error), rather than silently fanning out target rows
+    * through the full-outer join. The guard is in-plan — a `count` window
+    * over the source keys feeding a `raise_error` branch — so the
+    * unique-key case pays no extra job, and the window's required
+    * key-partitioning is the same one the join needs. */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       deleteWhen: Option[Column] = None): DataFrame = {
     val outCols = target.columns.toSeq
@@ -42,7 +48,10 @@ object MergeOps {
     // presence flags, not key-null checks: a null key in the DATA must not
     // read as "row absent" (full-outer emits null keys for absent sides)
     val t = target.withColumn("__t_present", lit(1)).alias("__t")
-    val s = source.withColumn("__s_present", lit(1)).alias("__s")
+    val keyCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
+    val s = source.withColumn("__s_present", lit(1))
+      .withColumn("__s_keycnt", keyCount).alias("__s")
     val cond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
     val matched =
@@ -53,8 +62,18 @@ object MergeOps {
       case Some(d) => joined.where(!(matched && d))
       case None    => joined
     }
-    kept.select(outCols.map { c =>
-      when(matched || srcOnly, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+    kept.select(outCols.zipWithIndex.map { case (c, i) =>
+      // guard rides the first output column only: when the source has >1
+      // row for a key, evaluating that row's output raises instead of
+      // emitting fanned-out duplicates
+      val srcVal =
+        if (i == 0)
+          when(col("__s.__s_keycnt") > 1, raise_error(concat(
+            lit("MERGE: multiple source rows for key ("),
+            concat_ws(",", keys.map(k => col(s"__s.$k").cast("string")): _*),
+            lit(")")))).otherwise(col(s"__s.$c"))
+        else col(s"__s.$c")
+      when(matched || srcOnly, srcVal).otherwise(col(s"__t.$c")).as(c)
     }: _*)
   }
 
@@ -66,14 +85,37 @@ object MergeOps {
     source.select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
 
   /** Partition-pruned MERGE against a partitioned parquet table at `path`:
-    * only partitions present in `source` are read, merged, and rewritten
+    * only partitions the CDC batch touches are read, merged, and rewritten
     * (dynamic partition overwrite); untouched partitions keep their exact
-    * files (asserted in ScaleShapeSpec). This is the 100 TB merge: cost
-    * scales with the CDC batch's partition footprint, not table size. */
+    * files. This is the 100 TB merge: cost scales with the CDC batch's
+    * partition footprint, not table size.
+    *
+    * "Touched" = the source rows' partition values UNION the partitions
+    * currently holding any merged key. The union matters when a CDC row
+    * moves a key to a different `partCol` value: the stale row lives in a
+    * partition the source never mentions, and pruning to source partitions
+    * alone would leave the key duplicated across partitions. Finding those
+    * costs one column-pruned (keys, partCol) scan of the target
+    * semi-joined against the broadcast CDC key set — skippable via
+    * `partitionKeyStable = true` when `partCol` is functionally determined
+    * by the key (then source and target partitions coincide by contract).
+    * Partitions left EMPTY by the merge (all rows moved out or deleted)
+    * are removed explicitly — dynamic overwrite only rewrites partitions
+    * present in the output, so an empty one would otherwise keep its
+    * stale files. */
   def mergeWritePartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keys: Seq[String], partCol: String,
-      deleteWhen: Option[Column] = None): Unit = {
-    val touched = touchedPartitions(source, partCol)
+      deleteWhen: Option[Column] = None,
+      partitionKeyStable: Boolean = false): Unit = {
+    val srcParts = touchedPartitions(source, partCol)
+    val tgtParts =
+      if (partitionKeyStable) Nil
+      else spark.read.parquet(path)
+        .select((keys :+ partCol).map(col): _*)
+        .join(broadcast(source.select(keys.map(col): _*).distinct()),
+          keys, "left_semi")
+        .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    val touched = (srcParts ++ tgtParts).distinct
     val slice = spark.read.parquet(path)
       .where(col(partCol).isin(touched: _*))
     // localCheckpoint breaks lineage to the input files: the write below
@@ -88,6 +130,19 @@ object MergeOps {
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // touched partitions with no surviving rows: dynamic overwrite never
+    // saw them, so their stale directories must go explicitly
+    val outParts = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = touched.filterNot(outParts.contains)
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$v")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
     }
   }
 }

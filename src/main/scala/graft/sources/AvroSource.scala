@@ -99,6 +99,32 @@ object AvroSource {
       job.getConfiguration)
   }
 
+  /** Avro datum → Spark value for one field. Exact-type values pass
+    * through; writer/reader primitive drift widens where lossless
+    * (int→long, int/long/float→double, float stays exact in double);
+    * anything else fails HERE with the field name and both types, instead
+    * of surfacing later as an opaque RowEncoder failure. */
+  private[sources] def convertValue(raw: Any, name: String, dt: DataType): Any =
+    (raw, dt) match {
+      case (null, _)                                  => null
+      case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+      case (s: CharSequence, StringType)              => s.toString
+      case (bb: java.nio.ByteBuffer, BinaryType) =>
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case (v: java.lang.Integer, IntegerType)        => v
+      case (v: java.lang.Integer, LongType)           => v.longValue()
+      case (v: java.lang.Integer, DoubleType)         => v.doubleValue()
+      case (v: java.lang.Long, LongType)              => v
+      case (v: java.lang.Long, DoubleType)            => v.doubleValue()
+      case (v: java.lang.Float, FloatType)            => v
+      case (v: java.lang.Float, DoubleType)           => v.doubleValue()
+      case (v: java.lang.Double, DoubleType)          => v
+      case (v: java.lang.Boolean, BooleanType)        => v
+      case (other, _) => throw new IllegalArgumentException(
+        s"Avro field '$name': file value is ${other.getClass.getName}, " +
+          s"requested Spark type is $dt — no lossless widening path")
+    }
+
   /** Read Avro container files at `path` into a DataFrame with the given
     * (flat primitive) schema. Fields are matched by NAME against the
     * record, so field-order drift between writer and reader schemas is
@@ -121,14 +147,7 @@ object AvroSource {
           while (i < fieldNames.length) {
             val f = rec.getSchema.getField(fieldNames(i))
             val raw = if (f == null) null else rec.get(f.pos())
-            vals(i) = (raw, dataTypes(i)) match {
-              case (null, _)                      => null
-              case (u: org.apache.avro.util.Utf8, StringType) => u.toString
-              case (s: CharSequence, StringType)  => s.toString
-              case (bb: java.nio.ByteBuffer, BinaryType) =>
-                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
-              case (other, _)                     => other
-            }
+            vals(i) = convertValue(raw, fieldNames(i), dataTypes(i))
             i += 1
           }
           Row.fromSeq(vals.toIndexedSeq)

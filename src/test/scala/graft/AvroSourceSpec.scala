@@ -60,6 +60,35 @@ class AvroSourceSpec extends SparkSpec {
     assert(back.forall(_.isNullAt(1)))
   }
 
+  test("primitive drift widens losslessly; real mismatches name the field") {
+    val writerSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("score", FloatType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(7, 1.5f), Row(8, null)).toSeq, 1), writerSchema)
+    val path = tmp("graft_avro_widen")
+    AvroSource.write(df, path)
+    // file has int/float; reader asks long/double → widened, not a crash
+    val wide = AvroSource.read(spark, path, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = true))))
+      .collect().sortBy(_.getLong(0))
+    assert(wide.map(_.getLong(0)).toSeq == Seq(7L, 8L))
+    assert(wide(0).getDouble(1) == 1.5 && wide(1).isNullAt(1))
+    // long → int is lossy: the error must name the field and both types
+    val ex = intercept[Exception] {
+      AvroSource.read(spark, path, StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("score", StringType, nullable = true))))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("'score'") && m.contains("StringType")),
+      s"expected a descriptive drift error, got $ex")
+  }
+
   test("multi-partition write fans out files; read returns the union") {
     import spark.implicits._
     val df = spark.range(1000).select($"id", ($"id" % 7).as("m"))

@@ -268,6 +268,26 @@ class ScaleShapeSpec extends SparkSpec {
     assert(graft.functions.ZOrderLong.interleave(0L, 0xffffL) == 0x55555555L)
   }
 
+  test("norm16 stays in [0,65535] for 64-bit key spans (no Long overflow)") {
+    import graft.operators.LayoutOps
+    // span >= 2^47 used to overflow (x-min)*65535; divide-first path now
+    val lo = Long.MinValue + 10L
+    val hi = Long.MaxValue - 10L
+    val xs = Seq(lo, -1L, 0L, 1L, hi / 2, hi)
+    val out = xs.toDF("x")
+      .select(LayoutOps.norm16(col("x"), lo, hi).as("n"))
+      .collect().map(_.getLong(0))
+    assert(out.forall(n => n >= 0L && n <= 65535L), out.toSeq.toString)
+    assert(out.head == 0L && out.last >= 65534L, out.toSeq.toString)
+    // values are monotone in x — bucketing, not garbage
+    assert(out.toSeq == out.sorted.toSeq, out.toSeq.toString)
+    // the narrow-span form is unchanged (exact multiply-first arithmetic)
+    val narrow = Seq(0L, 500L, 1000L).toDF("x")
+      .select(LayoutOps.norm16(col("x"), 0L, 1000L).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(narrow == Seq(0L, 32767L, 65535L), narrow.toString)
+  }
+
   test("bloom-reduced join pre-filters the big side before the shuffle") {
     import graft.operators.JoinOps
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
