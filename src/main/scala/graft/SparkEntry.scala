@@ -1169,6 +1169,10 @@ object SparkEntry {
     * per-document argmax is a fully-ordered row_number. Two aggregations
     * (term frequency, document frequency) over one exploded token relation
     * + a broadcast-sized vocabulary join — the classic scalable shape. */
+  /** Previous e4Tfidf call's persisted tf relation (next-call-release
+    * lifecycle, same as e10PrevCaches / DedupOps.jaccardPrevCaches). */
+  private var tfidfPrevCaches: Seq[DataFrame] = Nil
+
   private def e4Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val nDocs = docs.count() // parquet row-group count — metadata-cheap
@@ -1176,7 +1180,16 @@ object SparkEntry {
       .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
       .select(col("doc_id"), explode_outer(col("__t")).as("token"))
       .where(col("token").isNotNull)
+    // tf feeds BOTH the document-frequency aggregate and the scoring join;
+    // Spark has no cross-branch CSE, so without the persist the
+    // tokenize+explode+groupBy pipeline — the query's dominant cost —
+    // evaluates twice (it was the worst sf0.1→sf1 scaler at 4.9×)
     val tf = toks.groupBy("doc_id", "token").agg(count("*").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      tfidfPrevCaches.foreach(_.unpersist(blocking = false))
+      tfidfPrevCaches = Seq(tf)
+    }
     // document frequency FROM the tf relation (one row per doc×token), not
     // a second explode of the raw text: count(*) here IS countDistinct(doc)
     val dfreq = tf.groupBy("token").agg(count("*").as("df"))

@@ -1,0 +1,225 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.network.util.JavaUtils
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 read path for Avro container files, replacing the
+  * RDD-backed scan that could neither prune columns nor split cleanly
+  * into Catalyst's planning (sources/AvroSource.scala keeps the write
+  * path and the per-datum conversion).
+  *
+  * Column pruning is REAL here, not cosmetic: the pruned schema becomes
+  * the Avro *reader schema* (a projection of the writer record), and
+  * Avro's schema-resolution decoder then SKIPS the bytes of every
+  * unprojected field instead of decoding and allocating them. A row
+  * format can't skip I/O the way parquet skips column chunks, but at
+  * 100 TB skipping the decode/alloc of a fat `text` column when the
+  * query touches two small fields is the difference that matters on a
+  * scan-bound job.
+  *
+  * Scale shape: one InputPartition per `maxPartitionBytes` slice of each
+  * container file (sync-marker aligned, the standard Avro split
+  * protocol: seek to the first sync after `start`, read until past the
+  * first sync after `end`) — a single large file fans out across the
+  * cluster exactly like the Hadoop-format path did.
+  */
+final class AvroTableProvider extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = AvroDsv2.pathFrom(options.asScala.toMap)
+    AvroDsv2.inferSchema(SparkSession.active, path)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new AvroTable(schema, AvroDsv2.pathFrom(properties.asScala.toMap))
+}
+
+final class AvroTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-avro:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(schema, path)
+}
+
+final class AvroScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = AvroScan(required, path)
+}
+
+final case class AvroScan(required: StructType, path: String)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxBytes = JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    AvroDsv2.listAvroFiles(conf, path).flatMap { f =>
+      val len = f.getLen
+      if (len == 0) Nil
+      else (0L until len by maxBytes).map { start =>
+        AvroInputPartition(f.getPath.toString, start,
+          math.min(start + maxBytes, len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroPartitionReaderFactory(required,
+      org.apache.spark.sql.graft.Bridge.serializableHadoopConf(
+        SparkSession.active))
+}
+
+final case class AvroInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+final class AvroPartitionReaderFactory(required: StructType,
+    confGet: () => Configuration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[AvroInputPartition]
+    new AvroPartitionReader(ap, required, confGet())
+  }
+}
+
+final class AvroPartitionReader(part: AvroInputPartition,
+    required: StructType, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val datumReader = new GenericDatumReader[GenericRecord]()
+  private val reader: DataFileReader[GenericRecord] =
+    DataFileReader.openReader(
+      new FsInput(new HPath(part.file), conf), datumReader)
+      .asInstanceOf[DataFileReader[GenericRecord]]
+
+  // the pruned READER schema: the writer's fields restricted to the
+  // required names — Avro's resolving decoder skips everything else
+  private val projection: Schema = {
+    val writer = reader.getSchema
+    val keep = required.fields.flatMap(f => Option(writer.getField(f.name)))
+      .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+    Schema.createRecord("GraftProjection", null, "graft.avro", false,
+      keep.toList.asJava)
+  }
+  datumReader.setExpected(projection)
+  reader.sync(part.start)
+
+  // required field i → its position in the projected record (-1 = the
+  // file never had it → null, the schema-evolution contract)
+  private val positions: Array[Int] =
+    required.fields.map(f =>
+      Option(projection.getField(f.name)).map(_.pos()).getOrElse(-1))
+  private val names = required.fields.map(_.name)
+  private val types = required.fields.map(_.dataType)
+
+  private var rec: GenericRecord = null
+
+  override def next(): Boolean =
+    if (reader.hasNext && !reader.pastSync(part.end)) {
+      rec = reader.next(rec) // record reuse; converted before the next step
+      true
+    } else false
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(positions.length)
+    var i = 0
+    while (i < positions.length) {
+      val raw = if (positions(i) < 0) null else rec.get(positions(i))
+      row.update(i, AvroDsv2.toCatalyst(
+        AvroSource.convertValue(raw, names(i), types(i))))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+object AvroDsv2 {
+
+  /** The `path` option Spark's `load(path)` populates. */
+  private[sources] def pathFrom(m: Map[String, String]): String =
+    m.getOrElse("path", throw new IllegalArgumentException(
+      "graft-avro requires a path: spark.read.format(...).load(path)"))
+
+  private[sources] def listAvroFiles(conf: Configuration,
+      path: String): Seq[FileStatus] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val stat = fs.getFileStatus(p)
+    if (stat.isDirectory)
+      fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro")).toSeq
+    else Seq(stat)
+  }
+
+  /** Writer schema of the first container file → Spark schema (the
+    * inverse of AvroSource.toAvroSchema's flat-primitive mapping). */
+  def inferSchema(spark: SparkSession, path: String): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val first = listAvroFiles(conf, path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .avro files under $path"))
+    val r = DataFileReader.openReader(
+      new FsInput(first.getPath, conf), new GenericDatumReader[GenericRecord]())
+    try StructType(r.getSchema.getFields.asScala.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toSeq)
+    finally r.close()
+  }
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"only [null, T] unions are supported, got $s")
+      (toSparkType(nonNull.head)._1, branches.size > nonNull.size)
+    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.DOUBLE  => (DoubleType, false)
+    case Schema.Type.FLOAT   => (FloatType, false)
+    case Schema.Type.STRING  => (StringType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.BYTES   => (BinaryType, false)
+    case other => throw new IllegalArgumentException(
+      s"graft-avro supports flat primitive fields only, got $other")
+  }
+
+  /** External value (AvroSource.convertValue output) → Catalyst value. */
+  private[sources] def toCatalyst(v: Any): Any = v match {
+    case null           => null
+    case s: String      => UTF8String.fromString(s)
+    case other          => other // primitives and byte arrays pass through
+  }
+}

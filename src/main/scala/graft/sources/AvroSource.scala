@@ -3,10 +3,10 @@ package graft.sources
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.avro.mapred.AvroKey
-import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
 import org.apache.hadoop.io.NullWritable
 import org.apache.hadoop.mapreduce.Job
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
@@ -15,21 +15,19 @@ import scala.jdk.CollectionConverters._
   * Hadoop MapReduce formats (`avro-mapred`), because this environment ships
   * the Avro core jars but not the `spark-avro` datasource module.
   *
-  * The shape is the classic pre-datasource-API pattern: a sink that maps
-  * rows to `GenericRecord`s inside each task and writes through
-  * `AvroKeyOutputFormat` (one container file per partition — the same
-  * file-per-task layout the parquet sink produces), and a source that reads
-  * through `AvroKeyInputFormat` (splittable by sync markers, so one large
-  * file still fans out across tasks) and converts each record to a `Row`
-  * *inside the same iterator step* — mandatory, because Hadoop record
-  * readers reuse the key object and a lazily-consumed `AvroKey` would alias
-  * the last record of the split.
+  * The sink maps rows to `GenericRecord`s inside each task and writes
+  * through `AvroKeyOutputFormat` (one container file per partition — the
+  * same file-per-task layout the parquet sink produces). The read path is
+  * a DataSource V2 table (`AvroTableProvider` in AvroDsv2.scala): column
+  * pruning pushes into the Avro reader schema so unprojected fields are
+  * byte-skipped by the resolving decoder, and each container file splits
+  * into `maxPartitionBytes` sync-aligned slices, so one large file fans
+  * out across tasks.
   *
-  * Scale notes: no shuffle on either path; the write is task-local append,
-  * the read is a splittable scan. Column pruning/filter pushdown do NOT
-  * reach an RDD-backed scan, so callers should project/filter on the
-  * *write* side (as `o26_avro_roundtrip` does) — the honest trade of using
-  * a format Spark has no native reader for.
+  * Scale notes: no shuffle on either path; the write is task-local
+  * append, the read a splittable, pruning scan. Filters still evaluate
+  * post-scan (a row format carries no per-block column stats to skip
+  * I/O with — that remains parquet's edge).
   *
   * Reference parity: the importer reads columnar inputs generically
   * (cna/reader_parquet.go:25-60); Avro is the row-major container format
@@ -128,31 +126,10 @@ object AvroSource {
   /** Read Avro container files at `path` into a DataFrame with the given
     * (flat primitive) schema. Fields are matched by NAME against the
     * record, so field-order drift between writer and reader schemas is
-    * tolerated; a field missing from the file reads as null. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val fieldNames = schema.fields.map(_.name)
-    val dataTypes = schema.fields.map(_.dataType)
-    val rdd = spark.sparkContext
-      .newAPIHadoopFile(
-        path,
-        classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]],
-        classOf[NullWritable])
-      .mapPartitions { iter =>
-        // convert inside the same step — the record reader reuses `k`
-        iter.map { case (k, _) =>
-          val rec = k.datum()
-          val vals = new Array[Any](fieldNames.length)
-          var i = 0
-          while (i < fieldNames.length) {
-            val f = rec.getSchema.getField(fieldNames(i))
-            val raw = if (f == null) null else rec.get(f.pos())
-            vals(i) = convertValue(raw, fieldNames(i), dataTypes(i))
-            i += 1
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
-      }
-    spark.createDataFrame(rdd, schema)
-  }
+    * tolerated; a field missing from the file reads as null. Delegates to
+    * the DataSource V2 table, so downstream projections prune into the
+    * Avro decoder. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.format(classOf[AvroTableProvider].getName)
+      .schema(schema).load(path)
 }

@@ -43,4 +43,14 @@ object Bridge {
       name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The session's Hadoop configuration as a task-shippable accessor
+    * (`Configuration` itself isn't serializable; Spark's wrapper is
+    * private[spark], hence here). */
+  def serializableHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val wrapped = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    () => wrapped.value
+  }
 }
