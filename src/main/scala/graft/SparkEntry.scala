@@ -381,6 +381,41 @@ object SparkEntry {
       .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count("*").as("n"))
       .orderBy("c_mktsegment")
 
+  /** Stats-driven broadcast: NO hint anywhere — the cost-based optimizer
+    * flips the join to broadcast because ANALYZE TABLE column stats let
+    * FilterEstimation see that `c_custkey <= 150` keeps a handful of rows,
+    * while the file-size estimate alone (33 KB at sf0.01, 316 KB at sf0.1,
+    * both over the 16 KB threshold set here) would have sort-merged. This
+    * is the 100 TB planning mode: dimension slices become broadcastable
+    * from statistics, not from hand-placed hints. The broadcast is
+    * asserted on the pre-AQE plan (ScaleShapeSpec pins the with/without
+    * contrast). */
+  private def e6JoinCbo(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").write.mode("overwrite").saveAsTable("cbo_customer")
+    s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS")
+    s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16KB")
+      val dim = s.table("cbo_customer").where(col("c_custkey") <= 150)
+      val df = T(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count("*").as("n"), sum(cents(col("o_totalprice"))).as("revenue_c"))
+        .orderBy("c_mktsegment")
+      // force planning NOW, while CBO is on; the physical plan is cached
+      // on the QueryExecution, so later actions reuse it
+      assert(df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "column statistics did not flip the join to broadcast")
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   private def e6Semi(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .join(T(s, dir, "lineitem").where(col("l_quantity") >= 49),
@@ -1876,6 +1911,7 @@ object SparkEntry {
     "e5_conditional" -> (e5Conditional _),
     "e5_setops" -> (e5SetOps _),
     "e6_join_broadcast" -> (e6Broadcast _),
+    "e6_join_cbo" -> (e6JoinCbo _),
     "e6_join_semi" -> (e6Semi _),
     "e6_join_anti" -> (e6Anti _),
     "e6_join_5way" -> (e6FiveWay _),
@@ -2207,6 +2243,12 @@ object SparkEntry {
         |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "e6_join_cbo" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey <= 150
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "e6_join_semi" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n

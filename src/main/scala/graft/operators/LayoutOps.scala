@@ -48,6 +48,40 @@ object LayoutOps {
     (filesBefore, dirStats(spark, outDir)._2)
   }
 
+  /** In-place compaction under the write-audit-publish protocol
+    * (graft.sinks.StagedCommit): the rewrite lands in a staging dir, its
+    * footer row count must equal the source's, and only then does the
+    * directory swap in — a crash at any point before publish leaves the
+    * live table byte-identical. Returns (filesBefore, filesAfter). */
+  def compactInPlace(spark: SparkSession, dir: String,
+      targetBytes: Long): (Int, Int) = {
+    val (bytes, filesBefore) = dirStats(spark, dir)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val src = spark.read.parquet(dir)
+    val expected = src.count() // parquet footer metadata, no data scan
+    graft.sinks.StagedCommit.writeAuditPublish(spark, dir, expected) { st =>
+      src.coalesce(parts).write.parquet(st)
+    }
+    (filesBefore, dirStats(spark, dir)._2)
+  }
+
+  /** In-place z-order re-cluster, same write-audit-publish contract. */
+  def zOrderInPlace(spark: SparkSession, dir: String, nFiles: Int,
+      colA: String, rangeA: (Long, Long), colB: String,
+      rangeB: (Long, Long)): Unit = {
+    val src = spark.read.parquet(dir)
+    val expected = src.count()
+    graft.sinks.StagedCommit.writeAuditPublish(spark, dir, expected) { st =>
+      src.withColumn("__z", ZOrderLong.zOrder(
+          norm16(col(colA), rangeA._1, rangeA._2),
+          norm16(col(colB), rangeB._1, rangeB._2)))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(st)
+    }
+  }
+
   /** `x` min/max-normalized to [0, 65535] as a long (z-order input).
     * Two exact-integer forms, picked by span at plan-build time: the
     * multiply-first form `(x-min)*65535/span` overflows Long once

@@ -86,9 +86,9 @@ object MergeOps {
 
   /** Partition-pruned MERGE against a partitioned parquet table at `path`:
     * only partitions the CDC batch touches are read, merged, and rewritten
-    * (dynamic partition overwrite); untouched partitions keep their exact
-    * files. This is the 100 TB merge: cost scales with the CDC batch's
-    * partition footprint, not table size.
+    * (staged write + audited per-partition swap); untouched partitions
+    * keep their exact files. This is the 100 TB merge: cost scales with
+    * the CDC batch's partition footprint, not table size.
     *
     * "Touched" = the source rows' partition values UNION the partitions
     * currently holding any merged key. The union matters when a CDC row
@@ -100,9 +100,7 @@ object MergeOps {
     * `partitionKeyStable = true` when `partCol` is functionally determined
     * by the key (then source and target partitions coincide by contract).
     * Partitions left EMPTY by the merge (all rows moved out or deleted)
-    * are removed explicitly — dynamic overwrite only rewrites partitions
-    * present in the output, so an empty one would otherwise keep its
-    * stale files. */
+    * are dropped at publish time. */
   def mergeWritePartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keys: Seq[String], partCol: String,
       deleteWhen: Option[Column] = None,
@@ -118,31 +116,19 @@ object MergeOps {
     val touched = (srcParts ++ tgtParts).distinct
     val slice = spark.read.parquet(path)
       .where(col(partCol).isin(touched: _*))
-    // localCheckpoint breaks lineage to the input files: the write below
-    // targets the SAME path it reads from, which Spark (correctly) refuses
-    // for a lazy plan ("cannot overwrite a path that is also being read
-    // from"). Materialized size = the CDC batch's partition footprint.
+    // localCheckpoint materializes the merge ONCE: both the audit's
+    // expected count and the staged write read the checkpoint instead of
+    // re-running the join. Materialized size = the CDC partition footprint.
     val merged = merge(slice, source, keys, deleteWhen).localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val expected = merged.count()
+    // write-audit-publish (graft.sinks.StagedCommit): the staged write
+    // also dissolves the read-overwrite-same-path hazard — the live table
+    // keeps serving until the audited staging dirs swap in per-partition,
+    // and a crash before publish leaves it byte-identical. Partitions the
+    // merge emptied are dropped by publishPartitions.
+    val staged = graft.sinks.StagedCommit.stage(spark, path, expected) { st =>
+      merged.write.partitionBy(partCol).parquet(st)
     }
-    // touched partitions with no surviving rows: dynamic overwrite never
-    // saw them, so their stale directories must go explicitly
-    val outParts = merged.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val emptied = touched.filterNot(outParts.contains)
-    if (emptied.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(root, s"$partCol=$v")
-        if (fs.exists(dir)) fs.delete(dir, true)
-      }
-    }
+    graft.sinks.StagedCommit.publishPartitions(staged, partCol, touched)
   }
 }

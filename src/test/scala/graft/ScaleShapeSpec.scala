@@ -268,6 +268,38 @@ class ScaleShapeSpec extends SparkSpec {
     assert(graft.functions.ZOrderLong.interleave(0L, 0xffffL) == 0x55555555L)
   }
 
+  test("column statistics flip a filtered dimension join to broadcast (no hints)") {
+    // dimension whose FILE size exceeds the broadcast threshold (md5 hex
+    // padding keeps parquet from compressing it away), but whose filtered
+    // slice is tiny — visible only through ANALYZE TABLE column stats
+    spark.range(20000)
+      .select(col("id").as("k"), md5(col("id").cast("string")).as("pad"))
+      .write.mode("overwrite").saveAsTable("cbo_dim")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR COLUMNS k")
+    val fact = spark.range(200000)
+      .select((col("id") % 20000).as("fk"), col("id").as("v"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64KB")
+      def planWith(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        fact.join(spark.table("cbo_dim").where(col("k") <= 100),
+            col("fk") === col("k"))
+          .queryExecution.sparkPlan.toString // pre-AQE: the OPTIMIZER's choice
+      }
+      // without CBO the filter inherits the table's size estimate → too
+      // big to broadcast; with CBO, FilterEstimation prices `k <= 100`
+      // from min/max stats and the slice broadcasts — no hint anywhere
+      assert(planWith(false).contains("SortMergeJoin"), planWith(false))
+      assert(planWith(true).contains("BroadcastHashJoin"), planWith(true))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("norm16 stays in [0,65535] for 64-bit key spans (no Long overflow)") {
     import graft.operators.LayoutOps
     // span >= 2^47 used to overflow (x-min)*65535; divide-first path now
