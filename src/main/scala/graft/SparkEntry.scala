@@ -390,16 +390,36 @@ object SparkEntry {
     * from statistics, not from hand-placed hints. The broadcast is
     * asserted on the pre-AQE plan (ScaleShapeSpec pins the with/without
     * contrast). */
+  /** CBO dimension tables already built+ANALYZEd this JVM (same
+    * write-once rationale as o20's bucketed tables: statistics are table
+    * metadata computed once, not per-query work). */
+  private val cboReady = scala.collection.mutable.Set[String]()
+
   private def e6JoinCbo(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "customer").write.mode("overwrite").saveAsTable("cbo_customer")
-    s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS")
-    s.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"cbo_customer_$sfx"
+    cboReady.synchronized {
+      if (!cboReady.contains(sfx)) {
+        // o20's lesson: the catalog is in-memory but the warehouse dir
+        // outlives the JVM — drop any entry AND the stale location first
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(wh, tbl.toLowerCase)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        T(s, dir, "customer").write.mode("overwrite").saveAsTable(tbl)
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+        s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS c_custkey")
+        cboReady += sfx
+      }
+    }
     val prevCbo = s.conf.get("spark.sql.cbo.enabled")
     val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16KB")
-      val dim = s.table("cbo_customer").where(col("c_custkey") <= 150)
+      val dim = s.table(tbl).where(col("c_custkey") <= 150)
       val df = T(s, dir, "orders")
         .join(dim, col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")

@@ -204,8 +204,25 @@ object DedupOps {
     * silently-wrong clustering. */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, maxIter: Int = 25,
+      driverEdgeLimit: Long = 2000000L): DataFrame =
+    connectedComponents(
+      minhashCandidatePairs(df, idCol, textCol, bands, shingleN),
+      maxIter, driverEdgeLimit)
+
+  /** Rounds the last distributed connectedComponents call took to
+    * converge (dev instrumentation for scale benchmarking; -1 = the
+    * driver union-find path answered). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
+  /** Connected components over an undirected edge list (`id_a`, `id_b`):
+    * every vertex gets `cluster_id` = the minimum vertex id of its
+    * component. The hybrid strategy + scale notes are documented on
+    * dupClusters above; exposed separately so any candidate graph —
+    * LSH buckets, embedding blocking, entity-resolution match pairs —
+    * can be clustered without re-deriving the machinery. */
+  def connectedComponents(pairRelation: DataFrame, maxIter: Int = 25,
       driverEdgeLimit: Long = 2000000L): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, bands, shingleN)
+    val pairs = pairRelation
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hybrid strategy: the candidate graph holds ONLY near-dup members, so
     // it is orders of magnitude smaller than the corpus. Below the limit,
@@ -216,8 +233,9 @@ object DedupOps {
     // collecting generic Rows whose per-object overhead is several times
     // the payload.
     if (pairs.count() <= driverEdgeLimit) {
-      val spark = df.sparkSession
+      val spark = pairs.sparkSession
       import spark.implicits._
+      lastCcRounds = -1
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -283,6 +301,7 @@ object DedupOps {
     pairs.unpersist()
     require(curSum == prevSum,
       s"label propagation did not converge within $maxIter rounds")
+    lastCcRounds = iter
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
