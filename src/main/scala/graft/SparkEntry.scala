@@ -1849,6 +1849,71 @@ object SparkEntry {
       .orderBy("col_name")
   }
 
+  // ====================================================================
+  // Round-6 additions: training-data hygiene (decontamination, repetition
+  // quality signals, domain mixing).
+  // ====================================================================
+
+  /** Benchmark decontamination: training docs sharing any 4-gram with the
+    * held-out benchmark slice (doc_id % 97 == 0 stands in for an eval
+    * set; 4 because the synthetic 10-100-token docs only collide at short
+    * n — a real pipeline over web text uses 8-13). contaminationHits
+    * broadcasts the benchmark shingles; output = contaminated doc ids
+    * with distinct-shingle hit counts — the removal list a pretraining
+    * pipeline feeds to a left_anti. */
+  private def e10Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    DedupOps.contaminationHits(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", shingleN = 4)
+      .select(col("id").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: per-doc duplicate-bigram fraction
+    * and top-bigram fraction, in exact integer micro-units (counts are
+    * integers, so the fractions are the same integers on any engine).
+    * One narrow explode + two keyed aggregations — the scan-local shape
+    * of every quality gate in the cleaning pipeline. */
+  private def e4Repetition(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        explode(TF.shinglesFromTokens(col("__t"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"), max("cnt").as("max_cnt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(n_bigrams - n_distinct) * 1000000 div n_bigrams")
+          .as("dup_frac_micro"),
+        expr("max_cnt * 1000000 div n_bigrams").as("top_frac_micro"))
+      .orderBy("doc_id")
+
+  /** Domain mixing: resample every source toward an equal target share,
+    * with rates COMPUTED from the data (count aggregate → exact integer
+    * rate_micro per source, capped at 1e6) instead of hand-configured —
+    * the self-tuning sibling of e10_sample_strata. Selection is the same
+    * deterministic md5 bucket, so the sample is reproducible under any
+    * partitioning; the 20-row rate relation broadcasts. */
+  private def e10MixDomains(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val rates = counts
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy()))
+      .select(col("source"),
+        least(lit(1000000L), expr("(total div n_src) * 1000000 div n"))
+          .as("rate_micro"))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    docs.join(broadcast(rates), "source")
+      .where(bucket < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("rate_micro"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 ranking for a fixed term query (k1=1.2, b=0.75) with Lucene's
     * idf ARGUMENT kept rational — no log(): transcendental libm calls
     * differ in the last ulp across engines, rational double arithmetic
@@ -2019,7 +2084,10 @@ object SparkEntry {
     "e1_scd2" -> (e1Scd2 _),
     "e10_profile" -> (e10Profile _),
     "e4_bm25" -> (e4Bm25 _),
-    "e4_inverted_index" -> (e4InvIndex _)
+    "e4_inverted_index" -> (e4InvIndex _),
+    "e10_decontaminate" -> (e10Decontaminate _),
+    "e4_repetition" -> (e4Repetition _),
+    "e10_mix_domains" -> (e10MixDomains _)
   )
 
   // ====================================================================
@@ -2974,7 +3042,30 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM t)
         |SELECT token, CAST(count(*) AS BIGINT) AS df,
         |  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',') AS postings
-        |FROM r GROUP BY token ORDER BY token""".stripMargin
+        |FROM r GROUP BY token ORDER BY token""".stripMargin,
+    "e10_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(4)}) AS sl FROM documents),
+        |e AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |b AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM e JOIN b USING (s) WHERE e.doc_id % 97 <> 0
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "e4_repetition" ->
+      s"""WITH sh AS (SELECT doc_id, ${sqlShingles(2)} AS sl FROM documents),
+        |e AS (SELECT doc_id, unnest(sl) AS bg FROM sh),
+        |c AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST((SUM(cnt) - count(*)) * 1000000 // SUM(cnt) AS BIGINT) AS dup_frac_micro,
+        |  CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top_frac_micro
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e10_mix_domains" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_src FROM c),
+        |r AS (SELECT source, least(1000000, (total // n_src) * 1000000 // n) AS rate_micro FROM c, t)
+        |SELECT d.doc_id, d.source, CAST(r.rate_micro AS BIGINT) AS rate_micro
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < r.rate_micro
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
 

@@ -305,6 +305,26 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Benchmark decontamination — the training-data hygiene stage that
+    * removes eval-set leakage before pretraining: a training document is
+    * contaminated if it shares any word-`shingleN`-gram with the
+    * benchmark corpus. Returns (id, n_hits) for contaminated docs only:
+    * n_hits = how many of the doc's DISTINCT shingles appear anywhere in
+    * the benchmark set (docShingles is distinct-per-doc by construction).
+    *
+    * Scale shape: benchmark sets are tiny next to the training corpus,
+    * so the distinct benchmark-shingle relation broadcasts and the train
+    * side never shuffles — cost is one scan of the training text plus a
+    * broadcast semi-join, the only shape that survives 100 TB of train
+    * against a few MB of eval. */
+  def contaminationHits(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 8): DataFrame =
+    docShingles(train, idCol, textCol, shingleN)
+      .join(docShingles(bench, idCol, textCol, shingleN)
+        .select(col("s")).distinct(),
+        Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+
   /** Embedding-cosine near-dup: pairs within the same blocking key whose
     * cosine ≥ threshold. Blocking (e.g. a cluster label or LSH sign bucket)
     * bounds the pair blow-up; cosine is an exact sequential double fold. */

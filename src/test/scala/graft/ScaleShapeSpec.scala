@@ -300,6 +300,20 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingles; train side never shuffles them") {
+    import graft.operators.DedupOps
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val hits = DedupOps.contaminationHits(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0), "doc_id", "text", shingleN = 8)
+    val plan = hits.queryExecution.sparkPlan.toString
+    // the eval-set side must be the broadcast build of a semi join — the
+    // only shape that survives 100 TB of train against MBs of benchmark
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+    assert(hits.count() >= 0) // executes
+  }
+
   test("norm16 stays in [0,65535] for 64-bit key spans (no Long overflow)") {
     import graft.operators.LayoutOps
     // span >= 2^47 used to overflow (x-min)*65535; divide-first path now
