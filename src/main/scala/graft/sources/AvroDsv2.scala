@@ -64,20 +64,37 @@ final class AvroTable(schema: StructType, path: String)
 }
 
 final class AvroScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = AvroScan(required, path)
+  /** Supported comparisons are evaluated on the decoded datum BEFORE the
+    * InternalRow is built (skips row materialization for misses — the
+    * scan-time saving a row format can offer; I/O-level skipping needs
+    * column stats Avro doesn't carry). EVERY filter is also returned as
+    * residual, so Spark re-applies them and a partially-evaluated
+    * conjunction can never drop or leak rows. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(AvroDsv2.evaluable)
+    filters // all residual: Spark keeps correctness, we keep the fast skip
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+  override def build(): Scan = AvroScan(required, path, pushed.toSeq)
 }
 
-final case class AvroScan(required: StructType, path: String)
+final case class AvroScan(required: StructType, path: String,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro $path ReadSchema: ${required.catalogString}"
+    s"graft-avro $path ReadSchema: ${required.catalogString}" +
+      s" PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -95,7 +112,7 @@ final case class AvroScan(required: StructType, path: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroPartitionReaderFactory(required,
+    new AvroPartitionReaderFactory(required, pushed,
       org.apache.spark.sql.graft.Bridge.serializableHadoopConf(
         SparkSession.active))
 }
@@ -104,16 +121,18 @@ final case class AvroInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 final class AvroPartitionReaderFactory(required: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
     confGet: () => Configuration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ap = p.asInstanceOf[AvroInputPartition]
-    new AvroPartitionReader(ap, required, confGet())
+    new AvroPartitionReader(ap, required, pushed, confGet())
   }
 }
 
 final class AvroPartitionReader(part: AvroInputPartition,
-    required: StructType, conf: Configuration)
+    required: StructType, pushed: Seq[org.apache.spark.sql.sources.Filter],
+    conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val datumReader = new GenericDatumReader[GenericRecord]()
@@ -142,13 +161,26 @@ final class AvroPartitionReader(part: AvroInputPartition,
   private val names = required.fields.map(_.name)
   private val types = required.fields.map(_.dataType)
 
+  private val filterFns: Array[GenericRecord => Boolean] =
+    pushed.toArray.map(AvroDsv2.compileFilter(_, projection, required))
+
   private var rec: GenericRecord = null
 
-  override def next(): Boolean =
-    if (reader.hasNext && !reader.pastSync(part.end)) {
+  override def next(): Boolean = {
+    while (reader.hasNext && !reader.pastSync(part.end)) {
       rec = reader.next(rec) // record reuse; converted before the next step
-      true
-    } else false
+      // pushed-filter skip: a record that definitively fails any pushed
+      // predicate never becomes an InternalRow (Spark re-applies the same
+      // filters post-scan, so an undecidable predicate just passes through)
+      var i = 0
+      var keep = true
+      while (keep && i < filterFns.length) {
+        keep = filterFns(i)(rec); i += 1
+      }
+      if (keep) return true
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     val row = new GenericInternalRow(positions.length)
@@ -221,5 +253,73 @@ object AvroDsv2 {
     case null           => null
     case s: String      => UTF8String.fromString(s)
     case other          => other // primitives and byte arrays pass through
+  }
+
+  import org.apache.spark.sql.sources._
+
+  /** Filters the reader can evaluate on a decoded datum. */
+  private[sources] def evaluable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual
+       | _: LessThan | _: LessThanOrEqual | _: In
+       | _: IsNull | _: IsNotNull => true
+    case _ => false
+  }
+
+  /** Exact comparison where types allow; None = undecidable (the record
+    * is then KEPT — Spark's residual copy of the filter decides). Longs
+    * compare as longs: a double roundtrip would merge values past 2^53
+    * and wrongly skip rows. */
+  private def tryCmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (a: java.lang.Long, b: java.lang.Long) =>
+      Some(java.lang.Long.compare(a, b))
+    case (a: java.lang.Long, b: java.lang.Integer) =>
+      Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: java.lang.Integer, b: java.lang.Long) =>
+      Some(java.lang.Long.compare(a.longValue(), b))
+    case (a: java.lang.Integer, b: java.lang.Integer) =>
+      Some(java.lang.Integer.compare(a, b))
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  /** Compile one pushed filter to a datum predicate: false = definitely
+    * fails (skip the record), true = passes or undecidable. SQL null
+    * semantics: a null field fails every comparison. */
+  private[sources] def compileFilter(f: Filter, projection: Schema,
+      required: StructType): GenericRecord => Boolean = {
+    def getter(attr: String): GenericRecord => Any = {
+      val pos = Option(projection.getField(attr)).map(_.pos()).getOrElse(-1)
+      val idx = required.fieldNames.indexOf(attr)
+      val dt = if (idx >= 0) required(idx).dataType else StringType
+      if (pos < 0) _ => null
+      else rec => AvroSource.convertValue(rec.get(pos), attr, dt)
+    }
+    def cmpPred(attr: String, v: Any)(op: Int => Boolean)
+        : GenericRecord => Boolean = {
+      val g = getter(attr)
+      rec => {
+        val x = g(rec)
+        if (x == null) false else tryCmp(x, v).forall(op)
+      }
+    }
+    f match {
+      case EqualTo(a, v)            => cmpPred(a, v)(_ == 0)
+      case GreaterThan(a, v)        => cmpPred(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpPred(a, v)(_ >= 0)
+      case LessThan(a, v)           => cmpPred(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => cmpPred(a, v)(_ <= 0)
+      case In(a, vs) =>
+        val g = getter(a)
+        rec => {
+          val x = g(rec)
+          x != null && vs.exists(v => tryCmp(x, v).forall(_ == 0))
+        }
+      case IsNull(a)    => val g = getter(a); rec => g(rec) == null
+      case IsNotNull(a) => val g = getter(a); rec => g(rec) != null
+      case _            => _ => true
+    }
   }
 }

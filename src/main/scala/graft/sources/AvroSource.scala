@@ -25,9 +25,11 @@ import scala.jdk.CollectionConverters._
   * out across tasks.
   *
   * Scale notes: no shuffle on either path; the write is task-local
-  * append, the read a splittable, pruning scan. Filters still evaluate
-  * post-scan (a row format carries no per-block column stats to skip
-  * I/O with — that remains parquet's edge).
+  * append, the read a splittable, pruning scan. Pushed comparison
+  * filters are evaluated on the decoded datum BEFORE row
+  * materialization (misses never become rows); I/O-level skipping
+  * still needs per-block column stats a row format doesn't carry —
+  * that remains parquet's edge.
   *
   * Reference parity: the importer reads columnar inputs generically
   * (cna/reader_parquet.go:25-60); Avro is the row-major container format

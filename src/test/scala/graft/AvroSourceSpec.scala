@@ -133,6 +133,33 @@ class AvroSourceSpec extends SparkSpec {
       == (0L until 500L).map(_ * 2).sum)
   }
 
+  test("pushed filters skip records before row materialization; results stay exact") {
+    import spark.implicits._
+    val df = spark.range(1000).select($"id",
+      org.apache.spark.sql.functions.when($"id" % 10 === 0, null)
+        .otherwise(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("t"), $"id")).as("tag"))
+    val path = tmp("graft_avro_filter")
+    AvroSource.write(df, path)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    val read = AvroSource.read(spark, path, schema)
+    val q = read.where($"id" >= 100 && $"id" < 200 && $"tag".isNotNull)
+    // the scan advertises the pushed predicates...
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedFilters") && desc.contains("GreaterThanOrEqual(id,100)"),
+      desc)
+    // ...and the result is exactly the residual-checked answer
+    assert(q.count() == 90)
+    assert(q.agg(org.apache.spark.sql.functions.min("id")).head.getLong(0) == 101)
+    // null-semantics: IsNull pushdown keeps exactly the null-tag rows
+    assert(read.where($"tag".isNull).count() == 100)
+  }
+
   test("one large container file splits into multiple sync-aligned slices") {
     import spark.implicits._
     val df = spark.range(200000).select($"id",
