@@ -1914,6 +1914,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup-shaped semantic dedup: deterministic Lloyd clusters as
+    * blocking keys, quantized-cosine pairs within each cluster. The
+    * clustering is the SAME fit the kmeans-IVF oracle retrains, so the
+    * whole pipeline — fit, assignment, pair cosines — hash-matches SQL.
+    * Threshold 0.40: the driver's embeddings are diffuse (no planted
+    * near-identical vectors), so this demonstrates the machinery on the
+    * natural within-cluster similarity tail. */
+  private def e2SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityOps.semanticDedupPairs(
+      T(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 8, thresholdMicro = 400000)
+      .orderBy("id_a", "id_b")
+
   /** BM25 ranking for a fixed term query (k1=1.2, b=0.75) with Lucene's
     * idf ARGUMENT kept rational — no log(): transcendental libm calls
     * differ in the last ulp across engines, rational double arithmetic
@@ -2087,7 +2100,8 @@ object SparkEntry {
     "e4_inverted_index" -> (e4InvIndex _),
     "e10_decontaminate" -> (e10Decontaminate _),
     "e4_repetition" -> (e4Repetition _),
-    "e10_mix_domains" -> (e10MixDomains _)
+    "e10_mix_domains" -> (e10MixDomains _),
+    "e2_semantic_dedup" -> (e2SemanticDedup _)
   )
 
   // ====================================================================
@@ -3065,7 +3079,40 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, CAST(r.rate_micro AS BIGINT) AS rate_micro
         |FROM documents d JOIN r USING (source)
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < r.rate_micro
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "e2_semantic_dedup" -> {
+      // identical Lloyd retrain as the e3_ann_ivf_kmeans oracle; the
+      // final stage pairs within cells instead of probing a query
+      def assignSql(pts: String, cen: String) =
+        s"""(SELECT vec_id, qe, cell FROM (
+           |  SELECT p.vec_id, p.qe, s.cell,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
+           |      s.cell) AS rn
+           |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
+      def aggSql(asn: String) =
+        s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
+           |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM pts),
+         |seeds AS (SELECT j AS cell, qe AS s, CAST(1 AS BIGINT) AS c
+         |  FROM (SELECT unnest(range(8)) AS j) js, nn JOIN rk ON rk.r = (j * nn.n) // 8),
+         |a1 AS ${assignSql("pts", "seeds")},
+         |c1 AS ${aggSql("a1")},
+         |a2 AS ${assignSql("pts", "c1")}
+         |SELECT * FROM (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  CAST(round(CAST(list_sum(list_transform(range(1,65), i -> x.qe[i]*y.qe[i])) AS DOUBLE) /
+         |    (sqrt(CAST(list_sum(list_transform(x.qe, v -> v*v)) AS DOUBLE)) *
+         |     sqrt(CAST(list_sum(list_transform(y.qe, v -> v*v)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |WHERE cos_micro >= 400000
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }
 

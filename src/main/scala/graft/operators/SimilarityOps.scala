@@ -112,8 +112,15 @@ object SimilarityOps {
     * scan. The id-rank seeding sorts a single column once; at 100 TB the
     * training input would be a bounded sample (fit-on-sample,
     * assign-everything — the standard IVF build), which this mirrors. */
-  def topKIvfLloydExact(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Long], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+  /** The deterministic two-pass Lloyd fit extracted from
+    * topKIvfLloydExact (same seeds, distances, tie-breaks — the DuckDB
+    * oracles retrain it identically): returns the cell assignment
+    * relation (`idCol`, `qe`, `cell`) and the aggregated codebook
+    * (cell, Σvec, count). Reused by semanticDedupPairs, where the
+    * trained cells serve as dedup blocking keys instead of probe
+    * targets. */
+  def lloydAssign(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): (DataFrame, Array[(Long, Array[Long], Long)]) = {
     import graft.functions.QuantizeVector
     import org.apache.spark.sql.expressions.Window
     val quant = df
@@ -161,7 +168,13 @@ object SimilarityOps {
 
     val c1 = recompute(assign(seeds))
     val c2 = recompute(assign(c1))
-    quant.unpersist(blocking = false) // final scan below re-reads the source
+    quant.unpersist(blocking = false) // downstream scans re-read the source
+    (assign(c1), c2)
+  }
+
+  def topKIvfLloydExact(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Long], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val (assigned, c2) = lloydAssign(df, idCol, vecCol, nlist)
 
     // probe choice on the collected codebook — same exact-integer d2, same
     // (d2, cell) order as the oracle SQL
@@ -173,7 +186,7 @@ object SimilarityOps {
     }.sortBy(identity).take(nprobe).map(_._2)
 
     val qv = vecLit(query)
-    assign(c1) // candidate membership comes from the SAME assignment c2 aggregated
+    assigned // candidate membership comes from the SAME assignment c2 aggregated
       .where(col("cell").isin(probed.toSeq: _*))
       .select(col(idCol),
         round(VF.dotLong(col("qe"), qv).cast("double") /
@@ -182,6 +195,45 @@ object SimilarityOps {
           .cast("long").as("cos_micro"))
       .orderBy(col("cos_micro").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Previous semanticDedupPairs call's persisted assignment (next-call
+    * release, same lifecycle as DedupOps.jaccardPrevCaches). */
+  private var semanticPrevCaches: Seq[DataFrame] = Nil
+
+  /** SemDeDup-shaped semantic deduplication: cluster the embedding space
+    * with the deterministic Lloyd fit, then compare pairs ONLY within a
+    * cluster — the trained cells are the blocking keys that keep the
+    * candidate set ~nlist× smaller than all-pairs while catching the
+    * near-duplicates that exact/MinHash text dedup misses (paraphrases,
+    * re-encodes). Output: (id_a < id_b, cos_micro) pairs with quantized
+    * cosine ≥ thresholdMicro — exact integer dots, so fully
+    * SQL-oracle-able including the retrained clustering.
+    *
+    * Scale shape: fit is two map-side-combined passes (fit-on-sample at
+    * 100 TB); the pair join shuffles once on `cell` and each cell's pair
+    * expansion is local. Skewed cells = dense embedding regions; cap
+    * them upstream (sample within cell) if a corpus degenerates. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, thresholdMicro: Long): DataFrame = {
+    val (assigned, _) = lloydAssign(df, idCol, vecCol, nlist)
+    val cells = assigned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      semanticPrevCaches.foreach(_.unpersist(blocking = false))
+      semanticPrevCaches = Seq(cells)
+    }
+    val a = cells.select(col("cell"), col(idCol).as("id_a"), col("qe").as("qa"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"), col("qe").as("qb"))
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_micro",
+        round(VF.dotLong(col("qa"), col("qb")).cast("double") /
+          (sqrt(VF.dotLong(col("qa"), col("qa")).cast("double")) *
+           sqrt(VF.dotLong(col("qb"), col("qb")).cast("double"))) * 1000000)
+          .cast("long"))
+      .where(col("cos_micro") >= thresholdMicro)
+      .select("id_a", "id_b", "cos_micro")
   }
 
   /** The nprobe cells nearest `query` under EXACT integer centroid math:
