@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.{QuantizeVector, VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent cell-partitioned ANN store lifecycle — the indexing
+  * pipeline a 100 TB vector corpus actually runs, as opposed to the
+  * fit-and-search-in-one-job registry queries:
+  *
+  *   - `build`: train the deterministic Lloyd quantizer
+  *     (SimilarityOps.lloydAssign), write vectors partitioned by cell
+  *     (`<path>/store/cell=N/`), and persist the codebook
+  *     (`<path>/codebook`) so later jobs need no retraining.
+  *   - `append`: assign NEW vectors with the STORED codebook (one narrow
+  *     projection — no retrain, no shuffle) and append to the cell
+  *     partitions; the standard IVF maintenance move (centroids drift
+  *     only when `build` runs again).
+  *   - `probe`: pick the nprobe nearest cells from the codebook on the
+  *     driver and rank ONLY those partition directories — the `.where`
+  *     on the partition column becomes PartitionFilters, so the scan
+  *     never opens the other cells' files (asserted in AnnStoreSpec).
+  *
+  * All math is the exact-integer centroid arithmetic of the oracled
+  * kmeans queries, so build→append→probe gives bit-stable results on
+  * any cluster layout. */
+object AnnStoreOps {
+
+  private def storeDir(path: String) = s"$path/store"
+  private def codebookDir(path: String) = s"$path/codebook"
+
+  /** Train on `df` and (over)write the whole store. */
+  def build(spark: SparkSession, path: String, df: DataFrame,
+      idCol: String, vecCol: String, nlist: Int): Unit = {
+    import spark.implicits._
+    val (assigned, c2) = SimilarityOps.lloydAssign(df, idCol, vecCol, nlist)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(storeDir(path))
+    c2.toSeq.map { case (cell, s, c) => (cell, s.toSeq, c) }
+      .toDF("cell", "s", "c")
+      .coalesce(1).write.mode("overwrite").parquet(codebookDir(path))
+  }
+
+  /** The stored codebook, driver-side (nlist rows by construction). */
+  def codebook(spark: SparkSession, path: String)
+      : Array[(Long, Array[Long], Long)] =
+    spark.read.parquet(codebookDir(path))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** Assign `df`'s vectors with the stored codebook and append them to
+    * their cell partitions. Narrow: quantize + one assignment projection
+    * + a partitioned append — no retraining, no shuffle. */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val quant = df.select(col(idCol),
+      QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    SimilarityOps.assignToCells(quant, idCol, codebook(spark, path))
+      .write.mode("append").partitionBy("cell").parquet(storeDir(path))
+  }
+
+  /** Top-k quantized cosine over the nprobe nearest cells only. */
+  def probe(spark: SparkSession, path: String, idCol: String,
+      query: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val cells = SimilarityOps.nearestCells(codebook(spark, path), query, nprobe)
+    val qv = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum.toDouble)
+    spark.read.parquet(storeDir(path))
+      .where(col("cell").isin(cells: _*)) // → PartitionFilters: cell pruning
+      .select(col(idCol),
+        round(VF.dotLong(col("qe"), qv).cast("double") /
+          (sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")) * lit(qn))
+          * 1000000).cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col(idCol))
+      .limit(k)
+  }
+}

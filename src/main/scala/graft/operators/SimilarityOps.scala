@@ -139,25 +139,8 @@ object SimilarityOps {
       .zipWithIndex
       .map { case (row, j) => (j.toLong, row.getSeq[Long](1).toArray, 1L) }
 
-    // one Lloyd assignment pass: nearest centroid as a pure projection —
-    // d2 array staged in its own projection so the interpreted HOFs aren't
-    // re-evaluated through the argmin's double reference
-    def assign(cents: Array[(Long, Array[Long], Long)]): DataFrame = {
-      val d2s = array(cents.map { case (_, sv, c) =>
-        aggregate(
-          zip_with(col("qe"), vecLit(sv.toSeq), (p, s) => {
-            val d = lit(c) * p - s; d * d
-          }),
-          lit(0L), (acc, x) => acc + x)
-          .cast("double") / lit((c * c).toDouble)
-      }: _*)
-      val cellIds = vecLit(cents.map(_._1).toSeq)
-      quant.select(col(idCol), col("qe"), d2s.as("d2s"))
-        .select(col(idCol), col("qe"),
-          element_at(cellIds,
-            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
-            .as("cell"))
-    }
+    def assign(cents: Array[(Long, Array[Long], Long)]): DataFrame =
+      assignToCells(quant, idCol, cents)
     def recompute(assigned: DataFrame): Array[(Long, Array[Long], Long)] =
       assigned.groupBy("cell")
         .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
@@ -172,22 +155,53 @@ object SimilarityOps {
     (assign(c1), c2)
   }
 
+  /** One Lloyd assignment pass over a quantized (`idCol`, qe) relation:
+    * nearest centroid as a pure projection — the d2 array is staged in
+    * its own projection so the interpreted HOFs aren't re-evaluated
+    * through the argmin's double reference. Centroids stay exact
+    * (Σvec, count) integer pairs; distance Σ(c·p−s)²/c² with one double
+    * division, ties to the lower cell id (oracle-identical). */
+  def assignToCells(quant: DataFrame, idCol: String,
+      cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val d2s = array(cents.map { case (_, sv, c) =>
+      aggregate(
+        zip_with(col("qe"), vecLit(sv.toSeq), (p, s) => {
+          val d = lit(c) * p - s; d * d
+        }),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit((c * c).toDouble)
+    }: _*)
+    val cellIds = vecLit(cents.map(_._1).toSeq)
+    quant.select(col(idCol), col("qe"), d2s.as("d2s"))
+      .select(col(idCol), col("qe"),
+        element_at(cellIds,
+          array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+          .as("cell"))
+  }
+
+  /** The `nprobe` codebook cells nearest `query` — driver math over the
+    * nlist-row codebook, same exact-integer d2 and (d2, cell) order as
+    * the assignment pass. */
+  def nearestCells(cents: Array[(Long, Array[Long], Long)],
+      query: Seq[Long], nprobe: Int): Seq[Long] =
+    cents.map { case (cell, sv, c) =>
+      var d2 = 0L
+      var i = 0
+      while (i < sv.length) { val d = c * query(i) - sv(i); d2 += d * d; i += 1 }
+      (d2.toDouble / (c * c).toDouble, cell)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
   def topKIvfLloydExact(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Long], k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val (assigned, c2) = lloydAssign(df, idCol, vecCol, nlist)
 
     // probe choice on the collected codebook — same exact-integer d2, same
     // (d2, cell) order as the oracle SQL
-    val probed = c2.map { case (cell, sv, c) =>
-      var d2 = 0L
-      var i = 0
-      while (i < sv.length) { val d = c * query(i) - sv(i); d2 += d * d; i += 1 }
-      (d2.toDouble / (c * c).toDouble, cell)
-    }.sortBy(identity).take(nprobe).map(_._2)
+    val probed = nearestCells(c2, query, nprobe)
 
     val qv = vecLit(query)
     assigned // candidate membership comes from the SAME assignment c2 aggregated
-      .where(col("cell").isin(probed.toSeq: _*))
+      .where(col("cell").isin(probed: _*))
       .select(col(idCol),
         round(VF.dotLong(col("qe"), qv).cast("double") /
           (sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")) *
