@@ -60,6 +60,21 @@ object AnnStoreOps {
       .write.mode("append").partitionBy("cell").parquet(storeDir(path))
   }
 
+  /** Streaming ingestion into the store: every micro-batch of vectors is
+    * assigned with the stored codebook and appended to its cell
+    * partitions (StreamingOps.runForeachBatch — foreachBatch is the
+    * standard escape hatch for sinks with no native streaming writer).
+    * With a checkpoint, replayed batches re-append — pair with a
+    * batchId-stamped id column or the exact-dedup pass for exactly-once
+    * ingest, same as the ClickHouse loading pattern. Drains currently
+    * available input. */
+  def appendStream(spark: SparkSession, path: String, stream: DataFrame,
+      idCol: String, vecCol: String, checkpoint: Option[String] = None): Unit =
+    graft.streaming.StreamingOps.runForeachBatch(stream,
+      org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
+      (batch, _) => append(spark, path, batch, idCol, vecCol)
+    }
+
   /** Top-k quantized cosine over the nprobe nearest cells only. */
   def probe(spark: SparkSession, path: String, idCol: String,
       query: Seq[Long], k: Int, nprobe: Int): DataFrame = {

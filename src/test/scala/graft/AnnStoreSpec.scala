@@ -40,6 +40,36 @@ class AnnStoreSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("streaming micro-batches append through the stored codebook") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = tmp("graft_ann_stream")
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    AnnStoreOps.build(spark, path, emb, "vec_id", "embedding", nlist = 8)
+    val before = spark.read.parquet(s"$path/store").count()
+    // two micro-batches: clones of vec 0 under fresh ids
+    val v0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().select(col("value").as("vec_id"),
+      typedLit(v0).as("embedding"))
+    // shared checkpoint: the second run resumes at the committed offset
+    // instead of replaying the stream from scratch
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_ann_ckpt").toString)
+    mem.addData(1000001L)
+    AnnStoreOps.appendStream(spark, path, stream, "vec_id", "embedding", ckpt)
+    mem.addData(1000002L)
+    AnnStoreOps.appendStream(spark, path, stream, "vec_id", "embedding", ckpt)
+    assert(spark.read.parquet(s"$path/store").count() == before + 2)
+    val q = queryVec(sf("0.001"))
+    val top = AnnStoreOps.probe(spark, path, "vec_id", q, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.take(3).toSeq ==
+      Seq((0L, 1000000L), (1000001L, 1000000L), (1000002L, 1000000L)))
+  }
+
   test("append assigns with the stored codebook; probe finds the new vector") {
     val path = tmp("graft_ann_append")
     val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
