@@ -175,6 +175,59 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("MERGE == reference map semantics on random CDC batches") {
+    import graft.operators.MergeOps
+    val rowGen = for {
+      k <- Gen.choose(0L, 12L)
+      v <- Gen.choose(0L, 100L)
+    } yield (k, v)
+    val gen = for {
+      target <- Gen.listOfN(8, rowGen)
+      source <- Gen.listOfN(5, rowGen)
+      delMod <- Gen.choose(2L, 5L)
+    } yield (target.distinctBy(_._1), source.distinctBy(_._1), delMod)
+    check("merge", Prop.forAllNoShrink(gen) { case (tgt, src, delMod) =>
+      val out = MergeOps.merge(
+        tgt.toDF("k", "v"),
+        src.toDF("k", "v").withColumn("del", col("v") % delMod === 0),
+        Seq("k"), deleteWhen = Some(col("del")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: start from target map; matched+del drops, matched
+      // updates, unmatched-source inserts (unless its delete fires on a
+      // MATCHED row only — source-only rows always insert per SQL MERGE)
+      val tm = tgt.toMap
+      val expected = tm.keySet.union(src.map(_._1).toSet).flatMap { k =>
+        (tm.get(k), src.find(_._1 == k)) match {
+          case (Some(_), Some((_, sv))) =>
+            if (sv % delMod == 0) None else Some(k -> sv)
+          case (Some(tv), None) => Some(k -> tv)
+          case (None, Some((_, sv))) => Some(k -> sv)
+          case (None, None) => None
+        }
+      }
+      out == expected
+    })
+  }
+
+  test("norm16 is monotone and in-range across random span regimes") {
+    import graft.operators.LayoutOps
+    val gen = for {
+      min <- Gen.choose(Long.MinValue / 2, 1L << 40)
+      spanPow <- Gen.choose(4, 62)
+      nVals <- Gen.choose(2, 6)
+      fs <- Gen.listOfN(nVals, Gen.choose(0.0, 1.0))
+    } yield (min, spanPow, fs)
+    check("norm16", Prop.forAllNoShrink(gen) { case (min, spanPow, fs) =>
+      val span = 1L << spanPow
+      val max = if (min > Long.MaxValue - span) Long.MaxValue else min + span
+      val xs = fs.map(f => min + (span * f).toLong min max).sorted
+      val out = xs.toDF("x")
+        .select(LayoutOps.norm16(col("x"), min, max).as("n"))
+        .collect().map(_.getLong(0))
+      out.forall(n => n >= 0 && n <= 65535) && out.toSeq == out.sorted.toSeq
+    })
+  }
+
   test("union-all additivity: combine preserves row counts") {
     check("union", Prop.forAllNoShrink(
       Gen.choose(0, 50), Gen.choose(0, 50)) { (a, b) =>
