@@ -1914,6 +1914,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC canonicalization (codegen NormalizeNfc; oracle = DuckDB
+    * nfc_normalize): the driver corpus is ASCII, so a decomposed suffix
+    * (e+U+0301, i+U+0308) is injected per row — NFC must merge exactly
+    * those two combining marks, and the normalized text must match the
+    * oracle's byte-for-byte. */
+  private def e4Normalize(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"), lit(" cafe\u0301 nai\u0308ve")) // decomposed escapes
+    val nfc = graft.functions.TextExpressions.normalizeNfc(t)
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_raw"),
+        length(nfc).cast("long").as("n_nfc"),
+        substring(nfc, -12, 12).as("nfc_suffix"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-shaped semantic dedup: deterministic Lloyd clusters as
     * blocking keys, quantized-cosine pairs within each cluster. The
     * clustering is the SAME fit the kmeans-IVF oracle retrains, so the
@@ -2101,7 +2117,8 @@ object SparkEntry {
     "e10_decontaminate" -> (e10Decontaminate _),
     "e4_repetition" -> (e4Repetition _),
     "e10_mix_domains" -> (e10MixDomains _),
-    "e2_semantic_dedup" -> (e2SemanticDedup _)
+    "e2_semantic_dedup" -> (e2SemanticDedup _),
+    "e4_normalize" -> (e4Normalize _)
   )
 
   // ====================================================================
@@ -3112,7 +3129,16 @@ object SparkEntry {
          |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id)
          |WHERE cos_micro >= 400000
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+    "e4_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS s
+        |FROM documents)
+        |SELECT doc_id,
+        |CAST(length(s) AS BIGINT) AS n_raw,
+        |CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
+        |right(nfc_normalize(s), 12) AS nfc_suffix
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }
 

@@ -54,6 +54,47 @@ object TextExpressions {
   /** Winnowed rolling-hash fingerprints (see WinnowFingerprints). */
   def winnowFingerprints(s: Column, k: Int, window: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(s), k, window))
+
+  /** Unicode NFC normalization (see NormalizeNfc). */
+  def normalizeNfc(s: Column): Column =
+    Bridge.column(NormalizeNfc(Bridge.expression(s)))
+}
+
+/** Unicode NFC normalization — the canonicalization pass every text
+  * pipeline runs before tokenizing/hashing (decomposed e + U+0301 and
+  * precomposed é must dedup, fingerprint, and shingle identically).
+  * `Normalizer.isNormalized` fast-paths the overwhelmingly-ASCII/NFC
+  * common case to a scan with NO string rebuild, so the hot path stays
+  * allocation-free; only genuinely denormalized rows pay the rebuild.
+  * Codegen'd like the other expressions: one instance call from inside
+  * whole-stage codegen. Oracle twin: DuckDB's nfc_normalize. */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"input must be string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_nfc"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NormalizeNfc].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
 }
 
 /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,

@@ -338,6 +338,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(cmp.count() > 1000)
   }
 
+  test("NormalizeNfc merges combining marks; NFC input fast-paths untouched") {
+    import graft.functions.{NormalizeNfc, TextExpressions => TE}
+    import org.apache.spark.unsafe.types.UTF8String
+    // column form over real data + injected decomposed marks
+    val out = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(TE.normalizeNfc(
+        concat(col("text"), lit(" e\u0301"))).as("n"))
+      .collect()
+    assert(out.forall(_.getString(0).endsWith(" \u00e9"))) // precomposed é
+    // fast path: already-NFC input returns the SAME UTF8String instance
+    // (no rebuild — the property that keeps the ASCII hot path free)
+    val expr = NormalizeNfc(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(expr.compute(ascii) eq ascii)
+    val deco = UTF8String.fromString("e\u0301")
+    assert(expr.compute(deco).toString == "\u00e9")
+  }
+
   test("E3 similarity: self-query ranks itself first with cos=1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
