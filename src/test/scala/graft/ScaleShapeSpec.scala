@@ -314,6 +314,54 @@ class ScaleShapeSpec extends SparkSpec {
     assert(hits.count() >= 0) // executes
   }
 
+  test("CBO join reorder: statistics change the join tree of a 3-table query") {
+    // fact joins two dims; written order puts the MEDIUM dim first, but a
+    // filtered TINY dim (visible only through column stats) should join
+    // first once the cost-based reorderer prices the intermediate sizes
+    spark.range(200000)
+      .select(col("id").as("fk1"), (col("id") % 1000).as("fk2"),
+        md5(col("id").cast("string")).as("pad"))
+      .write.mode("overwrite").saveAsTable("cbo_fact")
+    spark.range(200000).select(col("id").as("k1"),
+        md5(col("id").cast("string")).as("p1"))
+      .write.mode("overwrite").saveAsTable("cbo_dim1")
+    spark.range(1000).select(col("id").as("k2"),
+        md5(col("id").cast("string")).as("p2"))
+      .write.mode("overwrite").saveAsTable("cbo_dim2")
+    Seq("cbo_fact", "cbo_dim1", "cbo_dim2").foreach { t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS " +
+        (if (t == "cbo_fact") "fk1, fk2" else if (t == "cbo_dim1") "k1" else "k2"))
+    }
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      def joinOrder(cbo: Boolean): Seq[String] = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+        val q = spark.table("cbo_fact")
+          .join(spark.table("cbo_dim1"), col("fk1") === col("k1"))
+          .join(spark.table("cbo_dim2").where(col("k2") < 10),
+            col("fk2") === col("k2"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        // order of base relations in the optimized tree
+        Seq("cbo_dim1", "cbo_dim2").sortBy(plan.indexOf)
+      }
+      val without = joinOrder(false)
+      val withCbo = joinOrder(true)
+      info(s"join order without stats: $without, with CBO: $withCbo")
+      // without stats: written order survives ((fact ⋈ dim1) ⋈ dim2) →
+      // dim1 prints first. With CBO: the reorderer prices the filtered
+      // dim2 intermediate as tiny and joins it FIRST, so the 200k-row
+      // dim1 join runs against the shrunk fact — dim2 prints first.
+      assert(without == Seq("cbo_dim1", "cbo_dim2"), without.toString)
+      assert(withCbo == Seq("cbo_dim2", "cbo_dim1"), withCbo.toString)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   test("norm16 stays in [0,65535] for 64-bit key spans (no Long overflow)") {
     import graft.operators.LayoutOps
     // span >= 2^47 used to overflow (x-min)*65535; divide-first path now
