@@ -73,6 +73,8 @@ object GraftFunctionRegistry {
       es => ZOrderLong(
         org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType))),
+    ("normalize_nfc", classOf[NormalizeNfc].getName,
+      es => NormalizeNfc(es(0))),
     // AggregateFunction builders: the analyzer wraps them in an
     // AggregateExpression like any built-in aggregate
     ("vector_sum_long", classOf[VectorSumLong].getName,

@@ -382,6 +382,10 @@ class ExtOpsSpec extends SparkSpec {
     val f = spark.sql(
       "SELECT dot_float(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT)))").head
     assert(f.getDouble(0) == 3.0)
+    // normalize_nfc from SQL: decomposed e+U+0301 (2 chars) → é (1 char)
+    val n = spark.sql(
+      "SELECT length(normalize_nfc('e\\u0301')) AS l, length('e\\u0301') AS r").head
+    assert(n.getInt(0) == 1 && n.getInt(1) == 2, n.toString)
   }
 
   test("custom dot expressions agree with interpreted fold") {
