@@ -170,11 +170,23 @@ object DedupOps {
         col("bs.sig").as("sig"))
     val pairs = candidatePairsFromSigs(sigs)
     val sizes = perDoc.select(col("id"), col("n"))
-    // |A∩B| per pair: expand pair × A-shingles, then semi-join "B also has
-    // this shingle" on (id_b, s) — never materializes A×B per pair.
-    val inter = pairs
+    // |A∩B| per pair: expand pair × A-shingles (a broadcast join against
+    // the cached shingle relation — candidate pairs are LSH-small), then
+    // count the expanded rows whose (id_b, s) also exists in B — with the
+    // EXPANDED side broadcast, so the multi-million-row shingle relation
+    // is probed in place instead of being reshuffled by (id_b, s), the
+    // single widest exchange of the old formulation. Never materializes
+    // A×B per pair. Scale bound: the broadcast is Σ|A| over candidate
+    // pairs (≈ candidates × shingles/doc); a corpus whose LSH stage
+    // yields candidate sets too big to broadcast should verify with the
+    // shuffle formulation instead — at that density the right fix is
+    // tighter banding, not a wider verify join.
+    val expanded = broadcast(pairs)
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")
-      .join(ds.withColumnRenamed("id", "id_b"), Seq("id_b", "s"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("s"))
+    val inter = ds
+      .select(col("id").as("id_b"), col("s"))
+      .join(broadcast(expanded), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -327,7 +339,15 @@ object DedupOps {
 
   /** Embedding-cosine near-dup: pairs within the same blocking key whose
     * cosine ≥ threshold. Blocking (e.g. a cluster label or LSH sign bucket)
-    * bounds the pair blow-up; cosine is an exact sequential double fold. */
+    * bounds the pair blow-up; cosine is an exact sequential double fold.
+    *
+    * Scale contract: within-block work is O(n²/blocks), so block
+    * CARDINALITY must grow with the corpus (measured: a fixed 10-label
+    * blocking gives ~9x pair work for 3x data, sf1→sf3). When the natural
+    * key is data-fixed, compose it with a scalable one — a simhash sign
+    * bucket of the vector (e3_ann_signbucket's key) or a trained Lloyd
+    * cell (semanticDedupPairs), both of which partition the space finer
+    * as nlist/bits grow. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, thresholdMicro: Long): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),

@@ -226,8 +226,11 @@ object SimilarityOps {
     *
     * Scale shape: fit is two map-side-combined passes (fit-on-sample at
     * 100 TB); the pair join shuffles once on `cell` and each cell's pair
-    * expansion is local. Skewed cells = dense embedding regions; cap
-    * them upstream (sample within cell) if a corpus degenerates. */
+    * expansion is local. Within-cell pair work is O(n²/nlist), so nlist
+    * must GROW with the corpus to hold cell sizes constant (measured:
+    * fixed nlist=8 gives 4.1x time for 3x data at sf1→sf3 — exactly the
+    * n²/nlist curve); skewed cells = dense embedding regions; cap them
+    * upstream (sample within cell) if a corpus degenerates. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, thresholdMicro: Long): DataFrame = {
     val (assigned, _) = lloydAssign(df, idCol, vecCol, nlist)
