@@ -1930,6 +1930,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The SCALABLE form of embedding near-dup blocking: the data-fixed
+    * 10-label key (e2_embed_neardup — O(n²/10) pair work, measured 15x
+    * for 3x data) composed with a 4-bit sign bucket of the vector, so
+    * block cardinality multiplies by 16 and GROWS with `bits` as the
+    * corpus grows — the knob the fixed-label key lacks. Same quantized
+    * cosine and threshold; the trade is recall across sign-bucket
+    * boundaries, standard for LSH blocking. */
+  private def e2EmbedNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "embeddings")
+      .select(col("vec_id"),
+        concat_ws("|", col("label").cast("string"),
+          VF.signBucket(col("embedding"), 4)).as("blk"),
+        qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("blk"), col("qe"),
+        sqrt(qdot(col("qe"), col("qe")).cast("double")).as("nrm"))
+    val a = base.select(col("blk"), col("vec_id").as("id_a"),
+      col("qe").as("qa"), col("nrm").as("na"))
+    val b = base.select(col("blk"), col("vec_id").as("id_b"),
+      col("qe").as("qb"), col("nrm").as("nb"))
+    a.join(b, "blk")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(qdot(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")) * 1000000).cast("long").as("cos_micro"))
+      .where(col("cos_micro") >= 300000)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SemDeDup-shaped semantic dedup: deterministic Lloyd clusters as
     * blocking keys, quantized-cosine pairs within each cluster. The
     * clustering is the SAME fit the kmeans-IVF oracle retrains, so the
@@ -2118,7 +2146,8 @@ object SparkEntry {
     "e4_repetition" -> (e4Repetition _),
     "e10_mix_domains" -> (e10MixDomains _),
     "e2_semantic_dedup" -> (e2SemanticDedup _),
-    "e4_normalize" -> (e4Normalize _)
+    "e4_normalize" -> (e4Normalize _),
+    "e2_embed_neardup_blocked" -> (e2EmbedNearDupBlocked _)
   )
 
   // ====================================================================
@@ -3138,7 +3167,21 @@ object SparkEntry {
         |CAST(length(s) AS BIGINT) AS n_raw,
         |CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
         |right(nfc_normalize(s), 12) AS nfc_suffix
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "e2_embed_neardup_blocked" ->
+      s"""WITH s AS (SELECT vec_id,
+        |  CAST(label AS VARCHAR) || '|' || array_to_string(list_transform(range(1, 5),
+        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk,
+        |  $sqlQvec AS qe FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qe AS qa, b.qe AS qb
+        |  FROM s a JOIN s b ON a.blk = b.blk AND a.vec_id < b.vec_id),
+        |c AS (SELECT id_a, id_b,
+        |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qb[i])) AS DOUBLE) /
+        |  (sqrt(CAST(list_sum(list_transform(qa, x -> x*x)) AS DOUBLE)) *
+        |   sqrt(CAST(list_sum(list_transform(qb, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+        |FROM p)
+        |SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 300000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
 
