@@ -62,13 +62,17 @@ object MergeOps {
       case Some(d) => joined.where(!(matched && d))
       case None    => joined
     }
+    // null keys are exempt: they can never MATCH (SQL equality), so
+    // multiple null-key source rows are independent inserts, not the
+    // multiple-match error
+    val sKeysNotNull = keys.map(k => col(s"__s.$k").isNotNull).reduce(_ && _)
     kept.select(outCols.zipWithIndex.map { case (c, i) =>
       // guard rides the first output column only: when the source has >1
       // row for a key, evaluating that row's output raises instead of
       // emitting fanned-out duplicates
       val srcVal =
         if (i == 0)
-          when(col("__s.__s_keycnt") > 1, raise_error(concat(
+          when(col("__s.__s_keycnt") > 1 && sKeysNotNull, raise_error(concat(
             lit("MERGE: multiple source rows for key ("),
             concat_ws(",", keys.map(k => col(s"__s.$k").cast("string")): _*),
             lit(")")))).otherwise(col(s"__s.$c"))
@@ -114,6 +118,13 @@ object MergeOps {
           keys, "left_semi")
         .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     val touched = (srcParts ++ tgtParts).distinct
+    // partition dirs are addressed as "$partCol=$value" at publish time;
+    // a null value writes to parquet's __HIVE_DEFAULT_PARTITION__ dir
+    // instead and would escape both pruning and cleanup — reject it here
+    // rather than corrupt silently
+    require(!touched.contains(null),
+      s"mergeWritePartitioned: null $partCol values are not supported " +
+        "(null partitions are not addressable for the per-partition swap)")
     val slice = spark.read.parquet(path)
       .where(col(partCol).isin(touched: _*))
     // localCheckpoint materializes the merge ONCE: both the audit's

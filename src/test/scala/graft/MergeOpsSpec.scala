@@ -31,6 +31,29 @@ class MergeOpsSpec extends SparkSpec {
     assert(ok.toSeq == Seq((1L, "x"), (2L, "b"), (3L, "z")))
   }
 
+  test("null source keys are independent inserts, never the multiple-match error") {
+    val target = Seq((Some(1L), "a")).toDF("k", "v")
+    // two null-key rows: SQL equality never matches them to anything, so
+    // both INSERT — the duplicate-key guard must not fire on them
+    val src = Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"),
+      (Some(2L), "z")).toDF("k", "v")
+    val out = MergeOps.merge(target, src, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).sorted.toSeq
+    assert(out == Seq((-1L, "x"), (-1L, "y"), (1L, "a"), (2L, "z")))
+  }
+
+  test("merge-write rejects null partition values instead of corrupting") {
+    val path = tmp("graft_merge_nullpart")
+    Seq((1L, "p1", 10L)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    val cdc = Seq((2L, Option.empty[String], 20L)).toDF("k", "part", "v")
+    val ex = intercept[IllegalArgumentException] {
+      MergeOps.mergeWritePartitioned(spark, path, cdc, Seq("k"), "part")
+    }
+    assert(ex.getMessage.contains("null part"))
+  }
+
   test("merge-write follows a key that migrates to another partition") {
     val path = tmp("graft_merge_migrate")
     Seq((1L, "p1", 10L), (2L, "p1", 20L), (3L, "p2", 30L), (4L, "p3", 40L))
