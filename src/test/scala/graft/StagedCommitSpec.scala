@@ -75,6 +75,25 @@ class StagedCommitSpec extends SparkSpec {
     assert(!StagedCommit.recover(spark, path), "second recover is a no-op")
   }
 
+  test("zOrderInPlace re-clusters under the same audit; content intact") {
+    import graft.operators.LayoutOps
+    val path = tmp("graft_wap_zorder")
+    spark.range(20000)
+      .select((col("id") % 200).as("a"), (col("id") / 200).as("b"))
+      .repartition(8).write.parquet(path)
+    val before = spark.read.parquet(path).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    LayoutOps.zOrderInPlace(spark, path, nFiles = 8,
+      "a", (0L, 199L), "b", (0L, 99L))
+    val after = spark.read.parquet(path).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(after == before, "multiset of rows must survive the rewrite")
+    // clustered: per-file span on `a` shrinks well under the full range
+    assert(LayoutOps.meanFileSpanFraction(spark, path, "a") < 0.6)
+    assert(!new java.io.File(StagedCommit.stagingDirFor(path)).exists())
+    assert(!new java.io.File(StagedCommit.trashDirFor(path)).exists())
+  }
+
   test("compactInPlace survives its own audit and keeps content") {
     import graft.operators.LayoutOps
     val path = tmp("graft_wap_compact")
