@@ -38,7 +38,14 @@ object MergeOps {
     * through the full-outer join. The guard is in-plan — a `count` window
     * over the source keys feeding a `raise_error` branch — so the
     * unique-key case pays no extra job, and the window's required
-    * key-partitioning is the same one the join needs. */
+    * key-partitioning is the same one the join needs. It is a FILTER
+    * condition, not an output column: a Project column is pruned the
+    * moment a consumer stops referencing it (`.select("v")`, `.count()`),
+    * silently disabling the error, while a Filter condition survives any
+    * downstream pruning. It also runs BEFORE the `deleteWhen` filter, so
+    * duplicate keys raise even when every duplicate row satisfies the
+    * delete condition — SQL MERGE errors on the second touch of a target
+    * row, DELETE included. */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       deleteWhen: Option[Column] = None): DataFrame = {
     val outCols = target.columns.toSeq
@@ -58,26 +65,26 @@ object MergeOps {
       col("__t.__t_present").isNotNull && col("__s.__s_present").isNotNull
     val srcOnly =
       col("__t.__t_present").isNull && col("__s.__s_present").isNotNull
-    val kept = deleteWhen match {
-      case Some(d) => joined.where(!(matched && d))
-      case None    => joined
-    }
     // null keys are exempt: they can never MATCH (SQL equality), so
     // multiple null-key source rows are independent inserts, not the
-    // multiple-match error
+    // multiple-match error. On a target-only row the whole __s side is
+    // null, so the condition falls through to `otherwise(true)` — the
+    // predicate never filters out null-extended rows, which also keeps
+    // EliminateOuterJoin from demoting the full outer join.
     val sKeysNotNull = keys.map(k => col(s"__s.$k").isNotNull).reduce(_ && _)
-    kept.select(outCols.zipWithIndex.map { case (c, i) =>
-      // guard rides the first output column only: when the source has >1
-      // row for a key, evaluating that row's output raises instead of
-      // emitting fanned-out duplicates
-      val srcVal =
-        if (i == 0)
-          when(col("__s.__s_keycnt") > 1 && sKeysNotNull, raise_error(concat(
-            lit("MERGE: multiple source rows for key ("),
-            concat_ws(",", keys.map(k => col(s"__s.$k").cast("string")): _*),
-            lit(")")))).otherwise(col(s"__s.$c"))
-        else col(s"__s.$c")
-      when(matched || srcOnly, srcVal).otherwise(col(s"__t.$c")).as(c)
+    val guarded = joined.where(
+      when(col("__s.__s_keycnt") > 1 && sKeysNotNull,
+        raise_error(concat(
+          lit("MERGE: multiple source rows for key ("),
+          concat_ws(",", keys.map(k => col(s"__s.$k").cast("string")): _*),
+          lit(")"))).cast("boolean"))
+        .otherwise(lit(true)))
+    val kept = deleteWhen match {
+      case Some(d) => guarded.where(!(matched && d))
+      case None    => guarded
+    }
+    kept.select(outCols.map { c =>
+      when(matched || srcOnly, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
     }: _*)
   }
 
