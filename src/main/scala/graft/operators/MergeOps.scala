@@ -125,8 +125,9 @@ object MergeOps {
           keys, "left_semi")
         .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     val touched = (srcParts ++ tgtParts).distinct
-    // partition dirs are addressed as "$partCol=$value" at publish time;
-    // a null value writes to parquet's __HIVE_DEFAULT_PARTITION__ dir
+    // partition dirs are addressed via Hive-escaped "$partCol=$value"
+    // names at publish time (StagedCommit.partDirName, matching Spark's
+    // writer); a null value writes to parquet's __HIVE_DEFAULT_PARTITION__ dir
     // instead and would escape both pruning and cleanup — reject it here
     // rather than corrupt silently
     require(!touched.contains(null),

@@ -10,27 +10,56 @@ import org.apache.spark.sql.SparkSession
   * path — a crash mid-write loses data, and a bad job publishes garbage
   * the moment the first file lands. Here every maintenance write goes:
   *
+  *   0. LEASE: create `<target>__lock` (create-fails-if-exists), so a
+  *      second concurrent maintenance writer fails FAST instead of
+  *      interleaving stage/publish renames with the first. The lease
+  *      narrows the multi-writer race to the lock filesystem's
+  *      create-exclusivity; it does not close it for writers that
+  *      bypass this class — the honest full fix is a table format with
+  *      a commit log, out of scope here. A crashed holder leaves the
+  *      lock behind; `recover` clears it (along with any staging dir),
+  *      which is the documented operator step after a writer death.
   *   1. WRITE to `<target>__staging` (the live table is never touched),
   *   2. AUDIT the staged result (parquet footers readable; row count
   *      equals the expected count — footer metadata, no data scan),
   *   3. PUBLISH by directory rename: `target` → `<target>__trash`,
-  *      staging → `target`, drop trash.
+  *      staging → `target`, drop trash. Partition-level publish swaps
+  *      each `partCol=v` dir through its own per-partition trash path
+  *      `<target>__trashparts/partCol=v` instead, so `recover` can tell
+  *      a half-swapped partition (twin missing under target → restore)
+  *      from the retired copy of an already-published one (twin present
+  *      → drop).
   *
-  * A crash in steps 1-2 leaves the live table byte-identical (the next
-  * attempt clears the stale staging dir). Step 3's rename pair is the
-  * narrow non-atomic window a filesystem without a metadata pointer
-  * cannot close — `recover` detects and heals it (trash present +
-  * target missing → restore). Single-writer batch semantics, same as
-  * the reference importer's whole-study rewrites; true multi-writer
-  * isolation needs a table format with a commit log, out of scope.
+  * A crash in steps 1-2 leaves the live table byte-identical (`recover`
+  * — or the next `stage` after a `recover` cleared the lease — clears
+  * the stale staging dir). Step 3's rename pair is the narrow
+  * non-atomic window a filesystem without a metadata pointer cannot
+  * close — `recover` detects and heals it for both the whole-directory
+  * and the per-partition protocol.
   *
-  * At 100 TB the protocol costs two metadata renames and one footer
-  * scan of the rewritten slice — nothing proportional to data size.
+  * At 100 TB the protocol costs a lock-file create, two metadata
+  * renames, and one footer scan of the rewritten slice — nothing
+  * proportional to data size.
   */
 object StagedCommit {
 
   def stagingDirFor(target: String): String = target + "__staging"
   def trashDirFor(target: String): String = target + "__trash"
+  /** Root for PER-PARTITION trash during publishPartitions — distinct
+    * from the whole-dir trash so recover() can tell "half-swapped
+    * partition" from "retired whole table awaiting deletion". */
+  def trashPartsDirFor(target: String): String = target + "__trashparts"
+  def lockFileFor(target: String): String = target + "__lock"
+
+  /** Hive-style partition directory name (`partCol=v` with %XX escapes
+    * for space, ':', '/', '%', … — exactly what Spark's writer emits),
+    * so publish addresses the same dir the staged write created instead
+    * of silently skipping it on special characters. */
+  def partDirName(partCol: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    ExternalCatalogUtils.escapePathName(partCol) + "=" +
+      ExternalCatalogUtils.escapePathName(String.valueOf(v))
+  }
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -40,27 +69,52 @@ object StagedCommit {
   final case class Staged(spark: SparkSession, target: String,
       stagedRows: Long)
 
-  /** Steps 1-2: run `write` against the staging dir, then audit it.
-    * `expectedRows < 0` skips the count equality (readability is still
-    * proven — the count reads every footer). Throws without touching
-    * the live table if the audit fails. */
-  def stage(spark: SparkSession, target: String, expectedRows: Long)(
-      write: String => Unit): Staged = {
-    val staging = stagingDirFor(target)
-    val (fs, sp) = fsFor(spark, staging)
-    if (fs.exists(sp)) fs.delete(sp, true) // a crashed predecessor's leavings
-    write(staging)
-    // footer-only count; an expected-empty write stages no footers at all
-    // (parquet emits only _SUCCESS), so there is nothing to read back
-    val rows =
-      if (expectedRows == 0) 0L
-      else spark.read.parquet(staging).count()
-    require(expectedRows < 0 || rows == expectedRows,
-      s"staged write audit failed for $target: $rows rows != expected $expectedRows — not publishing")
-    Staged(spark, target, rows)
+  /** Step 0: take the writer lease, or fail fast if another maintenance
+    * writer holds it. */
+  private def acquireLease(spark: SparkSession, target: String): Unit = {
+    val (fs, lock) = fsFor(spark, lockFileFor(target))
+    require(fs.createNewFile(lock),
+      s"another maintenance writer holds the lease on $target " +
+        s"(${lockFileFor(target)} exists); if its owner crashed, run " +
+        "StagedCommit.recover to clear it")
   }
 
-  /** Step 3: swap the audited staging dir into place. */
+  private def releaseLease(spark: SparkSession, target: String): Unit = {
+    val (fs, lock) = fsFor(spark, lockFileFor(target))
+    fs.delete(lock, false)
+  }
+
+  /** Steps 0-2: take the lease, run `write` against the staging dir,
+    * then audit it. `expectedRows < 0` skips the count equality
+    * (readability is still proven — the count reads every footer).
+    * Throws without touching the live table if the audit fails; a
+    * THROWN write/audit releases the lease (the live table was never
+    * touched, so there is nothing to recover), while a process crash
+    * leaves the lease for `recover` to clear. */
+  def stage(spark: SparkSession, target: String, expectedRows: Long)(
+      write: String => Unit): Staged = {
+    acquireLease(spark, target)
+    try {
+      val staging = stagingDirFor(target)
+      val (fs, sp) = fsFor(spark, staging)
+      if (fs.exists(sp)) fs.delete(sp, true) // a crashed predecessor's leavings
+      write(staging)
+      // footer-only count; an expected-empty write stages no footers at all
+      // (parquet emits only _SUCCESS), so there is nothing to read back
+      val rows =
+        if (expectedRows == 0) 0L
+        else spark.read.parquet(staging).count()
+      require(expectedRows < 0 || rows == expectedRows,
+        s"staged write audit failed for $target: $rows rows != expected $expectedRows — not publishing")
+      Staged(spark, target, rows)
+    } catch {
+      case e: Throwable => releaseLease(spark, target); throw e
+    }
+  }
+
+  /** Step 3: swap the audited staging dir into place and release the
+    * lease. A throw mid-swap KEEPS the lease — the table needs
+    * `recover` before anyone writes again. */
   def publish(s: Staged): Unit = {
     val (fs, target) = fsFor(s.spark, s.target)
     val staging = new Path(stagingDirFor(s.target))
@@ -70,6 +124,7 @@ object StagedCommit {
       require(fs.rename(target, trash), s"could not retire $target")
     require(fs.rename(staging, target), s"could not publish $staging")
     fs.delete(trash, true)
+    releaseLease(s.spark, s.target)
   }
 
   def writeAuditPublish(spark: SparkSession, target: String,
@@ -81,45 +136,93 @@ object StagedCommit {
 
   /** Partition-level publish for partition-pruned maintenance (merge):
     * for each touched partition value, swap `target/partCol=v` with the
-    * staged one, or DELETE it when the staging run emitted no rows for
-    * it (the partition was emptied); untouched partitions' files are
-    * never renamed. Partition values must render stably via toString
-    * (longs/strings — the engine's partition-key types). */
+    * staged one through the per-partition trash path
+    * `<target>__trashparts/partCol=v`, or DELETE it when the staging
+    * run emitted no rows for it (the partition was emptied); untouched
+    * partitions' files are never renamed. Partition dir names use
+    * Hive-style escaping (`partDirName`), matching Spark's writer.
+    *
+    * Before the staging dir is deleted, any partition directory it
+    * still contains is an error (staged data that `touched` never
+    * addressed — silent data loss otherwise), and a throw there keeps
+    * the lease so `recover` runs before the next writer. */
   def publishPartitions(s: Staged, partCol: String,
       touched: Seq[Any]): Unit = {
     val (fs, target) = fsFor(s.spark, s.target)
     val staging = new Path(stagingDirFor(s.target))
+    val trashRoot = new Path(trashPartsDirFor(s.target))
     touched.foreach { v =>
-      val name = s"$partCol=$v"
+      val name = partDirName(partCol, v)
       val src = new Path(staging, name)
       val dst = new Path(target, name)
-      val trash = new Path(trashDirFor(s.target))
-      if (fs.exists(trash)) fs.delete(trash, true)
+      val trash = new Path(trashRoot, name)
       if (fs.exists(src)) {
-        if (fs.exists(dst))
+        if (fs.exists(trash)) fs.delete(trash, true)
+        if (fs.exists(dst)) {
+          fs.mkdirs(trashRoot)
           require(fs.rename(dst, trash), s"could not retire $dst")
+        }
         require(fs.rename(src, dst), s"could not publish $src")
         fs.delete(trash, true)
       } else if (fs.exists(dst)) {
         fs.delete(dst, true) // merge emptied this partition
       }
     }
+    val leftover =
+      if (fs.exists(staging))
+        fs.listStatus(staging).map(_.getPath.getName)
+          .filter(_.startsWith(partCol + "=")).toSeq
+      else Nil
+    require(leftover.isEmpty,
+      s"staged partitions were never published (missing from `touched`): " +
+        s"${leftover.mkString(", ")} — not deleting staging")
     fs.delete(staging, true)
+    fs.delete(trashRoot, true)
+    releaseLease(s.spark, s.target)
   }
 
-  /** Heal a crash inside publish's swap window: the live dir is gone
-    * but its trash twin survives → restore it. Also drops any stale
-    * staging dir. Returns true if anything was repaired. */
+  /** Heal a crash anywhere in the protocol:
+    *   - whole-dir swap window (live dir gone, trash twin survives) →
+    *     restore the trash;
+    *   - per-partition swap window (`__trashparts/partCol=v` present,
+    *     twin missing under target) → restore that partition; a twin
+    *     that IS present means the swap completed and the trash copy is
+    *     the retired one → drop it;
+    *   - stale whole-dir trash next to a live target (crash after the
+    *     final rename, before the trash delete) → drop it;
+    *   - stale staging dir → drop it;
+    *   - a dead writer's lease → clear it.
+    * Returns true if anything was repaired. */
   def recover(spark: SparkSession, target: String): Boolean = {
     val (fs, tp) = fsFor(spark, target)
     val trash = new Path(trashDirFor(target))
     val staging = new Path(stagingDirFor(target))
+    val trashParts = new Path(trashPartsDirFor(target))
+    val lock = new Path(lockFileFor(target))
     var repaired = false
     if (!fs.exists(tp) && fs.exists(trash)) {
       require(fs.rename(trash, tp), s"could not restore $trash")
       repaired = true
+    } else if (fs.exists(trash)) {
+      // target exists: the whole-dir publish completed; trash is retired
+      fs.delete(trash, true); repaired = true
+    }
+    if (fs.exists(trashParts)) {
+      fs.listStatus(trashParts).foreach { st =>
+        val dst = new Path(tp, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          fs.mkdirs(tp)
+          require(fs.rename(st.getPath, dst),
+            s"could not restore ${st.getPath}")
+        } else {
+          fs.delete(st.getPath, true) // retired copy of a completed swap
+        }
+      }
+      fs.delete(trashParts, true)
+      repaired = true
     }
     if (fs.exists(staging)) { fs.delete(staging, true); repaired = true }
+    if (fs.exists(lock)) { fs.delete(lock, false); repaired = true }
     repaired
   }
 }

@@ -38,7 +38,16 @@ class StagedCommitSpec extends SparkSpec {
     }
     assert(fingerprint(path) == before, "live table must be untouched")
     assert(spark.read.parquet(path).count() == 100)
-    // the next attempt clears the stale staging dir and succeeds
+    // the dead writer's lease blocks the next attempt until recover()
+    val exLease = intercept[IllegalArgumentException] {
+      StagedCommit.stage(spark, path, 50) { st =>
+        spark.range(50).toDF("id").write.parquet(st)
+      }
+    }
+    assert(exLease.getMessage.contains("lease"))
+    assert(StagedCommit.recover(spark, path), "recover clears lock+staging")
+    assert(!new java.io.File(StagedCommit.lockFileFor(path)).exists())
+    // the next attempt after recover succeeds
     val rows = StagedCommit.writeAuditPublish(spark, path, 50) { st =>
       spark.range(50).select($"id", ($"id" % 5).as("m")).write.parquet(st)
     }
@@ -73,6 +82,117 @@ class StagedCommitSpec extends SparkSpec {
     assert(StagedCommit.recover(spark, path))
     assert(fingerprint(path) == before)
     assert(!StagedCommit.recover(spark, path), "second recover is a no-op")
+  }
+
+  test("a failed audit releases the lease (live table untouched, retry allowed)") {
+    val path = tmp("graft_wap_auditlease")
+    spark.range(10).toDF("id").write.parquet(path)
+    intercept[IllegalArgumentException] {
+      StagedCommit.writeAuditPublish(spark, path, expectedRows = 10) { st =>
+        spark.range(3).toDF("id").write.parquet(st)
+      }
+    }
+    assert(!new java.io.File(StagedCommit.lockFileFor(path)).exists(),
+      "a thrown stage must not leave the lease behind")
+    val rows = StagedCommit.writeAuditPublish(spark, path, 3) { st =>
+      spark.range(3).toDF("id").write.parquet(st)
+    }
+    assert(rows == 3)
+  }
+
+  test("two concurrent compactInPlace writers: exactly one publishes") {
+    import graft.operators.LayoutOps
+    val path = tmp("graft_wap_race")
+    spark.range(100000).select($"id", ($"id" * 3).as("v"))
+      .repartition(16).write.parquet(path)
+    val beforeRows = spark.read.parquet(path).count()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try {
+          LayoutOps.compactInPlace(spark, path, targetBytes = 1L << 30)
+          results.add(Right(()))
+        } catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (failed, ok) = results.asScala.toSeq.partition(_.isLeft)
+    assert(ok.size == 1 && failed.size == 1,
+      s"expected exactly one publisher, got ok=${ok.size} failed=$failed")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(failed.head.left.toOption.get).exists(_.contains("lease")),
+      s"loser must fail on the lease, got ${failed.head}")
+    assert(spark.read.parquet(path).count() == beforeRows)
+    assert(!new java.io.File(StagedCommit.lockFileFor(path)).exists())
+    assert(!new java.io.File(StagedCommit.stagingDirFor(path)).exists())
+    assert(!new java.io.File(StagedCommit.trashDirFor(path)).exists())
+  }
+
+  test("recover() heals a crash inside publishPartitions' swap window") {
+    val path = tmp("graft_wap_partwin")
+    spark.range(100).select($"id", ($"id" % 2).cast("string").as("part"))
+      .write.partitionBy("part").parquet(path)
+    val before = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: writer died after retiring part=1 to its per-partition
+    // trash but before publishing the staged replacement; staging and
+    // lock are still on disk
+    val trashParts = new org.apache.hadoop.fs.Path(
+      StagedCommit.trashPartsDirFor(path))
+    fs.mkdirs(trashParts)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path, "part=1"),
+      new org.apache.hadoop.fs.Path(trashParts, "part=1")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      StagedCommit.stagingDirFor(path) + "/part=1"))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(
+      StagedCommit.lockFileFor(path)))
+    assert(StagedCommit.recover(spark, path))
+    // the retired partition is back, staging/trash/lock are gone
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == before,
+      "half-swapped partition must be restored")
+    assert(!new java.io.File(StagedCommit.trashPartsDirFor(path)).exists())
+    assert(!new java.io.File(StagedCommit.stagingDirFor(path)).exists())
+    assert(!new java.io.File(StagedCommit.lockFileFor(path)).exists())
+  }
+
+  test("publishPartitions escapes Hive special characters in partition values") {
+    import graft.operators.MergeOps
+    val path = tmp("graft_wap_escape")
+    // values with space and colon: Spark writes part=a%20b%3Ac etc.
+    Seq((1L, "a b:c", 10L), (2L, "plain", 20L)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    val cdc = Seq((1L, "a b:c", 99L)).toDF("k", "part", "v")
+    MergeOps.mergeWritePartitioned(spark, path, cdc, Seq("k"), "part")
+    val back = spark.read.parquet(path).select("k", "part", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == Seq((1L, "a b:c", 99L), (2L, "plain", 20L)),
+      s"escaped partition must be swapped, got ${back.toSeq}")
+    assert(!new java.io.File(StagedCommit.stagingDirFor(path)).exists())
+  }
+
+  test("publishPartitions refuses to drop staged partitions missing from touched") {
+    val path = tmp("graft_wap_leftover")
+    spark.range(10).select($"id", ($"id" % 2).cast("string").as("part"))
+      .write.partitionBy("part").parquet(path)
+    val staged = StagedCommit.stage(spark, path, expectedRows = -1) { st =>
+      spark.range(10).select($"id", ($"id" % 2).cast("string").as("part"))
+        .write.partitionBy("part").parquet(st)
+    }
+    // touched names only part=0; the staged part=1 would be silently
+    // discarded without the leftover guard
+    val ex = intercept[IllegalArgumentException] {
+      StagedCommit.publishPartitions(staged, "part", Seq("0"))
+    }
+    assert(ex.getMessage.contains("never published"))
+    // staging kept for inspection; recover() rolls everything back
+    assert(new java.io.File(StagedCommit.stagingDirFor(path)).exists())
+    assert(StagedCommit.recover(spark, path))
+    assert(spark.read.parquet(path).count() == 10)
   }
 
   test("zOrderInPlace re-clusters under the same audit; content intact") {
