@@ -132,8 +132,21 @@ object DedupOps {
     * not accumulate dead multi-million-row caches in storage memory. */
   private var jaccardPrevCaches: Seq[DataFrame] = Nil
 
+  /** Which intersection formulation the last jaccardVerifiedPairs call
+    * planned (dev instrumentation; true = broadcast pair-expansion,
+    * false = shuffle fallback). */
+  @volatile private[graft] var lastJaccardUsedBroadcast: Boolean = true
+
+  /** `verifyBroadcastCapBytes`: ceiling for broadcasting the expanded
+    * candidate×A-shingle relation in the verify stage. The estimate is
+    * Σ|A| over candidate pairs (exact — one aggregate over the cached
+    * pair and size relations) × ~64 B/row; above the cap the verify
+    * switches IN-PLAN to the shuffle semi-join formulation instead of
+    * failing at the broadcast, so a pathologically dense LSH stage
+    * degrades to extra exchanges rather than a driver OOM. */
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
+      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000,
+      verifyBroadcastCapBytes: Long = 64L << 20): DataFrame = {
     // same overflow guard as minhashBandsFromShingles:60 — the inlined band
     // signature below uses the identical h1 + b*h2 combination
     require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
@@ -159,16 +172,19 @@ object DedupOps {
         (min(col("h1")).as("sig0") +: (1 until bands).map(b =>
           min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized {
-      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
-      jaccardPrevCaches = Seq(ds, perDoc)
-    }
     val sigs = perDoc
       .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
       .select(col("__id").as("id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
+    // pairs feed the size estimate AND the expansion join — persist so the
+    // bucket grouping over the cached signatures runs once
     val pairs = candidatePairsFromSigs(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
+      jaccardPrevCaches = Seq(ds, perDoc, pairs)
+    }
     val sizes = perDoc.select(col("id"), col("n"))
     // |A∩B| per pair: expand pair × A-shingles (a broadcast join against
     // the cached shingle relation — candidate pairs are LSH-small), then
@@ -177,16 +193,23 @@ object DedupOps {
     // is probed in place instead of being reshuffled by (id_b, s), the
     // single widest exchange of the old formulation. Never materializes
     // A×B per pair. Scale bound: the broadcast is Σ|A| over candidate
-    // pairs (≈ candidates × shingles/doc); a corpus whose LSH stage
-    // yields candidate sets too big to broadcast should verify with the
-    // shuffle formulation instead — at that density the right fix is
-    // tighter banding, not a wider verify join.
+    // pairs (≈ candidates × shingles/doc) — computed EXACTLY below and
+    // size-gated against `verifyBroadcastCapBytes`; past the cap the
+    // intersection falls back in-plan to the shuffle formulation (the
+    // (id_b, s) exchange returns, but the job completes instead of
+    // OOMing the driver). At that density the right fix remains tighter
+    // banding; the gate makes the degradation automatic, not fatal.
+    val expandedRows = pairs
+      .join(sizes.select(col("id").as("id_a"), col("n")), "id_a")
+      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    lastJaccardUsedBroadcast = expandedRows * 64L <= verifyBroadcastCapBytes
     val expanded = broadcast(pairs)
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")
       .select(col("id_a"), col("id_b"), col("s"))
-    val inter = ds
-      .select(col("id").as("id_b"), col("s"))
-      .join(broadcast(expanded), Seq("id_b", "s"))
+    val probe = ds.select(col("id").as("id_b"), col("s"))
+    val inter = (if (lastJaccardUsedBroadcast)
+        probe.join(broadcast(expanded), Seq("id_b", "s"))
+      else probe.join(expanded, Seq("id_b", "s")))
       .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")

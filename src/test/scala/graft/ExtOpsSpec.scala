@@ -39,6 +39,22 @@ class ExtOpsSpec extends SparkSpec {
     j.get((0L, 1L)).foreach(v => assert(v > 0 && v < 1000000L))
   }
 
+  test("E2 jaccard verify falls back to the shuffle formulation past the broadcast cap") {
+    val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    def run(cap: Long) = {
+      val rows = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
+        bands = 4, thresholdMicro = 200000, verifyBroadcastCapBytes = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (rows, DedupOps.lastJaccardUsedBroadcast)
+    }
+    val (viaBroadcast, usedB) = run(64L << 20)
+    val (viaShuffle, usedS) = run(1L) // 1-byte cap: every non-empty expansion exceeds it
+    assert(usedB, "default cap must keep the broadcast formulation")
+    assert(!usedS, "tiny cap must force the shuffle fallback")
+    assert(viaBroadcast.nonEmpty && viaShuffle == viaBroadcast,
+      s"fallback must produce identical pairs: ${viaShuffle.size} vs ${viaBroadcast.size}")
+  }
+
   test("E2 dup clusters: components get min-id labels, singletons absent") {
     // both strategies must agree: driver union-find (default) and the
     // distributed pointer-jumping loop (forced via driverEdgeLimit = 0)
