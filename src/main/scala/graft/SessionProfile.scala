@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's session profile — configs every owned session builder
+  * (Bench, Verify, cli.Main, tools, tests) applies on top of its own
+  * master/parallelism settings, so tuning decisions live in ONE place.
+  *
+  * `spark.sql.adaptive.autoBroadcastJoinThreshold = 64m`: the gate for
+  * RUNTIME-MEASURED broadcast conversion. Static planning keeps the
+  * conservative 10 MB default (estimates compound badly through joins),
+  * but once AQE has the true materialized size of a shuffle stage, a
+  * 64 MB build side is a safe broadcast on any executor profile this
+  * engine targets — and it is exactly the size-gate that lets
+  * mid-size derived relations (e.g. the jaccard verify stage's
+  * candidate×shingle expansion) broadcast when genuinely small and
+  * fall back to sort-merge in-plan when a dense corpus blows them up.
+  */
+object SessionProfile {
+  val configs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64m"
+  )
+
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+}

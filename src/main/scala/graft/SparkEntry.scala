@@ -886,16 +886,32 @@ object SparkEntry {
       bands = 4, shingleN = 3, thresholdMicro = 200000)
       .orderBy("id_a", "id_b")
 
+  /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
+    * registry form): the label key composed with a sign bucket whose
+    * width comes from `DedupOps.signBitsFor(n, n_labels, 32)` — an
+    * integer-only derivation the oracle recomputes from
+    * count(*)/count(DISTINCT label), so block count GROWS with the
+    * corpus and per-block pair work stays ~32·n/2 (linear). The
+    * fixed-width contrast lives in `e2_embed_neardup_blocked`; the
+    * label-only key (O(n²/10) — measured 15× time for 3× data) was
+    * retired from the registry. Norms precomputed per VECTOR (n of
+    * them), not per pair: same doubles as recomputing inside the pair —
+    * integer dots are exact. */
   private def e2EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    // norms precomputed per VECTOR (n of them), not per pair (n²/labels):
-    // same doubles as recomputing inside the pair — integer dots are exact.
+    val st = T(s, dir, "embeddings")
+      .agg(count(lit(1)), countDistinct(col("label"))).head
+    val bits = graft.operators.DedupOps.signBitsFor(
+      st.getLong(0), math.max(1L, st.getLong(1)), targetBlockRows = 32L)
     val e = T(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("qe"))
-      .select(col("vec_id"), col("label"), col("qe"),
+      .select(col("vec_id"),
+        concat_ws("|", col("label").cast("string"),
+          VF.signBucket(col("embedding"), bits)).as("blk"),
+        qvec(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("blk"), col("qe"),
         sqrt(qdot(col("qe"), col("qe")).cast("double")).as("nrm"))
-    val a = e.select(col("label").as("blk"), col("vec_id").as("id_a"),
+    val a = e.select(col("blk"), col("vec_id").as("id_a"),
       col("qe").as("qa"), col("nrm").as("na"))
-    val b = e.select(col("label").as("blk"), col("vec_id").as("id_b"),
+    val b = e.select(col("blk"), col("vec_id").as("id_b"),
       col("qe").as("qb"), col("nrm").as("nb"))
     a.join(b, "blk")
       .where(col("id_a") < col("id_b"))
@@ -1930,13 +1946,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** The SCALABLE form of embedding near-dup blocking: the data-fixed
-    * 10-label key (e2_embed_neardup — O(n²/10) pair work, measured 15x
-    * for 3x data) composed with a 4-bit sign bucket of the vector, so
-    * block cardinality multiplies by 16 and GROWS with `bits` as the
-    * corpus grows — the knob the fixed-label key lacks. Same quantized
-    * cosine and threshold; the trade is recall across sign-bucket
-    * boundaries, standard for LSH blocking. */
+  /** FIXED-WIDTH (4-bit) sign-bucket blocking — the documented contrast
+    * to `e2_embed_neardup`, whose bucket width is corpus-derived: at a
+    * pinned width the block count stops growing with the data and the
+    * per-block quadratic eventually returns (at 16× the block count of
+    * a bare label key, i.e. much later). Same quantized cosine and
+    * threshold; the trade is recall across sign-bucket boundaries,
+    * standard for LSH blocking. */
   private def e2EmbedNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -1962,13 +1978,16 @@ object SparkEntry {
     * blocking keys, quantized-cosine pairs within each cluster. The
     * clustering is the SAME fit the kmeans-IVF oracle retrains, so the
     * whole pipeline — fit, assignment, pair cosines — hash-matches SQL.
-    * Threshold 0.40: the driver's embeddings are diffuse (no planted
-    * near-identical vectors), so this demonstrates the machinery on the
-    * natural within-cluster similarity tail. */
+    * nlist is DERIVED from the corpus (`nlistFor`: n/64, clamped), so
+    * cell sizes — and with them the within-cell quadratic — hold
+    * constant as the corpus grows; the oracle recomputes the identical
+    * nlist from count(*). Threshold 0.40: the driver's embeddings are
+    * diffuse (no planted near-identical vectors), so this demonstrates
+    * the machinery on the natural within-cluster similarity tail. */
   private def e2SemanticDedup(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SimilarityOps.semanticDedupPairs(
+    graft.operators.SimilarityOps.semanticDedupPairsAuto(
       T(s, dir, "embeddings"), "vec_id", "embedding",
-      nlist = 8, thresholdMicro = 400000)
+      thresholdMicro = 400000, targetCellRows = 64L)
       .orderBy("id_a", "id_b")
 
   /** BM25 ranking for a fixed term query (k1=1.2, b=0.75) with Lucene's
@@ -2518,10 +2537,20 @@ object SparkEntry {
         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b)
         |SELECT id_a, id_b, jaccard_micro FROM j WHERE jaccard_micro >= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    // data-driven blocking: bits = smallest b with nlab·2^b·32 ≥ n —
+    // the same integer derivation as DedupOps.signBitsFor
     "e2_embed_neardup" ->
-      s"""WITH q AS (SELECT vec_id, label, $sqlQvec AS qe FROM embeddings),
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT label) AS BIGINT) AS nlab FROM embeddings),
+        |bb AS (SELECT MIN(b) AS bits FROM (SELECT unnest(range(17)) AS b) t, nn
+        |  WHERE nlab * (1::BIGINT << b) * 32 >= n),
+        |q AS (SELECT vec_id,
+        |  CAST(label AS VARCHAR) || '|' || array_to_string(list_transform(
+        |    range(1, 1 + (SELECT bits FROM bb)),
+        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk,
+        |  $sqlQvec AS qe FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qe AS qa, b.qe AS qb
-        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |  FROM q a JOIN q b ON a.blk = b.blk AND a.vec_id < b.vec_id),
         |c AS (SELECT id_a, id_b,
         |CAST(round(CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qb[i])) AS DOUBLE) /
         |  (sqrt(CAST(list_sum(list_transform(qa, x -> x*x)) AS DOUBLE)) *
@@ -3127,8 +3156,10 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < r.rate_micro
         |ORDER BY d.doc_id""".stripMargin,
     "e2_semantic_dedup" -> {
-      // identical Lloyd retrain as the e3_ann_ivf_kmeans oracle; the
-      // final stage pairs within cells instead of probing a query
+      // identical Lloyd retrain as the e3_ann_ivf_kmeans oracle, but with
+      // nlist derived from count(*) (SimilarityOps.nlistFor: n/64 clamped
+      // to [2,4096]); the final stage pairs within cells instead of
+      // probing a query
       def assignSql(pts: String, cen: String) =
         s"""(SELECT vec_id, qe, cell FROM (
            |  SELECT p.vec_id, p.qe, s.cell,
@@ -3144,9 +3175,11 @@ object SparkEntry {
            |  GROUP BY cell)""".stripMargin
       s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         |nl AS (SELECT CAST(GREATEST(2, LEAST(4096, n // 64)) AS BIGINT) AS k FROM nn),
          |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM pts),
          |seeds AS (SELECT j AS cell, qe AS s, CAST(1 AS BIGINT) AS c
-         |  FROM (SELECT unnest(range(8)) AS j) js, nn JOIN rk ON rk.r = (j * nn.n) // 8),
+         |  FROM (SELECT unnest(range((SELECT k FROM nl))) AS j) js, nn
+         |  JOIN rk ON rk.r = (j * nn.n) // (SELECT k FROM nl)),
          |a1 AS ${assignSql("pts", "seeds")},
          |c1 AS ${aggSql("a1")},
          |a2 AS ${assignSql("pts", "c1")}

@@ -22,7 +22,7 @@ object Main {
       sys.exit(2)
     }
     val mode = args(0)
-    val spark = SparkSession.builder()
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName(s"graft-$mode")
       .config("spark.sql.shuffle.partitions",

@@ -52,6 +52,7 @@ object VectorFunctions {
     * cosine distance: nearby vectors share sign patterns with high
     * probability. Used to restrict ANN search to one bucket. */
   def signBucket(a: Column, bits: Int): Column =
-    concat((1 to bits).map(i =>
+    if (bits <= 0) lit("") // 0-wide bucket: blocking degenerates to the base key
+    else concat((1 to bits).map(i =>
       when(element_at(a, i) >= 0f, "1").otherwise("0")): _*)
 }

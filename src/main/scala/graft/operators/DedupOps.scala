@@ -132,21 +132,27 @@ object DedupOps {
     * not accumulate dead multi-million-row caches in storage memory. */
   private var jaccardPrevCaches: Seq[DataFrame] = Nil
 
-  /** Which intersection formulation the last jaccardVerifiedPairs call
-    * planned (dev instrumentation; true = broadcast pair-expansion,
-    * false = shuffle fallback). */
-  @volatile private[graft] var lastJaccardUsedBroadcast: Boolean = true
-
-  /** `verifyBroadcastCapBytes`: ceiling for broadcasting the expanded
-    * candidate×A-shingle relation in the verify stage. The estimate is
-    * Σ|A| over candidate pairs (exact — one aggregate over the cached
-    * pair and size relations) × ~64 B/row; above the cap the verify
-    * switches IN-PLAN to the shuffle semi-join formulation instead of
-    * failing at the broadcast, so a pathologically dense LSH stage
-    * degrades to extra exchanges rather than a driver OOM. */
+  /** The broadcast of the expanded candidate×A-shingle relation in the
+    * verify stage is SIZE-GATED IN-PLAN: the intersection join carries
+    * no broadcast hint, so the decision is Spark's two-layered gate —
+    * the static planner's estimate-driven threshold (estimates here are
+    * grounded in exact cached-relation sizes), then, whenever the join
+    * was statically planned as a shuffle, AQE's re-check against the
+    * expansion's ACTUAL materialized size
+    * (`spark.sql.adaptive.autoBroadcastJoinThreshold`, raised to 64 MB
+    * by SessionProfile). Past the cap the join stays sort-merge — the
+    * shuffle formulation — so a pathologically dense LSH stage degrades
+    * to extra exchanges instead of a driver OOM, and a corpus dense
+    * enough to blow the expansion always carries the large estimates
+    * that keep the static layer from broadcasting it. Measured cost of
+    * automatic vs a hard-wired hint: ~1.4× on the good path when the
+    * runtime layer decides (the probe side's shuffle WRITE runs before
+    * the decision; the read stays local), 1× when the static layer
+    * already broadcast — against 2× for a driver-side estimate job (it
+    * evaluates the shingle pipeline once more) and a fatal failure mode
+    * for the unguarded hint. */
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000,
-      verifyBroadcastCapBytes: Long = 64L << 20): DataFrame = {
+      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
     // same overflow guard as minhashBandsFromShingles:60 — the inlined band
     // signature below uses the identical h1 + b*h2 combination
     require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
@@ -172,44 +178,35 @@ object DedupOps {
         (min(col("h1")).as("sig0") +: (1 until bands).map(b =>
           min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
+      jaccardPrevCaches = Seq(ds, perDoc)
+    }
     val sigs = perDoc
       .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
       .select(col("__id").as("id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
-    // pairs feed the size estimate AND the expansion join — persist so the
-    // bucket grouping over the cached signatures runs once
     val pairs = candidatePairsFromSigs(sigs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized {
-      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
-      jaccardPrevCaches = Seq(ds, perDoc, pairs)
-    }
     val sizes = perDoc.select(col("id"), col("n"))
     // |A∩B| per pair: expand pair × A-shingles (a broadcast join against
     // the cached shingle relation — candidate pairs are LSH-small), then
-    // count the expanded rows whose (id_b, s) also exists in B — with the
-    // EXPANDED side broadcast, so the multi-million-row shingle relation
-    // is probed in place instead of being reshuffled by (id_b, s), the
-    // single widest exchange of the old formulation. Never materializes
-    // A×B per pair. Scale bound: the broadcast is Σ|A| over candidate
-    // pairs (≈ candidates × shingles/doc) — computed EXACTLY below and
-    // size-gated against `verifyBroadcastCapBytes`; past the cap the
-    // intersection falls back in-plan to the shuffle formulation (the
-    // (id_b, s) exchange returns, but the job completes instead of
-    // OOMing the driver). At that density the right fix remains tighter
-    // banding; the gate makes the degradation automatic, not fatal.
-    val expandedRows = pairs
-      .join(sizes.select(col("id").as("id_a"), col("n")), "id_a")
-      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
-    lastJaccardUsedBroadcast = expandedRows * 64L <= verifyBroadcastCapBytes
+    // count the expanded rows whose (id_b, s) also exists in B. The
+    // expansion↔shingle join is deliberately UNHINTED: under AQE Spark
+    // measures the expansion's actual materialized size and broadcasts
+    // it only below the adaptive threshold, so the multi-million-row
+    // shingle relation is probed in place on a sane corpus (the widest
+    // exchange of the naive formulation never happens) while a dense
+    // LSH stage falls back to the sort-merge shuffle formulation
+    // in-plan. Never materializes A×B per pair. At fallback density the
+    // right fix remains tighter banding; the gate makes the degradation
+    // automatic, not fatal.
     val expanded = broadcast(pairs)
       .join(ds.withColumnRenamed("id", "id_a"), "id_a")
       .select(col("id_a"), col("id_b"), col("s"))
-    val probe = ds.select(col("id").as("id_b"), col("s"))
-    val inter = (if (lastJaccardUsedBroadcast)
-        probe.join(broadcast(expanded), Seq("id_b", "s"))
-      else probe.join(expanded, Seq("id_b", "s")))
+    val inter = ds
+      .select(col("id").as("id_b"), col("s"))
+      .join(expanded, Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count("*").as("n_common"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -366,11 +363,11 @@ object DedupOps {
     *
     * Scale contract: within-block work is O(n²/blocks), so block
     * CARDINALITY must grow with the corpus (measured: a fixed 10-label
-    * blocking gives ~9x pair work for 3x data, sf1→sf3). When the natural
-    * key is data-fixed, compose it with a scalable one — a simhash sign
-    * bucket of the vector (e3_ann_signbucket's key) or a trained Lloyd
-    * cell (semanticDedupPairs), both of which partition the space finer
-    * as nlist/bits grow. */
+    * blocking gives ~9x pair work for 3x data, sf1→sf3). This explicit-
+    * key form is the primitive — and the documented CONTRAST case: with
+    * a data-fixed key it is quadratic by construction. The scale-safe
+    * entry point is `embeddingNearDupsAuto`, which composes the key
+    * with a sign bucket whose width is DERIVED from the corpus size. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, thresholdMicro: Long): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
@@ -383,5 +380,36 @@ object DedupOps {
         round(VF.cosine(col("v_a"), col("v_b")) * 1000000).cast("long"))
       .where(col("cos_micro") >= thresholdMicro)
       .select("id_a", "id_b", "cos_micro")
+  }
+
+  /** Smallest b in [0, maxBits] with baseBlocks · 2^b · targetBlockRows
+    * ≥ n — the sign-bucket width that holds the EXPECTED block size at
+    * ~targetBlockRows as the corpus grows (so within-block pair work
+    * stays ~n·targetBlockRows/2, linear in n). Integer arithmetic only:
+    * any SQL oracle derives the identical value from count(*) and
+    * count(DISTINCT blockCol). */
+  def signBitsFor(n: Long, baseBlocks: Long, targetBlockRows: Long,
+      maxBits: Int = 16): Int =
+    (0 to maxBits).find(b =>
+      baseBlocks * (1L << b) * targetBlockRows >= n).getOrElse(maxBits)
+
+  /** Embedding near-dup with DATA-DRIVEN block cardinality: the natural
+    * key (`blockCol`) composed with a `signBitsFor`-wide hyperplane-sign
+    * bucket of the vector, so block count grows with the corpus and the
+    * per-block quadratic never materializes (the fix for the measured
+    * 15×-time-for-3×-data curve of the fixed-key form). Two cheap
+    * driver-side aggregates (count, distinct block count) pick the
+    * width; the trade is recall across sign-bucket boundaries, standard
+    * for LSH blocking. */
+  def embeddingNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, thresholdMicro: Long,
+      targetBlockRows: Long = 32L): DataFrame = {
+    val st = df.agg(count(lit(1)), countDistinct(col(blockCol))).head
+    val bits = signBitsFor(st.getLong(0), math.max(1L, st.getLong(1)),
+      targetBlockRows)
+    val keyed = df.withColumn("__blk",
+      concat_ws("|", col(blockCol).cast("string"),
+        VF.signBucket(col(vecCol), bits)))
+    embeddingNearDups(keyed, idCol, vecCol, "__blk", thresholdMicro)
   }
 }

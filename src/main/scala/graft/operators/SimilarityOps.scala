@@ -156,28 +156,17 @@ object SimilarityOps {
   }
 
   /** One Lloyd assignment pass over a quantized (`idCol`, qe) relation:
-    * nearest centroid as a pure projection — the d2 array is staged in
-    * its own projection so the interpreted HOFs aren't re-evaluated
-    * through the argmin's double reference. Centroids stay exact
-    * (Σvec, count) integer pairs; distance Σ(c·p−s)²/c² with one double
-    * division, ties to the lower cell id (oracle-identical). */
+    * nearest centroid as a pure projection via the codegen
+    * `NearestCellLong` expression — one tight O(nlist·dim) primitive
+    * loop per row, plan size independent of nlist (the former
+    * nlist-element HOF array collapsed under corpus-derived nlist).
+    * Centroids stay exact (Σvec, count) integer pairs; distance
+    * Σ(c·p−s)²/c² with one double division, ties to the lower cell id
+    * (bit-identical to the SQL-retrained oracles). */
   def assignToCells(quant: DataFrame, idCol: String,
-      cents: Array[(Long, Array[Long], Long)]): DataFrame = {
-    val d2s = array(cents.map { case (_, sv, c) =>
-      aggregate(
-        zip_with(col("qe"), vecLit(sv.toSeq), (p, s) => {
-          val d = lit(c) * p - s; d * d
-        }),
-        lit(0L), (acc, x) => acc + x)
-        .cast("double") / lit((c * c).toDouble)
-    }: _*)
-    val cellIds = vecLit(cents.map(_._1).toSeq)
-    quant.select(col(idCol), col("qe"), d2s.as("d2s"))
-      .select(col(idCol), col("qe"),
-        element_at(cellIds,
-          array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
-          .as("cell"))
-  }
+      cents: Array[(Long, Array[Long], Long)]): DataFrame =
+    quant.select(col(idCol), col("qe"),
+      graft.functions.NearestCellLong.nearestCell(col("qe"), cents).as("cell"))
 
   /** The `nprobe` codebook cells nearest `query` — driver math over the
     * nlist-row codebook, same exact-integer d2 and (d2, cell) order as
@@ -214,6 +203,23 @@ object SimilarityOps {
   /** Previous semanticDedupPairs call's persisted assignment (next-call
     * release, same lifecycle as DedupOps.jaccardPrevCaches). */
   private var semanticPrevCaches: Seq[DataFrame] = Nil
+
+  /** Data-driven cell count for Lloyd-blocked operators:
+    * nlist = clamp(n / targetCellRows, 2, 4096). Within-cell pair work
+    * is O(n²/nlist), so holding the TARGET CELL SIZE constant (rather
+    * than nlist) keeps pair work linear in n — the parameterization the
+    * fixed-nlist form lacks (measured: nlist=8 gave 4.7× time for 3×
+    * data). Integer arithmetic only, so any SQL oracle derives the
+    * identical value from count(*). */
+  def nlistFor(n: Long, targetCellRows: Long = 64L): Int =
+    math.max(2L, math.min(4096L, n / targetCellRows)).toInt
+
+  /** semanticDedupPairs with nlist DERIVED from the corpus size (one
+    * count job): the scale-safe default entry point. */
+  def semanticDedupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      thresholdMicro: Long, targetCellRows: Long = 64L): DataFrame =
+    semanticDedupPairs(df, idCol, vecCol,
+      nlistFor(df.count(), targetCellRows), thresholdMicro)
 
   /** SemDeDup-shaped semantic deduplication: cluster the embedding space
     * with the deterministic Lloyd fit, then compare pairs ONLY within a

@@ -52,7 +52,7 @@ object CcBench {
       if (args.nonEmpty) args.toSeq.map(_.toLong)
       else Seq(500000L, 1000000L, 2000000L, 4000000L, 8000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

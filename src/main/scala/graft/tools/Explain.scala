@@ -13,7 +13,7 @@ object Explain {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,10 +35,58 @@ object Explain {
         graft.operators.SimilarityOps
           .topKCosine(emb, "vec_id", "embedding", q, k = 10)
           .join(ivf, col("vec_id") === col("ivf_id"), "left_semi")
+      case "dev:jaccard_breakdown" =>
+        // stage-by-stage timing of the verify pipeline's cache builds
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[explain] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+        val ds = docs.select(col("doc_id").as("id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+          .select(col("id"), array_distinct(
+            graft.functions.TextFunctions.shinglesFromTokens(col("__toks"), 3)).as("__sh"))
+          .select(col("id"), explode_outer(col("__sh")).as("s"))
+          .where(col("s").isNotNull)
+          .repartition(col("id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("ds build")(ds.count())
+        val perDoc = ds
+          .select(col("id"), graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
+          .select(col("id"), col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n"),
+            (min(col("h1")).as("sig0") +: (1 until 4).map(b =>
+              min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("perDoc build")(perDoc.count())
+        val sigs = perDoc
+          .select(col("id").as("__id"), explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+          .select(col("__id").as("id"), col("bs.band").as("band"),
+            col("bs.sig").as("sig"))
+        val pairs = graft.operators.DedupOps.candidatePairsFromSigs(sigs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("pairs build")(pairs.count())
+        val sizes = perDoc.select(col("id"), col("n"))
+        time("estimate join")(pairs
+          .join(sizes.select(col("id").as("id_a"), col("n")), "id_a")
+          .agg(coalesce(sum("n"), lit(0L))).head.getLong(0))
+        time("full jaccardVerifiedPairs")(
+          graft.operators.DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text",
+            bands = 4, thresholdMicro = 200000).count())
+        spark.emptyDataFrame
       case "dev:minhash_bands" =>
         graft.operators.DedupOps.minhashBands(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 4)
-      case _ => SparkEntry.queries(name)(spark, sfDir)
+      case _ =>
+        val t0 = System.nanoTime()
+        val d = SparkEntry.queries(name)(spark, sfDir)
+        println(f"[explain] construction (incl. any driver-side actions): ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        d
     }
     df.explain("formatted")
     for (i <- 1 to 2) {

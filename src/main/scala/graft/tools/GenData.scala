@@ -34,7 +34,7 @@ object GenData {
     val sf = if (args.nonEmpty) args(0).toDouble else 1.0
     val outDir = if (args.length > 1) args(1) else s"testdata-sf$sf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

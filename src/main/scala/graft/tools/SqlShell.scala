@@ -12,7 +12,7 @@ object SqlShell {
   def main(args: Array[String]): Unit = {
     val sql = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

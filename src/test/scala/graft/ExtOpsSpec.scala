@@ -40,17 +40,39 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("E2 jaccard verify falls back to the shuffle formulation past the broadcast cap") {
+    // the verify-stage intersection join is unhinted: AQE broadcasts the
+    // candidate×shingle expansion only below the adaptive threshold (the
+    // size gate), so shrinking the threshold to 1 byte must flip the
+    // executed join to sort-merge while producing identical pairs
     val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
-    def run(cap: Long) = {
-      val rows = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
-        bands = 4, thresholdMicro = 200000, verifyBroadcastCapBytes = cap)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      (rows, DedupOps.lastJaccardUsedBroadcast)
+    // the gate is two-layered: the static planner's estimate-driven
+    // threshold, then AQE's exact-size re-check of statically-shuffled
+    // joins — pin both to steer it deterministically
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def run(cap: String) = {
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(k => spark.conf.set(k, cap))
+      try {
+        val df = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
+          bands = 4, thresholdMicro = 200000)
+        val rows = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // final (post-AQE) physical plan. The pairs-expansion join is
+        // hinted and always broadcast, so the gate's signal is whether
+        // any unhinted join was left at sort-merge: none under a roomy
+        // cap (everything at sf0.001 measures tiny), at least the
+        // expansion↔shingle intersection under a 1-byte cap.
+        val plan = df.queryExecution.executedPlan.toString
+        (rows, plan.contains("SortMergeJoin"))
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
-    val (viaBroadcast, usedB) = run(64L << 20)
-    val (viaShuffle, usedS) = run(1L) // 1-byte cap: every non-empty expansion exceeds it
-    assert(usedB, "default cap must keep the broadcast formulation")
-    assert(!usedS, "tiny cap must force the shuffle fallback")
+    val (viaBroadcast, smjB) = run("64m")
+    val (viaShuffle, smjS) = run("1b") // 1-byte cap: every non-empty expansion exceeds it
+    assert(!smjB, "roomy cap must keep the broadcast formulation everywhere")
+    assert(smjS, "tiny cap must force the sort-merge fallback")
     assert(viaBroadcast.nonEmpty && viaShuffle == viaBroadcast,
       s"fallback must produce identical pairs: ${viaShuffle.size} vs ${viaBroadcast.size}")
   }
