@@ -160,6 +160,29 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** ARRAY<FLOAT> through the Avro path: embeddings written as Avro
+    * container files (array<float> schema), read back via the pruning
+    * DSv2 table, then reduced with the exact-integer quantized norm so
+    * floats never hash. The embeddings-in-Avro lake is the 100 TB case
+    * the formerly flat-primitive-only Avro surface hit immediately;
+    * AvroSourceSpec asserts the read still prunes into the reader
+    * schema with array columns present. Oracle = the same reduction
+    * over the original parquet (round-trip identity). */
+  private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.AvroSource.write(
+      T(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        col("embedding")),
+      avroDir)
+    graft.sources.AvroSource.read(s, avroDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>")) // label pruned at the decoder
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        qdot(qvec(col("embedding")), qvec(col("embedding"))).as("qnorm2"))
+      .orderBy("vec_id")
+  }
+
   /** O5/O6/O7 driven through the driver gate: author a miniature datahub
     * tree, run discovery + meta parse + pairing, return the paired file
     * table. The oracle is the literal expected pairing. */
@@ -2146,6 +2169,7 @@ object SparkEntry {
     "o22_orc_roundtrip" -> (o22OrcRoundtrip _),
     "o23_xml_roundtrip" -> (o23XmlRoundtrip _),
     "o26_avro_roundtrip" -> (o26AvroRoundtrip _),
+    "o32_avro_array" -> (o32AvroArray _),
     "o27_compact" -> (o27Compact _),
     "o28_zorder" -> (o28ZOrder _),
     "o29_bloom_join" -> (o29BloomJoin _),
@@ -2971,6 +2995,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         |CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "o32_avro_array" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |CAST(list_sum(list_transform($sqlQvec, x -> x * x)) AS BIGINT) AS qnorm2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "o27_compact" ->
       """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "o28_zorder" ->

@@ -244,14 +244,22 @@ object AvroDsv2 {
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.BOOLEAN => (BooleanType, false)
     case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, elemNullable) = toSparkType(s.getElementType)
+      require(!et.isInstanceOf[ArrayType],
+        s"graft-avro supports array<primitive>, not nested arrays: $s")
+      (ArrayType(et, elemNullable), false)
     case other => throw new IllegalArgumentException(
-      s"graft-avro supports flat primitive fields only, got $other")
+      s"graft-avro supports primitive and array<primitive> fields only, got $other")
   }
 
   /** External value (AvroSource.convertValue output) → Catalyst value. */
   private[sources] def toCatalyst(v: Any): Any = v match {
     case null           => null
     case s: String      => UTF8String.fromString(s)
+    case l: java.util.List[_] => // array<primitive> field
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        l.asScala.map(toCatalyst).toArray)
     case other          => other // primitives and byte arrays pass through
   }
 

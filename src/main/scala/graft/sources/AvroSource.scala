@@ -37,26 +37,33 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSource {
 
-  /** Spark → Avro schema for the flat primitive subset the engine's
-    * oracle-stable outputs use (long/int/double/string/boolean/binary).
-    * Every field is a `[null, T]` union — Avro's idiom for nullable. */
+  /** Spark → Avro schema for the engine's column subset: flat primitives
+    * (long/int/double/float/string/boolean/binary) plus
+    * `ARRAY<primitive>` — embeddings-in-Avro is the training-data-lake
+    * case a 100 TB corpus hits immediately. Every nullable field (and
+    * nullable array element) is a `[null, T]` union — Avro's idiom. */
   def toAvroSchema(st: StructType, name: String = "GraftRecord"): Schema = {
+    def primitive(dt: DataType, where: String): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case other => throw new IllegalArgumentException(
+        s"AvroSource supports primitive and array<primitive> columns only, got $other for $where")
+    }
+    def nullable(s: Schema, isNullable: Boolean): Schema =
+      if (isNullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+      else s
     val fields = st.fields.map { f =>
       val base = f.dataType match {
-        case LongType    => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
-        case FloatType   => Schema.create(Schema.Type.FLOAT)
-        case StringType  => Schema.create(Schema.Type.STRING)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case dt => throw new IllegalArgumentException(
-          s"AvroSource supports flat primitive columns only, got $dt for ${f.name}")
+        case ArrayType(et, containsNull) =>
+          Schema.createArray(nullable(primitive(et, s"${f.name} element"), containsNull))
+        case dt => primitive(dt, f.name)
       }
-      val sch =
-        if (f.nullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
-        else base
-      new Schema.Field(f.name, sch, null, null)
+      new Schema.Field(f.name, nullable(base, f.nullable), null, null)
     }
     Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
   }
@@ -77,15 +84,17 @@ object AvroSource {
     val pairs = df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroJson)
       val n = sparkSchema.length
+      def toAvro(v: Any): Any = v match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case seq: scala.collection.Seq[_] => // ArrayType column
+          seq.map(toAvro).asJava
+        case other => other // primitives/strings pass through; null stays null
+      }
       rows.map { r =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < n) {
-          val v = r.get(i)
-          rec.put(i, v match {
-            case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-            case other          => other // primitives/strings pass through; null stays null
-          })
+          rec.put(i, toAvro(r.get(i)))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get)
@@ -120,6 +129,12 @@ object AvroSource {
       case (v: java.lang.Float, DoubleType)           => v.doubleValue()
       case (v: java.lang.Double, DoubleType)          => v
       case (v: java.lang.Boolean, BooleanType)        => v
+      case (l: java.util.Collection[_], ArrayType(et, _)) =>
+        // GenericData.Array (or any list) → element-converted java List;
+        // AvroDsv2.toCatalyst turns it into Catalyst ArrayData
+        val out = new java.util.ArrayList[Any](l.size())
+        l.asScala.foreach(e => out.add(convertValue(e, name, et)))
+        out
       case (other, _) => throw new IllegalArgumentException(
         s"Avro field '$name': file value is ${other.getClass.getName}, " +
           s"requested Spark type is $dt — no lossless widening path")

@@ -160,6 +160,48 @@ class AvroSourceSpec extends SparkSpec {
     assert(read.where($"tag".isNull).count() == 100)
   }
 
+  test("ARRAY<FLOAT> round-trips through write and the pruning DSv2 read") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("label", StringType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    val rows = Seq(
+      Row(0L, "a", Seq(1.5f, -2.25f, 0f)),
+      Row(1L, "b", null), // null array
+      Row(2L, "c", Seq(0.125f, null, 3f)), // null element
+      Row(3L, "d", Seq.empty[Float]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val path = tmp("graft_avro_array")
+    AvroSource.write(df, path)
+    // inferSchema sees the array type back
+    val inferred = graft.sources.AvroDsv2.inferSchema(spark, path)
+    assert(inferred("embedding").dataType ==
+      ArrayType(FloatType, containsNull = true), inferred.treeString)
+    // project AWAY the label: the reader schema must prune to 2 columns
+    // with the array column present
+    val pruned = AvroSource.read(spark, path, schema)
+      .select("vec_id", "embedding")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+      Seq("vec_id", "embedding"), scans.head.scan.readSchema().toString)
+    val back = pruned.collect().sortBy(_.getLong(0))
+    assert(back(0).getSeq[Float](1) == Seq(1.5f, -2.25f, 0f))
+    assert(back(1).isNullAt(1))
+    assert(back(2).getSeq[java.lang.Float](1) ==
+      Seq(java.lang.Float.valueOf(0.125f), null, java.lang.Float.valueOf(3f)))
+    assert(back(3).getSeq[Float](1).isEmpty)
+    // nested arrays stay rejected with a descriptive error
+    val ex = intercept[IllegalArgumentException] {
+      AvroSource.toAvroSchema(StructType(Seq(StructField("bad",
+        ArrayType(ArrayType(FloatType))))))
+    }
+    assert(ex.getMessage.contains("bad"))
+  }
+
   test("one large container file splits into multiple sync-aligned slices") {
     import spark.implicits._
     val df = spark.range(200000).select($"id",
