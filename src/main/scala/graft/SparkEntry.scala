@@ -1047,6 +1047,29 @@ object SparkEntry {
       "embedding", q, k = 10, nlist = 8, nprobe = 3)
   }
 
+  /** The persistent ANN store's FULL lifecycle under the oracle gate
+    * (AnnStoreOps — formerly spec-validated only): train + write the
+    * cell-partitioned store on 90% of the vectors, `append` the held-out
+    * 10% with the STORED codebook (no retrain — the standard IVF
+    * maintenance move), then `probe` the union with partition pruning to
+    * the nprobe nearest cells. Every stage is the deterministic
+    * exact-integer Lloyd math, so the DuckDB oracle retrains the
+    * identical store in SQL: stored base rows carry the first-pass
+    * (c1) assignment, the codebook is its aggregation (c2), appends
+    * assign against c2. */
+  private def o31AnnStore(s: SparkSession, dir: String): DataFrame = {
+    val store = s"$tmpRoot/annstore_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val emb = T(s, dir, "embeddings")
+    graft.operators.AnnStoreOps.build(s, store,
+      emb.where(col("vec_id") % 10 =!= 9), "vec_id", "embedding", nlist = 8)
+    graft.operators.AnnStoreOps.append(s, store,
+      emb.where(col("vec_id") % 10 === 9), "vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0)
+      .select(qvec(col("embedding"))).head.getSeq[Long](0)
+    graft.operators.AnnStoreOps.probe(s, store, "vec_id", q,
+      k = 10, nprobe = 3)
+  }
+
   // ====================================================================
   // E4 text analysis (documents)
   // ====================================================================
@@ -2123,6 +2146,7 @@ object SparkEntry {
     "e3_ann_signbucket" -> (e3SignBucket _),
     "e3_ann_ivf" -> (e3Ivf _),
     "e3_ann_ivf_kmeans" -> (e3IvfKmeans _),
+    "o31_ann_store" -> (o31AnnStore _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -2872,6 +2896,48 @@ object SparkEntry {
          |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
          |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
          |FROM a2 JOIN probe USING (cell), q
+         |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "o31_ann_store" -> {
+      // the store's lifecycle retrained in SQL: base (vec_id % 10 <> 9)
+      // seeds + two Lloyd passes; STORED rows keep the first-pass (c1)
+      // assignment while the codebook is its aggregation (c2); appended
+      // rows (vec_id % 10 = 9) assign against c2; probe = 3 cells of c2
+      // nearest the query, ranked by quantized cosine over the union
+      def assignSql(pts: String, cen: String) =
+        s"""(SELECT vec_id, qe, cell FROM (
+           |  SELECT p.vec_id, p.qe, s.cell,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
+           |      s.cell) AS rn
+           |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
+      def aggSql(asn: String) =
+        s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
+           |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
+           |         CAST(count(*) AS BIGINT) AS c
+           |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings WHERE vec_id % 10 <> 9),
+         |app AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings WHERE vec_id % 10 = 9),
+         |q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM pts),
+         |seeds AS (SELECT j AS cell, qe AS s, CAST(1 AS BIGINT) AS c
+         |  FROM (SELECT unnest(range(8)) AS j) js, nn JOIN rk ON rk.r = (j * nn.n) // 8),
+         |a1 AS ${assignSql("pts", "seeds")},
+         |c1 AS ${aggSql("a1")},
+         |a2 AS ${assignSql("pts", "c1")},
+         |c2 AS ${aggSql("a2")},
+         |aapp AS ${assignSql("app", "c2")},
+         |allv AS (SELECT * FROM a2 UNION ALL SELECT * FROM aapp),
+         |probe AS (SELECT cell FROM c2, q ORDER BY
+         |  CAST(list_sum(list_transform(range(1,65), i -> (c2.c*q.qv[i]-c2.s[i])*(c2.c*q.qv[i]-c2.s[i]))) AS DOUBLE)/(c2.c*c2.c),
+         |  cell LIMIT 3)
+         |SELECT allv.vec_id,
+         |CAST(round(CAST(list_sum(list_transform(range(1,65), i -> qe[i]*qv[i])) AS DOUBLE) /
+         |  (sqrt(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)) *
+         |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+         |FROM allv JOIN probe USING (cell), q
          |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin
     },
     "e3_ann_ivf_int" ->
