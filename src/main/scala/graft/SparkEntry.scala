@@ -1860,10 +1860,11 @@ object SparkEntry {
       .select(col("o_orderkey"), lit("U").as("status"),
         (col("price_c") + 500).as("price_c"),
         when(col("o_orderkey") % 35 === 3, 1).otherwise(0).as("del"))
-    // insert keys offset by max(o_orderkey), not a constant: a fixed
+    // insert keys offset by max(o_orderkey)+1, not a constant: a fixed
     // offset collides with real keys once the table outgrows it (caught
-    // at sf10 by the duplicate-source-key guard), max+key never can
-    val maxKey = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    // at sf10 by the duplicate-source-key guard), and keys start at 0 so
+    // the +1 keeps even key 0 strictly above every existing key
+    val maxKey = t.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
     val ins = t.where(col("o_orderkey") % 97 === 0)
       .select((col("o_orderkey") + maxKey).as("o_orderkey"),
         lit("I").as("status"), col("price_c"), lit(0).as("del"))
@@ -3163,7 +3164,7 @@ object SparkEntry {
         |u AS (SELECT o_orderkey, 'U' AS status, price_c + 500 AS price_c,
         |  CASE WHEN o_orderkey % 35 = 3 THEN 1 ELSE 0 END AS del
         |  FROM t WHERE o_orderkey % 7 = 3),
-        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) FROM t) AS o_orderkey,
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
         |  'I' AS status, price_c, 0 AS del FROM t WHERE o_orderkey % 97 = 0),
         |src AS (SELECT * FROM u UNION ALL SELECT * FROM i)
         |SELECT COALESCE(src.o_orderkey, t.o_orderkey) AS o_orderkey,
