@@ -3257,8 +3257,10 @@ object SparkEntry {
     "e2_semantic_dedup" -> {
       // identical Lloyd retrain as the e3_ann_ivf_kmeans oracle, but with
       // nlist derived from count(*) (SimilarityOps.nlistFor: n/64 clamped
-      // to [2,4096]); the final stage pairs within cells instead of
-      // probing a query
+      // to [2,4096]) and the fit run on the deterministic md5-bucket
+      // sample of ~20 rows/cell (fit-on-sample, assign-everything —
+      // lloydAssign's fitSampleTarget path); the final stage pairs
+      // within cells instead of probing a query
       def assignSql(pts: String, cen: String) =
         s"""(SELECT vec_id, qe, cell FROM (
            |  SELECT p.vec_id, p.qe, s.cell,
@@ -3275,11 +3277,16 @@ object SparkEntry {
       s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
          |nl AS (SELECT CAST(GREATEST(2, LEAST(4096, n // 64)) AS BIGINT) AS k FROM nn),
-         |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM pts),
+         |st AS (SELECT CAST(GREATEST(1, nn.n // (nl.k * 20)) AS BIGINT) AS step FROM nn, nl),
+         |fitp AS (SELECT * FROM pts
+         |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |    % (SELECT step FROM st) = 0),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fitp),
+         |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM fitp),
          |seeds AS (SELECT j AS cell, qe AS s, CAST(1 AS BIGINT) AS c
-         |  FROM (SELECT unnest(range((SELECT k FROM nl))) AS j) js, nn
-         |  JOIN rk ON rk.r = (j * nn.n) // (SELECT k FROM nl)),
-         |a1 AS ${assignSql("pts", "seeds")},
+         |  FROM (SELECT unnest(range((SELECT k FROM nl))) AS j) js, mm
+         |  JOIN rk ON rk.r = (j * mm.m) // (SELECT k FROM nl)),
+         |a1 AS ${assignSql("fitp", "seeds")},
          |c1 AS ${aggSql("a1")},
          |a2 AS ${assignSql("pts", "c1")}
          |SELECT * FROM (

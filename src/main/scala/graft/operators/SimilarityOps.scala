@@ -119,19 +119,59 @@ object SimilarityOps {
     * (cell, Σvec, count). Reused by semanticDedupPairs, where the
     * trained cells serve as dedup blocking keys instead of probe
     * targets. */
-  def lloydAssign(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): (DataFrame, Array[(Long, Array[Long], Long)]) = {
+  /** `fitSampleTarget > 0` = FIT-ON-SAMPLE, ASSIGN-EVERYTHING (the
+    * standard IVF build at scale): seeds and both Lloyd passes run over
+    * a deterministic md5-bucket sample of ~fitSampleTarget rows
+    * (id-keyed, so any SQL oracle selects the identical rows), and only
+    * the single final assignment touches the full corpus. With
+    * corpus-derived nlist the fit passes are the n·nlist·d term that
+    * dominates wall-clock (measured 10.7s of 15s at sf10) — sampling
+    * caps them at fitSampleTarget·nlist·d while the blocking/search
+    * quality keeps ~fitSampleTarget/nlist points per cell. 0 = fit on
+    * everything (exact two-pass Lloyd, the default). */
+  /** One (Σvec, count) aggregate pass over an assigned relation —
+    * the codebook/centroid recompute, driver-collected (nlist rows). */
+  private def recomputeCentroids(assigned: DataFrame)
+      : Array[(Long, Array[Long], Long)] =
+    assigned.groupBy("cell")
+      .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
+        count("*").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** The Lloyd FIT alone: seeds + one refinement pass, over the fit
+    * sample when `fitSampleTarget > 0` (see lloydAssign's scaladoc) —
+    * returns the c1 centroids without touching the rest of the corpus.
+    * Callers that only need the cell BLOCKING (semantic dedup) pair
+    * this with one `assignToCells` pass and skip the codebook
+    * aggregate entirely. */
+  def lloydFit(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, fitSampleTarget: Long = 0L)
+      : Array[(Long, Array[Long], Long)] = {
     import graft.functions.QuantizeVector
     import org.apache.spark.sql.expressions.Window
-    val quant = df
+    val n = df.count()
+    require(n >= nlist, s"need at least $nlist vectors, got $n")
+    val step = if (fitSampleTarget <= 0) 1L else math.max(1L, n / fitSampleTarget)
+    // md5-bucket sampling (the e10_sample_strata idiom): deterministic in
+    // the id alone — no global sort, oracle-identical row selection; the
+    // filter runs BEFORE quantization so unsampled rows are never touched
+    val fitRows =
+      if (step == 1L) df
+      else df.where(
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % step === 0)
+    val fit = fitRows
       .select(col(idCol), QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = quant.count()
-    require(n >= nlist, s"need at least $nlist vectors, got $n")
+    val m = fit.count()
+    require(m >= nlist,
+      s"fit sample has $m rows < nlist $nlist — raise fitSampleTarget")
 
-    // seeds: the vectors at id-ranks j*n/nlist, j = 0..nlist-1 (cell = j)
-    val seedRanks = (0 until nlist).map(j => j.toLong * n / nlist).toSet
-    val seeds: Array[(Long, Array[Long], Long)] = quant
+    // seeds: the fit relation's vectors at id-ranks j*m/nlist
+    val seedRanks = (0 until nlist).map(j => j.toLong * m / nlist).toSet
+    val seeds: Array[(Long, Array[Long], Long)] = fit
       .withColumn("r", row_number().over(Window.orderBy(col(idCol))) - 1)
       .where(col("r").isin(seedRanks.toSeq: _*))
       .orderBy("r")
@@ -139,20 +179,22 @@ object SimilarityOps {
       .zipWithIndex
       .map { case (row, j) => (j.toLong, row.getSeq[Long](1).toArray, 1L) }
 
-    def assign(cents: Array[(Long, Array[Long], Long)]): DataFrame =
-      assignToCells(quant, idCol, cents)
-    def recompute(assigned: DataFrame): Array[(Long, Array[Long], Long)] =
-      assigned.groupBy("cell")
-        .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
-          count("*").as("c"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-        .sortBy(_._1)
+    val c1 = recomputeCentroids(assignToCells(fit, idCol, seeds))
+    fit.unpersist(blocking = false)
+    c1
+  }
 
-    val c1 = recompute(assign(seeds))
-    val c2 = recompute(assign(c1))
-    quant.unpersist(blocking = false) // downstream scans re-read the source
-    (assign(c1), c2)
+  def lloydAssign(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, fitSampleTarget: Long = 0L)
+      : (DataFrame, Array[(Long, Array[Long], Long)]) = {
+    import graft.functions.QuantizeVector
+    val c1 = lloydFit(df, idCol, vecCol, nlist, fitSampleTarget)
+    val quant = df
+      .select(col(idCol), QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    // the codebook (c2) aggregates the FULL final assignment, so it
+    // reflects every vector whether or not the fit was sampled
+    val c2 = recomputeCentroids(assignToCells(quant, idCol, c1))
+    (assignToCells(quant, idCol, c1), c2)
   }
 
   /** One Lloyd assignment pass over a quantized (`idCol`, qe) relation:
@@ -215,11 +257,15 @@ object SimilarityOps {
     math.max(2L, math.min(4096L, n / targetCellRows)).toInt
 
   /** semanticDedupPairs with nlist DERIVED from the corpus size (one
-    * count job): the scale-safe default entry point. */
+    * count job) and the Lloyd fit run on a ~20-rows-per-cell sample
+    * (fit-on-sample, assign-everything): the scale-safe default entry
+    * point. */
   def semanticDedupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
-      thresholdMicro: Long, targetCellRows: Long = 64L): DataFrame =
-    semanticDedupPairs(df, idCol, vecCol,
-      nlistFor(df.count(), targetCellRows), thresholdMicro)
+      thresholdMicro: Long, targetCellRows: Long = 64L): DataFrame = {
+    val nlist = nlistFor(df.count(), targetCellRows)
+    semanticDedupPairs(df, idCol, vecCol, nlist, thresholdMicro,
+      fitSampleTarget = nlist.toLong * 20L)
+  }
 
   /** SemDeDup-shaped semantic deduplication: cluster the embedding space
     * with the deterministic Lloyd fit, then compare pairs ONLY within a
@@ -238,9 +284,13 @@ object SimilarityOps {
     * n²/nlist curve); skewed cells = dense embedding regions; cap them
     * upstream (sample within cell) if a corpus degenerates. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, thresholdMicro: Long): DataFrame = {
-    val (assigned, _) = lloydAssign(df, idCol, vecCol, nlist)
-    val cells = assigned
+      nlist: Int, thresholdMicro: Long, fitSampleTarget: Long = 0L): DataFrame = {
+    // fit + ONE full assignment pass — the blocking needs no codebook,
+    // so lloydAssign's c2 aggregate (a second full pass) is skipped
+    val c1 = lloydFit(df, idCol, vecCol, nlist, fitSampleTarget)
+    val quant = df.select(col(idCol),
+      graft.functions.QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    val cells = assignToCells(quant, idCol, c1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       semanticPrevCaches.foreach(_.unpersist(blocking = false))

@@ -79,6 +79,49 @@ object Explain {
           graft.operators.DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text",
             bands = 4, thresholdMicro = 200000).count())
         spark.emptyDataFrame
+      case "dev:semantic_breakdown" =>
+        // where the corpus-derived-nlist Lloyd time goes at scale
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[explain] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+        val n = emb.count()
+        val nlist = graft.operators.SimilarityOps.nlistFor(n)
+        println(s"[explain] n=$n nlist=$nlist")
+        // replicate lloydAssign stage by stage
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val quant = emb.select(col("vec_id"),
+          graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0).as("qe"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("quant cache build")(quant.count())
+        val seedRanks = (0 until nlist).map(j => j.toLong * n / nlist).toSet
+        val seeds = time("seeds (global window sort + collect)")(quant
+          .withColumn("r", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .where(col("r").isin(seedRanks.toSeq: _*))
+          .orderBy("r").collect().zipWithIndex
+          .map { case (row, j) => (j.toLong, row.getSeq[Long](1).toArray, 1L) })
+        def recompute(assigned: org.apache.spark.sql.DataFrame) =
+          assigned.groupBy("cell")
+            .agg(graft.functions.VectorSum.vectorSumLong(col("qe")).as("s"),
+              count("*").as("c"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+            .sortBy(_._1)
+        val c1 = time("pass1: assign(seeds) + aggregate + collect")(
+          recompute(graft.operators.SimilarityOps.assignToCells(quant, "vec_id", seeds)))
+        val c2 = time("pass2: assign(c1) + aggregate + collect")(
+          recompute(graft.operators.SimilarityOps.assignToCells(quant, "vec_id", c1)))
+        println(s"[explain] codebook cells: ${c2.length}")
+        quant.unpersist()
+        time("semanticDedupPairsAuto end-to-end (own fresh fit)")(
+          graft.operators.SimilarityOps.semanticDedupPairsAuto(
+            emb, "vec_id", "embedding", 400000).count())
+        spark.emptyDataFrame
       case "dev:minhash_bands" =>
         graft.operators.DedupOps.minhashBands(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 4)
