@@ -77,6 +77,84 @@ class ExtOpsSpec extends SparkSpec {
       s"fallback must produce identical pairs: ${viaShuffle.size} vs ${viaBroadcast.size}")
   }
 
+  test("NearestCellLong matches the composable argmin formulation bit-for-bit") {
+    // random quantized vectors + codebook; the codegen expression must
+    // reproduce the d2-array + array_min + array_position(first) compose
+    // exactly, including first-minimal tie-breaks and the single IEEE
+    // division per centroid
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val nlist = 5
+    val rows = (0L until 300L).map { i =>
+      (i, Seq.fill(dim)(rnd.between(-1000L, 1000L)))
+    } ++ Seq((300L, Seq.fill(dim)(0L)), (301L, Seq.fill(dim)(7L))) // tie bait
+    val df = rows.toDF("id", "qe")
+    val cents: Array[(Long, Array[Long], Long)] = (0 until nlist).map { j =>
+      (j.toLong, Array.fill(dim)(rnd.between(-5000L, 5000L)),
+        rnd.between(1L, 9L))
+    }.toArray
+    // duplicate centroid under two cell ids: argmin must take the FIRST
+    val centsWithDup = cents :+ ((nlist.toLong, cents(2)._2.clone(), cents(2)._3))
+    val viaExpr = SimilarityOps.assignToCells(df, "id", centsWithDup)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val d2s = array(centsWithDup.map { case (_, sv, c) =>
+      aggregate(
+        zip_with(col("qe"), array(sv.toSeq.map(lit): _*), (p, s) => {
+          val d = lit(c) * p - s; d * d
+        }),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / lit((c * c).toDouble)
+    }: _*)
+    val cellIds = array(centsWithDup.map(_._1).toSeq.map(lit): _*)
+    val viaCompose = df.select(col("id"), d2s.as("d2s"))
+      .select(col("id"), element_at(cellIds,
+        array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+        .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaCompose)
+    // the duplicated centroid's SECOND cell id never wins
+    assert(!viaExpr.values.exists(_ == nlist.toLong))
+  }
+
+  test("signBitsFor / nlistFor derivations: bounds and monotonicity") {
+    import graft.operators.DedupOps.signBitsFor
+    import SimilarityOps.nlistFor
+    // smallest b with blocks*2^b*target >= n
+    assert(signBitsFor(500, 10, 32) == 1)    // 320 < 500 <= 640
+    assert(signBitsFor(320, 10, 32) == 0)    // base blocks already suffice
+    assert(signBitsFor(1, 1, 1) == 0)
+    assert(signBitsFor(Long.MaxValue, 1, 1) == 16) // capped at maxBits
+    // monotone non-decreasing in n
+    val bits = (1L to 20L).map(e => signBitsFor(1L << e, 10, 32))
+    assert(bits == bits.sorted)
+    assert(nlistFor(10) == 2 && nlistFor(64 * 4096 * 2) == 4096) // clamps
+    assert(nlistFor(640) == 10)
+    val ns = Seq(100L, 1000L, 10000L, 100000L).map(nlistFor(_))
+    assert(ns == ns.sorted)
+  }
+
+  test("lloydFit sampled vs unsampled: both produce valid blockings; sampled fit selects by md5 bucket") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val full = SimilarityOps.lloydFit(emb, "vec_id", "embedding", nlist = 4)
+    val sampled = SimilarityOps.lloydFit(emb, "vec_id", "embedding",
+      nlist = 4, fitSampleTarget = 100)
+    assert(full.length == 4 && sampled.length == 4)
+    // every vector lands in one of the fit's cells under either codebook
+    for (c1 <- Seq(full, sampled)) {
+      val quant = emb.select(col("vec_id"),
+        graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0).as("qe"))
+      val cells = SimilarityOps.assignToCells(quant, "vec_id", c1)
+        .select("cell").distinct().collect().map(_.getLong(0)).toSet
+      assert(cells.subsetOf(c1.map(_._1).toSet) && cells.nonEmpty)
+    }
+    // a sample target below nlist rows fails fast, not silently
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.lloydFit(emb, "vec_id", "embedding", nlist = 400,
+        fitSampleTarget = 1)
+    }
+    assert(ex.getMessage.contains("fit sample"))
+  }
+
   test("E2 dup clusters: components get min-id labels, singletons absent") {
     // both strategies must agree: driver union-find (default) and the
     // distributed pointer-jumping loop (forced via driverEdgeLimit = 0)
