@@ -909,6 +909,16 @@ object SparkEntry {
       bands = 4, shingleN = 3, thresholdMicro = 200000)
       .orderBy("id_a", "id_b")
 
+  /** The SKETCHED verify next to the exact one (e2_jaccard_pairs):
+    * K=64 minhash signatures estimate jaccard in O(pairs·K) — the scale
+    * path when the exact verify's Σ|A| expansion dominates. Integer
+    * hash family + exact match-count arithmetic ⇒ the DuckDB oracle
+    * reproduces the estimate bit-for-bit. */
+  private def e2JaccardSketch(s: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardSketchPairs(T(s, dir, "documents"), "doc_id", "text",
+      bands = 4, shingleN = 3, k = 64, thresholdMicro = 200000)
+      .orderBy("id_a", "id_b")
+
   /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
     * registry form): the label key composed with a sign bucket whose
     * width comes from `DedupOps.signBitsFor(n, n_labels, 32)` — an
@@ -2146,6 +2156,7 @@ object SparkEntry {
     "e2_minhash_pairs" -> (e2Minhash _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
+    "e2_jaccard_sketch" -> (e2JaccardSketch _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_topk_cosine" -> (e3TopK _),
     "e3_ann_signbucket" -> (e3SignBucket _),
@@ -2590,6 +2601,31 @@ object SparkEntry {
         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b)
         |SELECT id_a, id_b, jaccard_micro FROM j WHERE jaccard_micro >= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    "e2_jaccard_sketch" -> {
+      // per-position xor constants — the SAME Scala-generated literals
+      // the plan embeds (DedupOps.sketchSeeds)
+      val seedRows = graft.operators.DedupOps.sketchSeeds(64).zipWithIndex
+        .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
+        |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM ds),
+        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |mh AS (SELECT doc_id, i, MIN(xor(h1, sd)) AS m
+        |  FROM h, (VALUES $seedRows) ks(i, sd) GROUP BY doc_id, i),
+        |sg AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mh GROUP BY doc_id),
+        |est AS (SELECT p.id_a, p.id_b,
+        |  CAST(round(CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN a.mh[i] = b.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        |    * 1000000 / 64) AS BIGINT) AS est_jaccard_micro
+        |  FROM pairs p JOIN sg a ON a.doc_id = p.id_a JOIN sg b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, est_jaccard_micro FROM est
+        |WHERE est_jaccard_micro >= 200000 ORDER BY id_a, id_b""".stripMargin
+    },
     // data-driven blocking: bits = smallest b with nlab·2^b·32 ≥ n —
     // the same integer derivation as DedupOps.signBitsFor
     "e2_embed_neardup" ->

@@ -219,6 +219,82 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard_micro")
   }
 
+  /** E2 verify stage, SKETCHED: estimate jaccard for candidate pairs from
+    * a fixed-width K-minhash signature instead of the full shingle sets —
+    * O(pairs·K) verify work instead of O(Σ|A|), the scale path when the
+    * exact verify's expansion dominates (13.4s at sf10) and a standard
+    * error of 1/√K (≈0.125 at the default K=64) is acceptable.
+    *
+    * Everything is exact integer arithmetic, so any SQL engine
+    * reproduces the estimate bit-for-bit: position i's hash is
+    * h1 XOR C_i over the same md5 half the LSH stage uses, with C_i a
+    * fixed xorshift-generated constant (`sketchSeeds`) embedded as a
+    * literal in both the plan and the oracle SQL. Linear families
+    * (h1 + i·h2, with or without a prime wrap) are NOT usable here:
+    * their per-i orderings form the lower envelope of lines, so
+    * consecutive i elect the same minimal shingle and a 2%-jaccard pair
+    * measured as 97% (then 50% with the wrap) — per-i xor constants
+    * decorrelate the positions (simulated: 1% true → 1.6% est, 90% →
+    * 95%, the 1/√K regime). The signature is the K per-i minima; the
+    * estimate is round(matches·1e6/K). Candidates still come from the
+    * banded LSH stage; the shingle relation is computed once and feeds
+    * both aggregates. */
+  /** Fixed xor-mixing constants for the K-minhash sketch family —
+    * deterministic (xorshift from a golden-ratio seed, masked to 60
+    * bits like the md5 halves) so the SQL oracle embeds the identical
+    * literals. */
+  def sketchSeeds(k: Int): Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(k) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      x & ((1L << 60) - 1)
+    }
+  }
+
+  def jaccardSketchPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3, k: Int = 64,
+      thresholdMicro: Long = 200000): DataFrame = {
+    require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
+    val seeds = sketchSeeds(k)
+    val ds = docShingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = ds
+      .select(col("id"),
+        graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
+      .select(col("id"), col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
+    // ONE aggregate: the `bands` LSH signatures + the K sketch minima
+    val perDoc = hashed.groupBy("id")
+      .agg(min(col("h1")).as("sig0"),
+        ((1 until bands).map(b =>
+          min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b")) ++
+         (0 until k).map(i =>
+           min(col("h1").bitwiseXOR(lit(seeds(i)))).as(s"m$i"))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      jaccardPrevCaches.foreach(_.unpersist(blocking = false))
+      jaccardPrevCaches = Seq(ds, perDoc)
+    }
+    val sigs = perDoc
+      .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+      .select(col("__id").as("id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+    val pairs = candidatePairsFromSigs(sigs)
+    val sketch = perDoc.select(col("id"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
+    val matches = aggregate(
+      zip_with(col("mha"), col("mhb"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    pairs
+      .join(sketch.select(col("id").as("id_a"), col("mh").as("mha")), "id_a")
+      .join(sketch.select(col("id").as("id_b"), col("mh").as("mhb")), "id_b")
+      .withColumn("est_jaccard_micro",
+        round(matches.cast("double") * 1000000 / k).cast("long"))
+      .where(col("est_jaccard_micro") >= thresholdMicro)
+      .select("id_a", "id_b", "est_jaccard_micro")
+  }
+
   /** E2 final stage: near-dup CLUSTERS = connected components over the
     * LSH candidate-pair graph, via iterative min-label propagation — each
     * round every vertex adopts the smallest label in its neighborhood, so

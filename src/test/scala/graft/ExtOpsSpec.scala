@@ -77,6 +77,25 @@ class ExtOpsSpec extends SparkSpec {
       s"fallback must produce identical pairs: ${viaShuffle.size} vs ${viaBroadcast.size}")
   }
 
+  test("E2 jaccard sketch tracks exact jaccard within the 1/sqrt(K) regime") {
+    val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val exact = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
+      bands = 4, thresholdMicro = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sketch = DedupOps.jaccardSketchPairs(real, "doc_id", "text",
+      bands = 4, k = 64, thresholdMicro = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // same LSH stage => same candidate pair universe
+    assert(sketch.keySet == exact.keySet && sketch.nonEmpty)
+    // K=64: sigma <= 1e6/(2*8) = 62500; allow 4 sigma
+    for ((p, est) <- sketch)
+      assert(math.abs(est - exact(p)) <= 250000,
+        s"pair $p: est $est vs exact ${exact(p)}")
+    // exact duplicates estimate exactly 1e6 (identical signatures)
+    exact.filter(_._2 == 1000000L).keys
+      .foreach(p => assert(sketch(p) == 1000000L))
+  }
+
   test("NearestCellLong matches the composable argmin formulation bit-for-bit") {
     // random quantized vectors + codebook; the codegen expression must
     // reproduce the d2-array + array_min + array_position(first) compose
