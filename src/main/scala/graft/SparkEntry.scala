@@ -2007,18 +2007,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** FIXED-WIDTH (4-bit) sign-bucket blocking — the documented contrast
-    * to `e2_embed_neardup`, whose bucket width is corpus-derived: at a
-    * pinned width the block count stops growing with the data and the
-    * per-block quadratic eventually returns (at 16× the block count of
-    * a bare label key, i.e. much later). Same quantized cosine and
-    * threshold; the trade is recall across sign-bucket boundaries,
-    * standard for LSH blocking. */
+  /** Sign-bucket-ONLY blocking — the variant for a corpus with NO
+    * natural base key (no label/cluster column): the bucket width alone
+    * is derived from corpus size (`signBitsFor(n, 1, 32)`), so block
+    * count still grows with the data and per-block pair work stays
+    * ~32·n/2. Historical contrast recorded in DEVNOTES: the fixed-width
+    * (4-bit) form of this query measured 4.9× time for 3× data and 26×
+    * for 10× — the counter-example curve that width derivation removes.
+    * Same quantized cosine and threshold as `e2_embed_neardup`; the
+    * trade is recall across sign-bucket boundaries, standard for LSH
+    * blocking. */
   private def e2EmbedNearDupBlocked(s: SparkSession, dir: String): DataFrame = {
+    val n = T(s, dir, "embeddings").count()
+    val bits = graft.operators.DedupOps.signBitsFor(n,
+      baseBlocks = 1L, targetBlockRows = 32L)
     val base = T(s, dir, "embeddings")
       .select(col("vec_id"),
-        concat_ws("|", col("label").cast("string"),
-          VF.signBucket(col("embedding"), 4)).as("blk"),
+        VF.signBucket(col("embedding"), bits).as("blk"),
         qvec(col("embedding")).as("qe"))
       .select(col("vec_id"), col("blk"), col("qe"),
         sqrt(qdot(col("qe"), col("qe")).cast("double")).as("nrm"))
@@ -3343,9 +3348,14 @@ object SparkEntry {
         |CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
         |right(nfc_normalize(s), 12) AS nfc_suffix
         |FROM t ORDER BY doc_id""".stripMargin,
+    // bucket width derived with NO base key: bits = smallest b with
+    // 2^b·32 ≥ n (DedupOps.signBitsFor(n, 1, 32))
     "e2_embed_neardup_blocked" ->
-      s"""WITH s AS (SELECT vec_id,
-        |  CAST(label AS VARCHAR) || '|' || array_to_string(list_transform(range(1, 5),
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |bb AS (SELECT MIN(b) AS bits FROM (SELECT unnest(range(17)) AS b) t, nn
+        |  WHERE (1::BIGINT << b) * 32 >= n),
+        |s AS (SELECT vec_id,
+        |  array_to_string(list_transform(range(1, 1 + (SELECT bits FROM bb)),
         |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk,
         |  $sqlQvec AS qe FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.qe AS qa, b.qe AS qb
