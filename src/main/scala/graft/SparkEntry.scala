@@ -937,7 +937,10 @@ object SparkEntry {
       st.getLong(0), math.max(1L, st.getLong(1)), targetBlockRows = 32L)
     val e = T(s, dir, "embeddings")
       .select(col("vec_id"),
-        concat_ws("|", col("label").cast("string"),
+        // null-PROPAGATING concat (not concat_ws, which skips nulls):
+        // a null label yields a null block key, which the equi-join
+        // drops — matching the oracle's `label || '|' || …` semantics
+        concat(col("label").cast("string"), lit("|"),
           VF.signBucket(col("embedding"), bits)).as("blk"),
         qvec(col("embedding")).as("qe"))
       .select(col("vec_id"), col("blk"), col("qe"),
@@ -2636,7 +2639,8 @@ object SparkEntry {
     "e2_embed_neardup" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT label) AS BIGINT) AS nlab FROM embeddings),
-        |bb AS (SELECT MIN(b) AS bits FROM (SELECT unnest(range(17)) AS b) t, nn
+        |bb AS (SELECT COALESCE(MIN(b), 16) AS bits
+        |  FROM (SELECT unnest(range(17)) AS b) t, nn
         |  WHERE nlab * (1::BIGINT << b) * 32 >= n),
         |q AS (SELECT vec_id,
         |  CAST(label AS VARCHAR) || '|' || array_to_string(list_transform(
@@ -3352,7 +3356,8 @@ object SparkEntry {
     // 2^b·32 ≥ n (DedupOps.signBitsFor(n, 1, 32))
     "e2_embed_neardup_blocked" ->
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-        |bb AS (SELECT MIN(b) AS bits FROM (SELECT unnest(range(17)) AS b) t, nn
+        |bb AS (SELECT COALESCE(MIN(b), 16) AS bits
+        |  FROM (SELECT unnest(range(17)) AS b) t, nn
         |  WHERE (1::BIGINT << b) * 32 >= n),
         |s AS (SELECT vec_id,
         |  array_to_string(list_transform(range(1, 1 + (SELECT bits FROM bb)),

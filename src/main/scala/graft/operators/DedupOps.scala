@@ -483,8 +483,12 @@ object DedupOps {
     val st = df.agg(count(lit(1)), countDistinct(col(blockCol))).head
     val bits = signBitsFor(st.getLong(0), math.max(1L, st.getLong(1)),
       targetBlockRows)
+    // null-propagating concat: a null natural key makes the whole block
+    // key null, and the equi-join drops it — identical to a plain
+    // label-equi-join's null handling (concat_ws would SKIP the null
+    // and silently block all null-key rows together)
     val keyed = df.withColumn("__blk",
-      concat_ws("|", col(blockCol).cast("string"),
+      concat(col(blockCol).cast("string"), lit("|"),
         VF.signBucket(col(vecCol), bits)))
     embeddingNearDups(keyed, idCol, vecCol, "__blk", thresholdMicro)
   }

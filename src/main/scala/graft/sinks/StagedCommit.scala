@@ -67,16 +67,71 @@ object StagedCommit {
   }
 
   final case class Staged(spark: SparkSession, target: String,
-      stagedRows: Long)
+      stagedRows: Long, writerId: String)
+
+  /** A lease younger than this is presumed to belong to a LIVE writer:
+    * `recover` refuses to clear it without `force`. Ten minutes is far
+    * past any single stage/publish metadata window (the protocol's own
+    * cost is renames + a footer scan), so a fresh lock means a writer
+    * that is still mid-write, not a crash. */
+  val staleLeaseDefaultMs: Long = 10 * 60 * 1000L
 
   /** Step 0: take the writer lease, or fail fast if another maintenance
-    * writer holds it. */
-  private def acquireLease(spark: SparkSession, target: String): Unit = {
+    * writer holds it. The claim itself is the atomic `createNewFile`;
+    * the winner then records `writerId timestampMs` inside the lock so
+    * `publish` can verify it still holds THIS lease (not a successor's)
+    * and `recover` can tell a live writer from a dead one. */
+  private def acquireLease(spark: SparkSession, target: String): String = {
     val (fs, lock) = fsFor(spark, lockFileFor(target))
     require(fs.createNewFile(lock),
       s"another maintenance writer holds the lease on $target " +
         s"(${lockFileFor(target)} exists); if its owner crashed, run " +
         "StagedCommit.recover to clear it")
+    val id = java.util.UUID.randomUUID().toString
+    val out = fs.create(lock, true) // we own the claim; fill in identity
+    try out.write(s"$id ${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    id
+  }
+
+  /** (writerId, timestampMs) recorded in the lock, if parseable; a
+    * foreign or legacy lock (empty / unparseable) yields None and its
+    * age falls back to the file modification time. */
+  private def readLease(fs: FileSystem, lock: Path): Option[(String, Long)] = {
+    try {
+      val in = fs.open(lock)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split(" ", 2) match {
+        case Array(id, ts) if ts.forall(_.isDigit) && ts.nonEmpty =>
+          Some((id, ts.toLong))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The swap may only run under the lease it was staged with: a lock
+    * that vanished (someone recovered us away) or one holding a
+    * DIFFERENT writer id (a successor re-acquired after recover) means
+    * our publish would interleave with another writer's — refuse. */
+  private def assertLeaseHeld(s: Staged): Unit = {
+    val (fs, lock) = fsFor(s.spark, lockFileFor(s.target))
+    require(fs.exists(lock),
+      s"lease on ${s.target} is gone (recover() ran against this live " +
+        "writer?) — refusing to publish staged data without it")
+    readLease(fs, lock).foreach { case (id, _) =>
+      require(id == s.writerId,
+        s"lease on ${s.target} is held by writer $id, not ${s.writerId} " +
+          "— a recover()+re-acquire happened mid-write; refusing to publish")
+    }
   }
 
   private def releaseLease(spark: SparkSession, target: String): Unit = {
@@ -93,7 +148,7 @@ object StagedCommit {
     * leaves the lease for `recover` to clear. */
   def stage(spark: SparkSession, target: String, expectedRows: Long)(
       write: String => Unit): Staged = {
-    acquireLease(spark, target)
+    val writerId = acquireLease(spark, target)
     try {
       val staging = stagingDirFor(target)
       val (fs, sp) = fsFor(spark, staging)
@@ -106,7 +161,7 @@ object StagedCommit {
         else spark.read.parquet(staging).count()
       require(expectedRows < 0 || rows == expectedRows,
         s"staged write audit failed for $target: $rows rows != expected $expectedRows — not publishing")
-      Staged(spark, target, rows)
+      Staged(spark, target, rows, writerId)
     } catch {
       case e: Throwable => releaseLease(spark, target); throw e
     }
@@ -116,6 +171,7 @@ object StagedCommit {
     * lease. A throw mid-swap KEEPS the lease — the table needs
     * `recover` before anyone writes again. */
   def publish(s: Staged): Unit = {
+    assertLeaseHeld(s)
     val (fs, target) = fsFor(s.spark, s.target)
     val staging = new Path(stagingDirFor(s.target))
     val trash = new Path(trashDirFor(s.target))
@@ -148,6 +204,7 @@ object StagedCommit {
     * the lease so `recover` runs before the next writer. */
   def publishPartitions(s: Staged, partCol: String,
       touched: Seq[Any]): Unit = {
+    assertLeaseHeld(s)
     val (fs, target) = fsFor(s.spark, s.target)
     val staging = new Path(stagingDirFor(s.target))
     val trashRoot = new Path(trashPartsDirFor(s.target))
@@ -168,10 +225,17 @@ object StagedCommit {
         fs.delete(dst, true) // merge emptied this partition
       }
     }
+    // match the ESCAPED prefix partDirName produces — a partition column
+    // whose own name needs Hive escaping would otherwise slip past this
+    // guard and be silently deleted with the staging dir
+    val escapedPrefix = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      ExternalCatalogUtils.escapePathName(partCol) + "="
+    }
     val leftover =
       if (fs.exists(staging))
         fs.listStatus(staging).map(_.getPath.getName)
-          .filter(_.startsWith(partCol + "=")).toSeq
+          .filter(_.startsWith(escapedPrefix)).toSeq
       else Nil
     require(leftover.isEmpty,
       s"staged partitions were never published (missing from `touched`): " +
@@ -192,13 +256,32 @@ object StagedCommit {
     *     final rename, before the trash delete) → drop it;
     *   - stale staging dir → drop it;
     *   - a dead writer's lease → clear it.
+    *
+    * recover() is a post-crash step, and the lock's recorded timestamp
+    * (file mtime for a legacy/foreign lock) is how it distinguishes a
+    * dead holder from a live one: a lease younger than `staleAfterMs`
+    * means the writer may still be mid-write, and recovering would
+    * discard its staging and re-admit a second writer whose renames
+    * could interleave with the first's publish — so recover REFUSES
+    * unless `force = true` (the operator asserting the holder is dead).
     * Returns true if anything was repaired. */
-  def recover(spark: SparkSession, target: String): Boolean = {
+  def recover(spark: SparkSession, target: String, force: Boolean = false,
+      staleAfterMs: Long = staleLeaseDefaultMs): Boolean = {
     val (fs, tp) = fsFor(spark, target)
     val trash = new Path(trashDirFor(target))
     val staging = new Path(stagingDirFor(target))
     val trashParts = new Path(trashPartsDirFor(target))
     val lock = new Path(lockFileFor(target))
+    if (!force && fs.exists(lock)) {
+      val bornMs = readLease(fs, lock).map(_._2)
+        .getOrElse(fs.getFileStatus(lock).getModificationTime)
+      val ageMs = System.currentTimeMillis() - bornMs
+      require(ageMs >= staleAfterMs,
+        s"lease on $target is only ${ageMs}ms old (< $staleAfterMs) — its " +
+          "writer may still be alive, and recovering would discard its " +
+          "staged data mid-write; pass force=true only after confirming " +
+          "the holder is dead")
+    }
     var repaired = false
     if (!fs.exists(tp) && fs.exists(trash)) {
       require(fs.rename(trash, tp), s"could not restore $trash")

@@ -13,6 +13,20 @@ class StagedCommitSpec extends SparkSpec {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(name).toString + "/t"
 
+  /** Rewrite the lock with a dead writer's identity and an hour-old
+    * timestamp, so recover() sees a STALE lease (a crashed holder)
+    * rather than refusing on a fresh one. */
+  private def ageLock(path: String): Unit = {
+    // through the Hadoop FS (not raw nio), so the checksum shadow file
+    // stays consistent and recover() can actually read the lease back
+    val lock = new org.apache.hadoop.fs.Path(StagedCommit.lockFileFor(path))
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, true)
+    try out.write(s"dead-writer ${System.currentTimeMillis() - 3600 * 1000L}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** (relative path, length, first bytes) of every file under dir —
     * byte-level identity fingerprint. */
   private def fingerprint(dir: String): Set[(String, Long, Seq[Byte])] = {
@@ -45,6 +59,12 @@ class StagedCommitSpec extends SparkSpec {
       }
     }
     assert(exLease.getMessage.contains("lease"))
+    // a FRESH lease means the holder may still be alive: recover refuses
+    val exFresh = intercept[IllegalArgumentException] {
+      StagedCommit.recover(spark, path)
+    }
+    assert(exFresh.getMessage.contains("may still be alive"))
+    ageLock(path) // the holder is long dead
     assert(StagedCommit.recover(spark, path), "recover clears lock+staging")
     assert(!new java.io.File(StagedCommit.lockFileFor(path)).exists())
     // the next attempt after recover succeeds
@@ -151,6 +171,7 @@ class StagedCommitSpec extends SparkSpec {
       StagedCommit.stagingDirFor(path) + "/part=1"))
     fs.createNewFile(new org.apache.hadoop.fs.Path(
       StagedCommit.lockFileFor(path)))
+    ageLock(path)
     assert(StagedCommit.recover(spark, path))
     // the retired partition is back, staging/trash/lock are gone
     assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == before,
@@ -190,9 +211,36 @@ class StagedCommitSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("never published"))
     // staging kept for inspection; recover() rolls everything back
+    // (force: this writer finished synchronously — known dead)
     assert(new java.io.File(StagedCommit.stagingDirFor(path)).exists())
-    assert(StagedCommit.recover(spark, path))
+    assert(StagedCommit.recover(spark, path, force = true))
     assert(spark.read.parquet(path).count() == 10)
+  }
+
+  test("publish refuses once its lease was recovered away or re-acquired") {
+    val path = tmp("graft_wap_leaselost")
+    spark.range(10).toDF("id").write.parquet(path)
+    val staged = StagedCommit.stage(spark, path, expectedRows = 5) { st =>
+      spark.range(5).toDF("id").write.parquet(st)
+    }
+    // an operator recovers this writer away mid-write (force: simulating
+    // a misjudged "it crashed"); publish must refuse, not interleave
+    assert(StagedCommit.recover(spark, path, force = true))
+    val exGone = intercept[IllegalArgumentException] {
+      StagedCommit.publish(staged)
+    }
+    assert(exGone.getMessage.contains("refusing to publish"))
+    assert(spark.read.parquet(path).count() == 10, "live table untouched")
+    // a SUCCESSOR writer re-acquires: the old handle still must not publish
+    val staged2 = StagedCommit.stage(spark, path, expectedRows = 5) { st =>
+      spark.range(5).toDF("id").write.parquet(st)
+    }
+    val exOther = intercept[IllegalArgumentException] {
+      StagedCommit.publish(staged)
+    }
+    assert(exOther.getMessage.contains("not " + staged.writerId))
+    StagedCommit.publish(staged2) // the rightful holder still can
+    assert(spark.read.parquet(path).count() == 5)
   }
 
   test("zOrderInPlace re-clusters under the same audit; content intact") {
