@@ -904,9 +904,18 @@ object SparkEntry {
     DedupOps.simhashBuckets(T(s, dir, "documents"), "doc_id", "text", bits = 8)
       .orderBy("simhash")
 
+  /** Exact jaccard verify over multi-row-banded LSH candidates. The
+    * banding is bands=6 of rows=2 xor-family minhashes: candidate
+    * probability 6·s² instead of the single-row family's 4·s, so
+    * background pairs at low similarity are suppressed by a factor ~s
+    * and CANDIDATE MASS tracks true-dup mass, not n² (measured sf1:
+    * 6784 → 1122 candidates for 1049 verified pairs — and the xor
+    * family finds MORE true pairs than the linear h1+b·h2 bands, whose
+    * lower-envelope correlation loses recall; see CandStats / DEVNOTES
+    * for the per-SF table). */
   private def e2Jaccard(s: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardVerifiedPairs(T(s, dir, "documents"), "doc_id", "text",
-      bands = 4, shingleN = 3, thresholdMicro = 200000)
+      bands = 6, shingleN = 3, thresholdMicro = 200000, rows = 2)
       .orderBy("id_a", "id_b")
 
   /** The SKETCHED verify next to the exact one (e2_jaccard_pairs):
@@ -916,7 +925,7 @@ object SparkEntry {
     * reproduces the estimate bit-for-bit. */
   private def e2JaccardSketch(s: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardSketchPairs(T(s, dir, "documents"), "doc_id", "text",
-      bands = 4, shingleN = 3, k = 64, thresholdMicro = 200000)
+      bands = 6, shingleN = 3, k = 64, thresholdMicro = 200000, rows = 2)
       .orderBy("id_a", "id_b")
 
   /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
@@ -2254,6 +2263,13 @@ object SparkEntry {
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+  /** (i, seed) VALUES rows for the 6×2 multi-row banding — the SAME
+    * Scala-generated xor constants the plan embeds
+    * (DedupOps.bandSeeds). */
+  private lazy val sqlBandSeedRows: String =
+    graft.operators.DedupOps.bandSeeds(12).zipWithIndex
+      .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+
   /** quality_micro over `text` — same formula as the e4_token_stats oracle. */
   private lazy val sqlQualityMicro: String =
     s"""CAST(round((
@@ -2589,14 +2605,20 @@ object SparkEntry {
         s""" AS simhash FROM documents)
         |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_id
         |FROM s GROUP BY simhash HAVING count(*) >= 2 ORDER BY simhash""".stripMargin),
+    // multi-row banding: 6 bands × 2 xor-family minima (bandSeeds
+    // literals — the same Scala-generated constants the plan embeds);
+    // band signature = the comma-joined pair of minima
     "e2_jaccard_pairs" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
         |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
         |h AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
         |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM ds),
-        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
-        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
+        |bm AS (SELECT doc_id, i, MIN(xor(h1, sd)) AS m
+        |  FROM h, (VALUES $sqlBandSeedRows) ks(i, sd) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, i // 2 AS band,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |  FROM bm GROUP BY doc_id, i // 2),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
@@ -2619,8 +2641,11 @@ object SparkEntry {
         |h AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
         |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM ds),
-        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
-        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
+        |bm AS (SELECT doc_id, i, MIN(xor(h1, sd)) AS m
+        |  FROM h, (VALUES $sqlBandSeedRows) ks(i, sd) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, i // 2 AS band,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |  FROM bm GROUP BY doc_id, i // 2),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
         |mh AS (SELECT doc_id, i, MIN(xor(h1, sd)) AS m

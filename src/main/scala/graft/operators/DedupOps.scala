@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data pipelines — exact, MinHash-LSH,
@@ -28,7 +28,7 @@ object DedupOps {
     * through separate projections so each is computed once per row (see
     * TF.shinglesFromTokens' performance contract). The explode is a narrow
     * generator — no shuffle. */
-  private def docShingles(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def docShingles(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
@@ -152,10 +152,12 @@ object DedupOps {
     * evaluates the shingle pipeline once more) and a fatal failure mode
     * for the unguarded hint. */
   def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000): DataFrame = {
-    // same overflow guard as minhashBandsFromShingles:60 — the inlined band
-    // signature below uses the identical h1 + b*h2 combination
-    require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
+      bands: Int, shingleN: Int = 3, thresholdMicro: Long = 500000,
+      rows: Int = 1): DataFrame = {
+    // same overflow guard as minhashBandsFromShingles:60 — the rows=1 band
+    // signature uses the identical h1 + b*h2 combination (the xor family
+    // of rows>1 cannot overflow)
+    require(rows > 1 || bands <= 7, "bands > 7 would overflow h1 + band*h2")
     // The shingle relation feeds four plan branches (signatures, sizes,
     // the pair-expansion join, and the intersection); Spark re-evaluates
     // each branch, so materialize it once — AND pre-partition it by id
@@ -174,9 +176,7 @@ object DedupOps {
         graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
       .select(col("id"), col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n"),
-        (min(col("h1")).as("sig0") +: (1 until bands).map(b =>
-          min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))): _*)
+      .agg(count(lit(1)).as("n"), bandMinimaAggs(bands, rows): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       jaccardPrevCaches.foreach(_.unpersist(blocking = false))
@@ -184,7 +184,7 @@ object DedupOps {
     }
     val sigs = perDoc
       .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+        struct(lit(b).as("band"), bandSigCol(rows)(b).as("sig"))): _*)).as("bs"))
       .select(col("__id").as("id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
     val pairs = candidatePairsFromSigs(sigs)
@@ -251,10 +251,49 @@ object DedupOps {
     }
   }
 
+  /** Xor-mixing constants for multi-row BAND signatures — a DISTINCT
+    * stream from `sketchSeeds` (different public mixing seed), so a
+    * query using both banding and the K-sketch never reuses a hash
+    * position across the two: shared positions would mechanically
+    * inflate a candidate's estimate by rows/K (the band collision that
+    * elected the pair forces those sketch positions equal). */
+  def bandSeeds(m: Int): Array[Long] = {
+    var x = 0xC2B2AE3D27D4EB4FL
+    Array.fill(m) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      x & ((1L << 60) - 1)
+    }
+  }
+
+  /** Per-band signature columns over the fused per-doc minima. With
+    * rows == 1 the band signature is the legacy `min(h1 + b·h2)` single
+    * minimum (callers' published semantics); with rows > 1 it is the
+    * comma-joined string of the band's `rows` xor-family minima
+    * (`bandSeeds`), i.e. an AND of `rows` independent minhash
+    * collisions. The banding S-curve midpoint moves from ~1/bands to
+    * (1/bands)^(1/rows): background pairs at similarity s collide with
+    * probability bands·s^rows instead of bands·s, which is what keeps
+    * CANDIDATE MASS tracking true-dup mass instead of n² as the corpus
+    * grows (measured: rows=1 candidates grew ~40× for 10× data). */
+  private def bandMinimaAggs(bands: Int, rows: Int): Seq[Column] =
+    if (rows == 1)
+      min(col("h1")).as("sig0") +: (1 until bands).map(b =>
+        min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b"))
+    else {
+      val seeds = bandSeeds(bands * rows)
+      (0 until bands * rows).map(i =>
+        min(col("h1").bitwiseXOR(lit(seeds(i)))).as(s"m$i"))
+    }
+
+  private def bandSigCol(rows: Int)(b: Int): Column =
+    if (rows == 1) col(s"sig$b")
+    else concat_ws(",", (0 until rows).map(j =>
+      col(s"m${b * rows + j}").cast("string")): _*)
+
   def jaccardSketchPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, k: Int = 64,
-      thresholdMicro: Long = 200000): DataFrame = {
-    require(bands <= 7, "bands > 7 would overflow h1 + band*h2")
+      thresholdMicro: Long = 200000, rows: Int = 1): DataFrame = {
+    require(rows > 1 || bands <= 7, "bands > 7 would overflow h1 + band*h2")
     val seeds = sketchSeeds(k)
     val ds = docShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -262,13 +301,13 @@ object DedupOps {
       .select(col("id"),
         graft.functions.TextExpressions.md5Halves(col("s")).as("__hh"))
       .select(col("id"), col("__hh.h1").as("h1"), col("__hh.h2").as("h2"))
-    // ONE aggregate: the `bands` LSH signatures + the K sketch minima
-    val perDoc = hashed.groupBy("id")
-      .agg(min(col("h1")).as("sig0"),
-        ((1 until bands).map(b =>
-          min(col("h1") + lit(b.toLong) * col("h2")).as(s"sig$b")) ++
-         (0 until k).map(i =>
-           min(col("h1").bitwiseXOR(lit(seeds(i)))).as(s"m$i"))): _*)
+    // ONE aggregate: the band minima + the K sketch minima (the band
+    // family — h1+b·h2 at rows=1, bandSeeds-xor at rows>1 — never shares
+    // a hash position with the sketchSeeds-xor estimate positions)
+    val aggs = bandMinimaAggs(bands, rows) ++
+      (0 until k).map(i =>
+        min(col("h1").bitwiseXOR(lit(seeds(i)))).as(s"sk$i"))
+    val perDoc = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     synchronized {
       jaccardPrevCaches.foreach(_.unpersist(blocking = false))
@@ -276,12 +315,12 @@ object DedupOps {
     }
     val sigs = perDoc
       .select(col("id").as("__id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"sig$b").as("sig"))): _*)).as("bs"))
+        struct(lit(b).as("band"), bandSigCol(rows)(b).as("sig"))): _*)).as("bs"))
       .select(col("__id").as("id"), col("bs.band").as("band"),
         col("bs.sig").as("sig"))
     val pairs = candidatePairsFromSigs(sigs)
     val sketch = perDoc.select(col("id"),
-      array((0 until k).map(i => col(s"m$i")): _*).as("mh"))
+      array((0 until k).map(i => col(s"sk$i")): _*).as("mh"))
     val matches = aggregate(
       zip_with(col("mha"), col("mhb"),
         (x, y) => when(x === y, 1L).otherwise(0L)),

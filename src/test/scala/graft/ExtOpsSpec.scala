@@ -77,6 +77,32 @@ class ExtOpsSpec extends SparkSpec {
       s"fallback must produce identical pairs: ${viaShuffle.size} vs ${viaBroadcast.size}")
   }
 
+  test("E2 multi-row banding: exact dups always collide; candidates shrink, recall holds") {
+    // identical docs agree on every hash, so they collide in every band
+    // regardless of rows — the (0,3) exact-dup pair must survive rows=2
+    val j2 = DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text", bands = 6,
+      thresholdMicro = 1L, rows = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(j2((0L, 3L)) == 1000000L)
+    // real corpus: multi-row bands (candidate prob bands·s^rows) must cut
+    // the candidate count vs single-row banding (bands·s) while keeping
+    // at least as many verified pairs at the registry threshold — the
+    // measured curve behind the registry's (6,2) config (DEVNOTES table:
+    // sf10 candidates 593k → 18k, verified 10055 → 10442)
+    val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    def stats(bands: Int, rows: Int): (Long, Long) = {
+      val all = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
+        bands = bands, thresholdMicro = 0, rows = rows)
+        .collect().map(r => r.getLong(2))
+      (all.length.toLong, all.count(_ >= 200000).toLong)
+    }
+    val (cand1, ver1) = stats(4, 1)
+    val (cand2, ver2) = stats(6, 2)
+    assert(cand2 <= cand1, s"candidates must shrink: $cand2 vs $cand1")
+    assert(ver2 >= ver1, s"verified pairs must hold: $ver2 vs $ver1")
+    assert(ver2 > 0)
+  }
+
   test("E2 jaccard sketch tracks exact jaccard within the 1/sqrt(K) regime") {
     val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
     val exact = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
