@@ -168,6 +168,71 @@ object SparkEntry {
     * AvroSourceSpec asserts the read still prunes into the reader
     * schema with array columns present. Oracle = the same reduction
     * over the original parquet (round-trip identity). */
+  /** NESTED types through the Avro path (ARRAY<ARRAY<BIGINT>> and a
+    * STRUCT field): built from documents, written as Avro container
+    * files (nested array schemas + a named sub-record), read back via
+    * the pruning DSv2 table with the nested columns REQUIRED, then
+    * flattened to oracle-stable scalars. The oracle recomputes the same
+    * scalars straight from documents — round-trip identity through two
+    * levels of nesting. AvroSourceSpec asserts pruning with nested
+    * columns present and the MAP rejection message. */
+  private def o33AvroNested(s: SparkSession, dir: String): DataFrame = {
+    val avroDir = s"$tmpRoot/avro_nest_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    graft.sources.AvroSource.write(
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        col("text"), // fat column the read below must prune away
+        struct(col("lang"), col("n_chars")).as("meta"),
+        array(array(col("n_chars")),
+          array(col("n_chars") + 1, col("n_chars") * 2)).as("nested")),
+      avroDir)
+    graft.sources.AvroSource.read(s, avroDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, meta STRUCT<lang: STRING, n_chars: BIGINT>, " +
+          "nested ARRAY<ARRAY<BIGINT>>"))
+      .select(col("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        element_at(element_at(col("nested"), 2), 2).as("n2"))
+      .orderBy("doc_id")
+  }
+
+  /** The commit-log table format (graft.sinks.TableLog) under the
+    * oracle gate: create from one lineitem slice, append a second,
+    * latest-wins mergeUpsert over an overlapping third, compact — four
+    * manifest commits, each an atomic create-exclusive link, no
+    * directory swap — then read the latest snapshot back as an
+    * aggregate. The oracle recomputes the identical slice algebra in
+    * SQL, so every lifecycle step must have published exactly its
+    * serializable outcome. TableLogSpec covers the concurrency half
+    * (racing writers, CAS retry, crash garbage, vacuum). */
+  private def o34TableLog(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/log_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // fresh table per call: the log is append-only state, so an
+    // overwritten-in-place scratch dir (the o03 idiom) would double the
+    // data on a second invocation
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    graft.sinks.TableLog.create(s, t, li.where(col("l_orderkey") % 3 === 0))
+    graft.sinks.TableLog.append(s, t, li.where(col("l_orderkey") % 3 === 1))
+    // the synthetic lineitem has duplicate (orderkey, linenumber) keys, so
+    // the upsert source dedupes them with a deterministic aggregate (the
+    // oracle mirrors it); the matching TARGET duplicates all collapse to
+    // the single source row — upsert-as-repair semantics
+    graft.sinks.TableLog.mergeUpsert(s, t,
+      li.where(col("l_orderkey") % 3 === 0 && col("l_linenumber") === 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((max(col("qty")) + 1000).as("qty"),
+          max(col("l_returnflag")).as("l_returnflag")),
+      Seq("l_orderkey", "l_linenumber"))
+    graft.sinks.TableLog.compact(s, t, 1L << 30)
+    graft.sinks.TableLog.read(s, t)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -2180,6 +2245,8 @@ object SparkEntry {
     "e3_ann_ivf" -> (e3Ivf _),
     "e3_ann_ivf_kmeans" -> (e3IvfKmeans _),
     "o31_ann_store" -> (o31AnnStore _),
+    "o33_avro_nested" -> (o33AvroNested _),
+    "o34_table_log" -> (o34TableLog _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3243,6 +3310,30 @@ object SparkEntry {
         |FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
         |WHERE NOT (t.o_orderkey IS NOT NULL AND src.o_orderkey IS NOT NULL AND src.del = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    // round-trip identity through two levels of Avro nesting: the read
+    // flattens struct fields and the inner array back to scalars
+    "o33_avro_nested" ->
+      """SELECT doc_id, lang, n_chars, n_chars * 2 AS n2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // create slice(ok%3=0) → append slice(ok%3=1) → upsert (+1000 qty on
+    // ok%3=0 & line 1) → compact: the same slice algebra the TableLog
+    // lifecycle publishes through four manifest commits
+    "o34_table_log" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |base AS (SELECT * FROM li WHERE l_orderkey % 3 = 0),
+        |app AS (SELECT * FROM li WHERE l_orderkey % 3 = 1),
+        |upd AS (SELECT l_orderkey, l_linenumber, MAX(qty) + 1000 AS qty,
+        |  MAX(l_returnflag) AS l_returnflag
+        |  FROM li WHERE l_orderkey % 3 = 0 AND l_linenumber = 1
+        |  GROUP BY l_orderkey, l_linenumber),
+        |merged AS (
+        |  SELECT * FROM base WHERE NOT (l_orderkey % 3 = 0 AND l_linenumber = 1)
+        |  UNION ALL SELECT * FROM app
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   *      interleaving stage/publish renames with the first. The lease
   *      narrows the multi-writer race to the lock filesystem's
   *      create-exclusivity; it does not close it for writers that
-  *      bypass this class — the honest full fix is a table format with
-  *      a commit log, out of scope here. A crashed holder leaves the
+  *      bypass this class — the full fix is a table format with a
+  *      commit log, which [[TableLog]] provides (every writer succeeds,
+  *      serialized by manifest CAS). A crashed holder leaves the
   *      lock behind; `recover` clears it (along with any staging dir),
   *      which is the documented operator step after a writer death.
   *   1. WRITE to `<target>__staging` (the live table is never touched),

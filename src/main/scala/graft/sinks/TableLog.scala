@@ -1,0 +1,286 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal commit-log table format — the durability layer StagedCommit's
+  * writer lease cannot provide (the lease narrows the multi-writer race
+  * to lock-file create-exclusivity and fails the loser; the LOG lets
+  * every writer succeed, serializably).
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/<uuid>/part-*.parquet   immutable data files
+  *   <table>/_log/v00000001.manifest      immutable versioned manifests
+  * }}}
+  *
+  * A manifest is the FULL snapshot at its version: the list of data
+  * files (relative paths), the row count, the action, the base version
+  * it was computed from. Commit is a single atomic create-exclusive
+  * operation: the manifest is fully written to a temp file, then
+  * HARD-LINKED to its final `v<N>.manifest` name — link(2) fails with
+  * EEXIST atomically, so the winner's manifest appears complete or not
+  * at all (no reader ever observes a half-written manifest, unlike a
+  * create-then-write protocol), and the loser gets a clean CAS conflict.
+  * On an object store the equivalent primitive is a conditional PUT
+  * (if-none-match); on HDFS, create-exclusive + rename.
+  *
+  * Concurrency = optimistic CAS: a writer computes its manifest against
+  * the latest version N and tries to commit N+1; if another writer got
+  * there first, it re-reads the new snapshot, RECOMPUTES (append just
+  * re-unions the file list — its already-written data files are reused;
+  * rewrite re-runs its transform against the new base), and retries.
+  * Readers never block and never see partial state: uncommitted data
+  * files are invisible because reads scan exactly the files the chosen
+  * manifest lists.
+  *
+  * Crash anywhere leaves only invisible garbage (orphan data dirs, temp
+  * manifests) that `vacuum` reclaims; there is no recover() step and no
+  * swap window — the published table is never renamed, only pointed to.
+  *
+  * At 100 TB the protocol costs one small manifest write per commit and
+  * a directory listing per snapshot read; data file paths are listed in
+  * the manifest, so readers skip the eventually-consistent-listing
+  * hazards of directory scans entirely. Old versions remain readable
+  * (`readVersion`) until vacuumed — time travel for free.
+  */
+object TableLog {
+
+  final case class Snapshot(version: Long, baseVersion: Long, action: String,
+      rows: Long, files: Seq[String])
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def manifestPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"v$v%08d.manifest")
+
+  /** Parse a manifest; the `end=true` terminator is written last, so a
+    * manifest missing it (impossible via the link protocol, possible if
+    * someone hand-copies a partial file) is rejected. */
+  private def parseManifest(p: Path): Option[Snapshot] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p, UTF_8).asScala
+    val kv = lines.filterNot(_.startsWith("file="))
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    if (!kv.get("end").contains("true")) return None
+    Some(Snapshot(
+      version = kv("version").toLong,
+      baseVersion = kv("base").toLong,
+      action = kv("action"),
+      rows = kv("rows").toLong,
+      files = lines.filter(_.startsWith("file=")).map(_.drop(5)).toSeq))
+  }
+
+  private def renderManifest(s: Snapshot): String = {
+    val sb = new StringBuilder
+    sb ++= s"version=${s.version}\n"
+    sb ++= s"base=${s.baseVersion}\n"
+    sb ++= s"action=${s.action}\n"
+    sb ++= s"rows=${s.rows}\n"
+    s.files.foreach(f => sb ++= s"file=$f\n")
+    sb ++= "end=true\n"
+    sb.toString
+  }
+
+  /** Latest committed version, or 0 for an empty/new table. */
+  def latestVersion(table: String): Long = {
+    val dir = logDir(table)
+    if (!Files.exists(dir)) return 0L
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .maxOption.getOrElse(0L)
+  }
+
+  def snapshot(table: String): Option[Snapshot] = {
+    val v = latestVersion(table)
+    if (v == 0) None else parseManifest(manifestPath(table, v))
+  }
+
+  def snapshotAt(table: String, version: Long): Option[Snapshot] =
+    parseManifest(manifestPath(table, version))
+
+  /** The atomic pointer swing: link the fully-written temp manifest to
+    * its versioned name. True = committed; false = CAS conflict (that
+    * version now exists — re-read and retry). */
+  private def tryCommit(table: String, s: Snapshot): Boolean = {
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, renderManifest(s).getBytes(UTF_8))
+    try { Files.createLink(manifestPath(table, s.version), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.delete(tmp)
+  }
+
+  /** Write `df` as a new immutable data-file set under `<table>/data/`,
+    * returning (relative file paths, footer row count). Never visible
+    * until a manifest referencing it commits. */
+  private def writeDataFiles(spark: SparkSession, table: String,
+      df: DataFrame): (Seq[String], Long) = {
+    val setId = java.util.UUID.randomUUID().toString
+    val outDir = s"$table/data/$setId"
+    df.write.parquet(outDir)
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(outDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"data/$setId/$n").toSeq.sorted
+    val rows = if (files.isEmpty) 0L
+      else spark.read.parquet(outDir).count() // footer metadata only
+    (files, rows)
+  }
+
+  /** Read the table at its latest version (or a pinned one): a parquet
+    * scan of EXACTLY the manifest's files. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readSnapshot(spark, table,
+      snapshot(table).getOrElse(sys.error(s"no committed version in $table")))
+
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    readSnapshot(spark, table, snapshotAt(table, version).getOrElse(
+      sys.error(s"version $version not found in $table")))
+
+  private def readSnapshot(spark: SparkSession, table: String,
+      s: Snapshot): DataFrame = {
+    require(s.files.nonEmpty, s"version ${s.version} of $table is empty")
+    spark.read.parquet(s.files.map(f => s"$table/$f"): _*)
+  }
+
+  /** Append `df`: new data files + the base snapshot's file list. The
+    * CAS retry re-reads the file list only — the written files are
+    * immutable and reusable across retries, so concurrent appends all
+    * succeed, serialized by version. Returns the committed version. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val (newFiles, newRows) = writeDataFiles(spark, table, df)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshot(table)
+      val s = Snapshot(
+        version = base.map(_.version).getOrElse(0L) + 1,
+        baseVersion = base.map(_.version).getOrElse(0L),
+        action = if (base.isEmpty) "create" else "append",
+        rows = base.map(_.rows).getOrElse(0L) + newRows,
+        files = base.map(_.files).getOrElse(Nil) ++ newFiles)
+      if (tryCommit(table, s)) committed = s.version
+    }
+    committed
+  }
+
+  /** Create (version 1) — append on an empty table, named for intent. */
+  def create(spark: SparkSession, table: String, df: DataFrame): Long =
+    append(spark, table, df)
+
+  /** Full-snapshot rewrite (compaction, re-clustering, merge): run `fn`
+    * on the CURRENT snapshot, commit the result as the complete new
+    * file list. On CAS conflict the base changed under us, so the
+    * transform RE-RUNS against the new snapshot (the orphaned output
+    * of the lost round stays invisible; `vacuum` reclaims it) — this is
+    * what makes concurrent rewrite+append serializable instead of
+    * lost-update-prone. `expectRows(baseRows)` audits the rewrite
+    * before commit (None skips, for row-changing rewrites like merge). */
+  def rewrite(spark: SparkSession, table: String, action: String,
+      expectRows: Long => Option[Long] = n => Some(n))(
+      fn: DataFrame => DataFrame): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshot(table).getOrElse(
+        sys.error(s"rewrite of $table: no committed version"))
+      val out = fn(readSnapshot(spark, table, base))
+      val (files, rows) = writeDataFiles(spark, table, out)
+      expectRows(base.rows).foreach(exp => require(rows == exp,
+        s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
+      val s = Snapshot(base.version + 1, base.version, action, rows, files)
+      if (tryCommit(table, s)) committed = s.version
+    }
+    committed
+  }
+
+  /** Small-file compaction through the log: same narrow coalesce as
+    * LayoutOps.compact, published as a manifest commit instead of a
+    * directory swap. */
+  def compact(spark: SparkSession, table: String, targetBytes: Long): Long =
+    rewrite(spark, table, "compact") { df =>
+      val bytes = snapshot(table).get.files.map(f =>
+        Files.size(Paths.get(table, f))).sum
+      df.coalesce(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+    }
+
+  /** Z-order re-cluster through the log (LayoutOps.zOrderWrite layout,
+    * manifest-committed). */
+  def zOrder(spark: SparkSession, table: String, nFiles: Int,
+      colA: String, rangeA: (Long, Long), colB: String,
+      rangeB: (Long, Long)): Long = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LayoutOps.norm16
+    rewrite(spark, table, "zorder") { df =>
+      df.withColumn("__z", graft.functions.ZOrderLong.zOrder(
+          norm16(col(colA), rangeA._1, rangeA._2),
+          norm16(col(colB), rangeB._1, rangeB._2)))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
+  }
+
+  /** Latest-wins upsert through the log: snapshot rows whose key
+    * matches a source row are replaced, new keys appended — one
+    * left-anti join + union, committed as a rewrite (row count audited
+    * as base - matched + source). */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val src = source.cache()
+    try {
+      val srcRows = src.count()
+      require(src.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .count().where(org.apache.spark.sql.functions.col("count") > 1)
+        .isEmpty, s"mergeUpsert: duplicate keys in source")
+      rewrite(spark, table, "merge", expectRows = _ => None) { df =>
+        df.join(src.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+            keyCols, "left_anti")
+          .unionByName(src)
+      }
+    } finally src.unpersist()
+  }
+
+  /** Reclaim invisible garbage: data files referenced by NO manifest
+    * (crashed or lost-CAS writers) and stale temp manifests. Keeps
+    * every committed version readable; pass `keepVersions` to also
+    * drop old manifests and the files only they reference. Returns the
+    * deleted paths (table-relative). */
+  def vacuum(spark: SparkSession, table: String,
+      keepVersions: Int = Int.MaxValue): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val latest = latestVersion(table)
+    if (latest == 0) return Nil
+    val dropBelow = math.max(1L, latest - keepVersions + 1)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // drop retired manifests first so their references stop counting
+    (1L until dropBelow).foreach { v =>
+      val p = manifestPath(table, v)
+      if (Files.exists(p)) { Files.delete(p); deleted += s"_log/${p.getFileName}" }
+    }
+    Files.list(logDir(table)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".tmp-"))
+      .foreach { p => Files.delete(p); deleted += s"_log/${p.getFileName}" }
+    val referenced = (dropBelow to latest)
+      .flatMap(v => parseManifest(manifestPath(table, v)))
+      .flatMap(_.files).toSet
+    val dataRoot = Paths.get(table, "data")
+    if (Files.exists(dataRoot)) {
+      Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+        val rel = Paths.get(table).relativize(p).toString
+        if (Files.isRegularFile(p) && !referenced.contains(rel)) {
+          Files.delete(p); deleted += rel
+        } else if (Files.isDirectory(p) &&
+            !Files.list(p).iterator().hasNext) {
+          Files.delete(p) // empty set dir left behind
+        }
+      }
+    }
+    deleted.toSeq
+  }
+}

@@ -246,20 +246,31 @@ object AvroDsv2 {
     case Schema.Type.BYTES   => (BinaryType, false)
     case Schema.Type.ARRAY =>
       val (et, elemNullable) = toSparkType(s.getElementType)
-      require(!et.isInstanceOf[ArrayType],
-        s"graft-avro supports array<primitive>, not nested arrays: $s")
       (ArrayType(et, elemNullable), false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.map { f =>
+        val (dt, nullable) = toSparkType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }.toSeq), false)
+    case Schema.Type.MAP => throw new IllegalArgumentException(
+      s"graft-avro does not support MAP fields ($s): model the map as " +
+        "ARRAY<RECORD<key, value>> — Avro maps force string keys and lose " +
+        "key-type fidelity on the round trip")
     case other => throw new IllegalArgumentException(
-      s"graft-avro supports primitive and array<primitive> fields only, got $other")
+      s"graft-avro supports primitive, array, and record fields only, got $other")
   }
 
-  /** External value (AvroSource.convertValue output) → Catalyst value. */
+  /** External value (AvroSource.convertValue output) → Catalyst value.
+    * Arrays and structs recurse — convertValue already produced
+    * element-/field-converted java Lists and external Rows. */
   private[sources] def toCatalyst(v: Any): Any = v match {
     case null           => null
     case s: String      => UTF8String.fromString(s)
-    case l: java.util.List[_] => // array<primitive> field
+    case l: java.util.List[_] => // array field (possibly nested)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         l.asScala.map(toCatalyst).toArray)
+    case r: org.apache.spark.sql.Row => // record field
+      new GenericInternalRow(r.toSeq.map(toCatalyst).toArray)
     case other          => other // primitives and byte arrays pass through
   }
 

@@ -37,13 +37,21 @@ import scala.jdk.CollectionConverters._
   */
 object AvroSource {
 
-  /** Spark → Avro schema for the engine's column subset: flat primitives
-    * (long/int/double/float/string/boolean/binary) plus
-    * `ARRAY<primitive>` — embeddings-in-Avro is the training-data-lake
-    * case a 100 TB corpus hits immediately. Every nullable field (and
-    * nullable array element) is a `[null, T]` union — Avro's idiom. */
+  /** Spark → Avro schema: primitives (long/int/double/float/string/
+    * boolean/binary) plus NESTED composites — `ARRAY<T>` for any
+    * supported T (including ARRAY<ARRAY<primitive>>) and STRUCT fields
+    * (named sub-records, name derived from the field path) —
+    * embeddings-in-Avro and nested multimodal metadata are the
+    * training-data-lake cases a 100 TB corpus hits immediately. MAPs
+    * are rejected descriptively (out of scope; model them as
+    * ARRAY<STRUCT<key,value>>). Every nullable field (and nullable
+    * array element / struct field) is a `[null, T]` union — Avro's
+    * idiom. */
   def toAvroSchema(st: StructType, name: String = "GraftRecord"): Schema = {
-    def primitive(dt: DataType, where: String): Schema = dt match {
+    def nullable(s: Schema, isNullable: Boolean): Schema =
+      if (isNullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+      else s
+    def convert(dt: DataType, where: String): Schema = dt match {
       case LongType    => Schema.create(Schema.Type.LONG)
       case IntegerType => Schema.create(Schema.Type.INT)
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
@@ -51,21 +59,65 @@ object AvroSource {
       case StringType  => Schema.create(Schema.Type.STRING)
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(nullable(convert(et, s"$where element"), containsNull))
+      case sub: StructType => record(sub, where.replaceAll("[^a-zA-Z0-9]", "_"))
+      case _: MapType => throw new IllegalArgumentException(
+        s"AvroSource does not support MAP columns ($where): model the map " +
+          "as ARRAY<STRUCT<key, value>> — Avro maps force string keys and " +
+          "lose key-type fidelity on the round trip")
       case other => throw new IllegalArgumentException(
-        s"AvroSource supports primitive and array<primitive> columns only, got $other for $where")
+        s"AvroSource supports primitive, array, and struct columns only, got $other for $where")
     }
-    def nullable(s: Schema, isNullable: Boolean): Schema =
-      if (isNullable) Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
-      else s
-    val fields = st.fields.map { f =>
-      val base = f.dataType match {
-        case ArrayType(et, containsNull) =>
-          Schema.createArray(nullable(primitive(et, s"${f.name} element"), containsNull))
-        case dt => primitive(dt, f.name)
+    def record(s: StructType, recName: String): Schema = {
+      val fields = s.fields.map { f =>
+        new Schema.Field(f.name,
+          nullable(convert(f.dataType, s"${recName}_${f.name}"), f.nullable),
+          null, null)
       }
-      new Schema.Field(f.name, nullable(base, f.nullable), null, null)
+      Schema.createRecord(recName, null, "graft.avro", false,
+        fields.toList.asJava)
     }
-    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+    record(st, name)
+  }
+
+  /** Non-null branch of a `[null, T]` union (or the schema itself). */
+  private def nonNullOf(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Schema-aware external-value → Avro-datum converter for one Spark
+    * type: arrays recurse on the element, structs build the named
+    * sub-record their Avro schema requires (a nested GenericData.Record
+    * cannot be built without it — the reason the conversion is compiled
+    * from the schema pair instead of pattern-matched on values). */
+  private def toAvroFn(dt: DataType, avro: Schema): Any => Any = dt match {
+    case BinaryType => v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case ArrayType(et, _) =>
+      val ec = toAvroFn(et, nonNullOf(nonNullOf(avro).getElementType))
+      v => {
+        val seq = v.asInstanceOf[scala.collection.Seq[_]]
+        val out = new java.util.ArrayList[Any](seq.size)
+        seq.foreach(e => out.add(if (e == null) null else ec(e)))
+        out
+      }
+    case st: StructType =>
+      val rs = nonNullOf(avro)
+      val fcs = st.fields.zipWithIndex.map { case (f, i) =>
+        toAvroFn(f.dataType, rs.getFields.get(i).schema())
+      }
+      v => {
+        val r = v.asInstanceOf[org.apache.spark.sql.Row]
+        val rec = new GenericData.Record(rs)
+        var i = 0
+        while (i < fcs.length) {
+          rec.put(i, if (r.isNullAt(i)) null else fcs(i)(r.get(i)))
+          i += 1
+        }
+        rec
+      }
+    case _ => identity
   }
 
   /** Write `df` as Avro container files under `path` (overwrite). */
@@ -84,17 +136,16 @@ object AvroSource {
     val pairs = df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroJson)
       val n = sparkSchema.length
-      def toAvro(v: Any): Any = v match {
-        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-        case seq: scala.collection.Seq[_] => // ArrayType column
-          seq.map(toAvro).asJava
-        case other => other // primitives/strings pass through; null stays null
+      // schema-aware converters compiled once per partition: nested
+      // structs need their named Avro sub-schema to build sub-records
+      val fieldFns = sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+        toAvroFn(f.dataType, schema.getFields.get(i).schema())
       }
       rows.map { r =>
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < n) {
-          rec.put(i, toAvro(r.get(i)))
+          rec.put(i, if (r.isNullAt(i)) null else fieldFns(i)(r.get(i)))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get)
@@ -131,17 +182,28 @@ object AvroSource {
       case (v: java.lang.Boolean, BooleanType)        => v
       case (l: java.util.Collection[_], ArrayType(et, _)) =>
         // GenericData.Array (or any list) → element-converted java List;
-        // AvroDsv2.toCatalyst turns it into Catalyst ArrayData
+        // AvroDsv2.toCatalyst turns it into Catalyst ArrayData. Nested
+        // arrays recurse here with et itself an ArrayType/StructType.
         val out = new java.util.ArrayList[Any](l.size())
         l.asScala.foreach(e => out.add(convertValue(e, name, et)))
         out
+      case (r: GenericRecord, st: StructType) =>
+        // sub-record → external Row, fields matched BY NAME against the
+        // record (order drift tolerated; missing field → null — the same
+        // schema-evolution contract as top-level fields)
+        org.apache.spark.sql.Row.fromSeq(st.fields.toSeq.map { f =>
+          val fld = r.getSchema.getField(f.name)
+          if (fld == null) null
+          else convertValue(r.get(fld.pos()), s"$name.${f.name}", f.dataType)
+        })
       case (other, _) => throw new IllegalArgumentException(
         s"Avro field '$name': file value is ${other.getClass.getName}, " +
           s"requested Spark type is $dt — no lossless widening path")
     }
 
   /** Read Avro container files at `path` into a DataFrame with the given
-    * (flat primitive) schema. Fields are matched by NAME against the
+    * schema (primitives, arrays — nested included — and structs; maps
+    * are rejected at write time). Fields are matched by NAME against the
     * record, so field-order drift between writer and reader schemas is
     * tolerated; a field missing from the file reads as null. Delegates to
     * the DataSource V2 table, so downstream projections prune into the

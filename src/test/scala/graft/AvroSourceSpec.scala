@@ -194,12 +194,58 @@ class AvroSourceSpec extends SparkSpec {
     assert(back(2).getSeq[java.lang.Float](1) ==
       Seq(java.lang.Float.valueOf(0.125f), null, java.lang.Float.valueOf(3f)))
     assert(back(3).getSeq[Float](1).isEmpty)
-    // nested arrays stay rejected with a descriptive error
+    // MAP columns stay rejected with a descriptive error naming the field
     val ex = intercept[IllegalArgumentException] {
       AvroSource.toAvroSchema(StructType(Seq(StructField("bad",
-        ArrayType(ArrayType(FloatType))))))
+        MapType(StringType, LongType)))))
     }
-    assert(ex.getMessage.contains("bad"))
+    assert(ex.getMessage.contains("bad") && ex.getMessage.contains("MAP"))
+  }
+
+  test("nested ARRAY<ARRAY> and STRUCT round-trip with pruning intact") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true), // must prune away
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType, nullable = true),
+        StructField("score", LongType, nullable = true))), nullable = true),
+      StructField("grid", ArrayType(
+        ArrayType(LongType, containsNull = true), containsNull = true),
+        nullable = true)))
+    val rows = Seq(
+      Row(0L, "fat-0", Row("en", 7L), Seq(Seq(1L, 2L), Seq(3L))),
+      Row(1L, "fat-1", null, null),                    // null struct + array
+      Row(2L, "fat-2", Row(null, 9L), Seq(null, Seq(4L, null))), // null inner
+      Row(3L, "fat-3", Row("de", null), Seq(Seq.empty[Long])))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val path = tmp("graft_avro_nested")
+    AvroSource.write(df, path)
+    // inference recovers both nested shapes
+    val inferred = graft.sources.AvroDsv2.inferSchema(spark, path)
+    assert(inferred("grid").dataType ==
+      ArrayType(ArrayType(LongType, containsNull = true), containsNull = true),
+      inferred.treeString)
+    assert(inferred("meta").dataType.isInstanceOf[StructType], inferred.treeString)
+    // project AWAY the fat payload: reader schema prunes to 3 columns with
+    // the nested columns intact
+    val pruned = AvroSource.read(spark, path, schema)
+      .select("id", "meta", "grid")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+      Seq("id", "meta", "grid"), scans.head.scan.readSchema().toString)
+    val back = pruned.collect().sortBy(_.getLong(0))
+    assert(back(0).getStruct(1).getString(0) == "en")
+    assert(back(0).getStruct(1).getLong(1) == 7L)
+    assert(back(0).getSeq[Seq[Long]](2) == Seq(Seq(1L, 2L), Seq(3L)))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+    assert(back(2).getStruct(1).isNullAt(0))
+    assert(back(2).getSeq[Seq[java.lang.Long]](2) ==
+      Seq(null, Seq(java.lang.Long.valueOf(4L), null)))
+    assert(back(3).getStruct(1).isNullAt(1))
+    assert(back(3).getSeq[Seq[Long]](2) == Seq(Seq.empty[Long]))
   }
 
   test("one large container file splits into multiple sync-aligned slices") {

@@ -1,0 +1,152 @@
+package graft
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.functions._
+
+/** The commit-log table format's contract: every writer succeeds (CAS
+  * retry, no lease), outcomes are serializable, readers never observe
+  * partial state, and crashes leave only invisible garbage. */
+class TableLogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  test("create/append/read: versions increment, content is the union") {
+    val t = tmp("graft_log_basic")
+    val v1 = TableLog.create(spark, t, spark.range(100).toDF("id"))
+    assert(v1 == 1)
+    val v2 = TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
+    assert(v2 == 2)
+    assert(TableLog.read(spark, t).count() == 150)
+    assert(TableLog.snapshot(t).get.rows == 150)
+    // time travel: the old version remains readable
+    assert(TableLog.readVersion(spark, t, 1).count() == 100)
+  }
+
+  test("two concurrent appends race through the LOG: both commit, serialized") {
+    val t = tmp("graft_log_race")
+    TableLog.create(spark, t, spark.range(1000).toDF("id"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = Seq(1000L, 2000L).map { off =>
+      new Thread(() => {
+        start.await()
+        try results.add(Right(TableLog.append(spark, t,
+          spark.range(off, off + 500).toDF("id"))))
+        catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.forall(_.isRight), s"both writers must succeed: $rs")
+    // serialized: the two commits took versions 2 and 3, in some order
+    assert(rs.flatMap(_.toOption).sorted == Seq(2L, 3L))
+    // both appends are present exactly once
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 2000)
+    assert(back.select(countDistinct($"id")).head.getLong(0) == 2000)
+  }
+
+  test("concurrent compact + append: serializable, nothing lost") {
+    val t = tmp("graft_log_rw")
+    TableLog.create(spark, t,
+      spark.range(10000).toDF("id").repartition(16))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      start.await()
+      try TableLog.compact(spark, t, targetBytes = 1L << 30)
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val appender = new Thread(() => {
+      start.await()
+      try TableLog.append(spark, t, spark.range(10000, 10500).toDF("id"))
+      catch { case e: Throwable => errs.add(e) }
+    })
+    Seq(compactor, appender).foreach(_.start())
+    start.countDown()
+    Seq(compactor, appender).foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(errs.asScala.isEmpty, s"no writer may fail: ${errs.asScala.toSeq}")
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 10500, "append must survive the compaction")
+    assert(back.select(countDistinct($"id")).head.getLong(0) == 10500)
+    assert(TableLog.latestVersion(t) == 3)
+  }
+
+  test("compaction through the log shrinks files, keeps rows; audit blocks a bad rewrite") {
+    val t = tmp("graft_log_compact")
+    TableLog.create(spark, t, spark.range(5000).toDF("id").repartition(16))
+    assert(TableLog.snapshot(t).get.files.size == 16)
+    TableLog.compact(spark, t, targetBytes = 1L << 30)
+    val s = TableLog.snapshot(t).get
+    assert(s.files.size < 4 && s.rows == 5000)
+    assert(TableLog.read(spark, t).count() == 5000)
+    // a rewrite that loses rows must not commit
+    val before = TableLog.latestVersion(t)
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.rewrite(spark, t, "bad")(df => df.limit(10))
+    }
+    assert(ex.getMessage.contains("audit failed"))
+    assert(TableLog.latestVersion(t) == before, "failed audit must not commit")
+  }
+
+  test("crash garbage is invisible; vacuum reclaims it") {
+    val t = tmp("graft_log_crash")
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    // simulate a writer that died before commit: orphan data files and a
+    // temp manifest on disk
+    spark.range(999).toDF("id").write.parquet(s"$t/data/orphan-set")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_log", ".tmp-deadwriter"),
+      "version=2\n".getBytes)
+    assert(TableLog.read(spark, t).count() == 100, "garbage must be invisible")
+    assert(TableLog.latestVersion(t) == 1)
+    val deleted = TableLog.vacuum(spark, t)
+    assert(deleted.exists(_.startsWith("data/orphan-set")), s"got $deleted")
+    assert(deleted.contains("_log/.tmp-deadwriter"))
+    assert(TableLog.read(spark, t).count() == 100)
+    // vacuum with retention drops old versions' exclusive files
+    TableLog.compact(spark, t, 1L << 30)
+    val oldFiles = TableLog.snapshotAt(t, 1).get.files
+    TableLog.vacuum(spark, t, keepVersions = 1)
+    assert(TableLog.snapshotAt(t, 1).isEmpty, "retired manifest dropped")
+    oldFiles.foreach(f => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, f)),
+      s"version-1-only file $f must be reclaimed"))
+    assert(TableLog.read(spark, t).count() == 100)
+  }
+
+  test("mergeUpsert: latest wins, new keys append, duplicate source keys refused") {
+    val t = tmp("graft_log_merge")
+    TableLog.create(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    TableLog.mergeUpsert(spark, t,
+      Seq((2L, "B2"), (9L, "new")).toDF("k", "v"), Seq("k"))
+    val back = TableLog.read(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.mergeUpsert(spark, t,
+        Seq((5L, "x"), (5L, "y")).toDF("k", "v"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+  }
+
+  test("zOrder through the log clusters both dimensions, content intact") {
+    val t = tmp("graft_log_zorder")
+    TableLog.create(spark, t, spark.range(20000)
+      .select((col("id") % 200).as("a"), (col("id") / 200).as("b"))
+      .repartition(8))
+    TableLog.zOrder(spark, t, nFiles = 8, "a", (0L, 199L), "b", (0L, 99L))
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 20000)
+    // per-file span on `a` shrinks under the global range (clustered)
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max("a") - min("a")).as("span")).agg(avg("span")).head.getDouble(0)
+    assert(spans < 0.6 * 199, s"z-ordered span too wide: $spans")
+  }
+}
