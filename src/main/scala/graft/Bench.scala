@@ -56,8 +56,15 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries
     }
+    // runs per query (default 2). The artifact records EVERY sample
+    // (`runs`) next to the per-query min (`queries`): on this VM a single
+    // inflated sample is a stall window, not a regression, and the
+    // committed artifact should let a reader see that without a re-run
+    // (r7's 48.9s headline and e2_embed_neardup's 5.06 were both drift —
+    // adjudicated only by expensive standalone repro).
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -74,7 +81,7 @@ object Bench {
       spark.catalog.clearCache()
       qIdx += 1
       if (qIdx % 10 == 0) probesMid += probePoint()
-      name -> times.minOption
+      name -> times
     }
     val probesAfter = (1 to 3).map(_ => probePoint())
     val probes = probesBefore ++ probesMid ++ probesAfter
@@ -92,13 +99,18 @@ object Bench {
     val medianDrift = median(probesAfter) / median(probesBefore)
     val contended = probeSpread > 3.0
     val qs = results.map {
-      case (k, Some(v)) => s"\"" + k + "\":" + v
-      case (k, None) =>
+      case (k, ts) if ts.nonEmpty => s"\"" + k + "\":" + ts.min
+      case (k, _) =>
         s"\"" + k + "\":\"err: " + errors(k).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.values.flatten.sum
+    // every sample per query, in run order — `queries` above is the min
+    val runsJson = results.collect { case (k, ts) if ts.nonEmpty =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case ts if ts.nonEmpty => ts.min }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.size},""" +
+      s""""runs_per_query":$nRuns,"runs":$runsJson,""" +
       s""""probe_sec":${f"${probes.min}%.3f"},"probe_spread":${f"$probeSpread%.2f"},""" +
       s""""probe_samples":${probes.map(p => f"$p%.3f").mkString("[", ",", "]")},""" +
       s""""probe_median_drift":${f"$medianDrift%.2f"},"contended":$contended}"""
