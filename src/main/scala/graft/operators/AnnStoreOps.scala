@@ -75,6 +75,63 @@ object AnnStoreOps {
       (batch, _) => append(spark, path, batch, idCol, vecCol)
     }
 
+  /** Balance metric of the current cell layout: max cell rows / mean
+    * cell rows (1.0 = perfectly even). Driver-bounded — one count per
+    * cell, ≤ nlist rows collected. */
+  def cellSkew(spark: SparkSession, path: String): Double = {
+    val counts = spark.read.parquet(storeDir(path))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    counts.max.toDouble * counts.length / counts.sum.toDouble
+  }
+
+  /** Re-train the quantizer on the CURRENT corpus and rewrite the whole
+    * store. `append` assigns against the codebook frozen at `build`
+    * time, so as the ingested distribution drifts, new vectors pile into
+    * the few stale cells nearest them — probe work degrades toward a
+    * scan of one giant cell. Rebalance is the maintenance move: derive
+    * nlist from today's corpus size (`SimilarityOps.nlistFor` — cell
+    * COUNT grows with n, target cell size stays constant), re-fit on an
+    * md5-deterministic ~20-rows-per-cell sample of the stored quantized
+    * vectors (the raw floats are gone; the fit quality contract is the
+    * same as semantic dedup's fit-on-sample), assign every vector once,
+    * and publish store + codebook through ONE StagedCommit swap — a
+    * crash mid-rebalance leaves the old store byte-identical, and no
+    * reader ever sees a codebook pointing at the other layout's cells.
+    *
+    * Returns (skewBefore, skewAfter) so callers can log the improvement;
+    * AnnStoreSpec pins that a drifted corpus at least halves. */
+  def rebalance(spark: SparkSession, path: String,
+      targetCellRows: Long = 64L): (Double, Double) = {
+    import spark.implicits._
+    val before = cellSkew(spark, path)
+    val store = spark.read.parquet(storeDir(path))
+    val idCol = store.columns.find(c => c != "qe" && c != "cell").get
+    val quant = store.select(col(idCol), col("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = quant.count()
+      val nlist = SimilarityOps.nlistFor(n, targetCellRows)
+      val (assigned, c2) = SimilarityOps.lloydAssignQuant(
+        quant, idCol, nlist, fitSampleTarget = 20L * nlist)
+      val staged = graft.sinks.StagedCommit.stageWith(spark, path) { staging =>
+        assigned.write.partitionBy("cell").parquet(s"$staging/store")
+        c2.toSeq.map { case (cell, sv, c) => (cell, sv.toSeq, c) }
+          .toDF("cell", "s", "c")
+          .coalesce(1).write.parquet(s"$staging/codebook")
+      } { staging =>
+        val rows = spark.read.parquet(s"$staging/store").count()
+        require(rows == n,
+          s"rebalance audit: staged $rows rows != corpus $n — not publishing")
+        val cells = spark.read.parquet(s"$staging/codebook").count()
+        require(cells > 0 && cells <= nlist,
+          s"rebalance audit: $cells codebook cells, expected (0, $nlist]")
+        rows
+      }
+      graft.sinks.StagedCommit.publish(staged)
+    } finally quant.unpersist(blocking = false)
+    (before, cellSkew(spark, path))
+  }
+
   /** Top-k quantized cosine over the nprobe nearest cells only. */
   def probe(spark: SparkSession, path: String, idCol: String,
       query: Seq[Long], k: Int, nprobe: Int): DataFrame = {

@@ -150,21 +150,56 @@ object SimilarityOps {
       nlist: Int, fitSampleTarget: Long = 0L)
       : Array[(Long, Array[Long], Long)] = {
     import graft.functions.QuantizeVector
-    import org.apache.spark.sql.expressions.Window
     val n = df.count()
     require(n >= nlist, s"need at least $nlist vectors, got $n")
-    val step = if (fitSampleTarget <= 0) 1L else math.max(1L, n / fitSampleTarget)
-    // md5-bucket sampling (the e10_sample_strata idiom): deterministic in
-    // the id alone — no global sort, oracle-identical row selection; the
-    // filter runs BEFORE quantization so unsampled rows are never touched
-    val fitRows =
-      if (step == 1L) df
-      else df.where(
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long") % step === 0)
-    val fit = fitRows
-      .select(col(idCol), QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sampling filter runs BEFORE quantization so unsampled rows are
+    // never touched
+    val fitRows = sampleByIdHash(df, idCol, n, fitSampleTarget)
+    fitFromQuant(fitRows
+      .select(col(idCol), QuantizeVector.quantize(col(vecCol), 1000.0).as("qe")),
+      idCol, nlist)
+  }
+
+  /** lloydFit over an ALREADY-QUANTIZED (`idCol`, qe) relation — the
+    * store-rebalance path, where the persisted cells hold qe and the raw
+    * float vectors are gone. Same seeds, same refinement, same sampling
+    * idiom (here the filter has no pre-quantization work to skip). */
+  def lloydFitQuant(quant: DataFrame, idCol: String,
+      nlist: Int, fitSampleTarget: Long = 0L)
+      : Array[(Long, Array[Long], Long)] = {
+    val n = quant.count()
+    require(n >= nlist, s"need at least $nlist vectors, got $n")
+    fitFromQuant(
+      sampleByIdHash(quant, idCol, n, fitSampleTarget).select(col(idCol), col("qe")),
+      idCol, nlist)
+  }
+
+  /** lloydAssign from a quantized relation: fit (possibly on a sample),
+    * assign everything, aggregate the full-assignment codebook. */
+  def lloydAssignQuant(quant: DataFrame, idCol: String,
+      nlist: Int, fitSampleTarget: Long = 0L)
+      : (DataFrame, Array[(Long, Array[Long], Long)]) = {
+    val c1 = lloydFitQuant(quant, idCol, nlist, fitSampleTarget)
+    val c2 = recomputeCentroids(assignToCells(quant, idCol, c1))
+    (assignToCells(quant, idCol, c1), c2)
+  }
+
+  /** md5-bucket sampling (the e10_sample_strata idiom): deterministic in
+    * the id alone — no global sort, oracle-identical row selection. */
+  private def sampleByIdHash(df: DataFrame, idCol: String,
+      n: Long, target: Long): DataFrame = {
+    val step = if (target <= 0) 1L else math.max(1L, n / target)
+    if (step == 1L) df
+    else df.where(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % step === 0)
+  }
+
+  /** Seeds + one refinement pass over a quantized fit relation. */
+  private def fitFromQuant(fitIn: DataFrame, idCol: String, nlist: Int)
+      : Array[(Long, Array[Long], Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val fit = fitIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = fit.count()
     require(m >= nlist,
       s"fit sample has $m rows < nlist $nlist — raise fitSampleTarget")

@@ -148,13 +148,8 @@ object StagedCommit {
     * touched, so there is nothing to recover), while a process crash
     * leaves the lease for `recover` to clear. */
   def stage(spark: SparkSession, target: String, expectedRows: Long)(
-      write: String => Unit): Staged = {
-    val writerId = acquireLease(spark, target)
-    try {
-      val staging = stagingDirFor(target)
-      val (fs, sp) = fsFor(spark, staging)
-      if (fs.exists(sp)) fs.delete(sp, true) // a crashed predecessor's leavings
-      write(staging)
+      write: String => Unit): Staged =
+    stageWith(spark, target)(write) { staging =>
       // footer-only count; an expected-empty write stages no footers at all
       // (parquet emits only _SUCCESS), so there is nothing to read back
       val rows =
@@ -162,7 +157,25 @@ object StagedCommit {
         else spark.read.parquet(staging).count()
       require(expectedRows < 0 || rows == expectedRows,
         s"staged write audit failed for $target: $rows rows != expected $expectedRows — not publishing")
-      Staged(spark, target, rows, writerId)
+      rows
+    }
+
+  /** `stage` with a caller-supplied audit: `audit(stagingDir)` returns
+    * the staged row count, or throws to refuse the publish. For targets
+    * holding MORE than one relation (a store plus its codebook), where a
+    * single parquet read cannot audit the whole staging tree but the two
+    * relations must still swap in ONE atomic publish — two independent
+    * commits would let a crash publish a codebook inconsistent with the
+    * partition layout it indexes. */
+  def stageWith(spark: SparkSession, target: String)(
+      write: String => Unit)(audit: String => Long): Staged = {
+    val writerId = acquireLease(spark, target)
+    try {
+      val staging = stagingDirFor(target)
+      val (fs, sp) = fsFor(spark, staging)
+      if (fs.exists(sp)) fs.delete(sp, true) // a crashed predecessor's leavings
+      write(staging)
+      Staged(spark, target, audit(staging), writerId)
     } catch {
       case e: Throwable => releaseLease(spark, target); throw e
     }

@@ -70,6 +70,48 @@ class AnnStoreSpec extends SparkSpec {
       Seq((0L, 1000000L), (1000001L, 1000000L), (1000002L, 1000000L)))
   }
 
+  test("rebalance halves skew on a drifted corpus; store content and probe stay exact") {
+    val path = tmp("graft_ann_rebal")
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    AnnStoreOps.build(spark, path, emb, "vec_id", "embedding", nlist = 8)
+    // drift: append 2× the corpus from a region the build never saw —
+    // every appended vector assigns to the few stale cells nearest the
+    // clump, so the layout degenerates toward one giant cell
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val drift = spark.range(1000)
+      .select((col("id") + 100000L).as("vec_id"),
+        array((0 until dim).map {
+          case 0 => lit(40.0f) + (col("id") % 29).cast("float")
+          case 1 => lit(40.0f) + (col("id") % 31).cast("float")
+          case _ => lit(40.0f)
+        }: _*).as("embedding"))
+    AnnStoreOps.append(spark, path, drift, "vec_id", "embedding")
+    val total = spark.read.parquet(s"$path/store").count()
+    val (before, after) = AnnStoreOps.rebalance(spark, path)
+    assert(before > 3.0, s"drift setup should be badly skewed, got $before")
+    assert(after <= before / 2,
+      s"rebalance should at least halve skew: $before -> $after")
+    // content preserved exactly: same row count, same id set
+    assert(spark.read.parquet(s"$path/store").count() == total)
+    assert(spark.read.parquet(s"$path/store")
+      .agg(sum("vec_id")).head.getLong(0) ==
+      emb.agg(sum("vec_id")).head.getLong(0) +
+        (100000L until 101000L).sum)
+    // codebook cell count derived from today's corpus, counts cover it
+    val cb = AnnStoreOps.codebook(spark, path)
+    assert(cb.length <= graft.operators.SimilarityOps.nlistFor(total) &&
+      cb.map(_._3).sum == total)
+    // probe still exact after the rewrite: a drift-clump query vector
+    // finds its exact member at cos 1.0 through the NEW partition pruning
+    val q = drift.where(col("vec_id") === 100000L)
+      .select(graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0))
+      .head.getSeq[Long](0)
+    val top = AnnStoreOps.probe(spark, path, "vec_id", q, k = 1, nprobe = 2)
+      .collect()
+    assert(top.head.getLong(0) == 100000L && top.head.getLong(1) == 1000000L,
+      top.mkString(","))
+  }
+
   test("append assigns with the stored codebook; probe finds the new vector") {
     val path = tmp("graft_ann_append")
     val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
