@@ -2191,6 +2191,25 @@ object SparkEntry {
 
   // ====================================================================
 
+  /** Release every next-call-release memo held by the registry and its
+    * operators — the long-lived-session shutdown/idle hook. Each memo
+    * keeps at most ONE invocation's persists alive (next call releases
+    * the previous call's), so a service looping over queries holds a
+    * BOUNDED cache set; this empties even that bound once the last
+    * results are materialized. CacheLifecycleSpec drives 3 sequential
+    * invocation rounds and pins both properties (no growth between
+    * rounds; cacheManager + persistent RDDs empty after release). */
+  def releaseCaches(): Unit = {
+    synchronized {
+      (tfidfPrevCaches ++ e10PrevCaches).foreach(_.unpersist(blocking = false))
+      tfidfPrevCaches = Nil
+      e10PrevCaches = Nil
+    }
+    graft.operators.DedupOps.releaseJaccardCaches()
+    graft.operators.SimilarityOps.releaseSemanticCaches()
+    graft.operators.MutationOps.releaseSeqIdCache()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
     "o02_comment_skip" -> (o02CommentSkip _),

@@ -132,6 +132,14 @@ object DedupOps {
     * not accumulate dead multi-million-row caches in storage memory. */
   private var jaccardPrevCaches: Seq[DataFrame] = Nil
 
+  /** Release the last jaccard call's persisted relations now instead of
+    * on the next call — the long-lived-session shutdown hook, same
+    * contract as MutationOps.releaseSeqIdCache. */
+  def releaseJaccardCaches(): Unit = synchronized {
+    jaccardPrevCaches.foreach(_.unpersist(blocking = false))
+    jaccardPrevCaches = Nil
+  }
+
   /** The broadcast of the expanded candidate×A-shingle relation in the
     * verify stage is SIZE-GATED IN-PLAN: the intersection join carries
     * no broadcast hint, so the decision is Spark's two-layered gate —

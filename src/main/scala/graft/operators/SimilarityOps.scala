@@ -281,6 +281,14 @@ object SimilarityOps {
     * release, same lifecycle as DedupOps.jaccardPrevCaches). */
   private var semanticPrevCaches: Seq[DataFrame] = Nil
 
+  /** Release the last semantic-dedup call's persisted assignment now
+    * instead of on the next call (long-lived-session shutdown hook,
+    * same contract as MutationOps.releaseSeqIdCache). */
+  def releaseSemanticCaches(): Unit = synchronized {
+    semanticPrevCaches.foreach(_.unpersist(blocking = false))
+    semanticPrevCaches = Nil
+  }
+
   /** Data-driven cell count for Lloyd-blocked operators:
     * nlist = clamp(n / targetCellRows, 2, 4096). Within-cell pair work
     * is O(n²/nlist), so holding the TARGET CELL SIZE constant (rather
