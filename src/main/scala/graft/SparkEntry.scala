@@ -211,17 +211,21 @@ object SparkEntry {
     // overwritten-in-place scratch dir (the o03 idiom) would double the
     // data on a second invocation
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // mod-30 slices: two disjoint ~3% order slices keep every lifecycle
+    // step real while the bench measures COMMIT mechanics, not 4× bulk
+    // parquet-write throughput (o18/o19/o27/o28 already price that; at
+    // sf10 the mod-3 form spent ~60s rewriting 60M-row slices)
     val li = T(s, dir, "lineitem").select(col("l_orderkey"),
       col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
       col("l_returnflag"))
-    graft.sinks.TableLog.create(s, t, li.where(col("l_orderkey") % 3 === 0))
-    graft.sinks.TableLog.append(s, t, li.where(col("l_orderkey") % 3 === 1))
+    graft.sinks.TableLog.create(s, t, li.where(col("l_orderkey") % 30 === 0))
+    graft.sinks.TableLog.append(s, t, li.where(col("l_orderkey") % 30 === 1))
     // the synthetic lineitem has duplicate (orderkey, linenumber) keys, so
     // the upsert source dedupes them with a deterministic aggregate (the
     // oracle mirrors it); the matching TARGET duplicates all collapse to
     // the single source row — upsert-as-repair semantics
     graft.sinks.TableLog.mergeUpsert(s, t,
-      li.where(col("l_orderkey") % 3 === 0 && col("l_linenumber") === 1)
+      li.where(col("l_orderkey") % 30 === 0 && col("l_linenumber") === 1)
         .groupBy("l_orderkey", "l_linenumber")
         .agg((max(col("qty")) + 1000).as("qty"),
           max(col("l_returnflag")).as("l_returnflag")),
@@ -3340,14 +3344,14 @@ object SparkEntry {
     "o34_table_log" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
         |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
-        |base AS (SELECT * FROM li WHERE l_orderkey % 3 = 0),
-        |app AS (SELECT * FROM li WHERE l_orderkey % 3 = 1),
+        |base AS (SELECT * FROM li WHERE l_orderkey % 30 = 0),
+        |app AS (SELECT * FROM li WHERE l_orderkey % 30 = 1),
         |upd AS (SELECT l_orderkey, l_linenumber, MAX(qty) + 1000 AS qty,
         |  MAX(l_returnflag) AS l_returnflag
-        |  FROM li WHERE l_orderkey % 3 = 0 AND l_linenumber = 1
+        |  FROM li WHERE l_orderkey % 30 = 0 AND l_linenumber = 1
         |  GROUP BY l_orderkey, l_linenumber),
         |merged AS (
-        |  SELECT * FROM base WHERE NOT (l_orderkey % 3 = 0 AND l_linenumber = 1)
+        |  SELECT * FROM base WHERE NOT (l_orderkey % 30 = 0 AND l_linenumber = 1)
         |  UNION ALL SELECT * FROM app
         |  UNION ALL SELECT * FROM upd)
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
