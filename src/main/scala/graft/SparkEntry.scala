@@ -237,6 +237,28 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Manifest-level data skipping through the commit log: a range-layout
+    * create records per-file [min, max] key stats in each manifest
+    * entry, and `readWhere` opens ONLY the overlapping files (the
+    * manifest — not a footer crawl — decides; TableLogSpec asserts the
+    * file-count reduction). The oracle recomputes the same range
+    * aggregate over the raw table, so a wrongly-skipped file would
+    * change the hash. Input bounded to a 1-in-10 order slice for the
+    * same reason as o34: the query prices the skipping read path, not
+    * bulk write throughput. */
+  private def o35LogSkipping(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/logskip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("long").as("qty"))
+    graft.sinks.TableLog.create(s, t,
+      li.repartitionByRange(8, col("l_orderkey")), statsCols = Seq("l_orderkey"))
+    graft.sinks.TableLog.readWhere(s, t, "l_orderkey", 1000L, 5000L)
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -2270,6 +2292,7 @@ object SparkEntry {
     "o31_ann_store" -> (o31AnnStore _),
     "o33_avro_nested" -> (o33AvroNested _),
     "o34_table_log" -> (o34TableLog _),
+    "o35_log_skipping" -> (o35LogSkipping _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3357,6 +3380,14 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the same range aggregate over the raw table: a wrongly-skipped
+    // manifest file would change every output column
+    "o35_log_skipping" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0 AND l_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

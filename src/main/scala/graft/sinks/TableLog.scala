@@ -47,8 +47,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TableLog {
 
+  /** Per-file column range, LONG-typed (the engine's integer-first
+    * convention: keys, micro-scores, epoch-micros all live in long
+    * space). Stats prune IO, never semantics — `readWhere` keeps any
+    * file whose range overlaps (or that has no stat for the column)
+    * and still applies the residual filter. */
+  final case class FileStat(col: String, min: Long, max: Long)
+  final case class FileEntry(path: String, stats: Seq[FileStat])
+  /** `txn`: writer-supplied transaction id recorded in the manifest —
+    * the idempotence token for streaming ingest (a replayed micro-batch
+    * finds its id already committed and skips). */
   final case class Snapshot(version: Long, baseVersion: Long, action: String,
-      rows: Long, files: Seq[String])
+      rows: Long, files: Seq[FileEntry], txn: Option[String] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -64,12 +74,22 @@ object TableLog {
     val kv = lines.filterNot(_.startsWith("file="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
+    // `file=<path>` or `file=<path>;<col>:<min>:<max>;...` — paths are
+    // uuid-dir/part-file names, which never contain ';' or ':'
+    val files = lines.filter(_.startsWith("file=")).map { l =>
+      val parts = l.drop(5).split(";")
+      FileEntry(parts.head, parts.tail.toSeq.map { st =>
+        val Array(c, mn, mx) = st.split(":", 3)
+        FileStat(c, mn.toLong, mx.toLong)
+      })
+    }
     Some(Snapshot(
       version = kv("version").toLong,
       baseVersion = kv("base").toLong,
       action = kv("action"),
       rows = kv("rows").toLong,
-      files = lines.filter(_.startsWith("file=")).map(_.drop(5)).toSeq))
+      files = files.toSeq,
+      txn = kv.get("txn")))
   }
 
   private def renderManifest(s: Snapshot): String = {
@@ -78,7 +98,11 @@ object TableLog {
     sb ++= s"base=${s.baseVersion}\n"
     sb ++= s"action=${s.action}\n"
     sb ++= s"rows=${s.rows}\n"
-    s.files.foreach(f => sb ++= s"file=$f\n")
+    s.txn.foreach(t => sb ++= s"txn=$t\n")
+    s.files.foreach { f =>
+      val stats = f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString
+      sb ++= s"file=${f.path}$stats\n"
+    }
     sb ++= "end=true\n"
     sb.toString
   }
@@ -120,18 +144,40 @@ object TableLog {
     * returning (relative file paths, footer row count). Never visible
     * until a manifest referencing it commits. */
   private def writeDataFiles(spark: SparkSession, table: String,
-      df: DataFrame): (Seq[String], Long) = {
+      df: DataFrame, statsCols: Seq[String]): (Seq[FileEntry], Long) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
     df.write.parquet(outDir)
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(outDir)).iterator().asScala
+    val names = Files.list(Paths.get(outDir)).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
-      .map(n => s"data/$setId/$n").toSeq.sorted
-    val rows = if (files.isEmpty) 0L
+      .toSeq.sorted
+    val rows = if (names.isEmpty) 0L
       else spark.read.parquet(outDir).count() // footer metadata only
-    (files, rows)
+    // per-file min/max for the stat columns: one distributed agg grouped
+    // by input file over the files just written (driver result is
+    // files×cols — metadata-sized). Long space only.
+    val statsByName: Map[String, Seq[FileStat]] =
+      if (statsCols.isEmpty || names.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"mn_$c"),
+          max(col(c).cast("long")).as(s"mx_$c")))
+        spark.read.parquet(outDir)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split("/").last
+            name -> statsCols.zipWithIndex.map { case (c, i) =>
+              FileStat(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+            }.toSeq
+          }.toMap
+      }
+    (names.map(n => FileEntry(s"data/$setId/$n",
+      statsByName.getOrElse(n, Nil))), rows)
   }
 
   /** Read the table at its latest version (or a pinned one): a parquet
@@ -147,32 +193,98 @@ object TableLog {
   private def readSnapshot(spark: SparkSession, table: String,
       s: Snapshot): DataFrame = {
     require(s.files.nonEmpty, s"version ${s.version} of $table is empty")
-    spark.read.parquet(s.files.map(f => s"$table/$f"): _*)
+    spark.read.parquet(s.files.map(f => s"$table/${f.path}"): _*)
+  }
+
+  /** The manifest files whose `[min,max]` range for `c` OVERLAPS
+    * `[lo,hi]` — plus any file with no stat for `c` (stats are
+    * optional per commit; absence must never drop data). Exposed so
+    * callers/tests can assert skipping without reading data. */
+  def prunedFiles(table: String, c: String, lo: Long, hi: Long)
+      : Seq[FileEntry] = {
+    val s = snapshot(table).getOrElse(
+      sys.error(s"no committed version in $table"))
+    s.files.filter(f =>
+      f.stats.find(_.col == c).forall(st => st.max >= lo && st.min <= hi))
+  }
+
+  /** Manifest-level data skipping: scan ONLY the files whose stat range
+    * for `c` overlaps `[lo, hi]`, then apply the filter itself (stats
+    * prune IO, never semantics — so a stale or absent stat can only
+    * cost IO). At 100 TB this is the difference between a full-table
+    * scan and an O(matching files) read for range predicates on the
+    * clustering column: pair with `zOrder`/range-layout writes so file
+    * ranges are tight, and the manifest — not a footer crawl over
+    * millions of files — decides what to open. */
+  def readWhere(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = prunedFiles(table, c, lo, hi)
+    val base =
+      if (keep.isEmpty) // filter is disjoint from every file range
+        readSnapshot(spark, table, snapshot(table).get)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(keep.map(f => s"$table/${f.path}"): _*)
+    base.where(col(c).between(lo, hi))
   }
 
   /** Append `df`: new data files + the base snapshot's file list. The
     * CAS retry re-reads the file list only — the written files are
     * immutable and reusable across retries, so concurrent appends all
     * succeed, serialized by version. Returns the committed version. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val (newFiles, newRows) = writeDataFiles(spark, table, df)
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+    // idempotence: if this transaction already committed (a replayed
+    // streaming micro-batch after a crash-restart), do nothing — the
+    // manifest chain IS the transaction log. O(versions) scan; a
+    // long-running ingest can vacuum old versions to bound it.
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val (newFiles, newRows) = writeDataFiles(spark, table, df, statsCols)
     var committed = -1L
     while (committed < 0) {
       val base = snapshot(table)
+      // a racing writer may have committed the same txn while we wrote
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val s = Snapshot(
         version = base.map(_.version).getOrElse(0L) + 1,
         baseVersion = base.map(_.version).getOrElse(0L),
         action = if (base.isEmpty) "create" else "append",
         rows = base.map(_.rows).getOrElse(0L) + newRows,
-        files = base.map(_.files).getOrElse(Nil) ++ newFiles)
+        files = base.map(_.files).getOrElse(Nil) ++ newFiles,
+        txn = txnId)
       if (tryCommit(table, s)) committed = s.version
     }
     committed
   }
 
+  /** The version that committed `txnId`, if any. */
+  def committedTxnVersion(table: String, txnId: String): Option[Long] =
+    (1L to latestVersion(table)).reverse
+      .flatMap(v => parseManifest(manifestPath(table, v)))
+      .find(_.txn.contains(txnId)).map(_.version)
+
   /** Create (version 1) — append on an empty table, named for intent. */
-  def create(spark: SparkSession, table: String, df: DataFrame): Long =
-    append(spark, table, df)
+  def create(spark: SparkSession, table: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Long =
+    append(spark, table, df, statsCols)
+
+  /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
+    * the log with txn id `<streamId>#<batchId>`. foreachBatch is
+    * at-least-once across crash-restarts, but a replayed batch finds
+    * its txn already in the manifest chain and skips — the commit log
+    * doubles as the sink-side transaction log, the missing half of the
+    * exactly-once contract the AnnStore/ClickHouse ingest paths
+    * document around. Drains currently available input. */
+  def appendStream(spark: SparkSession, table: String, stream: DataFrame,
+      streamId: String, checkpoint: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit =
+    graft.streaming.StreamingOps.runForeachBatch(stream,
+      org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
+      (batch, batchId) =>
+        append(spark, table, batch, statsCols,
+          txnId = Some(s"$streamId#$batchId"))
+        ()
+    }
 
   /** Full-snapshot rewrite (compaction, re-clustering, merge): run `fn`
     * on the CURRENT snapshot, commit the result as the complete new
@@ -183,14 +295,15 @@ object TableLog {
     * lost-update-prone. `expectRows(baseRows)` audits the rewrite
     * before commit (None skips, for row-changing rewrites like merge). */
   def rewrite(spark: SparkSession, table: String, action: String,
-      expectRows: Long => Option[Long] = n => Some(n))(
+      expectRows: Long => Option[Long] = n => Some(n),
+      statsCols: Seq[String] = Nil)(
       fn: DataFrame => DataFrame): Long = {
     var committed = -1L
     while (committed < 0) {
       val base = snapshot(table).getOrElse(
         sys.error(s"rewrite of $table: no committed version"))
       val out = fn(readSnapshot(spark, table, base))
-      val (files, rows) = writeDataFiles(spark, table, out)
+      val (files, rows) = writeDataFiles(spark, table, out, statsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       val s = Snapshot(base.version + 1, base.version, action, rows, files)
@@ -202,10 +315,11 @@ object TableLog {
   /** Small-file compaction through the log: same narrow coalesce as
     * LayoutOps.compact, published as a manifest commit instead of a
     * directory swap. */
-  def compact(spark: SparkSession, table: String, targetBytes: Long): Long =
-    rewrite(spark, table, "compact") { df =>
+  def compact(spark: SparkSession, table: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil): Long =
+    rewrite(spark, table, "compact", statsCols = statsCols) { df =>
       val bytes = snapshot(table).get.files.map(f =>
-        Files.size(Paths.get(table, f))).sum
+        Files.size(Paths.get(table, f.path))).sum
       df.coalesce(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
     }
 
@@ -213,10 +327,10 @@ object TableLog {
     * manifest-committed). */
   def zOrder(spark: SparkSession, table: String, nFiles: Int,
       colA: String, rangeA: (Long, Long), colB: String,
-      rangeB: (Long, Long)): Long = {
+      rangeB: (Long, Long), statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     import graft.operators.LayoutOps.norm16
-    rewrite(spark, table, "zorder") { df =>
+    rewrite(spark, table, "zorder", statsCols = statsCols) { df =>
       df.withColumn("__z", graft.functions.ZOrderLong.zOrder(
           norm16(col(colA), rangeA._1, rangeA._2),
           norm16(col(colB), rangeB._1, rangeB._2)))
@@ -268,7 +382,7 @@ object TableLog {
       .foreach { p => Files.delete(p); deleted += s"_log/${p.getFileName}" }
     val referenced = (dropBelow to latest)
       .flatMap(v => parseManifest(manifestPath(table, v)))
-      .flatMap(_.files).toSet
+      .flatMap(_.files.map(_.path)).toSet
     val dataRoot = Paths.get(table, "data")
     if (Files.exists(dataRoot)) {
       Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>

@@ -115,9 +115,74 @@ class TableLogSpec extends SparkSpec {
     TableLog.vacuum(spark, t, keepVersions = 1)
     assert(TableLog.snapshotAt(t, 1).isEmpty, "retired manifest dropped")
     oldFiles.foreach(f => assert(
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, f)),
-      s"version-1-only file $f must be reclaimed"))
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, f.path)),
+      s"version-1-only file ${f.path} must be reclaimed"))
     assert(TableLog.read(spark, t).count() == 100)
+  }
+
+  test("manifest column stats skip files on read; absent stats never drop data") {
+    val t = tmp("graft_log_skip")
+    // range layout → tight per-file id ranges; stats recorded at commit
+    TableLog.create(spark, t,
+      spark.range(10000).toDF("id").repartitionByRange(8, col("id")),
+      statsCols = Seq("id"))
+    val s = TableLog.snapshot(t).get
+    assert(s.files.size == 8 &&
+      s.files.forall(_.stats.exists(_.col == "id")), s.files.toString)
+    // global coverage: stat ranges union to [0, 9999]
+    assert(s.files.flatMap(_.stats).map(_.min).min == 0L &&
+      s.files.flatMap(_.stats).map(_.max).max == 9999L)
+    // a 1/8-width range predicate opens ~1 file, not 8
+    val kept = TableLog.prunedFiles(t, "id", 2000, 2999)
+    assert(kept.size <= 2, s"expected ≤2 of 8 files kept, got ${kept.size}")
+    assert(TableLog.readWhere(spark, t, "id", 2000, 2999).count() == 1000)
+    // disjoint range → zero files, empty result, same schema
+    assert(TableLog.prunedFiles(t, "id", 50000, 60000).isEmpty)
+    assert(TableLog.readWhere(spark, t, "id", 50000, 60000).count() == 0)
+    // an append WITHOUT stats: its files always stay in the pruned set,
+    // so readWhere stays exact even on a mixed-stats table
+    TableLog.append(spark, t, spark.range(2500, 2600).toDF("id"))
+    assert(TableLog.prunedFiles(t, "id", 2000, 2999).size > kept.size)
+    assert(TableLog.readWhere(spark, t, "id", 2000, 2999).count() == 1100)
+    // compact with stats re-establishes skipping over the merged layout
+    TableLog.compact(spark, t, 1L << 18, statsCols = Seq("id"))
+    assert(TableLog.snapshot(t).get.files.forall(_.stats.nonEmpty))
+    assert(TableLog.readWhere(spark, t, "id", 2000, 2999).count() == 1100)
+  }
+
+  test("txn-id appends are idempotent; streaming ingest is exactly-once") {
+    val t = tmp("graft_log_stream")
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    // a replayed batch (same txn id) commits once, no matter how often
+    // the at-least-once layer re-delivers it
+    val v = TableLog.append(spark, t, spark.range(100, 200).toDF("id"),
+      txnId = Some("ingest#7"))
+    assert(TableLog.append(spark, t, spark.range(100, 200).toDF("id"),
+      txnId = Some("ingest#7")) == v, "replay must return the committed version")
+    assert(TableLog.read(spark, t).count() == 200)
+    assert(TableLog.latestVersion(t) == v)
+    assert(TableLog.committedTxnVersion(t, "ingest#7").contains(v))
+    // end-to-end: MemoryStream micro-batches land as txn-stamped commits
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_log_ckpt").toString)
+    mem.addData(1000L, 1001L)
+    TableLog.appendStream(spark, t, mem.toDF().select(col("value").as("id")),
+      "s1", ckpt)
+    mem.addData(1002L)
+    TableLog.appendStream(spark, t, mem.toDF().select(col("value").as("id")),
+      "s1", ckpt)
+    assert(TableLog.read(spark, t).count() == 203)
+    // each batch's txn id is recorded in its manifest
+    assert(TableLog.committedTxnVersion(t, "s1#0").isDefined)
+    assert(TableLog.committedTxnVersion(t, "s1#1").isDefined)
+    // simulated replay of batch 0 (crash before checkpoint advance):
+    // the handler path skips, content unchanged
+    TableLog.append(spark, t, spark.range(1000, 1002).toDF("id"),
+      txnId = Some("s1#0"))
+    assert(TableLog.read(spark, t).count() == 203)
   }
 
   test("mergeUpsert: latest wins, new keys append, duplicate source keys refused") {
