@@ -2236,6 +2236,15 @@ object SparkEntry {
     graft.operators.MutationOps.releaseSeqIdCache()
   }
 
+  /** Drop the per-JVM LAYOUT memos (o20's bucketed tables, o21's
+    * cell-partitioned store): the next invocation re-derives the layout
+    * from CURRENT data. A bucketed/partitioned layout is written once
+    * and joined/probed many times — correct for immutable bench data,
+    * stale in a long-lived service once the base tables change; this is
+    * the invalidation hook that service calls after ingest. */
+  def invalidateLayouts(): Unit =
+    bucketedReady.synchronized { bucketedReady.clear() }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "o01_tsv_roundtrip" -> (o01TsvRoundtrip _),
     "o02_comment_skip" -> (o02CommentSkip _),

@@ -51,4 +51,26 @@ class CacheLifecycleSpec extends SparkSpec {
     SparkEntry.releaseCaches()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("invalidateLayouts forces the next invocation to rewrite the layout") {
+    val dir = sf("0.001")
+    def bucketedMtime(): Long = {
+      // the conf value is a file: URI in-session even when set as a path
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val wh = new java.io.File(new java.net.URI(
+        if (raw.startsWith("file:")) raw else "file://" + raw).getPath)
+      wh.listFiles().filter(_.getName.startsWith("g_orders_b_"))
+        .map(_.lastModified()).max
+    }
+    val r1 = SparkEntry.queries("o20_bucketed_join")(spark, dir).collect()
+    val t1 = bucketedMtime()
+    // memoized: a second call reuses the layout (no rewrite, mtime fixed)
+    SparkEntry.queries("o20_bucketed_join")(spark, dir).count()
+    assert(bucketedMtime() == t1, "memoized call must not rewrite the layout")
+    Thread.sleep(1100) // mtime granularity
+    SparkEntry.invalidateLayouts()
+    val r2 = SparkEntry.queries("o20_bucketed_join")(spark, dir).collect()
+    assert(bucketedMtime() > t1, "invalidation must trigger a fresh layout write")
+    assert(r1.toSeq == r2.toSeq, "rewritten layout must serve identical results")
+  }
 }
