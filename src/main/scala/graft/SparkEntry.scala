@@ -259,6 +259,99 @@ object SparkEntry {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  /** Time travel + change-data-feed through the commit log: the same
+    * create → append → mergeUpsert lifecycle as o34, then (a) a read
+    * PINNED AT VERSION 2 — the manifest chain makes every historical
+    * snapshot a first-class read, no copy was kept — and (b) the
+    * row-level change feed between v1 and v3 as two multiset EXCEPT
+    * ALLs (added = v3∖v1, removed = v1∖v3). The oracle recomputes the
+    * slice algebra per version, so a misfiled manifest, a time-travel
+    * read leaking current files, or a diff missing the upsert's
+    * replaced rows all change the hash. */
+  private def o36TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/tt_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 2))         // v1
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 3))         // v2
+    tl.mergeUpsert(s, t,                                            // v3
+      li.where(col("l_orderkey") % 30 === 2 && col("l_linenumber") === 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((max(col("qty")) + 1000).as("qty"),
+          max(col("l_returnflag")).as("l_returnflag")),
+      Seq("l_orderkey", "l_linenumber"))
+    val (v1, v2, v3) = (tl.readVersion(s, t, 1), tl.readVersion(s, t, 2),
+      tl.readVersion(s, t, 3))
+    val keys = v2.select("l_returnflag").distinct()
+    val a = v2.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_v2"), sum("qty").as("qty_v2"))
+    val ad = v3.exceptAll(v1).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_added"), sum("qty").as("qty_added"))
+    val rm = v1.exceptAll(v3).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_removed"))
+    keys.join(a, Seq("l_returnflag"), "left")
+      .join(ad, Seq("l_returnflag"), "left")
+      .join(rm, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("qty_v2"), lit(0L)).as("qty_v2"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("qty_added"), lit(0L)).as("qty_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy("l_returnflag")
+  }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE over the commit log's file-level
+    * change feed: a grouped (count, sum) is maintained across the
+    * create → append → mergeUpsert lifecycle as
+    * new = old + agg(added files) − agg(removed files) — the
+    * TableLog.readChanges identity (immutable data files ⇒ the manifest
+    * diff is an EXACT multiset delta), so the maintenance pass reads
+    * O(changed files), never the snapshot. The full recompute rides
+    * along in the same row (n_full/qty_full): a broken delta path
+    * diverges from it and fails the oracle hash. At 100 TB this is the
+    * difference between rescanning the table per refresh and reading
+    * the day's appends. */
+  private def o37IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/ivm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 4))         // v1
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 5))         // v2
+    tl.mergeUpsert(s, t,                                            // v3
+      li.where(col("l_orderkey") % 30 === 4 && col("l_linenumber") === 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((max(col("qty")) + 1000).as("qty"),
+          max(col("l_returnflag")).as("l_returnflag")),
+      Seq("l_orderkey", "l_linenumber"))
+    val agg1 = tl.readVersion(s, t, 1).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n1"), sum("qty").as("q1"))
+    val (addRows, remRows) = tl.readChanges(s, t, 1, 3)
+    val aggA = addRows.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("na"), sum("qty").as("qa"))
+    val aggR = remRows.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nr"), sum("qty").as("qr"))
+    val maintained = agg1
+      .join(aggA, Seq("l_returnflag"), "full_outer")
+      .join(aggR, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("na"), lit(0L))
+          - coalesce(col("nr"), lit(0L))).as("n_inc"),
+        (coalesce(col("q1"), lit(0L)) + coalesce(col("qa"), lit(0L))
+          - coalesce(col("qr"), lit(0L))).as("qty_inc"))
+      .where(col("n_inc") > 0)
+    val full = tl.read(s, t).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_full"), sum("qty").as("qty_full"))
+    maintained.join(full, Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -1018,6 +1111,30 @@ object SparkEntry {
     DedupOps.jaccardSketchPairs(T(s, dir, "documents"), "doc_id", "text",
       bands = 6, shingleN = 3, k = 64, thresholdMicro = 200000, rows = 2)
       .orderBy("id_a", "id_b")
+
+  /** INCREMENTAL near-dup dedup against a PERSISTED signature index
+    * (DedupOps.buildSignatureIndex / incrementalDedup) — the
+    * continuous-ingest shape: the 75% base corpus is signed ONCE into a
+    * TableLog table, the 25% batch is signed, probed against the index
+    * on (band, sig), and only survivor signatures are appended (atomic
+    * CAS commit). Per-batch cost is O(batch + matching buckets),
+    * independent of corpus size — re-signing the corpus per arriving
+    * batch is the O(corpus) shape this exists to avoid. The oracle
+    * recomputes both phases and the final index content; idx_docs /
+    * idx_rows are read back from the PUBLISHED index, so a wrong
+    * decision, a lost append, or a double append all change the hash. */
+  private def e2IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/dedupidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // fresh table per call: the index is append-only state (the o34
+    // idiom — an overwritten scratch dir would double on re-invocation)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = T(s, dir, "documents")
+    DedupOps.buildSignatureIndex(s, t, docs.where(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", bands = 4, shingleN = 3)
+    DedupOps.incrementalDedup(s, t, docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", bands = 4, shingleN = 3)
+      .orderBy("doc_id")
+  }
 
   /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
     * registry form): the label key composed with a sign bucket whose
@@ -2232,6 +2349,7 @@ object SparkEntry {
       e10PrevCaches = Nil
     }
     graft.operators.DedupOps.releaseJaccardCaches()
+    graft.operators.DedupOps.releaseIncrementalCaches()
     graft.operators.SimilarityOps.releaseSemanticCaches()
     graft.operators.MutationOps.releaseSeqIdCache()
   }
@@ -2290,6 +2408,7 @@ object SparkEntry {
     "e1_exact_dedup" -> (e1Exact _),
     "e1_latest_by_key" -> (e1LatestByKey _),
     "e2_minhash_pairs" -> (e2Minhash _),
+    "e2_incremental_dedup" -> (e2IncrementalDedup _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
     "e2_jaccard_sketch" -> (e2JaccardSketch _),
@@ -2302,6 +2421,8 @@ object SparkEntry {
     "o33_avro_nested" -> (o33AvroNested _),
     "o34_table_log" -> (o34TableLog _),
     "o35_log_skipping" -> (o35LogSkipping _),
+    "o36_time_travel" -> (o36TimeTravel _),
+    "o37_incremental_agg" -> (o37IncrementalAgg _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -2719,6 +2840,41 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // retrains both phases of the incremental lifecycle: base signatures
+    // (= the index at v1), batch signatures, the cross/within dup rules,
+    // and the final index = base ∪ survivor signatures
+    "e2_incremental_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
+        |e AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM e),
+        |sig AS (SELECT doc_id, b.band, MIN(h1 + b.band * h2) AS sig
+        |  FROM h, (SELECT unnest(range(4)) AS band) b GROUP BY doc_id, b.band),
+        |base AS (SELECT * FROM sig WHERE doc_id % 4 != 0),
+        |bat AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
+        |cm AS (SELECT bat.doc_id, MIN(base.doc_id) AS cmid FROM bat
+        |  JOIN base ON bat.band = base.band AND bat.sig = base.sig
+        |  GROUP BY bat.doc_id),
+        |wm AS (SELECT b2.doc_id, MIN(b1.doc_id) AS wmid FROM bat b1
+        |  JOIN bat b2 ON b1.band = b2.band AND b1.sig = b2.sig
+        |    AND b1.doc_id < b2.doc_id
+        |  GROUP BY b2.doc_id),
+        |dec AS (SELECT d.doc_id,
+        |  (cmid IS NOT NULL OR wmid IS NOT NULL) AS dup,
+        |  CASE WHEN cmid IS NULL AND wmid IS NULL THEN CAST(-1 AS BIGINT)
+        |    ELSE least(coalesce(cmid, 9223372036854775807),
+        |      coalesce(wmid, 9223372036854775807)) END AS match_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+        |  LEFT JOIN cm ON d.doc_id = cm.doc_id
+        |  LEFT JOIN wm ON d.doc_id = wm.doc_id),
+        |fin AS (SELECT * FROM base
+        |  UNION ALL SELECT bat.* FROM bat
+        |  JOIN dec ON bat.doc_id = dec.doc_id AND NOT dec.dup),
+        |ia AS (SELECT count(DISTINCT doc_id) AS idx_docs,
+        |  count(*) AS idx_rows FROM fin)
+        |SELECT dec.doc_id, dec.dup, dec.match_id, ia.idx_docs, ia.idx_rows
+        |FROM dec, ia ORDER BY dec.doc_id""".stripMargin,
     "e2_simhash_buckets" ->
       (s"""WITH s AS (SELECT doc_id, """ +
         (1 to 8).map(p =>
@@ -3397,6 +3553,54 @@ object SparkEntry {
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM lineitem
         |WHERE l_orderkey % 10 = 0 AND l_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    // recomputes each VERSION's row multiset from the slice algebra,
+    // then the v2 aggregate and the v1→v3 multiset diffs
+    "o36_time_travel" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |v1 AS (SELECT * FROM li WHERE l_orderkey % 30 = 2),
+        |app AS (SELECT * FROM li WHERE l_orderkey % 30 = 3),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM app),
+        |upd AS (SELECT l_orderkey, l_linenumber, MAX(qty) + 1000 AS qty,
+        |  MAX(l_returnflag) AS l_returnflag
+        |  FROM li WHERE l_orderkey % 30 = 2 AND l_linenumber = 1
+        |  GROUP BY l_orderkey, l_linenumber),
+        |v3 AS (SELECT * FROM v2 WHERE NOT (l_orderkey % 30 = 2 AND l_linenumber = 1)
+        |  UNION ALL SELECT * FROM upd),
+        |keys AS (SELECT DISTINCT l_returnflag FROM v2),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_v2,
+        |  CAST(sum(qty) AS BIGINT) AS qty_v2 FROM v2 GROUP BY l_returnflag),
+        |ad AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_added,
+        |  CAST(sum(qty) AS BIGINT) AS qty_added
+        |  FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1) GROUP BY l_returnflag),
+        |rm AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3) GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  coalesce(n_v2, 0) AS n_v2, coalesce(qty_v2, 0) AS qty_v2,
+        |  coalesce(n_added, 0) AS n_added, coalesce(qty_added, 0) AS qty_added,
+        |  coalesce(n_removed, 0) AS n_removed
+        |FROM keys LEFT JOIN a USING (l_returnflag)
+        |  LEFT JOIN ad USING (l_returnflag) LEFT JOIN rm USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    // the maintained aggregate equals the full recompute by the
+    // readChanges multiset identity, so the oracle emits the v3
+    // aggregate under both column sets — a broken delta path diverges
+    "o37_incremental_agg" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |v1 AS (SELECT * FROM li WHERE l_orderkey % 30 = 4),
+        |app AS (SELECT * FROM li WHERE l_orderkey % 30 = 5),
+        |upd AS (SELECT l_orderkey, l_linenumber, MAX(qty) + 1000 AS qty,
+        |  MAX(l_returnflag) AS l_returnflag
+        |  FROM li WHERE l_orderkey % 30 = 4 AND l_linenumber = 1
+        |  GROUP BY l_orderkey, l_linenumber),
+        |v3 AS (SELECT * FROM v1 WHERE NOT (l_orderkey % 30 = 4 AND l_linenumber = 1)
+        |  UNION ALL SELECT * FROM app UNION ALL SELECT * FROM upd),
+        |agg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS q FROM v3 GROUP BY l_returnflag)
+        |SELECT l_returnflag, n AS n_inc, q AS qty_inc,
+        |  n AS n_full, q AS qty_full
+        |FROM agg ORDER BY l_returnflag""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

@@ -539,4 +539,98 @@ object DedupOps {
         VF.signBucket(col(vecCol), bits)))
     embeddingNearDups(keyed, idCol, vecCol, "__blk", thresholdMicro)
   }
+
+  // ==================================================================
+  // E2 incremental: dedup a new batch against a PERSISTED signature
+  // index — the continuous-ingest shape of the MinHash pipeline.
+  // ==================================================================
+
+  /** Previous incrementalDedup invocation's persisted batch signatures,
+    * released on the next call (same next-call-release contract as
+    * jaccardPrevCaches: the returned decision relation is lazy, so the
+    * cache must outlive the call). */
+  private var incrementalPrevCaches: Seq[DataFrame] = Nil
+
+  def releaseIncrementalCaches(): Unit = synchronized {
+    incrementalPrevCaches.foreach(_.unpersist(blocking = false))
+    incrementalPrevCaches = Nil
+  }
+
+  /** Build the persistent band-signature index: one (id, band, sig) row
+    * per document band, committed as version 1 of a TableLog table.
+    * Done ONCE per corpus — from then on batches arrive through
+    * `incrementalDedup` and the corpus is never re-signed. */
+  def buildSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3): Long =
+    graft.sinks.TableLog.create(spark, table,
+      minhashBands(df, idCol, textCol, bands, shingleN))
+
+  /** Near-dup dedup of a NEW batch against the signature index, without
+    * touching the corpus: sign the batch, probe the index on
+    * (band, sig), append only the SURVIVORS' signatures. Per-batch cost
+    * is O(batch shingles + matching buckets) — independent of corpus
+    * size, the property that makes continuous 100 TB ingest viable
+    * (re-signing the corpus per batch is the naive O(corpus) shape).
+    * The index probe is an equi-join on uniform md5-derived keys (no
+    * skew); the index side can stay bucketed by (band, sig) so at scale
+    * the probe shuffles ONLY the batch. The append extends the same
+    * manifest chain (atomic CAS commit; pass `txnId` for exactly-once
+    * under replayed batches).
+    *
+    * Dup rule (deterministic, non-transitive by design): a batch doc is
+    * a duplicate if (a) it shares any band signature with an indexed
+    * doc, or (b) it shares one with a SMALLER-id batch doc — the bucket
+    * minimum survives, the same keep-min convention as exactDedupKeep.
+    * match_id is the smallest matching id across both rules, -1 if
+    * none.
+    *
+    * Returns one row per batch doc:
+    * (idCol, dup, match_id, idx_docs, idx_rows) — idx_* read back from
+    * the PUBLISHED index after the append, so the relation witnesses
+    * both the decisions and the final index content. */
+  def incrementalDedup(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3,
+      txnId: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // the batch signatures feed three consumers (index probe,
+    // within-batch buckets, survivor append) — materialize once
+    val sigs = minhashBands(batch, idCol, textCol, bands, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      incrementalPrevCaches.foreach(_.unpersist(blocking = false))
+      incrementalPrevCaches = Seq(sigs)
+    }
+    // pinned at the CURRENT version's file list (TableLog.read resolves
+    // the manifest eagerly), so the decisions below stay correct even
+    // though the append commits before the caller evaluates them
+    val idx = graft.sinks.TableLog.read(spark, table)
+      .select(col("id").as("__idx_id"), col("band"), col("sig"))
+    // self-exclusion: on a REPLAYED batch (crash between append and the
+    // caller's read) the index already holds the survivors' own rows —
+    // a doc must not count as a duplicate of itself
+    val crossM = sigs.join(idx, Seq("band", "sig"))
+      .where(col("__idx_id") =!= col("id"))
+      .groupBy(col("id")).agg(min(col("__idx_id")).as("__cm"))
+    val withinM = candidatePairsFromSigs(sigs)
+      .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("__wm"))
+    val sentinel = Long.MaxValue
+    val decisions = batch.select(col(idCol).as("id"))
+      .join(crossM, Seq("id"), "left")
+      .join(withinM, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__cm").isNotNull || col("__wm").isNotNull).as("dup"),
+        when(col("__cm").isNull && col("__wm").isNull, lit(-1L))
+          .otherwise(least(coalesce(col("__cm"), lit(sentinel)),
+            coalesce(col("__wm"), lit(sentinel)))).as("match_id"))
+    val survivorSigs = sigs.join(
+      decisions.where(!col("dup")).select(col(idCol).as("id")),
+      Seq("id"), "left_semi")
+    graft.sinks.TableLog.append(spark, table, survivorSigs, txnId = txnId)
+    val idxAgg = graft.sinks.TableLog.read(spark, table)
+      .agg(countDistinct(col("id")).as("idx_docs"),
+        count(lit(1)).as("idx_rows"))
+    decisions.crossJoin(broadcast(idxAgg))
+  }
 }

@@ -228,6 +228,41 @@ object TableLog {
     base.where(col(c).between(lo, hi))
   }
 
+  /** File-level change feed between two committed versions: data files
+    * are IMMUTABLE, so the manifest diff IS the change feed —
+    * `(added, removed)` file lists whose row multisets satisfy
+    * vTo = vFrom − removed + added exactly. Reading them costs
+    * O(changed files), not O(snapshot): for an append-only interval
+    * `removed` is empty and `added` is just the appended files, which
+    * is what makes downstream incremental maintenance viable on a
+    * 100 TB table (see `readChanges`). */
+  def changedFiles(table: String, vFrom: Long, vTo: Long)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    def files(v: Long) = snapshotAt(table, v).getOrElse(
+      sys.error(s"version $v not found in $table")).files
+    val (a, b) = (files(vFrom), files(vTo))
+    val (an, bn) = (a.map(_.path).toSet, b.map(_.path).toSet)
+    (b.filterNot(f => an(f.path)), a.filterNot(f => bn(f.path)))
+  }
+
+  /** The change feed as DataFrames: (addedRows, removedRows) between
+    * two versions, scanning ONLY the changed files. Group-aggregate
+    * consumers apply it as new = old + agg(added) − agg(removed) —
+    * exact for any abelian aggregate (sum/count/…) with no row-level
+    * reconciliation needed, because the file multiset identity above
+    * holds exactly. Empty sides come back as an empty scan of the
+    * vTo snapshot (schema-stable). */
+  def readChanges(spark: SparkSession, table: String, vFrom: Long,
+      vTo: Long): (DataFrame, DataFrame) = {
+    val (added, removed) = changedFiles(table, vFrom, vTo)
+    def scan(fs: Seq[FileEntry]): DataFrame =
+      if (fs.isEmpty)
+        readVersion(spark, table, vTo)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+    (scan(added), scan(removed))
+  }
+
   /** Append `df`: new data files + the base snapshot's file list. The
     * CAS retry re-reads the file list only — the written files are
     * immutable and reusable across retries, so concurrent appends all

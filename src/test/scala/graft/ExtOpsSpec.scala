@@ -615,4 +615,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(meta(4L).height == (4 % 64) + 1)
     assert(meta.values.forall(_.format == "fake/v1"))
   }
+
+  test("E2 incremental dedup: cross/within rules, survivor append, replay-stable") {
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "completely different content about spark engines here"
+    val textC = "an entirely novel document discussing scala dataframes"
+    val textD = "another singleton text with sufficiently many tokens"
+    val base = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, textA),  // exact dup of indexed doc 1 → cross dup
+      (8L, textC),  // bucket minimum of the within-batch pair → survives
+      (12L, textC), // within-batch dup of 8
+      (16L, textD), // unique → survives
+      (20L, "tiny") // no shingles → never a candidate, never indexed
+    ).toDF("doc_id", "text")
+    val t = java.nio.file.Files.createTempDirectory("graft_incdedup").toString + "/idx"
+    graft.operators.DedupOps.buildSignatureIndex(spark, t, base,
+      "doc_id", "text", bands = 4)
+    def run() = graft.operators.DedupOps.incrementalDedup(spark, t, batch,
+      "doc_id", "text", bands = 4, txnId = Some("b1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d1 = run()
+    assert(d1(4L) == ((true, 1L, 4L, 16L)))   // cross dup of base doc 1
+    assert(d1(8L) == ((false, -1L, 4L, 16L))) // bucket min survives
+    assert(d1(12L)._1 && d1(12L)._2 == 8L)    // within dup of 8
+    assert(d1(16L) == ((false, -1L, 4L, 16L)))
+    assert(d1(20L) == ((false, -1L, 4L, 16L)))
+    // index = {1, 2} ∪ survivors {8, 16}: 4 docs × 4 bands
+    val idx = graft.sinks.TableLog.read(spark, t)
+    assert(idx.select("id").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 8L, 16L))
+    // REPLAY with the same txn id: the append skips (manifest chain is
+    // the txn log), and self-exclusion keeps every decision identical
+    // even though the survivors' own signatures are now indexed
+    assert(run() == d1)
+    assert(graft.sinks.TableLog.latestVersion(t) == 2L)
+  }
 }

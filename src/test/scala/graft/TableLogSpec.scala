@@ -214,4 +214,27 @@ class TableLogSpec extends SparkSpec {
       .agg((max("a") - min("a")).as("span")).agg(avg("span")).head.getDouble(0)
     assert(spans < 0.6 * 199, s"z-ordered span too wide: $spans")
   }
+
+  test("readChanges: manifest diff is an exact multiset delta, O(changed files)") {
+    val t = tmp("graft_log_cdc")
+    TableLog.create(spark, t, spark.range(1000).toDF("id"))           // v1
+    TableLog.append(spark, t, spark.range(1000, 1200).toDF("id"))     // v2
+    // append-only interval: removed is EMPTY (the incremental-refresh
+    // fast path — the feed reads only the appended files)
+    val (a12, r12) = TableLog.readChanges(spark, t, 1, 2)
+    assert(r12.count() == 0)
+    assert(a12.agg(min("id"), max("id"), count(lit(1))).head.toSeq
+      == Seq(1000L, 1199L, 200L))
+    val (addedF, removedF) = TableLog.changedFiles(t, 1, 2)
+    assert(removedF.isEmpty && addedF.nonEmpty)
+    assert(addedF.size < TableLog.snapshot(t).get.files.size)
+    // across a REWRITE (compact): the identity v3 = v1 − removed + added
+    // must hold as row multisets even though files were rewritten
+    TableLog.compact(spark, t, 1L << 30)                              // v3
+    val (a13, r13) = TableLog.readChanges(spark, t, 1, 3)
+    val v1 = TableLog.readVersion(spark, t, 1)
+    val v3 = TableLog.readVersion(spark, t, 3)
+    assert(v1.unionAll(a13).exceptAll(r13).exceptAll(v3).count() == 0)
+    assert(v3.exceptAll(v1.unionAll(a13).exceptAll(r13)).count() == 0)
+  }
 }
