@@ -604,9 +604,16 @@ object DedupOps {
     }
     // pinned at the CURRENT version's file list (TableLog.read resolves
     // the manifest eagerly), so the decisions below stay correct even
-    // though the append commits before the caller evaluates them
-    val idx = graft.sinks.TableLog.read(spark, table)
-      .select(col("id").as("__idx_id"), col("band"), col("sig"))
+    // though the append commits before the caller evaluates them. An
+    // ABSENT index (streaming bootstrap: the first micro-batch arrives
+    // before any build) probes an empty relation and the append below
+    // creates version 1.
+    val idx =
+      if (graft.sinks.TableLog.latestVersion(table) == 0L)
+        sigs.select(col("id").as("__idx_id"), col("band"), col("sig"))
+          .where(lit(false))
+      else graft.sinks.TableLog.read(spark, table)
+        .select(col("id").as("__idx_id"), col("band"), col("sig"))
     // self-exclusion: on a REPLAYED batch (crash between append and the
     // caller's read) the index already holds the survivors' own rows —
     // a doc must not count as a duplicate of itself

@@ -134,6 +134,35 @@ object StreamingOps {
       .drop("__sig")
   }
 
+  /** Continuous DEDUPED ingest into the commit log: each micro-batch is
+    * deduped against the PERSISTENT signature index
+    * (DedupOps.incrementalDedup — per-batch cost O(batch + matching
+    * buckets), the corpus is never re-signed), survivors land in a
+    * TableLog documents table, survivor signatures in the index. Both
+    * appends carry batch-derived txn ids, so a crash-restart replay
+    * skips whichever append already committed AND reproduces identical
+    * decisions (the index probe self-excludes) — end-to-end
+    * exactly-once dedup ingest, with the two tables healing
+    * independently when a crash lands between their commits. Unlike
+    * `minhashDedupStream` (in-memory watermark state, near-dup memory
+    * bounded by the watermark), the index here is DURABLE and unbounded
+    * in horizon: a duplicate of a document ingested months ago is still
+    * dropped. Drains currently available input. */
+  def dedupIngestStream(spark: SparkSession, docsTable: String,
+      indexTable: String, docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, shingleN: Int = 3, streamId: String = "dedup-ingest",
+      checkpoint: Option[String] = None): Unit =
+    runForeachBatch(docs, OutputMode.Append(), checkpoint) { (batch, batchId) =>
+      val dec = graft.operators.DedupOps.incrementalDedup(spark, indexTable,
+        batch, idCol, textCol, bands, shingleN,
+        txnId = Some(s"$streamId#$batchId#idx"))
+      val survivors = batch.join(
+        dec.where(!col("dup")).select(col(idCol)), Seq(idCol), "left_semi")
+      graft.sinks.TableLog.append(spark, docsTable, survivors,
+        txnId = Some(s"$streamId#$batchId#docs"))
+      ()
+    }
+
   final case class SessionEvent(user_id: Long, us: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n: Long)
   // not private: the state encoder's generated code constructs it reflectively

@@ -418,6 +418,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup ingest stream: durable index, exactly-once across restart, replay heals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_ingest")
+    val (docsT, idxT, cp) =
+      (s"$root/docs", s"$root/idx", s"$root/cp")
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "completely different content about spark engines here"
+    val textC = "an entirely novel document discussing scala dataframes"
+    val mem = MemoryStream[(Long, String)]
+    def run() = StreamingOps.dedupIngestStream(spark, docsT, idxT,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bands = 4, streamId = "s", checkpoint = Some(cp))
+    // batch 0 bootstraps BOTH tables (no index exists yet)
+    mem.addData((1L, textA), (2L, textB))
+    run()
+    // restart with the same checkpoint: only the NEW batch processes;
+    // 3 dups doc 1 via the DURABLE index (ingested a run ago), 5 is a
+    // within-batch dup of 4
+    mem.addData((3L, textA), (4L, textC), (5L, textC))
+    run()
+    val docs = graft.sinks.TableLog.read(spark, docsT)
+    assert(docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    assert(graft.sinks.TableLog.read(spark, idxT)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    val (dv, iv) = (graft.sinks.TableLog.latestVersion(docsT),
+      graft.sinks.TableLog.latestVersion(idxT))
+    // a crash-restart REPLAY of batch 1: both txns are already in the
+    // manifest chains, so neither table advances and the decisions are
+    // reproduced against the already-updated index (self-exclusion)
+    val batch1 = Seq((3L, textA), (4L, textC), (5L, textC))
+      .toDF("doc_id", "text")
+    val dec = graft.operators.DedupOps.incrementalDedup(spark, idxT, batch1,
+      "doc_id", "text", bands = 4, txnId = Some("s#1#idx"))
+    val surv = batch1.join(dec.where(!col("dup")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.sinks.TableLog.append(spark, docsT, surv, txnId = Some("s#1#docs"))
+    assert(graft.sinks.TableLog.latestVersion(docsT) == dv)
+    assert(graft.sinks.TableLog.latestVersion(idxT) == iv)
+    assert(dec.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      == Map(3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("transformWithState CEP matches the fMGWS matcher batch-for-batch") {
     // same scenario as the fMGWS MemoryStream test: cross-batch
     // completion, WITHIN expiry, late drop — on the timer-driven
