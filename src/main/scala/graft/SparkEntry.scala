@@ -352,6 +352,31 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** SCHEMA EVOLUTION through the commit log: v1 is created without the
+    * `priority` column, v2's append adds it — the evolved schema is
+    * recorded IN THE MANIFEST (TableLog.mergeEvolved), so the read
+    * applies it as a lookup, not a footer merge (at 100 TB, "what is
+    * the schema" must never crawl a million files), and v1's files read
+    * the new column as null. The oracle recomputes the union with NULL
+    * priority for the v1 slice; a read that dropped old rows, invented
+    * non-null defaults, or leaked v2's schema into a v1 time-travel
+    * read would change the hash (the per-version pin is spec-tested). */
+  private def o38SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/evo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ord = T(s, dir, "orders")
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, ord.where(col("o_orderkey") % 20 === 6)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c")))
+    tl.append(s, t, ord.where(col("o_orderkey") % 20 === 7)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority")))
+    tl.read(s, t)
+      .groupBy(coalesce(col("priority"), lit("NONE")).as("priority"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+      .orderBy("priority")
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -2423,6 +2448,7 @@ object SparkEntry {
     "o35_log_skipping" -> (o35LogSkipping _),
     "o36_time_travel" -> (o36TimeTravel _),
     "o37_incremental_agg" -> (o37IncrementalAgg _),
+    "o38_schema_evolution" -> (o38SchemaEvolution _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3601,6 +3627,21 @@ object SparkEntry {
         |SELECT l_returnflag, n AS n_inc, q AS qty_inc,
         |  n AS n_full, q AS qty_full
         |FROM agg ORDER BY l_returnflag""".stripMargin,
+    // the union with NULL priority for the pre-evolution slice IS the
+    // schema-evolution read semantics
+    "o38_schema_evolution" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(NULL AS VARCHAR) AS priority
+        |  FROM orders WHERE o_orderkey % 20 = 6
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 20 = 7)
+        |SELECT coalesce(priority, 'NONE') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM v GROUP BY coalesce(priority, 'NONE') ORDER BY priority""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

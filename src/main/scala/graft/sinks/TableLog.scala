@@ -57,8 +57,17 @@ object TableLog {
   /** `txn`: writer-supplied transaction id recorded in the manifest —
     * the idempotence token for streaming ingest (a replayed micro-batch
     * finds its id already committed and skips). */
+  /** `schemaJson`: the table schema AT THIS VERSION (compact Spark
+    * StructType json), recorded in the manifest so readers apply it
+    * without crawling file footers — at 100 TB, "what is the schema"
+    * must be a manifest lookup, not a million-footer merge. Appends
+    * may EVOLVE it (add nullable columns / omit existing ones — see
+    * `mergeEvolved`); each historical version keeps its own schema, so
+    * time travel reads old data under the old schema. Absent on
+    * legacy manifests → reads fall back to footer inference. */
   final case class Snapshot(version: Long, baseVersion: Long, action: String,
-      rows: Long, files: Seq[FileEntry], txn: Option[String] = None)
+      rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
+      schemaJson: Option[String] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -89,7 +98,8 @@ object TableLog {
       action = kv("action"),
       rows = kv("rows").toLong,
       files = files.toSeq,
-      txn = kv.get("txn")))
+      txn = kv.get("txn"),
+      schemaJson = kv.get("schema")))
   }
 
   private def renderManifest(s: Snapshot): String = {
@@ -99,6 +109,7 @@ object TableLog {
     sb ++= s"action=${s.action}\n"
     sb ++= s"rows=${s.rows}\n"
     s.txn.foreach(t => sb ++= s"txn=$t\n")
+    s.schemaJson.foreach(j => sb ++= s"schema=$j\n")
     s.files.foreach { f =>
       val stats = f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString
       sb ++= s"file=${f.path}$stats\n"
@@ -193,7 +204,41 @@ object TableLog {
   private def readSnapshot(spark: SparkSession, table: String,
       s: Snapshot): DataFrame = {
     require(s.files.nonEmpty, s"version ${s.version} of $table is empty")
-    spark.read.parquet(s.files.map(f => s"$table/${f.path}"): _*)
+    scanFiles(spark, s.schemaJson, s.files.map(f => s"$table/${f.path}"))
+  }
+
+  /** Scan `paths` under the manifest-recorded schema when present:
+    * columns match BY NAME, files written before a column existed read
+    * it as null — schema evolution without a footer merge. Legacy
+    * manifests (no schema) fall back to footer inference. */
+  private def scanFiles(spark: SparkSession, schemaJson: Option[String],
+      paths: Seq[String]): DataFrame = schemaJson match {
+    case Some(j) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
+  }
+
+  /** The evolved table schema for an append: existing columns keep
+    * their position and type (a type CHANGE is refused descriptively —
+    * rewrite the table instead), new columns join at the end, and
+    * everything is nullable (old files lack new columns; a future
+    * append may omit old ones). */
+  private[graft] def mergeEvolved(base: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    base.fields.foreach { bf =>
+      inByName.get(bf.name).foreach(nf => require(nf.dataType == bf.dataType,
+        s"schema evolution cannot change the type of ${bf.name}: " +
+          s"${bf.dataType.simpleString} -> ${nf.dataType.simpleString}"))
+    }
+    val baseNames = base.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      base.fields.map(_.copy(nullable = true)) ++
+        incoming.fields.filterNot(f => baseNames(f.name))
+          .map(_.copy(nullable = true)))
   }
 
   /** The manifest files whose `[min,max]` range for `c` OVERLAPS
@@ -224,7 +269,8 @@ object TableLog {
       if (keep.isEmpty) // filter is disjoint from every file range
         readSnapshot(spark, table, snapshot(table).get)
           .where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(keep.map(f => s"$table/${f.path}"): _*)
+      else scanFiles(spark, snapshot(table).flatMap(_.schemaJson),
+        keep.map(f => s"$table/${f.path}"))
     base.where(col(c).between(lo, hi))
   }
 
@@ -255,11 +301,14 @@ object TableLog {
   def readChanges(spark: SparkSession, table: String, vFrom: Long,
       vTo: Long): (DataFrame, DataFrame) = {
     val (added, removed) = changedFiles(table, vFrom, vTo)
+    // both sides scan under vTo's schema so the delta unions cleanly
+    // with reads of the newer snapshot even across an evolution
+    val schemaJson = snapshotAt(table, vTo).flatMap(_.schemaJson)
     def scan(fs: Seq[FileEntry]): DataFrame =
       if (fs.isEmpty)
         readVersion(spark, table, vTo)
           .where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(fs.map(f => s"$table/${f.path}"): _*)
+      else scanFiles(spark, schemaJson, fs.map(f => s"$table/${f.path}"))
     (scan(added), scan(removed))
   }
 
@@ -280,13 +329,25 @@ object TableLog {
       val base = snapshot(table)
       // a racing writer may have committed the same txn while we wrote
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      // evolve the recorded schema; a legacy table (no recorded schema)
+      // stays legacy — recording only the append's schema would claim
+      // columns the old files were never checked against
+      val evolved = base.flatMap(_.schemaJson) match {
+        case Some(j) => Some(mergeEvolved(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          df.schema).json)
+        case None if base.isEmpty => Some(df.schema.json)
+        case None => None
+      }
       val s = Snapshot(
         version = base.map(_.version).getOrElse(0L) + 1,
         baseVersion = base.map(_.version).getOrElse(0L),
         action = if (base.isEmpty) "create" else "append",
         rows = base.map(_.rows).getOrElse(0L) + newRows,
         files = base.map(_.files).getOrElse(Nil) ++ newFiles,
-        txn = txnId)
+        txn = txnId,
+        schemaJson = evolved)
       if (tryCommit(table, s)) committed = s.version
     }
     committed
@@ -341,7 +402,8 @@ object TableLog {
       val (files, rows) = writeDataFiles(spark, table, out, statsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
-      val s = Snapshot(base.version + 1, base.version, action, rows, files)
+      val s = Snapshot(base.version + 1, base.version, action, rows, files,
+        schemaJson = Some(out.schema.json))
       if (tryCommit(table, s)) committed = s.version
     }
     committed

@@ -237,4 +237,32 @@ class TableLogSpec extends SparkSpec {
     assert(v1.unionAll(a13).exceptAll(r13).exceptAll(v3).count() == 0)
     assert(v3.exceptAll(v1.unionAll(a13).exceptAll(r13)).count() == 0)
   }
+
+  test("schema evolution: manifest schema, nulls in old files, per-version pin") {
+    val t = tmp("graft_log_evo")
+    TableLog.create(spark, t, spark.range(10).toDF("id"))                      // v1 (id)
+    TableLog.append(spark, t, Seq((100L, "x"), (101L, "y")).toDF("id", "tag")) // v2 +tag
+    val back = TableLog.read(spark, t)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(back.where(col("tag").isNull).count() == 10)
+    assert(back.where(col("tag").isNotNull).count() == 2)
+    // each version keeps ITS schema: time travel reads v1 without tag
+    assert(TableLog.readVersion(spark, t, 1).schema.fieldNames.toSeq == Seq("id"))
+    // an append may OMIT an evolved column — it reads back as null
+    TableLog.append(spark, t, Seq(200L).toDF("id"))                            // v3
+    assert(TableLog.read(spark, t)
+      .where(col("id") === 200 && col("tag").isNull).count() == 1)
+    // rewrites carry the evolved schema through
+    TableLog.compact(spark, t, 1L << 30)                                       // v4
+    assert(TableLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(TableLog.read(spark, t).count() == 13)
+    // a type change is refused, and the refused append publishes nothing
+    val before = TableLog.latestVersion(t)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.append(spark, t,
+        Seq(1).toDF("id").select(col("id").cast("int").as("id")))
+    }
+    assert(e.getMessage.contains("schema evolution"))
+    assert(TableLog.latestVersion(t) == before)
+  }
 }
