@@ -377,6 +377,29 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** CATEGORICAL data skipping through the commit log: documents are
+    * laid out `repartitionByRange(lang)` so each file covers a tight
+    * string range, per-file [min, max] STRING stats land in the
+    * manifest, and `readWhereIn(lang IN …)` opens only the overlapping
+    * files (TableLogSpec pins the file-count reduction; absent stats
+    * keep the file). Partition-style pruning without a partition
+    * directory layout — the column stays in the data, the manifest
+    * stays one flat list. The oracle recomputes the same IN-filter
+    * aggregate over the raw table, so a wrongly-skipped file changes
+    * every output row. */
+  private def o39CategoricalSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/cat_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sinks.TableLog.create(s, t,
+      docs.repartitionByRange(8, col("lang")), strStatsCols = Seq("lang"))
+    graft.sinks.TableLog.readWhereIn(s, t, "lang", Seq("en", "fr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -2449,6 +2472,7 @@ object SparkEntry {
     "o36_time_travel" -> (o36TimeTravel _),
     "o37_incremental_agg" -> (o37IncrementalAgg _),
     "o38_schema_evolution" -> (o38SchemaEvolution _),
+    "o39_categorical_skip" -> (o39CategoricalSkip _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3642,6 +3666,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
         |FROM v GROUP BY coalesce(priority, 'NONE') ORDER BY priority""".stripMargin,
+    // the same IN-filter aggregate over the raw table: a wrongly-skipped
+    // manifest file would change every output row
+    "o39_categorical_skip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

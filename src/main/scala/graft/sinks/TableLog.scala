@@ -53,7 +53,14 @@ object TableLog {
     * file whose range overlaps (or that has no stat for the column)
     * and still applies the residual filter. */
   final case class FileStat(col: String, min: Long, max: Long)
-  final case class FileEntry(path: String, stats: Seq[FileStat])
+  /** Per-file STRING range, for categorical skipping (partition-style
+    * pruning without a partition layout: pair with a
+    * `repartitionByRange` write so each file covers a tight value
+    * range). Values are URL-encoded in the manifest, so any string —
+    * including ';'/':' — round-trips. */
+  final case class FileStrStat(col: String, min: String, max: String)
+  final case class FileEntry(path: String, stats: Seq[FileStat],
+      strStats: Seq[FileStrStat] = Nil)
   /** `txn`: writer-supplied transaction id recorded in the manifest —
     * the idempotence token for streaming ingest (a replayed micro-batch
     * finds its id already committed and skips). */
@@ -83,14 +90,22 @@ object TableLog {
     val kv = lines.filterNot(_.startsWith("file="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
-    // `file=<path>` or `file=<path>;<col>:<min>:<max>;...` — paths are
-    // uuid-dir/part-file names, which never contain ';' or ':'
+    // `file=<path>` plus stat segments: `;<col>:<min>:<max>` (long) or
+    // `;~<enc col>:<enc min>:<enc max>` (string, URL-encoded) — paths
+    // are uuid-dir/part-file names, which never contain ';' or ':'
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     val files = lines.filter(_.startsWith("file=")).map { l =>
       val parts = l.drop(5).split(";")
-      FileEntry(parts.head, parts.tail.toSeq.map { st =>
-        val Array(c, mn, mx) = st.split(":", 3)
-        FileStat(c, mn.toLong, mx.toLong)
-      })
+      val (strSegs, longSegs) = parts.tail.toSeq.partition(_.startsWith("~"))
+      FileEntry(parts.head,
+        longSegs.map { st =>
+          val Array(c, mn, mx) = st.split(":", 3)
+          FileStat(c, mn.toLong, mx.toLong)
+        },
+        strSegs.map { st =>
+          val Array(c, mn, mx) = st.drop(1).split(":", 3)
+          FileStrStat(dec(c), dec(mn), dec(mx))
+        })
     }
     Some(Snapshot(
       version = kv("version").toLong,
@@ -111,7 +126,10 @@ object TableLog {
     s.txn.foreach(t => sb ++= s"txn=$t\n")
     s.schemaJson.foreach(j => sb ++= s"schema=$j\n")
     s.files.foreach { f =>
-      val stats = f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString
+      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      val stats = f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
+        f.strStats.map(st =>
+          s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
       sb ++= s"file=${f.path}$stats\n"
     }
     sb ++= "end=true\n"
@@ -155,7 +173,8 @@ object TableLog {
     * returning (relative file paths, footer row count). Never visible
     * until a manifest referencing it commits. */
   private def writeDataFiles(spark: SparkSession, table: String,
-      df: DataFrame, statsCols: Seq[String]): (Seq[FileEntry], Long) = {
+      df: DataFrame, statsCols: Seq[String],
+      strStatsCols: Seq[String] = Nil): (Seq[FileEntry], Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
@@ -169,26 +188,40 @@ object TableLog {
       else spark.read.parquet(outDir).count() // footer metadata only
     // per-file min/max for the stat columns: one distributed agg grouped
     // by input file over the files just written (driver result is
-    // files×cols — metadata-sized). Long space only.
-    val statsByName: Map[String, Seq[FileStat]] =
-      if (statsCols.isEmpty || names.isEmpty) Map.empty
+    // files×cols — metadata-sized). Long and string space.
+    val statsByName: Map[String, (Seq[FileStat], Seq[FileStrStat])] =
+      if ((statsCols.isEmpty && strStatsCols.isEmpty) || names.isEmpty)
+        Map.empty
       else {
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"mn_$c"),
-          max(col(c).cast("long")).as(s"mx_$c")))
+          max(col(c).cast("long")).as(s"mx_$c"))) ++
+          strStatsCols.flatMap(c => Seq(
+            min(col(c).cast("string")).as(s"smn_$c"),
+            max(col(c).cast("string")).as(s"smx_$c")))
         spark.read.parquet(outDir)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             val name = r.getString(0).split("/").last
-            name -> statsCols.zipWithIndex.map { case (c, i) =>
+            val off = 1 + 2 * statsCols.size
+            name -> ((statsCols.zipWithIndex.map { case (c, i) =>
               FileStat(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
-            }.toSeq
+            }.toSeq,
+              // an all-null file has no range — omit the stat (the
+              // reader keeps stat-less files, so absence is safe)
+              strStatsCols.zipWithIndex.flatMap { case (c, i) =>
+                if (r.isNullAt(off + 2 * i)) None
+                else Some(FileStrStat(c, r.getString(off + 2 * i),
+                  r.getString(off + 2 * i + 1)))
+              }.toSeq))
           }.toMap
       }
-    (names.map(n => FileEntry(s"data/$setId/$n",
-      statsByName.getOrElse(n, Nil))), rows)
+    (names.map { n =>
+      val (ls, ss) = statsByName.getOrElse(n, (Nil, Nil))
+      FileEntry(s"data/$setId/$n", ls, ss)
+    }, rows)
   }
 
   /** Read the table at its latest version (or a pinned one): a parquet
@@ -312,18 +345,54 @@ object TableLog {
     (scan(added), scan(removed))
   }
 
+  /** The manifest files whose STRING range for `c` contains any of
+    * `values` — plus any file with no string stat for `c` (absence
+    * never drops data). */
+  def prunedFilesIn(table: String, c: String, values: Seq[String])
+      : Seq[FileEntry] = {
+    val s = snapshot(table).getOrElse(
+      sys.error(s"no committed version in $table"))
+    s.files.filter(f =>
+      f.strStats.find(_.col == c).forall(st =>
+        values.exists(v => st.min <= v && v <= st.max)))
+  }
+
+  /** CATEGORICAL data skipping: scan only the files whose string range
+    * for `c` can contain one of `values`, then apply the IN filter
+    * itself (stats prune IO, never semantics). Pair with a
+    * `repartitionByRange(col(c))` write layout so each file covers a
+    * tight value range — partition-style pruning WITHOUT a partition
+    * directory layout, so the files stay self-contained (the column is
+    * in the data, not the path) and the manifest stays one flat list.
+    * At 100 TB this is how per-language / per-source slices of a
+    * training corpus read only their share of the lake. */
+  def readWhereIn(spark: SparkSession, table: String, c: String,
+      values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = prunedFilesIn(table, c, values)
+    val base =
+      if (keep.isEmpty)
+        readSnapshot(spark, table, snapshot(table).get)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else scanFiles(spark, snapshot(table).flatMap(_.schemaJson),
+        keep.map(f => s"$table/${f.path}"))
+    base.where(col(c).isin(values: _*))
+  }
+
   /** Append `df`: new data files + the base snapshot's file list. The
     * CAS retry re-reads the file list only — the written files are
     * immutable and reusable across retries, so concurrent appends all
     * succeed, serialized by version. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      strStatsCols: Seq[String] = Nil): Long = {
     // idempotence: if this transaction already committed (a replayed
     // streaming micro-batch after a crash-restart), do nothing — the
     // manifest chain IS the transaction log. O(versions) scan; a
     // long-running ingest can vacuum old versions to bound it.
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
-    val (newFiles, newRows) = writeDataFiles(spark, table, df, statsCols)
+    val (newFiles, newRows) =
+      writeDataFiles(spark, table, df, statsCols, strStatsCols)
     var committed = -1L
     while (committed < 0) {
       val base = snapshot(table)
@@ -361,8 +430,8 @@ object TableLog {
 
   /** Create (version 1) — append on an empty table, named for intent. */
   def create(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Long =
-    append(spark, table, df, statsCols)
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil): Long =
+    append(spark, table, df, statsCols, strStatsCols = strStatsCols)
 
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
     * the log with txn id `<streamId>#<batchId>`. foreachBatch is

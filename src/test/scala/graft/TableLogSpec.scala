@@ -265,4 +265,32 @@ class TableLogSpec extends SparkSpec {
     assert(e.getMessage.contains("schema evolution"))
     assert(TableLog.latestVersion(t) == before)
   }
+
+  test("string stats: categorical skipping prunes files, odd chars round-trip") {
+    val t = tmp("graft_log_cat")
+    // range layout on cat → each file covers a tight string range;
+    // 'x;y:z' exercises the manifest URL-encoding
+    val cats = Seq("alpha", "beta", "gamma", "delta", "x;y:z=w")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("cat", element_at(
+        typedLit(cats), (col("id") % cats.size).cast("int") + 1))
+    TableLog.create(spark, t, df.repartitionByRange(5, col("cat")),
+      strStatsCols = Seq("cat"))
+    val total = TableLog.snapshot(t).get.files.size
+    val kept = TableLog.prunedFilesIn(t, "cat", Seq("alpha"))
+    assert(kept.size < total, s"no pruning: $total files, kept ${kept.size}")
+    // content: pruned read == full filter, including the odd-char value
+    for (want <- Seq(Seq("alpha"), Seq("x;y:z=w"), Seq("beta", "gamma"))) {
+      val pruned = TableLog.readWhereIn(spark, t, "cat", want)
+        .agg(count(lit(1)), sum("id")).head
+      val full = TableLog.read(spark, t).where(col("cat").isin(want: _*))
+        .agg(count(lit(1)), sum("id")).head
+      assert(pruned == full, s"IN $want: $pruned != $full")
+    }
+    // a later append WITHOUT string stats: its files have no range for
+    // cat, so every IN-read must keep (not skip) them
+    TableLog.append(spark, t, Seq((5000L, "alpha")).toDF("id", "cat"))
+    assert(TableLog.readWhereIn(spark, t, "cat", Seq("alpha"))
+      .where(col("id") === 5000L).count() == 1)
+  }
 }
