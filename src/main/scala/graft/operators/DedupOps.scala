@@ -568,15 +568,19 @@ object DedupOps {
 
   /** Near-dup dedup of a NEW batch against the signature index, without
     * touching the corpus: sign the batch, probe the index on
-    * (band, sig), append only the SURVIVORS' signatures. Per-batch cost
-    * is O(batch shingles + matching buckets) — independent of corpus
-    * size, the property that makes continuous 100 TB ingest viable
-    * (re-signing the corpus per batch is the naive O(corpus) shape).
-    * The index probe is an equi-join on uniform md5-derived keys (no
-    * skew); the index side can stay bucketed by (band, sig) so at scale
-    * the probe shuffles ONLY the batch. The append extends the same
-    * manifest chain (atomic CAS commit; pass `txnId` for exactly-once
-    * under replayed batches).
+    * (band, sig), append only the SURVIVORS' signatures. Per-batch
+    * compute is O(batch shingles + matching buckets) plus one streamed
+    * scan of the index — `bands` longs per corpus document, orders of
+    * magnitude less I/O than re-reading and re-shingling the corpus
+    * text, which is what a non-incremental pipeline redoes per batch.
+    * Measured (tools.IncStats, 5% batch): the incremental pass is FLAT
+    * in corpus size (5.8 → 6.3 s for 10× the corpus — job/commit
+    * overhead floor on this VM) while the full re-sign is linear
+    * (2.0 → 6.1 s); at a realistic lake:batch ratio the gap is the
+    * corpus-to-batch ratio. The index probe is an equi-join on uniform
+    * md5-derived keys (no skew). The append extends the same manifest
+    * chain (atomic CAS commit; pass `txnId` for exactly-once under
+    * replayed batches).
     *
     * Dup rule (deterministic, non-transitive by design): a batch doc is
     * a duplicate if (a) it shares any band signature with an indexed
@@ -594,14 +598,14 @@ object DedupOps {
       bands: Int, shingleN: Int = 3,
       txnId: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    synchronized {
+      incrementalPrevCaches.foreach(_.unpersist(blocking = false))
+      incrementalPrevCaches = Nil
+    }
     // the batch signatures feed three consumers (index probe,
     // within-batch buckets, survivor append) — materialize once
     val sigs = minhashBands(batch, idCol, textCol, bands, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    synchronized {
-      incrementalPrevCaches.foreach(_.unpersist(blocking = false))
-      incrementalPrevCaches = Seq(sigs)
-    }
     // pinned at the CURRENT version's file list (TableLog.read resolves
     // the manifest eagerly), so the decisions below stay correct even
     // though the append commits before the caller evaluates them. An
@@ -623,6 +627,9 @@ object DedupOps {
     val withinM = candidatePairsFromSigs(sigs)
       .groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("__wm"))
     val sentinel = Long.MaxValue
+    // persisted: the survivor append below evaluates it (populating the
+    // cache), and the caller's read of the returned relation must not
+    // re-run the probe join
     val decisions = batch.select(col(idCol).as("id"))
       .join(crossM, Seq("id"), "left")
       .join(withinM, Seq("id"), "left")
@@ -631,6 +638,8 @@ object DedupOps {
         when(col("__cm").isNull && col("__wm").isNull, lit(-1L))
           .otherwise(least(coalesce(col("__cm"), lit(sentinel)),
             coalesce(col("__wm"), lit(sentinel)))).as("match_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { incrementalPrevCaches = Seq(sigs, decisions) }
     val survivorSigs = sigs.join(
       decisions.where(!col("dup")).select(col(idCol).as("id")),
       Seq("id"), "left_semi")

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Incremental-vs-rebuild observability for the persistent dedup index:
+  * measures (a) the ONE-TIME index build over the base corpus, (b) the
+  * per-batch incremental dedup (sign batch + probe index + append
+  * survivors), and (c) what a non-incremental pipeline would redo on
+  * every arriving batch — re-signing the whole corpus for candidate
+  * pairs. The incremental claim is (b) ≪ (c) and (b) tracking BATCH
+  * size while (c) tracks CORPUS size: the probe join still streams the
+  * index, but the index carries `bands` longs per document — orders of
+  * magnitude less I/O than re-reading and re-shingling the corpus text.
+  *
+  *   sbt "runMain graft.tools.IncStats /root/testdata/sf0.01"
+  *
+  * Prints one JSON line. Batch = doc_id % 20 == 0 (5% of the corpus),
+  * base = the rest, matching a daily-increment:lake ratio better than
+  * the registry query's 25% demo batch.
+  */
+object IncStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SessionProfile.tune(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = docs.where(col("doc_id") % 20 =!= 0)
+    val batch = docs.where(col("doc_id") % 20 === 0)
+    val (nBase, nBatch) = (base.count(), batch.count())
+    val t = java.nio.file.Files.createTempDirectory("graft_incstats")
+      .toString + "/idx"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildSec) = timed {
+      DedupOps.buildSignatureIndex(spark, t, base, "doc_id", "text",
+        bands = 4)
+    }
+    val (nDup, incSec) = timed {
+      DedupOps.incrementalDedup(spark, t, batch, "doc_id", "text",
+        bands = 4).where(col("dup")).count()
+    }
+    // the non-incremental alternative: every batch re-signs the WHOLE
+    // corpus (base + batch) to recompute candidate pairs
+    val (nPairs, rebuildSec) = timed {
+      DedupOps.minhashCandidatePairs(docs, "doc_id", "text", bands = 4)
+        .count()
+    }
+    println(s"""{"sf":"$sfDir","n_base":$nBase,"n_batch":$nBatch,""" +
+      s""""build_sec":${f"$buildSec%.3f"},"incremental_sec":${f"$incSec%.3f"},""" +
+      s""""rebuild_sec":${f"$rebuildSec%.3f"},"batch_dups":$nDup,""" +
+      s""""full_pairs":$nPairs}""")
+    spark.stop()
+  }
+}
