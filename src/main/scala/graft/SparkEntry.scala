@@ -400,6 +400,41 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** MANIFEST ROW ACCOUNTING across the commit lifecycle: every commit
+    * records the snapshot's row count in its manifest (appends add the
+    * footer-counted delta; rewrites audit against it before
+    * publishing), so `count(*)`-class questions are a METADATA lookup —
+    * at 100 TB, table size must never cost a scan. The query walks
+    * create → append → merge → compact, emitting each version's
+    * manifest count NEXT TO a real scan of that version; the oracle
+    * recomputes both columns identically from the slice algebra, so a
+    * drifted count — an append double-count, a rewrite that lost rows —
+    * fails the hash on the version where it happened. */
+  private def o40ManifestRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = s"$tmpRoot/mrows_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 8))         // v1
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 9))         // v2
+    tl.mergeUpsert(s, t,                                            // v3
+      li.where(col("l_orderkey") % 30 === 8 && col("l_linenumber") === 1)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg((max(col("qty")) + 1000).as("qty"),
+          max(col("l_returnflag")).as("l_returnflag")),
+      Seq("l_orderkey", "l_linenumber"))
+    tl.compact(s, t, 1L << 30)                                      // v4
+    (1L to 4L).map { v =>
+      val snap = tl.snapshotAt(t, v).getOrElse(
+        sys.error(s"missing version $v of $t"))
+      (v, snap.action, snap.rows, tl.readVersion(s, t, v).count())
+    }.toDF("version", "action", "n_manifest", "n_scan")
+      .orderBy("version")
+  }
+
   private def o32AvroArray(s: SparkSession, dir: String): DataFrame = {
     val avroDir = s"$tmpRoot/avro_arr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     graft.sources.AvroSource.write(
@@ -2473,6 +2508,7 @@ object SparkEntry {
     "o37_incremental_agg" -> (o37IncrementalAgg _),
     "o38_schema_evolution" -> (o38SchemaEvolution _),
     "o39_categorical_skip" -> (o39CategoricalSkip _),
+    "o40_manifest_rows" -> (o40ManifestRows _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3673,6 +3709,24 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // per-version row counts from the slice algebra — manifest and scan
+    // columns are the SAME number when the accounting is right
+    "o40_manifest_rows" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber FROM lineitem),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li WHERE l_orderkey % 30 = 8),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li WHERE l_orderkey % 30 = 9),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT * FROM li WHERE l_orderkey % 30 = 8
+        |    AND NOT (l_linenumber = 1)
+        |  UNION ALL SELECT * FROM li WHERE l_orderkey % 30 = 9
+        |  UNION ALL SELECT DISTINCT l_orderkey, l_linenumber FROM li
+        |    WHERE l_orderkey % 30 = 8 AND l_linenumber = 1))
+        |SELECT CAST(1 AS BIGINT) AS version, 'create' AS action,
+        |  b.n AS n_manifest, b.n AS n_scan FROM b
+        |UNION ALL SELECT 2, 'append', b.n + a.n, b.n + a.n FROM b, a
+        |UNION ALL SELECT 3, 'merge', m.n, m.n FROM m
+        |UNION ALL SELECT 4, 'compact', m.n, m.n FROM m
+        |ORDER BY version""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c
