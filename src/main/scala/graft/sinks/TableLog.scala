@@ -345,6 +345,62 @@ object TableLog {
     (scan(added), scan(removed))
   }
 
+  /** A continuously MAINTAINED materialized aggregate: `mv` holds
+    * `keyCols ++ (n, sum_<c>…)` over the current snapshot of `src`,
+    * and each `maintainAgg` call refreshes it by applying ONLY the
+    * file-level delta since the last refresh —
+    * new = old + agg(added files) − agg(removed files), exact for
+    * these abelian aggregates by the `readChanges` multiset identity.
+    * Refresh cost is O(changed files + |mv|), never a source rescan:
+    * the difference between re-aggregating 100 TB per refresh and
+    * reading the day's appends. The refreshed source version rides in
+    * the mv manifest's txn id (`mv@<srcVersion>`), so the refresh is
+    * IDEMPOTENT (a crash-replayed maintain finds its txn committed and
+    * skips) and self-describing (no side-channel watermark file).
+    * Groups whose count reaches zero leave the mv. Returns the mv
+    * version (unchanged when already current). */
+  def maintainAgg(spark: SparkSession, src: String, mv: String,
+      keyCols: Seq[String], sumCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val srcV = latestVersion(src)
+    require(srcV > 0, s"maintainAgg: no committed version in $src")
+    val lastRefreshed = (1L to latestVersion(mv)).reverse.iterator
+      .flatMap(v => parseManifest(manifestPath(mv, v)))
+      .flatMap(_.txn)
+      .collectFirst { case t if t.startsWith("mv@") => t.drop(3).toLong }
+      .getOrElse(0L)
+    if (srcV == lastRefreshed) return latestVersion(mv)
+    def aggOf(df: DataFrame, pre: String): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as(s"${pre}n"),
+          sumCols.map(c => sum(col(c)).as(s"$pre$c")): _*)
+    val outCols = keyCols.map(col) ++ (("n", "an", "rn") +:
+      sumCols.map(c => (s"sum_$c", s"a$c", s"r$c"))).map { case (o, a, r) =>
+      (coalesce(col(s"o_$o"), lit(0L)) + coalesce(col(a), lit(0L))
+        - coalesce(col(r), lit(0L))).as(o)
+    }
+    val txn = Some(s"mv@$srcV")
+    if (lastRefreshed == 0L) // bootstrap: one full aggregate, then deltas
+      append(spark, mv, readVersion(spark, src, srcV)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*), txnId = txn)
+    else {
+      val (added, removed) = readChanges(spark, src, lastRefreshed, srcV)
+      val (aAgg, rAgg) = (aggOf(added, "a"), aggOf(removed, "r"))
+      rewrite(spark, mv, "refresh", expectRows = _ => None,
+        txnId = txn) { old =>
+        old.select(keyCols.map(col) ++
+            ("n" +: sumCols.map(c => s"sum_$c"))
+              .map(c => col(c).as(s"o_$c")): _*)
+          .join(aAgg, keyCols, "full_outer")
+          .join(rAgg, keyCols, "full_outer")
+          .select(outCols: _*)
+          .where(col("n") > 0)
+      }
+    }
+  }
+
   /** The manifest files whose STRING range for `c` contains any of
     * `values` — plus any file with no string stat for `c` (absence
     * never drops data). */
@@ -461,18 +517,22 @@ object TableLog {
     * before commit (None skips, for row-changing rewrites like merge). */
   def rewrite(spark: SparkSession, table: String, action: String,
       expectRows: Long => Option[Long] = n => Some(n),
-      statsCols: Seq[String] = Nil)(
+      statsCols: Seq[String] = Nil, txnId: Option[String] = None)(
       fn: DataFrame => DataFrame): Long = {
+    // same idempotence contract as append: a replayed rewrite whose txn
+    // already committed is a no-op
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     var committed = -1L
     while (committed < 0) {
       val base = snapshot(table).getOrElse(
         sys.error(s"rewrite of $table: no committed version"))
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val out = fn(readSnapshot(spark, table, base))
       val (files, rows) = writeDataFiles(spark, table, out, statsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       val s = Snapshot(base.version + 1, base.version, action, rows, files,
-        schemaJson = Some(out.schema.json))
+        txn = txnId, schemaJson = Some(out.schema.json))
       if (tryCommit(table, s)) committed = s.version
     }
     committed

@@ -293,4 +293,35 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readWhereIn(spark, t, "cat", Seq("alpha"))
       .where(col("id") === 5000L).count() == 1)
   }
+
+  test("maintained aggregate: O(delta) refresh == full recompute; replay skips") {
+    val root = java.nio.file.Files.createTempDirectory("graft_log_mv")
+    val (src, mv) = (s"$root/src", s"$root/mv")
+    def fullAgg() = TableLog.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    def mvRows() = TableLog.read(spark, mv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def fullRows() = fullAgg()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+    TableLog.create(spark, src, rows.toDF("id", "k", "v"))
+    TableLog.maintainAgg(spark, src, mv, Seq("k"), Seq("v")) // bootstrap
+    assert(mvRows() == fullRows())
+    // append-only delta: new keys and existing keys
+    TableLog.append(spark, src,
+      Seq((200L, "a", 7L), (201L, "c", 9L)).toDF("id", "k", "v"))
+    TableLog.maintainAgg(spark, src, mv, Seq("k"), Seq("v"))
+    assert(mvRows() == fullRows())
+    // a merge MOVES every 'c' row to 'a': group c's count reaches zero
+    // and must leave the mv
+    TableLog.mergeUpsert(spark, src,
+      Seq((201L, "a", 9L)).toDF("id", "k", "v"), Seq("id"))
+    TableLog.maintainAgg(spark, src, mv, Seq("k"), Seq("v"))
+    assert(mvRows() == fullRows())
+    assert(!mvRows().exists(_._1 == "c"))
+    // already current: no new mv version; a replayed maintain is a no-op
+    val v = TableLog.latestVersion(mv)
+    TableLog.maintainAgg(spark, src, mv, Seq("k"), Seq("v"))
+    assert(TableLog.latestVersion(mv) == v)
+  }
 }
