@@ -158,15 +158,21 @@ object TableLog {
 
   /** The atomic pointer swing: link the fully-written temp manifest to
     * its versioned name. True = committed; false = CAS conflict (that
-    * version now exists — re-read and retry). */
+    * version now exists — re-read and retry). A vanished temp manifest
+    * (a concurrent `vacuum` with an aggressive staleness threshold
+    * reclaimed it between write and link) is ALSO surfaced as a retry,
+    * not a crash — the loop rewrites a fresh temp and tries again. */
   private def tryCommit(table: String, s: Snapshot): Boolean = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, renderManifest(s).getBytes(UTF_8))
     try { Files.createLink(manifestPath(table, s.version), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally Files.delete(tmp)
+    catch {
+      case _: FileAlreadyExistsException => false
+      case _: java.nio.file.NoSuchFileException => false
+    }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** Write `df` as a new immutable data-file set under `<table>/data/`,
@@ -206,8 +212,12 @@ object TableLog {
           .map { r =>
             val name = r.getString(0).split("/").last
             val off = 1 + 2 * statsCols.size
-            name -> ((statsCols.zipWithIndex.map { case (c, i) =>
-              FileStat(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+            // an all-null file has no range in LONG space either — omit
+            // the stat (readers keep stat-less files, so absence is
+            // safe) instead of NPE-ing on getLong
+            name -> ((statsCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(1 + 2 * i)) None
+              else Some(FileStat(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
             }.toSeq,
               // an all-null file has no range — omit the stat (the
               // reader keeps stat-less files, so absence is safe)
@@ -274,17 +284,21 @@ object TableLog {
           .map(_.copy(nullable = true)))
   }
 
+  private def snapshotOrFail(table: String): Snapshot =
+    snapshot(table).getOrElse(sys.error(s"no committed version in $table"))
+
   /** The manifest files whose `[min,max]` range for `c` OVERLAPS
     * `[lo,hi]` — plus any file with no stat for `c` (stats are
     * optional per commit; absence must never drop data). Exposed so
     * callers/tests can assert skipping without reading data. */
   def prunedFiles(table: String, c: String, lo: Long, hi: Long)
-      : Seq[FileEntry] = {
-    val s = snapshot(table).getOrElse(
-      sys.error(s"no committed version in $table"))
+      : Seq[FileEntry] =
+    prunedFilesOf(snapshotOrFail(table), c, lo, hi)
+
+  private def prunedFilesOf(s: Snapshot, c: String, lo: Long, hi: Long)
+      : Seq[FileEntry] =
     s.files.filter(f =>
       f.stats.find(_.col == c).forall(st => st.max >= lo && st.min <= hi))
-  }
 
   /** Manifest-level data skipping: scan ONLY the files whose stat range
     * for `c` overlaps `[lo, hi]`, then apply the filter itself (stats
@@ -297,13 +311,16 @@ object TableLog {
   def readWhere(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keep = prunedFiles(table, c, lo, hi)
+    // ONE snapshot resolution threads through prune + scan: a commit
+    // landing mid-call can no longer mix version N's file list with
+    // version N+1's schema (snapshot isolation holds per read)
+    val s = snapshotOrFail(table)
+    val keep = prunedFilesOf(s, c, lo, hi)
     val base =
       if (keep.isEmpty) // filter is disjoint from every file range
-        readSnapshot(spark, table, snapshot(table).get)
+        readSnapshot(spark, table, s)
           .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, snapshot(table).flatMap(_.schemaJson),
-        keep.map(f => s"$table/${f.path}"))
+      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
     base.where(col(c).between(lo, hi))
   }
 
@@ -401,17 +418,38 @@ object TableLog {
     }
   }
 
+  /** Unsigned-lexicographic UTF-8 byte-order `a <= b`. The string stats
+    * were computed by Spark min/max, which orders UTF8String by BINARY
+    * bytes; Java String `<=` orders by UTF-16 code units, and the two
+    * DISAGREE for supplementary-plane text (emoji: U+FFFF sorts above a
+    * surrogate pair in UTF-16 but below its 4-byte UTF-8 encoding), so a
+    * UTF-16 prune could wrongly skip a file containing matches. The
+    * prune must compare in the order the stats were written. */
+  private[graft] def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   /** The manifest files whose STRING range for `c` contains any of
     * `values` — plus any file with no string stat for `c` (absence
-    * never drops data). */
+    * never drops data). Range containment is decided in UTF-8 byte
+    * order, the order the stats were computed in. */
   def prunedFilesIn(table: String, c: String, values: Seq[String])
-      : Seq[FileEntry] = {
-    val s = snapshot(table).getOrElse(
-      sys.error(s"no committed version in $table"))
+      : Seq[FileEntry] =
+    prunedFilesInOf(snapshotOrFail(table), c, values)
+
+  private def prunedFilesInOf(s: Snapshot, c: String, values: Seq[String])
+      : Seq[FileEntry] =
     s.files.filter(f =>
       f.strStats.find(_.col == c).forall(st =>
-        values.exists(v => st.min <= v && v <= st.max)))
-  }
+        values.exists(v => utf8Leq(st.min, v) && utf8Leq(v, st.max))))
 
   /** CATEGORICAL data skipping: scan only the files whose string range
     * for `c` can contain one of `values`, then apply the IN filter
@@ -425,13 +463,14 @@ object TableLog {
   def readWhereIn(spark: SparkSession, table: String, c: String,
       values: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val keep = prunedFilesIn(table, c, values)
+    // single snapshot resolution — same isolation reasoning as readWhere
+    val s = snapshotOrFail(table)
+    val keep = prunedFilesInOf(s, c, values)
     val base =
       if (keep.isEmpty)
-        readSnapshot(spark, table, snapshot(table).get)
+        readSnapshot(spark, table, s)
           .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, snapshot(table).flatMap(_.schemaJson),
-        keep.map(f => s"$table/${f.path}"))
+      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
     base.where(col(c).isin(values: _*))
   }
 
@@ -568,20 +607,30 @@ object TableLog {
 
   /** Latest-wins upsert through the log: snapshot rows whose key
     * matches a source row are replaced, new keys appended — one
-    * left-anti join + union, committed as a rewrite (row count audited
-    * as base - matched + source). */
+    * left-anti join + union, committed as a rewrite. The row count is
+    * audited as base − matched + source: `matched` is counted against
+    * the SAME base snapshot the rewrite transform reads (the transform
+    * runs before the audit inside each CAS attempt, so the expectation
+    * is exact even when a conflict re-runs the merge against a newer
+    * base), and a merge that drops or fabricates rows fails the audit
+    * instead of committing. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
     val src = source.cache()
     try {
       val srcRows = src.count()
-      require(src.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-        .count().where(org.apache.spark.sql.functions.col("count") > 1)
+      require(src.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1)
         .isEmpty, s"mergeUpsert: duplicate keys in source")
-      rewrite(spark, table, "merge", expectRows = _ => None) { df =>
-        df.join(src.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
-            keyCols, "left_anti")
-          .unionByName(src)
+      val srcKeys = src.select(keyCols.map(col): _*)
+      // set per attempt inside the transform; read by the audit, which
+      // rewrite() evaluates after the transform has run
+      var matched = 0L
+      rewrite(spark, table, "merge",
+          expectRows = base => Some(base - matched + srcRows)) { df =>
+        matched = df.join(srcKeys, keyCols, "left_semi").count()
+        df.join(srcKeys, keyCols, "left_anti").unionByName(src)
       }
     } finally src.unpersist()
   }
@@ -590,12 +639,31 @@ object TableLog {
     * (crashed or lost-CAS writers) and stale temp manifests. Keeps
     * every committed version readable; pass `keepVersions` to also
     * drop old manifests and the files only they reference. Returns the
-    * deleted paths (table-relative). */
+    * deleted paths (table-relative).
+    *
+    * Unreferenced does NOT mean dead: an IN-FLIGHT append has already
+    * written its data files (and may have written its temp manifest)
+    * but not yet committed the manifest that references them. Deleting
+    * those would silently lose the append's data after it commits — so
+    * vacuum only reclaims unreferenced files and temp manifests OLDER
+    * than `olderThanMs` (default mirrors StagedCommit's stale-lease
+    * window). Set `olderThanMs = 0` ONLY when no writer can be running
+    * concurrently — with the guard off, a racing writer's pre-commit
+    * data files are fair game again (the writer or its readers then
+    * fail loudly on the missing files; a vanished TEMP manifest alone
+    * degrades to a clean CAS retry in tryCommit). */
   def vacuum(spark: SparkSession, table: String,
-      keepVersions: Int = Int.MaxValue): Seq[String] = {
+      keepVersions: Int = Int.MaxValue,
+      olderThanMs: Long = StagedCommit.staleLeaseDefaultMs): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val latest = latestVersion(table)
     if (latest == 0) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // a concurrently-vanished path (racing writer/vacuum) is never
+    // stale — it is not ours to touch, and probing it must not throw
+    def stale(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     val dropBelow = math.max(1L, latest - keepVersions + 1)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // drop retired manifests first so their references stop counting
@@ -604,20 +672,35 @@ object TableLog {
       if (Files.exists(p)) { Files.delete(p); deleted += s"_log/${p.getFileName}" }
     }
     Files.list(logDir(table)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".tmp-"))
-      .foreach { p => Files.delete(p); deleted += s"_log/${p.getFileName}" }
+      .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
+      .foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}" }
     val referenced = (dropBelow to latest)
       .flatMap(v => parseManifest(manifestPath(table, v)))
       .flatMap(_.files.map(_.path)).toSet
     val dataRoot = Paths.get(table, "data")
+    // Files.walk throws mid-iteration when an entry vanishes under it
+    // (a racing writer's _temporary files); list children defensively
+    // instead — vanished subtrees simply drop out. Children precede
+    // their parent, so files go before their (possibly emptied) dirs.
+    def listDeep(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Seq(p)
+      else {
+        val kids =
+          try Files.list(p).iterator().asScala.toSeq
+          catch { case _: java.io.IOException => Nil }
+        kids.flatMap(listDeep) :+ p
+      }
     if (Files.exists(dataRoot)) {
-      Files.walk(dataRoot).iterator().asScala.toSeq.reverse.foreach { p =>
+      listDeep(dataRoot).foreach { p =>
         val rel = Paths.get(table).relativize(p).toString
-        if (Files.isRegularFile(p) && !referenced.contains(rel)) {
-          Files.delete(p); deleted += rel
-        } else if (Files.isDirectory(p) &&
-            !Files.list(p).iterator().hasNext) {
-          Files.delete(p) // empty set dir left behind
+        if (Files.isRegularFile(p) && !referenced.contains(rel) && stale(p)) {
+          if (Files.deleteIfExists(p)) deleted += rel
+        } else if (Files.isDirectory(p) && p != dataRoot && stale(p) &&
+            (try !Files.list(p).iterator().hasNext
+             catch { case _: java.io.IOException => false })) {
+          try Files.deleteIfExists(p) // empty set dir left behind
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
         }
       }
     }

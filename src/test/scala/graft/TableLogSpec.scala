@@ -105,19 +105,123 @@ class TableLogSpec extends SparkSpec {
       "version=2\n".getBytes)
     assert(TableLog.read(spark, t).count() == 100, "garbage must be invisible")
     assert(TableLog.latestVersion(t) == 1)
-    val deleted = TableLog.vacuum(spark, t)
+    // olderThanMs = 0: the test IS the no-concurrent-writer case
+    val deleted = TableLog.vacuum(spark, t, olderThanMs = 0L)
     assert(deleted.exists(_.startsWith("data/orphan-set")), s"got $deleted")
     assert(deleted.contains("_log/.tmp-deadwriter"))
     assert(TableLog.read(spark, t).count() == 100)
     // vacuum with retention drops old versions' exclusive files
     TableLog.compact(spark, t, 1L << 30)
     val oldFiles = TableLog.snapshotAt(t, 1).get.files
-    TableLog.vacuum(spark, t, keepVersions = 1)
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0L)
     assert(TableLog.snapshotAt(t, 1).isEmpty, "retired manifest dropped")
     oldFiles.foreach(f => assert(
       !java.nio.file.Files.exists(java.nio.file.Paths.get(t, f.path)),
       s"version-1-only file ${f.path} must be reclaimed"))
     assert(TableLog.read(spark, t).count() == 100)
+  }
+
+  test("vacuum never reclaims an in-flight writer's young files; a raced commit retries, no data lost") {
+    val t = tmp("graft_log_vacuum_race")
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    // simulate an IN-FLIGHT append: data files written, temp manifest
+    // written, the referencing commit not yet linked — exactly the
+    // window the old age-blind vacuum destroyed
+    spark.range(500).toDF("id").write.parquet(s"$t/data/inflight-set")
+    val tmpManifest = java.nio.file.Paths.get(t, "_log", ".tmp-inflight")
+    java.nio.file.Files.write(tmpManifest, "version=2\n".getBytes)
+    // default staleness: young files and young temp manifests SURVIVE
+    val deleted = TableLog.vacuum(spark, t)
+    assert(!deleted.exists(_.startsWith("data/inflight-set")),
+      s"vacuum reclaimed a live writer's data files: $deleted")
+    assert(java.nio.file.Files.exists(tmpManifest),
+      "vacuum reclaimed a live writer's temp manifest")
+    // the in-flight writer can still commit and its data is intact
+    // (real append path: writes files, then links its manifest)
+    TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
+    assert(TableLog.read(spark, t).count() == 150)
+    // a vacuum LOOP at the default staleness racing real appends: the
+    // age guard keeps every in-flight file, all appends land intact
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweeper = new Thread(() => {
+      while (!stop.get()) TableLog.vacuum(spark, t)
+    })
+    sweeper.start()
+    try (0 until 3).foreach { i =>
+      TableLog.append(spark, t,
+        spark.range(1000L + i * 10, 1000L + i * 10 + 10).toDF("id"))
+    } finally { stop.set(true); sweeper.join() }
+    assert(TableLog.read(spark, t).count() == 180,
+      "every append must survive a concurrent vacuum loop")
+  }
+
+  test("all-null long stats column: append succeeds stat-less, reads stay exact") {
+    val t = tmp("graft_log_nullstats")
+    // file 1: real id range; sparse column fully NULL — the old getLong
+    // path NPE'd here instead of omitting the stat
+    TableLog.create(spark, t,
+      spark.range(100).toDF("id")
+        .withColumn("sparse", lit(null).cast("long")).coalesce(1),
+      statsCols = Seq("id", "sparse"))
+    val s1 = TableLog.snapshot(t).get
+    assert(s1.files.forall(_.stats.exists(_.col == "id")), "id stat recorded")
+    assert(s1.files.forall(!_.stats.exists(_.col == "sparse")),
+      "all-null column must omit its stat, not crash or fake a range")
+    // file 2: sparse has values — its stat IS recorded
+    TableLog.append(spark, t,
+      spark.range(100, 200).toDF("id")
+        .withColumn("sparse", col("id") * 2).coalesce(1),
+      statsCols = Seq("id", "sparse"))
+    // stat-less file is always kept (absence never drops data), so a
+    // range read over sparse stays exact across the mixed table
+    assert(TableLog.prunedFiles(t, "sparse", 0, 1000).size == 2)
+    assert(TableLog.readWhere(spark, t, "sparse", 200, 210).count() == 6)
+    assert(TableLog.read(spark, t).count() == 200)
+  }
+
+  test("string prune compares in UTF-8 byte order: supplementary-plane values never lose rows") {
+    val t = tmp("graft_log_utf8")
+    // one file spanning ["A", 🙂]: Spark computed min/max in UTF-8
+    // binary order, where "￿" (EF BF BF) < 🙂 (F0 9F 99 82); Java
+    // String order says "￿" > 🙂 (surrogate D83D), so a UTF-16
+    // prune wrongly skips the file and silently drops the matching row
+    TableLog.create(spark, t,
+      Seq((1L, "A"), (2L, "￿"), (3L, "🙂")).toDF("id", "s")
+        .coalesce(1),
+      strStatsCols = Seq("s"))
+    val st = TableLog.snapshot(t).get.files.head.strStats.find(_.col == "s").get
+    assert(st.min == "A" && st.max == "🙂",
+      s"Spark stats are UTF-8 ordered: $st")
+    // the poisoned prune: value inside the UTF-8 range, outside UTF-16's
+    assert(TableLog.prunedFilesIn(t, "s", Seq("￿")).size == 1,
+      "file must be kept: \\uffff is within [A, U+1F642] in UTF-8 order")
+    assert(TableLog.readWhereIn(spark, t, "s", Seq("￿")).count() == 1)
+    // and the comparator itself, on the exact disagreement pair
+    assert(TableLog.utf8Leq("￿", "🙂"))
+    assert(!TableLog.utf8Leq("🙂", "￿"))
+    // pruning still prunes: a disjoint probe opens nothing
+    assert(TableLog.prunedFilesIn(t, "s", Seq("0")).isEmpty)
+  }
+
+  test("mergeUpsert audit is real: manifest rows == base − matched + source") {
+    val t = tmp("graft_log_merge_audit")
+    TableLog.create(spark, t,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"))
+    // 3 matched + 2 new → 10 − 3 + 5 = 12; the audit recomputes matched
+    // against the snapshot the rewrite read, so a wrong row count would
+    // refuse to commit rather than publish
+    TableLog.mergeUpsert(spark, t,
+      Seq((1L, "A"), (2L, "B"), (3L, "C"), (90L, "X"), (91L, "Y"))
+        .toDF("k", "v"), Seq("k"))
+    val s = TableLog.snapshot(t).get
+    assert(s.action == "merge" && s.rows == 12)
+    assert(TableLog.read(spark, t).count() == 12)
+    // all-matched and none-matched boundaries
+    TableLog.mergeUpsert(spark, t,
+      Seq((90L, "X2"), (91L, "Y2")).toDF("k", "v"), Seq("k"))
+    assert(TableLog.snapshot(t).get.rows == 12)
+    TableLog.mergeUpsert(spark, t, Seq((200L, "z")).toDF("k", "v"), Seq("k"))
+    assert(TableLog.snapshot(t).get.rows == 13)
   }
 
   test("manifest column stats skip files on read; absent stats never drop data") {
