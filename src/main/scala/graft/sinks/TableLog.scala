@@ -15,9 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <table>/_log/v00000001.manifest      immutable versioned manifests
   * }}}
   *
-  * A manifest is the FULL snapshot at its version: the list of data
-  * files (relative paths), the row count, the action, the base version
-  * it was computed from. Commit is a single atomic create-exclusive
+  * A manifest is either a CHECKPOINT (`kind=full`: the complete file
+  * list at its version — v1, every rewrite, and every
+  * `checkpointInterval`-th append) or a DELTA (`kind=delta`: only the
+  * files added/removed vs version−1). Both carry the version's row
+  * count, action, txn id, and schema. An append therefore writes
+  * O(appended files), NOT O(table files) — at millions of files a
+  * full-snapshot-per-commit log would spend every commit rewriting a
+  * multi-GB manifest; here that cost is paid once per
+  * `checkpointInterval`, and snapshot resolution replays at most
+  * `checkpointInterval − 1` deltas on top of the nearest checkpoint
+  * (the same delta-log + periodic-checkpoint shape Delta Lake and
+  * Iceberg use). Commit is a single atomic create-exclusive
   * operation: the manifest is fully written to a temp file, then
   * HARD-LINKED to its final `v<N>.manifest` name — link(2) fails with
   * EEXIST atomically, so the winner's manifest appears complete or not
@@ -76,65 +85,114 @@ object TableLog {
       rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
       schemaJson: Option[String] = None)
 
+  /** Full checkpoint every Nth append: snapshot resolution replays at
+    * most N−1 deltas; commit cost is amortized O(table files / N +
+    * changed files). Delta Lake's default is 10 commits per checkpoint
+    * for the same trade. */
+  private[graft] val checkpointInterval = 10L
+
+  /** One parsed manifest, pre-resolution: `kind` "full" (complete file
+    * list in `files`; legacy manifests with no kind key read as full)
+    * or "delta" (`adds` entries + `removes` paths vs version−1). */
+  private final case class ManifestRec(version: Long, baseVersion: Long,
+      action: String, rows: Long, kind: String, files: Seq[FileEntry],
+      adds: Seq[FileEntry], removes: Seq[String],
+      txn: Option[String], schemaJson: Option[String])
+
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.manifest")
 
+  // entry codec, shared by `file=` (checkpoint) and `add=` (delta)
+  // lines: `<path>` plus stat segments `;<col>:<min>:<max>` (long) or
+  // `;~<enc col>:<enc min>:<enc max>` (string, URL-encoded) — paths
+  // are uuid-dir/part-file names, which never contain ';' or ':'
+  private def renderEntry(f: FileEntry): String = {
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    f.path +
+      f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
+      f.strStats.map(st =>
+        s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
+  }
+
+  private def parseEntry(s: String): FileEntry = {
+    def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+    val parts = s.split(";")
+    val (strSegs, longSegs) = parts.tail.toSeq.partition(_.startsWith("~"))
+    FileEntry(parts.head,
+      longSegs.map { st =>
+        val Array(c, mn, mx) = st.split(":", 3)
+        FileStat(c, mn.toLong, mx.toLong)
+      },
+      strSegs.map { st =>
+        val Array(c, mn, mx) = st.drop(1).split(":", 3)
+        FileStrStat(dec(c), dec(mn), dec(mx))
+      })
+  }
+
   /** Parse a manifest; the `end=true` terminator is written last, so a
     * manifest missing it (impossible via the link protocol, possible if
     * someone hand-copies a partial file) is rejected. */
-  private def parseManifest(p: Path): Option[Snapshot] = {
+  private def parseRec(p: Path): Option[ManifestRec] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(p)) return None
-    val lines = Files.readAllLines(p, UTF_8).asScala
-    val kv = lines.filterNot(_.startsWith("file="))
+    val lines =
+      try Files.readAllLines(p, UTF_8).asScala
+      catch { case _: java.io.IOException => return None } // vacuumed mid-read
+    val kv = lines.filterNot(l => l.startsWith("file=") ||
+        l.startsWith("add=") || l.startsWith("remove="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
-    // `file=<path>` plus stat segments: `;<col>:<min>:<max>` (long) or
-    // `;~<enc col>:<enc min>:<enc max>` (string, URL-encoded) — paths
-    // are uuid-dir/part-file names, which never contain ';' or ':'
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    val files = lines.filter(_.startsWith("file=")).map { l =>
-      val parts = l.drop(5).split(";")
-      val (strSegs, longSegs) = parts.tail.toSeq.partition(_.startsWith("~"))
-      FileEntry(parts.head,
-        longSegs.map { st =>
-          val Array(c, mn, mx) = st.split(":", 3)
-          FileStat(c, mn.toLong, mx.toLong)
-        },
-        strSegs.map { st =>
-          val Array(c, mn, mx) = st.drop(1).split(":", 3)
-          FileStrStat(dec(c), dec(mn), dec(mx))
-        })
-    }
-    Some(Snapshot(
+    Some(ManifestRec(
       version = kv("version").toLong,
       baseVersion = kv("base").toLong,
       action = kv("action"),
       rows = kv("rows").toLong,
-      files = files.toSeq,
+      kind = kv.getOrElse("kind", "full"),
+      files = lines.filter(_.startsWith("file="))
+        .map(l => parseEntry(l.drop(5))).toSeq,
+      adds = lines.filter(_.startsWith("add="))
+        .map(l => parseEntry(l.drop(4))).toSeq,
+      removes = lines.filter(_.startsWith("remove="))
+        .map(_.drop(7)).toSeq,
       txn = kv.get("txn"),
       schemaJson = kv.get("schema")))
   }
 
-  private def renderManifest(s: Snapshot): String = {
+  private def renderManifest(r: ManifestRec): String = {
     val sb = new StringBuilder
-    sb ++= s"version=${s.version}\n"
-    sb ++= s"base=${s.baseVersion}\n"
-    sb ++= s"action=${s.action}\n"
-    sb ++= s"rows=${s.rows}\n"
-    s.txn.foreach(t => sb ++= s"txn=$t\n")
-    s.schemaJson.foreach(j => sb ++= s"schema=$j\n")
-    s.files.foreach { f =>
-      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-      val stats = f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
-        f.strStats.map(st =>
-          s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
-      sb ++= s"file=${f.path}$stats\n"
-    }
+    sb ++= s"version=${r.version}\n"
+    sb ++= s"base=${r.baseVersion}\n"
+    sb ++= s"action=${r.action}\n"
+    sb ++= s"rows=${r.rows}\n"
+    sb ++= s"kind=${r.kind}\n"
+    r.txn.foreach(t => sb ++= s"txn=$t\n")
+    r.schemaJson.foreach(j => sb ++= s"schema=$j\n")
+    r.files.foreach(f => sb ++= s"file=${renderEntry(f)}\n")
+    r.adds.foreach(f => sb ++= s"add=${renderEntry(f)}\n")
+    r.removes.foreach(p => sb ++= s"remove=$p\n")
     sb ++= "end=true\n"
     sb.toString
   }
+
+  /** Resolve version `v` to its full Snapshot: a checkpoint IS one; a
+    * delta replays onto version v−1 (recursion depth bounded by
+    * `checkpointInterval` — vacuum retention never drops a checkpoint
+    * a retained delta still needs). */
+  private def resolveRec(table: String, v: Long): Option[Snapshot] =
+    parseRec(manifestPath(table, v)).map { r =>
+      if (r.kind == "full")
+        Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
+          r.txn, r.schemaJson)
+      else {
+        val base = resolveRec(table, v - 1).getOrElse(sys.error(
+          s"delta manifest v$v of $table: base v${v - 1} missing"))
+        val rm = r.removes.toSet
+        Snapshot(r.version, r.baseVersion, r.action, r.rows,
+          base.files.filterNot(f => rm(f.path)) ++ r.adds,
+          r.txn, r.schemaJson)
+      }
+    }
 
   /** Latest committed version, or 0 for an empty/new table. */
   def latestVersion(table: String): Long = {
@@ -150,11 +208,11 @@ object TableLog {
 
   def snapshot(table: String): Option[Snapshot] = {
     val v = latestVersion(table)
-    if (v == 0) None else parseManifest(manifestPath(table, v))
+    if (v == 0) None else resolveRec(table, v)
   }
 
   def snapshotAt(table: String, version: Long): Option[Snapshot] =
-    parseManifest(manifestPath(table, version))
+    resolveRec(table, version)
 
   /** The atomic pointer swing: link the fully-written temp manifest to
     * its versioned name. True = committed; false = CAS conflict (that
@@ -162,12 +220,12 @@ object TableLog {
     * (a concurrent `vacuum` with an aggressive staleness threshold
     * reclaimed it between write and link) is ALSO surfaced as a retry,
     * not a crash — the loop rewrites a fresh temp and tries again. */
-  private def tryCommit(table: String, s: Snapshot): Boolean = {
+  private def tryCommit(table: String, r: ManifestRec): Boolean = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(s).getBytes(UTF_8))
-    try { Files.createLink(manifestPath(table, s.version), tmp); true }
+    Files.write(tmp, renderManifest(r).getBytes(UTF_8))
+    try { Files.createLink(manifestPath(table, r.version), tmp); true }
     catch {
       case _: FileAlreadyExistsException => false
       case _: java.nio.file.NoSuchFileException => false
@@ -334,6 +392,18 @@ object TableLog {
     * 100 TB table (see `readChanges`). */
   def changedFiles(table: String, vFrom: Long, vTo: Long)
       : (Seq[FileEntry], Seq[FileEntry]) = {
+    // fast path: an interval of pure append deltas IS the change feed —
+    // read O(interval manifests), no snapshot resolution at all (the
+    // shape every incremental-maintenance tick hits)
+    if (vTo > vFrom) {
+      val recs = ((vFrom + 1) to vTo)
+        .map(v => parseRec(manifestPath(table, v)))
+      if (recs.forall(_.exists(r => r.kind == "delta" && r.removes.isEmpty)))
+        return (recs.flatMap(_.get.adds), Nil)
+    }
+    // general path (interval crosses a rewrite or a checkpoint):
+    // snapshot diff — data files are immutable and never re-added, so
+    // the diff is exact
     def files(v: Long) = snapshotAt(table, v).getOrElse(
       sys.error(s"version $v not found in $table")).files
     val (a, b) = (files(vFrom), files(vTo))
@@ -382,7 +452,7 @@ object TableLog {
     val srcV = latestVersion(src)
     require(srcV > 0, s"maintainAgg: no committed version in $src")
     val lastRefreshed = (1L to latestVersion(mv)).reverse.iterator
-      .flatMap(v => parseManifest(manifestPath(mv, v)))
+      .flatMap(v => parseRec(manifestPath(mv, v)))
       .flatMap(_.txn)
       .collectFirst { case t if t.startsWith("mv@") => t.drop(3).toLong }
       .getOrElse(0L)
@@ -504,23 +574,30 @@ object TableLog {
         case None if base.isEmpty => Some(df.schema.json)
         case None => None
       }
-      val s = Snapshot(
-        version = base.map(_.version).getOrElse(0L) + 1,
-        baseVersion = base.map(_.version).getOrElse(0L),
-        action = if (base.isEmpty) "create" else "append",
-        rows = base.map(_.rows).getOrElse(0L) + newRows,
-        files = base.map(_.files).getOrElse(Nil) ++ newFiles,
-        txn = txnId,
-        schemaJson = evolved)
-      if (tryCommit(table, s)) committed = s.version
+      val version = base.map(_.version).getOrElse(0L) + 1
+      val rows = base.map(_.rows).getOrElse(0L) + newRows
+      val action = if (base.isEmpty) "create" else "append"
+      // an append commits O(appended files): a delta manifest, except
+      // every checkpointInterval-th version (and v1), which writes the
+      // full list so resolution never replays more than one interval
+      val r =
+        if (base.isEmpty || version % checkpointInterval == 0)
+          ManifestRec(version, version - 1, action, rows, "full",
+            base.map(_.files).getOrElse(Nil) ++ newFiles, Nil, Nil,
+            txnId, evolved)
+        else
+          ManifestRec(version, version - 1, action, rows, "delta",
+            Nil, newFiles, Nil, txnId, evolved)
+      if (tryCommit(table, r)) committed = version
     }
     committed
   }
 
-  /** The version that committed `txnId`, if any. */
+  /** The version that committed `txnId`, if any. Scans raw manifest
+    * records — no snapshot resolution. */
   def committedTxnVersion(table: String, txnId: String): Option[Long] =
-    (1L to latestVersion(table)).reverse
-      .flatMap(v => parseManifest(manifestPath(table, v)))
+    (1L to latestVersion(table)).reverse.iterator
+      .flatMap(v => parseRec(manifestPath(table, v)))
       .find(_.txn.contains(txnId)).map(_.version)
 
   /** Create (version 1) — append on an empty table, named for intent. */
@@ -570,9 +647,12 @@ object TableLog {
       val (files, rows) = writeDataFiles(spark, table, out, statsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
-      val s = Snapshot(base.version + 1, base.version, action, rows, files,
-        txn = txnId, schemaJson = Some(out.schema.json))
-      if (tryCommit(table, s)) committed = s.version
+      // a rewrite replaces the whole file list, so its delta (remove
+      // all + add all) would cost the same as a checkpoint — commit it
+      // as one, which also keeps delta chains short
+      val r = ManifestRec(base.version + 1, base.version, action, rows,
+        "full", files, Nil, Nil, txnId, Some(out.schema.json))
+      if (tryCommit(table, r)) committed = r.version
     }
     committed
   }
@@ -664,7 +744,14 @@ object TableLog {
     def stale(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis <= cutoff
       catch { case _: java.io.IOException => false }
-    val dropBelow = math.max(1L, latest - keepVersions + 1)
+    // retention is CHECKPOINT-granular: a retained delta resolves
+    // against its chain back to the nearest checkpoint, so never drop
+    // past the newest full manifest at-or-below the requested floor
+    // (v1 is always full, so the floor always lands)
+    val requested = math.max(1L, latest - keepVersions + 1)
+    val dropBelow = (requested to 1L by -1L).find(v =>
+      parseRec(manifestPath(table, v)).exists(_.kind == "full"))
+      .getOrElse(1L)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // drop retired manifests first so their references stop counting
     (1L until dropBelow).foreach { v =>
@@ -675,9 +762,25 @@ object TableLog {
       .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
       .foreach { p =>
         if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}" }
-    val referenced = (dropBelow to latest)
-      .flatMap(v => parseManifest(manifestPath(table, v)))
-      .flatMap(_.files.map(_.path)).toSet
+    // union of every retained version's file list, computed in ONE
+    // forward replay from the floor checkpoint (not a resolution per
+    // version): O(retained manifests + changes)
+    val referenced: Set[String] = {
+      val acc = scala.collection.mutable.HashSet[String]()
+      var cur: Seq[FileEntry] = Nil
+      (dropBelow to latest).foreach { v =>
+        parseRec(manifestPath(table, v)).foreach { r =>
+          cur =
+            if (r.kind == "full") r.files
+            else {
+              val rm = r.removes.toSet
+              cur.filterNot(f => rm(f.path)) ++ r.adds
+            }
+          acc ++= cur.iterator.map(_.path)
+        }
+      }
+      acc.toSet
+    }
     val dataRoot = Paths.get(table, "data")
     // Files.walk throws mid-iteration when an entry vanishes under it
     // (a racing writer's _temporary files); list children defensively

@@ -224,6 +224,51 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(t).get.rows == 13)
   }
 
+  test("delta manifests: append cost is O(appended files); checkpoints bound replay; retention keeps chains whole") {
+    val t = tmp("graft_log_delta")
+    TableLog.create(spark, t, spark.range(10).toDF("id").coalesce(1))   // v1 full
+    (1 until 25).foreach { i =>                                          // v2..v25
+      TableLog.append(spark, t,
+        spark.range(i * 10L, i * 10L + 10).toDF("id").coalesce(1))
+    }
+    assert(TableLog.read(spark, t).count() == 250)
+    def manifestLines(v: Long) = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(t, "_log", f"v$v%08d.manifest")).size
+    // the structural claim: a delta manifest's size tracks the APPEND
+    // (one file), not the table (growing file count) — v25's manifest
+    // is no bigger than v15's despite 10 more files in the table
+    assert(manifestLines(15) == manifestLines(25),
+      s"delta manifest grew with table size: v15=${manifestLines(15)} v25=${manifestLines(25)}")
+    // checkpoint versions (10, 20) carry the full list; their neighbors don't
+    assert(manifestLines(20) > manifestLines(19) + 10,
+      s"v20 must be a checkpoint: ${manifestLines(20)} vs ${manifestLines(19)}")
+    // resolution is exact at, before, and after a checkpoint
+    assert(TableLog.readVersion(spark, t, 9).count() == 90)
+    assert(TableLog.readVersion(spark, t, 10).count() == 100)
+    assert(TableLog.readVersion(spark, t, 11).count() == 110)
+    assert(TableLog.snapshotAt(t, 23).get.files.size == 23)
+    // append-only change feed inside a delta run reads the deltas
+    // directly (no snapshot resolution) and is exact
+    val (af, rf) = TableLog.changedFiles(t, 21, 24)
+    assert(rf.isEmpty && af.size == 3)
+    val (aDf, rDf) = TableLog.readChanges(spark, t, 21, 24)
+    assert(rDf.count() == 0 && aDf.count() == 30)
+    // retention is checkpoint-granular: keepVersions=3 would drop to
+    // v23, but v23 is a delta chained to the v20 checkpoint — vacuum
+    // keeps v20..v25 so every retained version still resolves
+    TableLog.vacuum(spark, t, keepVersions = 3, olderThanMs = 0L)
+    assert(TableLog.snapshotAt(t, 20).isDefined, "floor checkpoint retained")
+    assert(TableLog.readVersion(spark, t, 23).count() == 230)
+    assert(TableLog.snapshotAt(t, 19).isEmpty, "pre-checkpoint manifests dropped")
+    assert(TableLog.read(spark, t).count() == 250)
+    // a rewrite commits a fresh checkpoint; life continues after it
+    TableLog.compact(spark, t, 1L << 30)                                // v26 full
+    TableLog.append(spark, t, spark.range(250L, 260L).toDF("id"))       // v27 delta
+    assert(TableLog.read(spark, t).count() == 260)
+    val (af2, rf2) = TableLog.changedFiles(t, 26, 27)
+    assert(rf2.isEmpty && af2.nonEmpty)
+  }
+
   test("manifest column stats skip files on read; absent stats never drop data") {
     val t = tmp("graft_log_skip")
     // range layout → tight per-file id ranges; stats recorded at commit
