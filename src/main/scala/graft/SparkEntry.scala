@@ -1185,6 +1185,20 @@ object SparkEntry {
       bands = 6, shingleN = 3, thresholdMicro = 200000, rows = 2)
       .orderBy("id_a", "id_b")
 
+  /** The exact verify with CORPUS-DERIVED banding
+    * (DedupOps.lshParamsFor / jaccardVerifiedPairsAuto): one count
+    * picks (bands, rows) — rows steps +1 per decade of corpus growth,
+    * bands keeps the S-curve midpoint at ~0.41 — so candidate mass
+    * stays ~linear in n where the fixed committed family grew
+    * 15.8×/10× (CandStats). The oracle re-derives the identical
+    * (bands, rows) from count(*) in SQL (integer digit arithmetic) and
+    * filters the shared 144-seed literal list to bands·rows, so a
+    * derivation drift between engines fails the hash. */
+  private def e2JaccardDerived(s: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardVerifiedPairsAuto(T(s, dir, "documents"), "doc_id",
+      "text", shingleN = 3, thresholdMicro = 200000)
+      .orderBy("id_a", "id_b")
+
   /** The SKETCHED verify next to the exact one (e2_jaccard_pairs):
     * K=64 minhash signatures estimate jaccard in O(pairs·K) — the scale
     * path when the exact verify's Σ|A| expansion dominates. Integer
@@ -2494,6 +2508,7 @@ object SparkEntry {
     "e2_incremental_dedup" -> (e2IncrementalDedup _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
+    "e2_jaccard_derived" -> (e2JaccardDerived _),
     "e2_jaccard_sketch" -> (e2JaccardSketch _),
     "e2_embed_neardup" -> (e2EmbedNearDup _),
     "e3_topk_cosine" -> (e3TopK _),
@@ -2597,6 +2612,13 @@ object SparkEntry {
     * (DedupOps.bandSeeds). */
   private lazy val sqlBandSeedRows: String =
     graft.operators.DedupOps.bandSeeds(12).zipWithIndex
+      .map { case (s, i) => s"($i, $s)" }.mkString(", ")
+
+  /** The first 144 bandSeeds constants (the widest derived family,
+    * 36×4) — `lshParamsFor`'s SQL mirror filters this prefix-stable
+    * list down to bands·rows. */
+  private lazy val sqlBandSeedRows144: String =
+    graft.operators.DedupOps.bandSeeds(144).zipWithIndex
       .map { case (s, i) => s"($i, $s)" }.mkString(", ")
 
   /** quality_micro over `text` — same formula as the e4_token_stats oracle. */
@@ -2983,6 +3005,38 @@ object SparkEntry {
         |sig AS (SELECT doc_id, i // 2 AS band,
         |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
         |  FROM bm GROUP BY doc_id, i // 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+        |inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs p JOIN ds da ON da.doc_id = p.id_a
+        |  WHERE EXISTS (SELECT 1 FROM ds db WHERE db.doc_id = p.id_b AND db.s = da.s)
+        |  GROUP BY p.id_a, p.id_b),
+        |j AS (SELECT i.id_a, i.id_b,
+        |  CAST(round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) * 1000000) AS BIGINT) AS jaccard_micro
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b)
+        |SELECT id_a, id_b, jaccard_micro FROM j WHERE jaccard_micro >= 200000
+        |ORDER BY id_a, id_b""".stripMargin,
+    // corpus-derived banding: (bands, rows) from count(*) — rows =
+    // 1 + digits(max(1, n//5000)) capped at 4, bands from the midpoint
+    // table (6, 15, 36) — the identical integer derivation as
+    // DedupOps.lshParamsFor; the 144-seed list is filtered to
+    // bands·rows (bandSeeds is prefix-stable)
+    "e2_jaccard_derived" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${sqlShingles(3)}) AS sl FROM documents),
+        |ds AS (SELECT doc_id, unnest(sl) AS s FROM sh),
+        |h AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+        |  CAST(('0x' || substr(md5(s), 17, 15)) AS BIGINT) AS h2 FROM ds),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pp AS (SELECT least(4, 1 + length(CAST(greatest(1, n // 5000) AS VARCHAR))) AS rws FROM nn),
+        |pb AS (SELECT rws, CASE rws WHEN 2 THEN 6 WHEN 3 THEN 15 ELSE 36 END AS bnds FROM pp),
+        |bm AS (SELECT doc_id, i, MIN(xor(h1, sd)) AS m
+        |  FROM h, (VALUES $sqlBandSeedRows144) ks(i, sd), pb
+        |  WHERE ks.i < pb.bnds * pb.rws GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, i // rws AS band,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |  FROM bm, pb GROUP BY doc_id, i // rws),
         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM sig a JOIN sig c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),

@@ -298,6 +298,42 @@ object DedupOps {
     else concat_ws(",", (0 until rows).map(j =>
       col(s"m${b * rows + j}").cast("string")): _*)
 
+  /** Corpus-derived banding: (bands, rows) as an integer function of
+    * corpus size `n` — the `signBitsFor` pattern applied to the LSH
+    * family. `rows` steps +1 per DECADE of growth past the anchor
+    * (n ≤ 50k keeps the committed (6, 2)); `bands` follows the
+    * midpoint-preserving table ceil(0.41^(-rows)) = 6, 15, 36, so the
+    * banding S-curve midpoint (1/bands)^(1/rows) stays at ~0.41 for
+    * every rows and candidate recall at-and-above the committed
+    * operating point is scale-free, while each +1 of rows multiplies a
+    * background pair's collision probability by
+    * bands(r+1)/bands(r) · s_bg ≈ 2.4·s_bg ≪ 1 — the per-decade step
+    * that keeps CANDIDATE MASS tracking n instead of the measured
+    * 15.8×-per-10× growth of a fixed family (CandStats / DEVNOTES).
+    * rows caps at 4 (144 minima columns, the sane aggregate width);
+    * past ~5M docs candidates resume the fixed-(36,4) curve and the
+    * next lever is shingle width, not more bands. Integer arithmetic
+    * only — decades = digits(max(1, n div 5000)) − 1 — so a SQL
+    * oracle derives the identical pair from count(*). */
+  def lshParamsFor(n: Long): (Int, Int) = {
+    val decades = math.max(1L, n / 5000L).toString.length - 1
+    val rows = math.min(4, 2 + decades)
+    val bands = rows match { case 2 => 6; case 3 => 15; case _ => 36 }
+    (bands, rows)
+  }
+
+  /** `jaccardVerifiedPairs` with the banding DERIVED from the corpus
+    * size (`lshParamsFor`): one cheap count picks (bands, rows), so the
+    * candidate stage keeps its linear mass as the corpus grows with no
+    * per-corpus tuning — the scale-safe default entry point. */
+  def jaccardVerifiedPairsAuto(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3,
+      thresholdMicro: Long = 200000): DataFrame = {
+    val (bands, rows) = lshParamsFor(df.count())
+    jaccardVerifiedPairs(df, idCol, textCol, bands = bands,
+      shingleN = shingleN, thresholdMicro = thresholdMicro, rows = rows)
+  }
+
   def jaccardSketchPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3, k: Int = 64,
       thresholdMicro: Long = 200000, rows: Int = 1): DataFrame = {

@@ -36,10 +36,15 @@ object CandStats {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
+    // the corpus-DERIVED family (lshParamsFor) always rides along, so
+    // every CandStats run contrasts fixed configs with the one the
+    // auto entry point would pick at this corpus size
+    val derived = DedupOps.lshParamsFor(nDocs)
+    val all = (configs :+ derived).distinct
     val shingles = DedupOps.docShingles(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nShingles = shingles.count()
-    configs.foreach { case (bands, rows) =>
+    all.foreach { case (bands, rows) =>
       val t0 = System.nanoTime()
       val pairs = DedupOps.jaccardVerifiedPairs(docs, "doc_id", "text",
         bands = bands, thresholdMicro = 0, rows = rows)
@@ -49,6 +54,7 @@ object CandStats {
       val sec = (System.nanoTime() - t0) / 1e9
       println(
         s"""{"sf":"$sfDir","bands":$bands,"rows":$rows,"n_docs":$nDocs,""" +
+        s""""derived":${(bands, rows) == derived},""" +
         s""""n_shingles":$nShingles,"candidate_pairs":$nCand,""" +
         s""""verified_pairs_200k":$nVerified,"sec":${f"$sec%.2f"}}""")
       pairs.unpersist(blocking = false)

@@ -39,6 +39,32 @@ class ExtOpsSpec extends SparkSpec {
     j.get((0L, 1L)).foreach(v => assert(v > 0 && v < 1000000L))
   }
 
+  test("E2 derived banding: lshParamsFor steps once per decade; auto == explicit") {
+    // the integer derivation table — rows +1 per decade past 50k docs,
+    // bands from the midpoint-preserving table, capped at (36, 4)
+    assert(DedupOps.lshParamsFor(500) == (6, 2))
+    assert(DedupOps.lshParamsFor(5000) == (6, 2))
+    assert(DedupOps.lshParamsFor(49999) == (6, 2))
+    assert(DedupOps.lshParamsFor(50000) == (15, 3))
+    assert(DedupOps.lshParamsFor(499999) == (15, 3))
+    assert(DedupOps.lshParamsFor(500000) == (36, 4))
+    assert(DedupOps.lshParamsFor(50000000) == (36, 4)) // cap
+    // midpoint invariant: (1/bands)^(1/rows) ≈ 0.41 for every step
+    Seq((6, 2), (15, 3), (36, 4)).foreach { case (b, r) =>
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(mid > 0.38 && mid < 0.45, s"midpoint drifted: ($b,$r) -> $mid")
+    }
+    // auto entry point == explicit call at the derived parameters
+    val real = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val (bands, rows) = DedupOps.lshParamsFor(real.count())
+    val auto = DedupOps.jaccardVerifiedPairsAuto(real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit = DedupOps.jaccardVerifiedPairs(real, "doc_id", "text",
+      bands = bands, thresholdMicro = 200000, rows = rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("E2 jaccard verify falls back to the shuffle formulation past the broadcast cap") {
     // the verify-stage intersection join is unhinted: AQE broadcasts the
     // candidate×shingle expansion only below the adaptive threshold (the
