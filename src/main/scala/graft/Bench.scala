@@ -56,33 +56,45 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries
     }
-    // runs per query (default 2). The artifact records EVERY sample
-    // (`runs`) next to the per-query min (`queries`): on this VM a single
-    // inflated sample is a stall window, not a regression, and the
-    // committed artifact should let a reader see that without a re-run
-    // (r7's 48.9s headline and e2_embed_neardup's 5.06 were both drift —
-    // adjudicated only by expensive standalone repro).
+    // runs per query (default 2), taken as INTERLEAVED FULL PASSES over
+    // the registry — pass 1 runs every query once, then pass 2 — so a
+    // query's samples are minutes apart and one VM stall window can no
+    // longer inflate both samples AND the min (back-to-back runs cost a
+    // full adjudication session in r8). The artifact records EVERY
+    // sample (`runs`, in pass order) next to the per-query min
+    // (`queries`): a single inflated sample is a stall window, not a
+    // regression, and the committed artifact should let a reader see
+    // that without a re-run.
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to nRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          None
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    selected.keys.foreach(k =>
+      samples(k) = scala.collection.mutable.ArrayBuffer[Double]())
+    (1 to nRuns).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        // a query that already failed deterministically is not retried
+        // (its error is the result; re-running would only burn pass time)
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            samples(name) += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+          // isolate queries from each other's leftover Dataset caches
+          // (the per-query persists have next-call-release lifecycles,
+          // but in a 100-query loop "next call" can be minutes of GC
+          // pressure away — a fresh application would not carry them, so
+          // neither does the measurement; RDD-level persists like o16's
+          // memo are unaffected)
+          spark.catalog.clearCache()
+          qIdx += 1
+          if (qIdx % 10 == 0) probesMid += probePoint()
         }
       }
-      // isolate queries from each other's leftover Dataset caches (the
-      // per-query persists have next-call-release lifecycles, but in a
-      // 100-query loop "next call" can be minutes of GC pressure away —
-      // a fresh application would not carry them, so neither does the
-      // measurement; RDD-level persists like o16's memo are unaffected)
-      spark.catalog.clearCache()
-      qIdx += 1
-      if (qIdx % 10 == 0) probesMid += probePoint()
-      name -> times
     }
+    val results = samples.map { case (k, ts) => k -> ts.toSeq }
     val probesAfter = (1 to 3).map(_ => probePoint())
     val probes = probesBefore ++ probesMid ++ probesAfter
     // VERDICT: trimmed spread (2nd-min to 2nd-max) over the MID+AFTER
