@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -103,6 +103,17 @@ object TableLog {
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.manifest")
 
+  /** Directory listing with the stream CLOSED — `Files.list` holds an
+    * open fd until closed, and the log's hot paths (latestVersion on
+    * every snapshot, vacuum loops) would otherwise leak one per call
+    * until the process hits EMFILE. */
+  private def listDir(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
   // entry codec, shared by `file=` (checkpoint) and `add=` (delta)
   // lines: `<path>` plus stat segments `;<col>:<min>:<max>` (long) or
   // `;~<enc col>:<enc min>:<enc max>` (string, URL-encoded) — paths
@@ -198,8 +209,7 @@ object TableLog {
   def latestVersion(table: String): Long = {
     val dir = logDir(table)
     if (!Files.exists(dir)) return 0L
-    import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .map(_.getFileName.toString)
       .collect { case n if n.matches("v\\d{8}\\.manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong }
@@ -214,23 +224,24 @@ object TableLog {
   def snapshotAt(table: String, version: Long): Option[Snapshot] =
     resolveRec(table, version)
 
-  /** The atomic pointer swing: link the fully-written temp manifest to
-    * its versioned name. True = committed; false = CAS conflict (that
-    * version now exists — re-read and retry). A vanished temp manifest
-    * (a concurrent `vacuum` with an aggressive staleness threshold
-    * reclaimed it between write and link) is ALSO surfaced as a retry,
-    * not a crash — the loop rewrites a fresh temp and tries again. */
+  /** The storage primitive commits go through — the log's ONLY
+    * atomicity dependency (see CommitPrimitive). Default: local-FS
+    * hard-link. Swap for an object-store adapter to run the format on
+    * S3/GCS (conditional PUT); TableLogSpec re-runs the racing-writer
+    * contract against the ConditionalPut mock to keep the abstraction
+    * honest. */
+  @volatile var commitPrimitive: CommitPrimitive = CommitPrimitive.HardLink
+
+  /** The atomic pointer swing: publish the fully-rendered manifest at
+    * its versioned name via the commit primitive. True = committed;
+    * false = CAS conflict (that version now exists — re-read and
+    * retry). A vanished temp manifest (a concurrent `vacuum` with an
+    * aggressive staleness threshold) is ALSO surfaced as a retry, not
+    * a crash — the loop rewrites a fresh temp and tries again. */
   private def tryCommit(table: String, r: ManifestRec): Boolean = {
-    val dir = logDir(table)
-    Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, renderManifest(r).getBytes(UTF_8))
-    try { Files.createLink(manifestPath(table, r.version), tmp); true }
-    catch {
-      case _: FileAlreadyExistsException => false
-      case _: java.nio.file.NoSuchFileException => false
-    }
-    finally Files.deleteIfExists(tmp)
+    Files.createDirectories(logDir(table))
+    commitPrimitive.putIfAbsent(manifestPath(table, r.version),
+      renderManifest(r).getBytes(UTF_8))
   }
 
   /** Write `df` as a new immutable data-file set under `<table>/data/`,
@@ -244,10 +255,10 @@ object TableLog {
     val outDir = s"$table/data/$setId"
     df.write.parquet(outDir)
     import scala.jdk.CollectionConverters._
-    val names = Files.list(Paths.get(outDir)).iterator().asScala
+    val names = listDir(Paths.get(outDir))
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
-      .toSeq.sorted
+      .sorted
     val rows = if (names.isEmpty) 0L
       else spark.read.parquet(outDir).count() // footer metadata only
     // per-file min/max for the stat columns: one distributed agg grouped
@@ -758,7 +769,7 @@ object TableLog {
       val p = manifestPath(table, v)
       if (Files.exists(p)) { Files.delete(p); deleted += s"_log/${p.getFileName}" }
     }
-    Files.list(logDir(table)).iterator().asScala
+    listDir(logDir(table))
       .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
       .foreach { p =>
         if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}" }
@@ -790,7 +801,7 @@ object TableLog {
       if (!Files.isDirectory(p)) Seq(p)
       else {
         val kids =
-          try Files.list(p).iterator().asScala.toSeq
+          try listDir(p)
           catch { case _: java.io.IOException => Nil }
         kids.flatMap(listDeep) :+ p
       }
@@ -800,7 +811,7 @@ object TableLog {
         if (Files.isRegularFile(p) && !referenced.contains(rel) && stale(p)) {
           if (Files.deleteIfExists(p)) deleted += rel
         } else if (Files.isDirectory(p) && p != dataRoot && stale(p) &&
-            (try !Files.list(p).iterator().hasNext
+            (try listDir(p).isEmpty
              catch { case _: java.io.IOException => false })) {
           try Files.deleteIfExists(p) // empty set dir left behind
           catch { case _: java.nio.file.DirectoryNotEmptyException => () }

@@ -224,6 +224,40 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(t).get.rows == 13)
   }
 
+  test("commit primitive is pluggable: the conditional-PUT mock carries the full contract") {
+    import graft.sinks.CommitPrimitive
+    val prev = TableLog.commitPrimitive
+    TableLog.commitPrimitive = CommitPrimitive.ConditionalPut
+    try {
+      val t = tmp("graft_log_condput")
+      // lifecycle: create / append / merge / compact / time travel
+      TableLog.create(spark, t, spark.range(100).toDF("id"))
+      TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
+      assert(TableLog.read(spark, t).count() == 150)
+      assert(TableLog.readVersion(spark, t, 1).count() == 100)
+      // racing writers: both succeed, serialized — the contract the
+      // primitive must carry regardless of implementation
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+      val threads = Seq(1000L, 2000L).map { off =>
+        new Thread(() => {
+          start.await()
+          try results.add(Right(TableLog.append(spark, t,
+            spark.range(off, off + 500).toDF("id"))))
+          catch { case e: Throwable => results.add(Left(e)) }
+        })
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val rs = results.asScala.toSeq
+      assert(rs.forall(_.isRight), s"both writers must succeed: $rs")
+      assert(rs.flatMap(_.toOption).sorted == Seq(3L, 4L))
+      assert(TableLog.read(spark, t).count() == 1150)
+      TableLog.compact(spark, t, 1L << 30)
+      assert(TableLog.read(spark, t).count() == 1150)
+    } finally TableLog.commitPrimitive = prev
+  }
+
   test("delta manifests: append cost is O(appended files); checkpoints bound replay; retention keeps chains whole") {
     val t = tmp("graft_log_delta")
     TableLog.create(spark, t, spark.range(10).toDF("id").coalesce(1))   // v1 full
