@@ -333,24 +333,65 @@ object TableLog {
   }
 
   /** The evolved table schema for an append: existing columns keep
-    * their position and type (a type CHANGE is refused descriptively —
-    * rewrite the table instead), new columns join at the end, and
-    * everything is nullable (old files lack new columns; a future
-    * append may omit old ones). */
+    * their position, new columns join at the end, and everything is
+    * nullable (old files lack new columns; a future append may omit
+    * old ones). When the incoming type differs from the recorded one,
+    * a SAFE WIDENING resolves to the wider type (`widen`) — old files
+    * keep their narrow physical type and the parquet reader upcasts at
+    * scan time under the manifest schema, so no data file is ever
+    * rewritten (at 100 TB a type change must be a metadata commit, not
+    * a table rewrite). Anything outside the lattice is refused
+    * descriptively — rewrite the table instead. */
   private[graft] def mergeEvolved(base: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     val inByName = incoming.fields.map(f => f.name -> f).toMap
-    base.fields.foreach { bf =>
-      inByName.get(bf.name).foreach(nf => require(nf.dataType == bf.dataType,
-        s"schema evolution cannot change the type of ${bf.name}: " +
-          s"${bf.dataType.simpleString} -> ${nf.dataType.simpleString}"))
+    val widenedBase = base.fields.map { bf =>
+      inByName.get(bf.name) match {
+        case Some(nf) if nf.dataType == bf.dataType => bf
+        case Some(nf) => widen(bf.dataType, nf.dataType) match {
+          case Some(w) => bf.copy(dataType = w)
+          case None => sys.error(
+            s"schema evolution cannot change the type of ${bf.name}: " +
+              s"${bf.dataType.simpleString} -> ${nf.dataType.simpleString} " +
+              "is not a safe widening (byte<short<int<long, float<double, " +
+              "int-or-narrower<double)")
+        }
+        case None => bf
+      }
     }
     val baseNames = base.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
-      base.fields.map(_.copy(nullable = true)) ++
+      widenedBase.map(_.copy(nullable = true)) ++
         incoming.fields.filterNot(f => baseNames(f.name))
           .map(_.copy(nullable = true)))
+  }
+
+  /** The LOSSLESS widening lattice, probed against this Spark build's
+    * vectorized parquet reader (tools/WidenProbe — every pair here
+    * prints OK; long->double prints FAIL and is excluded as lossy
+    * beyond 2^53). Returns the wider of `a`/`b` when the pair is a
+    * safe widening in either direction, else None. */
+  private[graft] def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def intRank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(3); case LongType => Some(4)
+      case _ => None
+    }
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      // an integral no wider than int fits double's 52-bit mantissa
+      case (DoubleType, t) if intRank(t).exists(_ <= 3) => Some(DoubleType)
+      case (t, DoubleType) if intRank(t).exists(_ <= 3) => Some(DoubleType)
+      case (x, y) =>
+        for (rx <- intRank(x); ry <- intRank(y))
+          yield if (rx >= ry) x else y
+    }
   }
 
   private def snapshotOrFail(table: String): Snapshot =

@@ -439,13 +439,61 @@ class TableLogSpec extends SparkSpec {
     TableLog.compact(spark, t, 1L << 30)                                       // v4
     assert(TableLog.read(spark, t).schema.fieldNames.toSeq == Seq("id", "tag"))
     assert(TableLog.read(spark, t).count() == 13)
-    // a type change is refused, and the refused append publishes nothing
+    // a NON-widening type change is refused, and the refused append
+    // publishes nothing (int under a long column is legal narrowing
+    // input — see the widening test — but string is not)
     val before = TableLog.latestVersion(t)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[RuntimeException] {
       TableLog.append(spark, t,
-        Seq(1).toDF("id").select(col("id").cast("int").as("id")))
+        Seq(1).toDF("id").select(col("id").cast("string").as("id")))
     }
     assert(e.getMessage.contains("schema evolution"))
+    assert(TableLog.latestVersion(t) == before)
+  }
+
+  test("type widening: metadata-only commit, old files upcast on read") {
+    val t = tmp("graft_log_widen")
+    // v1: int ids + float score, with long stats on id
+    TableLog.create(spark, t, spark.range(100).toDF("id")
+      .select(col("id").cast("int").as("id"),
+        (col("id") * 0.5).cast("float").as("score")),
+      statsCols = Seq("id"))
+    // v2: long ids + double scores — schema widens, NO file rewrite
+    val v1Files = TableLog.snapshot(t).get.files.map(_.path).toSet
+    TableLog.append(spark, t,
+      Seq((5000000000L, 2.25), (5000000001L, 3.5)).toDF("id", "score"),
+      statsCols = Seq("id"))
+    val s2 = TableLog.snapshot(t).get
+    assert(v1Files.subsetOf(s2.files.map(_.path).toSet),
+      "widening must not rewrite existing data files")
+    val back = TableLog.read(spark, t)
+    assert(back.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(back.count() == 102)
+    assert(back.agg(sum("id")).head.getLong(0) ==
+      (0L until 100).sum + 5000000000L + 5000000001L)
+    // time travel: v1 keeps its narrow schema
+    assert(TableLog.readVersion(spark, t, 1).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrow input AFTER widening: int rows land under the long schema
+    TableLog.append(spark, t,
+      Seq(700).toDF("id").select(col("id").cast("int").as("id")),
+      statsCols = Seq("id"))
+    assert(TableLog.read(spark, t).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(TableLog.read(spark, t).where(col("id") === 700L).count() == 1)
+    // stat pruning stays correct across mixed narrow/wide files
+    val pruned = TableLog.readWhere(spark, t, "id", 0L, 10L)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(pruned == 11) // ids 0..10 from v1; 700 and the 5e9s pruned out
+    // a LOSSY change stays refused: long -> double loses >2^53
+    val before = TableLog.latestVersion(t)
+    intercept[RuntimeException] {
+      TableLog.append(spark, t,
+        Seq(1.5).toDF("id").select(col("id").cast("double").as("id")))
+    }
     assert(TableLog.latestVersion(t) == before)
   }
 
