@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionProfile {
   val configs: Seq[(String, String)] = Seq(
-    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64m"
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64m",
+    // Pinned UTC: EventTime's TIMESTAMP_NTZ→LTZ rewrite and every epoch
+    // extraction must agree with the DuckDB oracle's naive-timestamp
+    // convention regardless of host timezone.
+    "spark.sql.session.timeZone" -> "UTC"
   )
 
   def tune(b: SparkSession.Builder): SparkSession.Builder =

@@ -26,16 +26,18 @@ import scala.collection.immutable.ListMap
 object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark only reads it with the
-    // legacy nanos-as-long mapping, so `ts` arrives as LongType nanoseconds
-    // (see tsMicros below). Runtime-settable, harmless for the other tables.
+    // The testdata's events.ts physical type has changed between rounds
+    // (TIMESTAMP(NANOS)-as-int64 vs timestamp[us]); the legacy flag makes the
+    // nanos variant readable (no-op otherwise) and EventTime.toNanos folds
+    // whichever type arrives into the canonical LongType-nanos shape every
+    // downstream ts expression assumes. See core/EventTime.scala.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.core.EventTime.toNanos(s.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** events.ts (long nanoseconds, see T) → microsecond TIMESTAMP (UTC).
-    * Integer `div` — nanosecond epochs exceed 2^53, double math would lose
-    * precision. */
+  /** events.ts (canonical long nanoseconds, see T) → microsecond TIMESTAMP
+    * (UTC). Integer `div` — nanosecond epochs exceed 2^53, double math would
+    * lose precision. */
   private def tsMicros(name: String): Column =
     timestamp_micros(expr(s"$name div 1000"))
 

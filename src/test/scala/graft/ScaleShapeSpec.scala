@@ -32,7 +32,8 @@ class ScaleShapeSpec extends SparkSpec {
   test("hive-partitioned writes prune partitions at the scan") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
-    spark.read.parquet(sf("0.001") + "/events.parquet")
+    graft.core.EventTime.toNanos(
+        spark.read.parquet(sf("0.001") + "/events.parquet"))
       .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
       .write.partitionBy("day").mode("overwrite").parquet(out)
     val pruned = spark.read.parquet(out)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.EventTime
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -18,10 +19,16 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  // EventTime absorbs whichever physical ts type the testdata ships
   private def eventsWithTs = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    StreamingOps.readEventsStream(spark, eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventTime.toTimestamp(StreamingOps.readEventsStream(spark, eventsDir))
+  }
+
+  /** Batch twin of eventsWithTs with canonical long-nanos `ts`. */
+  private def eventsNanos = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    EventTime.toNanos(spark.read.parquet(sf("0.001") + "/events.parquet"))
   }
 
   test("streaming tumbling window matches batch aggregation") {
@@ -33,7 +40,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+    val batch = eventsNanos
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("tsm"), "10 minutes"), col("event_type"))
       .agg(count("*").as("n"))
@@ -60,7 +67,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+    val batch = eventsNanos
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
       .agg(count("*").as("n"))
@@ -83,7 +90,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(sf("0.001") + "/events.parquet")
+    val ev = eventsNanos
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("us"))
     val c = ev.where(col("event_type") === "click")
@@ -249,7 +256,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(sf("0.001") + "/events.parquet")
+    val batch = eventsNanos
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
       .agg(count("*").as("n"))
@@ -346,7 +353,7 @@ class StreamingSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
-    val batchEv = spark.read.parquet(sf("0.001") + "/events.parquet")
+    val batchEv = eventsNanos
       .select(col("user_id").as("key"), expr("ts div 1000").as("us"),
         col("event_id").as("id"), col("event_type").as("etype"))
       .as[SequenceOps.SeqEvent]
