@@ -598,9 +598,18 @@ object DedupOps {
     * `incrementalDedup` and the corpus is never re-signed. */
   def buildSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, df: DataFrame, idCol: String, textCol: String,
-      bands: Int, shingleN: Int = 3): Long =
-    graft.sinks.TableLog.create(spark, table,
-      minhashBands(df, idCol, textCol, bands, shingleN))
+      bands: Int, shingleN: Int = 3): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = minhashBands(df, idCol, textCol, bands, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the distinct-doc count seeds the manifest's cumulative `docs`
+    // counter, so no later batch ever scans the index to answer "how
+    // many documents are indexed" (zero-shingle docs contribute no
+    // signature rows and correctly stay out of the count)
+    try graft.sinks.TableLog.create(spark, table, sigs,
+      counterDelta = Map("docs" -> sigs.select(col("id")).distinct().count()))
+    finally sigs.unpersist(blocking = false)
+  }
 
   /** Near-dup dedup of a NEW batch against the signature index, without
     * touching the corpus: sign the batch, probe the index on
@@ -627,8 +636,14 @@ object DedupOps {
     *
     * Returns one row per batch doc:
     * (idCol, dup, match_id, idx_docs, idx_rows) — idx_* read back from
-    * the PUBLISHED index after the append, so the relation witnesses
-    * both the decisions and the final index content. */
+    * the PUBLISHED manifest at the batch's own commit: `rows` plus the
+    * cumulative `docs` counter, both maintained inside the commit CAS
+    * loop and pinned against real scans by o40/the oracle. Witnessing
+    * the index this way is one manifest read, not the O(corpus)
+    * re-aggregation a direct countDistinct over the index would cost
+    * per batch. A replayed batch WITHOUT a txnId double-appends and
+    * doubles rows and docs alike — exactly-once accounting is the
+    * txnId contract, as it already was for rows. */
   def incrementalDedup(spark: org.apache.spark.sql.SparkSession,
       table: String, batch: DataFrame, idCol: String, textCol: String,
       bands: Int, shingleN: Int = 3,
@@ -679,10 +694,22 @@ object DedupOps {
     val survivorSigs = sigs.join(
       decisions.where(!col("dup")).select(col(idCol).as("id")),
       Seq("id"), "left_semi")
-    graft.sinks.TableLog.append(spark, table, survivorSigs, txnId = txnId)
-    val idxAgg = graft.sinks.TableLog.read(spark, table)
-      .agg(countDistinct(col("id")).as("idx_docs"),
-        count(lit(1)).as("idx_rows"))
-    decisions.crossJoin(broadcast(idxAgg))
+    // survivors matched nothing in the index, so their distinct ids are
+    // NEW docs — an O(batch) count over the cached sigs, folded into the
+    // manifest's cumulative `docs` counter atomically with the commit
+    val newDocs = survivorSigs.select(col("id")).distinct().count()
+    val v = graft.sinks.TableLog.append(spark, table, survivorSigs,
+      txnId = txnId, counterDelta = Map("docs" -> newDocs))
+    // idx_* from the PUBLISHED manifest at the batch's own commit (o40
+    // pins manifest row accounting against real scans): one small-file
+    // read, where the previous witness re-aggregated the WHOLE index per
+    // batch — an O(corpus) term this operator exists to avoid. On a
+    // txn-replayed batch `v` is the original commit, so the witnessed
+    // values are byte-identical across the replay.
+    val (idxRows, counters) = graft.sinks.TableLog.commitStats(table, v)
+      .getOrElse(sys.error(s"incrementalDedup: commit v$v of $table unreadable"))
+    decisions
+      .withColumn("idx_docs", lit(counters.getOrElse("docs", 0L)))
+      .withColumn("idx_rows", lit(idxRows))
   }
 }

@@ -81,9 +81,18 @@ object TableLog {
     * `mergeEvolved`); each historical version keeps its own schema, so
     * time travel reads old data under the old schema. Absent on
     * legacy manifests → reads fall back to footer inference. */
+  /** `counters`: application-defined CUMULATIVE counters, carried in every
+    * manifest like `rows` (e.g. the dedup index's distinct-doc count).
+    * Appends add a delta inside the commit CAS loop, so the accounting is
+    * atomic with the version it describes and concurrency-correct; reading
+    * a counter is a manifest lookup, never a table scan — the difference
+    * between O(1) and O(corpus) per batch at 100 TB. Rewrites preserve
+    * them verbatim (content-changing rewrites that invalidate a counter
+    * own fixing it). */
   final case class Snapshot(version: Long, baseVersion: Long, action: String,
       rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      counters: Map[String, Long] = Map.empty)
 
   /** Full checkpoint every Nth append: snapshot resolution replays at
     * most N−1 deltas; commit cost is amortized O(table files / N +
@@ -97,7 +106,8 @@ object TableLog {
   private final case class ManifestRec(version: Long, baseVersion: Long,
       action: String, rows: Long, kind: String, files: Seq[FileEntry],
       adds: Seq[FileEntry], removes: Seq[String],
-      txn: Option[String], schemaJson: Option[String])
+      txn: Option[String], schemaJson: Option[String],
+      counters: Map[String, Long] = Map.empty)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -167,7 +177,9 @@ object TableLog {
       removes = lines.filter(_.startsWith("remove="))
         .map(_.drop(7)).toSeq,
       txn = kv.get("txn"),
-      schemaJson = kv.get("schema")))
+      schemaJson = kv.get("schema"),
+      counters = kv.collect { case (k, v) if k.startsWith("counter.") =>
+        java.net.URLDecoder.decode(k.drop(8), "UTF-8") -> v.toLong }))
   }
 
   private def renderManifest(r: ManifestRec): String = {
@@ -179,6 +191,8 @@ object TableLog {
     sb ++= s"kind=${r.kind}\n"
     r.txn.foreach(t => sb ++= s"txn=$t\n")
     r.schemaJson.foreach(j => sb ++= s"schema=$j\n")
+    r.counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb ++= s"counter.${java.net.URLEncoder.encode(k, "UTF-8")}=$v\n" }
     r.files.foreach(f => sb ++= s"file=${renderEntry(f)}\n")
     r.adds.foreach(f => sb ++= s"add=${renderEntry(f)}\n")
     r.removes.foreach(p => sb ++= s"remove=$p\n")
@@ -194,14 +208,14 @@ object TableLog {
     parseRec(manifestPath(table, v)).map { r =>
       if (r.kind == "full")
         Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
-          r.txn, r.schemaJson)
+          r.txn, r.schemaJson, r.counters)
       else {
         val base = resolveRec(table, v - 1).getOrElse(sys.error(
           s"delta manifest v$v of $table: base v${v - 1} missing"))
         val rm = r.removes.toSet
         Snapshot(r.version, r.baseVersion, r.action, r.rows,
           base.files.filterNot(f => rm(f.path)) ++ r.adds,
-          r.txn, r.schemaJson)
+          r.txn, r.schemaJson, r.counters)
       }
     }
 
@@ -602,7 +616,8 @@ object TableLog {
     * succeed, serialized by version. Returns the committed version. */
   def append(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, txnId: Option[String] = None,
-      strStatsCols: Seq[String] = Nil): Long = {
+      strStatsCols: Seq[String] = Nil,
+      counterDelta: Map[String, Long] = Map.empty): Long = {
     // idempotence: if this transaction already committed (a replayed
     // streaming micro-batch after a crash-restart), do nothing — the
     // manifest chain IS the transaction log. O(versions) scan; a
@@ -628,6 +643,11 @@ object TableLog {
       }
       val version = base.map(_.version).getOrElse(0L) + 1
       val rows = base.map(_.rows).getOrElse(0L) + newRows
+      // cumulative counters: merged INSIDE the CAS loop so a racing
+      // append's contribution is never lost (the loser re-reads base)
+      val bc = base.map(_.counters).getOrElse(Map.empty[String, Long])
+      val counters = bc ++ counterDelta.map { case (k, d) =>
+        k -> (bc.getOrElse(k, 0L) + d) }
       val action = if (base.isEmpty) "create" else "append"
       // an append commits O(appended files): a delta manifest, except
       // every checkpointInterval-th version (and v1), which writes the
@@ -636,10 +656,10 @@ object TableLog {
         if (base.isEmpty || version % checkpointInterval == 0)
           ManifestRec(version, version - 1, action, rows, "full",
             base.map(_.files).getOrElse(Nil) ++ newFiles, Nil, Nil,
-            txnId, evolved)
+            txnId, evolved, counters)
         else
           ManifestRec(version, version - 1, action, rows, "delta",
-            Nil, newFiles, Nil, txnId, evolved)
+            Nil, newFiles, Nil, txnId, evolved, counters)
       if (tryCommit(table, r)) committed = version
     }
     committed
@@ -654,8 +674,18 @@ object TableLog {
 
   /** Create (version 1) — append on an empty table, named for intent. */
   def create(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil): Long =
-    append(spark, table, df, statsCols, strStatsCols = strStatsCols)
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      counterDelta: Map[String, Long] = Map.empty): Long =
+    append(spark, table, df, statsCols, strStatsCols = strStatsCols,
+      counterDelta = counterDelta)
+
+  /** The row count and cumulative counters recorded in version `v`'s
+    * manifest — one small-file read, NO data scan and no delta-chain
+    * resolution (`rows`/`counters` are stored denormalized in every
+    * record). The scale-correct way to answer "how big is the table /
+    * what has been ingested" after a commit. */
+  def commitStats(table: String, version: Long): Option[(Long, Map[String, Long])] =
+    parseRec(manifestPath(table, version)).map(r => (r.rows, r.counters))
 
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
     * the log with txn id `<streamId>#<batchId>`. foreachBatch is
@@ -703,7 +733,8 @@ object TableLog {
       // all + add all) would cost the same as a checkpoint — commit it
       // as one, which also keeps delta chains short
       val r = ManifestRec(base.version + 1, base.version, action, rows,
-        "full", files, Nil, Nil, txnId, Some(out.schema.json))
+        "full", files, Nil, Nil, txnId, Some(out.schema.json),
+        base.counters)
       if (tryCommit(table, r)) committed = r.version
     }
     committed

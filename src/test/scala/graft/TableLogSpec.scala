@@ -555,4 +555,34 @@ class TableLogSpec extends SparkSpec {
     TableLog.maintainAgg(spark, src, mv, Seq("k"), Seq("v"))
     assert(TableLog.latestVersion(mv) == v)
   }
+
+  test("cumulative counters: atomic with the commit, O(1) read, replay-safe") {
+    val t = tmp("graft_log_counters")
+    TableLog.create(spark, t, spark.range(10).toDF("id"),
+      counterDelta = Map("docs" -> 10L))
+    TableLog.append(spark, t, spark.range(10, 14).toDF("id"),
+      counterDelta = Map("docs" -> 4L, "batches" -> 1L))
+    // commitStats is a manifest lookup — rows and counters per version
+    assert(TableLog.commitStats(t, 1).contains((10L, Map("docs" -> 10L))))
+    assert(TableLog.commitStats(t, 2)
+      .contains((14L, Map("docs" -> 14L, "batches" -> 1L))))
+    // a txn-replayed append contributes its delta ONCE; reading the
+    // returned version witnesses the original accounting byte-identically
+    val v = TableLog.append(spark, t, spark.range(14, 16).toDF("id"),
+      txnId = Some("b#1"), counterDelta = Map("docs" -> 2L))
+    val replay = TableLog.append(spark, t, spark.range(14, 16).toDF("id"),
+      txnId = Some("b#1"), counterDelta = Map("docs" -> 2L))
+    assert(replay == v)
+    assert(TableLog.snapshot(t).get.counters("docs") == 16L)
+    // counters ride delta manifests AND survive snapshot resolution off
+    // a checkpoint; an append that names no counters changes none
+    TableLog.append(spark, t, spark.range(16, 17).toDF("id"))
+    assert(TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 16L, "batches" -> 1L))
+    // rewrites (compact) preserve counters verbatim
+    TableLog.compact(spark, t, targetBytes = 1L << 20)
+    assert(TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 16L, "batches" -> 1L))
+    assert(TableLog.read(spark, t).count() == 17)
+  }
 }
