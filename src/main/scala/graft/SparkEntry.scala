@@ -1235,6 +1235,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** E2 incremental, embedding side: 3/4 of `embeddings` builds the
+    * persistent block index (corpus-derived sign-bit width pinned in the
+    * manifest's `bits` counter), the remaining 1/4 arrives as a batch
+    * through `incrementalEmbedDedup` — probe only matching blocks, verify
+    * cosine with quantized integer dots, append survivors. The oracle
+    * re-derives the bit width from the BASE corpus stats with the same
+    * integer rule and retrains decisions + final index accounting, so
+    * width drift, a wrong dup verdict, a lost append, or broken counter
+    * accounting all change the hash. */
+  private def e2IncrementalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/embidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val emb = T(s, dir, "embeddings")
+    DedupOps.buildEmbedIndex(s, t, emb.where(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", "label")
+    DedupOps.incrementalEmbedDedup(s, t, emb.where(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", "label", thresholdMicro = 300000)
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
     * registry form): the label key composed with a sign bucket whose
     * width comes from `DedupOps.signBitsFor(n, n_labels, 32)` — an
@@ -2508,6 +2528,7 @@ object SparkEntry {
     "e1_latest_by_key" -> (e1LatestByKey _),
     "e2_minhash_pairs" -> (e2Minhash _),
     "e2_incremental_dedup" -> (e2IncrementalDedup _),
+    "e2_incremental_embed" -> (e2IncrementalEmbed _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
     "e2_jaccard_derived" -> (e2JaccardDerived _),
@@ -2985,6 +3006,55 @@ object SparkEntry {
         |  count(*) AS idx_rows FROM fin)
         |SELECT dec.doc_id, dec.dup, dec.match_id, ia.idx_docs, ia.idx_rows
         |FROM dec, ia ORDER BY dec.doc_id""".stripMargin,
+    // embedding twin: bit width re-derived from the BASE corpus stats
+    // (the same integer signBitsFor rule the index pins), cosine via
+    // quantized integer dots — see e2_embed_neardup for the formula
+    "e2_incremental_embed" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT label) AS BIGINT) AS nlab
+        |  FROM embeddings WHERE vec_id % 4 != 0),
+        |bb AS (SELECT COALESCE(MIN(b), 16) AS bits
+        |  FROM (SELECT unnest(range(17)) AS b) t, nn
+        |  WHERE nlab * (1::BIGINT << b) * 32 >= n),
+        |q AS (SELECT vec_id,
+        |  CAST(label AS VARCHAR) || '|' || array_to_string(list_transform(
+        |    range(1, 1 + (SELECT bits FROM bb)),
+        |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS blk,
+        |  $sqlQvec AS qe FROM embeddings),
+        |base AS (SELECT * FROM q WHERE vec_id % 4 != 0),
+        |bat AS (SELECT * FROM q WHERE vec_id % 4 = 0),
+        |cm AS (SELECT b2.vec_id, MIN(b1.vec_id) AS cmid
+        |  FROM bat b2 JOIN base b1 ON b2.blk = b1.blk
+        |  WHERE CAST(round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b2.qe[i] * b1.qe[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(b2.qe, x -> x*x)) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(b1.qe, x -> x*x)) AS DOUBLE)))
+        |    * 1000000) AS BIGINT) >= 300000
+        |  GROUP BY b2.vec_id),
+        |wm AS (SELECT b2.vec_id, MIN(b1.vec_id) AS wmid
+        |  FROM bat b1 JOIN bat b2 ON b1.blk = b2.blk
+        |    AND b1.vec_id < b2.vec_id
+        |  WHERE CAST(round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b2.qe[i] * b1.qe[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(b2.qe, x -> x*x)) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(b1.qe, x -> x*x)) AS DOUBLE)))
+        |    * 1000000) AS BIGINT) >= 300000
+        |  GROUP BY b2.vec_id),
+        |dec AS (SELECT d.vec_id,
+        |  (cmid IS NOT NULL OR wmid IS NOT NULL) AS dup,
+        |  CASE WHEN cmid IS NULL AND wmid IS NULL THEN CAST(-1 AS BIGINT)
+        |    ELSE least(coalesce(cmid, 9223372036854775807),
+        |      coalesce(wmid, 9223372036854775807)) END AS match_id
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0) d
+        |  LEFT JOIN cm ON d.vec_id = cm.vec_id
+        |  LEFT JOIN wm ON d.vec_id = wm.vec_id),
+        |fin AS (SELECT vec_id FROM base
+        |  UNION ALL SELECT bat.vec_id FROM bat
+        |  JOIN dec ON bat.vec_id = dec.vec_id AND NOT dec.dup),
+        |ia AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS idx_vecs,
+        |  count(*) AS idx_rows FROM fin)
+        |SELECT dec.vec_id, dec.dup, dec.match_id, ia.idx_vecs, ia.idx_rows
+        |FROM dec, ia ORDER BY dec.vec_id""".stripMargin,
     "e2_simhash_buckets" ->
       (s"""WITH s AS (SELECT doc_id, """ +
         (1 to 8).map(p =>

@@ -712,4 +712,158 @@ object DedupOps {
       .withColumn("idx_docs", lit(counters.getOrElse("docs", 0L)))
       .withColumn("idx_rows", lit(idxRows))
   }
+
+  // ==================================================================
+  // E2 incremental, embedding side: dedup new vector batches against a
+  // PERSISTED block index — the incrementalDedup contract applied to
+  // embeddings, so a training-data lake ingesting vectors continuously
+  // never re-blocks the corpus (which is what the batch
+  // embeddingNearDupsAuto redoes per run).
+  // ==================================================================
+
+  @volatile private var embedPrevCaches: Seq[DataFrame] = Nil
+
+  def releaseEmbedCaches(): Unit = synchronized {
+    embedPrevCaches.foreach(_.unpersist(blocking = false))
+    embedPrevCaches = Nil
+  }
+
+  /** (id, blk, qe, nrm) projection: block key = natural key composed with a
+    * `bits`-wide hyperplane-sign bucket (null-propagating concat — a null
+    * natural key blocks nothing, like an equi-join would); qe = 1e3-quantized
+    * integer copy (dots exact in any engine/order); nrm precomputed once per
+    * VECTOR, not per pair. */
+  private def embedKeyed(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        concat(col(blockCol).cast("string"), lit("|"),
+          VF.signBucket(col(vecCol), bits)).as("blk"),
+        graft.functions.QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+      .withColumn("nrm", sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")))
+
+  /** Integer-dot cosine in micro-units: double division/rounding happens on
+    * ONE scalar at the end, so the value is bit-identical cross-engine. */
+  private def cosMicro(qa: Column, na: Column, qb: Column, nb: Column): Column =
+    round(VF.dotLong(qa, qb).cast("double") / (na * nb) * 1000000).cast("long")
+
+  /** Build the persistent embedding block index: one (id, blk, qe, nrm) row
+    * per vector, range-clustered by `blk` and committed with string file
+    * stats on `blk` — a probe opens only files whose [min,max] can contain a
+    * probed block key (categorical skipping), so per-batch I/O is
+    * O(matching blocks' files), not O(corpus). The corpus-derived sign-bit
+    * width is PINNED in the manifest's `bits` counter: every future batch
+    * blocks identically (a re-derived width on grown data would silently
+    * zero recall against the existing index). Done once per corpus. */
+  def buildEmbedIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, targetBlockRows: Long = 32L): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val st = df.agg(count(lit(1)), countDistinct(col(blockCol))).head
+    val bits = signBitsFor(st.getLong(0), math.max(1L, st.getLong(1)),
+      targetBlockRows)
+    val keyed = embedKeyed(df, idCol, vecCol, blockCol, bits)
+      .repartitionByRange(col("blk"))
+      .sortWithinPartitions("blk")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try graft.sinks.TableLog.create(spark, table, keyed,
+      strStatsCols = Seq("blk"),
+      counterDelta = Map(
+        "docs" -> keyed.select(col("id")).distinct().count(),
+        "bits" -> bits.toLong))
+    finally keyed.unpersist(blocking = false)
+  }
+
+  /** Near-dup dedup of a NEW embedding batch against the block index,
+    * without touching the corpus: block the batch with the index's pinned
+    * bit width, probe ONLY index files whose `blk` stats overlap the
+    * batch's block keys, verify cosine exactly (quantized integer dots),
+    * append survivors range-clustered so pruning stays tight as the index
+    * grows. Per-batch cost O(batch + matching blocks); the probe key list
+    * is ≤ batch distinct blocks (driver-side, bounded by batch size).
+    *
+    * Dup rule (mirrors incrementalDedup, plus the verify step blocking
+    * alone can't give): a batch vector is a duplicate iff cos_micro ≥
+    * `thresholdMicro` against (a) an indexed vector sharing its block, or
+    * (b) a smaller-id batch vector sharing its block. match_id = smallest
+    * qualifying id, -1 if none. Self-exclusion by id keeps replayed
+    * batches byte-identical; exactly-once accounting is the txnId
+    * contract. An ABSENT index bootstraps: width derived from the first
+    * batch, pinned for the table's lifetime.
+    *
+    * Returns one row per batch vector:
+    * (idCol, dup, match_id, idx_vecs, idx_rows) — idx_* from the published
+    * manifest accounting at the batch's own commit (rows + cumulative
+    * `docs` counter), one small-file read, never an index scan. */
+  def incrementalEmbedDedup(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, thresholdMicro: Long, targetBlockRows: Long = 32L,
+      txnId: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    synchronized {
+      embedPrevCaches.foreach(_.unpersist(blocking = false))
+      embedPrevCaches = Nil
+    }
+    val existing = graft.sinks.TableLog.latestVersion(table) > 0L
+    val bits =
+      if (existing)
+        graft.sinks.TableLog.snapshot(table).get.counters.getOrElse("bits",
+          sys.error(s"incrementalEmbedDedup: $table has no pinned `bits` " +
+            "counter — build it with buildEmbedIndex")).toInt
+      else {
+        val st = batch.agg(count(lit(1)), countDistinct(col(blockCol))).head
+        signBitsFor(st.getLong(0), math.max(1L, st.getLong(1)),
+          targetBlockRows)
+      }
+    val bk = embedKeyed(batch, idCol, vecCol, blockCol, bits)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = bk.select("blk").where(col("blk").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val idx =
+      if (!existing || keys.isEmpty)
+        bk.select(col("id").as("__iid"), col("blk"),
+          col("qe").as("__iqe"), col("nrm").as("__inrm")).where(lit(false))
+      else graft.sinks.TableLog.readWhereIn(spark, table, "blk", keys)
+        .select(col("id").as("__iid"), col("blk"),
+          col("qe").as("__iqe"), col("nrm").as("__inrm"))
+    val crossM = bk.join(idx, Seq("blk"))
+      .where(col("__iid") =!= col("id") &&
+        cosMicro(col("qe"), col("nrm"), col("__iqe"), col("__inrm"))
+          >= thresholdMicro)
+      .groupBy(col("id")).agg(min(col("__iid")).as("__cm"))
+    val b2 = bk.select(col("id").as("__bid"), col("blk"),
+      col("qe").as("__bqe"), col("nrm").as("__bnrm"))
+    val withinM = bk.join(b2, Seq("blk"))
+      .where(col("__bid") < col("id") &&
+        cosMicro(col("qe"), col("nrm"), col("__bqe"), col("__bnrm"))
+          >= thresholdMicro)
+      .groupBy(col("id")).agg(min(col("__bid")).as("__wm"))
+    val sentinel = Long.MaxValue
+    val decisions = batch.select(col(idCol).cast("long").as("id"))
+      .join(crossM, Seq("id"), "left")
+      .join(withinM, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__cm").isNotNull || col("__wm").isNotNull).as("dup"),
+        when(col("__cm").isNull && col("__wm").isNull, lit(-1L))
+          .otherwise(least(coalesce(col("__cm"), lit(sentinel)),
+            coalesce(col("__wm"), lit(sentinel)))).as("match_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { embedPrevCaches = Seq(bk, decisions) }
+    val survivors = bk.join(
+        decisions.where(!col("dup")).select(col(idCol).as("id")),
+        Seq("id"), "left_semi")
+      .repartitionByRange(col("blk"))
+      .sortWithinPartitions("blk")
+    val newDocs = survivors.select(col("id")).distinct().count()
+    val v = graft.sinks.TableLog.append(spark, table, survivors,
+      strStatsCols = Seq("blk"), txnId = txnId,
+      counterDelta =
+        if (existing) Map("docs" -> newDocs)
+        else Map("docs" -> newDocs, "bits" -> bits.toLong))
+    val (idxRows, counters) = graft.sinks.TableLog.commitStats(table, v)
+      .getOrElse(sys.error(
+        s"incrementalEmbedDedup: commit v$v of $table unreadable"))
+    decisions
+      .withColumn("idx_vecs", lit(counters.getOrElse("docs", 0L)))
+      .withColumn("idx_rows", lit(idxRows))
+  }
 }
