@@ -301,7 +301,7 @@ object DedupOps {
   /** Corpus-derived banding: (bands, rows) as an integer function of
     * corpus size `n` — the `signBitsFor` pattern applied to the LSH
     * family. `rows` steps +1 per DECADE of growth past the anchor
-    * (n ≤ 50k keeps the committed (6, 2)); `bands` follows the
+    * (n < 50k keeps the committed (6, 2)); `bands` follows the
     * midpoint-preserving table ceil(0.41^(-rows)) = 6, 15, 36, so the
     * banding S-curve midpoint (1/bands)^(1/rows) stays at ~0.41 for
     * every rows and candidate recall at-and-above the committed
@@ -757,20 +757,21 @@ object DedupOps {
   def buildEmbedIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, targetBlockRows: Long = 32L): Long = {
-    import org.apache.spark.storage.StorageLevel
     val st = df.agg(count(lit(1)), countDistinct(col(blockCol))).head
     val bits = signBitsFor(st.getLong(0), math.max(1L, st.getLong(1)),
       targetBlockRows)
-    val keyed = embedKeyed(df, idCol, vecCol, blockCol, bits)
+    // deliberately NOT cached: caching the wide quantized rows costs more
+    // (serialize ~1 KB/row to memory/disk) than re-running the codegen'd
+    // projection in the range-sampling and write passes, and the docs
+    // count below column-prunes to the id alone at the source scan
+    val clustered = embedKeyed(df, idCol, vecCol, blockCol, bits)
       .repartitionByRange(col("blk"))
       .sortWithinPartitions("blk")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try graft.sinks.TableLog.create(spark, table, keyed,
+    graft.sinks.TableLog.create(spark, table, clustered,
       strStatsCols = Seq("blk"),
       counterDelta = Map(
-        "docs" -> keyed.select(col("id")).distinct().count(),
+        "docs" -> df.select(col(idCol)).distinct().count(),
         "bits" -> bits.toLong))
-    finally keyed.unpersist(blocking = false)
   }
 
   /** Near-dup dedup of a NEW embedding batch against the block index,
@@ -825,14 +826,22 @@ object DedupOps {
       else graft.sinks.TableLog.readWhereIn(spark, table, "blk", keys)
         .select(col("id").as("__iid"), col("blk"),
           col("qe").as("__iqe"), col("nrm").as("__inrm"))
-    val crossM = bk.join(idx, Seq("blk"))
+    // the BATCH is the broadcast side by the incremental contract (a
+    // micro-batch ≪ the corpus): the probe then never shuffles the
+    // index's wide quantized rows — the cosine verify runs map-side over
+    // the matching index files, and per-batch network cost is one batch
+    // broadcast. (Measured at sf10: the same verify as a shuffle join
+    // moved ~1 KB/row index arrays and cost 4.3s of an 11.7s batch.)
+    // Backfills large enough to strain a broadcast should rebuild the
+    // index wholesale instead — that path is the batch one, not this.
+    val crossM = broadcast(bk).join(idx, Seq("blk"))
       .where(col("__iid") =!= col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__iqe"), col("__inrm"))
           >= thresholdMicro)
       .groupBy(col("id")).agg(min(col("__iid")).as("__cm"))
     val b2 = bk.select(col("id").as("__bid"), col("blk"),
       col("qe").as("__bqe"), col("nrm").as("__bnrm"))
-    val withinM = bk.join(b2, Seq("blk"))
+    val withinM = bk.join(broadcast(b2), Seq("blk"))
       .where(col("__bid") < col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__bqe"), col("__bnrm"))
           >= thresholdMicro)

@@ -205,18 +205,22 @@ object TableLog {
     * `checkpointInterval` — vacuum retention never drops a checkpoint
     * a retained delta still needs). */
   private def resolveRec(table: String, v: Long): Option[Snapshot] =
-    parseRec(manifestPath(table, v)).map { r =>
+    parseRec(manifestPath(table, v)).flatMap { r =>
       if (r.kind == "full")
-        Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
-          r.txn, r.schemaJson, r.counters)
-      else {
-        val base = resolveRec(table, v - 1).getOrElse(sys.error(
-          s"delta manifest v$v of $table: base v${v - 1} missing"))
-        val rm = r.removes.toSet
-        Snapshot(r.version, r.baseVersion, r.action, r.rows,
-          base.files.filterNot(f => rm(f.path)) ++ r.adds,
-          r.txn, r.schemaJson, r.counters)
-      }
+        Some(Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
+          r.txn, r.schemaJson, r.counters))
+      else
+        // a missing/unparseable base usually means a concurrent vacuum
+        // dropped this version's chain while we resolved it — surface
+        // "no longer resolvable" (None, like any vacuumed version), not
+        // a crash. `snapshot` re-raises loudly for the LATEST version,
+        // whose chain vacuum never drops (true corruption).
+        resolveRec(table, v - 1).map { base =>
+          val rm = r.removes.toSet
+          Snapshot(r.version, r.baseVersion, r.action, r.rows,
+            base.files.filterNot(f => rm(f.path)) ++ r.adds,
+            r.txn, r.schemaJson, r.counters)
+        }
     }
 
   /** Latest committed version, or 0 for an empty/new table. */
@@ -232,7 +236,13 @@ object TableLog {
 
   def snapshot(table: String): Option[Snapshot] = {
     val v = latestVersion(table)
-    if (v == 0) None else resolveRec(table, v)
+    if (v == 0) None
+    // the latest version's delta chain is never vacuumed (retention is
+    // checkpoint-granular), so failing to resolve it is corruption and
+    // must not read as "empty table" — an append would then loop forever
+    // trying to commit a version that already exists
+    else Some(resolveRec(table, v).getOrElse(sys.error(
+      s"$table: latest version v$v unresolvable — manifest chain broken")))
   }
 
   def snapshotAt(table: String, version: Long): Option[Snapshot] =
@@ -243,8 +253,21 @@ object TableLog {
     * hard-link. Swap for an object-store adapter to run the format on
     * S3/GCS (conditional PUT); TableLogSpec re-runs the racing-writer
     * contract against the ConditionalPut mock to keep the abstraction
-    * honest. */
-  @volatile var commitPrimitive: CommitPrimitive = CommitPrimitive.HardLink
+    * honest. Scoped PER TABLE, not process-global: swapping the
+    * primitive for one table (a test, an experiment, an S3-backed
+    * table in a mixed deployment) must never reroute a concurrent
+    * writer on an unrelated table through it. */
+  private val tablePrimitives =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPrimitive]()
+
+  def setCommitPrimitive(table: String, p: CommitPrimitive): Unit =
+    tablePrimitives.put(table, p)
+
+  def clearCommitPrimitive(table: String): Unit =
+    tablePrimitives.remove(table)
+
+  private def primitiveFor(table: String): CommitPrimitive =
+    Option(tablePrimitives.get(table)).getOrElse(CommitPrimitive.HardLink)
 
   /** The atomic pointer swing: publish the fully-rendered manifest at
     * its versioned name via the commit primitive. True = committed;
@@ -254,7 +277,7 @@ object TableLog {
     * a crash — the loop rewrites a fresh temp and tries again. */
   private def tryCommit(table: String, r: ManifestRec): Boolean = {
     Files.createDirectories(logDir(table))
-    commitPrimitive.putIfAbsent(manifestPath(table, r.version),
+    primitiveFor(table).putIfAbsent(manifestPath(table, r.version),
       renderManifest(r).getBytes(UTF_8))
   }
 
@@ -836,10 +859,12 @@ object TableLog {
       parseRec(manifestPath(table, v)).exists(_.kind == "full"))
       .getOrElse(1L)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    // drop retired manifests first so their references stop counting
+    // drop retired manifests first so their references stop counting;
+    // deleteIfExists — two concurrent vacuums race here, and the loser
+    // must skip quietly, not throw mid-sweep (exists-then-delete TOCTOU)
     (1L until dropBelow).foreach { v =>
       val p = manifestPath(table, v)
-      if (Files.exists(p)) { Files.delete(p); deleted += s"_log/${p.getFileName}" }
+      if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}"
     }
     listDir(logDir(table))
       .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
@@ -852,15 +877,22 @@ object TableLog {
       val acc = scala.collection.mutable.HashSet[String]()
       var cur: Seq[FileEntry] = Nil
       (dropBelow to latest).foreach { v =>
-        parseRec(manifestPath(table, v)).foreach { r =>
-          cur =
-            if (r.kind == "full") r.files
-            else {
-              val rm = r.removes.toSet
-              cur.filterNot(f => rm(f.path)) ++ r.adds
-            }
-          acc ++= cur.iterator.map(_.path)
-        }
+        // a RETAINED version that fails to parse must ABORT the vacuum,
+        // not be skipped: its adds would drop out of `referenced` and
+        // every later delta would replay against the wrong base — data
+        // files still referenced by readable manifests would be deleted.
+        // (resolveRec fails loudly in the same situation; a destructive
+        // pass must not be more tolerant than a read.)
+        val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
+          s"vacuum of $table: retained manifest v$v unreadable — " +
+            "aborting before deleting files it may reference"))
+        cur =
+          if (r.kind == "full") r.files
+          else {
+            val rm = r.removes.toSet
+            cur.filterNot(f => rm(f.path)) ++ r.adds
+          }
+        acc ++= cur.iterator.map(_.path)
       }
       acc.toSet
     }

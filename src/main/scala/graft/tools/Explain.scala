@@ -122,6 +122,58 @@ object Explain {
           graft.operators.SimilarityOps.semanticDedupPairsAuto(
             emb, "vec_id", "embedding", 400000).count())
         spark.emptyDataFrame
+      case "dev:incembed_breakdown" =>
+        // stage timing for incrementalEmbedDedup at scale (r11)
+        import org.apache.spark.sql.functions._
+        def time[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[explain] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val base = emb.where(col("vec_id") % 20 =!= 0)
+        val batch = emb.where(col("vec_id") % 20 === 0)
+        val t = java.nio.file.Files.createTempDirectory("graft_embprobe")
+          .toString + "/idx"
+        time("buildEmbedIndex")(graft.operators.DedupOps.buildEmbedIndex(
+          spark, t, base, "vec_id", "embedding", "label"))
+        val bits = graft.sinks.TableLog.snapshot(t).get.counters("bits").toInt
+        println(s"[explain] bits=$bits")
+        val bk = batch.select(col("vec_id").as("id"),
+            concat(col("label").cast("string"), lit("|"),
+              graft.functions.VectorFunctions.signBucket(col("embedding"), bits)).as("blk"),
+            graft.functions.QuantizeVector.quantize(col("embedding"), 1000.0).as("qe"))
+          .withColumn("nrm", sqrt(graft.functions.VectorFunctions
+            .dotLong(col("qe"), col("qe")).cast("double")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("bk persist")(bk.count())
+        val keys = time("keys collect")(bk.select("blk")
+          .where(col("blk").isNotNull).distinct()
+          .collect().map(_.getString(0)).toSeq)
+        println(s"[explain] distinct batch blocks: ${keys.size}")
+        val idx = time("readWhereIn build")(
+          graft.sinks.TableLog.readWhereIn(spark, t, "blk", keys))
+        time("idx scan rows")(println(s"[explain] idx rows: ${idx.count()}"))
+        val crossCand = bk.join(idx.select(col("id").as("__iid"),
+          col("blk"), col("qe").as("__iqe"), col("nrm").as("__inrm")), Seq("blk"))
+          .where(col("__iid") =!= col("id"))
+        time("cross candidates")(println(
+          s"[explain] cross cand: ${crossCand.count()}"))
+        time("cross verify")(println("[explain] cross verified: " +
+          crossCand.where(round(graft.functions.VectorFunctions
+            .dotLong(col("qe"), col("__iqe")).cast("double") /
+            (col("nrm") * col("__inrm")) * 1000000).cast("long") >= 300000)
+            .groupBy("id").agg(min("__iid")).count()))
+        val b2 = bk.select(col("id").as("__bid"), col("blk"),
+          col("qe").as("__bqe"), col("nrm").as("__bnrm"))
+        time("within candidates+verify")(println("[explain] within: " +
+          bk.join(b2, Seq("blk")).where(col("__bid") < col("id"))
+            .where(round(graft.functions.VectorFunctions
+              .dotLong(col("qe"), col("__bqe")).cast("double") /
+              (col("nrm") * col("__bnrm")) * 1000000).cast("long") >= 300000)
+            .groupBy("id").agg(min("__bid")).count()))
+        spark.emptyDataFrame
       case "dev:minhash_bands" =>
         graft.operators.DedupOps.minhashBands(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 4)

@@ -14,15 +14,19 @@ import graft.operators.DedupOps
   * index, but the index carries `bands` longs per document — orders of
   * magnitude less I/O than re-reading and re-shingling the corpus text.
   *
-  *   sbt "runMain graft.tools.IncStats /root/testdata/sf0.01"
+  *   sbt "runMain graft.tools.IncStats /root/testdata/sf0.01 [embed]"
   *
   * Prints one JSON line. Batch = doc_id % 20 == 0 (5% of the corpus),
   * base = the rest, matching a daily-increment:lake ratio better than
-  * the registry query's 25% demo batch.
+  * the registry query's 25% demo batch. With the `embed` arg the same
+  * protocol runs the EMBEDDING side (buildEmbedIndex /
+  * incrementalEmbedDedup vs re-blocking the corpus with
+  * embeddingNearDupsAuto).
   */
 object IncStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val embedMode = args.lift(1).contains("embed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -30,6 +34,7 @@ object IncStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (embedMode) { runEmbed(spark, sfDir); spark.stop(); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.where(col("doc_id") % 20 =!= 0)
     val batch = docs.where(col("doc_id") % 20 === 0)
@@ -60,5 +65,39 @@ object IncStats {
       s""""rebuild_sec":${f"$rebuildSec%.3f"},"batch_dups":$nDup,""" +
       s""""full_pairs":$nPairs}""")
     spark.stop()
+  }
+
+  private def runEmbed(spark: SparkSession, sfDir: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 20 =!= 0)
+    val batch = emb.where(col("vec_id") % 20 === 0)
+    val (nBase, nBatch) = (base.count(), batch.count())
+    val t = java.nio.file.Files.createTempDirectory("graft_incstats_e")
+      .toString + "/idx"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildSec) = timed {
+      DedupOps.buildEmbedIndex(spark, t, base, "vec_id", "embedding",
+        "label")
+    }
+    val (nDup, incSec) = timed {
+      DedupOps.incrementalEmbedDedup(spark, t, batch, "vec_id",
+        "embedding", "label", thresholdMicro = 300000)
+        .where(col("dup")).count()
+    }
+    // the non-incremental alternative: re-block and re-pair the WHOLE
+    // corpus per arriving batch
+    val (nPairs, rebuildSec) = timed {
+      DedupOps.embeddingNearDupsAuto(emb, "vec_id", "embedding", "label",
+        thresholdMicro = 300000).count()
+    }
+    println(s"""{"sf":"$sfDir","mode":"embed","n_base":$nBase,""" +
+      s""""n_batch":$nBatch,"build_sec":${f"$buildSec%.3f"},""" +
+      s""""incremental_sec":${f"$incSec%.3f"},""" +
+      s""""rebuild_sec":${f"$rebuildSec%.3f"},"batch_dups":$nDup,""" +
+      s""""full_pairs":$nPairs}""")
   }
 }

@@ -678,4 +678,54 @@ class ExtOpsSpec extends SparkSpec {
     assert(run() == d1)
     assert(graft.sinks.TableLog.latestVersion(t) == 2L)
   }
+
+  test("E2 incremental embed dedup: cosine verify, pinned bits, replay-stable") {
+    val base = Seq(
+      (1L, 0L, Seq(1f, 0f, 0f, 0f)),
+      (2L, 1L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val batch = Seq(
+      (4L, 0L, Seq(1f, 0f, 0f, 0f)),  // cross dup of indexed vec 1
+      (8L, 2L, Seq(0f, 0f, 1f, 0f)),  // new label block → survives
+      (12L, 2L, Seq(0f, 0f, 1f, 0f)), // within-batch dup of 8
+      (16L, 0L, Seq(0f, 0f, 0f, 1f))  // SHARES vec 1's block, orthogonal —
+                                      // blocking is only a candidate rule;
+                                      // the cosine verify must clear it
+    ).toDF("vec_id", "label", "embedding")
+    val t = java.nio.file.Files.createTempDirectory("graft_incembed")
+      .toString + "/idx"
+    graft.operators.DedupOps.buildEmbedIndex(spark, t, base,
+      "vec_id", "embedding", "label")
+    // base: n=2, 2 label blocks → signBitsFor gives 0 extra bits, pinned
+    assert(graft.sinks.TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 2L, "bits" -> 0L))
+    def run() = graft.operators.DedupOps.incrementalEmbedDedup(spark, t,
+      batch, "vec_id", "embedding", "label", thresholdMicro = 900000,
+      txnId = Some("b1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d1 = run()
+    assert(d1(4L) == ((true, 1L, 4L, 4L)))
+    assert(d1(8L) == ((false, -1L, 4L, 4L)))
+    assert(d1(12L) == ((true, 8L, 4L, 4L)))
+    assert(d1(16L) == ((false, -1L, 4L, 4L))) // candidate, failed verify
+    val idx = graft.sinks.TableLog.read(spark, t)
+    assert(idx.select("id").distinct().collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 8L, 16L))
+    // replay: append skips on the txn id, decisions byte-identical, and
+    // the witnessed manifest accounting is pinned at the original commit
+    assert(run() == d1)
+    assert(graft.sinks.TableLog.latestVersion(t) == 2L)
+    // bootstrap: a first batch on an ABSENT index derives and pins the
+    // width itself (streaming cold-start parity with incrementalDedup)
+    val t2 = java.nio.file.Files.createTempDirectory("graft_incembed2")
+      .toString + "/idx"
+    val d2 = graft.operators.DedupOps.incrementalEmbedDedup(spark, t2,
+      batch, "vec_id", "embedding", "label", thresholdMicro = 900000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(d2(4L)._1 == false)            // nothing indexed to collide with
+    assert(d2(12L) == ((true, 8L, 3L, 3L))) // within rule still applies
+    assert(graft.sinks.TableLog.snapshot(t2).get.counters.contains("bits"))
+  }
 }

@@ -226,10 +226,11 @@ class TableLogSpec extends SparkSpec {
 
   test("commit primitive is pluggable: the conditional-PUT mock carries the full contract") {
     import graft.sinks.CommitPrimitive
-    val prev = TableLog.commitPrimitive
-    TableLog.commitPrimitive = CommitPrimitive.ConditionalPut
+    val t = tmp("graft_log_condput")
+    // per-TABLE swap: concurrent writers on other tables stay on the
+    // default primitive (the r10 advice point against a global var)
+    TableLog.setCommitPrimitive(t, CommitPrimitive.ConditionalPut)
     try {
-      val t = tmp("graft_log_condput")
       // lifecycle: create / append / merge / compact / time travel
       TableLog.create(spark, t, spark.range(100).toDF("id"))
       TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
@@ -255,7 +256,7 @@ class TableLogSpec extends SparkSpec {
       assert(TableLog.read(spark, t).count() == 1150)
       TableLog.compact(spark, t, 1L << 30)
       assert(TableLog.read(spark, t).count() == 1150)
-    } finally TableLog.commitPrimitive = prev
+    } finally TableLog.clearCommitPrimitive(t)
   }
 
   test("delta manifests: append cost is O(appended files); checkpoints bound replay; retention keeps chains whole") {
