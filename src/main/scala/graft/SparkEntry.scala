@@ -379,6 +379,35 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** TYPE WIDENING through the commit log: version 1 lands with NARROW
+    * column types (int key/qty, float price), version 2 appends the same
+    * columns WIDER (long, double) — the manifest schema widens along the
+    * lossless lattice (TableLog.widen) as a metadata-only commit, v1's
+    * data files are NOT rewritten, and the read applies the widened
+    * schema so old files upcast at the scan. The final aggregate mixes
+    * rows from both versions; a failed upcast, a dropped file, or a
+    * wrongly-rewritten schema all change the hash. (Quantities/prices
+    * reduce to integer cents per the oracle-stability rules.) */
+  private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem")
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 10 === 3)
+      .select(col("l_orderkey").cast("int").as("okey"),
+        col("l_quantity").cast("int").as("qty"),
+        col("l_extendedprice").cast("float").as("price")))
+    tl.append(s, t, li.where(col("l_orderkey") % 10 === 4)
+      .select(col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast("double").as("price")))
+    tl.read(s, t)
+      .groupBy((col("okey") % 7).as("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        sum(round(col("price") * 100).cast("long")).as("sum_price_c"))
+      .orderBy("g")
+  }
+
   /** CATEGORICAL data skipping through the commit log: documents are
     * laid out `repartitionByRange(lang)` so each file covers a tight
     * string range, per-file [min, max] STRING stats land in the
@@ -2547,6 +2576,7 @@ object SparkEntry {
     "o38_schema_evolution" -> (o38SchemaEvolution _),
     "o39_categorical_skip" -> (o39CategoricalSkip _),
     "o40_manifest_rows" -> (o40ManifestRows _),
+    "o41_type_widening" -> (o41TypeWidening _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -3853,6 +3883,23 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'merge', m.n, m.n FROM m
         |UNION ALL SELECT 4, 'compact', m.n, m.n FROM m
         |ORDER BY version""".stripMargin,
+    // v1 narrow (int/int/float) ∪ v2 wide (long/long/double), read under
+    // the widened schema — the FLOAT→DOUBLE upcast is IEEE-exact and the
+    // money column collapses to integer cents, so the hash is stable
+    "o41_type_widening" ->
+      """WITH v1 AS (SELECT l_orderkey AS okey,
+        |    CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS price
+        |  FROM lineitem WHERE l_orderkey % 10 = 3),
+        |v2 AS (SELECT l_orderkey AS okey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(l_extendedprice AS DOUBLE) AS price
+        |  FROM lineitem WHERE l_orderkey % 10 = 4),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT okey % 7 AS g, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c
