@@ -163,6 +163,32 @@ object StreamingOps {
       ()
     }
 
+  /** Embedding twin of `dedupIngestStream`: each micro-batch of vectors is
+    * deduped against the PERSISTENT block index
+    * (DedupOps.incrementalEmbedDedup — batch blocked with the index's
+    * pinned sign-bit width, probe pruned to matching-block files, cosine
+    * verified on quantized integer dots), survivors land in a TableLog
+    * vectors table, survivor block rows in the index. The same two
+    * txn-id'd appends give crash-replayed batches byte-identical
+    * decisions and independently-healing tables; a COLD start (absent
+    * index) derives and pins the width from the first batch. Drains
+    * currently available input. */
+  def embedIngestStream(spark: SparkSession, vecsTable: String,
+      indexTable: String, vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, thresholdMicro: Long,
+      streamId: String = "embed-ingest",
+      checkpoint: Option[String] = None): Unit =
+    runForeachBatch(vecs, OutputMode.Append(), checkpoint) { (batch, batchId) =>
+      val dec = graft.operators.DedupOps.incrementalEmbedDedup(spark,
+        indexTable, batch, idCol, vecCol, blockCol, thresholdMicro,
+        txnId = Some(s"$streamId#$batchId#idx"))
+      val survivors = batch.join(
+        dec.where(!col("dup")).select(col(idCol)), Seq(idCol), "left_semi")
+      graft.sinks.TableLog.append(spark, vecsTable, survivors,
+        txnId = Some(s"$streamId#$batchId#vecs"))
+      ()
+    }
+
   final case class SessionEvent(user_id: Long, us: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n: Long)
   // not private: the state encoder's generated code constructs it reflectively

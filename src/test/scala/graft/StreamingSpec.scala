@@ -471,6 +471,53 @@ class StreamingSpec extends SparkSpec {
       == Map(3L -> true, 4L -> false, 5L -> true))
   }
 
+  test("embed ingest stream: cold-start pins bits, exactly-once, replay heals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_embed_ingest")
+    val (vecsT, idxT, cp) = (s"$root/vecs", s"$root/idx", s"$root/cp")
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 1f, 0f, 0f)
+    val e3 = Seq(0f, 0f, 1f, 0f)
+    val mem = MemoryStream[(Long, Long, Seq[Float])]
+    def run() = StreamingOps.embedIngestStream(spark, vecsT, idxT,
+      mem.toDF().toDF("vec_id", "label", "embedding"),
+      "vec_id", "embedding", "label", thresholdMicro = 900000,
+      streamId = "e", checkpoint = Some(cp))
+    // batch 0 bootstraps BOTH tables: the sign-bit width is derived from
+    // the first batch and pinned in the index manifest
+    mem.addData((1L, 0L, e1), (2L, 1L, e2))
+    run()
+    assert(graft.sinks.TableLog.snapshot(idxT).get.counters.contains("bits"))
+    // restart on the same checkpoint: 3 dups vec 1 via the DURABLE index,
+    // 5 is a within-batch dup of 4
+    mem.addData((3L, 0L, e1), (4L, 2L, e3), (5L, 2L, e3))
+    run()
+    assert(graft.sinks.TableLog.read(spark, vecsT)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    assert(graft.sinks.TableLog.read(spark, idxT)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L))
+    val (vv, iv) = (graft.sinks.TableLog.latestVersion(vecsT),
+      graft.sinks.TableLog.latestVersion(idxT))
+    // crash-restart replay of batch 1: txns already committed — neither
+    // table advances, decisions byte-identical via id self-exclusion
+    val batch1 = Seq((3L, 0L, e1), (4L, 2L, e3), (5L, 2L, e3))
+      .toDF("vec_id", "label", "embedding")
+    val dec = graft.operators.DedupOps.incrementalEmbedDedup(spark, idxT,
+      batch1, "vec_id", "embedding", "label", thresholdMicro = 900000,
+      txnId = Some("e#1#idx"))
+    val surv = batch1.join(dec.where(!col("dup")).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    graft.sinks.TableLog.append(spark, vecsT, surv, txnId = Some("e#1#vecs"))
+    assert(graft.sinks.TableLog.latestVersion(vecsT) == vv)
+    assert(graft.sinks.TableLog.latestVersion(idxT) == iv)
+    assert(dec.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      == Map(3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("transformWithState CEP matches the fMGWS matcher batch-for-batch") {
     // same scenario as the fMGWS MemoryStream test: cross-batch
     // completion, WITHIN expiry, late drop — on the timer-driven

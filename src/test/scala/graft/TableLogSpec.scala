@@ -557,6 +557,29 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(mv) == v)
   }
 
+  test("vacuum aborts on an unreadable RETAINED manifest instead of deleting") {
+    val t = tmp("graft_log_vabort")
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    TableLog.append(spark, t, spark.range(100, 200).toDF("id"))
+    TableLog.append(spark, t, spark.range(200, 300).toDF("id"))
+    val dataBefore = TableLog.read(spark, t).count()
+    // corrupt v2 the way a hand-copied partial manifest looks: no end=true
+    val p2 = java.nio.file.Paths.get(t, "_log", "v00000002.manifest")
+    val lines = java.nio.file.Files.readString(p2)
+    java.nio.file.Files.writeString(p2,
+      lines.replace("end=true\n", ""))
+    // v2's adds would silently drop out of the referenced set and its
+    // delta chain would replay against the wrong base — the vacuum must
+    // fail loudly BEFORE deleting anything, not proceed destructively
+    val ex = intercept[RuntimeException] {
+      TableLog.vacuum(spark, t, olderThanMs = 0)
+    }
+    assert(ex.getMessage.contains("v2"))
+    // nothing was deleted: restore the manifest, everything still reads
+    java.nio.file.Files.writeString(p2, lines)
+    assert(TableLog.read(spark, t).count() == dataBefore)
+  }
+
   test("cumulative counters: atomic with the commit, O(1) read, replay-safe") {
     val t = tmp("graft_log_counters")
     TableLog.create(spark, t, spark.range(10).toDF("id"),
