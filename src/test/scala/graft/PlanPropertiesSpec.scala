@@ -83,4 +83,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected per-partition heap + driver merge:\n$plan")
   }
+
+  test("incremental embed probe broadcasts the batch — index rows never shuffle") {
+    // the cosine verify must be a broadcast join (batch side) over the
+    // pruned index scan: a regression to a shuffle join moves the index's
+    // ~1 KB quantized rows through an exchange (measured 4.3s of an 11.7s
+    // batch at sf10) while still passing the row-level oracle
+    val df = SparkEntry.queries("e2_incremental_embed")(spark, sf("0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the cached decisions relation embeds its AQE-executed plan; judge
+    // the FINAL plan only (the Initial Plan section legitimately shows
+    // the pre-AQE sort-merge alternatives)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).nonEmpty,
+      s"expected broadcast probe joins:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"index-side sort-merge join crept into the probe:\n$finalPlan")
+  }
 }
