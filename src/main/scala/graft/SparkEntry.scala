@@ -1284,6 +1284,27 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** E2 incremental, SEMANTIC side: Lloyd-cell blocking instead of sign
+    * buckets — 3/4 of `embeddings` fits the (deterministic, md5-sampled)
+    * integer Lloyd codebook and builds the cell-clustered index, the
+    * remaining 1/4 probes it as a batch: assigned with the PINNED
+    * codebook, only matching-cell files read (long stats on `cell`),
+    * cosine verified, survivors appended. The oracle retrains the
+    * identical fit on the base partition and re-assigns both sides, so
+    * codebook drift, a wrong cell, a wrong verdict, or broken accounting
+    * all change the hash. */
+  private def e2IncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/semidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val emb = T(s, dir, "embeddings")
+    DedupOps.buildSemanticIndex(s, t, emb.where(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding")
+    DedupOps.incrementalSemanticDedup(s, t,
+      emb.where(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", thresholdMicro = 400000)
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup with DATA-DRIVEN block cardinality (the primary
     * registry form): the label key composed with a sign bucket whose
     * width comes from `DedupOps.signBitsFor(n, n_labels, 32)` — an
@@ -2558,6 +2579,7 @@ object SparkEntry {
     "e2_minhash_pairs" -> (e2Minhash _),
     "e2_incremental_dedup" -> (e2IncrementalDedup _),
     "e2_incremental_embed" -> (e2IncrementalEmbed _),
+    "e2_incremental_semantic" -> (e2IncrementalSemantic _),
     "e2_simhash_buckets" -> (e2Simhash _),
     "e2_jaccard_pairs" -> (e2Jaccard _),
     "e2_jaccard_derived" -> (e2JaccardDerived _),
@@ -2659,6 +2681,24 @@ object SparkEntry {
       " ELSE CAST([] AS VARCHAR[]) END"
   private val sqlQvec =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Lloyd assignment / centroid-aggregate SQL (DuckDB mirror of
+    * `SimilarityOps.assignToCells` / `recomputeCentroids`'s sum+count
+    * centroid representation): shared by the semantic-dedup family. */
+  private def sqlLloydAssign(pts: String, cen: String) =
+    s"""(SELECT vec_id, qe, cell FROM (
+       |  SELECT p.vec_id, p.qe, s.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
+       |      s.cell) AS rn
+       |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
+
+  private def sqlLloydAgg(asn: String) =
+    s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
+       |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
+       |  GROUP BY cell)""".stripMargin
 
   /** (i, seed) VALUES rows for the 6×2 multi-row banding — the SAME
     * Scala-generated xor constants the plan embeds
@@ -3085,6 +3125,61 @@ object SparkEntry {
         |  count(*) AS idx_rows FROM fin)
         |SELECT dec.vec_id, dec.dup, dec.match_id, ia.idx_vecs, ia.idx_rows
         |FROM dec, ia ORDER BY dec.vec_id""".stripMargin,
+    // semantic twin: the identical Lloyd fit as e2_semantic_dedup but
+    // trained on the BASE partition only; both sides assigned with the
+    // fit codebook (c1), then the incremental cross/within/accounting
+    // structure of e2_incremental_embed over cell blocks
+    "e2_incremental_semantic" ->
+      s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
+        |base AS (SELECT * FROM pts WHERE vec_id % 4 != 0),
+        |bat AS (SELECT * FROM pts WHERE vec_id % 4 = 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |nl AS (SELECT CAST(GREATEST(2, LEAST(4096, n // 64)) AS BIGINT) AS k FROM nn),
+        |st AS (SELECT CAST(GREATEST(1, nn.n // (nl.k * 20)) AS BIGINT) AS step FROM nn, nl),
+        |fitp AS (SELECT * FROM base
+        |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % (SELECT step FROM st) = 0),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM fitp),
+        |rk AS (SELECT vec_id, qe, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM fitp),
+        |seeds AS (SELECT j AS cell, qe AS s, CAST(1 AS BIGINT) AS c
+        |  FROM (SELECT unnest(range((SELECT k FROM nl))) AS j) js, mm
+        |  JOIN rk ON rk.r = (j * mm.m) // (SELECT k FROM nl)),
+        |a1 AS ${sqlLloydAssign("fitp", "seeds")},
+        |c1 AS ${sqlLloydAgg("a1")},
+        |abase AS ${sqlLloydAssign("base", "c1")},
+        |abat AS ${sqlLloydAssign("bat", "c1")},
+        |cm AS (SELECT b2.vec_id, MIN(b1.vec_id) AS cmid
+        |  FROM abat b2 JOIN abase b1 ON b2.cell = b1.cell
+        |  WHERE CAST(round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b2.qe[i] * b1.qe[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(b2.qe, x -> x*x)) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(b1.qe, x -> x*x)) AS DOUBLE)))
+        |    * 1000000) AS BIGINT) >= 400000
+        |  GROUP BY b2.vec_id),
+        |wm AS (SELECT b2.vec_id, MIN(b1.vec_id) AS wmid
+        |  FROM abat b1 JOIN abat b2 ON b1.cell = b2.cell
+        |    AND b1.vec_id < b2.vec_id
+        |  WHERE CAST(round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b2.qe[i] * b1.qe[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(b2.qe, x -> x*x)) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(b1.qe, x -> x*x)) AS DOUBLE)))
+        |    * 1000000) AS BIGINT) >= 400000
+        |  GROUP BY b2.vec_id),
+        |dec AS (SELECT d.vec_id,
+        |  (cmid IS NOT NULL OR wmid IS NOT NULL) AS dup,
+        |  CASE WHEN cmid IS NULL AND wmid IS NULL THEN CAST(-1 AS BIGINT)
+        |    ELSE least(coalesce(cmid, 9223372036854775807),
+        |      coalesce(wmid, 9223372036854775807)) END AS match_id
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0) d
+        |  LEFT JOIN cm ON d.vec_id = cm.vec_id
+        |  LEFT JOIN wm ON d.vec_id = wm.vec_id),
+        |fin AS (SELECT vec_id FROM abase
+        |  UNION ALL SELECT abat.vec_id FROM abat
+        |  JOIN dec ON abat.vec_id = dec.vec_id AND NOT dec.dup),
+        |ia AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS idx_vecs,
+        |  count(*) AS idx_rows FROM fin)
+        |SELECT dec.vec_id, dec.dup, dec.match_id, ia.idx_vecs, ia.idx_rows
+        |FROM dec, ia ORDER BY dec.vec_id""".stripMargin,
     "e2_simhash_buckets" ->
       (s"""WITH s AS (SELECT doc_id, """ +
         (1 to 8).map(p =>
@@ -3460,19 +3555,8 @@ object SparkEntry {
     // same exact-integer distances with one double division — then probes
     // and ranks identically to the Spark side (topKIvfLloydExact)
     "e3_ann_ivf_kmeans" -> {
-      def assignSql(pts: String, cen: String) =
-        s"""(SELECT vec_id, qe, cell FROM (
-           |  SELECT p.vec_id, p.qe, s.cell,
-           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
-           |      s.cell) AS rn
-           |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
-      def aggSql(asn: String) =
-        s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
-           |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
-           |         CAST(count(*) AS BIGINT) AS c
-           |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
-           |  GROUP BY cell)""".stripMargin
+      def assignSql(pts: String, cen: String) = sqlLloydAssign(pts, cen)
+      def aggSql(asn: String) = sqlLloydAgg(asn)
       s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
          |q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
@@ -3499,19 +3583,8 @@ object SparkEntry {
       // assignment while the codebook is its aggregation (c2); appended
       // rows (vec_id % 10 = 9) assign against c2; probe = 3 cells of c2
       // nearest the query, ranked by quantized cosine over the union
-      def assignSql(pts: String, cen: String) =
-        s"""(SELECT vec_id, qe, cell FROM (
-           |  SELECT p.vec_id, p.qe, s.cell,
-           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
-           |      s.cell) AS rn
-           |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
-      def aggSql(asn: String) =
-        s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
-           |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
-           |         CAST(count(*) AS BIGINT) AS c
-           |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
-           |  GROUP BY cell)""".stripMargin
+      def assignSql(pts: String, cen: String) = sqlLloydAssign(pts, cen)
+      def aggSql(asn: String) = sqlLloydAgg(asn)
       s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings WHERE vec_id % 10 <> 9),
          |app AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings WHERE vec_id % 10 = 9),
          |q AS (SELECT $sqlQvec AS qv FROM embeddings WHERE vec_id = 0),
@@ -3988,19 +4061,8 @@ object SparkEntry {
       // sample of ~20 rows/cell (fit-on-sample, assign-everything —
       // lloydAssign's fitSampleTarget path); the final stage pairs
       // within cells instead of probing a query
-      def assignSql(pts: String, cen: String) =
-        s"""(SELECT vec_id, qe, cell FROM (
-           |  SELECT p.vec_id, p.qe, s.cell,
-           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |      CAST(list_sum(list_transform(range(1,65), i -> (s.c*p.qe[i]-s.s[i])*(s.c*p.qe[i]-s.s[i]))) AS DOUBLE)/(s.c*s.c),
-           |      s.cell) AS rn
-           |  FROM $pts p CROSS JOIN $cen s) WHERE rn = 1)""".stripMargin
-      def aggSql(asn: String) =
-        s"""(SELECT cell, list(sv ORDER BY i) AS s, MAX(c) AS c FROM (
-           |  SELECT cell, i, CAST(SUM(qe[CAST(i AS INTEGER)]) AS BIGINT) AS sv,
-           |         CAST(count(*) AS BIGINT) AS c
-           |  FROM $asn a, (SELECT unnest(range(1,65)) AS i) dims GROUP BY cell, i)
-           |  GROUP BY cell)""".stripMargin
+      def assignSql(pts: String, cen: String) = sqlLloydAssign(pts, cen)
+      def aggSql(asn: String) = sqlLloydAgg(asn)
       s"""WITH pts AS (SELECT vec_id, $sqlQvec AS qe FROM embeddings),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
          |nl AS (SELECT CAST(GREATEST(2, LEAST(4096, n // 64)) AS BIGINT) AS k FROM nn),

@@ -671,8 +671,14 @@ object DedupOps {
         .select(col("id").as("__idx_id"), col("band"), col("sig"))
     // self-exclusion: on a REPLAYED batch (crash between append and the
     // caller's read) the index already holds the survivors' own rows —
-    // a doc must not count as a duplicate of itself
-    val crossM = sigs.join(idx, Seq("band", "sig"))
+    // a doc must not count as a duplicate of itself.
+    // The BATCH signatures are the broadcast side (micro-batch ≪ corpus
+    // by the incremental contract): the probe then streams the index
+    // partitions map-side instead of shuffling corpus × bands signature
+    // rows — at lake scale the index is TBs and the batch is MBs, so the
+    // shuffle this avoids IS the probe's cost (same reasoning measured
+    // on the embed side, where the wide rows made it visible at sf10).
+    val crossM = broadcast(sigs).join(idx, Seq("band", "sig"))
       .where(col("__idx_id") =!= col("id"))
       .groupBy(col("id")).agg(min(col("__idx_id")).as("__cm"))
     val withinM = candidatePairsFromSigs(sigs)
@@ -871,6 +877,128 @@ object DedupOps {
     val (idxRows, counters) = graft.sinks.TableLog.commitStats(table, v)
       .getOrElse(sys.error(
         s"incrementalEmbedDedup: commit v$v of $table unreadable"))
+    decisions
+      .withColumn("idx_vecs", lit(counters.getOrElse("docs", 0L)))
+      .withColumn("idx_rows", lit(idxRows))
+  }
+
+  // ==================================================================
+  // E2 incremental, SEMANTIC side: dedup new vector batches against a
+  // persisted Lloyd-cell index — data-driven Voronoi blocking (better
+  // recall than axis-aligned sign buckets for clustered corpora), the
+  // incrementalEmbedDedup contract with cell-id blocking.
+  // ==================================================================
+
+  private def codebookTable(table: String): String = s"$table/codebook"
+
+  /** Build the persistent SEMANTIC cell index: fit integer Lloyd on the
+    * base corpus (deterministic md5-bucket sample, ~20 rows/cell; nlist
+    * derived from corpus size — `SimilarityOps.nlistFor`), assign every
+    * vector to its nearest cell, store one (id, cell, qe, nrm) row per
+    * vector range-clustered by cell with LONG file stats on `cell`, and
+    * PIN the fit codebook in a sibling TableLog table — every future
+    * batch assigns against the exact centroids the corpus was blocked
+    * with (a re-fit on grown data would re-partition the space and zero
+    * recall against the existing cells; drift is the `rebalance`
+    * maintenance move, not a per-batch event). */
+  def buildSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame, idCol: String, vecCol: String,
+      targetCellRows: Long = 64L): Long = {
+    val n = df.count()
+    val nlist = graft.operators.SimilarityOps.nlistFor(n, targetCellRows)
+    val c1 = graft.operators.SimilarityOps.lloydFit(df, idCol, vecCol,
+      nlist, fitSampleTarget = 20L * nlist)
+    import spark.implicits._
+    graft.sinks.TableLog.create(spark, codebookTable(table),
+      c1.toSeq.map { case (cell, s, c) => (cell, s.toSeq, c) }
+        .toDF("cell", "s", "c").coalesce(1))
+    val quant = df.select(col(idCol).as("id"),
+      graft.functions.QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    val assigned = graft.operators.SimilarityOps
+      .assignToCells(quant, "id", c1)
+      .withColumn("nrm", sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell")
+    graft.sinks.TableLog.create(spark, table, assigned,
+      statsCols = Seq("cell"),
+      counterDelta = Map("docs" -> df.select(col(idCol)).distinct().count()))
+  }
+
+  /** The pinned assignment codebook, driver-side (nlist rows). */
+  def semanticCodebook(spark: org.apache.spark.sql.SparkSession,
+      table: String): Array[(Long, Array[Long], Long)] =
+    graft.sinks.TableLog.read(spark, codebookTable(table))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** Near-dup dedup of a NEW vector batch against the semantic cell
+    * index: assign the batch with the PINNED codebook, read only index
+    * files whose `cell` stats overlap the batch's cells
+    * (`readWhereInLong` — the cell-clustered layout makes this
+    * partition-style pruning), verify cosine on quantized integer dots
+    * with the batch broadcast (the index's wide rows never shuffle),
+    * append survivors cell-clustered. Same dup rule, replay, and
+    * manifest-accounting contract as `incrementalEmbedDedup`; the probe
+    * cell list is ≤ min(batch, nlist) driver-side longs. */
+  def incrementalSemanticDedup(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, vecCol: String,
+      thresholdMicro: Long, txnId: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    synchronized {
+      embedPrevCaches.foreach(_.unpersist(blocking = false))
+      embedPrevCaches = Nil
+    }
+    val cents = semanticCodebook(spark, table)
+    val quant = batch.select(col(idCol).as("id"),
+      graft.functions.QuantizeVector.quantize(col(vecCol), 1000.0).as("qe"))
+    val bk = graft.operators.SimilarityOps.assignToCells(quant, "id", cents)
+      .withColumn("nrm", sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = bk.select("cell").where(col("cell").isNotNull)
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idx =
+      if (cells.isEmpty)
+        bk.select(col("id").as("__iid"), col("cell"),
+          col("qe").as("__iqe"), col("nrm").as("__inrm")).where(lit(false))
+      else graft.sinks.TableLog.readWhereInLong(spark, table, "cell", cells)
+        .select(col("id").as("__iid"), col("cell"),
+          col("qe").as("__iqe"), col("nrm").as("__inrm"))
+    val crossM = broadcast(bk).join(idx, Seq("cell"))
+      .where(col("__iid") =!= col("id") &&
+        cosMicro(col("qe"), col("nrm"), col("__iqe"), col("__inrm"))
+          >= thresholdMicro)
+      .groupBy(col("id")).agg(min(col("__iid")).as("__cm"))
+    val b2 = bk.select(col("id").as("__bid"), col("cell"),
+      col("qe").as("__bqe"), col("nrm").as("__bnrm"))
+    val withinM = bk.join(broadcast(b2), Seq("cell"))
+      .where(col("__bid") < col("id") &&
+        cosMicro(col("qe"), col("nrm"), col("__bqe"), col("__bnrm"))
+          >= thresholdMicro)
+      .groupBy(col("id")).agg(min(col("__bid")).as("__wm"))
+    val sentinel = Long.MaxValue
+    val decisions = batch.select(col(idCol).cast("long").as("id"))
+      .join(crossM, Seq("id"), "left")
+      .join(withinM, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__cm").isNotNull || col("__wm").isNotNull).as("dup"),
+        when(col("__cm").isNull && col("__wm").isNull, lit(-1L))
+          .otherwise(least(coalesce(col("__cm"), lit(sentinel)),
+            coalesce(col("__wm"), lit(sentinel)))).as("match_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { embedPrevCaches = Seq(bk, decisions) }
+    val survivors = bk.join(
+        decisions.where(!col("dup")).select(col(idCol).as("id")),
+        Seq("id"), "left_semi")
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell")
+    val newDocs = survivors.select(col("id")).distinct().count()
+    val v = graft.sinks.TableLog.append(spark, table, survivors,
+      statsCols = Seq("cell"), txnId = txnId,
+      counterDelta = Map("docs" -> newDocs))
+    val (idxRows, counters) = graft.sinks.TableLog.commitStats(table, v)
+      .getOrElse(sys.error(
+        s"incrementalSemanticDedup: commit v$v of $table unreadable"))
     decisions
       .withColumn("idx_vecs", lit(counters.getOrElse("docs", 0L)))
       .withColumn("idx_rows", lit(idxRows))

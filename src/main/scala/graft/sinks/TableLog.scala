@@ -633,6 +633,36 @@ object TableLog {
     base.where(col(c).isin(values: _*))
   }
 
+  /** LONG twin of `prunedFilesIn`: files whose [min,max] long range for
+    * `c` contains any of `values` (absent stat keeps the file). */
+  def prunedFilesInLong(table: String, c: String, values: Seq[Long])
+      : Seq[FileEntry] =
+    prunedFilesInLongOf(snapshotOrFail(table), c, values)
+
+  private def prunedFilesInLongOf(s: Snapshot, c: String, values: Seq[Long])
+      : Seq[FileEntry] =
+    s.files.filter(f =>
+      f.stats.find(_.col == c).forall(st =>
+        values.exists(v => st.min <= v && v <= st.max)))
+
+  /** LONG twin of `readWhereIn`: scan only files whose long stat range
+    * for `c` can contain one of `values`, then apply the IN filter (stats
+    * prune IO, never semantics). Pair with a `repartitionByRange(col(c))`
+    * layout — how a cell-keyed index (e.g. the semantic dedup index)
+    * reads only the probed cells' share of the table. */
+  def readWhereInLong(spark: SparkSession, table: String, c: String,
+      values: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshotOrFail(table)
+    val keep = prunedFilesInLongOf(s, c, values)
+    val base =
+      if (keep.isEmpty)
+        readSnapshot(spark, table, s)
+          .where(org.apache.spark.sql.functions.lit(false))
+      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+    base.where(col(c).isin(values: _*))
+  }
+
   /** Append `df`: new data files + the base snapshot's file list. The
     * CAS retry re-reads the file list only — the written files are
     * immutable and reusable across retries, so concurrent appends all

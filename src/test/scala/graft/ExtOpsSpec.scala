@@ -728,4 +728,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(d2(12L) == ((true, 8L, 3L, 3L))) // within rule still applies
     assert(graft.sinks.TableLog.snapshot(t2).get.counters.contains("bits"))
   }
+
+  test("E2 incremental semantic dedup: pinned codebook cells, verify, replay") {
+    val base = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.95f, 0.05f, 0f, 0f)),
+      (21L, Seq(0f, 1f, 0f, 0f)),
+      (22L, Seq(0.05f, 0.95f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (4L, Seq(1f, 0f, 0f, 0f)),    // cross dup of indexed vec 1
+      (8L, Seq(0f, 0f, 1f, 0f)),    // lands in SOME cell, orthogonal to
+                                    // every base member — verify clears it
+      (12L, Seq(0f, 0f, 1f, 0f)),   // within-batch dup of 8
+      (16L, Seq(0f, 0.98f, 0.01f, 0f)) // cross dup of 21's cluster
+    ).toDF("vec_id", "embedding")
+    val t = java.nio.file.Files.createTempDirectory("graft_incsem")
+      .toString + "/idx"
+    graft.operators.DedupOps.buildSemanticIndex(spark, t, base,
+      "vec_id", "embedding")
+    // the assignment codebook is PINNED as its own TableLog table
+    assert(graft.sinks.TableLog.latestVersion(s"$t/codebook") == 1L)
+    assert(graft.operators.DedupOps.semanticCodebook(spark, t).length == 2)
+    def run() = graft.operators.DedupOps.incrementalSemanticDedup(spark, t,
+      batch, "vec_id", "embedding", thresholdMicro = 900000,
+      txnId = Some("b1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d1 = run()
+    assert(d1(4L) == ((true, 1L, 5L, 5L)))
+    assert(d1(8L) == ((false, -1L, 5L, 5L)))  // candidate, failed verify
+    assert(d1(12L) == ((true, 8L, 5L, 5L)))
+    assert(d1(16L)._1 && d1(16L)._2 == 21L)
+    assert(graft.sinks.TableLog.read(spark, t)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 8L, 21L, 22L))
+    // txn replay: append skips, decisions and witnessed accounting
+    // byte-identical
+    assert(run() == d1)
+    assert(graft.sinks.TableLog.latestVersion(t) == 2L)
+  }
 }

@@ -526,6 +526,28 @@ class TableLogSpec extends SparkSpec {
       .where(col("id") === 5000L).count() == 1)
   }
 
+  test("long IN stats: cell-style skipping prunes files, absent stats keep") {
+    val t = tmp("graft_log_longin")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("cell", col("id") % 8)
+    TableLog.create(spark, t, df.repartitionByRange(8, col("cell")),
+      statsCols = Seq("cell"))
+    val total = TableLog.snapshot(t).get.files.size
+    val kept = TableLog.prunedFilesInLong(t, "cell", Seq(3L))
+    assert(kept.size < total, s"no pruning: $total files, kept ${kept.size}")
+    for (want <- Seq(Seq(3L), Seq(0L, 7L), Seq(42L))) {
+      val pruned = TableLog.readWhereInLong(spark, t, "cell", want)
+        .agg(count(lit(1)), sum("id")).head
+      val full = TableLog.read(spark, t).where(col("cell").isin(want: _*))
+        .agg(count(lit(1)), sum("id")).head
+      assert(pruned == full, s"IN $want: $pruned != $full")
+    }
+    // stat-less append: its files must be kept by every IN-read
+    TableLog.append(spark, t, Seq((5000L, 3L)).toDF("id", "cell"))
+    assert(TableLog.readWhereInLong(spark, t, "cell", Seq(3L))
+      .where(col("id") === 5000L).count() == 1)
+  }
+
   test("maintained aggregate: O(delta) refresh == full recompute; replay skips") {
     val root = java.nio.file.Files.createTempDirectory("graft_log_mv")
     val (src, mv) = (s"$root/src", s"$root/mv")
