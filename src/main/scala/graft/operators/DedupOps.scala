@@ -909,7 +909,7 @@ object DedupOps {
     val c1 = graft.operators.SimilarityOps.lloydFit(df, idCol, vecCol,
       nlist, fitSampleTarget = 20L * nlist)
     import spark.implicits._
-    graft.sinks.TableLog.create(spark, codebookTable(table),
+    val cbv = graft.sinks.TableLog.create(spark, codebookTable(table),
       c1.toSeq.map { case (cell, s, c) => (cell, s.toSeq, c) }
         .toDF("cell", "s", "c").coalesce(1))
     val quant = df.select(col(idCol).as("id"),
@@ -919,18 +919,82 @@ object DedupOps {
       .withColumn("nrm", sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")))
       .repartitionByRange(col("cell"))
       .sortWithinPartitions("cell")
+    // `cbv` pins the codebook VERSION this index's cells were assigned
+    // with: readers time-travel the codebook table to exactly that
+    // version, so a rebalance (new codebook version + index rewrite) can
+    // never be half-observed — a crash between the two commits leaves
+    // the index pointing at the old, still-consistent codebook.
     graft.sinks.TableLog.create(spark, table, assigned,
       statsCols = Seq("cell"),
-      counterDelta = Map("docs" -> df.select(col(idCol)).distinct().count()))
+      counterDelta = Map(
+        "docs" -> df.select(col(idCol)).distinct().count(),
+        "cbv" -> cbv))
   }
 
-  /** The pinned assignment codebook, driver-side (nlist rows). */
+  /** The assignment codebook at the version PINNED in the index manifest
+    * (driver-side, nlist rows). */
   def semanticCodebook(spark: org.apache.spark.sql.SparkSession,
-      table: String): Array[(Long, Array[Long], Long)] =
-    graft.sinks.TableLog.read(spark, codebookTable(table))
+      table: String): Array[(Long, Array[Long], Long)] = {
+    val cbv = graft.sinks.TableLog.snapshot(table)
+      .flatMap(_.counters.get("cbv"))
+      .getOrElse(graft.sinks.TableLog.latestVersion(codebookTable(table)))
+    graft.sinks.TableLog.readVersion(spark, codebookTable(table), cbv)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
+  }
+
+  /** Cell-balance metric: max cell rows / mean cell rows (1.0 = even).
+    * Driver-bounded — one count per cell. */
+  def semanticCellSkew(spark: org.apache.spark.sql.SparkSession,
+      table: String): Double = {
+    val counts = graft.sinks.TableLog.read(spark, table)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    counts.max.toDouble * counts.length / counts.sum.toDouble
+  }
+
+  /** Re-fit the semantic index's quantizer on TODAY'S corpus and rewrite
+    * it in place: `incrementalSemanticDedup` assigns against the codebook
+    * frozen at build time, so as the ingested distribution drifts, new
+    * vectors pile into the few stale cells nearest them and probe work
+    * degrades toward a scan of one giant cell. Rebalance derives nlist
+    * from the current corpus size, re-fits on the stored quantized rows
+    * (md5-deterministic sample — the raw floats are gone, same contract
+    * as the ANN store's rebalance), commits the new codebook as a NEW
+    * VERSION of the codebook table, then rewrites the index with every
+    * row re-assigned and the `cbv` counter swung to the new version in
+    * the SAME manifest commit. Readers either see (old index, old
+    * codebook) or (new index, new codebook) — never a mix. Returns
+    * (skewBefore, skewAfter).
+    *
+    * (The EMBED index has no in-place rebalance: sign-bit blocks can't
+    * be re-derived from quantized rows consistently with float-side
+    * probes — widening its bit width is a rebuild from the source
+    * corpus via buildEmbedIndex.) */
+  def rebalanceSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, targetCellRows: Long = 64L): (Double, Double) = {
+    import spark.implicits._
+    val before = semanticCellSkew(spark, table)
+    val quant = graft.sinks.TableLog.read(spark, table)
+      .select(col("id"), col("qe"))
+    val n = quant.count()
+    val nlist = graft.operators.SimilarityOps.nlistFor(n, targetCellRows)
+    val c1 = graft.operators.SimilarityOps.lloydFitQuant(quant, "id",
+      nlist, fitSampleTarget = 20L * nlist)
+    val cbv = graft.sinks.TableLog.append(spark, codebookTable(table),
+      c1.toSeq.map { case (cell, s, c) => (cell, s.toSeq, c) }
+        .toDF("cell", "s", "c").coalesce(1))
+    graft.sinks.TableLog.rewrite(spark, table, "rebalance",
+      statsCols = Seq("cell"), counterSet = Map("cbv" -> cbv)) { old =>
+      graft.operators.SimilarityOps
+        .assignToCells(old.select(col("id"), col("qe")), "id", c1)
+        .withColumn("nrm",
+          sqrt(VF.dotLong(col("qe"), col("qe")).cast("double")))
+        .repartitionByRange(col("cell"))
+        .sortWithinPartitions("cell")
+    }
+    (before, semanticCellSkew(spark, table))
+  }
 
   /** Near-dup dedup of a NEW vector batch against the semantic cell
     * index: assign the batch with the PINNED codebook, read only index

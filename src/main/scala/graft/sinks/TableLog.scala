@@ -420,6 +420,12 @@ object TableLog {
     }
     (a, b) match {
       case (x, y) if x == y => Some(x)
+      // arrays of the SAME element type unify on containsNull (a
+      // nullability flip is not a type change); element WIDENING inside
+      // arrays stays refused — the vectorized reader's nested upcast is
+      // unprobed (WidenProbe covers scalars only)
+      case (ArrayType(xa, n1), ArrayType(xb, n2)) if xa == xb =>
+        Some(ArrayType(xa, n1 || n2))
       case (FloatType, DoubleType) | (DoubleType, FloatType) =>
         Some(DoubleType)
       // an integral no wider than int fits double's 52-bit mantissa
@@ -768,7 +774,9 @@ object TableLog {
     * before commit (None skips, for row-changing rewrites like merge). */
   def rewrite(spark: SparkSession, table: String, action: String,
       expectRows: Long => Option[Long] = n => Some(n),
-      statsCols: Seq[String] = Nil, txnId: Option[String] = None)(
+      statsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      strStatsCols: Seq[String] = Nil,
+      counterSet: Map[String, Long] = Map.empty)(
       fn: DataFrame => DataFrame): Long = {
     // same idempotence contract as append: a replayed rewrite whose txn
     // already committed is a no-op
@@ -779,15 +787,19 @@ object TableLog {
         sys.error(s"rewrite of $table: no committed version"))
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val out = fn(readSnapshot(spark, table, base))
-      val (files, rows) = writeDataFiles(spark, table, out, statsCols)
+      val (files, rows) = writeDataFiles(spark, table, out, statsCols,
+        strStatsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       // a rewrite replaces the whole file list, so its delta (remove
       // all + add all) would cost the same as a checkpoint — commit it
-      // as one, which also keeps delta chains short
+      // as one, which also keeps delta chains short. Counters carry over
+      // verbatim except the keys in `counterSet` — how a content-changing
+      // maintenance rewrite (e.g. an index rebalance swinging its pinned
+      // codebook version) updates the accounting it invalidates.
       val r = ManifestRec(base.version + 1, base.version, action, rows,
         "full", files, Nil, Nil, txnId, Some(out.schema.json),
-        base.counters)
+        base.counters ++ counterSet)
       if (tryCommit(table, r)) committed = r.version
     }
     committed

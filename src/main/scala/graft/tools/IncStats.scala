@@ -26,7 +26,7 @@ import graft.operators.DedupOps
 object IncStats {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val embedMode = args.lift(1).contains("embed")
+    val mode = args.lift(1).getOrElse("text")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -34,7 +34,7 @@ object IncStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (embedMode) { runEmbed(spark, sfDir); spark.stop(); return }
+    if (mode != "text") { runVec(spark, sfDir, mode); spark.stop(); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.where(col("doc_id") % 20 =!= 0)
     val batch = docs.where(col("doc_id") % 20 === 0)
@@ -67,34 +67,48 @@ object IncStats {
     spark.stop()
   }
 
-  private def runEmbed(spark: SparkSession, sfDir: String): Unit = {
+  private def runVec(spark: SparkSession, sfDir: String,
+      mode: String): Unit = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = emb.where(col("vec_id") % 20 =!= 0)
     val batch = emb.where(col("vec_id") % 20 === 0)
     val (nBase, nBatch) = (base.count(), batch.count())
-    val t = java.nio.file.Files.createTempDirectory("graft_incstats_e")
+    val t = java.nio.file.Files.createTempDirectory(s"graft_incstats_$mode")
       .toString + "/idx"
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    val th = if (mode == "embed") 300000L else 400000L
     val (_, buildSec) = timed {
-      DedupOps.buildEmbedIndex(spark, t, base, "vec_id", "embedding",
-        "label")
+      if (mode == "embed")
+        DedupOps.buildEmbedIndex(spark, t, base, "vec_id", "embedding",
+          "label")
+      else
+        DedupOps.buildSemanticIndex(spark, t, base, "vec_id", "embedding")
     }
     val (nDup, incSec) = timed {
-      DedupOps.incrementalEmbedDedup(spark, t, batch, "vec_id",
-        "embedding", "label", thresholdMicro = 300000)
+      (if (mode == "embed")
+        DedupOps.incrementalEmbedDedup(spark, t, batch, "vec_id",
+          "embedding", "label", th)
+      else
+        DedupOps.incrementalSemanticDedup(spark, t, batch, "vec_id",
+          "embedding", th))
         .where(col("dup")).count()
     }
-    // the non-incremental alternative: re-block and re-pair the WHOLE
-    // corpus per arriving batch
+    // the non-incremental alternative: re-block/re-fit and re-pair the
+    // WHOLE corpus per arriving batch
     val (nPairs, rebuildSec) = timed {
-      DedupOps.embeddingNearDupsAuto(emb, "vec_id", "embedding", "label",
-        thresholdMicro = 300000).count()
+      (if (mode == "embed")
+        DedupOps.embeddingNearDupsAuto(emb, "vec_id", "embedding",
+          "label", th)
+      else
+        graft.operators.SimilarityOps.semanticDedupPairsAuto(emb,
+          "vec_id", "embedding", th))
+        .count()
     }
-    println(s"""{"sf":"$sfDir","mode":"embed","n_base":$nBase,""" +
+    println(s"""{"sf":"$sfDir","mode":"$mode","n_base":$nBase,""" +
       s""""n_batch":$nBatch,"build_sec":${f"$buildSec%.3f"},""" +
       s""""incremental_sec":${f"$incSec%.3f"},""" +
       s""""rebuild_sec":${f"$rebuildSec%.3f"},"batch_dups":$nDup,""" +

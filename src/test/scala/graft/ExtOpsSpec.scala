@@ -767,5 +767,27 @@ class ExtOpsSpec extends SparkSpec {
     // byte-identical
     assert(run() == d1)
     assert(graft.sinks.TableLog.latestVersion(t) == 2L)
+    // REBALANCE: new codebook committed as codebook-table v2, index
+    // rewritten with every row re-assigned, and the pinned cbv swung in
+    // the same manifest commit — old readers saw (v1, old cells), new
+    // readers see (v2, new cells), never a mix
+    val cbvBefore = graft.sinks.TableLog.snapshot(t).get.counters("cbv")
+    graft.operators.DedupOps.rebalanceSemanticIndex(spark, t)
+    val snap = graft.sinks.TableLog.snapshot(t).get
+    assert(snap.counters("cbv") > cbvBefore)
+    assert(graft.sinks.TableLog.latestVersion(s"$t/codebook")
+      == snap.counters("cbv"))
+    assert(snap.counters("docs") == 5L) // accounting survives the rewrite
+    assert(graft.sinks.TableLog.read(spark, t)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 8L, 21L, 22L))
+    // probes keep working against the rebalanced index: an exact copy of
+    // vec 8 must still be caught as a duplicate
+    val d2 = graft.operators.DedupOps.incrementalSemanticDedup(spark, t,
+      Seq((30L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", thresholdMicro = 900000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(d2(30L) == ((true, 8L)))
   }
 }
