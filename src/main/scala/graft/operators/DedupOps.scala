@@ -935,6 +935,9 @@ object DedupOps {
     * (driver-side, nlist rows). */
   def semanticCodebook(spark: org.apache.spark.sql.SparkSession,
       table: String): Array[(Long, Array[Long], Long)] = {
+    if (graft.sinks.TableLog.latestVersion(codebookTable(table)) == 0L)
+      sys.error(s"$table has no pinned codebook — build it with " +
+        "buildSemanticIndex (a cell index has no meaningful cold start)")
     val cbv = graft.sinks.TableLog.snapshot(table)
       .flatMap(_.counters.get("cbv"))
       .getOrElse(graft.sinks.TableLog.latestVersion(codebookTable(table)))

@@ -189,6 +189,28 @@ object StreamingOps {
       ()
     }
 
+  /** Semantic twin of `embedIngestStream`: micro-batches dedup against
+    * the persisted Lloyd-cell index (assigned with the codebook version
+    * PINNED in the index manifest — a concurrent rebalance can never be
+    * half-observed), survivors to the vectors table, survivor cell rows
+    * to the index, both txn-id'd. Requires a built index
+    * (buildSemanticIndex) — a cell index has no meaningful cold-start
+    * codebook from one micro-batch. Drains currently available input. */
+  def semanticIngestStream(spark: SparkSession, vecsTable: String,
+      indexTable: String, vecs: DataFrame, idCol: String, vecCol: String,
+      thresholdMicro: Long, streamId: String = "semantic-ingest",
+      checkpoint: Option[String] = None): Unit =
+    runForeachBatch(vecs, OutputMode.Append(), checkpoint) { (batch, batchId) =>
+      val dec = graft.operators.DedupOps.incrementalSemanticDedup(spark,
+        indexTable, batch, idCol, vecCol, thresholdMicro,
+        txnId = Some(s"$streamId#$batchId#idx"))
+      val survivors = batch.join(
+        dec.where(!col("dup")).select(col(idCol)), Seq(idCol), "left_semi")
+      graft.sinks.TableLog.append(spark, vecsTable, survivors,
+        txnId = Some(s"$streamId#$batchId#vecs"))
+      ()
+    }
+
   final case class SessionEvent(user_id: Long, us: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, end_us: Long, n: Long)
   // not private: the state encoder's generated code constructs it reflectively

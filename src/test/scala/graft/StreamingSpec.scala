@@ -518,6 +518,48 @@ class StreamingSpec extends SparkSpec {
       == Map(3L -> true, 4L -> false, 5L -> true))
   }
 
+  test("semantic ingest stream: pinned-codebook dedup, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_ingest")
+    val (vecsT, idxT, cp) = (s"$root/vecs", s"$root/idx", s"$root/cp")
+    val base = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.95f, 0.05f, 0f, 0f)),
+      (21L, Seq(0f, 1f, 0f, 0f)), (22L, Seq(0.05f, 0.95f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    graft.operators.DedupOps.buildSemanticIndex(spark, idxT, base,
+      "vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def run() = StreamingOps.semanticIngestStream(spark, vecsT, idxT,
+      mem.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", thresholdMicro = 900000,
+      streamId = "sm", checkpoint = Some(cp))
+    mem.addData((4L, Seq(1f, 0f, 0f, 0f)),   // dup of indexed 1
+      (8L, Seq(0f, 0f, 1f, 0f)))             // survivor
+    run()
+    mem.addData((12L, Seq(0f, 0f, 1f, 0f)))  // dup of 8 — ACROSS batches,
+    run()                                    // via the durable index
+    assert(graft.sinks.TableLog.read(spark, vecsT)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(8L))
+    assert(graft.sinks.TableLog.read(spark, idxT)
+      .select("id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 8L, 21L, 22L))
+    // replayed batch 0: both txns committed — no table advances
+    val (vv, iv) = (graft.sinks.TableLog.latestVersion(vecsT),
+      graft.sinks.TableLog.latestVersion(idxT))
+    val b0 = Seq((4L, Seq(1f, 0f, 0f, 0f)), (8L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dec = graft.operators.DedupOps.incrementalSemanticDedup(spark, idxT,
+      b0, "vec_id", "embedding", thresholdMicro = 900000,
+      txnId = Some("sm#0#idx"))
+    graft.sinks.TableLog.append(spark, vecsT,
+      b0.join(dec.where(!col("dup")).select(col("vec_id")),
+        Seq("vec_id"), "left_semi"), txnId = Some("sm#0#vecs"))
+    assert(graft.sinks.TableLog.latestVersion(vecsT) == vv)
+    assert(graft.sinks.TableLog.latestVersion(idxT) == iv)
+  }
+
   test("transformWithState CEP matches the fMGWS matcher batch-for-batch") {
     // same scenario as the fMGWS MemoryStream test: cross-batch
     // completion, WITHIN expiry, late drop — on the timer-driven
