@@ -2519,6 +2519,7 @@ object SparkEntry {
     }
     graft.operators.DedupOps.releaseJaccardCaches()
     graft.operators.DedupOps.releaseIncrementalCaches()
+    graft.operators.DedupOps.releaseEmbedCaches()
     graft.operators.SimilarityOps.releaseSemanticCaches()
     graft.operators.MutationOps.releaseSeqIdCache()
   }
