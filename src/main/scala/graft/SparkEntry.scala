@@ -388,6 +388,55 @@ object SparkEntry {
     * rows from both versions; a failed upcast, a dropped file, or a
     * wrongly-rewritten schema all change the hash. (Quantities/prices
     * reduce to integer cents per the oracle-stability rules.) */
+  /** Change-data feed through the commit log: appends publish hard
+    * links into `_feed/`, layout-only rewrites (compact) add nothing,
+    * and vacuuming the table's originals must not affect a (lagging)
+    * feed consumer — the links pin the inodes. The batch feed read here
+    * sees each appended row exactly once; `changeFeedStream` is the
+    * same files through Spark's incremental FileStreamSource
+    * (TableLogSpec pins the streaming bronze→silver chain). */
+  private def o42ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/feed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.enableFeed(t)
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 10))        // v1
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 11))        // v2
+    tl.compact(s, t, 1L << 30)          // v3: layout-only, not delivered
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 12))        // v4
+    // drop v1/v2 manifests AND the pre-compaction originals of every
+    // v1/v2-linked file; the feed must keep reading through its links
+    tl.vacuum(s, t, keepVersions = 1, olderThanMs = 0)
+    tl.readFeed(s, t)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Clustering-preserving index compaction: the semantic index is
+    * compacted from its build layout (one file per shuffle partition)
+    * down to 4 cell-range files BETWEEN build and probe — the oracle
+    * (identical SQL to `e2_incremental_semantic` up to the slice) pins
+    * that a layout-only compaction changes no dedup decision and no
+    * manifest accounting, while TableLogSpec pins the probe-pruning and
+    * counter-carry mechanics. */
+  private def o43IndexCompaction(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/cmpidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val emb = T(s, dir, "embeddings")
+    DedupOps.buildSemanticIndex(s, t, emb.where(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding")
+    graft.sinks.TableLog.compactClustered(s, t, nFiles = 4,
+      clusterCol = "cell", statsCols = Seq("cell"))
+    DedupOps.incrementalSemanticDedup(s, t,
+      emb.where(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", thresholdMicro = 400000)
+      .orderBy("vec_id")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2600,6 +2649,8 @@ object SparkEntry {
     "o39_categorical_skip" -> (o39CategoricalSkip _),
     "o40_manifest_rows" -> (o40ManifestRows _),
     "o41_type_widening" -> (o41TypeWidening _),
+    "o42_change_feed" -> (o42ChangeFeed _),
+    "o43_index_compaction" -> (o43IndexCompaction _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -2747,7 +2798,8 @@ object SparkEntry {
     }.mkString("[", ", ", "]")
   }
 
-  def oracleSql: Map[String, String] = ListMap(
+  def oracleSql: Map[String, String] = {
+    val m: Map[String, String] = ListMap(
     "o01_tsv_roundtrip" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name, p_brand
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -3974,6 +4026,16 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the feed must hold exactly the three appended slices — the
+    // intervening compaction re-delivers nothing, the vacuum of the
+    // originals removes nothing
+    "o42_change_feed" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |f AS (SELECT * FROM li WHERE l_orderkey % 30 IN (10, 11, 12))
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c
@@ -4117,7 +4179,13 @@ object SparkEntry {
         |FROM p)
         |SELECT id_a, id_b, cos_micro FROM c WHERE cos_micro >= 300000
         |ORDER BY id_a, id_b""".stripMargin
-  )
+    )
+    // o43 runs the SAME slices through the same dedup semantics with a
+    // clustered compaction of the index in between — a layout-only
+    // rewrite may change no decision and no accounting, so its oracle
+    // is LITERALLY e2_incremental_semantic's SQL
+    m + ("o43_index_compaction" -> m("e2_incremental_semantic"))
+  }
 }
 
 /** Row type for the typed Dataset showcase (top-level so the case-class

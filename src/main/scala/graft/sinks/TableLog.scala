@@ -721,6 +721,10 @@ object TableLog {
             Nil, newFiles, Nil, txnId, evolved, counters)
       if (tryCommit(table, r)) committed = version
     }
+    // change-feed publication: heals any crashed prior publish too. A
+    // crash between the commit above and this publish is the same
+    // window — healed by the NEXT append (or an explicit publishFeed).
+    if (feedEnabled(table)) publishFeed(table)
     committed
   }
 
@@ -764,6 +768,209 @@ object TableLog {
         ()
     }
 
+  // ===== Append-only change-data feed ===================================
+  //
+  // The streaming READ face of the log — the half `appendStream` (the
+  // streaming WRITE face) doesn't cover. Committed appends are published
+  // as HARD LINKS into `<table>/_feed/`, named `v<version>_<file>`, and
+  // consumed with Spark's built-in incremental parquet FileStreamSource
+  // (`changeFeedStream`): the source's own checkpoint tracks seen paths,
+  // so chaining `changeFeedStream(bronze)` into `appendStream(silver)`
+  // is an exactly-once bronze→silver incremental pipeline in one line —
+  // the medallion shape a training-data lake runs continuously. Reusing
+  // the built-in source (instead of hand-rolling a DSv2 parquet reader
+  // over the manifest chain) keeps vectorized reads, backpressure
+  // (`maxFilesPerTrigger`), and checkpoint recovery for free.
+  //
+  // Why hard links: publication is O(added files) metadata with zero
+  // data copy, and a link pins the inode — `vacuum` dropping an old
+  // version deletes the ORIGINAL path, while a lagging consumer keeps
+  // reading the feed link. Feed retention is its own policy
+  // (`vacuumFeed`), not coupled to table retention.
+  //
+  // Crash-safety: links are idempotently NAMED (version + original file
+  // name), and a per-version `_done_v<N>` marker is written only after
+  // all of that version's links — a crash mid-publish is healed by the
+  // next `publishFeed` (every append on a feed-enabled table calls it),
+  // which re-creates the missing links under the SAME names, so the
+  // FileStreamSource's seen-path log never double-delivers. Markers are
+  // `_`-prefixed (invisible to Spark's file listing) and are KEPT by
+  // `vacuumFeed` — deleting a marker would make healing re-link a
+  // version whose links were deliberately retired.
+  //
+  // The feed is append-only BY CONSTRUCTION: `rewrite` refuses
+  // data-changing actions on a feed-enabled table (layout-only
+  // compact/zorder stay allowed — their rows were already delivered by
+  // the appends that produced them), because an add-only file feed
+  // cannot represent an update/delete. That is Delta CDF's contract
+  // minus update capture, enforced at write time instead of surfacing
+  // as consumer corruption.
+
+  private def feedDir(table: String): Path = Paths.get(table, "_feed")
+  private def feedMarker(table: String, v: Long): Path =
+    feedDir(table).resolve(f"_done_v$v%09d")
+
+  def feedEnabled(table: String): Boolean = Files.isDirectory(feedDir(table))
+
+  /** Opt the table into change-feed publication. Appends from here on
+    * auto-publish; pre-existing RETAINED history is back-filled by the
+    * first `publishFeed` (per-version adds from v1, or the retention
+    * floor's full snapshot where older manifests were vacuumed). A
+    * history containing a data-changing rewrite cannot be back-filled
+    * as appends — `publishFeed` fails loudly there; use
+    * `publishInitialSnapshot` to start the feed from the current state
+    * instead. */
+  def enableFeed(table: String): Unit = {
+    Files.createDirectories(feedDir(table))
+    ()
+  }
+
+  /** Start the feed at the CURRENT snapshot: link the latest version's
+    * full file list as the feed's initial state and mark every earlier
+    * version done (delivering nothing for them). The escape hatch for
+    * enabling a feed on a table whose history holds merges. */
+  def publishInitialSnapshot(table: String): Seq[String] = {
+    require(feedEnabled(table),
+      s"publishInitialSnapshot($table): feed not enabled — call enableFeed first")
+    val latest = latestVersion(table)
+    val snap = snapshot(table).getOrElse(
+      sys.error(s"publishInitialSnapshot($table): no committed version"))
+    val linked = snap.files.map(f => linkIntoFeed(table, latest, f.path))
+    (1L to latest).foreach(v => writeFeedMarker(table, v))
+    linked
+  }
+
+  private def linkIntoFeed(table: String, v: Long, path: String): String = {
+    val link = feedDir(table).resolve(f"v$v%09d_" + path.replace('/', '_'))
+    if (!Files.exists(link)) {
+      try Files.createLink(link, Paths.get(table, path))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // racing publisher
+        case _: UnsupportedOperationException => // cross-device / no-link FS
+          Files.copy(Paths.get(table, path), link,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    link.getFileName.toString
+  }
+
+  private def writeFeedMarker(table: String, v: Long): Unit =
+    try { Files.write(feedMarker(table, v), Array.emptyByteArray); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+
+  /** Publish every unpublished version's added files into the feed.
+    * Idempotent and healing (see the section comment); called
+    * automatically by `append` on feed-enabled tables. Returns the link
+    * names published by THIS call. */
+  def publishFeed(table: String): Seq[String] = {
+    require(feedEnabled(table),
+      s"publishFeed($table): feed not enabled — call enableFeed first")
+    val latest = latestVersion(table)
+    val out = Seq.newBuilder[String]
+    (1L to latest).foreach { v =>
+      if (!Files.exists(feedMarker(table, v))) {
+        parseRec(manifestPath(table, v)) match {
+          case None => // vacuumed before publication: nothing deliverable
+            writeFeedMarker(table, v)
+          case Some(r) =>
+            val prevFiles: Option[Set[String]] =
+              if (v == 1) Some(Set.empty)
+              else snapshotAt(table, v - 1).map(_.files.map(_.path).toSet)
+            prevFiles match {
+              case Some(prev) => r.action match {
+                case "create" | "append" =>
+                  val adds =
+                    if (r.kind == "delta") r.adds.map(_.path)
+                    else r.files.map(_.path).filterNot(prev)
+                  adds.foreach(p => out += linkIntoFeed(table, v, p))
+                case "compact" | "zorder" =>
+                  () // layout-only: these rows were already delivered
+                case other => sys.error(
+                  s"publishFeed($table): version $v is a data-changing " +
+                    s"rewrite ('$other') an append-only feed cannot represent" +
+                    " — start from publishInitialSnapshot instead")
+              }
+              case None =>
+                // v−1 was vacuumed: v is the retention floor — deliver its
+                // full snapshot once as the feed's back-fill initial state
+                snapshotAt(table, v).foreach(snap =>
+                  snap.files.foreach(f => out += linkIntoFeed(table, v, f.path)))
+            }
+            writeFeedMarker(table, v)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Batch read of everything the feed has delivered so far (each
+    * appended row exactly once), under the table's recorded schema. */
+  def readFeed(spark: SparkSession, table: String): DataFrame = {
+    require(feedEnabled(table), s"readFeed($table): feed not enabled")
+    spark.read.schema(feedSchema(spark, table))
+      .parquet(feedDir(table).toString)
+  }
+
+  /** The feed as an unbounded stream: Spark's incremental parquet file
+    * source over the feed dir — new links picked up per trigger, seen
+    * files tracked in the CONSUMER's checkpoint (restart-safe).
+    * `maxFilesPerTrigger` is the backpressure knob for a catching-up
+    * consumer. */
+  def changeFeedStream(spark: SparkSession, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(feedEnabled(table), s"changeFeedStream($table): feed not enabled")
+    val r = spark.readStream.schema(feedSchema(spark, table))
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(feedDir(table).toString)
+  }
+
+  private def feedSchema(spark: SparkSession,
+      table: String): org.apache.spark.sql.types.StructType =
+    snapshot(table).flatMap(_.schemaJson) match {
+      case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None => // legacy table: infer from the feed's own files
+        spark.read.parquet(feedDir(table).toString).schema
+    }
+
+  /** Retire feed links for versions below `latest − keepVersions + 1`.
+    * Markers are kept (healing must not re-link retired versions);
+    * deleteIfExists so racing maintenance skips quietly. Link deletion
+    * only drops the inode refcount — data still referenced by the TABLE
+    * is untouched. */
+  def vacuumFeed(table: String, keepVersions: Int): Seq[String] = {
+    require(feedEnabled(table), s"vacuumFeed($table): feed not enabled")
+    val floor = math.max(1L, latestVersion(table) - keepVersions + 1)
+    listDir(feedDir(table)).flatMap { p =>
+      val n = p.getFileName.toString
+      val ver = if (n.startsWith("v") && n.length > 10)
+        n.slice(1, 10).toLongOption else None
+      if (ver.exists(_ < floor) && Files.deleteIfExists(p))
+        Some(s"_feed/$n")
+      else None
+    }
+  }
+
+  /** Clustering-preserving small-file compaction: a long-lived
+    * incremental ingest appends one small cell/block-clustered file set
+    * per batch, so a probe of k cells touches O(batches) files even
+    * though every file's stats are tight. This rewrite merges the
+    * generations back into `nFiles` files range-partitioned by
+    * `clusterCol` — per-file stats stay tight (each output file covers a
+    * contiguous cluster range), counters (docs / cbv pins) carry over
+    * verbatim, and the row-count audit holds, so index semantics are
+    * untouched while probe file counts drop by the generation count. */
+  def compactClustered(spark: SparkSession, table: String, nFiles: Int,
+      clusterCol: String, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    rewrite(spark, table, "compact", statsCols = statsCols,
+        strStatsCols = strStatsCols) { df =>
+      df.repartitionByRange(math.max(1, nFiles), col(clusterCol))
+        .sortWithinPartitions(clusterCol)
+    }
+  }
+
   /** Full-snapshot rewrite (compaction, re-clustering, merge): run `fn`
     * on the CURRENT snapshot, commit the result as the complete new
     * file list. On CAS conflict the base changed under us, so the
@@ -778,6 +985,14 @@ object TableLog {
       strStatsCols: Seq[String] = Nil,
       counterSet: Map[String, Long] = Map.empty)(
       fn: DataFrame => DataFrame): Long = {
+    // the change feed is append-only by construction: refuse the
+    // data-changing rewrites it cannot represent (layout-only
+    // compact/zorder redistribute already-delivered rows and are fine)
+    require(!feedEnabled(table) ||
+        action == "compact" || action == "zorder",
+      s"rewrite('$action') on feed-enabled table $table: the append-only " +
+        "change feed cannot represent a data-changing rewrite — remove " +
+        s"${feedDir(table)} to disable the feed first")
     // same idempotence contract as append: a replayed rewrite whose txn
     // already committed is a no-op
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)

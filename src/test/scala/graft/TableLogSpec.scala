@@ -631,4 +631,152 @@ class TableLogSpec extends SparkSpec {
       Map("docs" -> 16L, "batches" -> 1L))
     assert(TableLog.read(spark, t).count() == 17)
   }
+
+  test("change feed: appends delivered exactly once, layout rewrites not re-delivered") {
+    val t = tmp("graft_feed_basic")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
+    // layout-only: redistributes already-delivered rows, must add nothing
+    TableLog.compact(spark, t, 1L << 30)
+    TableLog.append(spark, t, spark.range(150, 160).toDF("id"))
+    val feed = TableLog.readFeed(spark, t)
+    assert(feed.count() == 160)
+    assert(feed.select(countDistinct($"id")).head.getLong(0) == 160)
+  }
+
+  test("change feed: hard links keep the feed readable across table vacuum") {
+    val t = tmp("graft_feed_vacuum")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    TableLog.append(spark, t, spark.range(100, 150).toDF("id"))
+    TableLog.compact(spark, t, 1L << 30)
+    TableLog.append(spark, t, spark.range(150, 160).toDF("id"))
+    // drops v1/v2 manifests and the pre-compaction ORIGINALS of every
+    // feed-linked file from the first two appends
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0)
+    // the links pin the inodes: a lagging consumer keeps reading
+    assert(TableLog.readFeed(spark, t).count() == 160)
+    assert(TableLog.read(spark, t).count() == 160)
+    // feed retention is its own policy: retiring old links leaves the
+    // table intact, and markers survive so healing can't re-link
+    val retired = TableLog.vacuumFeed(t, keepVersions = 1)
+    assert(retired.nonEmpty)
+    TableLog.publishFeed(t) // must NOT resurrect retired versions
+    assert(TableLog.readFeed(spark, t).count() == 10)
+    assert(TableLog.read(spark, t).count() == 160)
+  }
+
+  test("change feed: crash mid-publish heals under the same names") {
+    val t = tmp("graft_feed_heal")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, spark.range(50).toDF("id"))
+    TableLog.append(spark, t, spark.range(50, 80).toDF("id"))
+    // simulate a crash between v2's links and its marker: marker gone,
+    // one link gone
+    val feedDir = java.nio.file.Paths.get(t, "_feed")
+    assert(java.nio.file.Files.deleteIfExists(
+      feedDir.resolve("_done_v000000002")))
+    import scala.jdk.CollectionConverters._
+    val v2links = java.nio.file.Files.list(feedDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v000000002_")).toSeq
+    assert(v2links.nonEmpty)
+    java.nio.file.Files.delete(v2links.head)
+    // healing re-creates the missing link under the SAME name — a
+    // consumer's seen-path log stays valid, nothing double-delivers
+    TableLog.publishFeed(t)
+    val feed = TableLog.readFeed(spark, t)
+    assert(feed.count() == 80)
+    assert(feed.select(countDistinct($"id")).head.getLong(0) == 80)
+  }
+
+  test("change feed: data-changing rewrites refused on feed-enabled tables") {
+    val t = tmp("graft_feed_guard")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](TableLog.mergeUpsert(
+      spark, t, Seq((2L, "B")).toDF("k", "v"), Seq("k")))
+    assert(e.getMessage.contains("append-only"))
+    // layout maintenance is still allowed
+    TableLog.compact(spark, t, 1L << 30)
+    assert(TableLog.readFeed(spark, t).count() == 2)
+  }
+
+  test("change feed: initial-snapshot start for histories a backfill can't represent") {
+    val t = tmp("graft_feed_snapstart")
+    TableLog.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TableLog.mergeUpsert(spark, t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    TableLog.enableFeed(t)
+    // the history holds a merge: per-version backfill must refuse rather
+    // than silently skip rows
+    val e = intercept[RuntimeException](TableLog.publishFeed(t))
+    assert(e.getMessage.contains("merge"))
+    // escape hatch: current snapshot once, then appends flow normally
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      java.nio.file.Paths.get(t, "_feed").toFile)
+    TableLog.enableFeed(t)
+    TableLog.publishInitialSnapshot(t)
+    assert(TableLog.readFeed(spark, t).count() == 3)
+    TableLog.append(spark, t, Seq((4L, "d")).toDF("k", "v"))
+    val feed = TableLog.readFeed(spark, t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
+  test("change feed streaming: bronze→silver chained exactly-once") {
+    val bronze = tmp("graft_feed_bronze")
+    val silver = tmp("graft_feed_silver")
+    TableLog.enableFeed(bronze)
+    TableLog.create(spark, bronze, spark.range(100).toDF("id"))
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_feed_ckpt").toString)
+    // the whole bronze→silver incremental pipeline: the bronze feed as a
+    // stream, exactly-once-appended into silver
+    def drain(): Unit = TableLog.appendStream(spark, silver,
+      TableLog.changeFeedStream(spark, bronze), "b2s", ckpt)
+    drain()
+    assert(TableLog.read(spark, silver).count() == 100)
+    // re-run with the same checkpoint: nothing new, nothing re-delivered
+    drain()
+    assert(TableLog.read(spark, silver).count() == 100)
+    // new bronze data flows through incrementally
+    TableLog.append(spark, bronze, spark.range(100, 130).toDF("id"))
+    drain()
+    val s = TableLog.read(spark, silver)
+    assert(s.count() == 130)
+    assert(s.select(countDistinct($"id")).head.getLong(0) == 130)
+  }
+
+  test("compactClustered: generations merge, probes stay pruned, counters carry") {
+    val t = tmp("graft_log_cc")
+    // three interleaved generations, each range-clustered over the FULL
+    // key space — the shape a per-batch clustered incremental ingest
+    // leaves behind (tight per-file stats, file count ∝ batches)
+    def gen(i: Int) = spark.range(3000).toDF("k")
+      .filter($"k" % 3 === i).repartitionByRange(4, $"k")
+    TableLog.create(spark, t, gen(0), statsCols = Seq("k"),
+      counterDelta = Map("docs" -> 1000L))
+    TableLog.append(spark, t, gen(1), statsCols = Seq("k"),
+      counterDelta = Map("docs" -> 1000L))
+    TableLog.append(spark, t, gen(2), statsCols = Seq("k"),
+      counterDelta = Map("docs" -> 1000L))
+    val beforeFiles = TableLog.snapshot(t).get.files.size
+    val beforeProbe = TableLog.prunedFiles(t, "k", 100, 150).size
+    val sumBefore = TableLog.read(spark, t).agg(sum($"k")).head.getLong(0)
+    val v = TableLog.compactClustered(spark, t, nFiles = 4,
+      clusterCol = "k", statsCols = Seq("k"))
+    // content identical (the rewrite row-audit also enforces this)
+    assert(TableLog.read(spark, t).count() == 3000)
+    assert(TableLog.read(spark, t).agg(sum($"k")).head.getLong(0) == sumBefore)
+    // layout collapsed to nFiles; a narrow probe touches ~1 file instead
+    // of one per generation
+    assert(TableLog.snapshot(t).get.files.size == 4)
+    assert(beforeFiles >= 12)
+    assert(beforeProbe >= 3)
+    val afterProbe = TableLog.prunedFiles(t, "k", 100, 150).size
+    assert(afterProbe <= 2 && afterProbe < beforeProbe)
+    // counters preserved verbatim by the layout-only rewrite
+    assert(TableLog.commitStats(t, v).get._2("docs") == 3000L)
+  }
 }
