@@ -34,6 +34,7 @@ object IncStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "compact") { runCompact(spark, sfDir); spark.stop(); return }
     if (mode != "text") { runVec(spark, sfDir, mode); spark.stop(); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.where(col("doc_id") % 20 =!= 0)
@@ -65,6 +66,51 @@ object IncStats {
       s""""rebuild_sec":${f"$rebuildSec%.3f"},"batch_dups":$nDup,""" +
       s""""full_pairs":$nPairs}""")
     spark.stop()
+  }
+
+  /** Compaction-benefit probe for the incremental semantic index: build
+    * on half the corpus, fragment with 10 incremental batches (each
+    * appends its own cell-clustered generation — the shape a continuous
+    * ingest leaves), then measure a REPLAYED probe (same txn id → the
+    * append inside is skipped, so the index is not mutated between
+    * measurements; min of 3) and the snapshot's file count before vs
+    * after `compactClustered`. Decisions are collected on both sides —
+    * a layout-only rewrite changing any decision would be a bug, and
+    * this reports it. */
+  private def runCompact(spark: SparkSession, sfDir: String): Unit = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_incstats_compact").toString + "/idx"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    DedupOps.buildSemanticIndex(spark, t, base, "vec_id", "embedding")
+    (1 to 19 by 2).foreach { i =>
+      DedupOps.incrementalSemanticDedup(spark, t,
+        emb.where(col("vec_id") % 20 === i), "vec_id", "embedding",
+        400000L, txnId = Some(s"frag#$i")).count()
+    }
+    val probeBatch = emb.where(col("vec_id") % 20 === 1)
+    def probe() = DedupOps.incrementalSemanticDedup(spark, t, probeBatch,
+      "vec_id", "embedding", 400000L, txnId = Some("frag#1"))
+    def dec() = probe().orderBy("vec_id").collect().map(_.toString).toSeq
+    def probeSec() = (1 to 3)
+      .map(_ => timed(probe().where(col("dup")).count())._2).min
+    val filesBefore = graft.sinks.TableLog.snapshot(t).get.files.size
+    val decBefore = dec()
+    val before = probeSec()
+    graft.sinks.TableLog.compactClustered(spark, t, nFiles = 4,
+      clusterCol = "cell", statsCols = Seq("cell"))
+    val filesAfter = graft.sinks.TableLog.snapshot(t).get.files.size
+    val decAfter = dec()
+    val after = probeSec()
+    println(s"""{"sf":"$sfDir","mode":"compact","files_before":$filesBefore,""" +
+      s""""files_after":$filesAfter,"probe_before_sec":${f"$before%.3f"},""" +
+      s""""probe_after_sec":${f"$after%.3f"},""" +
+      s""""decisions_equal":${decBefore == decAfter}}""")
   }
 
   private def runVec(spark: SparkSession, sfDir: String,

@@ -748,6 +748,42 @@ class TableLogSpec extends SparkSpec {
     assert(s.select(countDistinct($"id")).head.getLong(0) == 130)
   }
 
+  test("feed → dedup ingest chain: bronze lake to deduped silver lake, exactly-once") {
+    val bronze = tmp("graft_chain_bronze")
+    val silver = tmp("graft_chain_silver")
+    val index = tmp("graft_chain_index")
+    TableLog.enableFeed(bronze)
+    TableLog.create(spark, bronze, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // in-batch dup of 1
+      (3L, "colorless green ideas sleep furiously tonight")
+    ).toDF("doc_id", "text"))
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_chain_ckpt").toString)
+    // the whole training-data ingest loop in one composition: the raw
+    // lake's change feed, deduped against the persistent signature index,
+    // landing in a deduped lake — every stage exactly-once
+    def drain(): Unit = graft.streaming.StreamingOps.dedupIngestStream(spark,
+      silver, index, TableLog.changeFeedStream(spark, bronze),
+      "doc_id", "text", bands = 4, streamId = "b2s", checkpoint = ckpt)
+    drain()
+    def silverIds() = TableLog.read(spark, silver)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(silverIds() == Seq(1L, 3L))
+    // replay with the same checkpoint: nothing re-delivered, nothing re-deduped
+    drain()
+    assert(silverIds() == Seq(1L, 3L))
+    // a duplicate of a document ingested in an EARLIER batch is dropped by
+    // the DURABLE index (the in-memory watermark path would have forgotten
+    // it); the genuinely new document flows through
+    TableLog.append(spark, bronze, Seq(
+      (4L, "the quick brown fox jumps over the lazy dog"), // cross-batch dup of 1
+      (5L, "a completely different sentence about spark lakes")
+    ).toDF("doc_id", "text"))
+    drain()
+    assert(silverIds() == Seq(1L, 3L, 5L))
+  }
+
   test("compactClustered: generations merge, probes stay pruned, counters carry") {
     val t = tmp("graft_log_cc")
     // three interleaved generations, each range-clustered over the FULL
