@@ -437,6 +437,33 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Stats-pruned copy-on-write delete through the commit log: the
+    * table is range-clustered on l_orderkey, so the delete rewrites
+    * only the files whose stat range overlaps [2000, 3500] — the rest
+    * carry over by reference in a delta manifest (TableLogSpec pins the
+    * by-reference carry and the audit; this oracle pins the surviving
+    * rows). */
+  private def o44DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/delw_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 13)
+        .repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 14)
+        .repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    tl.deleteWhere(s, t, "l_orderkey", 2000, 3500,
+      statsCols = Seq("l_orderkey"))
+    tl.read(s, t).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2651,6 +2678,7 @@ object SparkEntry {
     "o41_type_widening" -> (o41TypeWidening _),
     "o42_change_feed" -> (o42ChangeFeed _),
     "o43_index_compaction" -> (o43IndexCompaction _),
+    "o44_delete_where" -> (o44DeleteWhere _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -4036,6 +4064,17 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // survivors of a range delete over the two appended slices — which
+    // files the engine chose to rewrite is invisible here, as it must be
+    "o44_delete_where" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |u AS (SELECT * FROM li WHERE l_orderkey % 30 IN (13, 14)),
+        |k AS (SELECT * FROM u WHERE l_orderkey NOT BETWEEN 2000 AND 3500)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

@@ -858,6 +858,23 @@ object TableLog {
     try { Files.write(feedMarker(table, v), Array.emptyByteArray); () }
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
+  /** First version with no done-marker. Markers are written in version
+    * order by every publisher and kept by `vacuumFeed`, so the done set
+    * is prefix-closed — binary search finds the publish frontier in
+    * O(log versions) stat calls, keeping the auto-publish on every
+    * append cheap even on a table with a 100k-commit ingest history. */
+  private def publishFrontier(table: String, latest: Long): Long = {
+    if (latest == 0 || !Files.exists(feedMarker(table, 1))) return 1L
+    if (Files.exists(feedMarker(table, latest))) return latest + 1
+    var lo = 1L // marker exists
+    var hi = latest // marker absent
+    while (hi - lo > 1) {
+      val mid = (lo + hi) / 2
+      if (Files.exists(feedMarker(table, mid))) lo = mid else hi = mid
+    }
+    hi
+  }
+
   /** Publish every unpublished version's added files into the feed.
     * Idempotent and healing (see the section comment); called
     * automatically by `append` on feed-enabled tables. Returns the link
@@ -867,7 +884,7 @@ object TableLog {
       s"publishFeed($table): feed not enabled — call enableFeed first")
     val latest = latestVersion(table)
     val out = Seq.newBuilder[String]
-    (1L to latest).foreach { v =>
+    (publishFrontier(table, latest) to latest).foreach { v =>
       if (!Files.exists(feedMarker(table, v))) {
         parseRec(manifestPath(table, v)) match {
           case None => // vacuumed before publication: nothing deliverable
@@ -1046,6 +1063,68 @@ object TableLog {
         .sortWithinPartitions("__z")
         .drop("__z")
     }
+  }
+
+  /** Stats-pruned COPY-ON-WRITE delete: remove the rows where `c` (cast
+    * to long) falls in `[lo, hi]`, rewriting ONLY the files whose
+    * manifest stat range overlaps the predicate — every other file
+    * carries over BY REFERENCE (same path, never read, never copied),
+    * and the commit is a delta manifest (removes = affected paths,
+    * adds = their rewritten remainders). Delete cost is therefore
+    * O(affected files + manifest), not O(table): on a range-clustered
+    * 100 TB table a narrow delete (GDPR erasure, bad-ingest rollback)
+    * touches a handful of files while a full-snapshot rewrite would
+    * stream the whole table through the cluster. NULL values of `c`
+    * never match the range and are kept. Rows are audited
+    * (new = affectedScan − matched, total = base − matched); commits
+    * CAS-retry against racing appends like every other writer. Returns
+    * the committed version (the CURRENT version unchanged if no file
+    * can contain a match — a no-op makes no commit). */
+  def deleteWhere(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!feedEnabled(table),
+      s"deleteWhere on feed-enabled table $table: the append-only change " +
+        s"feed cannot represent a delete — remove ${feedDir(table)} first")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      val affected = prunedFilesOf(base, c, lo, hi)
+      if (affected.isEmpty) return base.version
+      val affectedPaths = affected.map(_.path)
+      val scan = scanFiles(spark, base.schemaJson,
+        affectedPaths.map(p => s"$table/$p"))
+      val scanRows = scan.count()
+      // NULL is not in any range: keep it (a bare !between would turn
+      // NULL comparisons into silent deletions)
+      val kept = scan.where(
+        org.apache.spark.sql.functions.coalesce(
+          !col(c).cast("long").between(lo, hi),
+          org.apache.spark.sql.functions.lit(true)))
+      val (newFiles, newRows) = writeDataFiles(spark, table, kept,
+        statsCols, strStatsCols)
+      require(newRows <= scanRows,
+        s"deleteWhere audit failed for $table: rewrite produced $newRows " +
+          s"rows from $scanRows — not committing")
+      val rows = base.rows - (scanRows - newRows)
+      val version = base.version + 1
+      // mirror append's checkpoint cadence so delta chains stay bounded
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = affectedPaths.toSet
+          ManifestRec(version, base.version, "delete", rows, "full",
+            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
+            txnId, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "delete", rows, "delta",
+            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
   }
 
   /** Latest-wins upsert through the log: snapshot rows whose key

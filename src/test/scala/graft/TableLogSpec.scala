@@ -748,6 +748,59 @@ class TableLogSpec extends SparkSpec {
     assert(s.select(countDistinct($"id")).head.getLong(0) == 130)
   }
 
+  test("deleteWhere: rewrites only overlapping files, carries the rest by reference") {
+    val t = tmp("graft_log_delw")
+    // 8 range-clustered files over [0, 8000)
+    TableLog.create(spark, t,
+      spark.range(8000).toDF("k").repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+    val untouchedBefore = before.files.filterNot(f =>
+      f.stats.exists(s => s.col == "k" && s.max >= 2000 && s.min <= 2999))
+    assert(untouchedBefore.size >= 5, "fixture: most files must not overlap")
+    val v = TableLog.deleteWhere(spark, t, "k", 2000, 2999,
+      statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    // semantics: exactly the range is gone
+    assert(after.rows == 7000)
+    assert(TableLog.read(spark, t).count() == 7000)
+    assert(TableLog.read(spark, t).where($"k".between(2000, 2999)).count() == 0)
+    assert(TableLog.read(spark, t).agg(sum($"k")).head.getLong(0) ==
+      (0L until 8000L).filterNot(k => k >= 2000 && k <= 2999).sum)
+    // mechanics: non-overlapping files carry over with IDENTICAL paths
+    // (never read, never copied), and the commit is a delta manifest
+    val afterPaths = after.files.map(_.path).toSet
+    untouchedBefore.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched file ${f.path} must survive by reference"))
+    assert(before.files.map(_.path).toSet.intersect(afterPaths) ==
+      untouchedBefore.map(_.path).toSet)
+    // time travel: the pre-delete version still reads complete
+    assert(TableLog.readVersion(spark, t, v - 1).count() == 8000)
+    // no-op delete (no file can contain a match): no commit at all
+    assert(TableLog.deleteWhere(spark, t, "k", 90000, 99000,
+      statsCols = Seq("k")) == v)
+    assert(TableLog.latestVersion(t) == v)
+  }
+
+  test("deleteWhere: NULL keys survive a range delete; feed tables refuse") {
+    val t = tmp("graft_log_delw_null")
+    TableLog.create(spark, t,
+      Seq[(java.lang.Long, String)]((1L, "a"), (2500L, "b"), (null, "c"))
+        .toDF("k", "v"),
+      statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, t, "k", 2000, 2999, statsCols = Seq("k"))
+    val back = TableLog.read(spark, t).select("v").orderBy("v")
+      .collect().map(_.getString(0)).toSeq
+    // the NULL-k row is kept: NULL is in no range
+    assert(back == Seq("a", "c"))
+    val f = tmp("graft_log_delw_feed")
+    TableLog.enableFeed(f)
+    TableLog.create(spark, f, Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      TableLog.deleteWhere(spark, f, "k", 0, 10))
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("feed → dedup ingest chain: bronze lake to deduped silver lake, exactly-once") {
     val bronze = tmp("graft_chain_bronze")
     val silver = tmp("graft_chain_silver")
