@@ -464,6 +464,27 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Categorical copy-on-write delete: the documents table is
+    * range-clustered on `source` with string file stats, so erasing two
+    * revoked sources rewrites only the files whose stat range can
+    * contain them — the GDPR-erasure shape over a string key. */
+  private def o45DeleteIn(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/deli_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("lang"), length(col("text")).cast("long").as("text_len"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, docs.repartitionByRange(8, col("source"))
+        .sortWithinPartitions("source"),
+      strStatsCols = Seq("source"))
+    tl.deleteWhereIn(s, t, "source", Seq("src3", "src7"),
+      strStatsCols = Seq("source"))
+    tl.read(s, t).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("text_len").as("sum_len"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2679,6 +2700,7 @@ object SparkEntry {
     "o42_change_feed" -> (o42ChangeFeed _),
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
+    "o45_delete_in" -> (o45DeleteIn _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -4075,6 +4097,14 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o45_delete_in" ->
+      """WITH k AS (SELECT doc_id, source, lang,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |  FROM documents WHERE source NOT IN ('src3', 'src7'))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(text_len) AS BIGINT) AS sum_len,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

@@ -1083,31 +1083,50 @@ object TableLog {
   def deleteWhere(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long, statsCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    deleteImpl(spark, table, prunedFilesOf(_, c, lo, hi),
+      // NULL is not in any range: keep it (a bare !between would turn
+      // NULL comparisons into silent deletions)
+      _.where(coalesce(!col(c).cast("long").between(lo, hi), lit(true))),
+      statsCols, strStatsCols, txnId)
+  }
+
+  /** Categorical twin of `deleteWhere`: remove the rows where string
+    * column `c` is one of `values`, pruning by the manifest's STRING
+    * file stats — the "erase everything from a revoked source / user"
+    * shape. Same by-reference carry, audit, NULL-keep, no-op and
+    * feed-refusal contract. */
+  def deleteWhereIn(spark: SparkSession, table: String, c: String,
+      values: Seq[String], statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    deleteImpl(spark, table, prunedFilesInOf(_, c, values),
+      _.where(coalesce(!col(c).isin(values: _*), lit(true))),
+      statsCols, strStatsCols, txnId)
+  }
+
+  private def deleteImpl(spark: SparkSession, table: String,
+      affectedOf: Snapshot => Seq[FileEntry],
+      keep: DataFrame => DataFrame, statsCols: Seq[String],
+      strStatsCols: Seq[String], txnId: Option[String]): Long = {
     require(!feedEnabled(table),
-      s"deleteWhere on feed-enabled table $table: the append-only change " +
+      s"delete on feed-enabled table $table: the append-only change " +
         s"feed cannot represent a delete — remove ${feedDir(table)} first")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
-      val affected = prunedFilesOf(base, c, lo, hi)
+      val affected = affectedOf(base)
       if (affected.isEmpty) return base.version
       val affectedPaths = affected.map(_.path)
       val scan = scanFiles(spark, base.schemaJson,
         affectedPaths.map(p => s"$table/$p"))
       val scanRows = scan.count()
-      // NULL is not in any range: keep it (a bare !between would turn
-      // NULL comparisons into silent deletions)
-      val kept = scan.where(
-        org.apache.spark.sql.functions.coalesce(
-          !col(c).cast("long").between(lo, hi),
-          org.apache.spark.sql.functions.lit(true)))
-      val (newFiles, newRows) = writeDataFiles(spark, table, kept,
+      val (newFiles, newRows) = writeDataFiles(spark, table, keep(scan),
         statsCols, strStatsCols)
       require(newRows <= scanRows,
-        s"deleteWhere audit failed for $table: rewrite produced $newRows " +
+        s"delete audit failed for $table: rewrite produced $newRows " +
           s"rows from $scanRows — not committing")
       val rows = base.rows - (scanRows - newRows)
       val version = base.version + 1

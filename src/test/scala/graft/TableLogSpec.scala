@@ -801,6 +801,29 @@ class TableLogSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("deleteWhereIn: categorical delete prunes by string stats, rest carried by reference") {
+    val t = tmp("graft_log_deli")
+    // 4 files clustered by a string key: sources a..h, two per file
+    val rows = (0 until 800).map(i => (i.toLong, s"src_${('a' + i / 100).toChar}"))
+    TableLog.create(spark, t,
+      rows.toDF("id", "src").repartitionByRange(4, $"src"),
+      strStatsCols = Seq("src"))
+    val before = TableLog.snapshot(t).get
+    val untouched = before.files.filterNot(f =>
+      f.strStats.exists(s => s.col == "src" &&
+        TableLog.utf8Leq(s.min, "src_b") && TableLog.utf8Leq("src_b", s.max)))
+    assert(untouched.size >= 2, "fixture: some files must not overlap")
+    TableLog.deleteWhereIn(spark, t, "src", Seq("src_b"),
+      strStatsCols = Seq("src"))
+    val after = TableLog.snapshot(t).get
+    assert(after.rows == 700)
+    assert(TableLog.read(spark, t).where($"src" === "src_b").count() == 0)
+    assert(TableLog.read(spark, t).count() == 700)
+    val afterPaths = after.files.map(_.path).toSet
+    untouched.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched file ${f.path} must survive by reference"))
+  }
+
   test("feed → dedup ingest chain: bronze lake to deduped silver lake, exactly-once") {
     val bronze = tmp("graft_chain_bronze")
     val silver = tmp("graft_chain_silver")
