@@ -825,6 +825,16 @@ object TableLog {
     ()
   }
 
+  /** Turn the feed off: removes links, markers, and the dir itself, so
+    * data-changing rewrites (merge, delete) are permitted again. The
+    * sanctioned escape when a feed-enabled table needs a delete — any
+    * consumer checkpoint becomes orphaned, which is the point: the feed
+    * contract cannot survive a data-changing rewrite. */
+  def disableFeed(table: String): Unit =
+    if (feedEnabled(table))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        feedDir(table).toFile)
+
   /** Start the feed at the CURRENT snapshot: link the latest version's
     * full file list as the feed's initial state and mark every earlier
     * version done (delivering nothing for them). The escape hatch for

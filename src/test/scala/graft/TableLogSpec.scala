@@ -801,6 +801,32 @@ class TableLogSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("change feed: racing appenders publish concurrently, feed stays exact") {
+    val t = tmp("graft_feed_race")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(1000L, 2000L, 3000L).map { off =>
+      new Thread(() => {
+        start.await()
+        try TableLog.append(spark, t, spark.range(off, off + 100).toDF("id"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing appends must all succeed: $errs")
+    // every appender also raced through publishFeed (idempotent links +
+    // markers): the feed holds each row exactly once
+    val feed = TableLog.readFeed(spark, t)
+    assert(feed.count() == 400)
+    assert(feed.select(countDistinct($"id")).head.getLong(0) == 400)
+    // disableFeed is the sanctioned escape: deletes become legal again
+    TableLog.disableFeed(t)
+    TableLog.deleteWhere(spark, t, "id", 1000, 1099)
+    assert(TableLog.read(spark, t).count() == 300)
+  }
+
   test("deleteWhereIn: categorical delete prunes by string stats, rest carried by reference") {
     val t = tmp("graft_log_deli")
     // 4 files clustered by a string key: sources a..h, two per file
