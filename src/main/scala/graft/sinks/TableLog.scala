@@ -942,7 +942,11 @@ object TableLog {
     * source over the feed dir — new links picked up per trigger, seen
     * files tracked in the CONSUMER's checkpoint (restart-safe).
     * `maxFilesPerTrigger` is the backpressure knob for a catching-up
-    * consumer. */
+    * consumer. The schema is pinned at stream START (the usual file
+    * source contract, same as Delta's streaming read): columns added by
+    * a later evolved append are delivered only after a consumer
+    * restart; until then the old files' absent columns read as null and
+    * new columns are projected away. */
   def changeFeedStream(spark: SparkSession, table: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     require(feedEnabled(table), s"changeFeedStream($table): feed not enabled")

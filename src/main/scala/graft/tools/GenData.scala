@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.GenData 1.0 testdata-sf1"
   *
   * Faithful to the driver tables in schema (names, types — events.ts is
-  * written as LongType NANOSECONDS, matching how the engine reads the
-  * driver's TIMESTAMP(NANOS) column under nanosAsLong), key relationships
+  * written as LongType NANOSECONDS, one of the two physical shapes
+  * `core/EventTime` normalizes; the driver's own data has since moved to
+  * timestamp[us], and the engine reads either), key relationships
   * (orders→customer, lineitem→orders/part/supplier, 4 lines per order,
   * documents' 31-word vocabulary / 10-100 token lengths / 5 langs / 20
   * sources, embeddings' 64 dims with 10 weak label clusters), and value
