@@ -850,6 +850,43 @@ class TableLogSpec extends SparkSpec {
       s"untouched file ${f.path} must survive by reference"))
   }
 
+  test("maintainAgg absorbs a copy-on-write delete as an O(delta) refresh") {
+    val src = tmp("graft_mv_del_src")
+    val mv = tmp("graft_mv_del_mv")
+    TableLog.create(spark, src,
+      spark.range(4000)
+        .select(($"id" % 4).as("g"), $"id".as("k"), lit(1L).as("x"))
+        .repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    TableLog.maintainAgg(spark, src, mv, Seq("g"), Seq("x"))
+    // the delete's delta is (removes = affected files, adds = their
+    // remainders); the maintained aggregate must absorb it without a
+    // rescan, exactly like an append or merge delta
+    TableLog.deleteWhere(spark, src, "k", 1000, 1999, statsCols = Seq("k"))
+    TableLog.maintainAgg(spark, src, mv, Seq("g"), Seq("x"))
+    val got = TableLog.read(spark, mv).orderBy("g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (0L to 3L).map(g => (g, 750L, 750L)))
+  }
+
+  test("deleteWhere on an evolved table: absent columns stay null, schema preserved") {
+    val t = tmp("graft_log_del_evo")
+    TableLog.create(spark, t,
+      spark.range(100).toDF("k").repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.append(spark, t,
+      spark.range(100, 200).toDF("k").withColumn("tag", lit("new"))
+        .repartitionByRange(2, $"k"), statsCols = Seq("k"))
+    // the range touches only PRE-evolution files: their rewrite must run
+    // under the manifest schema (tag = null), not their physical one
+    TableLog.deleteWhere(spark, t, "k", 0, 49, statsCols = Seq("k"))
+    val back = TableLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("k", "tag"))
+    assert(back.count() == 150)
+    assert(back.where($"tag".isNull).count() == 50)
+    assert(back.where($"tag" === "new").count() == 100)
+  }
+
   test("feed → dedup ingest chain: bronze lake to deduped silver lake, exactly-once") {
     val bronze = tmp("graft_chain_bronze")
     val silver = tmp("graft_chain_silver")
