@@ -485,6 +485,29 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Manifest bloom stats: the slice is deliberately partitioned on
+    * l_orderkey, so every file's l_partkey [min,max] range spans the
+    * domain and range skipping is blind — the per-file bloom is what
+    * prunes the point lookup. The probed key (the slice's smallest
+    * partkey) is derived from the data, so the query is deterministic
+    * at any SF and the oracle re-derives it. */
+  private def o46BloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/bloom_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"))
+      .where(col("l_orderkey") % 30 === 15)
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.repartition(8, col("l_orderkey")),
+      bloomStatsCols = Seq("l_partkey"))
+    val target = li.agg(min("l_partkey")).head.getLong(0)
+    tl.readWherePoint(s, t, "l_partkey", target)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_partkey")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2701,6 +2724,7 @@ object SparkEntry {
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
     "o45_delete_in" -> (o45DeleteIn _),
+    "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
@@ -4105,6 +4129,18 @@ object SparkEntry {
         |  CAST(sum(text_len) AS BIGINT) AS sum_len,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // which files the bloom pruned is invisible here (as it must be);
+    // the aggregate pins that pruning lost no matching row
+    "o46_bloom_skip" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey % 30 = 15),
+        |tv AS (SELECT min(l_partkey) AS v FROM li)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM li, tv WHERE l_partkey = v
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "e1_scd2" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
         |  CAST(round(value * 100) AS BIGINT) AS value_c

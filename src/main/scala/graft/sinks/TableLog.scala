@@ -284,9 +284,50 @@ object TableLog {
   /** Write `df` as a new immutable data-file set under `<table>/data/`,
     * returning (relative file paths, footer row count). Never visible
     * until a manifest referencing it commits. */
+  // ---- manifest bloom stats: point-lookup pruning where range stats
+  // are blind. A [min,max] range on an UNCLUSTERED high-cardinality key
+  // spans nearly the whole domain in every file, so readWhere prunes
+  // nothing; a small per-file Bloom filter (1 KiB, k=4 — ~2% FPP at 1k
+  // distinct keys/file) answers "can this file contain key = v" for an
+  // equality probe. Stored in the existing string-stat slot under the
+  // reserved name `bloom:<col>` (min = base64 bitset, max = "m,k"), so
+  // the manifest format, parser, and every existing reader are
+  // untouched — range readers look up their own column name and never
+  // see bloom entries. Like all stats: prune IO, never semantics (a
+  // file without a bloom is kept; the residual filter still applies).
+  private[graft] val bloomM = 8192 // bits per file
+  private[graft] val bloomK = 4 // probe hashes
+
+  private def bloomStatName(c: String) = s"bloom:$c"
+
+  /** The k bit positions for probe value `v`, computed THROUGH a
+    * one-row Spark plan so the hash is bit-identical to the builder's
+    * distributed `xxhash64` (driver-reimplementing the hash would
+    * silently diverge on type widening). Metadata-sized work. */
+  private def bloomPositions(spark: SparkSession, v: Any): Seq[Int] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val r = spark.range(1).select((0 until bloomK).map(i =>
+      pmod(xxhash64(lit(i), lit(v)), lit(bloomM.toLong)).cast("int")
+        .as(s"p$i")): _*).head()
+    (0 until bloomK).map(r.getInt)
+  }
+
+  private def renderBloom(positions: Iterable[Int]): String = {
+    val bits = new java.util.BitSet(bloomM)
+    positions.foreach(bits.set)
+    java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+  }
+
+  private def bloomMayContain(b64: String, positions: Seq[Int]): Boolean = {
+    val bits = java.util.BitSet.valueOf(
+      java.util.Base64.getDecoder.decode(b64))
+    positions.forall(bits.get)
+  }
+
   private def writeDataFiles(spark: SparkSession, table: String,
       df: DataFrame, statsCols: Seq[String],
-      strStatsCols: Seq[String] = Nil): (Seq[FileEntry], Long) = {
+      strStatsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): (Seq[FileEntry], Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
@@ -334,9 +375,34 @@ object TableLog {
               }.toSeq))
           }.toMap
       }
+    // per-file bloom bitsets: one distributed pass per bloom column,
+    // collect_set of ≤ bloomM bit positions per file (bounded driver
+    // result: files × bloomM ints per commit's file set)
+    val bloomByName: Map[String, Seq[FileStrStat]] =
+      if (bloomCols.isEmpty || names.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{collect_set, lit, pmod, xxhash64}
+        val scan = spark.read.parquet(outDir)
+        bloomCols.flatMap { c =>
+          val aggs = (0 until bloomK).map(i =>
+            collect_set(pmod(xxhash64(lit(i), col(c)), lit(bloomM.toLong))
+              .cast("int")).as(s"p$i"))
+          scan.groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val pos = (1 to bloomK).flatMap(i =>
+                r.getSeq[Int](i))
+              r.getString(0).split("/").last ->
+                FileStrStat(bloomStatName(c), renderBloom(pos),
+                  s"$bloomM,$bloomK")
+            }
+        }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSeq }
+      }
     (names.map { n =>
       val (ls, ss) = statsByName.getOrElse(n, (Nil, Nil))
-      FileEntry(s"data/$setId/$n", ls, ss)
+      FileEntry(s"data/$setId/$n", ls,
+        ss ++ bloomByName.getOrElse(n, Nil))
     }, rows)
   }
 
@@ -656,6 +722,44 @@ object TableLog {
     * prune IO, never semantics). Pair with a `repartitionByRange(col(c))`
     * layout — how a cell-keyed index (e.g. the semantic dedup index)
     * reads only the probed cells' share of the table. */
+  /** Files whose bloom stat for `c` may contain `v` (files without one
+    * are kept — stats prune IO, never semantics). */
+  def prunedFilesPoint(spark: SparkSession, table: String, c: String,
+      v: Any): Seq[FileEntry] =
+    prunedFilesPointOf(snapshotOrFail(table), spark, c, v)
+
+  private def prunedFilesPointOf(s: Snapshot, spark: SparkSession,
+      c: String, v: Any): Seq[FileEntry] = {
+    val pos = bloomPositions(spark, v)
+    s.files.filter(f =>
+      f.strStats.find(_.col == bloomStatName(c))
+        .forall(st => bloomMayContain(st.min, pos)))
+  }
+
+  /** Point-lookup read through the manifest bloom stats: scan only the
+    * files whose bloom may contain `c = v`, then apply the equality
+    * filter itself. The value's TYPE must match the column's (the probe
+    * hashes the typed value exactly as the builder did). On an
+    * unclustered high-cardinality key this prunes where `readWhere`'s
+    * range stats cannot — the difference between opening every file and
+    * opening the one or two that can hold the key. An absent bloom
+    * (file written without `bloomStatsCols`, e.g. by an old commit or a
+    * rewrite that didn't rebuild them) keeps the file. Prune and scan
+    * resolve ONE snapshot — no torn read across a racing commit. */
+  def readWherePoint(spark: SparkSession, table: String, c: String,
+      v: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshotOrFail(table)
+    val keep = prunedFilesPointOf(s, spark, c, v)
+    if (keep.isEmpty)
+      // every file's bloom excludes v: provably no matching row
+      return scanFiles(spark, s.schemaJson,
+        s.files.take(1).map(f => s"$table/${f.path}"))
+        .where(lit(false))
+    scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+      .where(col(c) === lit(v))
+  }
+
   def readWhereInLong(spark: SparkSession, table: String, c: String,
       values: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -676,14 +780,16 @@ object TableLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, txnId: Option[String] = None,
       strStatsCols: Seq[String] = Nil,
-      counterDelta: Map[String, Long] = Map.empty): Long = {
+      counterDelta: Map[String, Long] = Map.empty,
+      bloomStatsCols: Seq[String] = Nil): Long = {
     // idempotence: if this transaction already committed (a replayed
     // streaming micro-batch after a crash-restart), do nothing — the
     // manifest chain IS the transaction log. O(versions) scan; a
     // long-running ingest can vacuum old versions to bound it.
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     val (newFiles, newRows) =
-      writeDataFiles(spark, table, df, statsCols, strStatsCols)
+      writeDataFiles(spark, table, df, statsCols, strStatsCols,
+        bloomStatsCols)
     var committed = -1L
     while (committed < 0) {
       val base = snapshot(table)
@@ -738,9 +844,10 @@ object TableLog {
   /** Create (version 1) — append on an empty table, named for intent. */
   def create(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
-      counterDelta: Map[String, Long] = Map.empty): Long =
+      counterDelta: Map[String, Long] = Map.empty,
+      bloomStatsCols: Seq[String] = Nil): Long =
     append(spark, table, df, statsCols, strStatsCols = strStatsCols,
-      counterDelta = counterDelta)
+      counterDelta = counterDelta, bloomStatsCols = bloomStatsCols)
 
   /** The row count and cumulative counters recorded in version `v`'s
     * manifest — one small-file read, NO data scan and no delta-chain

@@ -850,6 +850,30 @@ class TableLogSpec extends SparkSpec {
       s"untouched file ${f.path} must survive by reference"))
   }
 
+  test("bloom stats: point lookups prune where range stats are blind") {
+    val t = tmp("graft_log_bloom")
+    // UNCLUSTERED key: every file's [min,max] range spans ~the whole
+    // domain, so range stats keep everything — only a bloom can prune
+    val df = spark.range(8000)
+      .select((($"id" * 2654435761L) % 8000).as("k"), $"id".as("payload"))
+      .repartition(8)
+    TableLog.create(spark, t, df, statsCols = Seq("k"),
+      bloomStatsCols = Seq("k"))
+    // range stats are indeed blind on this layout
+    assert(TableLog.prunedFiles(t, "k", 42, 42).size == 8)
+    // the bloom keeps only the file(s) that can hold the key
+    val hit = TableLog.prunedFilesPoint(spark, t, "k", 42L)
+    assert(hit.size <= 3, s"bloom must prune most files, kept ${hit.size}")
+    val row = TableLog.readWherePoint(spark, t, "k", 42L).collect()
+    assert(row.map(_.getLong(0)).toSeq == Seq(42L))
+    // a value absent from the table: provably-empty result is exact
+    assert(TableLog.readWherePoint(spark, t, "k", 999999L).count() == 0)
+    // files without a bloom are kept, never wrongly pruned
+    TableLog.append(spark, t, Seq((999999L, -1L)).toDF("k", "payload"))
+    assert(TableLog.readWherePoint(spark, t, "k", 999999L)
+      .collect().map(_.getLong(1)).toSeq == Seq(-1L))
+  }
+
   test("maintainAgg absorbs a copy-on-write delete as an O(delta) refresh") {
     val src = tmp("graft_mv_del_src")
     val mv = tmp("graft_mv_del_mv")
