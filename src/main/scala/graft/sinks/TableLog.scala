@@ -949,6 +949,13 @@ object TableLog {
   def publishInitialSnapshot(table: String): Seq[String] = {
     require(feedEnabled(table),
       s"publishInitialSnapshot($table): feed not enabled — call enableFeed first")
+    // a partially-backfilled feed (publishFeed linked some versions,
+    // then hit a merge) plus a snapshot would DOUBLE-deliver the linked
+    // rows — this call STARTS a feed, it cannot repair one
+    require(!listDir(feedDir(table))
+        .exists(_.getFileName.toString.startsWith("v")),
+      s"publishInitialSnapshot($table): the feed already has published " +
+        "links — disableFeed, then enableFeed, to restart from a snapshot")
     val latest = latestVersion(table)
     val snap = snapshot(table).getOrElse(
       sys.error(s"publishInitialSnapshot($table): no committed version"))

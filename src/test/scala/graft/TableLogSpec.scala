@@ -712,9 +712,11 @@ class TableLogSpec extends SparkSpec {
     // than silently skip rows
     val e = intercept[RuntimeException](TableLog.publishFeed(t))
     assert(e.getMessage.contains("merge"))
-    // escape hatch: current snapshot once, then appends flow normally
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      java.nio.file.Paths.get(t, "_feed").toFile)
+    // the failed backfill left v1's links behind: a snapshot start now
+    // would double-deliver them, so it must refuse until the feed is
+    // reset through the sanctioned escape
+    intercept[IllegalArgumentException](TableLog.publishInitialSnapshot(t))
+    TableLog.disableFeed(t)
     TableLog.enableFeed(t)
     TableLog.publishInitialSnapshot(t)
     assert(TableLog.readFeed(spark, t).count() == 3)
