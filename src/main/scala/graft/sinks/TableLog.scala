@@ -1107,10 +1107,11 @@ object TableLog {
     * untouched while probe file counts drop by the generation count. */
   def compactClustered(spark: SparkSession, table: String, nFiles: Int,
       clusterCol: String, statsCols: Seq[String] = Nil,
-      strStatsCols: Seq[String] = Nil): Long = {
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     rewrite(spark, table, "compact", statsCols = statsCols,
-        strStatsCols = strStatsCols) { df =>
+        strStatsCols = strStatsCols, bloomStatsCols = bloomStatsCols) { df =>
       df.repartitionByRange(math.max(1, nFiles), col(clusterCol))
         .sortWithinPartitions(clusterCol)
     }
@@ -1128,7 +1129,8 @@ object TableLog {
       expectRows: Long => Option[Long] = n => Some(n),
       statsCols: Seq[String] = Nil, txnId: Option[String] = None,
       strStatsCols: Seq[String] = Nil,
-      counterSet: Map[String, Long] = Map.empty)(
+      counterSet: Map[String, Long] = Map.empty,
+      bloomStatsCols: Seq[String] = Nil)(
       fn: DataFrame => DataFrame): Long = {
     // the change feed is append-only by construction: refuse the
     // data-changing rewrites it cannot represent (layout-only
@@ -1148,7 +1150,7 @@ object TableLog {
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val out = fn(readSnapshot(spark, table, base))
       val (files, rows) = writeDataFiles(spark, table, out, statsCols,
-        strStatsCols)
+        strStatsCols, bloomStatsCols)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       // a rewrite replaces the whole file list, so its delta (remove
@@ -1169,8 +1171,10 @@ object TableLog {
     * LayoutOps.compact, published as a manifest commit instead of a
     * directory swap. */
   def compact(spark: SparkSession, table: String, targetBytes: Long,
-      statsCols: Seq[String] = Nil): Long =
-    rewrite(spark, table, "compact", statsCols = statsCols) { df =>
+      statsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long =
+    rewrite(spark, table, "compact", statsCols = statsCols,
+        bloomStatsCols = bloomStatsCols) { df =>
       val bytes = snapshot(table).get.files.map(f =>
         Files.size(Paths.get(table, f.path))).sum
       df.coalesce(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
@@ -1210,13 +1214,14 @@ object TableLog {
     * can contain a match — a no-op makes no commit). */
   def deleteWhere(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long, statsCols: Seq[String] = Nil,
-      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     deleteImpl(spark, table, prunedFilesOf(_, c, lo, hi),
       // NULL is not in any range: keep it (a bare !between would turn
       // NULL comparisons into silent deletions)
       _.where(coalesce(!col(c).cast("long").between(lo, hi), lit(true))),
-      statsCols, strStatsCols, txnId)
+      statsCols, strStatsCols, txnId, bloomStatsCols)
   }
 
   /** Categorical twin of `deleteWhere`: remove the rows where string
@@ -1226,17 +1231,19 @@ object TableLog {
     * feed-refusal contract. */
   def deleteWhereIn(spark: SparkSession, table: String, c: String,
       values: Seq[String], statsCols: Seq[String] = Nil,
-      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     deleteImpl(spark, table, prunedFilesInOf(_, c, values),
       _.where(coalesce(!col(c).isin(values: _*), lit(true))),
-      statsCols, strStatsCols, txnId)
+      statsCols, strStatsCols, txnId, bloomStatsCols)
   }
 
   private def deleteImpl(spark: SparkSession, table: String,
       affectedOf: Snapshot => Seq[FileEntry],
       keep: DataFrame => DataFrame, statsCols: Seq[String],
-      strStatsCols: Seq[String], txnId: Option[String]): Long = {
+      strStatsCols: Seq[String], txnId: Option[String],
+      bloomStatsCols: Seq[String]): Long = {
     require(!feedEnabled(table),
       s"delete on feed-enabled table $table: the append-only change " +
         s"feed cannot represent a delete — remove ${feedDir(table)} first")
@@ -1252,7 +1259,7 @@ object TableLog {
         affectedPaths.map(p => s"$table/$p"))
       val scanRows = scan.count()
       val (newFiles, newRows) = writeDataFiles(spark, table, keep(scan),
-        statsCols, strStatsCols)
+        statsCols, strStatsCols, bloomStatsCols)
       require(newRows <= scanRows,
         s"delete audit failed for $table: rewrite produced $newRows " +
           s"rows from $scanRows — not committing")

@@ -874,6 +874,21 @@ class TableLogSpec extends SparkSpec {
     TableLog.append(spark, t, Seq((999999L, -1L)).toDF("k", "payload"))
     assert(TableLog.readWherePoint(spark, t, "k", 999999L)
       .collect().map(_.getLong(1)).toSeq == Seq(-1L))
+    // maintenance that asks for them keeps blooms alive: post-compaction
+    // point probes still prune and still find every row
+    TableLog.compact(spark, t, targetBytes = 64L << 10,
+      bloomStatsCols = Seq("k"))
+    val afterCompact = TableLog.snapshot(t).get
+    assert(afterCompact.files.forall(_.strStats.exists(_.col == "bloom:k")))
+    assert(TableLog.prunedFilesPoint(spark, t, "k", 42L).size <
+      afterCompact.files.size)
+    assert(TableLog.readWherePoint(spark, t, "k", 42L)
+      .collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // ...and a copy-on-write delete rebuilds them for its rewritten files
+    TableLog.deleteWhere(spark, t, "k", 42, 42, bloomStatsCols = Seq("k"))
+    assert(TableLog.readWherePoint(spark, t, "k", 42L).count() == 0)
+    assert(TableLog.snapshot(t).get.files
+      .forall(_.strStats.exists(_.col == "bloom:k")))
   }
 
   test("maintainAgg absorbs a copy-on-write delete as an O(delta) refresh") {
