@@ -295,21 +295,31 @@ object TableLog {
   // untouched — range readers look up their own column name and never
   // see bloom entries. Like all stats: prune IO, never semantics (a
   // file without a bloom is kept; the residual filter still applies).
-  private[graft] val bloomM = 8192 // bits per file
+  private[graft] val bloomM = 1 << 15 // bits per file (4 KiB bitset)
   private[graft] val bloomK = 4 // probe hashes
+  /** A bloom filled past this prunes ~nothing (FPP = fill^k ≈ 13% at
+    * 0.6) while still costing manifest bytes — OMIT it instead. The
+    * honest domain of a MANIFEST-carried bloom is ingest-grain files
+    * (≲ 5k distinct keys at ~1% FPP); a saturated big-file bloom is
+    * parquet-footer territory, and absence keeps the file (stats prune
+    * IO, never semantics). */
+  private[graft] val bloomMaxFill = 0.6
 
   private def bloomStatName(c: String) = s"bloom:$c"
 
-  /** The k bit positions for probe value `v`, computed THROUGH a
-    * one-row Spark plan so the hash is bit-identical to the builder's
-    * distributed `xxhash64` (driver-reimplementing the hash would
-    * silently diverge on type widening). Metadata-sized work. */
-  private def bloomPositions(spark: SparkSession, v: Any): Seq[Int] = {
+  /** The k bit positions for probe value `v` under modulus `m`,
+    * computed THROUGH a one-row Spark plan so the hash is bit-identical
+    * to the builder's distributed `xxhash64` (driver-reimplementing the
+    * hash would silently diverge on type widening). Metadata-sized
+    * work; `m`/`k` come from the STAT being probed, so files written
+    * under any historical sizing keep pruning correctly. */
+  private def bloomPositions(spark: SparkSession, v: Any, m: Int,
+      k: Int): Seq[Int] = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
-    val r = spark.range(1).select((0 until bloomK).map(i =>
-      pmod(xxhash64(lit(i), lit(v)), lit(bloomM.toLong)).cast("int")
+    val r = spark.range(1).select((0 until k).map(i =>
+      pmod(xxhash64(lit(i), lit(v)), lit(m.toLong)).cast("int")
         .as(s"p$i")): _*).head()
-    (0 until bloomK).map(r.getInt)
+    (0 until k).map(r.getInt)
   }
 
   private def renderBloom(positions: Iterable[Int]): String = {
@@ -390,12 +400,15 @@ object TableLog {
           scan.groupBy(input_file_name().as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()
-            .map { r =>
+            .flatMap { r =>
               val pos = (1 to bloomK).flatMap(i =>
-                r.getSeq[Int](i))
-              r.getString(0).split("/").last ->
+                r.getSeq[Int](i)).distinct
+              // saturated bloom (high-NDV file): omit — it would prune
+              // ~nothing and absence keeps the file
+              if (pos.size.toDouble / bloomM > bloomMaxFill) None
+              else Some(r.getString(0).split("/").last ->
                 FileStrStat(bloomStatName(c), renderBloom(pos),
-                  s"$bloomM,$bloomK")
+                  s"$bloomM,$bloomK"))
             }
         }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSeq }
       }
@@ -730,10 +743,15 @@ object TableLog {
 
   private def prunedFilesPointOf(s: Snapshot, spark: SparkSession,
       c: String, v: Any): Seq[FileEntry] = {
-    val pos = bloomPositions(spark, v)
+    // positions depend on the stat's own (m, k): one tiny plan per
+    // distinct sizing present in the snapshot (normally exactly one)
+    val posFor = scala.collection.mutable.HashMap[(Int, Int), Seq[Int]]()
     s.files.filter(f =>
-      f.strStats.find(_.col == bloomStatName(c))
-        .forall(st => bloomMayContain(st.min, pos)))
+      f.strStats.find(_.col == bloomStatName(c)).forall { st =>
+        val Array(m, k) = st.max.split(",", 2).map(_.toInt)
+        bloomMayContain(st.min,
+          posFor.getOrElseUpdate((m, k), bloomPositions(spark, v, m, k)))
+      })
   }
 
   /** Point-lookup read through the manifest bloom stats: scan only the

@@ -35,6 +35,7 @@ object IncStats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "compact") { runCompact(spark, sfDir); spark.stop(); return }
+    if (mode == "bloom") { runBloom(spark, sfDir); spark.stop(); return }
     if (mode != "text") { runVec(spark, sfDir, mode); spark.stop(); return }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val base = docs.where(col("doc_id") % 20 =!= 0)
@@ -111,6 +112,56 @@ object IncStats {
       s""""files_after":$filesAfter,"probe_before_sec":${f"$before%.3f"},""" +
       s""""probe_after_sec":${f"$after%.3f"},""" +
       s""""decisions_equal":${decBefore == decAfter}}""")
+  }
+
+  /** Bloom point-lookup benefit at the INGEST GRAIN (the bloom's honest
+    * domain — saturated big-file blooms are omitted by design): a
+    * 64-file TableLog table from a 5% slice, partitioned on the WRONG
+    * key for the probe (l_orderkey layout, l_partkey probe — every
+    * file's partkey range spans the domain), then a point lookup
+    * through `readWherePoint` (bloom-pruned) vs the same predicate over
+    * the full `read` (range stats blind → all files). Both sides return
+    * identical rows; min of 3 each. */
+  private def runBloom(spark: SparkSession, sfDir: String): Unit = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_orderkey") % 400 === 0)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_incstats_bloom").toString + "/t"
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.sinks.TableLog.create(spark, t,
+      li.repartition(64, col("l_orderkey")),
+      statsCols = Seq("l_partkey"), bloomStatsCols = Seq("l_partkey"))
+    // probe a MIDDLE key: every file's [min,max] partkey range contains
+    // the median, so range stats keep ~everything and only the bloom
+    // can prune
+    val v = li.agg(expr("approx_percentile(l_partkey, 0.5)"))
+      .head.getLong(0)
+    val snapFiles = graft.sinks.TableLog.snapshot(t).get.files
+    val nFiles = snapFiles.size
+    val nBloomed = snapFiles.count(_.strStats.exists(
+      _.col == "bloom:l_partkey"))
+    val kept = graft.sinks.TableLog.prunedFilesPoint(spark, t,
+      "l_partkey", v).size
+    val rangeKept = graft.sinks.TableLog.prunedFiles(t,
+      "l_partkey", v, v).size
+    def point() = graft.sinks.TableLog
+      .readWherePoint(spark, t, "l_partkey", v).count()
+    def full() = graft.sinks.TableLog.read(spark, t)
+      .where(col("l_partkey") === v).count()
+    val n1 = point(); val n2 = full()
+    require(n1 == n2, s"bloom pruning changed the answer: $n1 != $n2")
+    val pointSec = (1 to 3).map(_ => timed(point())._2).min
+    val fullSec = (1 to 3).map(_ => timed(full())._2).min
+    println(s"""{"sf":"$sfDir","mode":"bloom","files":$nFiles,""" +
+      s""""files_bloomed":$nBloomed,""" +
+      s""""files_bloom_kept":$kept,"files_range_kept":$rangeKept,""" +
+      s""""rows":$n1,"point_sec":${f"$pointSec%.3f"},""" +
+      s""""full_sec":${f"$fullSec%.3f"}}""")
   }
 
   private def runVec(spark: SparkSession, sfDir: String,

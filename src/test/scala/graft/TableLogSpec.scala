@@ -889,6 +889,16 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.readWherePoint(spark, t, "k", 42L).count() == 0)
     assert(TableLog.snapshot(t).get.files
       .forall(_.strStats.exists(_.col == "bloom:k")))
+    // a saturated (high-NDV) file's bloom is OMITTED, not stored
+    // useless: the file is kept by every probe, rows stay findable
+    TableLog.append(spark, t,
+      spark.range(1000000L, 1300000L).toDF("k").withColumn("payload", $"k"),
+      bloomStatsCols = Seq("k"))
+    assert(TableLog.snapshot(t).get.files
+      .exists(_.strStats.forall(_.col != "bloom:k")),
+      "the high-NDV files must carry no bloom")
+    assert(TableLog.readWherePoint(spark, t, "k", 1100000L)
+      .collect().map(_.getLong(0)).toSeq == Seq(1100000L))
   }
 
   test("maintainAgg absorbs a copy-on-write delete as an O(delta) refresh") {
