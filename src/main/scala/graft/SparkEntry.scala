@@ -508,6 +508,108 @@ object SparkEntry {
       .orderBy("l_partkey")
   }
 
+  /** TYPED (CDC) change feed: deletes flow to consumers as
+    * `_change_type='delete'` rows instead of being refused. Bronze is a
+    * range-clustered commit-log table with a CDC feed; two appends and
+    * one stats-pruned copy-on-write delete publish; SILVER derives the
+    * surviving state from the FEED ALONE — inserts ⊖ deletes (multiset
+    * exceptAll over the captured full rows, exact by the capture's
+    * affected = matched ⊎ kept identity) — with no access to the
+    * bronze table and no knowledge of the delete predicate. The oracle
+    * recomputes the same survivors relationally; a capture that missed
+    * a deleted row, double-delivered one, or leaked a remainder row as
+    * an insert changes the hash. (Exactly-once streaming replay of the
+    * same feed is pinned in StreamingSpec; the capture's healing
+    * idempotence in TableLogSpec.) */
+  private def o47CdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/cdc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.enableCdcFeed(t)
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 16)
+        .repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 17)
+        .repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    tl.deleteWhere(s, t, "l_orderkey", 2000, 3500,
+      statsCols = Seq("l_orderkey"))
+    val feed = tl.readFeed(s, t)
+    val ct = col(tl.changeTypeCol)
+    val ins = feed.where(ct === "insert").drop(tl.changeTypeCol)
+    val del = feed.where(ct === "delete").drop(tl.changeTypeCol)
+    ins.exceptAll(del)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Copy-on-write MERGE through the commit log: the same latest-wins
+    * upsert semantics as `o30_merge_upsert` (minus its delete clause),
+    * but committed as a stats-pruned delta — only files whose key range
+    * overlaps the source are rewritten, the rest carry by reference
+    * (TableLogSpec pins the rewrite-minimality; this oracle pins the
+    * merged rows). The table is range-clustered on the key so the
+    * update half touches a narrow file set while the insert half (keys
+    * past the old max) matches no file at all. */
+  private def o48MergeCow(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/mcow_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("price_c"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    val upd = base.where(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (col("price_c") + 500).as("price_c"))
+    val maxKey = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+        lit("I").as("status"), col("price_c"))
+    tl.mergeCow(s, t, upd.unionByName(ins), "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    tl.read(s, t).orderBy("o_orderkey")
+  }
+
+  /** APPLY CHANGES INTO: the typed CDC feed materialized as a KEYED
+    * silver table through `TableLog.applyCdc` — per key the highest
+    * feed commit version wins (versions ride the link names, parsed at
+    * read time, never stored), so bronze's re-insert of every key at v2
+    * lands as an UPDATE and the v3 delete erases both captured copies.
+    * The oracle recomputes the final keyed state relationally; a
+    * resolution that let the stale v1 row win, resurrected a deleted
+    * key, or dropped an untouched one changes the hash. */
+  private def o49CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"$tmpRoot/cdcap_$sfx"
+    val sv = s"$tmpRoot/cdcsv_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sv))
+    val li = T(s, dir, "lineitem").where(col("l_orderkey") % 30 === 18)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.enableCdcFeed(t)
+    tl.create(s, t, li.repartitionByRange(8, col("k")),
+      statsCols = Seq("k"))                                         // v1
+    tl.append(s, t, li.withColumn("qty", col("qty") + 1000)
+        .repartitionByRange(8, col("k")), statsCols = Seq("k"))     // v2: same keys
+    tl.deleteWhere(s, t, "k", 20000, 35000, statsCols = Seq("k"))   // v3
+    tl.applyCdc(s, sv, tl.readFeed(s, t, withVersion = true), "k",
+      statsCols = Seq("k"))
+    tl.read(s, sv).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("l_returnflag")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2721,6 +2823,9 @@ object SparkEntry {
     "o40_manifest_rows" -> (o40ManifestRows _),
     "o41_type_widening" -> (o41TypeWidening _),
     "o42_change_feed" -> (o42ChangeFeed _),
+    "o47_cdc_feed" -> (o47CdcFeed _),
+    "o48_merge_cow" -> (o48MergeCow _),
+    "o49_cdc_apply" -> (o49CdcApply _),
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
     "o45_delete_in" -> (o45DeleteIn _),
@@ -3963,6 +4068,32 @@ object SparkEntry {
         |FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
         |WHERE NOT (t.o_orderkey IS NOT NULL AND src.o_orderkey IS NOT NULL AND src.del = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    // latest-version-wins over the typed feed: every key re-inserted at
+    // v2 (update), the v3 delete range erased — the final keyed state
+    "o49_cdc_apply" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k,
+        |  CAST(round(l_quantity) AS BIGINT) + 1000 AS qty, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 30 = 18),
+        |k2 AS (SELECT * FROM li WHERE k NOT BETWEEN 20000 AND 35000)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM k2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the same upsert algebra as o30 minus its delete clause — which
+    // files the copy-on-write merge chose to rewrite is invisible here
+    "o48_merge_cow" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |u AS (SELECT o_orderkey, 'U' AS status, price_c + 500 AS price_c
+        |  FROM t WHERE o_orderkey % 7 = 3),
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
+        |  'I' AS status, price_c FROM t WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        |SELECT COALESCE(src.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.status ELSE t.status END AS status,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE t.price_c END AS price_c
+        |FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     // round-trip identity through two levels of Avro nesting: the read
     // flattens struct fields and the inner array back to scalars
     "o33_avro_nested" ->
@@ -4110,6 +4241,17 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM f GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // silver state derived from the typed feed alone (inserts ⊖ captured
+    // deletes) must equal the relational survivors of the same delete
+    "o47_cdc_feed" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem),
+        |u AS (SELECT * FROM li WHERE l_orderkey % 30 IN (16, 17)),
+        |k AS (SELECT * FROM u WHERE l_orderkey NOT BETWEEN 2000 AND 3500)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // survivors of a range delete over the two appended slices — which
     // files the engine chose to rewrite is invisible here, as it must be
     "o44_delete_where" ->

@@ -672,13 +672,22 @@ object DedupOps {
     // self-exclusion: on a REPLAYED batch (crash between append and the
     // caller's read) the index already holds the survivors' own rows —
     // a doc must not count as a duplicate of itself.
-    // The BATCH signatures are the broadcast side (micro-batch ≪ corpus
-    // by the incremental contract): the probe then streams the index
-    // partitions map-side instead of shuffling corpus × bands signature
-    // rows — at lake scale the index is TBs and the batch is MBs, so the
-    // shuffle this avoids IS the probe's cost (same reasoning measured
-    // on the embed side, where the wide rows made it visible at sf10).
-    val crossM = broadcast(sigs).join(idx, Seq("band", "sig"))
+    // The BATCH signatures are the broadcast side on the good path
+    // (micro-batch ≪ corpus by the incremental contract): the probe then
+    // streams the index partitions map-side instead of shuffling
+    // corpus × bands signature rows — at lake scale the index is TBs and
+    // the batch is MBs, so the shuffle this avoids IS the probe's cost.
+    // The broadcast is SIZE-GATED IN-PLAN, not hinted (the
+    // jaccardVerifiedPairs gate pattern): `sigs` is materialized into
+    // its cache HERE, so the static planner decides from the cache's
+    // exact byte size, and whenever it statically picks a shuffle, AQE
+    // re-checks the actual size at runtime (adaptive threshold 64 MB).
+    // A bulk backfill batch therefore degrades to a sort-merge join —
+    // extra exchanges — instead of OOMing the driver on an unconditional
+    // batch broadcast. (The honest path for corpus-scale backfill
+    // remains buildSignatureIndex.)
+    sigs.count() // materialize: grounds the planner's size estimate
+    val crossM = sigs.join(idx, Seq("band", "sig"))
       .where(col("__idx_id") =!= col("id"))
       .groupBy(col("id")).agg(min(col("__idx_id")).as("__cm"))
     val withinM = candidatePairsFromSigs(sigs)
@@ -773,11 +782,14 @@ object DedupOps {
     val clustered = embedKeyed(df, idCol, vecCol, blockCol, bits)
       .repartitionByRange(col("blk"))
       .sortWithinPartitions("blk")
+    // `bits` is a PIN (structural constant), not an additive counter:
+    // create refuses a non-empty table and append asserts pin equality,
+    // so a re-run build or a racing cold-start batch fails loudly
+    // instead of silently doubling the width every probe depends on
     graft.sinks.TableLog.create(spark, table, clustered,
       strStatsCols = Seq("blk"),
-      counterDelta = Map(
-        "docs" -> df.select(col(idCol)).distinct().count(),
-        "bits" -> bits.toLong))
+      counterDelta = Map("docs" -> df.select(col(idCol)).distinct().count()),
+      counterPin = Map("bits" -> bits.toLong))
   }
 
   /** Near-dup dedup of a NEW embedding batch against the block index,
@@ -832,22 +844,29 @@ object DedupOps {
       else graft.sinks.TableLog.readWhereIn(spark, table, "blk", keys)
         .select(col("id").as("__iid"), col("blk"),
           col("qe").as("__iqe"), col("nrm").as("__inrm"))
-    // the BATCH is the broadcast side by the incremental contract (a
-    // micro-batch ≪ the corpus): the probe then never shuffles the
-    // index's wide quantized rows — the cosine verify runs map-side over
-    // the matching index files, and per-batch network cost is one batch
-    // broadcast. (Measured at sf10: the same verify as a shuffle join
-    // moved ~1 KB/row index arrays and cost 4.3s of an 11.7s batch.)
-    // Backfills large enough to strain a broadcast should rebuild the
-    // index wholesale instead — that path is the batch one, not this.
-    val crossM = broadcast(bk).join(idx, Seq("blk"))
+    // the BATCH is the broadcast side on the good path by the
+    // incremental contract (a micro-batch ≪ the corpus): the probe then
+    // never shuffles the index's wide quantized rows — the cosine verify
+    // runs map-side over the matching index files, and per-batch network
+    // cost is one batch broadcast. (Measured at sf10: the same verify as
+    // a shuffle join moved ~1 KB/row index arrays and cost 4.3s of an
+    // 11.7s batch.) The broadcast is SIZE-GATED IN-PLAN, not hinted (the
+    // jaccardVerifiedPairs gate): `bk` was just materialized into its
+    // cache by the `keys` collect above, so the static planner decides
+    // from the cache's exact byte size, with AQE's runtime re-check as
+    // the second layer — a bulk backfill batch degrades to a sort-merge
+    // join instead of OOMing on an unconditional batch broadcast.
+    // (Corpus-scale backfill should rebuild via buildEmbedIndex.)
+    val crossM = bk.join(idx, Seq("blk"))
       .where(col("__iid") =!= col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__iqe"), col("__inrm"))
           >= thresholdMicro)
       .groupBy(col("id")).agg(min(col("__iid")).as("__cm"))
     val b2 = bk.select(col("id").as("__bid"), col("blk"),
       col("qe").as("__bqe"), col("nrm").as("__bnrm"))
-    val withinM = bk.join(broadcast(b2), Seq("blk"))
+    // same in-plan gate: both sides read the materialized cache, so the
+    // size decision is exact either way
+    val withinM = bk.join(b2, Seq("blk"))
       .where(col("__bid") < col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__bqe"), col("__bnrm"))
           >= thresholdMicro)
@@ -869,11 +888,15 @@ object DedupOps {
       .repartitionByRange(col("blk"))
       .sortWithinPartitions("blk")
     val newDocs = survivors.select(col("id")).distinct().count()
+    // cold-start pins `bits` with SET semantics: if a racing first batch
+    // already committed a different width, the CAS loop's pin assert
+    // fails this append loudly (its rows were blocked under the losing
+    // width) instead of silently doubling the pin
     val v = graft.sinks.TableLog.append(spark, table, survivors,
       strStatsCols = Seq("blk"), txnId = txnId,
-      counterDelta =
-        if (existing) Map("docs" -> newDocs)
-        else Map("docs" -> newDocs, "bits" -> bits.toLong))
+      counterDelta = Map("docs" -> newDocs),
+      counterPin =
+        if (existing) Map.empty else Map("bits" -> bits.toLong))
     val (idxRows, counters) = graft.sinks.TableLog.commitStats(table, v)
       .getOrElse(sys.error(
         s"incrementalEmbedDedup: commit v$v of $table unreadable"))
@@ -926,9 +949,8 @@ object DedupOps {
     // the index pointing at the old, still-consistent codebook.
     graft.sinks.TableLog.create(spark, table, assigned,
       statsCols = Seq("cell"),
-      counterDelta = Map(
-        "docs" -> df.select(col(idCol)).distinct().count(),
-        "cbv" -> cbv))
+      counterDelta = Map("docs" -> df.select(col(idCol)).distinct().count()),
+      counterPin = Map("cbv" -> cbv))
   }
 
   /** The assignment codebook at the version PINNED in the index manifest
@@ -1004,8 +1026,9 @@ object DedupOps {
     * files whose `cell` stats overlap the batch's cells
     * (`readWhereInLong` — the cell-clustered layout makes this
     * partition-style pruning), verify cosine on quantized integer dots
-    * with the batch broadcast (the index's wide rows never shuffle),
-    * append survivors cell-clustered. Same dup rule, replay, and
+    * with the batch as the size-gated broadcast side (the index's wide
+    * rows never shuffle on the good path), append survivors
+    * cell-clustered. Same dup rule, replay, and
     * manifest-accounting contract as `incrementalEmbedDedup`; the probe
     * cell list is ≤ min(batch, nlist) driver-side longs. */
   def incrementalSemanticDedup(spark: org.apache.spark.sql.SparkSession,
@@ -1031,14 +1054,19 @@ object DedupOps {
       else graft.sinks.TableLog.readWhereInLong(spark, table, "cell", cells)
         .select(col("id").as("__iid"), col("cell"),
           col("qe").as("__iqe"), col("nrm").as("__inrm"))
-    val crossM = broadcast(bk).join(idx, Seq("cell"))
+    // size-gated in-plan like the embed twin: `bk` is already in cache
+    // (the `cells` collect materialized it), so the batch side
+    // broadcasts when its EXACT size is small and degrades to a
+    // sort-merge join on a bulk backfill batch — never an unconditional
+    // broadcast OOM
+    val crossM = bk.join(idx, Seq("cell"))
       .where(col("__iid") =!= col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__iqe"), col("__inrm"))
           >= thresholdMicro)
       .groupBy(col("id")).agg(min(col("__iid")).as("__cm"))
     val b2 = bk.select(col("id").as("__bid"), col("cell"),
       col("qe").as("__bqe"), col("nrm").as("__bnrm"))
-    val withinM = bk.join(broadcast(b2), Seq("cell"))
+    val withinM = bk.join(b2, Seq("cell"))
       .where(col("__bid") < col("id") &&
         cosMicro(col("qe"), col("nrm"), col("__bqe"), col("__bnrm"))
           >= thresholdMicro)

@@ -287,9 +287,9 @@ object TableLog {
   // ---- manifest bloom stats: point-lookup pruning where range stats
   // are blind. A [min,max] range on an UNCLUSTERED high-cardinality key
   // spans nearly the whole domain in every file, so readWhere prunes
-  // nothing; a small per-file Bloom filter (1 KiB, k=4 — ~2% FPP at 1k
-  // distinct keys/file) answers "can this file contain key = v" for an
-  // equality probe. Stored in the existing string-stat slot under the
+  // nothing; a small per-file Bloom filter (4 KiB, k=4 — ~0.02% FPP at
+  // 1k distinct keys/file) answers "can this file contain key = v" for
+  // an equality probe. Stored in the existing string-stat slot under the
   // reserved name `bloom:<col>` (min = base64 bitset, max = "m,k"), so
   // the manifest format, parser, and every existing reader are
   // untouched — range readers look up their own column name and never
@@ -300,7 +300,7 @@ object TableLog {
   /** A bloom filled past this prunes ~nothing (FPP = fill^k ≈ 13% at
     * 0.6) while still costing manifest bytes — OMIT it instead. The
     * honest domain of a MANIFEST-carried bloom is ingest-grain files
-    * (≲ 5k distinct keys at ~1% FPP); a saturated big-file bloom is
+    * (~1% FPP at 3k distinct keys, ~4% at 5k); a saturated big-file bloom is
     * parquet-footer territory, and absence keeps the file (stats prune
     * IO, never semantics). */
   private[graft] val bloomMaxFill = 0.6
@@ -799,7 +799,19 @@ object TableLog {
       statsCols: Seq[String] = Nil, txnId: Option[String] = None,
       strStatsCols: Seq[String] = Nil,
       counterDelta: Map[String, Long] = Map.empty,
-      bloomStatsCols: Seq[String] = Nil): Long = {
+      bloomStatsCols: Seq[String] = Nil,
+      counterPin: Map[String, Long] = Map.empty): Long = {
+    // `counterPin`: SET-semantics counters for structural constants (an
+    // index's sign-bit width, its pinned codebook version) — set when
+    // absent, ASSERTED equal when present. Summing a pin like an
+    // additive delta (the old failure mode: re-running an index build,
+    // or two racing cold-start batches, doubled the pinned value) makes
+    // every later probe block with the wrong constant — zero recall, no
+    // error. The assert runs INSIDE the CAS loop against the freshly
+    // re-read base, so the losing racer fails LOUDLY instead.
+    require(counterDelta.keySet.intersect(counterPin.keySet).isEmpty,
+      s"append to $table: ${counterDelta.keySet.intersect(counterPin.keySet)}" +
+        " passed as both additive delta and pin")
     // idempotence: if this transaction already committed (a replayed
     // streaming micro-batch after a crash-restart), do nothing — the
     // manifest chain IS the transaction log. O(versions) scan; a
@@ -830,7 +842,14 @@ object TableLog {
       // append's contribution is never lost (the loser re-reads base)
       val bc = base.map(_.counters).getOrElse(Map.empty[String, Long])
       val counters = bc ++ counterDelta.map { case (k, d) =>
-        k -> (bc.getOrElse(k, 0L) + d) }
+        k -> (bc.getOrElse(k, 0L) + d) } ++ counterPin.map { case (k, p) =>
+        bc.get(k).foreach(v => require(v == p,
+          s"append to $table: pinned counter '$k' is $v but this writer " +
+            s"expects $p — a pin records a structural constant and cannot " +
+            "be changed by an append (rebuild the table, or swing it via " +
+            "rewrite's counterSet)"))
+        k -> p
+      }
       val action = if (base.isEmpty) "create" else "append"
       // an append commits O(appended files): a delta manifest, except
       // every checkpointInterval-th version (and v1), which writes the
@@ -848,7 +867,7 @@ object TableLog {
     // change-feed publication: heals any crashed prior publish too. A
     // crash between the commit above and this publish is the same
     // window — healed by the NEXT append (or an explicit publishFeed).
-    if (feedEnabled(table)) publishFeed(table)
+    if (feedEnabled(table)) publishFeed(spark, table)
     committed
   }
 
@@ -859,13 +878,26 @@ object TableLog {
       .flatMap(v => parseRec(manifestPath(table, v)))
       .find(_.txn.contains(txnId)).map(_.version)
 
-  /** Create (version 1) — append on an empty table, named for intent. */
+  /** Create (version 1) — append on an empty table, named for intent,
+    * and ENFORCED: re-running a build against a table that already has
+    * committed versions would merge its counter deltas into the
+    * existing totals (docs doubled, pins corrupted) instead of starting
+    * the accounting — refuse loudly. (The check is a fast-path guard;
+    * a writer racing between check and commit is still caught by the
+    * CAS loop's pin assert.) */
   def create(spark: SparkSession, table: String, df: DataFrame,
       statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
       counterDelta: Map[String, Long] = Map.empty,
-      bloomStatsCols: Seq[String] = Nil): Long =
+      bloomStatsCols: Seq[String] = Nil,
+      counterPin: Map[String, Long] = Map.empty): Long = {
+    require(latestVersion(table) == 0L,
+      s"create($table): table already has ${latestVersion(table)} committed " +
+        "version(s) — create commits version 1 only; use append, or point " +
+        "the build at a fresh table")
     append(spark, table, df, statsCols, strStatsCols = strStatsCols,
-      counterDelta = counterDelta, bloomStatsCols = bloomStatsCols)
+      counterDelta = counterDelta, bloomStatsCols = bloomStatsCols,
+      counterPin = counterPin)
+  }
 
   /** The row count and cumulative counters recorded in version `v`'s
     * manifest — one small-file read, NO data scan and no delta-chain
@@ -923,19 +955,66 @@ object TableLog {
   // `vacuumFeed` — deleting a marker would make healing re-link a
   // version whose links were deliberately retired.
   //
-  // The feed is append-only BY CONSTRUCTION: `rewrite` refuses
+  // The PLAIN feed is append-only BY CONSTRUCTION: `rewrite` refuses
   // data-changing actions on a feed-enabled table (layout-only
   // compact/zorder stay allowed — their rows were already delivered by
   // the appends that produced them), because an add-only file feed
   // cannot represent an update/delete. That is Delta CDF's contract
   // minus update capture, enforced at write time instead of surfacing
   // as consumer corruption.
+  //
+  // The TYPED (CDC) feed lifts exactly the delete half of that
+  // restriction: `enableCdcFeed` adds a `_cdc` marker, reads gain a
+  // `_change_type` column ('insert' | 'delete'), and the stats-pruned
+  // copy-on-write deletes (`deleteWhere`/`deleteWhereIn`) become legal
+  // on the table — their DELETED ROWS are captured into the feed as
+  // typed rows, so a downstream derives the surviving state as
+  // inserts ⊖ deletes (multiset exceptAll) instead of re-running the
+  // delete manually. Capture is manifest-derived, not
+  // predicate-replayed: deleted = scan(removed files) exceptAll
+  // scan(remainder files), exact by the delete's multiset identity
+  // (affected = matched ⊎ kept), so healing needs no record of the
+  // predicate. The capture is STAGED under `_feed_stage/v<N>/`
+  // (idempotent: reused when `_SUCCESS` exists, rewritten otherwise)
+  // and hard-linked into the feed under deterministic names
+  // (`v<N>_cdc_<part>`), so a crash anywhere between manifest commit
+  // and done-marker is healed by the next publish without ever
+  // double-delivering a row to the FileStreamSource's seen-path log.
+  // Insert links are untouched data files with NO `_change_type`
+  // column — the read faces declare it in the schema (absent column
+  // reads null) and coalesce null to 'insert', so publication stays
+  // O(added files) metadata with zero data rewrite. Updates remain out
+  // of scope: merge/refresh rewrites are still refused on any feed
+  // table (model an update as delete + append).
 
   private def feedDir(table: String): Path = Paths.get(table, "_feed")
   private def feedMarker(table: String, v: Long): Path =
     feedDir(table).resolve(f"_done_v$v%09d")
+  private def cdcMarker(table: String): Path = feedDir(table).resolve("_cdc")
+  private def cdcStageDir(table: String, v: Long): Path =
+    Paths.get(table, "_feed_stage", f"v$v%09d")
+
+  /** Column name the typed feed's change kind is delivered under. */
+  val changeTypeCol = "_change_type"
+
+  /** Column name the feed's COMMIT VERSION is delivered under (opt-in
+    * via `withVersion`): parsed from the link's own `v<N>_` prefix, so
+    * it costs nothing to store and gives consumers the log's total
+    * order — what `applyCdc` uses to resolve latest-wins per key. */
+  val changeVersionCol = "_change_version"
 
   def feedEnabled(table: String): Boolean = Files.isDirectory(feedDir(table))
+
+  def cdcFeedEnabled(table: String): Boolean = Files.exists(cdcMarker(table))
+
+  /** Opt the table into the TYPED change feed: like `enableFeed`, plus
+    * copy-on-write deletes are permitted and captured as
+    * `_change_type='delete'` rows (see the section comment). */
+  def enableCdcFeed(table: String): Unit = {
+    Files.createDirectories(feedDir(table))
+    try { Files.write(cdcMarker(table), Array.emptyByteArray); () }
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
 
   /** Opt the table into change-feed publication. Appends from here on
     * auto-publish; pre-existing RETAINED history is back-filled by the
@@ -955,10 +1034,14 @@ object TableLog {
     * sanctioned escape when a feed-enabled table needs a delete — any
     * consumer checkpoint becomes orphaned, which is the point: the feed
     * contract cannot survive a data-changing rewrite. */
-  def disableFeed(table: String): Unit =
+  def disableFeed(table: String): Unit = {
     if (feedEnabled(table))
       org.apache.commons.io.FileUtils.deleteDirectory(
         feedDir(table).toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      Paths.get(table, "_feed_stage").toFile)
+    ()
+  }
 
   /** Start the feed at the CURRENT snapshot: link the latest version's
     * full file list as the feed's initial state and mark every earlier
@@ -988,6 +1071,12 @@ object TableLog {
       try Files.createLink(link, Paths.get(table, path))
       catch {
         case _: java.nio.file.FileAlreadyExistsException => () // racing publisher
+        case _: java.nio.file.NoSuchFileException => ()
+          // a concurrent vacuum removed the original (or disableFeed the
+          // _feed dir) mid-publish: the version's rows are gone on
+          // purpose — skip rather than fail an append whose manifest has
+          // already committed (the caller would see a failed append that
+          // actually committed)
         case _: UnsupportedOperationException => // cross-device / no-link FS
           Files.copy(Paths.get(table, path), link,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -1019,9 +1108,17 @@ object TableLog {
 
   /** Publish every unpublished version's added files into the feed.
     * Idempotent and healing (see the section comment); called
-    * automatically by `append` on feed-enabled tables. Returns the link
-    * names published by THIS call. */
-  def publishFeed(table: String): Seq[String] = {
+    * automatically by `append` (and, in CDC mode, the deletes) on
+    * feed-enabled tables. Returns the link names published by THIS
+    * call. The no-SparkSession overload serves plain append-only
+    * feeds; healing a CDC delete's capture needs the Spark overload. */
+  def publishFeed(table: String): Seq[String] = publishFeedImpl(table, None)
+
+  def publishFeed(spark: SparkSession, table: String): Seq[String] =
+    publishFeedImpl(table, Some(spark))
+
+  private def publishFeedImpl(table: String,
+      sparkOpt: Option[SparkSession]): Seq[String] = {
     require(feedEnabled(table),
       s"publishFeed($table): feed not enabled — call enableFeed first")
     val latest = latestVersion(table)
@@ -1044,9 +1141,22 @@ object TableLog {
                   adds.foreach(p => out += linkIntoFeed(table, v, p))
                 case "compact" | "zorder" =>
                   () // layout-only: these rows were already delivered
+                case "delete" if cdcFeedEnabled(table) =>
+                  val spark = sparkOpt.getOrElse(sys.error(
+                    s"publishFeed($table): healing version $v's delete " +
+                      "capture needs a SparkSession — call " +
+                      "publishFeed(spark, table)"))
+                  val (addP, rmP) =
+                    if (r.kind == "delta") (r.adds.map(_.path), r.removes)
+                    else {
+                      val cur = r.files.map(_.path)
+                      (cur.filterNot(prev), (prev -- cur).toSeq.sorted)
+                    }
+                  out ++= publishCdcDelete(spark, table, v, rmP, addP,
+                    r.schemaJson)
                 case other => sys.error(
                   s"publishFeed($table): version $v is a data-changing " +
-                    s"rewrite ('$other') an append-only feed cannot represent" +
+                    s"rewrite ('$other') this feed cannot represent" +
                     " — start from publishInitialSnapshot instead")
               }
               case None =>
@@ -1056,19 +1166,97 @@ object TableLog {
                   snap.files.foreach(f => out += linkIntoFeed(table, v, f.path)))
             }
             writeFeedMarker(table, v)
+            // marker down: retire the capture stage (links pin the inodes)
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              cdcStageDir(table, v).toFile)
         }
       }
     }
     out.result()
   }
 
-  /** Batch read of everything the feed has delivered so far (each
-    * appended row exactly once), under the table's recorded schema. */
-  def readFeed(spark: SparkSession, table: String): DataFrame = {
-    require(feedEnabled(table), s"readFeed($table): feed not enabled")
-    spark.read.schema(feedSchema(spark, table))
-      .parquet(feedDir(table).toString)
+  /** Capture version `v`'s DELETED rows into the feed: scan the removed
+    * files, exceptAll the remainder files (exact — the delete's audit
+    * guarantees affected = matched ⊎ kept as multisets), stamp
+    * `_change_type='delete'`, stage once, link deterministically. Runs
+    * right after the delete's commit on the normal path; a crash
+    * before the done-marker re-enters here idempotently (the removed
+    * files exist until a vacuum drops the PRE-delete versions, which
+    * retention never does inside a crash-heal window). */
+  private def publishCdcDelete(spark: SparkSession, table: String, v: Long,
+      removedPaths: Seq[String], addedPaths: Seq[String],
+      schemaJson: Option[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    if (removedPaths.isEmpty) return Nil
+    val stage = cdcStageDir(table, v)
+    if (!Files.exists(stage.resolve("_SUCCESS"))) {
+      val removed = scanFiles(spark, schemaJson,
+        removedPaths.map(p => s"$table/$p"))
+      val captured =
+        (if (addedPaths.isEmpty) removed
+         else removed.exceptAll(scanFiles(spark, schemaJson,
+           addedPaths.map(p => s"$table/$p"))))
+        .withColumn(changeTypeCol, lit("delete"))
+      captured.write.mode("overwrite").parquet(stage.toString)
+    }
+    listDir(stage).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+      .map { n =>
+        val link = feedDir(table).resolve(f"v$v%09d_cdc_$n")
+        if (!Files.exists(link)) {
+          try Files.createLink(link, stage.resolve(n))
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: UnsupportedOperationException =>
+              Files.copy(stage.resolve(n), link,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        link.getFileName.toString
+      }
   }
+
+  /** Batch read of everything the feed has delivered so far (each
+    * appended row exactly once), under the table's recorded schema.
+    * On a TYPED (CDC) feed the result carries `_change_type`
+    * ('insert' | 'delete'): insert links hold no such column (they are
+    * untouched data files) and read it as null, coalesced here — so a
+    * consumer derives the surviving state as
+    * inserts.exceptAll(deletes), exact by the capture's multiset
+    * identity. */
+  def readFeed(spark: SparkSession, table: String,
+      withVersion: Boolean = false): DataFrame = {
+    require(feedEnabled(table), s"readFeed($table): feed not enabled")
+    val base =
+      if (!cdcFeedEnabled(table))
+        spark.read.schema(feedSchema(spark, table))
+          .parquet(feedDir(table).toString)
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        spark.read.schema(cdcSchema(spark, table))
+          .parquet(feedDir(table).toString)
+          .withColumn(changeTypeCol,
+            coalesce(col(changeTypeCol), lit("insert")))
+      }
+    if (withVersion) withChangeVersion(base) else base
+  }
+
+  /** The commit version each feed row was published under, parsed from
+    * the link name's `v<N>_` prefix — free (no stored column), and the
+    * same total order the manifest chain defines. */
+  private def withChangeVersion(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    df.withColumn(changeVersionCol,
+      regexp_extract(input_file_name(), "/v(\\d{9})_", 1).cast("long"))
+  }
+
+  private def cdcSchema(spark: SparkSession,
+      table: String): org.apache.spark.sql.types.StructType =
+    feedSchema(spark, table)
+      .add(changeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = true)
 
   /** The feed as an unbounded stream: Spark's incremental parquet file
     * source over the feed dir — new links picked up per trigger, seen
@@ -1080,11 +1268,22 @@ object TableLog {
     * restart; until then the old files' absent columns read as null and
     * new columns are projected away. */
   def changeFeedStream(spark: SparkSession, table: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      withVersion: Boolean = false): DataFrame = {
     require(feedEnabled(table), s"changeFeedStream($table): feed not enabled")
-    val r = spark.readStream.schema(feedSchema(spark, table))
+    val cdc = cdcFeedEnabled(table)
+    val sch = if (cdc) cdcSchema(spark, table) else feedSchema(spark, table)
+    val r = spark.readStream.schema(sch)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(feedDir(table).toString)
+    val df = r.parquet(feedDir(table).toString)
+    val typed =
+      if (!cdc) df
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        df.withColumn(changeTypeCol,
+          coalesce(col(changeTypeCol), lit("insert")))
+      }
+    if (withVersion) withChangeVersion(typed) else typed
   }
 
   private def feedSchema(spark: SparkSession,
@@ -1189,9 +1388,10 @@ object TableLog {
     * LayoutOps.compact, published as a manifest commit instead of a
     * directory swap. */
   def compact(spark: SparkSession, table: String, targetBytes: Long,
-      statsCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
       bloomStatsCols: Seq[String] = Nil): Long =
     rewrite(spark, table, "compact", statsCols = statsCols,
+        strStatsCols = strStatsCols,
         bloomStatsCols = bloomStatsCols) { df =>
       val bytes = snapshot(table).get.files.map(f =>
         Files.size(Paths.get(table, f.path))).sum
@@ -1262,9 +1462,11 @@ object TableLog {
       keep: DataFrame => DataFrame, statsCols: Seq[String],
       strStatsCols: Seq[String], txnId: Option[String],
       bloomStatsCols: Seq[String]): Long = {
-    require(!feedEnabled(table),
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"delete on feed-enabled table $table: the append-only change " +
-        s"feed cannot represent a delete — remove ${feedDir(table)} first")
+        s"feed cannot represent a delete — enableCdcFeed($table) to " +
+        "capture deletes as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     var committed = -1L
     while (committed < 0) {
@@ -1296,6 +1498,9 @@ object TableLog {
             base.counters)
       if (tryCommit(table, r)) committed = version
     }
+    // typed-feed capture of the deleted rows; crash before the marker
+    // is healed by the next publish (same window as append's)
+    if (feedEnabled(table)) publishFeed(spark, table)
     committed
   }
 
@@ -1327,6 +1532,199 @@ object TableLog {
         df.join(srcKeys, keyCols, "left_anti").unionByName(src)
       }
     } finally src.unpersist()
+  }
+
+  /** Stats-pruned COPY-ON-WRITE upsert through the log — `mergeUpsert`
+    * generalized the way `deleteWhere` generalizes a full rewrite:
+    * latest-wins merge of `source` on LONG key `keyCol`, rewriting ONLY
+    * the files whose manifest stat range can contain a source key —
+    * every other file provably holds no matched row and carries over BY
+    * REFERENCE (same path, never read, never copied) in a delta
+    * manifest (removes = affected paths, adds = their rewritten
+    * remainders + the source's rows). Merge cost is therefore
+    * O(affected files + source + manifest), not O(table): on a
+    * range-clustered 100 TB table an upsert touching a day's key span
+    * reads and rewrites a handful of files where `mergeUpsert`'s
+    * full-snapshot rewrite streams the whole table through the cluster.
+    * The source's key summary picks the prune: an exact key list (per-
+    * file containment, tightest) when the source has ≤ 1024 distinct
+    * keys, the [min,max] span otherwise — both driver-bounded. Rows are
+    * audited independently (new = affected − matched + source, with
+    * `matched` counted by a semi join over ONLY the affected files);
+    * duplicate source keys are refused; counters carry over verbatim;
+    * commits CAS-retry against racing writers like every other path.
+    * Feed tables refuse (an upsert is a delete+insert the add-only feed
+    * cannot represent; on a CDC table model it as deleteWhere + append,
+    * which captures both halves). NULL source keys are refused — a NULL
+    * key matches no row and would silently land as an unmatchable
+    * insert. */
+  def mergeCow(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
+      max, min}
+    require(!feedEnabled(table),
+      s"mergeCow on feed-enabled table $table: the change feed cannot " +
+        "represent an upsert — on a CDC feed run deleteWhere + append " +
+        "so both halves are captured, or disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val src = source.cache()
+    try {
+      import org.apache.spark.sql.functions.{count => cnt}
+      val st = src.agg(cnt(lit(1)), cnt(col(keyCol)),
+        countDistinct(col(keyCol))).head()
+      val srcRows = st.getLong(0)
+      if (srcRows == 0) return latestVersion(table)
+      require(st.getLong(1) == srcRows,
+        s"mergeCow: NULL keys in source ($keyCol)")
+      require(st.getLong(2) == srcRows,
+        s"mergeCow: duplicate keys in source ($keyCol)")
+      cowApply(spark, table, src, srcRows, src.select(col(keyCol)),
+        keyCol, statsCols, strStatsCols, txnId, bloomStatsCols)
+    } finally src.unpersist()
+  }
+
+  /** Apply a batch of TYPED changes (the CDC feed's shape: table
+    * columns + `_change_type` + `_change_version`) onto a KEYED table
+    * in ONE copy-on-write commit — the "apply changes into" half of the
+    * medallion pattern, turning a bronze CDC feed into a keyed silver
+    * table. Per key the HIGHEST `_change_version` wins (the feed's link
+    * names carry the bronze commit order, so cross-batch reorderings
+    * inside one trigger resolve exactly as the log serialized them): a
+    * winning insert upserts the row, a winning delete removes the key.
+    * One version is one action, so rows tied at the winning version are
+    * all the same type; tied INSERT rows for one key are refused
+    * (ambiguous upsert — bronze appended the same key twice in one
+    * commit), tied deletes are fine (every deleted copy was captured).
+    * Stats-pruned like `mergeCow` (only files whose key stats can hold
+    * a TOUCHED key are rewritten); single commit per batch + txn id =
+    * exactly-once under streaming replay. An empty/absent silver table
+    * bootstraps from the batch's winning inserts. */
+  def applyCdc(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    require(!feedEnabled(table),
+      s"applyCdc on feed-enabled table $table: an upsert is a " +
+        "delete+insert the feed cannot represent")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    require(changes.columns.contains(changeTypeCol) &&
+      changes.columns.contains(changeVersionCol),
+      s"applyCdc: changes must carry $changeTypeCol and $changeVersionCol " +
+        "— read the feed with withVersion = true")
+    val ch = changes.cache()
+    try {
+      if (ch.isEmpty) return latestVersion(table)
+      require(ch.where(col(keyCol).isNull).isEmpty,
+        s"applyCdc: NULL keys in changes ($keyCol)")
+      // latest-wins resolution: rows at each key's max change version
+      val vmax = ch.groupBy(col(keyCol)).agg(max(col(changeVersionCol))
+        .as("__vmax"))
+      val top = ch.join(vmax, Seq(keyCol))
+        .where(col(changeVersionCol) === col("__vmax"))
+      val ins = top.where(col(changeTypeCol) === "insert")
+        .drop(changeTypeCol, changeVersionCol, "__vmax")
+      val insSt = ins.agg(count(lit(1)),
+        org.apache.spark.sql.functions.countDistinct(col(keyCol))).head()
+      val insRows = insSt.getLong(0)
+      require(insSt.getLong(1) == insRows,
+        s"applyCdc: a key has multiple surviving insert rows at its " +
+          "winning version — ambiguous upsert")
+      // a touched key with a winning delete must still prune/anti-join,
+      // so the key set is ALL keys in the batch, not just the inserts'
+      val touched = ch.select(col(keyCol)).distinct()
+      if (latestVersion(table) == 0L)
+        // streaming bootstrap: first batch creates the silver table
+        return append(spark, table, ins, statsCols, txnId,
+          strStatsCols, bloomStatsCols = bloomStatsCols)
+      cowApply(spark, table, ins, insRows, touched, keyCol, statsCols,
+        strStatsCols, txnId, bloomStatsCols)
+    } finally { ch.unpersist(); () }
+  }
+
+  /** The bronze→keyed-silver CDC pipeline in one line: stream the typed
+    * feed (with versions) and `applyCdc` each micro-batch under txn id
+    * `<streamId>#<batchId>` — exactly-once across crash-replays, one
+    * stats-pruned commit per batch. */
+  def cdcApplyStream(spark: SparkSession, bronze: String, silver: String,
+      keyCol: String, streamId: String, checkpoint: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit =
+    graft.streaming.StreamingOps.runForeachBatch(
+      changeFeedStream(spark, bronze, withVersion = true),
+      org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
+      (batch, batchId) =>
+        applyCdc(spark, silver, batch, keyCol, statsCols,
+          txnId = Some(s"$streamId#$batchId"))
+        ()
+    }
+
+  /** Shared copy-on-write upsert commit: replace the rows whose key is
+    * in `touchedKeys` with `inserts`, rewriting only stat-overlapping
+    * files (exact key-list containment when ≤ 1024 distinct touched
+    * keys, [min,max] span above), carrying the rest by reference in a
+    * delta manifest. Audits new = affected − matched + inserts with an
+    * independent semi-join count over only the affected files. */
+  private def cowApply(spark: SparkSession, table: String,
+      inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
+      keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, min}
+    val ks = touchedKeys.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long")), countDistinct(col(keyCol))).head()
+    val (lo, hi) = (ks.getLong(0), ks.getLong(1))
+    val keyList: Option[Seq[Long]] =
+      if (ks.getLong(2) <= 1024)
+        Some(touchedKeys.select(col(keyCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq)
+      else None
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      val affected = keyList match {
+        case Some(vs) => prunedFilesInLongOf(base, keyCol, vs)
+        case None => prunedFilesOf(base, keyCol, lo, hi)
+      }
+      val affectedPaths = affected.map(_.path)
+      val (newFiles, newRows, matched, scanRows) =
+        if (affected.isEmpty) {
+          // every file's stats exclude every touched key: pure insert
+          val (nf, nr) = writeDataFiles(spark, table, inserts, statsCols,
+            strStatsCols, bloomStatsCols)
+          (nf, nr, 0L, 0L)
+        } else {
+          val scan = scanFiles(spark, base.schemaJson,
+            affectedPaths.map(p => s"$table/$p"))
+          val sRows = scan.count()
+          val m = scan.join(touchedKeys, Seq(keyCol), "left_semi").count()
+          val remainder = scan.join(touchedKeys, Seq(keyCol), "left_anti")
+          val (nf, nr) = writeDataFiles(spark, table,
+            remainder.unionByName(inserts), statsCols, strStatsCols,
+            bloomStatsCols)
+          (nf, nr, m, sRows)
+        }
+      require(newRows == scanRows - matched + insRows,
+        s"merge audit failed for $table: rewrite produced $newRows " +
+          s"rows from $scanRows affected − $matched matched + $insRows " +
+          "inserts — not committing")
+      val rows = base.rows - matched + insRows
+      val version = base.version + 1
+      // mirror delete's checkpoint cadence so delta chains stay bounded
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = affectedPaths.toSet
+          ManifestRec(version, base.version, "merge", rows, "full",
+            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
+            txnId, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "merge", rows, "delta",
+            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
   }
 
   /** Reclaim invisible garbage: data files referenced by NO manifest

@@ -729,6 +729,69 @@ class ExtOpsSpec extends SparkSpec {
     assert(graft.sinks.TableLog.snapshot(t2).get.counters.contains("bits"))
   }
 
+  test("incremental embed/semantic probe broadcast is size-gated in-plan, not hinted") {
+    // the probe joins carry no broadcast() hint: the decision is the
+    // planner's (static layer over the materialized batch cache's exact
+    // size, then AQE's runtime re-check). Proof: with BOTH gate layers
+    // disabled (-1 thresholds) the SAME operator must degrade to the
+    // shuffle formulation — zero BroadcastHashJoin anywhere in the
+    // executed probe plan (a hard-wired hint would broadcast regardless
+    // and OOM on a bulk backfill batch) — and the decisions must be
+    // byte-identical to the default-conf run.
+    val base = Seq((1L, 0L, Seq(1f, 0f, 0f, 0f)),
+      (2L, 1L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "label", "embedding")
+    val batch = Seq((4L, 0L, Seq(1f, 0f, 0f, 0f)),
+      (8L, 2L, Seq(0f, 0f, 1f, 0f)),
+      (12L, 2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "label", "embedding")
+    def run(suffix: String): (Map[Long, (Boolean, Long)], String) = {
+      val t = java.nio.file.Files.createTempDirectory(
+        s"graft_gate_$suffix").toString + "/idx"
+      graft.operators.DedupOps.buildEmbedIndex(spark, t, base,
+        "vec_id", "embedding", "label")
+      val d = graft.operators.DedupOps.incrementalEmbedDedup(spark, t,
+        batch, "vec_id", "embedding", "label", thresholdMicro = 900000)
+      val rows = d.collect().map(r =>
+        r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      (rows, d.queryExecution.executedPlan.toString)
+    }
+    val (defRows, defPlan) = run("def")
+    // good path: the tiny cached batch broadcasts (static or AQE layer)
+    assert(defPlan.contains("BroadcastHashJoin"),
+      s"expected a broadcast probe on the good path:\n$defPlan")
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val (gatedRows, gatedPlan) = run("gated")
+      assert(!gatedPlan.contains("BroadcastHashJoin"),
+        s"a disabled gate must yield the shuffle formulation — the probe " +
+          s"is hint-pinned:\n$gatedPlan")
+      assert(gatedPlan.contains("SortMergeJoin"), gatedPlan)
+      assert(gatedRows == defRows, "plan choice changed the decisions")
+      // semantic twin under the same disabled gate: completes on the
+      // shuffle path with correct decisions
+      val semBase = Seq((1L, Seq(1f, 0f, 0f, 0f)),
+        (21L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+      val ts = java.nio.file.Files.createTempDirectory(
+        "graft_gate_sem").toString + "/idx"
+      graft.operators.DedupOps.buildSemanticIndex(spark, ts, semBase,
+        "vec_id", "embedding")
+      val ds = graft.operators.DedupOps.incrementalSemanticDedup(spark, ts,
+        batch.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        thresholdMicro = 900000)
+      val dsRows = ds.collect().map(r =>
+        r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(!ds.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(dsRows(4L) == ((true, 1L)))
+      assert(dsRows(12L) == ((true, 8L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("E2 incremental semantic dedup: pinned codebook cells, verify, replay") {
     val base = Seq(
       (1L, Seq(1f, 0f, 0f, 0f)),

@@ -777,4 +777,92 @@ class StreamingSpec extends SparkSpec {
       assert(!stateFiles.exists(_.endsWith(".delta")))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("typed CDC feed stream: insert+delete rows exactly once across restart") {
+    import graft.sinks.TableLog
+    import spark.implicits._
+    val bronze = java.nio.file.Files
+      .createTempDirectory("graft_cdc_bronze").toString + "/t"
+    val silver = java.nio.file.Files
+      .createTempDirectory("graft_cdc_silver").toString + "/t"
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_cdc_ckpt").toString)
+    TableLog.enableCdcFeed(bronze)
+    def rows(a: Long, b: Long) =
+      spark.range(a, b).select($"id", ($"id" % 7).as("v"))
+    TableLog.create(spark, bronze,
+      rows(0, 50).repartitionByRange(2, $"id"), statsCols = Seq("id"))
+    TableLog.deleteWhere(spark, bronze, "id", 10, 20, statsCols = Seq("id"))
+    // the typed feed streamed into a silver commit-log table: the
+    // FileStreamSource's checkpoint is the exactly-once ledger for the
+    // read side, the txn id for the write side
+    def drain(): Unit = TableLog.appendStream(spark, silver,
+      TableLog.changeFeedStream(spark, bronze), "cdc2s", ckpt)
+    drain()
+    def silverCounts() = TableLog.read(spark, silver)
+      .groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(silverCounts() == Map("insert" -> 50L, "delete" -> 11L))
+    // restart with the same checkpoint: nothing re-delivered
+    drain()
+    assert(silverCounts() == Map("insert" -> 50L, "delete" -> 11L))
+    // new bronze activity — an append AND a delete — flows incrementally
+    TableLog.append(spark, bronze,
+      rows(50, 60).repartitionByRange(1, $"id"), statsCols = Seq("id"))
+    TableLog.deleteWhere(spark, bronze, "id", 55, 57, statsCols = Seq("id"))
+    drain()
+    assert(silverCounts() == Map("insert" -> 60L, "delete" -> 14L))
+    // the state derived from silver's typed rows equals live bronze
+    val s = TableLog.read(spark, silver)
+    val derived = s.where($"_change_type" === "insert").drop("_change_type")
+      .exceptAll(s.where($"_change_type" === "delete").drop("_change_type"))
+    assert(derived.count() == 46)
+    assert(derived.exceptAll(TableLog.read(spark, bronze)).isEmpty)
+    assert(TableLog.read(spark, bronze).exceptAll(derived).isEmpty)
+  }
+
+  test("cdcApplyStream: bronze CDC feed maintains a keyed silver table exactly once") {
+    import graft.sinks.TableLog
+    import spark.implicits._
+    val bronze = java.nio.file.Files
+      .createTempDirectory("graft_cdcapply_b").toString + "/t"
+    val silver = java.nio.file.Files
+      .createTempDirectory("graft_cdcapply_s").toString + "/t"
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_cdcapply_ck").toString)
+    TableLog.enableCdcFeed(bronze)
+    def rows(ks: Range, f: Long => Long) =
+      ks.map(k => (k.toLong, f(k.toLong))).toDF("k", "v")
+    TableLog.create(spark, bronze,
+      rows(0 until 20, identity).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, bronze, "k", 3, 5, statsCols = Seq("k"))
+    def drain(): Unit = TableLog.cdcApplyStream(spark, bronze, silver,
+      "k", "capply", ckpt, statsCols = Seq("k"))
+    drain()
+    def silverMap() = TableLog.read(spark, silver).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = (0L until 20L).filterNot(k => k >= 3 && k <= 5)
+      .map(k => k -> k).toMap
+    assert(silverMap() == s1)
+    // restart with the same checkpoint: no batch re-applies
+    val vNow = TableLog.latestVersion(silver)
+    drain()
+    assert(TableLog.latestVersion(silver) == vNow && silverMap() == s1)
+    // incremental: an UPDATE (re-insert of live keys) and a delete flow
+    // through as one applied batch each
+    TableLog.append(spark, bronze,
+      rows(10 until 25, _ * 10).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, bronze, "k", 0, 1, statsCols = Seq("k"))
+    drain()
+    val s2 = ((2L until 10L).filterNot(k => k >= 3 && k <= 5)
+      .map(k => k -> k) ++ (10L until 25L).map(k => k -> k * 10)).toMap
+    assert(silverMap() == s2)
+    // the keyed silver equals bronze's LATEST row per key (bronze holds
+    // both copies of re-inserted keys; silver resolved by version)
+    val latestBronze = TableLog.read(spark, bronze)
+      .groupBy("k").agg(org.apache.spark.sql.functions.max($"v").as("v"))
+    assert(latestBronze.exceptAll(TableLog.read(spark, silver)).isEmpty)
+  }
 }

@@ -750,6 +750,65 @@ class TableLogSpec extends SparkSpec {
     assert(s.select(countDistinct($"id")).head.getLong(0) == 130)
   }
 
+  test("typed CDC feed: deletes captured as typed rows, silver derives state, healing idempotent") {
+    val t = tmp("graft_cdc_feed")
+    TableLog.enableCdcFeed(t)
+    def rows(a: Long, b: Long) =
+      spark.range(a, b).select($"id", ($"id" * 2).as("v"))
+    TableLog.create(spark, t,
+      rows(0, 100).repartitionByRange(4, $"id"), statsCols = Seq("id"))
+    TableLog.append(spark, t,
+      rows(100, 150).repartitionByRange(2, $"id"), statsCols = Seq("id"))
+    // the CDC feed is what legalizes this delete on a feed-enabled table
+    TableLog.deleteWhere(spark, t, "id", 40, 120, statsCols = Seq("id"))
+    val feed = TableLog.readFeed(spark, t)
+    assert(feed.where($"_change_type" === "insert").count() == 150)
+    assert(feed.where($"_change_type" === "delete").count() == 81)
+    // SILVER state from the feed alone — no bronze access, no predicate
+    def state() = {
+      val f = TableLog.readFeed(spark, t)
+      f.where($"_change_type" === "insert").drop("_change_type")
+        .exceptAll(f.where($"_change_type" === "delete").drop("_change_type"))
+    }
+    assert(state().count() == 69)
+    assert(state().exceptAll(TableLog.read(spark, t)).isEmpty &&
+      TableLog.read(spark, t).exceptAll(state()).isEmpty)
+    // healing: crash between the delete's capture links and its marker —
+    // marker gone, one capture link gone; publishFeed re-creates the
+    // missing link under the SAME name, nothing double-delivers
+    val fd = java.nio.file.Paths.get(t, "_feed")
+    assert(java.nio.file.Files.deleteIfExists(fd.resolve("_done_v000000003")))
+    import scala.jdk.CollectionConverters._
+    val cdcLinks = java.nio.file.Files.list(fd).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v000000003_cdc_")).toSeq
+    assert(cdcLinks.nonEmpty)
+    java.nio.file.Files.delete(cdcLinks.head)
+    // the no-spark overload cannot heal a delete capture: loud, not silent
+    val e = intercept[RuntimeException](TableLog.publishFeed(t))
+    assert(e.getMessage.contains("SparkSession"))
+    TableLog.publishFeed(spark, t)
+    assert(TableLog.readFeed(spark, t)
+      .where($"_change_type" === "delete").count() == 81)
+    assert(state().count() == 69)
+    // idempotent replay with everything published: no-op
+    assert(TableLog.publishFeed(spark, t).isEmpty)
+    // vacuuming the table's originals never breaks the feed (links pin
+    // inodes), and the derived state still matches the live table
+    TableLog.append(spark, t,
+      rows(150, 160).repartitionByRange(1, $"id"), statsCols = Seq("id"))
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0)
+    assert(state().count() == 79)
+    assert(state().exceptAll(TableLog.read(spark, t)).isEmpty)
+    // non-CDC feed tables still refuse deletes (the plain contract holds)
+    val t2 = tmp("graft_cdc_plain")
+    TableLog.enableFeed(t2)
+    TableLog.create(spark, t2, rows(0, 10))
+    intercept[IllegalArgumentException](
+      TableLog.deleteWhere(spark, t2, "id", 0, 5))
+    // and the plain feed's read face carries NO _change_type column
+    assert(!TableLog.readFeed(spark, t2).columns.contains("_change_type"))
+  }
+
   test("deleteWhere: rewrites only overlapping files, carries the rest by reference") {
     val t = tmp("graft_log_delw")
     // 8 range-clustered files over [0, 8000)
@@ -782,6 +841,133 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.deleteWhere(spark, t, "k", 90000, 99000,
       statsCols = Seq("k")) == v)
     assert(TableLog.latestVersion(t) == v)
+  }
+
+  test("mergeCow: rewrites only key-overlapping files, carries the rest by reference") {
+    val t = tmp("graft_log_mcow")
+    // 8 range-clustered files over [0, 8000)
+    TableLog.create(spark, t,
+      spark.range(8000).select($"id".as("k"), ($"id" * 10).as("v"))
+        .repartitionByRange(8, $"k"),
+      statsCols = Seq("k"), counterDelta = Map("docs" -> 8000L))
+    val before = TableLog.snapshot(t).get
+    // update a narrow key band + insert keys past the old max (which
+    // overlap NO file — the pure-insert half must not force a rewrite)
+    val src = spark.range(2000, 2100).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(spark.range(9000, 9010)
+        .select($"id".as("k"), lit(-2L).as("v")))
+    val hot = (2000L to 2099L) ++ (9000L to 9009L)
+    val untouchedBefore = before.files.filterNot(f =>
+      f.stats.exists(s => s.col == "k" &&
+        hot.exists(k => s.min <= k && k <= s.max)))
+    assert(untouchedBefore.size >= 6, "fixture: most files must not overlap")
+    val v = TableLog.mergeCow(spark, t, src, "k", statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    // semantics: latest-wins upsert
+    assert(after.rows == 8010)
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 8010)
+    assert(back.where($"k".between(2000, 2099)).agg(sum($"v"))
+      .head.getLong(0) == -100L)
+    assert(back.where($"k" >= 9000).count() == 10)
+    assert(back.where($"k" === 1999).head.getLong(1) == 19990L)
+    // mechanics: non-overlapping files carry over with IDENTICAL paths
+    // (never read, never copied) in a delta commit; counters verbatim
+    val afterPaths = after.files.map(_.path).toSet
+    untouchedBefore.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched file ${f.path} must survive by reference"))
+    assert(before.files.map(_.path).toSet.intersect(afterPaths) ==
+      untouchedBefore.map(_.path).toSet)
+    assert(after.counters("docs") == 8000L)
+    // time travel: the pre-merge version still reads complete
+    assert(TableLog.readVersion(spark, t, v - 1).count() == 8000)
+    // a WIDE source (> 1024 distinct keys) degrades to the [min,max]
+    // span prune and still merges correctly
+    TableLog.mergeCow(spark, t,
+      spark.range(0, 1500).select($"id".as("k"), lit(7L).as("v")),
+      "k", statsCols = Seq("k"))
+    assert(TableLog.read(spark, t).where($"v" === 7L).count() == 1500)
+    assert(TableLog.read(spark, t).count() == 8010)
+    // contract guards: duplicate / NULL source keys, empty source no-op
+    intercept[IllegalArgumentException](TableLog.mergeCow(spark, t,
+      Seq((1L, 0L), (1L, 1L)).toDF("k", "v"), "k"))
+    intercept[IllegalArgumentException](TableLog.mergeCow(spark, t,
+      Seq[(java.lang.Long, java.lang.Long)]((null, 0L)).toDF("k", "v"), "k"))
+    val vNow = TableLog.latestVersion(t)
+    assert(TableLog.mergeCow(spark, t,
+      Seq.empty[(Long, Long)].toDF("k", "v"), "k") == vNow)
+    // feed tables refuse (an upsert is a delete+insert the feed cannot
+    // represent — even the CDC feed: its capture is manifest-derived
+    // and cannot split a merge's adds into remainders vs source rows)
+    val f = tmp("graft_log_mcow_feed")
+    TableLog.enableCdcFeed(f)
+    TableLog.create(spark, f, Seq((1L, 0L)).toDF("k", "v"))
+    intercept[IllegalArgumentException](TableLog.mergeCow(spark, f,
+      Seq((1L, 9L)).toDF("k", "v"), "k"))
+  }
+
+  test("applyCdc: latest-version-wins typed changes onto a keyed table, COW-pruned") {
+    val bronze = tmp("graft_cdc_apply_bronze")
+    val silver = tmp("graft_cdc_apply_silver")
+    TableLog.enableCdcFeed(bronze)
+    def rows(ks: Range, f: Long => Long) =
+      ks.map(k => (k.toLong, f(k.toLong))).toDF("k", "v")
+    TableLog.create(spark, bronze,
+      rows(0 until 10, identity).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))                                   // v1: k=0..9, v=k
+    TableLog.append(spark, bronze,
+      rows(5 until 15, _ * 100).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))                                   // v2: upd 5-9, ins 10-14
+    TableLog.deleteWhere(spark, bronze, "k", 8, 12,
+      statsCols = Seq("k"))                                   // v3
+    // one typed batch = the whole feed; silver bootstraps from it
+    TableLog.applyCdc(spark, silver,
+      TableLog.readFeed(spark, bronze, withVersion = true), "k",
+      statsCols = Seq("k"), txnId = Some("b0"))
+    def silverMap() = TableLog.read(spark, silver).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0L to 4L).map(k => k -> k).toMap ++
+      (5L to 7L).map(k => k -> k * 100) ++
+      (13L to 14L).map(k => k -> k * 100)
+    assert(silverMap() == expect)
+    // txn replay: the same batch re-applies as a no-op
+    val vNow = TableLog.latestVersion(silver)
+    TableLog.applyCdc(spark, silver,
+      TableLog.readFeed(spark, bronze, withVersion = true), "k",
+      statsCols = Seq("k"), txnId = Some("b0"))
+    assert(TableLog.latestVersion(silver) == vNow)
+    assert(silverMap() == expect)
+    // in-batch ordering resolves by VERSION, not row order: delete@5
+    // then re-insert@6 revives; insert@5 then delete@6 erases; and the
+    // COW commit only rewrites silver files whose stats hold a touched key
+    TableLog.rewrite(spark, silver, "compact", statsCols = Seq("k")) { df =>
+      df.repartitionByRange(4, $"k").sortWithinPartitions("k") }
+    val before = TableLog.snapshot(silver).get
+    val batch2 = Seq(
+      (0L, 0L, "delete", 5L), (0L, -7L, "insert", 6L),   // revive k=0
+      (1L, -9L, "insert", 5L), (1L, 0L, "delete", 6L)    // erase k=1
+    ).toDF("k", "v", "_change_type", "_change_version")
+    TableLog.applyCdc(spark, silver, batch2, "k", statsCols = Seq("k"))
+    assert(silverMap() == (expect - 1L) + (0L -> -7L))
+    val untouched = before.files.filterNot(f =>
+      f.stats.exists(s => s.col == "k" && s.min <= 1 && s.max >= 0))
+    val afterPaths = TableLog.snapshot(silver).get.files.map(_.path).toSet
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched silver file ${f.path} must carry by reference"))
+    // ambiguous upsert (two insert rows tied at a key's winning version)
+    // is refused; tied DELETES are fine (every captured copy)
+    intercept[IllegalArgumentException](TableLog.applyCdc(spark, silver,
+      Seq((2L, 1L, "insert", 9L), (2L, 2L, "insert", 9L))
+        .toDF("k", "v", "_change_type", "_change_version"), "k"))
+    TableLog.applyCdc(spark, silver,
+      Seq((2L, 200L, "delete", 9L), (2L, 2L, "delete", 9L))
+        .toDF("k", "v", "_change_type", "_change_version"), "k")
+    assert(!silverMap().contains(2L))
+    // changes without the version column are refused loudly
+    val e = intercept[IllegalArgumentException](TableLog.applyCdc(spark,
+      silver, Seq((3L, 0L, "insert")).toDF("k", "v", "_change_type"), "k"))
+    assert(e.getMessage.contains("withVersion"))
   }
 
   test("deleteWhere: NULL keys survive a range delete; feed tables refuse") {
@@ -1004,5 +1190,69 @@ class TableLogSpec extends SparkSpec {
     assert(afterProbe <= 2 && afterProbe < beforeProbe)
     // counters preserved verbatim by the layout-only rewrite
     assert(TableLog.commitStats(t, v).get._2("docs") == 3000L)
+  }
+
+  test("compact() carries string stats: categorical pruning survives compaction") {
+    val t = tmp("graft_log_cmp_str")
+    val df = spark.range(4000).select($"id",
+      concat(lit("src"), ($"id" / 500).cast("long")).as("source"))
+    TableLog.create(spark, t,
+      df.repartitionByRange(8, $"source").sortWithinPartitions("source"),
+      strStatsCols = Seq("source"))
+    assert(TableLog.prunedFilesIn(t, "source", Seq("src0")).size <= 2)
+    // the byte-targeted compact (not just compactClustered) must forward
+    // strStatsCols — a silent drop here would keep reads correct but
+    // degrade every readWhereIn probe to a full-file scan
+    TableLog.compact(spark, t, targetBytes = 8 * 1024,
+      strStatsCols = Seq("source"))
+    val files = TableLog.snapshot(t).get.files
+    // the passthrough proof: every rewritten file carries the stat
+    // (before the fix, compact passed strStatsCols = Nil to rewrite and
+    // the entries vanished); prune TIGHTNESS depends on coalesce's
+    // chunking and is compactClustered's contract, not this one's
+    assert(files.forall(_.strStats.exists(_.col == "source")),
+      s"string stats dropped by compact(): ${files.map(_.strStats)}")
+    assert(TableLog.readWhereIn(spark, t, "source", Seq("src0"))
+      .count() == 500)
+  }
+
+  test("pinned counters: set-semantics, create refuses a non-empty table") {
+    val t = tmp("graft_log_pins")
+    TableLog.create(spark, t, spark.range(10).toDF("id"),
+      counterDelta = Map("docs" -> 10L), counterPin = Map("bits" -> 8L))
+    assert(TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 10L, "bits" -> 8L))
+    // an agreeing pin is a no-op — the additive delta still accumulates
+    TableLog.append(spark, t, spark.range(10, 15).toDF("id"),
+      counterDelta = Map("docs" -> 5L), counterPin = Map("bits" -> 8L))
+    assert(TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 15L, "bits" -> 8L))
+    // a DISAGREEING pin fails the append loudly (the old additive
+    // mechanism would have silently summed 8 + 9 = 17 and every later
+    // probe would block under a width no row was written with)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.append(spark, t, spark.range(15, 20).toDF("id"),
+        counterPin = Map("bits" -> 9L))
+    }
+    assert(e.getMessage.contains("pinned counter 'bits'"))
+    assert(TableLog.snapshot(t).get.counters("bits") == 8L)
+    // a key cannot be both delta and pin in one commit
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark, t, spark.range(20, 21).toDF("id"),
+        counterDelta = Map("x" -> 1L), counterPin = Map("x" -> 1L))
+    }
+    // create on a table with committed versions is refused — re-running
+    // an index build must not fold its deltas into the existing totals
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.create(spark, t, spark.range(5).toDF("id"),
+        counterDelta = Map("docs" -> 5L))
+    }
+    assert(e2.getMessage.contains("create"))
+    assert(TableLog.snapshot(t).get.counters("docs") == 15L)
+    // rewrite's counterSet remains the sanctioned way to SWING a pin
+    TableLog.rewrite(spark, t, "rebalance",
+      counterSet = Map("bits" -> 9L))(df => df)
+    assert(TableLog.snapshot(t).get.counters ==
+      Map("docs" -> 15L, "bits" -> 9L))
   }
 }
