@@ -591,23 +591,27 @@ object SparkEntry {
     val sv = s"$tmpRoot/cdcsv_$sfx"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sv))
-    val li = T(s, dir, "lineitem").where(col("l_orderkey") % 30 === 18)
-      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
-        round(col("l_quantity")).cast("long").as("qty"),
-        col("l_returnflag"))
+    // orders: o_orderkey is the one GENUINELY unique key in the testdata
+    // (the synthetic lineitem repeats (orderkey, linenumber) pairs at
+    // sf0.1, which applyCdc's ambiguity guard correctly refuses)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 18)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
     val tl = graft.sinks.TableLog
     tl.enableCdcFeed(t)
-    tl.create(s, t, li.repartitionByRange(8, col("k")),
-      statsCols = Seq("k"))                                         // v1
-    tl.append(s, t, li.withColumn("qty", col("qty") + 1000)
-        .repartitionByRange(8, col("k")), statsCols = Seq("k"))     // v2: same keys
-    tl.deleteWhere(s, t, "k", 20000, 35000, statsCols = Seq("k"))   // v3
-    tl.applyCdc(s, sv, tl.readFeed(s, t, withVersion = true), "k",
-      statsCols = Seq("k"))
-    tl.read(s, sv).groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
-        min("k").as("min_k"), max("k").as("max_k"))
-      .orderBy("l_returnflag")
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                               // v1
+    tl.append(s, t, base.withColumn("price_c", col("price_c") + 1000)
+        .repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                               // v2: same keys
+    tl.deleteWhere(s, t, "o_orderkey", 2000, 3500,
+      statsCols = Seq("o_orderkey"))                               // v3
+    tl.applyCdc(s, sv, tl.readFeed(s, t, withVersion = true),
+      "o_orderkey", statsCols = Seq("o_orderkey"))
+    tl.read(s, sv).groupBy("priority")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("priority")
   }
 
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
@@ -4071,14 +4075,15 @@ object SparkEntry {
     // latest-version-wins over the typed feed: every key re-inserted at
     // v2 (update), the v3 delete range erased — the final keyed state
     "o49_cdc_apply" ->
-      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k,
-        |  CAST(round(l_quantity) AS BIGINT) + 1000 AS qty, l_returnflag
-        |  FROM lineitem WHERE l_orderkey % 30 = 18),
-        |k2 AS (SELECT * FROM li WHERE k NOT BETWEEN 20000 AND 35000)
-        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
-        |  min(k) AS min_k, max(k) AS max_k
-        |FROM k2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 18),
+        |k2 AS (SELECT * FROM t WHERE o_orderkey NOT BETWEEN 2000 AND 3500)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM k2 GROUP BY priority ORDER BY priority""".stripMargin,
     // the same upsert algebra as o30 minus its delete clause — which
     // files the copy-on-write merge chose to rewrite is invisible here
     "o48_merge_cow" ->

@@ -1546,9 +1546,9 @@ object TableLog {
     * range-clustered 100 TB table an upsert touching a day's key span
     * reads and rewrites a handful of files where `mergeUpsert`'s
     * full-snapshot rewrite streams the whole table through the cluster.
-    * The source's key summary picks the prune: an exact key list (per-
-    * file containment, tightest) when the source has ≤ 1024 distinct
-    * keys, the [min,max] span otherwise — both driver-bounded. Rows are
+    * The source's key summary picks the prune: the exact sorted key set
+    * (per-file overlap by binary search, tightest) up to 100k distinct
+    * keys, the [min,max] span past that — both driver-bounded. Rows are
     * audited independently (new = affected − matched + source, with
     * `matched` counted by a semi join over ONLY the affected files);
     * duplicate source keys are refused; counters carry over verbatim;
@@ -1660,12 +1660,32 @@ object TableLog {
         ()
     }
 
+  /** Does the sorted key array contain any value in [min, max]?
+    * Binary search for the smallest key ≥ min — O(log K) per file, so
+    * a 100k-key merge prunes a million-file manifest in driver
+    * milliseconds where a per-file containment scan would be O(F·K). */
+  private def sortedOverlaps(sorted: Array[Long], min: Long,
+      max: Long): Boolean = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < min) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && sorted(lo) <= max
+  }
+
   /** Shared copy-on-write upsert commit: replace the rows whose key is
     * in `touchedKeys` with `inserts`, rewriting only stat-overlapping
-    * files (exact key-list containment when ≤ 1024 distinct touched
-    * keys, [min,max] span above), carrying the rest by reference in a
-    * delta manifest. Audits new = affected − matched + inserts with an
-    * independent semi-join count over only the affected files. */
+    * files, carrying the rest by reference in a delta manifest. The
+    * prune uses the EXACT sorted key set up to 100k distinct keys
+    * (~800 KB driver memory; per-file overlap by binary search), so a
+    * bimodal source — a narrow update band plus inserts past the key
+    * domain, the daily-corrections shape — keeps pruning tightly where
+    * a [min,max] span would cover the whole table; only past the cap
+    * does the prune degrade to the span (at which width the merge
+    * plausibly touches most of a clustered table anyway). Audits
+    * new = affected − matched + inserts with an independent semi-join
+    * count over only the affected files. */
   private def cowApply(spark: SparkSession, table: String,
       inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
       keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
@@ -1674,17 +1694,19 @@ object TableLog {
     val ks = touchedKeys.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long")), countDistinct(col(keyCol))).head()
     val (lo, hi) = (ks.getLong(0), ks.getLong(1))
-    val keyList: Option[Seq[Long]] =
-      if (ks.getLong(2) <= 1024)
+    val keyList: Option[Array[Long]] =
+      if (ks.getLong(2) <= 100000L)
         Some(touchedKeys.select(col(keyCol).cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq)
+          .collect().map(_.getLong(0)).sorted)
       else None
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val affected = keyList match {
-        case Some(vs) => prunedFilesInLongOf(base, keyCol, vs)
+        case Some(sorted) => base.files.filter(f =>
+          f.stats.find(_.col == keyCol).forall(st =>
+            sortedOverlaps(sorted, st.min, st.max)))
         case None => prunedFilesOf(base, keyCol, lo, hi)
       }
       val affectedPaths = affected.map(_.path)
