@@ -107,7 +107,10 @@ object MergeOps {
     * partition the source never mentions, and pruning to source partitions
     * alone would leave the key duplicated across partitions. Finding those
     * costs one column-pruned (keys, partCol) scan of the target
-    * semi-joined against the broadcast CDC key set — skippable via
+    * semi-joined against the CDC key set (UNHINTED — the planner
+    * broadcasts a small batch's keys and degrades a bulk backfill to a
+    * shuffle join under the AQE size gate, the same in-plan pattern as
+    * the incremental dedup probes) — skippable via
     * `partitionKeyStable = true` when `partCol` is functionally determined
     * by the key (then source and target partitions coincide by contract).
     * Partitions left EMPTY by the merge (all rows moved out or deleted)
@@ -121,7 +124,7 @@ object MergeOps {
       if (partitionKeyStable) Nil
       else spark.read.parquet(path)
         .select((keys :+ partCol).map(col): _*)
-        .join(broadcast(source.select(keys.map(col): _*).distinct()),
+        .join(source.select(keys.map(col): _*).distinct(),
           keys, "left_semi")
         .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     val touched = (srcParts ++ tgtParts).distinct

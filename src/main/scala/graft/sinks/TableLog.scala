@@ -975,7 +975,9 @@ object TableLog {
   // scan(remainder files), exact by the delete's multiset identity
   // (affected = matched ⊎ kept), so healing needs no record of the
   // predicate. The capture is STAGED under `_feed_stage/v<N>/`
-  // (idempotent: reused when `_SUCCESS` exists, rewritten otherwise)
+  // (exclusive temp+atomic-rename creation; an existing stage is
+  // ADOPTED verbatim and retired only by vacuumFeed once marker-done
+  // and lease-stale — stage part names are the idempotence anchor)
   // and hard-linked into the feed under deterministic names
   // (`v<N>_cdc_<part>`), so a crash anywhere between manifest commit
   // and done-marker is healed by the next publish without ever
@@ -1166,9 +1168,13 @@ object TableLog {
                   snap.files.foreach(f => out += linkIntoFeed(table, v, f.path)))
             }
             writeFeedMarker(table, v)
-            // marker down: retire the capture stage (links pin the inodes)
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              cdcStageDir(table, v).toFile)
+            // the capture stage is deliberately NOT cleaned here: stage
+            // part names are this publication's idempotence anchor, and
+            // a slow racing publisher that passed the marker check
+            // re-captures into a FRESH stage if this one vanishes —
+            // then links a second, differently-named set (measured:
+            // 3 racers → 3× delivery). vacuumFeed retires stages once
+            // they are marker-done AND stale past the lease window.
         }
       }
     }
@@ -1188,8 +1194,22 @@ object TableLog {
       schemaJson: Option[String]): Seq[String] = {
     import org.apache.spark.sql.functions.lit
     if (removedPaths.isEmpty) return Nil
+    // a racer may have published and marked this version while we were
+    // working through earlier ones — its links are complete, skip
+    if (Files.exists(feedMarker(table, v))) return Nil
     val stage = cdcStageDir(table, v)
-    if (!Files.exists(stage.resolve("_SUCCESS"))) {
+    // stage creation is EXCLUSIVE: write to a private temp dir, then
+    // atomically RENAME it to the final stage path — the loser of a
+    // concurrent publish race (two appends healing the same delete
+    // version) finds the final dir taken and adopts the WINNER's
+    // immutable stage. An in-place overwrite here would let the loser
+    // rewrite part files (new names) while the winner links the old
+    // ones — both sets end up linked and the captured rows
+    // double-deliver. A crash mid-write leaves only a temp dir (the
+    // final path never exists half-written); vacuumFeed sweeps those.
+    if (!Files.exists(stage)) {
+      val tmp = stage.getParent.resolve(
+        s".tmp-${stage.getFileName}-${java.util.UUID.randomUUID()}")
       val removed = scanFiles(spark, schemaJson,
         removedPaths.map(p => s"$table/$p"))
       val captured =
@@ -1197,7 +1217,15 @@ object TableLog {
          else removed.exceptAll(scanFiles(spark, schemaJson,
            addedPaths.map(p => s"$table/$p"))))
         .withColumn(changeTypeCol, lit("delete"))
-      captured.write.mode("overwrite").parquet(stage.toString)
+      captured.write.parquet(tmp.toString)
+      try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          // lost the race: adopt the winner's stage, drop ours
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     }
     listDir(stage).map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
@@ -1303,7 +1331,7 @@ object TableLog {
   def vacuumFeed(table: String, keepVersions: Int): Seq[String] = {
     require(feedEnabled(table), s"vacuumFeed($table): feed not enabled")
     val floor = math.max(1L, latestVersion(table) - keepVersions + 1)
-    listDir(feedDir(table)).flatMap { p =>
+    val retired = listDir(feedDir(table)).flatMap { p =>
       val n = p.getFileName.toString
       val ver = if (n.startsWith("v") && n.length > 10)
         n.slice(1, 10).toLongOption else None
@@ -1311,6 +1339,34 @@ object TableLog {
         Some(s"_feed/$n")
       else None
     }
+    // CDC capture-stage hygiene. A version's stage part names are the
+    // publication's idempotence anchor, so publishFeed never removes a
+    // stage — retirement happens HERE, and only once the version is
+    // marker-done AND the stage is stale past the lease window: a
+    // younger stage may still be in a racing publisher's hands, and
+    // sweeping it mid-publish would make that racer re-capture under
+    // fresh part names and double-deliver. Crashed exclusive-rename
+    // temps (never adopted) are swept under the same staleness rule.
+    val stageRoot = Paths.get(table, "_feed_stage")
+    val staleCutoff =
+      System.currentTimeMillis() - StagedCommit.staleLeaseDefaultMs
+    def stale(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis <= staleCutoff
+      catch { case _: java.io.IOException => false }
+    val staged =
+      if (!Files.isDirectory(stageRoot)) Nil
+      else listDir(stageRoot).flatMap { p =>
+        val n = p.getFileName.toString
+        val publishedStage = n.startsWith("v") &&
+          n.drop(1).toLongOption.exists(v =>
+            Files.exists(feedMarker(table, v))) && stale(p)
+        val staleTmp = n.startsWith(".tmp-") && stale(p)
+        if (publishedStage || staleTmp) {
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          Some(s"_feed_stage/$n")
+        } else None
+      }
+    retired ++ staged
   }
 
   /** Clustering-preserving small-file compaction: a long-lived
@@ -1616,8 +1672,12 @@ object TableLog {
         "— read the feed with withVersion = true")
     val ch = changes.cache()
     try {
-      if (ch.isEmpty) return latestVersion(table)
-      require(ch.where(col(keyCol).isNull).isEmpty,
+      // one metadata job for emptiness + null-keys (count(col) skips
+      // nulls) — per-batch latency is job-count-bound at high trigger
+      // rates, so the audits share passes where they can
+      val chSt = ch.agg(count(lit(1)), count(col(keyCol))).head()
+      if (chSt.getLong(0) == 0) return latestVersion(table)
+      require(chSt.getLong(1) == chSt.getLong(0),
         s"applyCdc: NULL keys in changes ($keyCol)")
       // latest-wins resolution: rows at each key's max change version
       val vmax = ch.groupBy(col(keyCol)).agg(max(col(changeVersionCol))
@@ -1690,15 +1750,22 @@ object TableLog {
       inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
       keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
       txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, countDistinct, max, min}
-    val ks = touchedKeys.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long")), countDistinct(col(keyCol))).head()
-    val (lo, hi) = (ks.getLong(0), ks.getLong(1))
+    import org.apache.spark.sql.functions.{col, max, min}
+    // one job on the common path: pull up to cap+1 distinct keys and
+    // derive the span from them; only a past-the-cap source pays the
+    // second (min/max) job
+    val cap = 100000
+    val capped = touchedKeys.select(col(keyCol).cast("long")).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0))
     val keyList: Option[Array[Long]] =
-      if (ks.getLong(2) <= 100000L)
-        Some(touchedKeys.select(col(keyCol).cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted)
-      else None
+      if (capped.length <= cap) Some(capped.sorted) else None
+    val (lo, hi) = keyList match {
+      case Some(s) if s.nonEmpty => (s.head, s.last)
+      case _ =>
+        val r = touchedKeys.agg(min(col(keyCol).cast("long")),
+          max(col(keyCol).cast("long"))).head()
+        (r.getLong(0), r.getLong(1))
+    }
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)

@@ -906,6 +906,65 @@ class TableLogSpec extends SparkSpec {
       Seq((1L, 9L)).toDF("k", "v"), "k"))
   }
 
+  test("CDC capture: racing publishers never double-deliver; vacuumFeed sweeps stages") {
+    val t = tmp("graft_cdc_race")
+    TableLog.enableCdcFeed(t)
+    TableLog.create(spark, t,
+      spark.range(2000).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(4, $"k"), statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, t, "k", 100, 399, statsCols = Seq("k"))
+    // simulate a crash after the delete's commit but before publication:
+    // drop the marker, the capture links, and the (already cleaned)
+    // stage, then HEAL from several publishers at once — stage creation
+    // is exclusive (temp + atomic rename), so exactly one capture set is
+    // linked no matter the interleaving
+    val fd = java.nio.file.Paths.get(t, "_feed")
+    java.nio.file.Files.deleteIfExists(fd.resolve("_done_v000000002"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(fd).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v000000002_cdc_"))
+      .toSeq.foreach(java.nio.file.Files.delete)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => {
+        start.await()
+        try { TableLog.publishFeed(spark, t); () }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing publishers must all succeed: $errs")
+    val feed = TableLog.readFeed(spark, t)
+    assert(feed.where($"_change_type" === "delete").count() == 300,
+      "captured delete rows must deliver exactly once")
+    assert(feed.where($"_change_type" === "insert").count() == 2000)
+    // stage hygiene: plant a published-version orphan stage, a stale
+    // rename temp, and a FRESH temp — vacuumFeed sweeps the first two,
+    // keeps the live one
+    val stageRoot = java.nio.file.Paths.get(t, "_feed_stage")
+    // the REAL v2 stage still exists (publishers keep it as the
+    // idempotence anchor); age it past the lease so the sweep takes it
+    val v2stage = stageRoot.resolve("v000000002")
+    assert(java.nio.file.Files.isDirectory(v2stage),
+      "the capture stage must survive publication")
+    java.nio.file.Files.setLastModifiedTime(v2stage,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val staleTmp = stageRoot.resolve(".tmp-v000000009-dead")
+    java.nio.file.Files.createDirectories(staleTmp)
+    java.nio.file.Files.setLastModifiedTime(staleTmp,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val liveTmp = stageRoot.resolve(".tmp-v000000009-live")
+    java.nio.file.Files.createDirectories(liveTmp)
+    val swept = TableLog.vacuumFeed(t, keepVersions = Int.MaxValue)
+    assert(swept.contains("_feed_stage/v000000002"))
+    assert(swept.contains("_feed_stage/.tmp-v000000009-dead"))
+    assert(java.nio.file.Files.exists(liveTmp),
+      "a young temp may belong to a live publisher — keep it")
+    assert(TableLog.readFeed(spark, t)
+      .where($"_change_type" === "delete").count() == 300)
+  }
+
   test("applyCdc: latest-version-wins typed changes onto a keyed table, COW-pruned") {
     val bronze = tmp("graft_cdc_apply_bronze")
     val silver = tmp("graft_cdc_apply_silver")
