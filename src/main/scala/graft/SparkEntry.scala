@@ -614,6 +614,76 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** CDC UPDATE capture end-to-end: a CDC-feed bronze table runs the
+    * full mutation surface — copy-on-write MERGE (update band + no-file
+    * inserts), in-place `updateWhere`, range `deleteWhere` — and SILVER
+    * is materialized from the FEED ALONE via `applyCdc`, with no bronze
+    * access and no knowledge of any predicate or source. The merge and
+    * update publish typed old/new images by the multiset
+    * symmetric-difference capture (remainder rows cancel; see
+    * TableLog's feed section); a capture that leaked a remainder row,
+    * missed a pre-image, or let a stale version win changes the hash.
+    * The oracle replays the same three mutations relationally. */
+  private def o50CdcMergeFeed(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"$tmpRoot/cdcm_$sfx"
+    val sv = s"$tmpRoot/cdcmsv_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sv))
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 19)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    val tl = graft.sinks.TableLog
+    tl.enableCdcFeed(t)
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                               // v1
+    val maxKey = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val upd = base.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), (col("price_c") + 500).as("price_c"),
+        lit("U").as("priority"))
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+        col("price_c"), lit("I").as("priority"))
+    tl.mergeCow(s, t, upd.unionByName(ins), "o_orderkey",
+      statsCols = Seq("o_orderkey"))                               // v2
+    tl.updateWhere(s, t, "o_orderkey", 1000, 4000,
+      Map("price_c" -> (col("price_c") + 777)),
+      statsCols = Seq("o_orderkey"))                               // v3
+    tl.deleteWhere(s, t, "o_orderkey", 5000, 9000,
+      statsCols = Seq("o_orderkey"))                               // v4
+    tl.applyCdc(s, sv, tl.readFeed(s, t, withVersion = true),
+      "o_orderkey", statsCols = Seq("o_orderkey"))
+    tl.read(s, sv).groupBy("priority")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("priority")
+  }
+
+  /** Stats-pruned copy-on-write UPDATE through the commit log: only
+    * files whose key range overlaps the predicate are rewritten (the
+    * rest carry by reference — TableLogSpec pins the minimality); the
+    * set-expressions touch matched rows only, the row count is
+    * invariant and audited. The oracle applies the same CASE WHEN
+    * transform relationally. */
+  private def o51UpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/updw_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "lineitem").where(col("l_orderkey") % 10 === 7)
+      .select(col("l_orderkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    tl.updateWhere(s, t, "l_orderkey", 2000, 20000,
+      Map("qty" -> (col("qty") + 100), "l_returnflag" -> lit("X")),
+      statsCols = Seq("l_orderkey"))
+    tl.read(s, t).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2830,6 +2900,8 @@ object SparkEntry {
     "o47_cdc_feed" -> (o47CdcFeed _),
     "o48_merge_cow" -> (o48MergeCow _),
     "o49_cdc_apply" -> (o49CdcApply _),
+    "o50_cdc_merge_feed" -> (o50CdcMergeFeed _),
+    "o51_update_where" -> (o51UpdateWhere _),
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
     "o45_delete_in" -> (o45DeleteIn _),
@@ -4072,6 +4144,42 @@ object SparkEntry {
         |FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey
         |WHERE NOT (t.o_orderkey IS NOT NULL AND src.o_orderkey IS NOT NULL AND src.del = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    // the three captured mutations (merge, update, delete) replayed
+    // relationally — what a silver built from the typed feed must equal
+    "o50_cdc_merge_feed" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 19),
+        |u AS (SELECT o_orderkey, price_c + 500 AS price_c, 'U' AS priority
+        |  FROM t WHERE o_orderkey % 7 = 2),
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
+        |  price_c, 'I' AS priority FROM t WHERE o_orderkey % 97 = 0),
+        |s1 AS (SELECT * FROM t WHERE o_orderkey % 7 <> 2
+        |  UNION ALL SELECT * FROM u UNION ALL SELECT * FROM i),
+        |s2 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 4000
+        |    THEN price_c + 777 ELSE price_c END AS price_c, priority FROM s1),
+        |s3 AS (SELECT * FROM s2 WHERE o_orderkey NOT BETWEEN 5000 AND 9000)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the same CASE WHEN transform over the raw slice — a rewrite that
+    // touched an out-of-range row or dropped one changes the groups
+    "o51_update_where" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 7),
+        |u AS (SELECT l_orderkey,
+        |  CASE WHEN l_orderkey BETWEEN 2000 AND 20000
+        |    THEN qty + 100 ELSE qty END AS qty,
+        |  CASE WHEN l_orderkey BETWEEN 2000 AND 20000
+        |    THEN 'X' ELSE l_returnflag END AS l_returnflag FROM li)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // latest-version-wins over the typed feed: every key re-inserted at
     // v2 (update), the v3 delete range erased — the final keyed state
     "o49_cdc_apply" ->

@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets.UTF_8
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Minimal commit-log table format — the durability layer StagedCommit's
   * writer lease cannot provide (the lease narrows the multi-writer race
@@ -985,9 +985,36 @@ object TableLog {
   // Insert links are untouched data files with NO `_change_type`
   // column — the read faces declare it in the schema (absent column
   // reads null) and coalesce null to 'insert', so publication stays
-  // O(added files) metadata with zero data rewrite. Updates remain out
-  // of scope: merge/refresh rewrites are still refused on any feed
-  // table (model an update as delete + append).
+  // O(added files) metadata with zero data rewrite.
+  //
+  // UPDATES (the stats-pruned `mergeCow`/`applyCdc`/`updateWhere`
+  // commits) are captured on CDC feeds by the same manifest-derived
+  // machinery, via the multiset SYMMETRIC difference: the rewritten
+  // files mix untouched remainder rows with the new/updated rows, but
+  // the remainder rows appear identically in BOTH the removed and the
+  // added files and CANCEL in `exceptAll` taken each way — so
+  //   deletes = scan(removed) exceptAll scan(added)   (old matched rows)
+  //   inserts = scan(added)  exceptAll scan(removed)  (new/updated rows)
+  // with no record of the source or predicate needed for healing. An
+  // update whose new row is identical to the old one cancels on both
+  // sides and publishes nothing — a no-op change is no change. Both
+  // halves are staged (the insert half cannot be a raw-file link: the
+  // added files interleave remainder rows) and linked under the same
+  // deterministic `v<N>_cdc_<part>` names. Capture cost is O(affected
+  // files + added files) — the same file set the commit itself read
+  // and wrote, never the table. Fidelity contract: a MULTISET consumer
+  // (state = inserts ⊖ deletes, what `readFeed` documents) is exact
+  // unconditionally; the KEYED reading (`applyCdc`) is exact when the
+  // touched keys are unique in the base table — which applyCdc-written
+  // tables are by construction and mergeCow's own dup-collapse makes
+  // true from the first merge on. (A dup-keyed base was never
+  // faithfully representable as a keyed state to begin with; this is
+  // why the capture stays with two change types instead of Delta-CDF's
+  // update_pre/postimage pairing — cancellation makes the pairing
+  // non-total, and the multiset identity needs no pairing.)
+  // Full-snapshot rewrites (`mergeUpsert`, `maintainAgg`'s refresh)
+  // stay refused on ALL feed tables: their capture would scan the
+  // whole old+new table — use the pruned COW faces on a feed.
 
   private def feedDir(table: String): Path = Paths.get(table, "_feed")
   private def feedMarker(table: String, v: Long): Path =
@@ -1143,9 +1170,10 @@ object TableLog {
                   adds.foreach(p => out += linkIntoFeed(table, v, p))
                 case "compact" | "zorder" =>
                   () // layout-only: these rows were already delivered
-                case "delete" if cdcFeedEnabled(table) =>
+                case act @ ("delete" | "merge" | "update")
+                    if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
-                    s"publishFeed($table): healing version $v's delete " +
+                    s"publishFeed($table): healing version $v's $act " +
                       "capture needs a SparkSession — call " +
                       "publishFeed(spark, table)"))
                   val (addP, rmP) =
@@ -1154,8 +1182,11 @@ object TableLog {
                       val cur = r.files.map(_.path)
                       (cur.filterNot(prev), (prev -- cur).toSeq.sorted)
                     }
-                  out ++= publishCdcDelete(spark, table, v, rmP, addP,
-                    r.schemaJson)
+                  // a delete's adds are remainder-only (⊆ removed as a
+                  // multiset), so its insert-side difference is provably
+                  // empty — skip that scan; merge/update capture both
+                  out ++= publishCdcChanges(spark, table, v, rmP, addP,
+                    r.schemaJson, captureInserts = act != "delete")
                 case other => sys.error(
                   s"publishFeed($table): version $v is a data-changing " +
                     s"rewrite ('$other') this feed cannot represent" +
@@ -1181,19 +1212,29 @@ object TableLog {
     out.result()
   }
 
-  /** Capture version `v`'s DELETED rows into the feed: scan the removed
-    * files, exceptAll the remainder files (exact — the delete's audit
-    * guarantees affected = matched ⊎ kept as multisets), stamp
-    * `_change_type='delete'`, stage once, link deterministically. Runs
-    * right after the delete's commit on the normal path; a crash
-    * before the done-marker re-enters here idempotently (the removed
-    * files exist until a vacuum drops the PRE-delete versions, which
-    * retention never does inside a crash-heal window). */
-  private def publishCdcDelete(spark: SparkSession, table: String, v: Long,
+  /** Capture version `v`'s CHANGED rows into the feed by the multiset
+    * symmetric difference of the commit's own file diff:
+    * deletes = scan(removed) exceptAll scan(added) — exact for a
+    * delete by its audit identity (affected = matched ⊎ kept) and for
+    * a merge/update because remainder rows cancel — and, when
+    * `captureInserts` (merge/update commits), the mirror
+    * inserts = scan(added) exceptAll scan(removed). Both halves are
+    * stamped, staged once, linked deterministically. Runs right after
+    * the commit on the normal path; a crash before the done-marker
+    * re-enters here idempotently (the removed files exist until a
+    * vacuum drops the PRE-commit versions, which retention never does
+    * inside a crash-heal window). */
+  private def publishCdcChanges(spark: SparkSession, table: String, v: Long,
       removedPaths: Seq[String], addedPaths: Seq[String],
-      schemaJson: Option[String]): Seq[String] = {
+      schemaJson: Option[String], captureInserts: Boolean): Seq[String] = {
     import org.apache.spark.sql.functions.lit
-    if (removedPaths.isEmpty) return Nil
+    if (removedPaths.isEmpty && !captureInserts) return Nil
+    if (removedPaths.isEmpty)
+      // pure-insert merge/update (every file's stats excluded every
+      // touched key): the added files hold ONLY new rows — link them
+      // raw like an append (absent `_change_type` reads 'insert'),
+      // zero data rewrite
+      return addedPaths.map(p => linkIntoFeed(table, v, p))
     // a racer may have published and marked this version while we were
     // working through earlier ones — its links are complete, skip
     if (Files.exists(feedMarker(table, v))) return Nil
@@ -1212,11 +1253,19 @@ object TableLog {
         s".tmp-${stage.getFileName}-${java.util.UUID.randomUUID()}")
       val removed = scanFiles(spark, schemaJson,
         removedPaths.map(p => s"$table/$p"))
-      val captured =
-        (if (addedPaths.isEmpty) removed
-         else removed.exceptAll(scanFiles(spark, schemaJson,
-           addedPaths.map(p => s"$table/$p"))))
-        .withColumn(changeTypeCol, lit("delete"))
+      val added =
+        if (addedPaths.isEmpty) None
+        else Some(scanFiles(spark, schemaJson,
+          addedPaths.map(p => s"$table/$p")))
+      val deletes =
+        added.fold(removed)(removed.exceptAll)
+          .withColumn(changeTypeCol, lit("delete"))
+      val captured = added match {
+        case Some(a) if captureInserts =>
+          deletes.unionByName(a.exceptAll(removed)
+            .withColumn(changeTypeCol, lit("insert")))
+        case _ => deletes
+      }
       captured.write.parquet(tmp.toString)
       try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -1560,6 +1609,75 @@ object TableLog {
     committed
   }
 
+  /** Stats-pruned COPY-ON-WRITE update: for every row where `c` (cast
+    * to long) falls in `[lo, hi]`, replace the columns named in `set`
+    * with their expressions (evaluated against the matched row — so
+    * `"price" -> col("price") * 2` and `"flag" -> lit("X")` both
+    * work), rewriting ONLY the files whose manifest stat range
+    * overlaps the predicate; every other file carries over BY
+    * REFERENCE in a delta manifest, exactly like `deleteWhere`. Rows
+    * with NULL `c` never match and pass through unchanged. The row
+    * count is invariant and audited both per-rewrite (out = in) and in
+    * total. Update cost is O(affected files + manifest), not O(table).
+    * On a TYPED (CDC) feed the update is captured as typed rows (old
+    * image deletes + new image inserts, via the symmetric-difference
+    * capture — an update whose expressions leave a matched row
+    * bit-identical publishes nothing for it); a PLAIN feed refuses.
+    * Returns the committed version (unchanged current version if no
+    * file can contain a match). */
+  def updateWhere(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long, set: Map[String, Column],
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "updateWhere: empty set clause")
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"updateWhere on feed-enabled table $table: the append-only " +
+        "change feed cannot represent an update — " +
+        s"enableCdcFeed($table) to capture it as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val cond = coalesce(col(c).cast("long").between(lo, hi), lit(false))
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      val affected = prunedFilesOf(base, c, lo, hi)
+      if (affected.isEmpty) return base.version
+      val affectedPaths = affected.map(_.path)
+      val scan = scanFiles(spark, base.schemaJson,
+        affectedPaths.map(p => s"$table/$p"))
+      set.keys.foreach(k => require(scan.columns.contains(k),
+        s"updateWhere: set column $k not in $table's schema"))
+      val scanRows = scan.count()
+      val updated = set.foldLeft(scan) { case (df, (k, expr)) =>
+        df.withColumn(k, when(cond, expr).otherwise(col(k)))
+      }
+      val (newFiles, newRows) = writeDataFiles(spark, table, updated,
+        statsCols, strStatsCols, bloomStatsCols)
+      require(newRows == scanRows,
+        s"update audit failed for $table: rewrite produced $newRows " +
+          s"rows from $scanRows — not committing")
+      val version = base.version + 1
+      // mirror delete's checkpoint cadence so delta chains stay bounded
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = affectedPaths.toSet
+          ManifestRec(version, base.version, "update", base.rows, "full",
+            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
+            txnId, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "update", base.rows, "delta",
+            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    // typed-feed capture of the update's old/new images
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
   /** Latest-wins upsert through the log: snapshot rows whose key
     * matches a source row are replaced, new keys appended — one
     * left-anti join + union, committed as a rewrite. The row count is
@@ -1609,21 +1727,25 @@ object TableLog {
     * `matched` counted by a semi join over ONLY the affected files);
     * duplicate source keys are refused; counters carry over verbatim;
     * commits CAS-retry against racing writers like every other path.
-    * Feed tables refuse (an upsert is a delete+insert the add-only feed
-    * cannot represent; on a CDC table model it as deleteWhere + append,
-    * which captures both halves). NULL source keys are refused — a NULL
-    * key matches no row and would silently land as an unmatchable
-    * insert. */
+    * On a TYPED (CDC) feed table the merge is captured as typed rows —
+    * deletes = old matched rows, inserts = new/updated rows, by the
+    * multiset symmetric difference of the commit's own file diff (see
+    * the feed section comment) — so downstreams derive the post-merge
+    * state from the feed alone; a PLAIN feed still refuses (an upsert
+    * is a delete+insert an add-only feed cannot represent). NULL
+    * source keys are refused — a NULL key matches no row and would
+    * silently land as an unmatchable insert. */
   def mergeCow(spark: SparkSession, table: String, source: DataFrame,
       keyCol: String, statsCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
       bloomStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit,
       max, min}
-    require(!feedEnabled(table),
-      s"mergeCow on feed-enabled table $table: the change feed cannot " +
-        "represent an upsert — on a CDC feed run deleteWhere + append " +
-        "so both halves are captured, or disable the feed")
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"mergeCow on feed-enabled table $table: the append-only change " +
+        s"feed cannot represent an upsert — enableCdcFeed($table) to " +
+        "capture it as typed delete+insert rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     val src = source.cache()
     try {
@@ -1648,11 +1770,13 @@ object TableLog {
     * table. Per key the HIGHEST `_change_version` wins (the feed's link
     * names carry the bronze commit order, so cross-batch reorderings
     * inside one trigger resolve exactly as the log serialized them): a
-    * winning insert upserts the row, a winning delete removes the key.
-    * One version is one action, so rows tied at the winning version are
-    * all the same type; tied INSERT rows for one key are refused
-    * (ambiguous upsert — bronze appended the same key twice in one
-    * commit), tied deletes are fine (every deleted copy was captured).
+    * winning insert upserts the row, a winning delete with no tied
+    * insert removes the key. A version may carry a delete+insert PAIR
+    * for one key — a captured UPDATE's pre- and post-image — and the
+    * insert wins, which is the update's meaning. Tied INSERT rows for
+    * one key are refused (ambiguous upsert — bronze appended/merged the
+    * same key twice in one commit), tied deletes are fine (every
+    * deleted copy was captured).
     * Stats-pruned like `mergeCow` (only files whose key stats can hold
     * a TOUCHED key are rewritten); single commit per batch + txn id =
     * exactly-once under streaming replay. An empty/absent silver table
@@ -1662,9 +1786,11 @@ object TableLog {
       strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
       bloomStatsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
-    require(!feedEnabled(table),
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"applyCdc on feed-enabled table $table: an upsert is a " +
-        "delete+insert the feed cannot represent")
+        "delete+insert a PLAIN feed cannot represent — " +
+        s"enableCdcFeed($table) to capture it (chaining silver→gold), " +
+        "or disable the feed")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     require(changes.columns.contains(changeTypeCol) &&
       changes.columns.contains(changeVersionCol),
@@ -1813,6 +1939,10 @@ object TableLog {
             base.counters)
       if (tryCommit(table, r)) committed = version
     }
+    // typed-feed capture of the upsert's delete/insert halves (CDC
+    // tables only — the guard upstream refused plain feeds); a crash
+    // before the done-marker is healed by the next publish
+    if (feedEnabled(table)) publishFeed(spark, table)
     committed
   }
 

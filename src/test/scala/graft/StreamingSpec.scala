@@ -864,5 +864,21 @@ class StreamingSpec extends SparkSpec {
     val latestBronze = TableLog.read(spark, bronze)
       .groupBy("k").agg(org.apache.spark.sql.functions.max($"v").as("v"))
     assert(latestBronze.exceptAll(TableLog.read(spark, silver)).isEmpty)
+    // a captured UPDATE (mergeCow old/new images at one version) flows
+    // through the stream as an upsert — delete+insert pair, insert wins
+    TableLog.mergeCow(spark, bronze,
+      Seq((12L, -12L), (40L, -40L)).toDF("k", "v"), "k",
+      statsCols = Seq("k"))
+    TableLog.updateWhere(spark, bronze, "k", 20, 22,
+      Map("v" -> (org.apache.spark.sql.functions.col("v") + 7L)),
+      statsCols = Seq("k"))
+    drain()
+    val s3 = s2 + (12L -> -12L) + (40L -> -40L) +
+      (20L -> 207L) + (21L -> 217L) + (22L -> 227L)
+    assert(silverMap() == s3)
+    // replay safety holds across the update-bearing batches too
+    val vUpd = TableLog.latestVersion(silver)
+    drain()
+    assert(TableLog.latestVersion(silver) == vUpd && silverMap() == s3)
   }
 }

@@ -896,11 +896,11 @@ class TableLogSpec extends SparkSpec {
     val vNow = TableLog.latestVersion(t)
     assert(TableLog.mergeCow(spark, t,
       Seq.empty[(Long, Long)].toDF("k", "v"), "k") == vNow)
-    // feed tables refuse (an upsert is a delete+insert the feed cannot
-    // represent — even the CDC feed: its capture is manifest-derived
-    // and cannot split a merge's adds into remainders vs source rows)
+    // PLAIN feed tables refuse (an upsert is a delete+insert an
+    // add-only feed cannot represent); CDC feeds capture it — pinned
+    // in the "CDC update capture" test
     val f = tmp("graft_log_mcow_feed")
-    TableLog.enableCdcFeed(f)
+    TableLog.enableFeed(f)
     TableLog.create(spark, f, Seq((1L, 0L)).toDF("k", "v"))
     intercept[IllegalArgumentException](TableLog.mergeCow(spark, f,
       Seq((1L, 9L)).toDF("k", "v"), "k"))
@@ -1027,6 +1027,158 @@ class TableLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](TableLog.applyCdc(spark,
       silver, Seq((3L, 0L, "insert")).toDF("k", "v", "_change_type"), "k"))
     assert(e.getMessage.contains("withVersion"))
+  }
+
+  test("CDC update capture: mergeCow/updateWhere publish typed images; feed tracks the table; silver→gold chains") {
+    val t = tmp("graft_cdc_upd_bronze")
+    val silver = tmp("graft_cdc_upd_silver")
+    val gold = tmp("graft_cdc_upd_gold")
+    TableLog.enableCdcFeed(t)
+    TableLog.create(spark, t,
+      spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(4, $"k"), statsCols = Seq("k"))        // v1
+    def state() = {
+      val f = TableLog.readFeed(spark, t)
+      f.where($"_change_type" === "insert").drop("_change_type")
+        .exceptAll(f.where($"_change_type" === "delete")
+          .drop("_change_type"))
+    }
+    def tracks() = {
+      val live = TableLog.read(spark, t)
+      assert(state().exceptAll(live).isEmpty && live.exceptAll(state()).isEmpty,
+        "feed multiset state must equal the live table")
+    }
+    def typedAt(v: Long, kind: String) =
+      TableLog.readFeed(spark, t, withVersion = true)
+        .where($"_change_version" === v && $"_change_type" === kind).count()
+    // merge on the CDC feed: a 50-key update band, one NO-OP row
+    // (byte-identical to the stored row — must publish NOTHING), and
+    // 10 inserts past the key domain, all in one commit
+    val src = spark.range(100, 150).select($"id".as("k"), lit(-1L).as("v"))
+      .unionByName(Seq((500L, 1000L)).toDF("k", "v")) // no-op: v == k*2
+      .unionByName(spark.range(2000, 2010)
+        .select($"id".as("k"), lit(-2L).as("v")))
+    val vMerge = TableLog.mergeCow(spark, t, src, "k", statsCols = Seq("k"))
+    tracks()
+    assert(typedAt(vMerge, "delete") == 50,
+      "pre-images of the updated band only — the no-op row cancels")
+    assert(typedAt(vMerge, "insert") == 60,
+      "post-images of the band + the 10 new keys")
+    // healing: crash between the merge's capture links and its marker
+    // (the crash leaves every LATER version unmarked too — markers are
+    // written in version order, so the frontier is prefix-closed) —
+    // publishFeed re-creates the SAME names, nothing double-delivers
+    val fd = java.nio.file.Paths.get(t, "_feed")
+    assert(java.nio.file.Files.deleteIfExists(
+      fd.resolve(f"_done_v$vMerge%09d")))
+    import scala.jdk.CollectionConverters._
+    val mergeLinks = java.nio.file.Files.list(fd).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(f"v$vMerge%09d_cdc_")).toSeq
+    assert(mergeLinks.nonEmpty)
+    java.nio.file.Files.delete(mergeLinks.head)
+    TableLog.publishFeed(spark, t)
+    assert(typedAt(vMerge, "delete") == 50 && typedAt(vMerge, "insert") == 60)
+    tracks()
+    // in-place update: old/new images both captured
+    val vUpd = TableLog.updateWhere(spark, t, "k", 200, 249,
+      Map("v" -> ($"v" + 1000000L)), statsCols = Seq("k"))
+    tracks()
+    assert(typedAt(vUpd, "delete") == 50 && typedAt(vUpd, "insert") == 50)
+    // an update whose expressions change nothing publishes nothing
+    val vNoop = TableLog.updateWhere(spark, t, "k", 300, 349,
+      Map("v" -> $"v"), statsCols = Seq("k"))
+    assert(typedAt(vNoop, "delete") == 0 && typedAt(vNoop, "insert") == 0)
+    tracks()
+    // a PURE-INSERT merge (no file overlaps any key) takes the cheap
+    // path: raw data-file links, no staged capture
+    val vIns = TableLog.mergeCow(spark, t,
+      spark.range(3000, 3020).select($"id".as("k"), lit(-3L).as("v")),
+      "k", statsCols = Seq("k"))
+    tracks()
+    val insLinks = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_feed"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(f"v$vIns%09d_")).toSeq
+    assert(insLinks.nonEmpty && insLinks.forall(!_.contains("_cdc_")),
+      s"pure-insert merge must link raw files, got $insLinks")
+    // the typed feed applies onto a KEYED silver — updates land as
+    // upserts (delete+insert pair at one version, insert wins) — and
+    // silver, itself CDC-enabled, chains onward to gold
+    TableLog.enableCdcFeed(silver)
+    TableLog.applyCdc(spark, silver,
+      TableLog.readFeed(spark, t, withVersion = true), "k",
+      statsCols = Seq("k"))
+    val live = TableLog.read(spark, t)
+    val sLive = TableLog.read(spark, silver)
+    assert(sLive.exceptAll(live).isEmpty && live.exceptAll(sLive).isEmpty)
+    TableLog.applyCdc(spark, gold,
+      TableLog.readFeed(spark, silver, withVersion = true), "k",
+      statsCols = Seq("k"))
+    val gLive = TableLog.read(spark, gold)
+    assert(gLive.exceptAll(live).isEmpty && live.exceptAll(gLive).isEmpty)
+    // full-snapshot rewrites stay refused even on a CDC feed — their
+    // capture would scan the whole table; the pruned faces are the API
+    intercept[IllegalArgumentException](TableLog.mergeUpsert(spark, t,
+      Seq((1L, 9L)).toDF("k", "v"), Seq("k")))
+  }
+
+  test("updateWhere: rewrites only overlapping files; set-exprs hit only matched rows; NULLs pass") {
+    val t = tmp("graft_log_updw")
+    TableLog.create(spark, t,
+      spark.range(8000).select($"id".as("k"), ($"id" * 10).as("v"),
+        lit("keep").as("tag")).repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+    val untouchedBefore = before.files.filterNot(f =>
+      f.stats.exists(s => s.col == "k" && s.max >= 2000 && s.min <= 2999))
+    assert(untouchedBefore.size >= 5, "fixture: most files must not overlap")
+    val v = TableLog.updateWhere(spark, t, "k", 2000, 2999,
+      Map("v" -> ($"v" * -1), "tag" -> lit("upd")), statsCols = Seq("k"))
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 8000, "update never changes the row count")
+    assert(TableLog.snapshot(t).get.rows == 8000)
+    assert(back.where($"tag" === "upd").count() == 1000)
+    assert(back.where($"k".between(2000, 2999)).agg(sum($"v"))
+      .head.getLong(0) == -(2000L to 2999L).map(_ * 10).sum)
+    assert(back.where(!$"k".between(2000, 2999))
+      .where($"tag" =!= "keep").count() == 0,
+      "rows outside the range must pass through unchanged")
+    // mechanics: non-overlapping files carry by reference
+    val afterPaths = TableLog.snapshot(t).get.files.map(_.path).toSet
+    untouchedBefore.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched file ${f.path} must survive by reference"))
+    // time travel: the pre-update version is intact
+    assert(TableLog.readVersion(spark, t, v - 1)
+      .where($"tag" === "upd").count() == 0)
+    // no-op (no file can contain a match): no commit
+    assert(TableLog.updateWhere(spark, t, "k", 90000, 91000,
+      Map("v" -> lit(0L)), statsCols = Seq("k")) == v)
+    assert(TableLog.latestVersion(t) == v)
+    // unknown set column / empty set refused
+    intercept[IllegalArgumentException](TableLog.updateWhere(spark, t,
+      "k", 0, 1, Map("nope" -> lit(1L))))
+    intercept[IllegalArgumentException](TableLog.updateWhere(spark, t,
+      "k", 0, 1, Map.empty[String, org.apache.spark.sql.Column]))
+    // txn idempotence: a replayed update is a no-op
+    val v2 = TableLog.updateWhere(spark, t, "k", 0, 10,
+      Map("v" -> lit(5L)), statsCols = Seq("k"), txnId = Some("u1"))
+    assert(TableLog.updateWhere(spark, t, "k", 0, 10,
+      Map("v" -> lit(5L)), statsCols = Seq("k"), txnId = Some("u1")) == v2)
+    assert(TableLog.latestVersion(t) == v2)
+    // NULL keys never match a range update
+    val tn = tmp("graft_log_updw_null")
+    TableLog.create(spark, tn,
+      Seq[(java.lang.Long, String)]((1L, "a"), (2500L, "b"), (null, "c"))
+        .toDF("k", "v"), statsCols = Seq("k"))
+    TableLog.updateWhere(spark, tn, "k", 0, 9000, Map("v" -> lit("X")),
+      statsCols = Seq("k"))
+    assert(TableLog.read(spark, tn)
+      .where($"k".isNull).head.getString(1) == "c")
+    // plain feed refuses; the CDC capture path is pinned above
+    val f = tmp("graft_log_updw_feed")
+    TableLog.enableFeed(f)
+    TableLog.create(spark, f, Seq((1L, 2L)).toDF("k", "v"))
+    intercept[IllegalArgumentException](TableLog.updateWhere(spark, f,
+      "k", 0, 10, Map("v" -> lit(0L))))
   }
 
   test("deleteWhere: NULL keys survive a range delete; feed tables refuse") {
