@@ -2302,6 +2302,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The fixed BPE rule list `e4_bpe_encode` runs under — hand-authored,
+    * rank-ordered, with composing chains (th→the, an→and) so the oracle
+    * exercises rule order, not just presence. Each rule consuming a
+    * composite token follows the rule that created it, which is what
+    * licenses the oracle's nested-replace formulation (see
+    * functions/Bpe.scala's rank-monotonicity note). */
+  private val bpeFixedMerges = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"))
+
+  /** TRUE byte-pair encoding under a fixed rule list (`Bpe.encodeWith`,
+    * a codegen expression running the classic lowest-rank merge loop
+    * with a per-executor word memo). The oracle replays the rules as
+    * nested boundary-safe string replaces — sound because applying
+    * rules in rank order, each globally left-to-right, equals the
+    * classic loop (a merge only ever creates higher-rank pairs; parity
+    * spec-pinned in ExtOpsSpec). Output = corpus token histogram. */
+  private def e4BpeEncode(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(graft.functions.Bpe.encodeWith(col("text"),
+        bpeFixedMerges)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(40)
+
+  /** TRAINED BPE end-to-end: fit rules on the corpus itself
+    * (`Bpe.train` — one distributed word histogram, then the driver
+    * merge loop over the Zipf-compressed word-frequency dict), then
+    * encode the corpus with the learned model. Training is an
+    * iterative argmax — not relationally expressible — so this entry
+    * has NO SQL oracle (the driver records its rows-only check); the
+    * merge loop itself is pinned against a hand-computed fixture and a
+    * partitioning-invariance property in ExtOpsSpec, and the encoder
+    * is the same expression `e4_bpe_encode` oracles. */
+  private def e4BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = graft.functions.Bpe.train(docs, "text", numMerges = 200)
+    docs.select(explode(graft.functions.Bpe.encode(col("text"), model))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(30)
+  }
+
   /** Count-Min sketch over all document tokens, dumped as (depth, bucket,
     * count) rows. The md5-derived bucketing makes the ENTIRE sketch
     * deterministic, so the oracle rebuilds it with a plain GROUP BY — a

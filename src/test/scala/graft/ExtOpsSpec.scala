@@ -853,4 +853,84 @@ class ExtOpsSpec extends SparkSpec {
         ((r.getBoolean(1), r.getLong(2)))).toMap
     assert(d2(30L) == ((true, 8L)))
   }
+
+  test("BPE train: merge sequence matches the hand-computed Sennrich fixture") {
+    import graft.functions.Bpe
+    // low×5 lower×2 newest×6 widest×3 — worked by hand:
+    //   (e,s)=9 ties (s,t)=9 → pair-ascending picks (e,s); then (es,t);
+    //   (l,o)=7 ties (o,w) → (l,o); (lo,w); then the 6-count family in
+    //   ascending order as merges compose: (e,w), (ew,est), (n,ewest);
+    //   then the widest tail (d,est) at count 3
+    val m = Bpe.trainFromHistogram(Array(("low", 5L), ("lower", 2L),
+      ("newest", 6L), ("widest", 3L)), numMerges = 8)
+    assert(m.merges.toSeq == Seq(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w"), ("ew", "est"), ("n", "ewest"),
+      ("d", "est")))
+    // the char inventory is the sorted distinct symbol set
+    assert(m.chars.toSeq == Seq("d", "e", "i", "l", "n", "o", "r", "s",
+      "t", "w"))
+    assert(m.vocab.takeRight(2).toSeq == Seq("newest", "dest"))
+    // count-1 pairs never become rules (they generalize nothing)
+    val tiny = Bpe.trainFromHistogram(Array(("ab", 1L), ("cd", 1L)), 10)
+    assert(tiny.merges.isEmpty)
+  }
+
+  test("BPE encode: classic lowest-rank loop through the trained rules") {
+    import graft.functions.Bpe
+    val model = Bpe.trainFromHistogram(Array(("low", 5L), ("lower", 2L),
+      ("newest", 6L), ("widest", 3L)), numMerges = 8)
+    val d = Seq(
+      (0L, "newest lowest low"),
+      (1L, "NEWEST, new-est!"), // case-folded; punctuation splits words
+      (2L, ""),
+      (3L, "zzz")               // symbols unseen at train time pass through
+    ).toDF("doc_id", "text")
+    val enc = d.select(col("doc_id"), Bpe.encode(col("text"), model).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // lowest = l o w e s t → es → est → lo → low ⇒ [low, est]
+    assert(enc(0L) == Seq("newest", "low", "est", "low"))
+    // "new" alone: (e,w) applies but (n,ew) is not a rule ⇒ [n, ew]
+    assert(enc(1L) == Seq("newest", "n", "ew", "est"))
+    assert(enc(2L) == Seq.empty)
+    assert(enc(3L) == Seq("z", "z", "z"))
+    // rank-monotonicity: applying rules in rank order, each globally,
+    // equals the classic loop (the property the SQL oracle's nested
+    // replaces rely on) — checked over every word in the fixture corpus
+    def byRankOrder(w: String): Seq[String] = {
+      var s: Seq[String] = w.map(_.toString)
+      model.merges.foreach { case (x, y) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j + 1 < s.length && s(j) == x && s(j + 1) == y) {
+            out += x + y; j += 2
+          } else { out += s(j); j += 1 }
+        }
+        s = out.toSeq
+      }
+      s
+    }
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "new",
+        "stew", "widower"))
+      assert(d.sparkSession.range(1).select(
+        Bpe.encode(lit(w), model).as("t"))
+        .head.getSeq[String](0).toSeq == byRankOrder(w), s"word $w")
+  }
+
+  test("BPE train is deterministic across partitioning and yields parity encodes") {
+    import graft.functions.Bpe
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val m1 = Bpe.train(docs, "text", numMerges = 50)
+    val m2 = Bpe.train(docs.repartition(7), "text", numMerges = 50)
+    assert(m1.merges.toSeq == m2.merges.toSeq &&
+      m1.chars.toSeq == m2.chars.toSeq)
+    assert(m1.merges.length == 50)
+    // encode round-trip invariant: tokens concatenate back to the
+    // pre-tokenized words, for every document
+    val bad = docs.select(
+        concat_ws("", Bpe.encode(col("text"), m1)).as("rt"),
+        concat_ws("", split(lower(col("text")), "[^a-z0-9]+")).as("words"))
+      .where(col("rt") =!= col("words")).count()
+    assert(bad == 0)
+  }
 }
