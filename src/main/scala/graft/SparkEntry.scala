@@ -2985,6 +2985,8 @@ object SparkEntry {
     "e4_regex_all" -> (e4RegexAll _),
     "e5_bits" -> (e5Bits _),
     "e4_bpe_tokens" -> (e4BpeTokens _),
+    "e4_bpe_encode" -> (e4BpeEncode _),
+    "e4_bpe_train" -> (e4BpeTrain _),
     "e4_redact" -> (e4Redact _),
     "e10_sample_strata" -> (e10SampleStrata _),
     "e10_pack_chunks" -> (e10PackChunks _),
@@ -3086,6 +3088,20 @@ object SparkEntry {
       .mkString(" ")
     s"CASE WHEN $mx = 0 THEN 'und' $cases END"
   }
+
+  /** The `e4_bpe_encode` rule replay as one nested-replace expression,
+    * generated from the SAME `bpeFixedMerges` list the plan runs
+    * (rule-list drift between code and oracle is impossible). Each
+    * symbol is wrapped `|sym|`, so a rule's pattern `|x||y|` can only
+    * match a whole adjacent symbol pair — a symbol merely ENDING in x
+    * ("at" before "h") leaves no '|' ahead of the x and never matches
+    * — and DuckDB's left-to-right non-overlapping replace() is exactly
+    * the per-rule global pass rank-monotonicity licenses (parity with
+    * the classic loop is spec-pinned in ExtOpsSpec). */
+  private lazy val sqlBpeEncode: String =
+    bpeFixedMerges.foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+      case (acc, (x, y)) => s"replace($acc, '|$x||$y|', '|$x$y|')"
+    }
 
   /** B^(k-1-j) mod M for the winnowing oracle's closed-form gram hash —
     * identical modular arithmetic to the rolling form. */
@@ -3998,6 +4014,17 @@ object SparkEntry {
         |  '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+', 0)) AS BIGINT) AS n_bpe,
         |CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e4_bpe_encode" ->
+      s"""WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |  FROM documents
+        |), enc AS (
+        |  SELECT $sqlBpeEncode AS s FROM words WHERE length(w) > 0
+        |), toks AS (
+        |  SELECT unnest(string_split(trim(s, '|'), '||')) AS token FROM enc
+        |)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 40""".stripMargin,
     "e5_cms_sketch" ->
       s"""WITH t AS (SELECT unnest($sqlTokens) AS tok FROM documents),
         |b AS (SELECT d.d AS depth,

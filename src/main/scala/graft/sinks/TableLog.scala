@@ -1611,9 +1611,13 @@ object TableLog {
 
   /** Stats-pruned COPY-ON-WRITE update: for every row where `c` (cast
     * to long) falls in `[lo, hi]`, replace the columns named in `set`
-    * with their expressions (evaluated against the matched row — so
-    * `"price" -> col("price") * 2` and `"flag" -> lit("X")` both
-    * work), rewriting ONLY the files whose manifest stat range
+    * with their expressions — every RHS evaluated against the OLD row
+    * (standard SQL UPDATE semantics: all set clauses see the
+    * pre-update image, so `"a" -> col("b"), "b" -> col("a")` swaps,
+    * and the predicate column itself may appear in `set` without
+    * re-evaluating the condition against its new value; the whole
+    * update is ONE projection over the scan, never a chain) —
+    * rewriting ONLY the files whose manifest stat range
     * overlaps the predicate; every other file carries over BY
     * REFERENCE in a delta manifest, exactly like `deleteWhere`. Rows
     * with NULL `c` never match and pass through unchanged. The row
@@ -1651,8 +1655,24 @@ object TableLog {
       set.keys.foreach(k => require(scan.columns.contains(k),
         s"updateWhere: set column $k not in $table's schema"))
       val scanRows = scan.count()
-      val updated = set.foldLeft(scan) { case (df, (k, expr)) =>
-        df.withColumn(k, when(cond, expr).otherwise(col(k)))
+      // ONE projection off the unmodified scan: every set RHS reads the
+      // pre-update row (a foldLeft of withColumn would feed each later
+      // expression the PREVIOUS expression's output — the a/b swap
+      // bug, Map-iteration-order nondeterministic past 4 entries)
+      val updated = scan.select(scan.columns.map(k =>
+        set.get(k).map(e => when(cond, e).otherwise(col(k)))
+          .getOrElse(col(k)).as(k)): _*)
+      // schema audit: when/otherwise type coercion can silently widen
+      // a column (long + lit(0.5) → double) — the data files would
+      // then disagree with the manifest's unchanged schemaJson and
+      // fail only at a LATER read. Refuse before writing, not cast:
+      // an implicit cast back (0.5 as long = 0) corrupts silently.
+      scan.schema.fields.zip(updated.schema.fields).foreach {
+        case (o, n) => require(o.dataType == n.dataType,
+          s"updateWhere: set expression for ${o.name} has type " +
+            s"${n.dataType.simpleString}, column is " +
+            s"${o.dataType.simpleString} — cast the expression " +
+            "explicitly (the manifest schema is not changed by update)")
       }
       val (newFiles, newRows) = writeDataFiles(spark, table, updated,
         statsCols, strStatsCols, bloomStatsCols)

@@ -1181,6 +1181,48 @@ class TableLogSpec extends SparkSpec {
       "k", 0, 10, Map("v" -> lit(0L))))
   }
 
+  test("updateWhere: every set RHS sees the OLD row (swap works, >4 interdependent columns deterministic); type drift refused") {
+    val t = tmp("graft_log_updw_swap")
+    TableLog.create(spark, t,
+      spark.range(100).select($"id".as("k"), ($"id" + 1000).as("a"),
+        ($"id" + 2000).as("b"), ($"id" + 3000).as("c2"),
+        ($"id" + 4000).as("d"), ($"id" + 5000).as("e")),
+      statsCols = Seq("k"))
+    // the classic swap: both RHS must read the pre-update image
+    TableLog.updateWhere(spark, t, "k", 0, 49,
+      Map("a" -> $"b", "b" -> $"a"), statsCols = Seq("k"))
+    val r = TableLog.read(spark, t).where($"k" === 7L).head()
+    assert(r.getLong(1) == 2007L && r.getLong(2) == 1007L,
+      "a/b swap must exchange, not duplicate")
+    val un = TableLog.read(spark, t).where($"k" === 70L).head()
+    assert(un.getLong(1) == 1070L && un.getLong(2) == 2070L)
+    // 5 interdependent columns: a Map past 4 entries iterates in hash
+    // order, so the old foldLeft chain was NONDETERMINISTIC here; the
+    // single projection makes each column read its left neighbor's OLD
+    // value regardless of Map order
+    TableLog.updateWhere(spark, t, "k", 10, 19,
+      Map("a" -> $"e", "b" -> $"a", "c2" -> $"b", "d" -> $"c2",
+        "e" -> $"d"), statsCols = Seq("k"))
+    val r2 = TableLog.read(spark, t).where($"k" === 13L).head()
+    // pre-image at k=13 (post-swap): a=2013 b=1013 c2=3013 d=4013 e=5013
+    assert(r2.getLong(1) == 5013L, "a <- old e")
+    assert(r2.getLong(2) == 2013L, "b <- old a")
+    assert(r2.getLong(3) == 1013L, "c2 <- old b")
+    assert(r2.getLong(4) == 3013L, "d <- old c2")
+    assert(r2.getLong(5) == 4013L, "e <- old d")
+    // schema audit: a set expression that widens the column type is
+    // refused BEFORE any write (the manifest schema never changes)
+    val e1 = intercept[IllegalArgumentException](TableLog.updateWhere(
+      spark, t, "k", 0, 5, Map("a" -> lit(0.5)), statsCols = Seq("k")))
+    assert(e1.getMessage.contains("cast the expression"))
+    // predicate column in the set: cond is evaluated against the OLD
+    // key, so moving the key out of the range still updates the row
+    TableLog.updateWhere(spark, t, "k", 90, 94,
+      Map("k" -> ($"k" + 1000L), "a" -> lit(-1L)), statsCols = Seq("k"))
+    assert(TableLog.read(spark, t).where($"k" >= 1090L && $"a" === -1L)
+      .count() == 5)
+  }
+
   test("deleteWhere: NULL keys survive a range delete; feed tables refuse") {
     val t = tmp("graft_log_delw_null")
     TableLog.create(spark, t,
