@@ -684,6 +684,36 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Timestamp time travel: two commits, then `readAsOf` at the FIRST
+    * commit's recorded wall-clock — which must resolve to v1 exactly
+    * (commit stamps are strictly monotonic, so t1 < t2 always) — and
+    * at a far-future wall-clock, which must resolve to the latest
+    * version. The union pins both resolutions against a relational
+    * recomputation of each snapshot's content; boundary and vacuum
+    * error semantics are spec-pinned in TableLogSpec. */
+  private def o53ReadAsOf(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/asof_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 === 16)
+        .repartitionByRange(4, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    val t1 = tl.commitTimestamp(t, 1L).get
+    tl.append(s, t, li.where(col("l_orderkey") % 30 === 17)
+        .repartitionByRange(4, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"))
+    val t2 = tl.commitTimestamp(t, 2L).get
+    def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+      df.groupBy(lit(snap).as("snap"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+    agg(tl.readAsOf(s, t, t1), "v1")
+      .unionByName(agg(tl.readAsOf(s, t, t2 + 3600000L), "v2"))
+      .orderBy("snap", "l_returnflag")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -2949,6 +2979,7 @@ object SparkEntry {
     "o51_update_where" -> (o51UpdateWhere _),
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
+    "o53_read_asof" -> (o53ReadAsOf _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4448,6 +4479,17 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o53_read_asof" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag FROM lineitem)
+        |SELECT 'v1' AS snap, l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM li WHERE l_orderkey % 30 = 16 GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'v2' AS snap, l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM li WHERE l_orderkey % 30 IN (16, 17) GROUP BY l_returnflag
+        |ORDER BY snap, l_returnflag""".stripMargin,
     "o45_delete_in" ->
       """WITH k AS (SELECT doc_id, source, lang,
         |  CAST(length(text) AS BIGINT) AS text_len

@@ -107,7 +107,8 @@ object TableLog {
       action: String, rows: Long, kind: String, files: Seq[FileEntry],
       adds: Seq[FileEntry], removes: Seq[String],
       txn: Option[String], schemaJson: Option[String],
-      counters: Map[String, Long] = Map.empty)
+      counters: Map[String, Long] = Map.empty,
+      tsMs: Long = 0L)
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -179,7 +180,8 @@ object TableLog {
       txn = kv.get("txn"),
       schemaJson = kv.get("schema"),
       counters = kv.collect { case (k, v) if k.startsWith("counter.") =>
-        java.net.URLDecoder.decode(k.drop(8), "UTF-8") -> v.toLong }))
+        java.net.URLDecoder.decode(k.drop(8), "UTF-8") -> v.toLong },
+      tsMs = kv.get("ts").map(_.toLong).getOrElse(0L)))
   }
 
   private def renderManifest(r: ManifestRec): String = {
@@ -189,6 +191,7 @@ object TableLog {
     sb ++= s"action=${r.action}\n"
     sb ++= s"rows=${r.rows}\n"
     sb ++= s"kind=${r.kind}\n"
+    if (r.tsMs > 0) sb ++= s"ts=${r.tsMs}\n"
     r.txn.foreach(t => sb ++= s"txn=$t\n")
     r.schemaJson.foreach(j => sb ++= s"schema=$j\n")
     r.counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -277,8 +280,20 @@ object TableLog {
     * a crash — the loop rewrites a fresh temp and tries again. */
   private def tryCommit(table: String, r: ManifestRec): Boolean = {
     Files.createDirectories(logDir(table))
-    primitiveFor(table).putIfAbsent(manifestPath(table, r.version),
-      renderManifest(r).getBytes(UTF_8))
+    // commit timestamp, stamped at the single commit gate so every
+    // write path carries one, and STRICTLY MONOTONIC vs the previous
+    // version (max(now, prev+1) — one extra small-file read): a clock
+    // hiccup or two commits in one millisecond would otherwise make
+    // ts → version resolution ambiguous, and `readAsOf`'s binary
+    // search relies on ts ordering matching version ordering (Delta
+    // applies the same in-commit adjustment for its timestamp travel)
+    val prevTs =
+      if (r.version <= 1) 0L
+      else parseRec(manifestPath(table, r.version - 1)).map(_.tsMs)
+        .getOrElse(0L)
+    val stamped = r.copy(tsMs = math.max(System.currentTimeMillis, prevTs + 1))
+    primitiveFor(table).putIfAbsent(manifestPath(table, stamped.version),
+      renderManifest(stamped).getBytes(UTF_8))
   }
 
   /** Write `df` as a new immutable data-file set under `<table>/data/`,
@@ -906,6 +921,58 @@ object TableLog {
     * what has been ingested" after a commit. */
   def commitStats(table: String, version: Long): Option[(Long, Map[String, Long])] =
     parseRec(manifestPath(table, version)).map(r => (r.rows, r.counters))
+
+  /** Wall-clock commit timestamp (epoch millis) recorded in version
+    * `v`'s manifest — one small-file read. 0 on pre-timestamp legacy
+    * manifests. */
+  def commitTimestamp(table: String, version: Long): Option[Long] =
+    parseRec(manifestPath(table, version)).map(_.tsMs)
+
+  /** The newest committed version whose commit timestamp is at or
+    * before `tsMs` — "the table as of yesterday 09:00" resolved to a
+    * version number. Commit timestamps are stamped strictly monotonic
+    * at the commit gate (`tryCommit`), so ts order = version order and
+    * the resolution is a BINARY SEARCH over the retained version
+    * range: O(log versions) manifest reads, never a full log scan —
+    * on a 100k-commit ingest history that is ~17 small-file reads.
+    * Fails descriptively when `tsMs` predates the earliest RETAINED
+    * version (vacuum dropped the history that would answer it) and
+    * when it predates version 1 of a never-vacuumed table. Legacy
+    * pre-timestamp manifests (ts=0) sort before every stamped commit:
+    * a query inside the legacy range resolves to the newest legacy
+    * version only if no stamped version qualifies. */
+  def versionAsOf(table: String, tsMs: Long): Long = {
+    val latest = latestVersion(table)
+    require(latest > 0, s"versionAsOf: no committed version in $table")
+    // earliest RETAINED manifest bounds the searchable range (vacuum
+    // drops prefixes; the listing exists — latestVersion just read it)
+    val earliest = listDir(logDir(table))
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .min
+    def ts(v: Long): Long =
+      parseRec(manifestPath(table, v)).map(_.tsMs).getOrElse(
+        sys.error(s"versionAsOf: manifest v$v of $table unreadable"))
+    require(ts(earliest) <= tsMs, {
+      val e = ts(earliest)
+      s"versionAsOf($table, $tsMs): timestamp predates the earliest " +
+        (if (earliest == 1) s"commit (v1 at $e)"
+         else s"RETAINED version (v$earliest at $e — older history was " +
+           "vacuumed)")
+    })
+    // invariant: ts(lo) <= tsMs; answer = largest such version
+    var lo = earliest; var hi = latest
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (ts(mid) <= tsMs) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Timestamp time travel: the table as of wall-clock `tsMs`. */
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
+    readVersion(spark, table, versionAsOf(table, tsMs))
 
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
     * the log with txn id `<streamId>#<batchId>`. foreachBatch is

@@ -1223,6 +1223,46 @@ class TableLogSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("readAsOf: ts resolves to the newest version at-or-before; boundaries exact; vacuumed history refused") {
+    val t = tmp("graft_log_asof")
+    TableLog.create(spark, t, spark.range(10).toDF("id"))
+    TableLog.append(spark, t, spark.range(10, 25).toDF("id"))
+    TableLog.append(spark, t, spark.range(25, 30).toDF("id"))
+    val Seq(t1, t2, t3) = (1L to 3L).map(v =>
+      TableLog.commitTimestamp(t, v).get)
+    // stamps are STRICTLY monotonic even when commits land in the same
+    // millisecond (tryCommit stamps max(now, prev+1))
+    assert(t1 < t2 && t2 < t3)
+    // exact-boundary: ts == a commit's stamp resolves to THAT version
+    assert(TableLog.versionAsOf(t, t1) == 1L)
+    assert(TableLog.versionAsOf(t, t2) == 2L)
+    // between-commits: newest at-or-before wins (t2 may be t1+1; when a
+    // real gap exists, probe inside it)
+    if (t2 - t1 > 1) assert(TableLog.versionAsOf(t, t1 + 1) == 1L)
+    if (t3 - t2 > 1) assert(TableLog.versionAsOf(t, t3 - 1) == 2L)
+    // future ts → latest; content matches the resolved snapshot
+    assert(TableLog.versionAsOf(t, t3 + 1000000) == 3L)
+    assert(TableLog.readAsOf(spark, t, t2).count() == 25)
+    // predates v1 → descriptive refusal
+    val e1 = intercept[RuntimeException](TableLog.versionAsOf(t, t1 - 1))
+    assert(e1.getMessage.contains("predates"))
+    // vacuum away v1's manifest (force: v3 is a delta; drop through a
+    // checkpoint by appending past the interval)
+    (4L to 10L).foreach(i =>
+      TableLog.append(spark, t, spark.range(30 + i, 31 + i).toDF("id")))
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0L)
+    val kept = (1L to 10L).filter(v =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(t, "_log", f"v$v%08d.manifest")))
+    assert(kept.min > 1L, "fixture: vacuum must drop v1")
+    // a ts inside the vacuumed prefix now errors as vacuumed history
+    val e2 = intercept[RuntimeException](TableLog.versionAsOf(t, t1))
+    assert(e2.getMessage.contains("vacuumed"))
+    // retained range still resolves
+    assert(TableLog.versionAsOf(t,
+      TableLog.commitTimestamp(t, kept.max).get) == kept.max)
+  }
+
   test("deleteWhere: NULL keys survive a range delete; feed tables refuse") {
     val t = tmp("graft_log_delw_null")
     TableLog.create(spark, t,
