@@ -577,6 +577,40 @@ object SparkEntry {
     tl.read(s, t).orderBy("o_orderkey")
   }
 
+  /** STRING-KEY copy-on-write merge: the documents table keyed on a
+    * zero-padded string doc key, range-clustered with string file
+    * stats — an update band inside the key domain plus inserts past
+    * it, merged via the string-stat prune (`cowApplyStr`'s exact
+    * sorted-key-set overlap in UTF-8 binary order). The oracle replays
+    * the latest-wins merge relationally; rewrite-minimality (untouched
+    * files carrying by reference) is spec-pinned in TableLogSpec. */
+  private def o54MergeCowStr(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/mcowstr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = T(s, dir, "documents")
+      .select(concat(lit("doc-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+        col("lang"), col("source"), col("n_chars"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, docs.repartitionByRange(8, col("key"))
+        .sortWithinPartitions("key"),
+      strStatsCols = Seq("key"))
+    val upd = docs
+      .where(col("key").between("doc-00000100", "doc-00000199"))
+      .select(col("key"), lit("xx").as("lang"), col("source"),
+        (col("n_chars") * 2).as("n_chars"))
+    val ins = T(s, dir, "documents").where(col("doc_id") < 50)
+      .select(concat(lit("new-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+        col("lang"), col("source"), col("n_chars"))
+    tl.mergeCow(s, t, upd.unionByName(ins), "key",
+      strStatsCols = Seq("key"))
+    tl.read(s, t).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("lang")
+  }
+
   /** APPLY CHANGES INTO: the typed CDC feed materialized as a KEYED
     * silver table through `TableLog.applyCdc` — per key the highest
     * feed commit version wins (versions ride the link names, parsed at
@@ -2980,6 +3014,7 @@ object SparkEntry {
     "o43_index_compaction" -> (o43IndexCompaction _),
     "o44_delete_where" -> (o44DeleteWhere _),
     "o53_read_asof" -> (o53ReadAsOf _),
+    "o54_merge_cow_str" -> (o54MergeCowStr _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4490,6 +4525,22 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty
         |FROM li WHERE l_orderkey % 30 IN (16, 17) GROUP BY l_returnflag
         |ORDER BY snap, l_returnflag""".stripMargin,
+    "o54_merge_cow_str" ->
+      """WITH d AS (SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |    lang, source, n_chars FROM documents),
+        |src AS (
+        |  SELECT key, 'xx' AS lang, source, n_chars * 2 AS n_chars
+        |  FROM d WHERE key BETWEEN 'doc-00000100' AND 'doc-00000199'
+        |  UNION ALL
+        |  SELECT 'new-' || lpad(CAST(doc_id AS VARCHAR), 8, '0'), lang, source, n_chars
+        |  FROM documents WHERE doc_id < 50),
+        |merged AS (
+        |  SELECT * FROM d WHERE key NOT IN (SELECT key FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
     "o45_delete_in" ->
       """WITH k AS (SELECT doc_id, source, lang,
         |  CAST(length(text) AS BIGINT) AS text_len

@@ -103,12 +103,36 @@ object TableLog {
   /** One parsed manifest, pre-resolution: `kind` "full" (complete file
     * list in `files`; legacy manifests with no kind key read as full)
     * or "delta" (`adds` entries + `removes` paths vs version−1). */
+  /** `txnHw`/`txnComplete`: the txn high-water index — per STREAM (the
+    * prefix of a structured `<stream>#<n>` / `mv@<n>` txn id), the
+    * highest committed sequence and its version, carried DENORMALIZED
+    * in every manifest like `rows`, so `committedTxnVersion` is one
+    * manifest read instead of an O(versions) reverse scan (on the
+    * 100k-commit ingest history the log advertises, that was ~200k
+    * manifest parses per micro-batch — per APPEND, since the append
+    * path checks twice). Bounded by distinct streams, not versions.
+    * `txnComplete` marks an unbroken stamped chain back to v1: only
+    * then is the map authoritative for "not committed" — a table with
+    * pre-index commits falls back to the scan, never misreports. */
   private final case class ManifestRec(version: Long, baseVersion: Long,
       action: String, rows: Long, kind: String, files: Seq[FileEntry],
       adds: Seq[FileEntry], removes: Seq[String],
       txn: Option[String], schemaJson: Option[String],
       counters: Map[String, Long] = Map.empty,
-      tsMs: Long = 0L)
+      tsMs: Long = 0L,
+      txnHw: Map[String, (Long, Long)] = Map.empty,
+      txnComplete: Boolean = false)
+
+  /** Split a structured txn id into (stream prefix, sequence):
+    * `ingest#42` → ("ingest#", 42), `mv@17` → ("mv@", 17). Opaque ids
+    * (no trailing number after '#'/'@') are not indexed — they fall
+    * back to the manifest scan. */
+  private def parseTxnSeq(txnId: String): Option[(String, Long)] = {
+    val m = txnSeqRe.matcher(txnId)
+    if (m.matches()) Some((m.group(1), m.group(2).toLong)) else None
+  }
+  private val txnSeqRe =
+    java.util.regex.Pattern.compile("(.*[#@])(\\d{1,18})")
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def manifestPath(table: String, v: Long): Path =
@@ -181,7 +205,12 @@ object TableLog {
       schemaJson = kv.get("schema"),
       counters = kv.collect { case (k, v) if k.startsWith("counter.") =>
         java.net.URLDecoder.decode(k.drop(8), "UTF-8") -> v.toLong },
-      tsMs = kv.get("ts").map(_.toLong).getOrElse(0L)))
+      tsMs = kv.get("ts").map(_.toLong).getOrElse(0L),
+      txnHw = kv.collect { case (k, v) if k.startsWith("txnhw.") =>
+        val Array(n, ver) = v.split(":", 2)
+        java.net.URLDecoder.decode(k.drop(6), "UTF-8") ->
+          (n.toLong, ver.toLong) },
+      txnComplete = kv.get("txncomplete").contains("true")))
   }
 
   private def renderManifest(r: ManifestRec): String = {
@@ -193,6 +222,9 @@ object TableLog {
     sb ++= s"kind=${r.kind}\n"
     if (r.tsMs > 0) sb ++= s"ts=${r.tsMs}\n"
     r.txn.foreach(t => sb ++= s"txn=$t\n")
+    if (r.txnComplete) sb ++= "txncomplete=true\n"
+    r.txnHw.toSeq.sortBy(_._1).foreach { case (s, (n, v)) =>
+      sb ++= s"txnhw.${java.net.URLEncoder.encode(s, "UTF-8")}=$n:$v\n" }
     r.schemaJson.foreach(j => sb ++= s"schema=$j\n")
     r.counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
       sb ++= s"counter.${java.net.URLEncoder.encode(k, "UTF-8")}=$v\n" }
@@ -287,11 +319,25 @@ object TableLog {
     // ts → version resolution ambiguous, and `readAsOf`'s binary
     // search relies on ts ordering matching version ordering (Delta
     // applies the same in-commit adjustment for its timestamp travel)
-    val prevTs =
-      if (r.version <= 1) 0L
-      else parseRec(manifestPath(table, r.version - 1)).map(_.tsMs)
-        .getOrElse(0L)
-    val stamped = r.copy(tsMs = math.max(System.currentTimeMillis, prevTs + 1))
+    val prev =
+      if (r.version <= 1) None
+      else parseRec(manifestPath(table, r.version - 1))
+    val prevTs = prev.map(_.tsMs).getOrElse(0L)
+    // txn high-water index: fold this commit's structured txn id into
+    // the previous version's map (max-sequence wins, so an
+    // out-of-order replay never regresses the frontier); completeness
+    // propagates from v1 so a legacy chain is never misread as indexed
+    val hwBase = prev.map(_.txnHw).getOrElse(Map.empty[String, (Long, Long)])
+    val hw = r.txn.flatMap(parseTxnSeq) match {
+      case Some((stream, n))
+          if !hwBase.get(stream).exists(_._1 >= n) =>
+        hwBase + (stream -> (n, r.version))
+      case _ => hwBase
+    }
+    val complete = r.version == 1 || prev.exists(_.txnComplete)
+    val stamped = r.copy(
+      tsMs = math.max(System.currentTimeMillis, prevTs + 1),
+      txnHw = hw, txnComplete = complete)
     primitiveFor(table).putIfAbsent(manifestPath(table, stamped.version),
       renderManifest(stamped).getBytes(UTF_8))
   }
@@ -640,11 +686,23 @@ object TableLog {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
     val srcV = latestVersion(src)
     require(srcV > 0, s"maintainAgg: no committed version in $src")
-    val lastRefreshed = (1L to latestVersion(mv)).reverse.iterator
-      .flatMap(v => parseRec(manifestPath(mv, v)))
-      .flatMap(_.txn)
-      .collectFirst { case t if t.startsWith("mv@") => t.drop(3).toLong }
-      .getOrElse(0L)
+    // the refresh frontier rides the txn high-water index ("mv@" is a
+    // structured stream prefix): one manifest read, not a reverse scan
+    // over the mv's whole history; a legacy (pre-index) mv chain keeps
+    // the authoritative scan
+    val lastRefreshed = {
+      val mvLatest = latestVersion(mv)
+      if (mvLatest == 0) 0L
+      else parseRec(manifestPath(mv, mvLatest)) match {
+        case Some(r) if r.txnComplete =>
+          r.txnHw.get("mv@").map(_._1).getOrElse(0L)
+        case _ => (1L to mvLatest).reverse.iterator
+          .flatMap(v => parseRec(manifestPath(mv, v)))
+          .flatMap(_.txn)
+          .collectFirst { case t if t.startsWith("mv@") => t.drop(3).toLong }
+          .getOrElse(0L)
+      }
+    }
     if (srcV == lastRefreshed) return latestVersion(mv)
     def aggOf(df: DataFrame, pre: String): DataFrame =
       df.groupBy(keyCols.map(col): _*)
@@ -886,12 +944,38 @@ object TableLog {
     committed
   }
 
-  /** The version that committed `txnId`, if any. Scans raw manifest
-    * records — no snapshot resolution. */
-  def committedTxnVersion(table: String, txnId: String): Option[Long] =
-    (1L to latestVersion(table)).reverse.iterator
+  /** The version that committed `txnId`, if any. O(1) on the hot path:
+    * the LATEST manifest's txn high-water map answers structured ids
+    * (`<stream>#<n>` / `<stream>@<n>`) in one small-file read —
+    * n == high-water hits exactly, n above it is provably uncommitted
+    * (the index never regresses), n below it means "committed at some
+    * older version" and pays the reverse scan only on that rare
+    * stale-replay shape. Opaque ids and legacy (pre-index) chains
+    * keep the authoritative O(versions) scan. The append path calls
+    * this twice per commit — at 100k retained versions the scan was
+    * ~200k manifest parses per micro-batch; the indexed path is 1. */
+  def committedTxnVersion(table: String, txnId: String): Option[Long] = {
+    val latest = latestVersion(table)
+    if (latest == 0) return None
+    def scan(hi: Long): Option[Long] = (1L to hi).reverse.iterator
       .flatMap(v => parseRec(manifestPath(table, v)))
       .find(_.txn.contains(txnId)).map(_.version)
+    parseRec(manifestPath(table, latest)) match {
+      case Some(r) if r.txnComplete =>
+        if (r.txn.contains(txnId)) Some(latest)
+        else parseTxnSeq(txnId) match {
+          case Some((stream, n)) => r.txnHw.get(stream) match {
+            case Some((hn, hv)) =>
+              if (n == hn) Some(hv)
+              else if (n > hn) None
+              else scan(latest - 1) // older than the frontier: rare
+            case None => None // indexed chain, stream never committed
+          }
+          case None => scan(latest - 1) // opaque id: unindexed
+        }
+      case _ => scan(latest) // legacy chain: only the scan is authoritative
+    }
+  }
 
   /** Create (version 1) — append on an empty table, named for intent,
     * and ENFORCED: re-running a build against a table that already has
@@ -921,6 +1005,36 @@ object TableLog {
     * what has been ingested" after a commit. */
   def commitStats(table: String, version: Long): Option[(Long, Map[String, Long])] =
     parseRec(manifestPath(table, version)).map(r => (r.rows, r.counters))
+
+  /** Metadata-only commit: a new version with NO data-file changes —
+    * rows, schema, and counters carry over verbatim. Exists so log
+    * machinery can be exercised/measured at commit-history scale
+    * (LogStats grows a 10k-version chain in seconds) without paying a
+    * Spark write per version; checkpoints still land on cadence so
+    * resolution stays bounded. Goes through the same CAS gate as every
+    * commit (ts + txn index stamped there). */
+  private[graft] def commitMetadataOnly(table: String,
+      txnId: Option[String] = None): Long = {
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion(table)
+      require(latest > 0, s"commitMetadataOnly: no committed version in $table")
+      val prev = parseRec(manifestPath(table, latest)).getOrElse(
+        sys.error(s"$table: v$latest unreadable"))
+      val version = latest + 1
+      val r =
+        if (version % checkpointInterval == 0)
+          ManifestRec(version, latest, "noop", prev.rows, "full",
+            snapshotOrFail(table).files, Nil, Nil, txnId, prev.schemaJson,
+            prev.counters)
+        else
+          ManifestRec(version, latest, "noop", prev.rows, "delta", Nil,
+            Nil, Nil, txnId, prev.schemaJson, prev.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
 
   /** Wall-clock commit timestamp (epoch millis) recorded in version
     * `v`'s manifest — one small-file read. 0 on pre-timestamp legacy
@@ -1797,7 +1911,10 @@ object TableLog {
 
   /** Stats-pruned COPY-ON-WRITE upsert through the log — `mergeUpsert`
     * generalized the way `deleteWhere` generalizes a full rewrite:
-    * latest-wins merge of `source` on LONG key `keyCol`, rewriting ONLY
+    * latest-wins merge of `source` on key `keyCol` (LONG-castable keys
+    * prune via the long range stats; STRING keys via the string stats
+    * in UTF-8 binary order — pass `strStatsCols` on writes so document
+    * tables keyed on string ids prune too), rewriting ONLY
     * the files whose manifest stat range can contain a source key —
     * every other file provably holds no matched row and carries over BY
     * REFERENCE (same path, never read, never copied) in a delta
@@ -1845,7 +1962,11 @@ object TableLog {
         s"mergeCow: NULL keys in source ($keyCol)")
       require(st.getLong(2) == srcRows,
         s"mergeCow: duplicate keys in source ($keyCol)")
-      cowApply(spark, table, src, srcRows, src.select(col(keyCol)),
+      val apply =
+        if (src.schema(keyCol).dataType ==
+            org.apache.spark.sql.types.StringType) cowApplyStr _
+        else cowApply _
+      apply(spark, table, src, srcRows, src.select(col(keyCol)),
         keyCol, statsCols, strStatsCols, txnId, bloomStatsCols)
     } finally src.unpersist()
   }
@@ -1912,7 +2033,11 @@ object TableLog {
         // streaming bootstrap: first batch creates the silver table
         return append(spark, table, ins, statsCols, txnId,
           strStatsCols, bloomStatsCols = bloomStatsCols)
-      cowApply(spark, table, ins, insRows, touched, keyCol, statsCols,
+      val apply =
+        if (ch.schema(keyCol).dataType ==
+            org.apache.spark.sql.types.StringType) cowApplyStr _
+        else cowApply _
+      apply(spark, table, ins, insRows, touched, keyCol, statsCols,
         strStatsCols, txnId, bloomStatsCols)
     } finally { ch.unpersist(); () }
   }
@@ -1947,6 +2072,20 @@ object TableLog {
     lo < sorted.length && sorted(lo) <= max
   }
 
+  /** `sortedOverlaps` in UTF-8 binary string order: does the sorted
+    * key array contain any value in [min, max]? Same O(log K) binary
+    * search; comparisons via `utf8Leq` so the prune agrees with the
+    * order Spark min/max wrote the stats in. */
+  private def sortedOverlapsStr(sorted: Array[String], min: String,
+      max: String): Boolean = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (!utf8Leq(min, sorted(mid))) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && utf8Leq(sorted(lo), max)
+  }
+
   /** Shared copy-on-write upsert commit: replace the rows whose key is
     * in `touchedKeys` with `inserts`, rewriting only stat-overlapping
     * files, carrying the rest by reference in a delta manifest. The
@@ -1979,16 +2118,69 @@ object TableLog {
           max(col(keyCol).cast("long"))).head()
         (r.getLong(0), r.getLong(1))
     }
+    val affectedOf: Snapshot => Seq[FileEntry] = base => keyList match {
+      case Some(sorted) => base.files.filter(f =>
+        f.stats.find(_.col == keyCol).forall(st =>
+          sortedOverlaps(sorted, st.min, st.max)))
+      case None => prunedFilesOf(base, keyCol, lo, hi)
+    }
+    cowApplyCore(spark, table, inserts, insRows, touchedKeys, keyCol,
+      affectedOf, statsCols, strStatsCols, txnId, bloomStatsCols)
+  }
+
+  /** STRING-KEY twin of `cowApply`'s prune: the exact sorted key set
+    * (UTF-8 BINARY order — the order Spark wrote the string stats in;
+    * see `utf8Leq`) up to the same 100k cap, per-file overlap by
+    * binary search against the manifest's string range stats; past the
+    * cap, the [min,max] span. Document/content tables key on strings —
+    * this is the same O(affected files + source + manifest) merge, on
+    * the `strStatsCols` machinery `deleteWhereIn` already uses. */
+  private def cowApplyStr(spark: SparkSession, table: String,
+      inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
+      keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cap = 100000
+    val capped = touchedKeys.select(col(keyCol).cast("string")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    val utf8Lt = (a: String, b: String) => a != b && utf8Leq(a, b)
+    val keyList: Option[Array[String]] =
+      if (capped.length <= cap) Some(capped.sortWith(utf8Lt)) else None
+    val (lo, hi) = keyList match {
+      case Some(s) if s.nonEmpty => (s.head, s.last)
+      case _ =>
+        // Spark min/max on StringType compare in UTF8String binary
+        // order — the same order the stats and this prune use
+        val r = touchedKeys.agg(min(col(keyCol).cast("string")),
+          max(col(keyCol).cast("string"))).head()
+        (r.getString(0), r.getString(1))
+    }
+    val affectedOf: Snapshot => Seq[FileEntry] = base => keyList match {
+      case Some(sorted) => base.files.filter(f =>
+        f.strStats.find(_.col == keyCol).forall(st =>
+          sortedOverlapsStr(sorted, st.min, st.max)))
+      case None => base.files.filter(f =>
+        f.strStats.find(_.col == keyCol).forall(st =>
+          utf8Leq(st.min, hi) && utf8Leq(lo, st.max)))
+    }
+    cowApplyCore(spark, table, inserts, insRows, touchedKeys, keyCol,
+      affectedOf, statsCols, strStatsCols, txnId, bloomStatsCols)
+  }
+
+  /** The shared COW-upsert CAS loop behind `cowApply`/`cowApplyStr`:
+    * key-type-specific pruning comes in as `affectedOf`, everything
+    * else (scan, semi/anti join, audit, delta manifest, CAS retry,
+    * feed capture) is identical. */
+  private def cowApplyCore(spark: SparkSession, table: String,
+      inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
+      keyCol: String, affectedOf: Snapshot => Seq[FileEntry],
+      statsCols: Seq[String], strStatsCols: Seq[String],
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
-      val affected = keyList match {
-        case Some(sorted) => base.files.filter(f =>
-          f.stats.find(_.col == keyCol).forall(st =>
-            sortedOverlaps(sorted, st.min, st.max)))
-        case None => prunedFilesOf(base, keyCol, lo, hi)
-      }
+      val affected = affectedOf(base)
       val affectedPaths = affected.map(_.path)
       val (newFiles, newRows, matched, scanRows) =
         if (affected.isEmpty) {

@@ -63,12 +63,49 @@ object LogStats {
     val ckptBytes = (latest to 1L by -1L).find(v => !isDelta(v))
       .map(v => java.nio.file.Files.size(manifest(v))).getOrElse(0L)
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    // ---- txn-lookup cost on a DEEP commit history: grow a 10k-version
+    // chain (metadata-only commits, 4 interleaved streams), then time
+    // committedTxnVersion. The indexed path reads ONE manifest whether
+    // the id hits the frontier or is provably new; the opaque-id
+    // fallback scan below is the pre-index counterfactual — O(versions)
+    // manifest parses per probe.
+    val t2 = java.nio.file.Files.createTempDirectory("graft_logstats_txn")
+      .toString + "/t"
+    TableLog.create(spark, t2, spark.range(10).toDF("id").coalesce(1))
+    val nCommits = 10000
+    val tGrow0 = System.nanoTime()
+    (0 until nCommits).foreach { i =>
+      TableLog.commitMetadataOnly(t2, Some(s"stream${i % 4}#${i / 4}"))
+    }
+    val growSec = (System.nanoTime() - tGrow0) / 1e9
+    val latestT2 = TableLog.latestVersion(t2)
+    def timed(reps: Int)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); (0 until reps).foreach(_ => f)
+      (System.nanoTime() - t0) / 1e9 / reps
+    }
+    val lastSeq = (nCommits - 1) / 4
+    val hitSec = timed(100) {
+      assert(TableLog.committedTxnVersion(t2, s"stream3#$lastSeq").nonEmpty)
+    }
+    val missSec = timed(100) {
+      assert(TableLog.committedTxnVersion(t2,
+        s"stream3#${lastSeq + 1}").isEmpty)
+    }
+    val scanSec = timed(3) {
+      assert(TableLog.committedTxnVersion(t2, "opaque-never-committed")
+        .isEmpty)
+    }
     println(s"""{"small_files":10,"large_files":$filesNow,""" +
       s""""small_delta_sec":${f"${med(small.map(_._1))}%.3f"},""" +
       s""""large_delta_sec":${f"${med(large.map(_._1))}%.3f"},""" +
       s""""small_delta_bytes":${med(small.map(_._2.toDouble)).toLong},""" +
       s""""large_delta_bytes":${med(large.map(_._2.toDouble)).toLong},""" +
-      s""""checkpoint_bytes":$ckptBytes}""")
+      s""""checkpoint_bytes":$ckptBytes,""" +
+      s""""txn_history_versions":$latestT2,""" +
+      s""""txn_grow_sec":${f"$growSec%.1f"},""" +
+      s""""txn_lookup_hit_sec":${f"$hitSec%.6f"},""" +
+      s""""txn_lookup_miss_sec":${f"$missSec%.6f"},""" +
+      s""""txn_lookup_scan_fallback_sec":${f"$scanSec%.3f"}}""")
     spark.stop()
   }
 }

@@ -1223,6 +1223,81 @@ class TableLogSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("mergeCow on a STRING key: string-stat prune, untouched files carry by reference, latest-wins content") {
+    val t = tmp("graft_log_mcowstr")
+    val base = spark.range(8000).select(
+      concat(lit("k-"), lpad($"id".cast("string"), 6, "0")).as("key"),
+      ($"id" * 10).as("v"), lit("base").as("tag"))
+    TableLog.create(spark, t,
+      base.repartitionByRange(8, $"key").sortWithinPartitions("key"),
+      strStatsCols = Seq("key"))
+    val before = TableLog.snapshot(t).get
+    val untouched = before.files.filterNot(f =>
+      f.strStats.exists(st => st.col == "key" &&
+        st.min <= "k-002099" && st.max >= "k-002000"))
+    assert(untouched.size >= 5, "fixture: most files must not overlap")
+    // update band k-002000..k-002099 + inserts past the key domain
+    val src = spark.range(2000, 2100).select(
+        concat(lit("k-"), lpad($"id".cast("string"), 6, "0")).as("key"),
+        lit(-1L).as("v"), lit("upd").as("tag"))
+      .unionByName(spark.range(10).select(
+        concat(lit("zz-"), lpad($"id".cast("string"), 6, "0")).as("key"),
+        lit(7L).as("v"), lit("ins").as("tag")))
+    val ver = TableLog.mergeCow(spark, t, src, "key",
+      strStatsCols = Seq("key"))
+    // rewrite minimality: every non-overlapping file survives BY PATH
+    val after = TableLog.snapshotAt(t, ver).get
+    val afterPaths = after.files.map(_.path).toSet
+    untouched.foreach(f => assert(afterPaths.contains(f.path),
+      s"untouched file ${f.path} must carry by reference"))
+    assert(after.rows == 8010)
+    val back = TableLog.read(spark, t)
+    assert(back.where($"tag" === "upd").count() == 100)
+    assert(back.where($"tag" === "ins").count() == 10)
+    assert(back.where($"key" === "k-002050").head.getLong(1) == -1L)
+    assert(back.where($"key" === "k-001999").head.getLong(1) == 19990L)
+    // applyCdc dispatches the same string path: typed batch onto a
+    // string-keyed silver
+    val sv = tmp("graft_log_cdcstr")
+    val ch = spark.range(5).select(
+      concat(lit("k-"), lpad($"id".cast("string"), 6, "0")).as("key"),
+      $"id".as("v"), lit("c").as("tag"), lit("insert").as("_change_type"),
+      lit(1L).as("_change_version"))
+    TableLog.applyCdc(spark, sv, ch, "key", strStatsCols = Seq("key"))
+    assert(TableLog.read(spark, sv).count() == 5)
+  }
+
+  test("committedTxnVersion: O(1) via the manifest txn high-water index; stale replays and opaque ids still correct") {
+    val t = tmp("graft_log_txnhw")
+    TableLog.create(spark, t, spark.range(5).toDF("id"))
+    (0 until 6).foreach(i => TableLog.append(spark, t,
+      spark.range(10 + i, 11 + i).toDF("id"), txnId = Some(s"ing#$i")))
+    TableLog.append(spark, t, spark.range(99, 100).toDF("id"),
+      txnId = Some("opaque-id"))
+    // frontier hit, provably-new miss, stale replay (scan fallback),
+    // opaque id (scan), never-seen stream
+    assert(TableLog.committedTxnVersion(t, "ing#5") == Some(7L))
+    assert(TableLog.committedTxnVersion(t, "ing#6").isEmpty)
+    assert(TableLog.committedTxnVersion(t, "ing#2") == Some(4L))
+    assert(TableLog.committedTxnVersion(t, "opaque-id") == Some(8L))
+    assert(TableLog.committedTxnVersion(t, "other#0").isEmpty)
+    // replayed append (same txn) is a no-op at the indexed fast path
+    val v = TableLog.latestVersion(t)
+    assert(TableLog.append(spark, t, spark.range(1).toDF("id"),
+      txnId = Some("ing#5")) == 7L)
+    assert(TableLog.latestVersion(t) == v)
+    // the index is carried denormalized: the LATEST manifest alone
+    // answers — drop every older manifest file and the frontier
+    // lookups above still answer identically (scan-dependent shapes
+    // excepted, by design)
+    (1L until v).foreach { i =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_log", f"v$i%08d.manifest")); ()
+    }
+    assert(TableLog.committedTxnVersion(t, "ing#5") == Some(7L))
+    assert(TableLog.committedTxnVersion(t, "ing#6").isEmpty)
+  }
+
   test("readAsOf: ts resolves to the newest version at-or-before; boundaries exact; vacuumed history refused") {
     val t = tmp("graft_log_asof")
     TableLog.create(spark, t, spark.range(10).toDF("id"))
