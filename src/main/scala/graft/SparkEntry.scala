@@ -577,6 +577,32 @@ object SparkEntry {
     tl.read(s, t).orderBy("o_orderkey")
   }
 
+  /** MERGE-ON-READ delete: the table is deliberately UNCLUSTERED in
+    * the delete key (hash-partitioned on l_linenumber, so every file's
+    * l_orderkey range spans the domain — the shape where copy-on-write
+    * rewrites the whole table), and the scattered-key delete commits
+    * only a key sidecar applied at read as an anti-join. The oracle
+    * recomputes the survivors relationally; zero-rewrite mechanics,
+    * version fencing, CDC capture, and compaction materialization are
+    * spec-pinned in TableLogSpec. */
+  private def o52DeleteMor(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/delmor_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").where(col("l_orderkey") % 30 === 19)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.repartition(8, col("l_linenumber")),
+      statsCols = Seq("l_orderkey"))
+    tl.deleteMor(s, t, "l_orderkey",
+      li.where(col("l_orderkey") % 7 === 3).select(col("l_orderkey")))
+    tl.read(s, t).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** STRING-KEY copy-on-write merge: the documents table keyed on a
     * zero-padded string doc key, range-clustered with string file
     * stats — an update band inside the key domain plus inserts past
@@ -3015,6 +3041,7 @@ object SparkEntry {
     "o44_delete_where" -> (o44DeleteWhere _),
     "o53_read_asof" -> (o53ReadAsOf _),
     "o54_merge_cow_str" -> (o54MergeCowStr _),
+    "o52_delete_mor" -> (o52DeleteMor _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4541,6 +4568,15 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(key) AS min_key, max(key) AS max_key
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+    "o52_delete_mor" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 30 = 19),
+        |k AS (SELECT * FROM li WHERE l_orderkey % 7 <> 3)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "o45_delete_in" ->
       """WITH k AS (SELECT doc_id, source, lang,
         |  CAST(length(text) AS BIGINT) AS text_len

@@ -68,8 +68,24 @@ object TableLog {
     * range). Values are URL-encoded in the manifest, so any string —
     * including ';'/':' — round-trips. */
   final case class FileStrStat(col: String, min: String, max: String)
+  /** `ver`: the version this file was ADDED at (0 on legacy entries) —
+    * the fence that scopes merge-on-read deletes: a delete entry
+    * committed at version D applies to a file iff `ver < D` (the file
+    * existed when the delete landed); rows appended later under the
+    * same key are NOT deleted. Carried inline in the manifest entry,
+    * so resolution preserves it through checkpoints and deltas. */
   final case class FileEntry(path: String, stats: Seq[FileStat],
-      strStats: Seq[FileStrStat] = Nil)
+      strStats: Seq[FileStrStat] = Nil, ver: Long = 0L)
+
+  /** A merge-on-read DELETE sidecar: a small parquet of deleted keys
+    * (single column named `keyCol`), committed at version `ver` with
+    * ZERO data-file rewrites. Applied at read as an anti-join against
+    * every data file older than `ver`; materialized away by any full
+    * rewrite (`compact`/`zOrder`/`rewrite`), whose output files are
+    * newer than every delete and whose manifest carries none. The
+    * sidecar lives under `<table>/data/` like any data file — written
+    * through `writeDataFiles`, vacuum-protected while referenced. */
+  final case class DeleteEntry(file: FileEntry, keyCol: String, ver: Long)
   /** `txn`: writer-supplied transaction id recorded in the manifest —
     * the idempotence token for streaming ingest (a replayed micro-batch
     * finds its id already committed and skips). */
@@ -92,7 +108,8 @@ object TableLog {
   final case class Snapshot(version: Long, baseVersion: Long, action: String,
       rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
       schemaJson: Option[String] = None,
-      counters: Map[String, Long] = Map.empty)
+      counters: Map[String, Long] = Map.empty,
+      dels: Seq[DeleteEntry] = Nil)
 
   /** Full checkpoint every Nth append: snapshot resolution replays at
     * most N−1 deltas; commit cost is amortized O(table files / N +
@@ -114,9 +131,16 @@ object TableLog {
     * `txnComplete` marks an unbroken stamped chain back to v1: only
     * then is the map authoritative for "not committed" — a table with
     * pre-index commits falls back to the scan, never misreports. */
+  /** `dels`/`delAdds`: merge-on-read delete sidecars — full manifests
+    * carry the COMPLETE delete set at their version (possibly empty =
+    * materialized), deltas carry only this commit's additions. NO
+    * DEFAULTS on purpose: every manifest-construction site must state
+    * what happens to pending deletes (carry, add, or materialize) —
+    * a site that silently dropped them would resurrect deleted rows. */
   private final case class ManifestRec(version: Long, baseVersion: Long,
       action: String, rows: Long, kind: String, files: Seq[FileEntry],
       adds: Seq[FileEntry], removes: Seq[String],
+      dels: Seq[DeleteEntry], delAdds: Seq[DeleteEntry],
       txn: Option[String], schemaJson: Option[String],
       counters: Map[String, Long] = Map.empty,
       tsMs: Long = 0L,
@@ -156,6 +180,7 @@ object TableLog {
   private def renderEntry(f: FileEntry): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     f.path +
+      (if (f.ver > 0) s";@${f.ver}" else "") +
       f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
       f.strStats.map(st =>
         s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
@@ -164,7 +189,9 @@ object TableLog {
   private def parseEntry(s: String): FileEntry = {
     def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
     val parts = s.split(";")
-    val (strSegs, longSegs) = parts.tail.toSeq.partition(_.startsWith("~"))
+    val segs = parts.tail.toSeq
+    val (verSegs, statSegs) = segs.partition(_.startsWith("@"))
+    val (strSegs, longSegs) = statSegs.partition(_.startsWith("~"))
     FileEntry(parts.head,
       longSegs.map { st =>
         val Array(c, mn, mx) = st.split(":", 3)
@@ -173,7 +200,22 @@ object TableLog {
       strSegs.map { st =>
         val Array(c, mn, mx) = st.drop(1).split(":", 3)
         FileStrStat(dec(c), dec(mn), dec(mx))
-      })
+      },
+      ver = verSegs.headOption.map(_.drop(1).toLong).getOrElse(0L))
+  }
+
+  // delete-sidecar codec: `del=` (full manifests: complete set) and
+  // `deladd=` (deltas: this commit's additions) lines, each
+  // `<ver>;<enc keyCol>;<entry>` with `<entry>` the shared file-entry
+  // codec above
+  private def renderDel(d: DeleteEntry): String =
+    s"${d.ver};${java.net.URLEncoder.encode(d.keyCol, "UTF-8")};" +
+      renderEntry(d.file)
+
+  private def parseDel(s: String): DeleteEntry = {
+    val Array(ver, keyCol, entry) = s.split(";", 3)
+    DeleteEntry(parseEntry(entry),
+      java.net.URLDecoder.decode(keyCol, "UTF-8"), ver.toLong)
   }
 
   /** Parse a manifest; the `end=true` terminator is written last, so a
@@ -186,7 +228,8 @@ object TableLog {
       try Files.readAllLines(p, UTF_8).asScala
       catch { case _: java.io.IOException => return None } // vacuumed mid-read
     val kv = lines.filterNot(l => l.startsWith("file=") ||
-        l.startsWith("add=") || l.startsWith("remove="))
+        l.startsWith("add=") || l.startsWith("remove=") ||
+        l.startsWith("del=") || l.startsWith("deladd="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
     Some(ManifestRec(
@@ -201,6 +244,10 @@ object TableLog {
         .map(l => parseEntry(l.drop(4))).toSeq,
       removes = lines.filter(_.startsWith("remove="))
         .map(_.drop(7)).toSeq,
+      dels = lines.filter(_.startsWith("del="))
+        .map(l => parseDel(l.drop(4))).toSeq,
+      delAdds = lines.filter(_.startsWith("deladd="))
+        .map(l => parseDel(l.drop(7))).toSeq,
       txn = kv.get("txn"),
       schemaJson = kv.get("schema"),
       counters = kv.collect { case (k, v) if k.startsWith("counter.") =>
@@ -231,6 +278,8 @@ object TableLog {
     r.files.foreach(f => sb ++= s"file=${renderEntry(f)}\n")
     r.adds.foreach(f => sb ++= s"add=${renderEntry(f)}\n")
     r.removes.foreach(p => sb ++= s"remove=$p\n")
+    r.dels.foreach(d => sb ++= s"del=${renderDel(d)}\n")
+    r.delAdds.foreach(d => sb ++= s"deladd=${renderDel(d)}\n")
     sb ++= "end=true\n"
     sb.toString
   }
@@ -243,7 +292,7 @@ object TableLog {
     parseRec(manifestPath(table, v)).flatMap { r =>
       if (r.kind == "full")
         Some(Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
-          r.txn, r.schemaJson, r.counters))
+          r.txn, r.schemaJson, r.counters, r.dels))
       else
         // a missing/unparseable base usually means a concurrent vacuum
         // dropped this version's chain while we resolved it — surface
@@ -254,7 +303,7 @@ object TableLog {
           val rm = r.removes.toSet
           Snapshot(r.version, r.baseVersion, r.action, r.rows,
             base.files.filterNot(f => rm(f.path)) ++ r.adds,
-            r.txn, r.schemaJson, r.counters)
+            r.txn, r.schemaJson, r.counters, base.dels ++ r.delAdds)
         }
     }
 
@@ -337,7 +386,15 @@ object TableLog {
     val complete = r.version == 1 || prev.exists(_.txnComplete)
     val stamped = r.copy(
       tsMs = math.max(System.currentTimeMillis, prevTs + 1),
-      txnHw = hw, txnComplete = complete)
+      txnHw = hw, txnComplete = complete,
+      // defensive backstop for the MOR-delete fence: a delta's adds
+      // are NEW files by definition, so an unstamped (ver=0) add is
+      // stamped here — otherwise an older delete sidecar would wrongly
+      // apply to rows appended after it
+      adds =
+        if (r.kind == "delta") r.adds.map(f =>
+          if (f.ver == 0) f.copy(ver = r.version) else f)
+        else r.adds)
     primitiveFor(table).putIfAbsent(manifestPath(table, stamped.version),
       renderManifest(stamped).getBytes(UTF_8))
   }
@@ -493,7 +550,40 @@ object TableLog {
   private def readSnapshot(spark: SparkSession, table: String,
       s: Snapshot): DataFrame = {
     require(s.files.nonEmpty, s"version ${s.version} of $table is empty")
-    scanFiles(spark, s.schemaJson, s.files.map(f => s"$table/${f.path}"))
+    morScan(spark, table, s, s.files)
+  }
+
+  /** Scan `files` of snapshot `s` with the snapshot's merge-on-read
+    * delete sidecars APPLIED: files are grouped into cohorts by which
+    * deletes fence to them (a delete at version D applies to files
+    * with `ver < D`), each cohort anti-joins the union of its
+    * applicable delete-key files per key column, and the cohorts
+    * union back. With no pending deletes this IS `scanFiles` — zero
+    * overhead on the common path. Cohort count is bounded by distinct
+    * delete versions (compaction materializes them away), and each
+    * delete-key side is a small scan Spark's AQE broadcasts — the read
+    * stays one pass over the data files at 100 TB. */
+  private def morScan(spark: SparkSession, table: String, s: Snapshot,
+      files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def raw(fs: Seq[FileEntry]) =
+      scanFiles(spark, s.schemaJson, fs.map(f => s"$table/${f.path}"))
+    if (s.dels.isEmpty || files.isEmpty) return raw(files)
+    val delVers = s.dels.map(_.ver).distinct.sorted
+    // cohort key = how many delete versions fence AT OR BELOW the file
+    // (dels with ver > file.ver apply); same key → same delete suffix
+    val cohorts = files.groupBy(f => delVers.count(_ <= f.ver)).toSeq
+      .sortBy(_._1)
+    cohorts.map { case (nBelow, fs) =>
+      val applicable = delVers.drop(nBelow).toSet
+      val active = s.dels.filter(d => applicable(d.ver))
+      active.groupBy(_.keyCol).foldLeft(raw(fs)) {
+        case (df, (k, des)) =>
+          val keys = spark.read.parquet(
+            des.map(d => s"$table/${d.file.path}"): _*)
+          df.join(keys.select(col(k)).distinct(), Seq(k), "left_anti")
+      }
+    }.reduce(_ unionByName _)
   }
 
   /** Scan `paths` under the manifest-recorded schema when present:
@@ -613,7 +703,7 @@ object TableLog {
       if (keep.isEmpty) // filter is disjoint from every file range
         readSnapshot(spark, table, s)
           .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+      else morScan(spark, table, s, keep)
     base.where(col(c).between(lo, hi))
   }
 
@@ -633,15 +723,29 @@ object TableLog {
     if (vTo > vFrom) {
       val recs = ((vFrom + 1) to vTo)
         .map(v => parseRec(manifestPath(table, v)))
-      if (recs.forall(_.exists(r => r.kind == "delta" && r.removes.isEmpty)))
+      if (recs.forall(_.exists(r => r.kind == "delta" &&
+          r.removes.isEmpty && r.delAdds.isEmpty)))
         return (recs.flatMap(_.get.adds), Nil)
     }
     // general path (interval crosses a rewrite or a checkpoint):
     // snapshot diff — data files are immutable and never re-added, so
     // the diff is exact
-    def files(v: Long) = snapshotAt(table, v).getOrElse(
-      sys.error(s"version $v not found in $table")).files
-    val (a, b) = (files(vFrom), files(vTo))
+    def snap(v: Long) = snapshotAt(table, v).getOrElse(
+      sys.error(s"version $v not found in $table"))
+    val (sa, sb) = (snap(vFrom), snap(vTo))
+    // a NEW merge-on-read delete inside the interval changes ROWS
+    // without changing FILES — a file-level diff cannot represent it.
+    // Refuse descriptively: materialize first (compact), or consume
+    // the typed CDC feed, which captures MOR deletes as rows. (Dels
+    // MATERIALIZED inside the interval are fine: `readChanges` scans
+    // the removed side MOR-aware at vFrom, so the identity holds.)
+    require((sb.dels.map(_.file.path).toSet --
+        sa.dels.map(_.file.path).toSet).isEmpty,
+      s"changedFiles($table, $vFrom, $vTo): the interval contains " +
+        "merge-on-read delete commits, whose row changes a file-level " +
+        "diff cannot represent — compact() to materialize them, or " +
+        "consume the typed CDC feed for row-level changes")
+    val (a, b) = (sa.files, sb.files)
     val (an, bn) = (a.map(_.path).toSet, b.map(_.path).toSet)
     (b.filterNot(f => an(f.path)), a.filterNot(f => bn(f.path)))
   }
@@ -659,12 +763,24 @@ object TableLog {
     // both sides scan under vTo's schema so the delta unions cleanly
     // with reads of the newer snapshot even across an evolution
     val schemaJson = snapshotAt(table, vTo).flatMap(_.schemaJson)
-    def scan(fs: Seq[FileEntry]): DataFrame =
-      if (fs.isEmpty)
-        readVersion(spark, table, vTo)
-          .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, schemaJson, fs.map(f => s"$table/${f.path}"))
-    (scan(added), scan(removed))
+    def empty() = readVersion(spark, table, vTo)
+      .where(org.apache.spark.sql.functions.lit(false))
+    val addedDf =
+      if (added.isEmpty) empty()
+      else scanFiles(spark, schemaJson, added.map(f => s"$table/${f.path}"))
+    // the REMOVED side applies vFrom's pending MOR-delete sidecars:
+    // rows already logically deleted at vFrom were never part of its
+    // multiset, so counting them as "removed" would break the identity
+    // when a rewrite inside the interval materialized them away
+    val removedDf =
+      if (removed.isEmpty) empty()
+      else snapshotAt(table, vFrom) match {
+        case Some(sf) if sf.dels.nonEmpty =>
+          morScan(spark, table, sf.copy(schemaJson = schemaJson), removed)
+        case _ =>
+          scanFiles(spark, schemaJson, removed.map(f => s"$table/${f.path}"))
+      }
+    (addedDf, removedDf)
   }
 
   /** A continuously MAINTAINED materialized aggregate: `mv` holds
@@ -787,7 +903,7 @@ object TableLog {
       if (keep.isEmpty)
         readSnapshot(spark, table, s)
           .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+      else morScan(spark, table, s, keep)
     base.where(col(c).isin(values: _*))
   }
 
@@ -847,7 +963,7 @@ object TableLog {
       return scanFiles(spark, s.schemaJson,
         s.files.take(1).map(f => s"$table/${f.path}"))
         .where(lit(false))
-    scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+    morScan(spark, table, s, keep)
       .where(col(c) === lit(v))
   }
 
@@ -860,7 +976,7 @@ object TableLog {
       if (keep.isEmpty)
         readSnapshot(spark, table, s)
           .where(org.apache.spark.sql.functions.lit(false))
-      else scanFiles(spark, s.schemaJson, keep.map(f => s"$table/${f.path}"))
+      else morScan(spark, table, s, keep)
     base.where(col(c).isin(values: _*))
   }
 
@@ -927,14 +1043,16 @@ object TableLog {
       // an append commits O(appended files): a delta manifest, except
       // every checkpointInterval-th version (and v1), which writes the
       // full list so resolution never replays more than one interval
+      val stamped = newFiles.map(_.copy(ver = version))
       val r =
         if (base.isEmpty || version % checkpointInterval == 0)
           ManifestRec(version, version - 1, action, rows, "full",
-            base.map(_.files).getOrElse(Nil) ++ newFiles, Nil, Nil,
+            base.map(_.files).getOrElse(Nil) ++ stamped, Nil, Nil,
+            base.map(_.dels).getOrElse(Nil), Nil,
             txnId, evolved, counters)
         else
           ManifestRec(version, version - 1, action, rows, "delta",
-            Nil, newFiles, Nil, txnId, evolved, counters)
+            Nil, stamped, Nil, Nil, Nil, txnId, evolved, counters)
       if (tryCommit(table, r)) committed = version
     }
     // change-feed publication: heals any crashed prior publish too. A
@@ -1024,13 +1142,14 @@ object TableLog {
         sys.error(s"$table: v$latest unreadable"))
       val version = latest + 1
       val r =
-        if (version % checkpointInterval == 0)
+        if (version % checkpointInterval == 0) {
+          val s = snapshotOrFail(table)
           ManifestRec(version, latest, "noop", prev.rows, "full",
-            snapshotOrFail(table).files, Nil, Nil, txnId, prev.schemaJson,
+            s.files, Nil, Nil, s.dels, Nil, txnId, prev.schemaJson,
             prev.counters)
-        else
+        } else
           ManifestRec(version, latest, "noop", prev.rows, "delta", Nil,
-            Nil, Nil, txnId, prev.schemaJson, prev.counters)
+            Nil, Nil, Nil, Nil, txnId, prev.schemaJson, prev.counters)
       if (tryCommit(table, r)) committed = version
     }
     committed
@@ -1339,9 +1458,11 @@ object TableLog {
           case None => // vacuumed before publication: nothing deliverable
             writeFeedMarker(table, v)
           case Some(r) =>
+            val prevSnap: Option[Snapshot] =
+              if (v == 1) None else snapshotAt(table, v - 1)
             val prevFiles: Option[Set[String]] =
               if (v == 1) Some(Set.empty)
-              else snapshotAt(table, v - 1).map(_.files.map(_.path).toSet)
+              else prevSnap.map(_.files.map(_.path).toSet)
             prevFiles match {
               case Some(prev) => r.action match {
                 case "create" | "append" =>
@@ -1367,7 +1488,25 @@ object TableLog {
                   // multiset), so its insert-side difference is provably
                   // empty — skip that scan; merge/update capture both
                   out ++= publishCdcChanges(spark, table, v, rmP, addP,
-                    r.schemaJson, captureInserts = act != "delete")
+                    r.schemaJson, captureInserts = act != "delete",
+                    prevSnap)
+                case "delete_mor" if cdcFeedEnabled(table) =>
+                  val spark = sparkOpt.getOrElse(sys.error(
+                    s"publishFeed($table): healing version $v's " +
+                      "delete_mor capture needs a SparkSession — call " +
+                      "publishFeed(spark, table)"))
+                  val newDels =
+                    if (r.kind == "delta") r.delAdds
+                    else {
+                      val pd = prevSnap.map(_.dels.map(_.file.path).toSet)
+                        .getOrElse(Set.empty[String])
+                      r.dels.filterNot(d => pd(d.file.path))
+                    }
+                  out ++= publishCdcMorDelete(spark, table, v,
+                    prevSnap.getOrElse(sys.error(
+                      s"publishFeed($table): v${v - 1} unresolvable " +
+                        "while capturing v$v's delete_mor")),
+                    newDels, r.schemaJson)
                 case other => sys.error(
                   s"publishFeed($table): version $v is a data-changing " +
                     s"rewrite ('$other') this feed cannot represent" +
@@ -1407,7 +1546,8 @@ object TableLog {
     * inside a crash-heal window). */
   private def publishCdcChanges(spark: SparkSession, table: String, v: Long,
       removedPaths: Seq[String], addedPaths: Seq[String],
-      schemaJson: Option[String], captureInserts: Boolean): Seq[String] = {
+      schemaJson: Option[String], captureInserts: Boolean,
+      prevSnap: Option[Snapshot]): Seq[String] = {
     import org.apache.spark.sql.functions.lit
     if (removedPaths.isEmpty && !captureInserts) return Nil
     if (removedPaths.isEmpty)
@@ -1416,6 +1556,89 @@ object TableLog {
       // raw like an append (absent `_change_type` reads 'insert'),
       // zero data rewrite
       return addedPaths.map(p => linkIntoFeed(table, v, p))
+    stageAndLinkCdc(spark, table, v) {
+      // the REMOVED side scans MOR-AWARE at the pre-commit snapshot:
+      // rows a pending delete sidecar had already logically removed
+      // were captured at the sidecar's own commit — recounting them
+      // here would double-deliver their delete
+      val removed = prevSnap match {
+        case Some(ps) if ps.dels.nonEmpty =>
+          val rm = removedPaths.toSet
+          morScan(spark, table, ps.copy(schemaJson = schemaJson),
+            ps.files.filter(f => rm(f.path)))
+        case _ => scanFiles(spark, schemaJson,
+          removedPaths.map(p => s"$table/$p"))
+      }
+      val added =
+        if (addedPaths.isEmpty) None
+        else Some(scanFiles(spark, schemaJson,
+          addedPaths.map(p => s"$table/$p")))
+      val deletes =
+        added.fold(removed)(removed.exceptAll)
+          .withColumn(changeTypeCol, lit("delete"))
+      added match {
+        case Some(a) if captureInserts =>
+          deletes.unionByName(a.exceptAll(removed)
+            .withColumn(changeTypeCol, lit("insert")))
+        case _ => deletes
+      }
+    }
+  }
+
+  /** Typed capture of a MERGE-ON-READ delete commit: the deleted rows
+    * are exactly the PRE-commit snapshot's rows whose key is in the
+    * new sidecar(s) — read MOR-aware (earlier sidecars' rows were
+    * captured at their own commits) over files range-pruned by the
+    * sidecar's own recorded key stats, then semi-joined per key
+    * column. Staged and linked like every CDC capture. */
+  private def publishCdcMorDelete(spark: SparkSession, table: String,
+      v: Long, prevSnap: Snapshot, newDels: Seq[DeleteEntry],
+      schemaJson: Option[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (newDels.isEmpty) return Nil
+    stageAndLinkCdc(spark, table, v) {
+      newDels.groupBy(_.keyCol).map { case (k, des) =>
+        val lo = des.flatMap(_.file.stats.find(_.col == k).map(_.min))
+          .minOption
+        val hi = des.flatMap(_.file.stats.find(_.col == k).map(_.max))
+          .maxOption
+        val slo = des.flatMap(_.file.strStats.find(_.col == k).map(_.min))
+          .sorted(Ordering.fromLessThan[String](
+            (a, b) => a != b && utf8Leq(a, b))).headOption
+        val shi = des.flatMap(_.file.strStats.find(_.col == k).map(_.max))
+          .sorted(Ordering.fromLessThan[String](
+            (a, b) => a != b && utf8Leq(a, b))).lastOption
+        val cand = prevSnap.files.filter { f =>
+          val longOk = (lo, hi) match {
+            case (Some(l), Some(h)) =>
+              f.stats.find(_.col == k).forall(st =>
+                st.max >= l && st.min <= h)
+            case _ => true
+          }
+          val strOk = (slo, shi) match {
+            case (Some(l), Some(h)) =>
+              f.strStats.find(_.col == k).forall(st =>
+                utf8Leq(st.min, h) && utf8Leq(l, st.max))
+            case _ => true
+          }
+          longOk && strOk
+        }
+        val keys = spark.read.parquet(
+          des.map(d => s"$table/${d.file.path}"): _*)
+        morScan(spark, table, prevSnap.copy(schemaJson = schemaJson), cand)
+          .join(keys.select(col(k)), Seq(k), "left_semi")
+      }.reduce(_ unionByName _)
+        .withColumn(changeTypeCol, lit("delete"))
+    }
+  }
+
+  /** The shared stage-and-link tail of every CDC capture: write
+    * `captured` to a private temp dir, atomically rename it to the
+    * version's stage (the loser of a publish race adopts the winner's
+    * immutable stage — see the race note), then hard-link the parts
+    * into the feed under deterministic names. */
+  private def stageAndLinkCdc(spark: SparkSession, table: String,
+      v: Long)(captured: => DataFrame): Seq[String] = {
     // a racer may have published and marked this version while we were
     // working through earlier ones — its links are complete, skip
     if (Files.exists(feedMarker(table, v))) return Nil
@@ -1432,21 +1655,6 @@ object TableLog {
     if (!Files.exists(stage)) {
       val tmp = stage.getParent.resolve(
         s".tmp-${stage.getFileName}-${java.util.UUID.randomUUID()}")
-      val removed = scanFiles(spark, schemaJson,
-        removedPaths.map(p => s"$table/$p"))
-      val added =
-        if (addedPaths.isEmpty) None
-        else Some(scanFiles(spark, schemaJson,
-          addedPaths.map(p => s"$table/$p")))
-      val deletes =
-        added.fold(removed)(removed.exceptAll)
-          .withColumn(changeTypeCol, lit("delete"))
-      val captured = added match {
-        case Some(a) if captureInserts =>
-          deletes.unionByName(a.exceptAll(removed)
-            .withColumn(changeTypeCol, lit("insert")))
-        case _ => deletes
-      }
       captured.write.parquet(tmp.toString)
       try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -1662,8 +1870,13 @@ object TableLog {
       // verbatim except the keys in `counterSet` — how a content-changing
       // maintenance rewrite (e.g. an index rebalance swinging its pinned
       // codebook version) updates the accounting it invalidates.
+      // dels = Nil: a full rewrite MATERIALIZES pending merge-on-read
+      // deletes — the transform read the snapshot MOR-aware (deleted
+      // rows already absent) and every output file is newer than every
+      // sidecar, so the sidecars are spent and vacuum may reclaim them
       val r = ManifestRec(base.version + 1, base.version, action, rows,
-        "full", files, Nil, Nil, txnId, Some(out.schema.json),
+        "full", files.map(_.copy(ver = base.version + 1)), Nil, Nil,
+        Nil, Nil, txnId, Some(out.schema.json),
         base.counters ++ counterSet)
       if (tryCommit(table, r)) committed = r.version
     }
@@ -1761,8 +1974,9 @@ object TableLog {
       val affected = affectedOf(base)
       if (affected.isEmpty) return base.version
       val affectedPaths = affected.map(_.path)
-      val scan = scanFiles(spark, base.schemaJson,
-        affectedPaths.map(p => s"$table/$p"))
+      // MOR-aware: pending delete sidecars apply to the scan, so a
+      // rewrite can never resurrect a merge-on-read-deleted row
+      val scan = morScan(spark, table, base, affected)
       val scanRows = scan.count()
       val (newFiles, newRows) = writeDataFiles(spark, table, keep(scan),
         statsCols, strStatsCols, bloomStatsCols)
@@ -1771,16 +1985,17 @@ object TableLog {
           s"rows from $scanRows — not committing")
       val rows = base.rows - (scanRows - newRows)
       val version = base.version + 1
+      val stamped = newFiles.map(_.copy(ver = version))
       // mirror append's checkpoint cadence so delta chains stay bounded
       val r =
         if (version % checkpointInterval == 0) {
           val rm = affectedPaths.toSet
           ManifestRec(version, base.version, "delete", rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
-            txnId, base.schemaJson, base.counters)
+            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
+            base.dels, Nil, txnId, base.schemaJson, base.counters)
         } else
           ManifestRec(version, base.version, "delete", rows, "delta",
-            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            Nil, stamped, affectedPaths, Nil, Nil, txnId, base.schemaJson,
             base.counters)
       if (tryCommit(table, r)) committed = version
     }
@@ -1788,6 +2003,82 @@ object TableLog {
     // is healed by the next publish (same window as append's)
     if (feedEnabled(table)) publishFeed(spark, table)
     committed
+  }
+
+  /** MERGE-ON-READ delete: remove every row whose `keyCol` equals a
+    * key in `keys`, with ZERO data-file rewrites — the commit writes
+    * only a small delete-key SIDECAR (parquet of the distinct keys)
+    * and a delta manifest referencing it; every data file carries over
+    * by reference, and reads apply the sidecar as an anti-join
+    * (`morScan`), version-fenced so rows appended AFTER the delete
+    * under the same key are untouched. This is the scattered-key
+    * complement to `deleteWhere`/`deleteWhereIn`'s copy-on-write: on
+    * an UNCLUSTERED 100 TB table a scattered-key COW delete overlaps
+    * nearly every file's [min,max] and rewrites the lot — here the
+    * write cost is O(deleted keys), independent of table size, and the
+    * read cost is one broadcast anti-join until a `compact()`/rewrite
+    * materializes the sidecar away. The commit still pays ONE
+    * key-column-only scan over stat-surviving files to count matched
+    * rows (the manifest's `rows` stays exact and audited) — columnar,
+    * no rewrite. Long and string keys prune alike (`keyPruneOf`).
+    * NULL keys never match; keys matching no row commit nothing (the
+    * orphan sidecar is vacuumed). On a TYPED (CDC) feed the deleted
+    * rows are captured as full typed rows (the capture reads them via
+    * the pre-delete snapshot); a PLAIN feed refuses. Returns the
+    * committed version. */
+  def deleteMor(spark: SparkSession, table: String, keyCol: String,
+      keys: DataFrame, txnId: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"deleteMor on feed-enabled table $table: the append-only change " +
+        s"feed cannot represent a delete — enableCdcFeed($table) to " +
+        "capture deletes as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val isString = keys.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val keyDf = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().cache()
+    try {
+      if (keyDf.isEmpty) return latestVersion(table)
+      // the sidecar carries its own key stats, so the publish-side CDC
+      // capture (and any future reader) can range-prune against it
+      val (delFiles, _) = writeDataFiles(spark, table, keyDf,
+        if (isString) Nil else Seq(keyCol),
+        if (isString) Seq(keyCol) else Nil, Nil)
+      val affectedOf = keyPruneOf(spark, keyDf, keyCol, isString)
+      var committed = -1L
+      while (committed < 0) {
+        val base = snapshotOrFail(table)
+        txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+        val candidates = affectedOf(base)
+        // matched-row count: key column only (columnar), MOR-aware so
+        // an already-deleted key is not double-counted
+        val matched =
+          if (candidates.isEmpty) 0L
+          else morScan(spark, table, base, candidates)
+            .select(col(keyCol))
+            .join(keyDf, Seq(keyCol), "left_semi").count()
+        if (matched == 0) return base.version
+        val version = base.version + 1
+        val newDels = delFiles.map(f =>
+          DeleteEntry(f.copy(ver = version), keyCol, version))
+        val rows = base.rows - matched
+        val r =
+          if (version % checkpointInterval == 0)
+            ManifestRec(version, base.version, "delete_mor", rows, "full",
+              base.files, Nil, Nil, base.dels ++ newDels, Nil, txnId,
+              base.schemaJson, base.counters)
+          else
+            ManifestRec(version, base.version, "delete_mor", rows, "delta",
+              Nil, Nil, Nil, Nil, newDels, txnId, base.schemaJson,
+              base.counters)
+        if (tryCommit(table, r)) committed = version
+      }
+      // typed-feed capture of the deleted rows (CDC tables only)
+      if (feedEnabled(table)) publishFeed(spark, table)
+      committed
+    } finally { keyDf.unpersist(); () }
   }
 
   /** Stats-pruned COPY-ON-WRITE update: for every row where `c` (cast
@@ -1831,8 +2122,7 @@ object TableLog {
       val affected = prunedFilesOf(base, c, lo, hi)
       if (affected.isEmpty) return base.version
       val affectedPaths = affected.map(_.path)
-      val scan = scanFiles(spark, base.schemaJson,
-        affectedPaths.map(p => s"$table/$p"))
+      val scan = morScan(spark, table, base, affected)
       set.keys.foreach(k => require(scan.columns.contains(k),
         s"updateWhere: set column $k not in $table's schema"))
       val scanRows = scan.count()
@@ -1861,16 +2151,17 @@ object TableLog {
         s"update audit failed for $table: rewrite produced $newRows " +
           s"rows from $scanRows — not committing")
       val version = base.version + 1
+      val stamped = newFiles.map(_.copy(ver = version))
       // mirror delete's checkpoint cadence so delta chains stay bounded
       val r =
         if (version % checkpointInterval == 0) {
           val rm = affectedPaths.toSet
           ManifestRec(version, base.version, "update", base.rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
-            txnId, base.schemaJson, base.counters)
+            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
+            base.dels, Nil, txnId, base.schemaJson, base.counters)
         } else
           ManifestRec(version, base.version, "update", base.rows, "delta",
-            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            Nil, stamped, affectedPaths, Nil, Nil, txnId, base.schemaJson,
             base.counters)
       if (tryCommit(table, r)) committed = version
     }
@@ -2101,70 +2392,73 @@ object TableLog {
   private def cowApply(spark: SparkSession, table: String,
       inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
       keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
-      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    // one job on the common path: pull up to cap+1 distinct keys and
-    // derive the span from them; only a past-the-cap source pays the
-    // second (min/max) job
-    val cap = 100000
-    val capped = touchedKeys.select(col(keyCol).cast("long")).distinct()
-      .limit(cap + 1).collect().map(_.getLong(0))
-    val keyList: Option[Array[Long]] =
-      if (capped.length <= cap) Some(capped.sorted) else None
-    val (lo, hi) = keyList match {
-      case Some(s) if s.nonEmpty => (s.head, s.last)
-      case _ =>
-        val r = touchedKeys.agg(min(col(keyCol).cast("long")),
-          max(col(keyCol).cast("long"))).head()
-        (r.getLong(0), r.getLong(1))
-    }
-    val affectedOf: Snapshot => Seq[FileEntry] = base => keyList match {
-      case Some(sorted) => base.files.filter(f =>
-        f.stats.find(_.col == keyCol).forall(st =>
-          sortedOverlaps(sorted, st.min, st.max)))
-      case None => prunedFilesOf(base, keyCol, lo, hi)
-    }
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long =
     cowApplyCore(spark, table, inserts, insRows, touchedKeys, keyCol,
-      affectedOf, statsCols, strStatsCols, txnId, bloomStatsCols)
-  }
+      keyPruneOf(spark, touchedKeys, keyCol, isString = false),
+      statsCols, strStatsCols, txnId, bloomStatsCols)
 
-  /** STRING-KEY twin of `cowApply`'s prune: the exact sorted key set
-    * (UTF-8 BINARY order — the order Spark wrote the string stats in;
-    * see `utf8Leq`) up to the same 100k cap, per-file overlap by
-    * binary search against the manifest's string range stats; past the
-    * cap, the [min,max] span. Document/content tables key on strings —
-    * this is the same O(affected files + source + manifest) merge, on
-    * the `strStatsCols` machinery `deleteWhereIn` already uses. */
+  /** STRING-KEY twin of `cowApply`: same shared CAS core, pruning via
+    * the string file stats in UTF-8 binary order (see `keyPruneOf`).
+    * Document/content tables key on strings — this is the same
+    * O(affected files + source + manifest) merge, on the
+    * `strStatsCols` machinery `deleteWhereIn` already uses. */
   private def cowApplyStr(spark: SparkSession, table: String,
       inserts: DataFrame, insRows: Long, touchedKeys: DataFrame,
       keyCol: String, statsCols: Seq[String], strStatsCols: Seq[String],
-      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long =
+    cowApplyCore(spark, table, inserts, insRows, touchedKeys, keyCol,
+      keyPruneOf(spark, touchedKeys, keyCol, isString = true),
+      statsCols, strStatsCols, txnId, bloomStatsCols)
+
+  /** The candidate-file prune shared by the COW merges and `deleteMor`:
+    * exact sorted key set up to 100k distinct keys (binary-search
+    * overlap per file), [min,max] span past the cap — long keys
+    * against the long range stats, string keys against the string
+    * stats in UTF-8 binary order. */
+  private def keyPruneOf(spark: SparkSession, touchedKeys: DataFrame,
+      keyCol: String, isString: Boolean): Snapshot => Seq[FileEntry] = {
     import org.apache.spark.sql.functions.{col, max, min}
     val cap = 100000
-    val capped = touchedKeys.select(col(keyCol).cast("string")).distinct()
-      .limit(cap + 1).collect().map(_.getString(0))
-    val utf8Lt = (a: String, b: String) => a != b && utf8Leq(a, b)
-    val keyList: Option[Array[String]] =
-      if (capped.length <= cap) Some(capped.sortWith(utf8Lt)) else None
-    val (lo, hi) = keyList match {
-      case Some(s) if s.nonEmpty => (s.head, s.last)
-      case _ =>
-        // Spark min/max on StringType compare in UTF8String binary
-        // order — the same order the stats and this prune use
-        val r = touchedKeys.agg(min(col(keyCol).cast("string")),
-          max(col(keyCol).cast("string"))).head()
-        (r.getString(0), r.getString(1))
+    if (isString) {
+      val capped = touchedKeys.select(col(keyCol).cast("string")).distinct()
+        .limit(cap + 1).collect().map(_.getString(0))
+      val utf8Lt = (a: String, b: String) => a != b && utf8Leq(a, b)
+      val keyList: Option[Array[String]] =
+        if (capped.length <= cap) Some(capped.sortWith(utf8Lt)) else None
+      val (lo, hi) = keyList match {
+        case Some(s) if s.nonEmpty => (s.head, s.last)
+        case _ =>
+          val r = touchedKeys.agg(min(col(keyCol).cast("string")),
+            max(col(keyCol).cast("string"))).head()
+          (r.getString(0), r.getString(1))
+      }
+      base => keyList match {
+        case Some(sorted) => base.files.filter(f =>
+          f.strStats.find(_.col == keyCol).forall(st =>
+            sortedOverlapsStr(sorted, st.min, st.max)))
+        case None => base.files.filter(f =>
+          f.strStats.find(_.col == keyCol).forall(st =>
+            utf8Leq(st.min, hi) && utf8Leq(lo, st.max)))
+      }
+    } else {
+      val capped = touchedKeys.select(col(keyCol).cast("long")).distinct()
+        .limit(cap + 1).collect().map(_.getLong(0))
+      val keyList: Option[Array[Long]] =
+        if (capped.length <= cap) Some(capped.sorted) else None
+      val (lo, hi) = keyList match {
+        case Some(s) if s.nonEmpty => (s.head, s.last)
+        case _ =>
+          val r = touchedKeys.agg(min(col(keyCol).cast("long")),
+            max(col(keyCol).cast("long"))).head()
+          (r.getLong(0), r.getLong(1))
+      }
+      base => keyList match {
+        case Some(sorted) => base.files.filter(f =>
+          f.stats.find(_.col == keyCol).forall(st =>
+            sortedOverlaps(sorted, st.min, st.max)))
+        case None => prunedFilesOf(base, keyCol, lo, hi)
+      }
     }
-    val affectedOf: Snapshot => Seq[FileEntry] = base => keyList match {
-      case Some(sorted) => base.files.filter(f =>
-        f.strStats.find(_.col == keyCol).forall(st =>
-          sortedOverlapsStr(sorted, st.min, st.max)))
-      case None => base.files.filter(f =>
-        f.strStats.find(_.col == keyCol).forall(st =>
-          utf8Leq(st.min, hi) && utf8Leq(lo, st.max)))
-    }
-    cowApplyCore(spark, table, inserts, insRows, touchedKeys, keyCol,
-      affectedOf, statsCols, strStatsCols, txnId, bloomStatsCols)
   }
 
   /** The shared COW-upsert CAS loop behind `cowApply`/`cowApplyStr`:
@@ -2189,8 +2483,7 @@ object TableLog {
             strStatsCols, bloomStatsCols)
           (nf, nr, 0L, 0L)
         } else {
-          val scan = scanFiles(spark, base.schemaJson,
-            affectedPaths.map(p => s"$table/$p"))
+          val scan = morScan(spark, table, base, affected)
           val sRows = scan.count()
           val m = scan.join(touchedKeys, Seq(keyCol), "left_semi").count()
           val remainder = scan.join(touchedKeys, Seq(keyCol), "left_anti")
@@ -2205,16 +2498,17 @@ object TableLog {
           "inserts — not committing")
       val rows = base.rows - matched + insRows
       val version = base.version + 1
+      val stamped = newFiles.map(_.copy(ver = version))
       // mirror delete's checkpoint cadence so delta chains stay bounded
       val r =
         if (version % checkpointInterval == 0) {
           val rm = affectedPaths.toSet
           ManifestRec(version, base.version, "merge", rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ newFiles, Nil, Nil,
-            txnId, base.schemaJson, base.counters)
+            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
+            base.dels, Nil, txnId, base.schemaJson, base.counters)
         } else
           ManifestRec(version, base.version, "merge", rows, "delta",
-            Nil, newFiles, affectedPaths, txnId, base.schemaJson,
+            Nil, stamped, affectedPaths, Nil, Nil, txnId, base.schemaJson,
             base.counters)
       if (tryCommit(table, r)) committed = version
     }
@@ -2280,6 +2574,7 @@ object TableLog {
     val referenced: Set[String] = {
       val acc = scala.collection.mutable.HashSet[String]()
       var cur: Seq[FileEntry] = Nil
+      var curDels: Seq[DeleteEntry] = Nil
       (dropBelow to latest).foreach { v =>
         // a RETAINED version that fails to parse must ABORT the vacuum,
         // not be skipped: its adds would drop out of `referenced` and
@@ -2296,7 +2591,12 @@ object TableLog {
             val rm = r.removes.toSet
             cur.filterNot(f => rm(f.path)) ++ r.adds
           }
+        // MOR-delete sidecars are referenced data too: reclaiming one
+        // still listed by a retained manifest would resurrect its rows
+        curDels =
+          if (r.kind == "full") r.dels else curDels ++ r.delAdds
         acc ++= cur.iterator.map(_.path)
+        acc ++= curDels.iterator.map(_.file.path)
       }
       acc.toSet
     }

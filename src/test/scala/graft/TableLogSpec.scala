@@ -1223,6 +1223,123 @@ class TableLogSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("deleteMor: scattered-key delete on an UNCLUSTERED table rewrites ZERO data files; fencing, time travel, COW interop, compaction") {
+    val t = tmp("graft_log_delmor")
+    // hash-partitioned on k: every file's [min,max] spans the whole
+    // domain — the shape where COW rewrites the lot
+    TableLog.create(spark, t,
+      spark.range(8000).select($"id".as("k"), ($"id" * 10).as("v"))
+        .repartition(8, $"k"),
+      statsCols = Seq("k"))
+    val beforePaths = TableLog.snapshot(t).get.files.map(_.path).toSet
+    assert(beforePaths.size >= 8)
+    // scattered keys: one in every hundred, everywhere in the domain
+    val keys = spark.range(80).select(($"id" * 100 + 7).as("k"))
+    val vDel = TableLog.deleteMor(spark, t, "k", keys)
+    val after = TableLog.snapshot(t).get
+    // ZERO data-file rewrites: the file list is untouched, only a
+    // sidecar was added
+    assert(after.files.map(_.path).toSet == beforePaths,
+      "deleteMor must not rewrite or remove any data file")
+    assert(after.dels.nonEmpty)
+    assert(after.rows == 7920)
+    val live = TableLog.read(spark, t)
+    assert(live.count() == 7920)
+    assert(live.where($"k" % 100 === 7).count() == 0)
+    // time travel: the pre-delete version still shows every row
+    assert(TableLog.readVersion(spark, t, vDel - 1).count() == 8000)
+    // version fencing: re-appending a deleted key AFTER the delete is
+    // visible (the sidecar only applies to older files)
+    TableLog.append(spark, t, Seq((7L, -70L)).toDF("k", "v"))
+    assert(TableLog.read(spark, t).where($"k" === 7L).count() == 1)
+    assert(TableLog.read(spark, t).where($"k" === 7L).head.getLong(1) == -70L)
+    assert(TableLog.snapshot(t).get.rows == 7921)
+    // second sidecar stacks
+    TableLog.deleteMor(spark, t, "k",
+      spark.range(3).select(($"id" * 100 + 13).as("k")))
+    assert(TableLog.read(spark, t).count() == 7921 - 3)
+    // already-deleted keys are not double-counted
+    val vAgain = TableLog.deleteMor(spark, t, "k",
+      spark.range(3).select(($"id" * 100 + 13).as("k")))
+    assert(TableLog.snapshot(t).get.rows == 7918)
+    // COW interop: an updateWhere over a range containing deleted keys
+    // neither resurrects them nor loses the update
+    TableLog.updateWhere(spark, t, "k", 200, 299,
+      Map("v" -> lit(-1L)), statsCols = Seq("k"))
+    val afterUpd = TableLog.read(spark, t)
+    assert(afterUpd.where($"k" === 207L).count() == 0,
+      "COW rewrite must not resurrect a MOR-deleted row")
+    assert(afterUpd.where($"k".between(200, 299)).where($"v" =!= -1L)
+      .count() == 0)
+    assert(afterUpd.count() == 7918)
+    // readChanges across a MOR-delete interval is refused descriptively
+    val e = intercept[IllegalArgumentException](
+      TableLog.readChanges(spark, t, vDel - 1, vDel))
+    assert(e.getMessage.contains("merge-on-read"))
+    // vacuum keeps referenced sidecars
+    val delPaths = TableLog.snapshot(t).get.dels.map(_.file.path)
+    TableLog.vacuum(spark, t, olderThanMs = 0L)
+    delPaths.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t, p)),
+      s"vacuum must keep referenced sidecar $p"))
+    // compaction MATERIALIZES: content identical, sidecars gone, and a
+    // later vacuum reclaims the spent sidecar files
+    val expect = TableLog.read(spark, t).orderBy("k", "v").collect().toSeq
+    TableLog.compact(spark, t, targetBytes = 1L << 26)
+    assert(TableLog.snapshot(t).get.dels.isEmpty)
+    assert(TableLog.read(spark, t).orderBy("k", "v").collect().toSeq
+      == expect)
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0L)
+    delPaths.foreach(p => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, p)),
+      s"vacuum must reclaim the materialized sidecar $p"))
+    assert(TableLog.read(spark, t).orderBy("k", "v").collect().toSeq
+      == expect)
+    // no-op: keys matching nothing commit nothing
+    val vNow = TableLog.latestVersion(t)
+    assert(TableLog.deleteMor(spark, t, "k",
+      Seq(999999L).toDF("k")) == vNow)
+    // NULL keys never match
+    assert(TableLog.deleteMor(spark, t, "k",
+      Seq[java.lang.Long](null).toDF("k")) == vNow)
+    // plain feed refuses
+    val f = tmp("graft_log_delmor_feed")
+    TableLog.enableFeed(f)
+    TableLog.create(spark, f, Seq((1L, 2L)).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      TableLog.deleteMor(spark, f, "k", Seq(1L).toDF("k")))
+  }
+
+  test("deleteMor CDC capture: the typed feed delivers the deleted rows; silver from the feed alone tracks bronze") {
+    val t = tmp("graft_log_delmor_cdc")
+    val sv = tmp("graft_log_delmor_cdc_sv")
+    TableLog.enableCdcFeed(t)
+    TableLog.create(spark, t,
+      spark.range(1000).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartition(4, $"k"),
+      statsCols = Seq("k"))
+    TableLog.deleteMor(spark, t, "k",
+      spark.range(20).select(($"id" * 50 + 1).as("k")))
+    // the feed's delete half is exactly the 20 deleted rows
+    val feed = TableLog.readFeed(spark, t)
+    val dels = feed.where($"_change_type" === "delete")
+    assert(dels.count() == 20)
+    assert(dels.where($"k" % 50 =!= 1).count() == 0)
+    // silver derived from the FEED ALONE equals bronze live
+    TableLog.applyCdc(spark, sv,
+      TableLog.readFeed(spark, t, withVersion = true), "k",
+      statsCols = Seq("k"))
+    val liveT = TableLog.read(spark, t)
+    val liveS = TableLog.read(spark, sv)
+    assert(liveS.exceptAll(liveT).isEmpty && liveT.exceptAll(liveS).isEmpty)
+    // a second MOR delete captures only the NEWLY deleted rows
+    TableLog.deleteMor(spark, t, "k",
+      spark.range(10).select(($"id" * 100 + 2).as("k")))
+    val dels2 = TableLog.readFeed(spark, t)
+      .where($"_change_type" === "delete")
+    assert(dels2.count() == 30)
+  }
+
   test("mergeCow on a STRING key: string-stat prune, untouched files carry by reference, latest-wins content") {
     val t = tmp("graft_log_mcowstr")
     val base = spark.range(8000).select(
