@@ -686,7 +686,15 @@ object DedupOps {
     // extra exchanges — instead of OOMing the driver on an unconditional
     // batch broadcast. (The honest path for corpus-scale backfill
     // remains buildSignatureIndex.)
-    sigs.count() // materialize: grounds the planner's size estimate
+    // materialize: grounds the planner's size estimate. ADJUDICATED
+    // r13 (the r12 bench's only regression, +9% vs the r11 ungated
+    // 2.85s): standalone uncontended, WITH this count 3.38s, WITHOUT
+    // it 4.86s — the static planner then picks sort-merge over the
+    // yet-unsized cache and AQE's late conversion doesn't win it back;
+    // the pre-pass is the price of the OOM-safe gate and is net
+    // NEGATIVE to remove. r11's 2.85s bought speed with the
+    // unconditional broadcast hint this gate replaced.
+    sigs.count()
     val crossM = sigs.join(idx, Seq("band", "sig"))
       .where(col("__idx_id") =!= col("id"))
       .groupBy(col("id")).agg(min(col("__idx_id")).as("__cm"))
