@@ -577,6 +577,36 @@ object SparkEntry {
     tl.read(s, t).orderBy("o_orderkey")
   }
 
+  /** Column rename + drop as PURE-METADATA commits: v1 writes under
+    * the old names, a rename redirects old files' physical columns at
+    * read, a drop followed by a same-name re-add must NOT resurrect
+    * the dead incarnation's values (they read as null — the hazard of
+    * by-name parquet reads, fenced here by the op log's versions). The
+    * oracle recomputes the final logical table relationally, nulling
+    * the pre-drop status values; metadata-only mechanics and time
+    * travel are spec-pinned in TableLogSpec. */
+  private def o55SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/schevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderstatus").as("status"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, o.where(col("o_orderkey") % 20 === 11))       // v1
+    tl.renameColumn(s, t, "price_c", "price_cents")               // v2
+    tl.append(s, t, o.where(col("o_orderkey") % 20 === 12)
+      .withColumnRenamed("price_c", "price_cents"))               // v3
+    tl.dropColumn(s, t, "status")                                 // v4
+    tl.append(s, t, o.where(col("o_orderkey") % 20 === 13)
+      .withColumnRenamed("price_c", "price_cents"))               // v5
+    tl.read(s, t)
+      .groupBy(coalesce(col("status"), lit("-")).as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("price_cents").as("sum_cents"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("status")
+  }
+
   /** MERGE-ON-READ delete: the table is deliberately UNCLUSTERED in
     * the delete key (hash-partitioned on l_linenumber, so every file's
     * l_orderkey range spans the domain — the shape where copy-on-write
@@ -3042,6 +3072,7 @@ object SparkEntry {
     "o53_read_asof" -> (o53ReadAsOf _),
     "o54_merge_cow_str" -> (o54MergeCowStr _),
     "o52_delete_mor" -> (o52DeleteMor _),
+    "o55_schema_evolution" -> (o55SchemaEvolution _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4577,6 +4608,21 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM k GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "o55_schema_evolution" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  o_orderstatus FROM orders),
+        |t AS (
+        |  SELECT o_orderkey, price_cents, NULL AS status FROM o
+        |  WHERE o_orderkey % 20 IN (11, 12)
+        |  UNION ALL
+        |  SELECT o_orderkey, price_cents, o_orderstatus AS status FROM o
+        |  WHERE o_orderkey % 20 = 13)
+        |SELECT coalesce(status, '-') AS status,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM t GROUP BY 1 ORDER BY status""".stripMargin,
     "o45_delete_in" ->
       """WITH k AS (SELECT doc_id, source, lang,
         |  CAST(length(text) AS BIGINT) AS text_len

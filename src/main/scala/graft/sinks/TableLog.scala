@@ -86,6 +86,22 @@ object TableLog {
     * sidecar lives under `<table>/data/` like any data file — written
     * through `writeDataFiles`, vacuum-protected while referenced. */
   final case class DeleteEntry(file: FileEntry, keyCol: String, ver: Long)
+
+  /** A schema-evolution op beyond the additive lattice: a column
+    * RENAME (`kind="rename"`, col → to) or DROP (`kind="drop"`),
+    * committed at version `ver` as PURE METADATA — no data file is
+    * ever rewritten. Data files keep their physical column names; at
+    * read time each file resolves a logical column to its physical
+    * name by inverse-applying the ops committed AFTER the file was
+    * written (newest first), and a DROP hit along the way means the
+    * file's physical column belongs to a dead incarnation — read as
+    * null, never resurrected (the hazard of by-name parquet reads
+    * that Iceberg solves with column ids; here the `ver` fence + op
+    * log solve it). The full op history rides in every manifest
+    * (folded at the commit gate, like the txn index), so resolution
+    * never needs vacuumed manifests. */
+  final case class SchemaOp(ver: Long, kind: String, col: String,
+      to: String)
   /** `txn`: writer-supplied transaction id recorded in the manifest —
     * the idempotence token for streaming ingest (a replayed micro-batch
     * finds its id already committed and skips). */
@@ -109,7 +125,8 @@ object TableLog {
       rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
       schemaJson: Option[String] = None,
       counters: Map[String, Long] = Map.empty,
-      dels: Seq[DeleteEntry] = Nil)
+      dels: Seq[DeleteEntry] = Nil,
+      schemaOps: Seq[SchemaOp] = Nil)
 
   /** Full checkpoint every Nth append: snapshot resolution replays at
     * most N−1 deltas; commit cost is amortized O(table files / N +
@@ -145,7 +162,8 @@ object TableLog {
       counters: Map[String, Long] = Map.empty,
       tsMs: Long = 0L,
       txnHw: Map[String, (Long, Long)] = Map.empty,
-      txnComplete: Boolean = false)
+      txnComplete: Boolean = false,
+      schemaOps: Seq[SchemaOp] = Nil)
 
   /** Split a structured txn id into (stream prefix, sequence):
     * `ingest#42` → ("ingest#", 42), `mv@17` → ("mv@", 17). Opaque ids
@@ -229,7 +247,8 @@ object TableLog {
       catch { case _: java.io.IOException => return None } // vacuumed mid-read
     val kv = lines.filterNot(l => l.startsWith("file=") ||
         l.startsWith("add=") || l.startsWith("remove=") ||
-        l.startsWith("del=") || l.startsWith("deladd="))
+        l.startsWith("del=") || l.startsWith("deladd=") ||
+        l.startsWith("schemaop="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
     Some(ManifestRec(
@@ -257,7 +276,14 @@ object TableLog {
         val Array(n, ver) = v.split(":", 2)
         java.net.URLDecoder.decode(k.drop(6), "UTF-8") ->
           (n.toLong, ver.toLong) },
-      txnComplete = kv.get("txncomplete").contains("true")))
+      txnComplete = kv.get("txncomplete").contains("true"),
+      schemaOps = lines.filter(_.startsWith("schemaop="))
+        .map { l =>
+          val Array(ver, kind, c, to) = l.drop(9).split(";", 4)
+          SchemaOp(ver.toLong, kind,
+            java.net.URLDecoder.decode(c, "UTF-8"),
+            java.net.URLDecoder.decode(to, "UTF-8"))
+        }.toSeq))
   }
 
   private def renderManifest(r: ManifestRec): String = {
@@ -280,6 +306,11 @@ object TableLog {
     r.removes.foreach(p => sb ++= s"remove=$p\n")
     r.dels.foreach(d => sb ++= s"del=${renderDel(d)}\n")
     r.delAdds.foreach(d => sb ++= s"deladd=${renderDel(d)}\n")
+    r.schemaOps.foreach { op =>
+      val c = java.net.URLEncoder.encode(op.col, "UTF-8")
+      val t = java.net.URLEncoder.encode(op.to, "UTF-8")
+      sb ++= s"schemaop=${op.ver};${op.kind};$c;$t\n"
+    }
     sb ++= "end=true\n"
     sb.toString
   }
@@ -292,7 +323,7 @@ object TableLog {
     parseRec(manifestPath(table, v)).flatMap { r =>
       if (r.kind == "full")
         Some(Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
-          r.txn, r.schemaJson, r.counters, r.dels))
+          r.txn, r.schemaJson, r.counters, r.dels, r.schemaOps))
       else
         // a missing/unparseable base usually means a concurrent vacuum
         // dropped this version's chain while we resolved it — surface
@@ -303,7 +334,8 @@ object TableLog {
           val rm = r.removes.toSet
           Snapshot(r.version, r.baseVersion, r.action, r.rows,
             base.files.filterNot(f => rm(f.path)) ++ r.adds,
-            r.txn, r.schemaJson, r.counters, base.dels ++ r.delAdds)
+            r.txn, r.schemaJson, r.counters, base.dels ++ r.delAdds,
+            r.schemaOps)
         }
     }
 
@@ -384,7 +416,12 @@ object TableLog {
       case _ => hwBase
     }
     val complete = r.version == 1 || prev.exists(_.txnComplete)
+    // schema-op history is carried COMPLETE in every manifest (same
+    // denormalization as the txn index): this commit's additions, if
+    // any, append to the previous version's full list
+    val ops = prev.map(_.schemaOps).getOrElse(Nil) ++ r.schemaOps
     val stamped = r.copy(
+      schemaOps = ops,
       tsMs = math.max(System.currentTimeMillis, prevTs + 1),
       txnHw = hw, txnComplete = complete,
       // defensive backstop for the MOR-delete fence: a delta's adds
@@ -568,22 +605,70 @@ object TableLog {
     import org.apache.spark.sql.functions.col
     def raw(fs: Seq[FileEntry]) =
       scanFiles(spark, s.schemaJson, fs.map(f => s"$table/${f.path}"))
-    if (s.dels.isEmpty || files.isEmpty) return raw(files)
+    if ((s.dels.isEmpty && s.schemaOps.isEmpty) || files.isEmpty)
+      return raw(files)
     val delVers = s.dels.map(_.ver).distinct.sorted
-    // cohort key = how many delete versions fence AT OR BELOW the file
-    // (dels with ver > file.ver apply); same key → same delete suffix
-    val cohorts = files.groupBy(f => delVers.count(_ <= f.ver)).toSeq
+    val opVers = s.schemaOps.map(_.ver).distinct.sorted
+    // cohort key = how many delete/schema-op versions fence AT OR
+    // BELOW the file (those with ver > file.ver apply); same key →
+    // same applicable suffix of each
+    val cohorts = files.groupBy(f =>
+      (delVers.count(_ <= f.ver), opVers.count(_ <= f.ver))).toSeq
       .sortBy(_._1)
-    cohorts.map { case (nBelow, fs) =>
-      val applicable = delVers.drop(nBelow).toSet
+    cohorts.map { case ((nDel, nOp), fs) =>
+      val fileVer = fs.map(_.ver).min
+      val base = scanPhysical(spark, table, s, fs,
+        s.schemaOps.filter(_.ver > fileVer))
+      val applicable = delVers.drop(nDel).toSet
       val active = s.dels.filter(d => applicable(d.ver))
-      active.groupBy(_.keyCol).foldLeft(raw(fs)) {
+      active.groupBy(_.keyCol).foldLeft(base) {
         case (df, (k, des)) =>
           val keys = spark.read.parquet(
             des.map(d => s"$table/${d.file.path}"): _*)
           df.join(keys.select(col(k)).distinct(), Seq(k), "left_anti")
       }
     }.reduce(_ unionByName _)
+  }
+
+  /** Resolve logical column `name` to the PHYSICAL name a file written
+    * before `ops` carries: inverse-apply the ops newest-first —
+    * a rename's `to` maps back to its `from`; hitting a DROP of the
+    * resolved name means the physical column belongs to a dead
+    * incarnation (None → read as null). */
+  private[graft] def resolvePhysical(name: String,
+      ops: Seq[SchemaOp]): Option[String] = {
+    var n = name
+    ops.sortBy(-_.ver).foreach { op =>
+      if (op.kind == "rename" && op.to == n) n = op.col
+      else if (op.kind == "drop" && op.col == n) return None
+    }
+    Some(n)
+  }
+
+  /** Scan `fs` under the snapshot's LOGICAL schema with the cohort's
+    * applicable schema ops inverse-applied: the parquet read declares
+    * each live column under its physical name, then a projection
+    * aliases back to logical names and fills dead incarnations with
+    * typed nulls. With no applicable ops this is a plain
+    * manifest-schema scan. */
+  private def scanPhysical(spark: SparkSession, table: String,
+      s: Snapshot, fs: Seq[FileEntry], ops: Seq[SchemaOp]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val paths = fs.map(f => s"$table/${f.path}")
+    if (ops.isEmpty || s.schemaJson.isEmpty)
+      return scanFiles(spark, s.schemaJson, paths)
+    val logical = org.apache.spark.sql.types.DataType
+      .fromJson(s.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val resolved = logical.fields.map(f =>
+      f -> resolvePhysical(f.name, ops))
+    val physSchema = org.apache.spark.sql.types.StructType(
+      resolved.collect { case (f, Some(p)) => f.copy(name = p) })
+    spark.read.schema(physSchema).parquet(paths: _*)
+      .select(resolved.map {
+        case (f, Some(p)) => col(p).as(f.name)
+        case (f, None) => lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
   }
 
   /** Scan `paths` under the manifest-recorded schema when present:
@@ -1155,6 +1240,82 @@ object TableLog {
     committed
   }
 
+  /** Rename a column — PURE METADATA, zero data-file rewrites (at
+    * 100 TB a rename must be a manifest commit, not a table rewrite):
+    * commits a new schema plus a `SchemaOp` whose version fences which
+    * files still carry the old physical name; reads resolve per file
+    * cohort (`scanPhysical`). Appends after the rename use the new
+    * name (the evolved schema refuses the old one back as a widening
+    * conflict only if types clash — re-adding the OLD name later is a
+    * legal new column, and old files' physical values do NOT leak into
+    * it: the rename op redirects them, and `resolvePhysical`'s drop
+    * fencing covers the drop-then-re-add shape). Refused on
+    * feed-enabled tables (already-linked feed files carry the old
+    * physical name and would read as null downstream) and while a
+    * pending MOR delete sidecar keys on the column (compact first).
+    * Range/bloom stats recorded under the old name no longer match the
+    * new — affected files simply stop pruning (stats prune IO, never
+    * semantics); fresh writes record stats under the new name. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+      to: String): Long =
+    schemaOpCommit(table, "rename", from, to) { logical =>
+      require(logical.fieldNames.contains(from),
+        s"renameColumn($table): no column '$from'")
+      require(!logical.fieldNames.contains(to),
+        s"renameColumn($table): column '$to' already exists")
+      org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** Drop a column — pure metadata like `renameColumn`. Old files keep
+    * the physical column; reads exclude it by schema, and if a
+    * same-named column is ever RE-ADDED, the drop op's version fence
+    * keeps the dead incarnation's values out (they read as null) —
+    * the resurrection hazard of by-name parquet reads. Allowed on
+    * feed tables (narrowing reads drop the column on old links too);
+    * refused while a pending MOR sidecar keys on the column. */
+  def dropColumn(spark: SparkSession, table: String, c: String): Long =
+    schemaOpCommit(table, "drop", c, "") { logical =>
+      require(logical.fieldNames.contains(c),
+        s"dropColumn($table): no column '$c'")
+      require(logical.fields.length > 1,
+        s"dropColumn($table): cannot drop the only column")
+      org.apache.spark.sql.types.StructType(
+        logical.fields.filterNot(_.name == c))
+    }
+
+  private def schemaOpCommit(table: String, kind: String, colName: String,
+      to: String)(evolve: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType): Long = {
+    require(kind == "drop" || !feedEnabled(table),
+      s"renameColumn on feed-enabled table $table: already-linked feed " +
+        "files carry the old physical name and would read as null — " +
+        "disable the feed (or re-seed consumers) first")
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      require(base.schemaJson.nonEmpty,
+        s"$kind on $table: legacy table without a recorded schema — " +
+          "rewrite it once to record one")
+      base.dels.find(_.keyCol == colName).foreach(d => sys.error(
+        s"$kind($table, $colName): a pending merge-on-read delete " +
+          s"sidecar (v${d.ver}) keys on this column — compact() to " +
+          "materialize it first"))
+      val logical = org.apache.spark.sql.types.DataType
+        .fromJson(base.schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val evolved = evolve(logical)
+      val version = base.version + 1
+      // metadata-only commit: delta with no file changes; the gate
+      // folds the op into the carried history
+      val r = ManifestRec(version, base.version, "schema", base.rows,
+        "delta", Nil, Nil, Nil, Nil, Nil, None, Some(evolved.json),
+        base.counters, schemaOps = Seq(SchemaOp(version, kind, colName, to)))
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
+
   /** Wall-clock commit timestamp (epoch millis) recorded in version
     * `v`'s manifest — one small-file read. 0 on pre-timestamp legacy
     * manifests. */
@@ -1472,6 +1633,8 @@ object TableLog {
                   adds.foreach(p => out += linkIntoFeed(table, v, p))
                 case "compact" | "zorder" =>
                   () // layout-only: these rows were already delivered
+                case "schema" =>
+                  () // metadata-only (column drop): no rows changed
                 case act @ ("delete" | "merge" | "update")
                     if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(

@@ -1310,6 +1310,74 @@ class TableLogSpec extends SparkSpec {
       TableLog.deleteMor(spark, f, "k", Seq(1L).toDF("k")))
   }
 
+  test("renameColumn/dropColumn: pure metadata; old files resolve physical names; dead incarnations never resurrect") {
+    val t = tmp("graft_log_schevo")
+    TableLog.create(spark, t, spark.range(10).select($"id".as("k"),
+      ($"id" * 2).as("qty_old"), lit("x").as("junk")))
+    val pathsBefore = TableLog.snapshot(t).get.files.map(_.path).toSet
+    TableLog.renameColumn(spark, t, "qty_old", "qty")
+    // zero file changes: metadata-only commit
+    assert(TableLog.snapshot(t).get.files.map(_.path).toSet == pathsBefore)
+    val r1 = TableLog.read(spark, t)
+    assert(r1.columns.toSeq == Seq("k", "qty", "junk"))
+    assert(r1.where($"k" === 3).head.getLong(1) == 6L,
+      "old files must resolve the new logical name to the old physical")
+    // append under the NEW name; cohorts union
+    TableLog.append(spark, t, spark.range(10, 15).select($"id".as("k"),
+      ($"id" * 2).as("qty"), lit("y").as("junk")))
+    assert(TableLog.read(spark, t).agg(sum($"qty")).head.getLong(0)
+      == (0 until 15).map(_ * 2L).sum)
+    // drop, then RE-ADD the same name: the dead incarnation's physical
+    // values must read as null, never resurrect
+    TableLog.dropColumn(spark, t, "junk")
+    assert(TableLog.read(spark, t).columns.toSeq == Seq("k", "qty"))
+    TableLog.append(spark, t, spark.range(15, 16).select($"id".as("k"),
+      ($"id" * 2).as("qty"), lit("fresh").as("junk")))
+    val back = TableLog.read(spark, t)
+    assert(back.columns.toSeq == Seq("k", "qty", "junk"))
+    assert(back.where($"k" === 3).head.isNullAt(2),
+      "dropped incarnation must not resurrect")
+    assert(back.where($"k" === 15).head.getString(2) == "fresh")
+    // time travel: old versions read under their own schema
+    assert(TableLog.readVersion(spark, t, 1).columns.toSeq
+      == Seq("k", "qty_old", "junk"))
+    assert(TableLog.readVersion(spark, t, 1).where($"k" === 3)
+      .head.getString(2) == "x")
+    // chained rename: v1 files resolve two hops (qty_old <- qty <- quantity)
+    TableLog.renameColumn(spark, t, "qty", "quantity")
+    assert(TableLog.read(spark, t).where($"k" === 3).head.getLong(1) == 6L)
+    // COW update across cohorts neither loses the rename nor the values
+    TableLog.updateWhere(spark, t, "k", 0, 2, Map("quantity" -> lit(-1L)))
+    val upd = TableLog.read(spark, t)
+    assert(upd.where($"k" <= 2).agg(sum("quantity")).head.getLong(0) == -3L)
+    assert(upd.where($"k" === 3).head.getLong(1) == 6L)
+    assert(upd.count() == 16)
+    // refusals: unknown column, existing target, rename on a feed table,
+    // rename/drop of a pending MOR sidecar's key column
+    intercept[IllegalArgumentException](
+      TableLog.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      TableLog.renameColumn(spark, t, "k", "quantity"))
+    val f = tmp("graft_log_schevo_feed")
+    TableLog.enableFeed(f)
+    TableLog.create(spark, f, Seq((1L, 2L)).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      TableLog.renameColumn(spark, f, "k", "kk"))
+    val m = tmp("graft_log_schevo_mor")
+    TableLog.create(spark, m, spark.range(10).select($"id".as("k"),
+      $"id".as("v")))
+    TableLog.deleteMor(spark, m, "k", Seq(3L).toDF("k"))
+    val e = intercept[RuntimeException](
+      TableLog.renameColumn(spark, m, "k", "kk"))
+    assert(e.getMessage.contains("sidecar"))
+    intercept[RuntimeException](TableLog.dropColumn(spark, m, "k"))
+    // after compaction materializes the sidecar, the rename goes through
+    TableLog.compact(spark, m, 1L << 26)
+    TableLog.renameColumn(spark, m, "k", "kk")
+    assert(TableLog.read(spark, m).where($"kk" === 3L).count() == 0)
+    assert(TableLog.read(spark, m).count() == 9)
+  }
+
   test("deleteMor CDC capture: the typed feed delivers the deleted rows; silver from the feed alone tracks bronze") {
     val t = tmp("graft_log_delmor_cdc")
     val sv = tmp("graft_log_delmor_cdc_sv")
