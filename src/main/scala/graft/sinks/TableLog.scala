@@ -634,12 +634,20 @@ object TableLog {
     * before `ops` carries: inverse-apply the ops newest-first —
     * a rename's `to` maps back to its `from`; hitting a DROP of the
     * resolved name means the physical column belongs to a dead
-    * incarnation (None → read as null). */
+    * incarnation (None → read as null). Symmetrically, hitting a
+    * rename FROM the resolved name (without having been redirected
+    * into it) means the name was FREED by that rename — the current
+    * bearer is a column added after the file was written, so the
+    * file's same-named physical column belongs to the RENAMED column,
+    * not this one (None — otherwise both the renamed column and its
+    * re-added namesake would resolve to one physical column and the
+    * old values would resurrect). */
   private[graft] def resolvePhysical(name: String,
       ops: Seq[SchemaOp]): Option[String] = {
     var n = name
     ops.sortBy(-_.ver).foreach { op =>
       if (op.kind == "rename" && op.to == n) n = op.col
+      else if (op.kind == "rename" && op.col == n) return None
       else if (op.kind == "drop" && op.col == n) return None
     }
     Some(n)
@@ -763,10 +771,32 @@ object TableLog {
       : Seq[FileEntry] =
     prunedFilesOf(snapshotOrFail(table), c, lo, hi)
 
+  /** Per-file stat-lookup resolver for logical column `c`: a file's
+    * stats are recorded under the PHYSICAL name it was written with,
+    * so after a rename the pruners must look the queried column up
+    * under each file's own name — otherwise every pre-rename file
+    * loses its stats ("absent keeps the file") and a rename silently
+    * turns pruned reads into full scans. `None` = the column did not
+    * exist when the file was written (dropped or rename-freed
+    * incarnation): it reads as null for every row, and null satisfies
+    * no range/IN/point predicate, so the file is PROVABLY prunable —
+    * the one place resolution strengthens pruning instead of just
+    * preserving it. Memoized per op-fence cohort, so the per-file cost
+    * stays O(1) on a million-file manifest. */
+  private def statNameFor(s: Snapshot, c: String): FileEntry => Option[String] =
+    if (s.schemaOps.isEmpty) { _ => Some(c) }
+    else {
+      val cache = scala.collection.mutable.HashMap[Int, Option[String]]()
+      f => cache.getOrElseUpdate(s.schemaOps.count(_.ver > f.ver),
+        resolvePhysical(c, s.schemaOps.filter(_.ver > f.ver)))
+    }
+
   private def prunedFilesOf(s: Snapshot, c: String, lo: Long, hi: Long)
-      : Seq[FileEntry] =
-    s.files.filter(f =>
-      f.stats.find(_.col == c).forall(st => st.max >= lo && st.min <= hi))
+      : Seq[FileEntry] = {
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.stats.find(_.col == p).forall(st => st.max >= lo && st.min <= hi)))
+  }
 
   /** Manifest-level data skipping: scan ONLY the files whose stat range
     * for `c` overlaps `[lo, hi]`, then apply the filter itself (stats
@@ -846,24 +876,30 @@ object TableLog {
       vTo: Long): (DataFrame, DataFrame) = {
     val (added, removed) = changedFiles(table, vFrom, vTo)
     // both sides scan under vTo's schema so the delta unions cleanly
-    // with reads of the newer snapshot even across an evolution
-    val schemaJson = snapshotAt(table, vTo).flatMap(_.schemaJson)
+    // with reads of the newer snapshot even across an evolution; the
+    // scans go through morScan so vTo's COMPLETE schema-op history
+    // resolves each file's physical column names (a rename/drop inside
+    // the interval leaves removed — and even some added — files
+    // carrying pre-op physical names; a raw by-name scan would read
+    // renamed columns as null and resurrect dropped incarnations)
+    val sTo = snapshotAt(table, vTo).getOrElse(
+      sys.error(s"readChanges($table): version $vTo not found"))
+    val schemaJson = sTo.schemaJson
     def empty() = readVersion(spark, table, vTo)
       .where(org.apache.spark.sql.functions.lit(false))
     val addedDf =
       if (added.isEmpty) empty()
-      else scanFiles(spark, schemaJson, added.map(f => s"$table/${f.path}"))
+      else morScan(spark, table, sTo.copy(dels = Nil), added)
     // the REMOVED side applies vFrom's pending MOR-delete sidecars:
     // rows already logically deleted at vFrom were never part of its
     // multiset, so counting them as "removed" would break the identity
     // when a rewrite inside the interval materialized them away
     val removedDf =
       if (removed.isEmpty) empty()
-      else snapshotAt(table, vFrom) match {
-        case Some(sf) if sf.dels.nonEmpty =>
-          morScan(spark, table, sf.copy(schemaJson = schemaJson), removed)
-        case _ =>
-          scanFiles(spark, schemaJson, removed.map(f => s"$table/${f.path}"))
+      else {
+        val dels = snapshotAt(table, vFrom).map(_.dels).getOrElse(Nil)
+        morScan(spark, table,
+          sTo.copy(schemaJson = schemaJson, dels = dels), removed)
       }
     (addedDf, removedDf)
   }
@@ -964,10 +1000,12 @@ object TableLog {
     prunedFilesInOf(snapshotOrFail(table), c, values)
 
   private def prunedFilesInOf(s: Snapshot, c: String, values: Seq[String])
-      : Seq[FileEntry] =
-    s.files.filter(f =>
-      f.strStats.find(_.col == c).forall(st =>
-        values.exists(v => utf8Leq(st.min, v) && utf8Leq(v, st.max))))
+      : Seq[FileEntry] = {
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.strStats.find(_.col == p).forall(st =>
+        values.exists(v => utf8Leq(st.min, v) && utf8Leq(v, st.max)))))
+  }
 
   /** CATEGORICAL data skipping: scan only the files whose string range
     * for `c` can contain one of `values`, then apply the IN filter
@@ -999,10 +1037,12 @@ object TableLog {
     prunedFilesInLongOf(snapshotOrFail(table), c, values)
 
   private def prunedFilesInLongOf(s: Snapshot, c: String, values: Seq[Long])
-      : Seq[FileEntry] =
-    s.files.filter(f =>
-      f.stats.find(_.col == c).forall(st =>
-        values.exists(v => st.min <= v && v <= st.max)))
+      : Seq[FileEntry] = {
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.stats.find(_.col == p).forall(st =>
+        values.exists(v => st.min <= v && v <= st.max))))
+  }
 
   /** LONG twin of `readWhereIn`: scan only files whose long stat range
     * for `c` can contain one of `values`, then apply the IN filter (stats
@@ -1020,12 +1060,13 @@ object TableLog {
     // positions depend on the stat's own (m, k): one tiny plan per
     // distinct sizing present in the snapshot (normally exactly one)
     val posFor = scala.collection.mutable.HashMap[(Int, Int), Seq[Int]]()
-    s.files.filter(f =>
-      f.strStats.find(_.col == bloomStatName(c)).forall { st =>
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.strStats.find(_.col == bloomStatName(p)).forall { st =>
         val Array(m, k) = st.max.split(",", 2).map(_.toInt)
         bloomMayContain(st.min,
           posFor.getOrElseUpdate((m, k), bloomPositions(spark, v, m, k)))
-      })
+      }))
   }
 
   /** Point-lookup read through the manifest bloom stats: scan only the
@@ -1109,6 +1150,27 @@ object TableLog {
           df.schema).json)
         case None if base.isEmpty => Some(df.schema.json)
         case None => None
+      }
+      // on FEED tables, refuse re-adding a name a schema op freed
+      // (rename-from or drop): already-published links physically
+      // carry the old incarnation under that name, and the feed's
+      // by-name declared-schema read has no per-file version fence —
+      // the dead values would resurrect for any consumer reading
+      // after the re-add. Table reads fence per cohort; feed links
+      // cannot. (Fresh names are fine — old links read them as null.)
+      if (feedEnabled(table)) base.foreach { b =>
+        val baseNames = b.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet).getOrElse(Set.empty[String])
+        val freed = b.schemaOps.map(_.col).toSet
+        val readd = df.schema.fieldNames.filterNot(baseNames)
+          .filter(freed)
+        require(readd.isEmpty,
+          s"append to feed-enabled $table: column(s) ${readd.mkString(", ")} " +
+            "re-add a name a schema op freed — published feed links " +
+            "still carry the old incarnation under that name and would " +
+            "resurrect its values by name; use a fresh column name")
       }
       val version = base.map(_.version).getOrElse(0L) + 1
       val rows = base.map(_.rows).getOrElse(0L) + newRows
@@ -1720,16 +1782,18 @@ object TableLog {
       // zero data rewrite
       return addedPaths.map(p => linkIntoFeed(table, v, p))
     stageAndLinkCdc(spark, table, v) {
-      // the REMOVED side scans MOR-AWARE at the pre-commit snapshot:
-      // rows a pending delete sidecar had already logically removed
-      // were captured at the sidecar's own commit — recounting them
-      // here would double-deliver their delete
+      // the REMOVED side scans MOR- and SCHEMA-OP-AWARE at the
+      // pre-commit snapshot: rows a pending delete sidecar had already
+      // logically removed were captured at the sidecar's own commit —
+      // recounting them here would double-deliver their delete — and
+      // files written before a column drop carry pre-op physical
+      // names that must resolve, not resurrect
       val removed = prevSnap match {
-        case Some(ps) if ps.dels.nonEmpty =>
+        case Some(ps) =>
           val rm = removedPaths.toSet
           morScan(spark, table, ps.copy(schemaJson = schemaJson),
             ps.files.filter(f => rm(f.path)))
-        case _ => scanFiles(spark, schemaJson,
+        case None => scanFiles(spark, schemaJson,
           removedPaths.map(p => s"$table/$p"))
       }
       val added =
@@ -2595,13 +2659,19 @@ object TableLog {
             max(col(keyCol).cast("string"))).head()
           (r.getString(0), r.getString(1))
       }
-      base => keyList match {
-        case Some(sorted) => base.files.filter(f =>
-          f.strStats.find(_.col == keyCol).forall(st =>
-            sortedOverlapsStr(sorted, st.min, st.max)))
-        case None => base.files.filter(f =>
-          f.strStats.find(_.col == keyCol).forall(st =>
-            utf8Leq(st.min, hi) && utf8Leq(lo, st.max)))
+      base => {
+        // stats live under each file's PHYSICAL name (a rename must
+        // not turn the merge prune into a full rewrite); a dead
+        // incarnation (None) is all-null keys — provably unaffected
+        val phys = statNameFor(base, keyCol)
+        keyList match {
+          case Some(sorted) => base.files.filter(f => phys(f).exists(p =>
+            f.strStats.find(_.col == p).forall(st =>
+              sortedOverlapsStr(sorted, st.min, st.max))))
+          case None => base.files.filter(f => phys(f).exists(p =>
+            f.strStats.find(_.col == p).forall(st =>
+              utf8Leq(st.min, hi) && utf8Leq(lo, st.max))))
+        }
       }
     } else {
       val capped = touchedKeys.select(col(keyCol).cast("long")).distinct()
@@ -2615,11 +2685,14 @@ object TableLog {
             max(col(keyCol).cast("long"))).head()
           (r.getLong(0), r.getLong(1))
       }
-      base => keyList match {
-        case Some(sorted) => base.files.filter(f =>
-          f.stats.find(_.col == keyCol).forall(st =>
-            sortedOverlaps(sorted, st.min, st.max)))
-        case None => prunedFilesOf(base, keyCol, lo, hi)
+      base => {
+        val phys = statNameFor(base, keyCol)
+        keyList match {
+          case Some(sorted) => base.files.filter(f => phys(f).exists(p =>
+            f.stats.find(_.col == p).forall(st =>
+              sortedOverlaps(sorted, st.min, st.max))))
+          case None => prunedFilesOf(base, keyCol, lo, hi)
+        }
       }
     }
   }

@@ -1378,6 +1378,112 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, m).count() == 9)
   }
 
+  test("rename-then-re-add: the freed name never resurrects the renamed column's values") {
+    val t = tmp("graft_log_schevo_freed")
+    TableLog.create(spark, t, spark.range(5).select($"id".as("k"),
+      ($"id" * 10).as("a")))
+    TableLog.renameColumn(spark, t, "a", "b")
+    // re-add a NEW column under the freed name "a": old files still
+    // physically carry an "a" column (the pre-rename values of logical
+    // "b") — it must NOT leak into the new "a"
+    TableLog.append(spark, t, spark.range(5, 7).select($"id".as("k"),
+      ($"id" * 10).as("b"), lit("n").as("a")))
+    val r = TableLog.read(spark, t)
+    assert(r.columns.toSeq == Seq("k", "b", "a"))
+    val old = r.where($"k" === 3).head
+    assert(old.getLong(1) == 30L, "renamed column must keep its values")
+    assert(old.isNullAt(2), "freed name must not resurrect old values")
+    assert(r.where($"k" === 5).head.getString(2) == "n")
+    // rename the re-added column again: still fenced for v1 files
+    TableLog.renameColumn(spark, t, "a", "a2")
+    val r2 = TableLog.read(spark, t)
+    assert(r2.where($"k" === 3).head.isNullAt(2))
+    assert(r2.where($"k" === 6).head.getString(2) == "n")
+    // swap-back rename: b -> a restores the ORIGINAL physical mapping
+    TableLog.renameColumn(spark, t, "b", "a")
+    assert(TableLog.read(spark, t).where($"k" === 3).head.getLong(1) == 30L)
+  }
+
+  test("stats pruning survives a rename: old files' stats resolve under their physical name; dead incarnations prune outright") {
+    val t = tmp("graft_log_schevo_prune")
+    TableLog.create(spark, t, spark.range(4000).select($"id".as("k"),
+      ($"id" % 7).as("v")).repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    assert(TableLog.prunedFiles(t, "k", 100, 200).size == 1)
+    TableLog.renameColumn(spark, t, "k", "key")
+    // the rename must NOT degrade pruning to "absent stat keeps all"
+    val kept = TableLog.prunedFiles(t, "key", 100, 200)
+    assert(kept.size == 1, s"rename lost pruning: kept ${kept.size} of 8")
+    assert(TableLog.readWhere(spark, t, "key", 100, 200).count() == 101)
+    // the COW update prune stays tight across the rename too: only the
+    // one range-overlapping (pre-rename) file is rewritten
+    val before = TableLog.snapshot(t).get.files.map(_.path).toSet
+    TableLog.updateWhere(spark, t, "key", 100, 200, Map("v" -> lit(-1L)))
+    val after = TableLog.snapshot(t).get.files
+    assert(after.count(f => before(f.path)) == 7,
+      "exactly one pre-rename file should have been rewritten")
+    assert(TableLog.read(spark, t).where($"v" === -1L).count() == 101)
+    // drop + re-add gives a DEAD incarnation whose old stats must not
+    // be consulted — those files are provably all-null for the new
+    // column, so they prune outright
+    TableLog.dropColumn(spark, t, "key")
+    TableLog.append(spark, t, spark.range(1).select(lit(5000L).as("key"),
+      lit(0L).as("v")).coalesce(1), statsCols = Seq("key"))
+    val kept2 = TableLog.prunedFiles(t, "key", 0, 10000)
+    assert(kept2.size == 1,
+      "dead-incarnation files must prune outright for the re-added column")
+    assert(TableLog.readWhere(spark, t, "key", 0, 10000).count() == 1)
+  }
+
+  test("readChanges across a rename/drop interval resolves old files' physical names") {
+    val t = tmp("graft_log_schevo_changes")
+    TableLog.create(spark, t, spark.range(4).select($"id".as("k"),
+      ($"id" * 10).as("a")))                                     // v1
+    TableLog.renameColumn(spark, t, "a", "b")                    // v2
+    TableLog.append(spark, t, spark.range(4, 6).select($"id".as("k"),
+      ($"id" * 10).as("b")))                                     // v3
+    // interval v1..v3 contains the rename; added files are post-rename,
+    // but a consumer diffing across it must see a consistent "b"
+    val (added, removed) = TableLog.readChanges(spark, t, 1, 3)
+    assert(removed.count() == 0)
+    assert(added.agg(sum($"b")).head.getLong(0) == 90L)
+    // compact (removes v1-era files carrying physical "a"), then diff an
+    // interval whose REMOVED side is pre-rename files: their "b" values
+    // must come from physical "a", not read as null
+    TableLog.compact(spark, t, 1L << 26)                         // v4
+    val (a2, r2) = TableLog.readChanges(spark, t, 3, 4)
+    assert(a2.agg(sum($"b")).head.getLong(0)
+      == r2.agg(sum($"b")).head.getLong(0),
+      "layout-only interval: added and removed multisets must agree")
+    assert(r2.where($"k" === 3).select("b").head.getLong(0) == 30L)
+    // drop-then-re-add, then diff across it: the dead incarnation must
+    // read as null on the removed side, not resurrect
+    TableLog.dropColumn(spark, t, "b")                           // v5
+    TableLog.append(spark, t, spark.range(6, 7).select($"id".as("k"),
+      lit(999L).as("b")))                                        // v6
+    TableLog.compact(spark, t, 1L << 26)                         // v7
+    val (a3, r3) = TableLog.readChanges(spark, t, 6, 7)
+    assert(r3.where($"k" === 3).select("b").head.isNullAt(0),
+      "dead incarnation must not resurrect in the change feed")
+    assert(r3.where($"k" === 6).select("b").head.getLong(0) == 999L)
+    assert(a3.agg(sum($"b")).head.getLong(0) == 999L)
+  }
+
+  test("feed tables refuse re-adding a schema-op-freed column name") {
+    val t = tmp("graft_log_schevo_feed_readd")
+    TableLog.enableFeed(t)
+    TableLog.create(spark, t, Seq((1L, 2L)).toDF("k", "v"))
+    TableLog.dropColumn(spark, t, "v")
+    // old feed links physically carry "v"; re-adding the name would
+    // resurrect dead values on the by-name feed read — refused
+    val e = intercept[RuntimeException](TableLog.append(spark, t,
+      Seq((2L, 9L)).toDF("k", "v")))
+    assert(e.getMessage.contains("freed"))
+    // a fresh name is fine
+    TableLog.append(spark, t, Seq((2L, 9L)).toDF("k", "v2"))
+    assert(TableLog.readFeed(spark, t).count() == 2)
+  }
+
   test("deleteMor CDC capture: the typed feed delivers the deleted rows; silver from the feed alone tracks bronze") {
     val t = tmp("graft_log_delmor_cdc")
     val sv = tmp("graft_log_delmor_cdc_sv")
