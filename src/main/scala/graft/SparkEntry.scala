@@ -804,6 +804,29 @@ object SparkEntry {
       .orderBy("snap", "l_returnflag")
   }
 
+  /** DESCRIBE HISTORY as a query: build a small table lifecycle
+    * (create → append → range delete), return the commit history's
+    * deterministic columns (version/action/kind/rows — timestamps are
+    * wall-clock, excluded). The oracle recomputes each version's row
+    * count relationally; kind pins the manifest strategy (append =
+    * delta, create/COW delete = full file list). */
+  private def o56History(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/history_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val o = T(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, o.where(col("o_orderkey") % 10 === 1)
+      .repartitionByRange(4, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+    tl.append(s, t, o.where(col("o_orderkey") % 10 === 2)
+      .repartitionByRange(4, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+    tl.deleteWhere(s, t, "o_orderkey", 1L, 6000L)
+    tl.history(s, t)
+      .select(col("version"), col("action"), col("kind"),
+        col("rows").as("n_rows"))
+      .orderBy("version")
+  }
+
   private def o41TypeWidening(s: SparkSession, dir: String): DataFrame = {
     val t = s"$tmpRoot/widen_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -3073,6 +3096,7 @@ object SparkEntry {
     "o54_merge_cow_str" -> (o54MergeCowStr _),
     "o52_delete_mor" -> (o52DeleteMor _),
     "o55_schema_evolution" -> (o55SchemaEvolution _),
+    "o56_history" -> (o56History _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4623,6 +4647,23 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS sum_cents,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM t GROUP BY 1 ORDER BY status""".stripMargin,
+    "o56_history" ->
+      """WITH n1 AS (SELECT count(*) c FROM orders WHERE o_orderkey % 10 = 1),
+        |n2 AS (SELECT count(*) c FROM orders WHERE o_orderkey % 10 = 2),
+        |nd AS (SELECT count(*) c FROM orders
+        |       WHERE o_orderkey % 10 IN (1, 2)
+        |         AND o_orderkey BETWEEN 1 AND 6000)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS action,
+        |    'full' AS kind, CAST((SELECT c FROM n1) AS BIGINT) AS n_rows
+        |  UNION ALL
+        |  SELECT 2, 'append', 'delta',
+        |    CAST((SELECT c FROM n1) + (SELECT c FROM n2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 3, 'delete', 'delta',
+        |    CAST((SELECT c FROM n1) + (SELECT c FROM n2)
+        |      - (SELECT c FROM nd) AS BIGINT)
+        |) ORDER BY version""".stripMargin,
     "o45_delete_in" ->
       """WITH k AS (SELECT doc_id, source, lang,
         |  CAST(length(text) AS BIGINT) AS text_len

@@ -1430,6 +1430,40 @@ object TableLog {
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
     readVersion(spark, table, versionAsOf(table, tsMs))
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * face: one row per RETAINED version with (version, ts_ms, action,
+    * kind, rows, txn). Metadata-only: O(retained manifests) small-file
+    * reads on the driver, bounded by the vacuum retention window, no
+    * data file is touched. Versions a vacuum dropped are absent — the
+    * history is exactly what time travel can still reach. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(table)
+    val rows = (1L to latest).flatMap(v =>
+      parseRec(manifestPath(table, v)).map(r =>
+        (r.version, r.tsMs, r.action, r.kind, r.rows, r.txn)))
+    rows.toDF("version", "ts_ms", "action", "kind", "rows", "txn")
+  }
+
+  /** TIMESTAMP-granular retention, the `readAsOf` complement: keep
+    * exactly the history needed to read the table as of `tsMs` or any
+    * later instant — the version `readAsOf(tsMs)` resolves to and
+    * everything newer — and vacuum the rest (checkpoint-granular like
+    * `vacuum`, so the actual floor may retain a little more, never
+    * less). A cutoff before the first retained commit is a no-op
+    * (nothing is old enough), not an error. */
+  def vacuumBefore(spark: SparkSession, table: String, tsMs: Long,
+      olderThanMs: Long = StagedCommit.staleLeaseDefaultMs): Seq[String] = {
+    val latest = latestVersion(table)
+    if (latest == 0) return Nil
+    val floor =
+      try versionAsOf(table, tsMs)
+      catch { case e: IllegalArgumentException
+          if e.getMessage.contains("predates") => return Nil }
+    vacuum(spark, table, keepVersions = (latest - floor + 1).toInt,
+      olderThanMs = olderThanMs)
+  }
+
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
     * the log with txn id `<streamId>#<batchId>`. foreachBatch is
     * at-least-once across crash-restarts, but a replayed batch finds

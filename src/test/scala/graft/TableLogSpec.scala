@@ -1378,6 +1378,33 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, m).count() == 9)
   }
 
+  test("history + vacuumBefore: DESCRIBE HISTORY face; timestamp-granular retention") {
+    val t = tmp("graft_log_history")
+    TableLog.create(spark, t, spark.range(10).select($"id".as("k")))     // v1
+    TableLog.append(spark, t, spark.range(10, 20).select($"id".as("k"))) // v2
+    TableLog.compact(spark, t, 1L << 26)                                 // v3 (full)
+    TableLog.append(spark, t, spark.range(20, 25).select($"id".as("k"))) // v4
+    val h = TableLog.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_.getString(2)).toSeq
+      == Seq("create", "append", "compact", "append"))
+    assert(h.map(_.getLong(4)).toSeq == Seq(10L, 20L, 20L, 25L))
+    val ts = h.map(_.getLong(1))
+    assert(ts.sliding(2).forall(p => p(0) < p(1)),
+      "commit timestamps must be strictly increasing")
+    // a cutoff before the first commit is a no-op, not an error
+    assert(TableLog.vacuumBefore(spark, t, ts(0) - 10, olderThanMs = 0).isEmpty)
+    // cutoff at v3's commit instant: v1/v2 manifests and their
+    // unreferenced files go; readAsOf(cutoff) and newer stay readable
+    val gone = TableLog.vacuumBefore(spark, t, ts(2), olderThanMs = 0)
+    assert(gone.nonEmpty)
+    assert(TableLog.readAsOf(spark, t, ts(2)).count() == 20)
+    assert(TableLog.read(spark, t).count() == 25)
+    intercept[RuntimeException](TableLog.readVersion(spark, t, 1))
+    // history shrinks to exactly what time travel can still reach
+    assert(TableLog.history(spark, t).agg(min("version")).head.getLong(0) == 3L)
+  }
+
   test("rename-then-re-add: the freed name never resurrects the renamed column's values") {
     val t = tmp("graft_log_schevo_freed")
     TableLog.create(spark, t, spark.range(5).select($"id".as("k"),
