@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // conf-gated (spark.graft.topkRewrite.enabled); see the rule's scaladoc
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // expands TableLog.scan leaves, pruning files from query filters
+    // (spark.graft.logPrune.enabled, default on)
+    e.injectOptimizerRule(_ => graft.plans.PruneLogScan)
     GraftFunctionRegistry.all.foreach { case (name, clazz, builder) =>
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))

@@ -261,6 +261,36 @@ object SparkEntry {
         min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
   }
 
+  /** The DECLARATIVE read face (`TableLog.scan` + the PruneLogScan
+    * optimizer rule): the same clustered table as o35, but the range
+    * predicate is a plain `.where` — the rule, not the caller, turns
+    * it into manifest file pruning before the parquet scan is planned.
+    * Result must equal o35's explicit `readWhere` formulation; the
+    * plan-level pruning itself (files opened) is pinned in
+    * LogScanSpec. A second, string-IN predicate rides the same scan to
+    * exercise the categorical prune path under the oracle. */
+  private def o57LogScan(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/logscan_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("long").as("qty"),
+        col("l_returnflag"))
+    graft.sinks.TableLog.create(s, t,
+      li.repartitionByRange(8, col("l_orderkey")),
+      statsCols = Seq("l_orderkey"), strStatsCols = Seq("l_returnflag"))
+    val scan = graft.sinks.TableLog.scan(s, t)
+    val byRange = scan.where(col("l_orderkey").between(1000L, 5000L))
+      .groupBy(lit("range").as("slice"))
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+    val byFlag = scan.where(col("l_returnflag") === "R")
+      .groupBy(lit("flag").as("slice"))
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+    byRange.unionByName(byFlag).orderBy("slice")
+  }
+
   /** Time travel + change-data-feed through the commit log: the same
     * create → append → mergeUpsert lifecycle as o34, then (a) a read
     * PINNED AT VERSION 2 — the manifest chain makes every historical
@@ -3097,6 +3127,7 @@ object SparkEntry {
     "o52_delete_mor" -> (o52DeleteMor _),
     "o55_schema_evolution" -> (o55SchemaEvolution _),
     "o56_history" -> (o56History _),
+    "o57_log_scan" -> (o57LogScan _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4459,6 +4490,20 @@ object SparkEntry {
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM lineitem
         |WHERE l_orderkey % 10 = 0 AND l_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "o57_log_scan" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT * FROM (
+        |  SELECT 'range' AS slice, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |  FROM li WHERE l_orderkey BETWEEN 1000 AND 5000
+        |  UNION ALL
+        |  SELECT 'flag', CAST(count(*) AS BIGINT),
+        |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
+        |  FROM li WHERE l_returnflag = 'R'
+        |) ORDER BY slice""".stripMargin,
     // recomputes each VERSION's row multiset from the slice algebra,
     // then the v2 aggregate and the v1→v3 multiset diffs
     "o36_time_travel" ->

@@ -1,0 +1,210 @@
+package graft.plans
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The DECLARATIVE face of the commit-log table format: `TableLog.scan`
+  * hands Catalyst this resolved leaf instead of an eager file-list scan,
+  * and the `PruneLogScan` optimizer rule turns whatever `Filter` the
+  * query put on top — DataFrame `.where`, SQL over a temp view, a join
+  * key condition Catalyst inferred — into MANIFEST-level file pruning
+  * before expanding to the ordinary parquet scan. With the explicit
+  * faces (`readWhere`/`readWhereIn`/…) the USER chooses the pruned
+  * path; with `scan` the OPTIMIZER does, which is what makes the log
+  * table behave like a partitioned catalog table in plain `spark.sql`.
+  *
+  * The leaf pins the SNAPSHOT, not just the path: schema, file list,
+  * MOR sidecars and schema-op history are all resolved once at `scan`
+  * time, so a query plan is snapshot-isolated no matter when it
+  * executes (same contract as every other read face).
+  */
+final case class GraftLogRelation(table: String, snapshot: TableLog.Snapshot,
+    output: Seq[Attribute]) extends LeafNode with MultiInstanceRelation {
+
+  /** Self-joins: the analyzer deduplicates via fresh expr ids; the
+    * expansion maps scan output to relation output BY NAME, so new ids
+    * are safe. */
+  override def newInstance(): GraftLogRelation =
+    copy(output = output.map(_.newInstance()))
+
+  /** Real bytes from the manifest's file list — so anything consulting
+    * logical stats before expansion (join-size heuristics) sees the
+    * table's actual footprint, not a default. */
+  override def computeStats(): Statistics = Statistics(sizeInBytes = {
+    val b = snapshot.files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(table, f.path))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    BigInt(b).max(1)
+  })
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftLogRelation $table v${snapshot.version} " +
+      s"(${snapshot.files.size} files)"
+}
+
+/** Optimizer rule: `Filter(cond, GraftLogRelation)` ⇒ `Filter(cond,
+  * <parquet scan of only the manifest-stat-surviving files>)`; a bare
+  * relation expands to the full scan. Runs in the user-rule batch
+  * AFTER predicate pushdown has collapsed every filter in the query
+  * onto the leaf, so one match sees the whole conjunction; parquet
+  * row-group pushdown still happens later at physical planning
+  * (V1 FileSourceStrategy), so manifest pruning and footer pruning
+  * stack. Supported conjuncts — long ranges / equalities, string
+  * equalities (range + bloom stats), IN-lists over literals — prune;
+  * everything else is ignored and re-applied by the Filter that stays
+  * on top: stats prune IO, never semantics. Expansion goes through
+  * `morScan`, so delete sidecars and schema-op name resolution apply
+  * exactly as on the eager faces. */
+object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
+
+  val CONF_KEY = "spark.graft.logPrune.enabled"
+
+  /** Idempotently register on a live session (builder path:
+    * GraftExtensions). */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val prune = conf.getConfString(CONF_KEY, "true").toBoolean
+    // transformDown so Filter-on-relation matches before the bare
+    // relation underneath it would expand
+    plan.transformDown {
+      case Filter(cond, r: GraftLogRelation) if prune =>
+        Filter(cond, expand(r, keptFiles(r, cond)))
+      case r: GraftLogRelation =>
+        expand(r, r.snapshot.files)
+    }
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case _ => None
+  }
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def keptFiles(r: GraftLogRelation, cond: Expression)
+      : Seq[TableLog.FileEntry] = {
+    val s = r.snapshot
+    // accumulate per-column long bounds across conjuncts, collect the
+    // set-shaped prunes, then intersect everything
+    val loB = scala.collection.mutable.HashMap[String, Long]()
+    val hiB = scala.collection.mutable.HashMap[String, Long]()
+    def tightenLo(c: String, v: Long): Unit =
+      loB(c) = math.max(loB.getOrElse(c, Long.MinValue), v)
+    def tightenHi(c: String, v: Long): Unit =
+      hiB(c) = math.min(hiB.getOrElse(c, Long.MaxValue), v)
+    var kept = s.files
+    def inSnap = s.copy(files = kept)
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get)
+        tightenHi(attrName(a).get, longLit(l).get)
+      case EqualTo(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get)
+        tightenHi(attrName(a).get, longLit(l).get)
+      case GreaterThanOrEqual(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get)
+      case GreaterThan(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get + 1)
+      case LessThanOrEqual(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenHi(attrName(a).get, longLit(l).get)
+      case LessThan(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenHi(attrName(a).get, longLit(l).get - 1)
+      case GreaterThanOrEqual(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenHi(attrName(a).get, longLit(l).get)
+      case GreaterThan(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenHi(attrName(a).get, longLit(l).get - 1)
+      case LessThanOrEqual(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get)
+      case LessThan(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+        tightenLo(attrName(a).get, longLit(l).get + 1)
+      case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
+        kept = strEqPrune(inSnap, attrName(a).get, strLit(v).get)
+      case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
+        kept = strEqPrune(inSnap, attrName(a).get, strLit(v).get)
+      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
+          vs.forall(longLit(_).isDefined) =>
+        kept = TableLog.prunedFilesInLongOf(inSnap, attrName(a).get,
+          vs.flatMap(longLit))
+      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
+          vs.forall(strLit(_).isDefined) =>
+        kept = TableLog.prunedFilesInOf(inSnap, attrName(a).get,
+          vs.flatMap(strLit))
+      // OptimizeIn rewrites literal IN-lists past the threshold to
+      // InSet over Catalyst-internal values
+      case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
+          hs.forall(_.isInstanceOf[java.lang.Long]) =>
+        kept = TableLog.prunedFilesInLongOf(inSnap, attrName(a).get,
+          hs.toSeq.map(_.asInstanceOf[java.lang.Long].longValue))
+      case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
+          hs.forall(_.isInstanceOf[UTF8String]) =>
+        kept = TableLog.prunedFilesInOf(inSnap, attrName(a).get,
+          hs.toSeq.map(_.toString))
+      case _ => () // unsupported conjunct: no pruning, Filter re-applies
+    }
+    (loB.keySet ++ hiB.keySet).foreach { c =>
+      kept = TableLog.prunedFilesOf(inSnap, c,
+        loB.getOrElse(c, Long.MinValue), hiB.getOrElse(c, Long.MaxValue))
+    }
+    kept
+  }
+
+  /** A string equality prunes twice: the [min,max] string range, then
+    * the per-file bloom (which needs a live session for the probe
+    * hash). */
+  private def strEqPrune(s: TableLog.Snapshot, c: String, v: String)
+      : Seq[TableLog.FileEntry] = {
+    val ranged = TableLog.prunedFilesInOf(s, c, Seq(v))
+    TableLog.prunedFilesPointOf(s.copy(files = ranged),
+      SparkSession.active, c, v)
+  }
+
+  /** Replace the leaf with the ordinary snapshot scan of `files`
+    * (MOR- and schema-op-aware), output re-aliased to the relation's
+    * attribute ids BY NAME so every parent reference stays valid. An
+    * empty survivor set is a constant-empty relation. */
+  private def expand(r: GraftLogRelation,
+      files: Seq[TableLog.FileEntry]): LogicalPlan = {
+    if (files.isEmpty) return LocalRelation(r.output)
+    val spark = SparkSession.active
+    val df = TableLog.morScan(spark, r.table, r.snapshot, files)
+    // the OPTIMIZED child plan, not the analyzed one: this rule runs in
+    // the user batch AFTER the main optimizer, so analysis-level nodes
+    // the scan may contain (Deduplicate/ExceptAll from the MOR
+    // anti-joins) would never be lowered and physical planning would
+    // refuse them. Re-entrant optimization of the child is safe — it
+    // contains no GraftLogRelation.
+    val scan = df.queryExecution.optimizedPlan
+    val byName = scan.output.map(a => a.name -> a).toMap
+    Project(r.output.map { want =>
+      val have = byName.getOrElse(want.name, throw new IllegalStateException(
+        s"GraftLogRelation ${r.table}: scan lacks column '${want.name}'"))
+      Alias(have, want.name)(exprId = want.exprId)
+    }, scan)
+  }
+}

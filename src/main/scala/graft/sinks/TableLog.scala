@@ -580,6 +580,32 @@ object TableLog {
     readSnapshot(spark, table,
       snapshot(table).getOrElse(sys.error(s"no committed version in $table")))
 
+  /** The DECLARATIVE read face: a DataFrame whose leaf is a Catalyst
+    * relation (`GraftLogRelation`), so whatever filters the query puts
+    * on it — `.where`, SQL over a temp view, join-inferred predicates —
+    * reach the MANIFEST and prune files before the parquet scan is even
+    * planned (`plans.PruneLogScan`; the rule is installed on the
+    * session idempotently here). Snapshot-resolved once, like every
+    * read face; results are identical to `read` + the same filters,
+    * pruning included where `readWhere`/`readWhereIn`/`readWherePoint`
+    * would prune. Legacy tables without a recorded schema fall back to
+    * the eager scan (nothing to resolve a leaf schema from). */
+  def scan(spark: SparkSession, table: String): DataFrame = {
+    val s = snapshotOrFail(table)
+    s.schemaJson match {
+      case None => readSnapshot(spark, table, s)
+      case Some(j) =>
+        graft.plans.PruneLogScan.install(spark)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val out = schema.fields.toIndexedSeq.map(f =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            f.name, f.dataType, f.nullable)())
+        org.apache.spark.sql.graft.Bridge.ofRows(spark,
+          graft.plans.GraftLogRelation(table, s, out))
+    }
+  }
+
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     readSnapshot(spark, table, snapshotAt(table, version).getOrElse(
       sys.error(s"version $version not found in $table")))
@@ -600,7 +626,7 @@ object TableLog {
     * delete versions (compaction materializes them away), and each
     * delete-key side is a small scan Spark's AQE broadcasts — the read
     * stays one pass over the data files at 100 TB. */
-  private def morScan(spark: SparkSession, table: String, s: Snapshot,
+  private[graft] def morScan(spark: SparkSession, table: String, s: Snapshot,
       files: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
     def raw(fs: Seq[FileEntry]) =
@@ -760,7 +786,7 @@ object TableLog {
     }
   }
 
-  private def snapshotOrFail(table: String): Snapshot =
+  private[graft] def snapshotOrFail(table: String): Snapshot =
     snapshot(table).getOrElse(sys.error(s"no committed version in $table"))
 
   /** The manifest files whose `[min,max]` range for `c` OVERLAPS
@@ -791,7 +817,7 @@ object TableLog {
         resolvePhysical(c, s.schemaOps.filter(_.ver > f.ver)))
     }
 
-  private def prunedFilesOf(s: Snapshot, c: String, lo: Long, hi: Long)
+  private[graft] def prunedFilesOf(s: Snapshot, c: String, lo: Long, hi: Long)
       : Seq[FileEntry] = {
     val phys = statNameFor(s, c)
     s.files.filter(f => phys(f).exists(p =>
@@ -999,7 +1025,7 @@ object TableLog {
       : Seq[FileEntry] =
     prunedFilesInOf(snapshotOrFail(table), c, values)
 
-  private def prunedFilesInOf(s: Snapshot, c: String, values: Seq[String])
+  private[graft] def prunedFilesInOf(s: Snapshot, c: String, values: Seq[String])
       : Seq[FileEntry] = {
     val phys = statNameFor(s, c)
     s.files.filter(f => phys(f).exists(p =>
@@ -1036,7 +1062,7 @@ object TableLog {
       : Seq[FileEntry] =
     prunedFilesInLongOf(snapshotOrFail(table), c, values)
 
-  private def prunedFilesInLongOf(s: Snapshot, c: String, values: Seq[Long])
+  private[graft] def prunedFilesInLongOf(s: Snapshot, c: String, values: Seq[Long])
       : Seq[FileEntry] = {
     val phys = statNameFor(s, c)
     s.files.filter(f => phys(f).exists(p =>
@@ -1055,7 +1081,7 @@ object TableLog {
       v: Any): Seq[FileEntry] =
     prunedFilesPointOf(snapshotOrFail(table), spark, c, v)
 
-  private def prunedFilesPointOf(s: Snapshot, spark: SparkSession,
+  private[graft] def prunedFilesPointOf(s: Snapshot, spark: SparkSession,
       c: String, v: Any): Seq[FileEntry] = {
     // positions depend on the stat's own (m, k): one tiny plan per
     // distinct sizing present in the snapshot (normally exactly one)
@@ -1454,14 +1480,16 @@ object TableLog {
     * (nothing is old enough), not an error. */
   def vacuumBefore(spark: SparkSession, table: String, tsMs: Long,
       olderThanMs: Long = StagedCommit.staleLeaseDefaultMs): Seq[String] = {
-    val latest = latestVersion(table)
-    if (latest == 0) return Nil
+    if (latestVersion(table) == 0) return Nil
     val floor =
       try versionAsOf(table, tsMs)
       catch { case e: IllegalArgumentException
           if e.getMessage.contains("predates") => return Nil }
-    vacuum(spark, table, keepVersions = (latest - floor + 1).toInt,
-      olderThanMs = olderThanMs)
+    // absolute floor, not a count: a commit landing between our
+    // versionAsOf and vacuum's own latest-listing must not shift the
+    // retention past versions committed AFTER the cutoff
+    vacuum(spark, table, keepVersions = 1, olderThanMs = olderThanMs,
+      keepFromVersion = floor)
   }
 
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through
@@ -2808,7 +2836,8 @@ object TableLog {
     * degrades to a clean CAS retry in tryCommit). */
   def vacuum(spark: SparkSession, table: String,
       keepVersions: Int = Int.MaxValue,
-      olderThanMs: Long = StagedCommit.staleLeaseDefaultMs): Seq[String] = {
+      olderThanMs: Long = StagedCommit.staleLeaseDefaultMs,
+      keepFromVersion: Long = Long.MaxValue): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val latest = latestVersion(table)
     if (latest == 0) return Nil
@@ -2822,7 +2851,14 @@ object TableLog {
     // against its chain back to the nearest checkpoint, so never drop
     // past the newest full manifest at-or-below the requested floor
     // (v1 is always full, so the floor always lands)
-    val requested = math.max(1L, latest - keepVersions + 1)
+    // two independent "keep" constraints — the last `keepVersions`
+    // commits AND everything from `keepFromVersion` on — retain their
+    // union: the floor is the LOWER of the two. `keepFromVersion` is
+    // an absolute version so a commit racing the vacuum can only grow
+    // what's retained, never shift the floor past it (vacuumBefore's
+    // timestamp contract depends on this)
+    val requested = math.max(1L,
+      math.min(keepFromVersion, latest - keepVersions.toLong + 1))
     val dropBelow = (requested to 1L by -1L).find(v =>
       parseRec(manifestPath(table, v)).exists(_.kind == "full"))
       .getOrElse(1L)

@@ -44,6 +44,14 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Build a DataFrame over an arbitrary logical plan (the private[sql]
+    * Dataset.ofRows — how a library hands Catalyst a custom LeafNode). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The session's Hadoop configuration as a task-shippable accessor
     * (`Configuration` itself isn't serializable; Spark's wrapper is
     * private[spark], hence here). */

@@ -1,0 +1,130 @@
+package graft
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The declarative read face: `TableLog.scan` + the `PruneLogScan`
+  * optimizer rule. The contract under test is twofold — results are
+  * IDENTICAL to the eager `read` under any filter, and filters the
+  * query places with plain DataFrame/SQL operators reach the MANIFEST
+  * (the optimized plan's parquet relation lists only the surviving
+  * files). */
+class LogScanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  /** Count the parquet files the optimized plan will open. */
+  private def filesScanned(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+
+  private def mkTable(): String = {
+    val t = tmp("graft_log_scan")
+    TableLog.create(spark, t,
+      spark.range(4000).select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("cat_"), ($"id" / 500).cast("long")).as("c"))
+        .repartitionByRange(8, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"), strStatsCols = Seq("c"))
+    t
+  }
+
+  test("scan: plain .where prunes files at the manifest; results match the eager read") {
+    val t = mkTable()
+    val df = TableLog.scan(spark, t)
+    // bare scan = full table, all files
+    assert(df.count() == 4000)
+    assert(filesScanned(df) == 8)
+    // long range: 1 of 8 files survives the manifest prune
+    val q = df.where($"k".between(100, 200))
+    assert(filesScanned(q) == 1, "range filter must prune at the manifest")
+    assert(q.count() == 101)
+    checkSame(q, TableLog.read(spark, t).where($"k".between(100, 200)))
+    // conjunction tightens: both bounds land on the same file
+    assert(filesScanned(df.where($"k" >= 600 && $"k" < 700 && $"v" === 3)) == 1)
+    // long IN-list (stays In below the InSet threshold)
+    assert(filesScanned(df.where($"k".isin(50, 60))) == 1)
+    // long IN-list past the OptimizeIn threshold (becomes InSet)
+    val big = (0 until 15).map(_ * 10L)
+    assert(filesScanned(df.where($"k".isin(big: _*))) == 1)
+    assert(df.where($"k".isin(big: _*)).count() == 15)
+    // string equality: string range stats prune (table is k-clustered,
+    // and c follows k, so one category spans ~1 file)
+    val sq = df.where($"c" === "cat_3")
+    assert(filesScanned(sq) <= 2)
+    assert(sq.count() == 500)
+    // unsupported predicate: no pruning, still correct
+    val uq = df.where($"v" % 2 === 0)
+    assert(filesScanned(uq) == 8)
+    assert(uq.count() ==
+      TableLog.read(spark, t).where($"v" % 2 === 0).count())
+    // provably-empty: zero files, zero rows
+    val eq = df.where($"k" === 99999L)
+    assert(filesScanned(eq) == 0)
+    assert(eq.count() == 0)
+  }
+
+  test("scan: SQL over a temp view prunes the same way; aggregates match the oracle-style eager path") {
+    val t = mkTable()
+    TableLog.scan(spark, t).createOrReplaceTempView("lake")
+    val q = spark.sql(
+      "SELECT sum(v) AS sv, count(*) AS n FROM lake WHERE k BETWEEN 1000 AND 1499")
+    assert(filesScanned(q) <= 2)
+    val r = q.head
+    val e = TableLog.read(spark, t).where($"k".between(1000, 1499))
+      .agg(sum("v"), count(lit(1))).head
+    assert(r.getLong(0) == e.getLong(0) && r.getLong(1) == e.getLong(1))
+    // disabling the conf disables pruning but not correctness
+    spark.conf.set(graft.plans.PruneLogScan.CONF_KEY, "false")
+    try {
+      val q2 = spark.sql("SELECT count(*) AS n FROM lake WHERE k BETWEEN 1000 AND 1499")
+      assert(filesScanned(q2) == 8)
+      assert(q2.head.getLong(0) == 500)
+    } finally spark.conf.set(graft.plans.PruneLogScan.CONF_KEY, "true")
+  }
+
+  test("scan: self-join deduplicates the relation; join filters prune each side independently") {
+    val t = mkTable()
+    val a = TableLog.scan(spark, t).as("a")
+    val b = TableLog.scan(spark, t).as("b")
+    val j = a.join(b, $"a.k" === $"b.k" && $"b.k".between(0, 10))
+    assert(j.count() == 11)
+    // Catalyst infers a.k between 0 and 10 from the equi-join — BOTH
+    // sides should prune to 1 file
+    assert(filesScanned(j) == 2,
+      "inferred join predicates must prune both sides")
+  }
+
+  test("scan: MOR sidecars, schema ops, and renames flow through the declarative face") {
+    val t = mkTable()
+    TableLog.deleteMor(spark, t, "k", Seq(150L, 151L).toDF("k"))
+    val df = TableLog.scan(spark, t)
+    val q = df.where($"k".between(100, 200))
+    assert(q.count() == 99, "MOR-deleted rows must not surface")
+    assert(filesScanned(q) < 8, "pruning applies around the sidecar join")
+    // renames on a clean twin: the declarative face prunes on the NEW
+    // name via each file's physical stat name
+    val t2 = mkTable()
+    TableLog.renameColumn(spark, t2, "k", "key")
+    val df2 = TableLog.scan(spark, t2)
+    val q2 = df2.where($"key".between(100, 200))
+    assert(filesScanned(q2) == 1,
+      "pruning must survive the rename on the declarative face")
+    assert(q2.count() == 101)
+    checkSame(q2.select("key", "v", "c"),
+      TableLog.read(spark, t2).where($"key".between(100, 200))
+        .select("key", "v", "c"))
+  }
+
+  private def checkSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
