@@ -291,6 +291,33 @@ object SparkEntry {
     byRange.unionByName(byFlag).orderBy("slice")
   }
 
+  /** Partial small-file compaction under the oracle: a big create plus
+    * a stream of small appends (the streaming-ingest shape), then
+    * `compactSmall` packs ONLY the small files — the big file carries
+    * by reference (spec-pinned in TableLogSpec; here the oracle pins
+    * that the packed table's content is exactly the union of every
+    * slice, i.e. the rewrite moved bytes, not rows). */
+  private def o58CompactSmall(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/csmall_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      round(col("l_quantity")).cast("long").as("qty"), col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 30 < 15).coalesce(1),
+      statsCols = Seq("l_orderkey"))
+    (15 to 18).foreach(i => tl.append(s, t,
+      li.where(col("l_orderkey") % 30 === i).coalesce(1),
+      statsCols = Seq("l_orderkey")))
+    val big = java.nio.file.Files.size(java.nio.file.Paths.get(t,
+      tl.snapshot(t).get.files.minBy(_.ver).path))
+    tl.compactSmall(s, t, smallBytes = math.max(2L, big / 2),
+      statsCols = Seq("l_orderkey"))
+    tl.read(s, t).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Time travel + change-data-feed through the commit log: the same
     * create → append → mergeUpsert lifecycle as o34, then (a) a read
     * PINNED AT VERSION 2 — the manifest chain makes every historical
@@ -3128,6 +3155,7 @@ object SparkEntry {
     "o55_schema_evolution" -> (o55SchemaEvolution _),
     "o56_history" -> (o56History _),
     "o57_log_scan" -> (o57LogScan _),
+    "o58_compact_small" -> (o58CompactSmall _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4504,6 +4532,12 @@ object SparkEntry {
         |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |  FROM li WHERE l_returnflag = 'R'
         |) ORDER BY slice""".stripMargin,
+    "o58_compact_small" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_orderkey % 30 < 19
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // recomputes each VERSION's row multiset from the slice algebra,
     // then the v2 aggregate and the v1→v3 multiset diffs
     "o36_time_travel" ->

@@ -4,6 +4,7 @@ import graft.sinks.TableLog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -76,14 +77,81 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val prune = conf.getConfString(CONF_KEY, "true").toBoolean
-    // transformDown so Filter-on-relation matches before the bare
-    // relation underneath it would expand
+    // transformDown so the whole-table aggregate and Filter-on-relation
+    // cases match before the bare relation underneath them would expand
     plan.transformDown {
+      case agg @ Aggregate(Nil, _, AggChild(r: GraftLogRelation), _)
+          if prune =>
+        // unanswerable ⇒ return agg unchanged; transformDown then
+        // recurses into its children and the cases below expand the leaf
+        metadataAnswer(agg, r).getOrElse(agg)
       case Filter(cond, r: GraftLogRelation) if prune =>
         Filter(cond, expand(r, keptFiles(r, cond)))
       case r: GraftLogRelation =>
         expand(r, r.snapshot.files)
     }
+  }
+
+  /** ColumnPruning may have narrowed the relation through a Project of
+    * bare attributes; look through it. */
+  private object AggChild {
+    def unapply(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[Attribute]) =>
+        Some(child)
+      case other => Some(other)
+    }
+  }
+
+  /** A whole-table `count(*)` / `min(longCol)` / `max(longCol)`
+    * aggregate answered from the MANIFEST — count from the audited
+    * per-version row count, min/max from the per-file stats — turning
+    * `SELECT count(*), max(k) FROM lake` into a zero-IO local relation.
+    * Answers ONLY when provably exact: no grouping, no DISTINCT/FILTER
+    * clauses, count of a non-null literal, min/max of a LONG column
+    * whose stat exists on EVERY file under the file's own physical
+    * name (a dead-incarnation file is all-null and contributes
+    * nothing; a file MISSING the stat bails the whole rewrite), and no
+    * pending MOR sidecar (a sidecar delete could have removed the
+    * extreme row — `rows` is maintained through deletes, so count
+    * stays answerable). */
+  private def metadataAnswer(agg: Aggregate, r: GraftLogRelation)
+      : Option[LogicalPlan] = {
+    val s = r.snapshot
+    val values = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(fn, _, isDistinct, filter, _), _) =>
+        if (isDistinct || filter.isDefined) return None
+        fn match {
+          case Count(Seq(Literal(v, _))) if v != null => s.rows
+          case Count(Seq(e)) if e.references.isEmpty && e.foldable &&
+              e.eval(null) != null => s.rows
+          case Min(a: AttributeReference) if a.dataType == LongType =>
+            statExtreme(s, a.name, isMin = true).getOrElse(return None)
+          case Max(a: AttributeReference) if a.dataType == LongType =>
+            statExtreme(s, a.name, isMin = false).getOrElse(return None)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
+      Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+  }
+
+  /** Some(Some(v)) = exact extreme; Some(None) would be "provably all
+    * null" which we encode as a null literal value; None = cannot
+    * answer exactly. */
+  private def statExtreme(s: TableLog.Snapshot, c: String, isMin: Boolean)
+      : Option[Any] = {
+    if (s.dels.nonEmpty) return None
+    val phys = s.files.map(f => TableLog.resolvePhysical(c,
+      s.schemaOps.filter(_.ver > f.ver)) -> f)
+    // live files must ALL carry the stat; dead-incarnation files are
+    // all-null for this column and drop out of min/max
+    val live = phys.collect { case (Some(p), f) => (p, f) }
+    val stats = live.map { case (p, f) => f.stats.find(_.col == p) }
+    if (stats.exists(_.isEmpty)) return None
+    val vals = stats.flatten
+    if (vals.isEmpty) return Some(null) // every file predates the column
+    Some(if (isMin) vals.map(_.min).min else vals.map(_.max).max)
   }
 
   private def longLit(e: Expression): Option[Long] = e match {

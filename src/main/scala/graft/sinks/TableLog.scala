@@ -2186,6 +2186,70 @@ object TableLog {
       df.coalesce(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
     }
 
+  /** PARTIAL small-file compaction — the scalable OPTIMIZE: bin-packs
+    * only the files smaller than `smallBytes` into ~`smallBytes`-sized
+    * outputs and commits a DELTA (removes = the packed small files,
+    * adds = their replacements); every file already at size is carried
+    * BY REFERENCE, so the commit is O(small files), never O(table) —
+    * `compact` (the full rewrite) remains for layout resets, but a
+    * 100 TB table under streaming ingest maintains itself with this.
+    * The packed subset is scanned MOR- and schema-op-aware, so
+    * sidecar-deleted rows vanish from (and renames materialize in) the
+    * new files; the sidecars themselves carry over untouched — they
+    * still fence the carried files, and an entry whose every fenced
+    * file was packed now fences nothing, harmlessly, until a full
+    * rewrite retires it. Packing follows manifest order (~write
+    * order), so a range-clustered ingest keeps locality within bins.
+    * Row-audited against an independent re-scan of the packed subset.
+    * Returns the committed version — or the CURRENT version, without
+    * a commit, when fewer than `minFiles` files qualify. */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+      minFiles: Int = 2, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    // layout-only, so legal on feed tables (same class as compact/
+    // zorder: these rows were already delivered; publishFeed's
+    // "compact" case publishes nothing)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      val sized = base.files.map { f =>
+        // a concurrently-vacuumed path is not ours to pack
+        f -> (try Files.size(Paths.get(table, f.path))
+              catch { case _: java.io.IOException => Long.MaxValue })
+      }
+      val small = sized.filter(_._2 < smallBytes)
+      if (small.size < minFiles) return base.version
+      val nOut = math.max(1,
+        math.ceil(small.map(_._2).sum.toDouble / smallBytes).toInt)
+      val subset = small.map(_._1)
+      val (files, newRows) = writeDataFiles(spark, table,
+        morScan(spark, table, base, subset).coalesce(nOut),
+        statsCols, strStatsCols, bloomStatsCols)
+      val scanRows = morScan(spark, table, base, subset).count()
+      require(newRows == scanRows,
+        s"compactSmall audit failed for $table: packed $newRows rows " +
+          s"from $scanRows — not committing")
+      val version = base.version + 1
+      val stamped = files.map(_.copy(ver = version))
+      val removed = subset.map(_.path)
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = removed.toSet
+          ManifestRec(version, base.version, "compact", base.rows, "full",
+            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
+            base.dels, Nil, None, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "compact", base.rows, "delta",
+            Nil, stamped, removed, Nil, Nil, None, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) committed = version
+      // CAS loss: re-read the base and re-pack; the orphaned file set
+      // is invisible garbage until vacuum
+    }
+    committed
+  }
+
   /** Z-order re-cluster through the log (LayoutOps.zOrderWrite layout,
     * manifest-committed). */
   def zOrder(spark: SparkSession, table: String, nFiles: Int,

@@ -124,6 +124,41 @@ class LogScanSpec extends SparkSpec {
         .select("key", "v", "c"))
   }
 
+  test("scan: whole-table count/min/max answered from the manifest — zero files opened") {
+    val t = mkTable()
+    val df = TableLog.scan(spark, t)
+    val q = df.agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assert(filesScanned(q) == 0, "metadata aggregate must open no files")
+    val r = q.head
+    assert(r.getLong(0) == 4000 && r.getLong(1) == 0 && r.getLong(2) == 3999)
+    // the SQL face: SELECT count(*), max(k) is a metadata lookup
+    df.createOrReplaceTempView("lake_meta")
+    val s = spark.sql("SELECT count(*) AS n, max(k) AS mx FROM lake_meta")
+    assert(filesScanned(s) == 0)
+    assert(s.head.getLong(0) == 4000 && s.head.getLong(1) == 3999)
+    // a column without full stat coverage falls back to the real scan
+    val v = df.agg(max("v"))
+    assert(filesScanned(v) == 8)
+    assert(v.head.getLong(0) == 6)
+    // DISTINCT is never metadata-answerable
+    val d = df.agg(countDistinct($"v"))
+    assert(filesScanned(d) == 8)
+    assert(d.head.getLong(0) == 7)
+    // pending MOR sidecar: count stays metadata (rows are maintained
+    // through deletes), min/max must NOT trust stats (the extreme row
+    // may be the deleted one — here it is)
+    TableLog.deleteMor(spark, t, "k", Seq(0L, 3999L).toDF("k"))
+    val df2 = TableLog.scan(spark, t)
+    val c2 = df2.agg(count(lit(1)).as("n"))
+    assert(filesScanned(c2) == 0)
+    assert(c2.head.getLong(0) == 3998)
+    val m2 = df2.agg(max("k").as("mx"), min("k").as("mn"))
+    assert(filesScanned(m2) > 0, "min/max with pending deletes must rescan")
+    assert(m2.head.getLong(0) == 3998 && m2.head.getLong(1) == 1)
+    // grouped aggregates never rewrite
+    assert(df2.groupBy($"v").count().count() == 7)
+  }
+
   private def checkSame(a: DataFrame, b: DataFrame): Unit = {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }

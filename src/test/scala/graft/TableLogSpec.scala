@@ -1378,6 +1378,67 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, m).count() == 9)
   }
 
+  test("compactSmall: bin-packs only the small files; big files carry by reference") {
+    val t = tmp("graft_log_compactsmall")
+    TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
+      ($"id" * 2).as("v")).coalesce(1), statsCols = Seq("k"))
+    (0 until 5).foreach { i =>
+      TableLog.append(spark, t,
+        spark.range(100000L + i * 10, 100000L + i * 10 + 10)
+          .select($"id".as("k"), ($"id" * 2).as("v")).coalesce(1),
+        statsCols = Seq("k"))
+    }
+    val before = TableLog.snapshot(t).get
+    assert(before.files.size == 6)
+    val bigPath = before.files.minBy(_.ver).path
+    val bigSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, bigPath))
+    val sumBefore = TableLog.read(spark, t).agg(sum("v")).head.getLong(0)
+    val v = TableLog.compactSmall(spark, t, smallBytes = bigSize / 2,
+      statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    val afterPaths = after.files.map(_.path).toSet
+    assert(afterPaths.contains(bigPath), "big file must carry by reference")
+    assert(after.files.size == 2, s"5 small files should pack into 1")
+    assert(after.rows == before.rows)
+    assert(TableLog.read(spark, t).count() == 100050)
+    assert(TableLog.read(spark, t).agg(sum("v")).head.getLong(0) == sumBefore)
+    // the carried file keeps its ORIGINAL version (version fences intact)
+    assert(after.files.find(_.path == bigPath).get.ver == 1)
+    // the packed replacement has fresh stats: pruning still works
+    assert(TableLog.prunedFiles(t, "k", 100000, 100050).size == 1)
+    // below-threshold call is a no-op WITHOUT a commit
+    assert(TableLog.compactSmall(spark, t, smallBytes = 10) == v)
+    assert(TableLog.snapshot(t).get.version == v)
+  }
+
+  test("compactSmall: packed rows drop sidecar-deleted keys; the sidecar still fences carried files") {
+    val t = tmp("graft_log_compactsmall_mor")
+    TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
+      $"id".as("v")).coalesce(1), statsCols = Seq("k"))
+    TableLog.append(spark, t, spark.range(100000, 100010)
+      .select($"id".as("k"), $"id".as("v")).coalesce(1), statsCols = Seq("k"))
+    TableLog.append(spark, t, spark.range(100010, 100020)
+      .select($"id".as("k"), $"id".as("v")).coalesce(1), statsCols = Seq("k"))
+    // one deleted key lands in the big (carried) file, one in a small one
+    TableLog.deleteMor(spark, t, "k", Seq(5L, 100005L).toDF("k"))
+    val bigPath = TableLog.snapshot(t).get.files.minBy(_.ver).path
+    val bigSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, bigPath))
+    TableLog.compactSmall(spark, t, smallBytes = bigSize / 2)
+    val s = TableLog.snapshot(t).get
+    assert(s.files.map(_.path).contains(bigPath))
+    assert(s.dels.nonEmpty, "sidecar must carry — it still fences the big file")
+    val r = TableLog.read(spark, t)
+    assert(r.count() == 100018)
+    assert(r.where($"k" === 5L).count() == 0, "carried file: sidecar applies")
+    assert(r.where($"k" === 100005L).count() == 0,
+      "packed file: deleted row physically dropped")
+    // re-appended key lives (the fence is by version, not by key history)
+    TableLog.append(spark, t, Seq((5L, -1L)).toDF("k", "v").coalesce(1))
+    assert(TableLog.read(spark, t).where($"k" === 5L).count() == 1)
+  }
+
   test("history + vacuumBefore: DESCRIBE HISTORY face; timestamp-granular retention") {
     val t = tmp("graft_log_history")
     TableLog.create(spark, t, spark.range(10).select($"id".as("k")))     // v1
