@@ -318,6 +318,29 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Join-driven dynamic file pruning under the oracle: a nation-key-
+    * clustered customer log table inner-joined to a FILTERED nation
+    * dim through the declarative face — the PruneLogScan rule executes
+    * the small dim side at planning and opens only the fact files
+    * whose c_nationkey ranges can contain the surviving nation keys
+    * (files-opened pinned in LogScanSpec; values pinned here). */
+  private def o59DynJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/dynjoin_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val cust = T(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    graft.sinks.TableLog.create(s, t,
+      cust.repartitionByRange(8, col("c_nationkey"), col("c_custkey")),
+      statsCols = Seq("c_nationkey"))
+    val dim = T(s, dir, "nation").where(col("n_regionkey") === 2)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    graft.sinks.TableLog.scan(s, t).join(dim, Seq("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"), sum("bal_c").as("sum_bal"),
+        min("c_custkey").as("min_ck"), max("c_custkey").as("max_ck"))
+      .orderBy("n_name")
+  }
+
   /** Time travel + change-data-feed through the commit log: the same
     * create → append → mergeUpsert lifecycle as o34, then (a) a read
     * PINNED AT VERSION 2 — the manifest chain makes every historical
@@ -3156,6 +3179,7 @@ object SparkEntry {
     "o56_history" -> (o56History _),
     "o57_log_scan" -> (o57LogScan _),
     "o58_compact_small" -> (o58CompactSmall _),
+    "o59_dyn_join" -> (o59DynJoin _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4532,6 +4556,14 @@ object SparkEntry {
         |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |  FROM li WHERE l_returnflag = 'R'
         |) ORDER BY slice""".stripMargin,
+    "o59_dyn_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal,
+        |  min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "o58_compact_small" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

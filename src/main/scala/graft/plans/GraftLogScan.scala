@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -85,11 +86,98 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
         // unanswerable ⇒ return agg unchanged; transformDown then
         // recurses into its children and the cases below expand the leaf
         metadataAnswer(agg, r).getOrElse(agg)
+      case j: Join if prune &&
+          (RelSide.unapply(j.left).isDefined ||
+            RelSide.unapply(j.right).isDefined) =>
+        // bail ⇒ unchanged join; recursion expands the leaves normally
+        tryDynPrune(j).getOrElse(j)
       case Filter(cond, r: GraftLogRelation) if prune =>
         Filter(cond, expand(r, keptFiles(r, cond)))
       case r: GraftLogRelation =>
         expand(r, r.snapshot.files)
     }
+  }
+
+  /** A log relation as a join child, possibly under the Filter the
+    * main optimizer pushed onto it. */
+  private object RelSide {
+    def unapply(p: LogicalPlan)
+        : Option[(GraftLogRelation, Option[Expression])] = p match {
+      case r: GraftLogRelation => Some((r, None))
+      case Filter(c, r: GraftLogRelation) => Some((r, Some(c)))
+      case _ => None
+    }
+  }
+
+  val DYN_KEY = "spark.graft.logPrune.dynJoin.enabled"
+  val DYN_MAX_KEYS = "spark.graft.logPrune.dynJoin.maxKeys"
+  val DYN_BYTES = "spark.graft.logPrune.dynJoin.bytes"
+
+  /** JOIN-DRIVEN dynamic file pruning — the manifest-level analogue of
+    * dynamic partition pruning: when a log relation joins a PROVABLY
+    * SMALL other side on a long equi-key, execute the other side's key
+    * projection at planning time (bounded by `maxKeys` distinct keys —
+    * the same driver budget `mergeCow` already spends), and open only
+    * the fact files whose key stats can contain one of them. Safe
+    * exactly when the relation sits on a NON-PRESERVED side — its
+    * rows without a join partner are dropped anyway: inner and
+    * left-semi (either side), the right side of a left-outer, the
+    * left side of a right-outer. The other side runs twice (once for
+    * keys, once in the real join) — the `bytes` gate keeps that
+    * planning-time spend bounded; with the gate, a 1000-file scan
+    * shrinking to the dim's few files is the difference between a
+    * lake-wide shuffle and a handful of reads in plain
+    * `fact.join(dim, "k")` code. */
+  private def tryDynPrune(j: Join): Option[LogicalPlan] = {
+    if (!conf.getConfString(DYN_KEY, "true").toBoolean) return None
+    val cond = j.condition.getOrElse(return None)
+    def preservedLeft = j.joinType match {
+      case Inner | LeftSemi | RightOuter => false
+      case _ => true // left rows survive without a partner: no pruning
+    }
+    def preservedRight = j.joinType match {
+      case Inner | LeftSemi | LeftOuter => false
+      case _ => true
+    }
+    val (r, fc, relLeft, other) = (j.left, j.right) match {
+      case (RelSide(rel, c), o) if !preservedLeft => (rel, c, true, o)
+      case (o, RelSide(rel, c)) if !preservedRight => (rel, c, false, o)
+      case _ => return None
+    }
+    // never execute an other side that itself contains an unexpanded
+    // log relation of a LARGE table — the bytes gate below covers it,
+    // but a missing-stats default must not sneak through
+    val otherBytes = try other.stats.sizeInBytes catch {
+      case _: Exception => return None
+    }
+    val maxBytes = conf.getConfString(DYN_BYTES, (8L << 20).toString).toLong
+    if (otherBytes > maxBytes) return None
+    // first long-typed equi-pair between the two sides
+    val relOut = r.outputSet
+    val otherOut = other.outputSet
+    val pair = splitConjunctivePredicates(cond).collectFirst {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.dataType == LongType && relOut.contains(a) &&
+            otherOut.contains(b) => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if a.dataType == LongType && relOut.contains(a) &&
+            otherOut.contains(b) => (a, b)
+    }
+    val (relKey, otherKey) = pair.getOrElse(return None)
+    val maxKeys = conf.getConfString(DYN_MAX_KEYS, "100000").toInt
+    val spark = SparkSession.active
+    val keyCol = org.apache.spark.sql.graft.Bridge.column(otherKey)
+    val rows = org.apache.spark.sql.graft.Bridge.ofRows(spark, other)
+      .select(keyCol).where(keyCol.isNotNull).distinct()
+      .limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) return None // too many keys: not a dim
+    val sorted = rows.map(_.getLong(0)).sorted
+    val statKept = fc.map(keptFiles(r, _)).getOrElse(r.snapshot.files)
+    val kept = TableLog.prunedFilesByKeys(
+      r.snapshot.copy(files = statKept), relKey.name, sorted)
+    val expanded = expand(r, kept)
+    val relSide = fc.map(Filter(_, expanded)).getOrElse(expanded)
+    Some(if (relLeft) j.copy(left = relSide) else j.copy(right = relSide))
   }
 
   /** ColumnPruning may have narrowed the relation through a Project of

@@ -2702,6 +2702,19 @@ object TableLog {
         ()
     }
 
+  /** Exact key-set file prune for a SORTED long key array: files whose
+    * stat range (under the file's own physical name) can contain one
+    * of the keys; dead-incarnation files (all-null column) prune
+    * outright, absent stats keep the file. The shared primitive under
+    * the COW merges and the join-driven dynamic prune. */
+  private[graft] def prunedFilesByKeys(s: Snapshot, c: String,
+      sortedKeys: Array[Long]): Seq[FileEntry] = {
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.stats.find(_.col == p).forall(st =>
+        sortedOverlaps(sortedKeys, st.min, st.max))))
+  }
+
   /** Does the sorted key array contain any value in [min, max]?
     * Binary search for the smallest key ≥ min — O(log K) per file, so
     * a 100k-key merge prunes a million-file manifest in driver

@@ -159,6 +159,47 @@ class LogScanSpec extends SparkSpec {
     assert(df2.groupBy($"v").count().count() == 7)
   }
 
+  test("scan: join-driven dynamic pruning — a small dim's keys prune the fact's files at planning") {
+    val t = mkTable()
+    val dim = spark.range(3).select(($"id" + 100).as("k"),
+      concat(lit("d"), $"id").as("name"))
+    // inner join: fact is non-preserved — prune to the dim's 1 file
+    val j = TableLog.scan(spark, t).join(dim, Seq("k"))
+    assert(filesScanned(j) == 1, "dim keys must prune fact files")
+    assert(j.count() == 3)
+    checkSame(j, TableLog.read(spark, t).join(dim, Seq("k")))
+    // left-semi: same
+    val sj = TableLog.scan(spark, t).join(dim, Seq("k"), "left_semi")
+    assert(filesScanned(sj) == 1)
+    assert(sj.count() == 3)
+    // left-outer with the fact on the PRESERVED left: no pruning
+    val lo = TableLog.scan(spark, t).join(dim, Seq("k"), "left_outer")
+    assert(filesScanned(lo) == 8, "preserved side must not be pruned")
+    assert(lo.count() == 4000)
+    // left-outer with the fact on the non-preserved right: prunes
+    val lo2 = dim.join(TableLog.scan(spark, t), Seq("k"), "left_outer")
+    assert(filesScanned(lo2) == 1)
+    assert(lo2.count() == 3)
+    // static filter on the fact COMBINES with the dynamic keys
+    val jf = TableLog.scan(spark, t).where($"v" >= 0).join(dim, Seq("k"))
+    assert(filesScanned(jf) == 1)
+    assert(jf.count() == 3)
+    // key-cap gate: 2 < 3 dim keys ⇒ bail to the full scan, same rows
+    spark.conf.set(graft.plans.PruneLogScan.DYN_MAX_KEYS, "2")
+    try {
+      val jb = TableLog.scan(spark, t).join(dim, Seq("k"))
+      assert(filesScanned(jb) == 8)
+      assert(jb.count() == 3)
+    } finally spark.conf.unset(graft.plans.PruneLogScan.DYN_MAX_KEYS)
+    // disabling the dyn conf disables only the join pruning
+    spark.conf.set(graft.plans.PruneLogScan.DYN_KEY, "false")
+    try {
+      val jd = TableLog.scan(spark, t).join(dim, Seq("k"))
+      assert(filesScanned(jd) == 8)
+      assert(jd.count() == 3)
+    } finally spark.conf.unset(graft.plans.PruneLogScan.DYN_KEY)
+  }
+
   private def checkSame(a: DataFrame, b: DataFrame): Unit = {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
