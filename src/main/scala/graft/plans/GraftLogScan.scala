@@ -258,76 +258,95 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def keptFiles(r: GraftLogRelation, cond: Expression)
-      : Seq[TableLog.FileEntry] = {
-    val s = r.snapshot
-    // accumulate per-column long bounds across conjuncts, collect the
-    // set-shaped prunes, then intersect everything
-    val loB = scala.collection.mutable.HashMap[String, Long]()
-    val hiB = scala.collection.mutable.HashMap[String, Long]()
-    def tightenLo(c: String, v: Long): Unit =
-      loB(c) = math.max(loB.getOrElse(c, Long.MinValue), v)
-    def tightenHi(c: String, v: Long): Unit =
-      hiB(c) = math.min(hiB.getOrElse(c, Long.MaxValue), v)
-    var kept = s.files
-    def inSnap = s.copy(files = kept)
-    splitConjunctivePredicates(cond).foreach {
-      case EqualTo(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get)
-        tightenHi(attrName(a).get, longLit(l).get)
-      case EqualTo(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get)
-        tightenHi(attrName(a).get, longLit(l).get)
-      case GreaterThanOrEqual(a, l)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get)
-      case GreaterThan(a, l)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get + 1)
-      case LessThanOrEqual(a, l)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenHi(attrName(a).get, longLit(l).get)
-      case LessThan(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenHi(attrName(a).get, longLit(l).get - 1)
-      case GreaterThanOrEqual(l, a)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenHi(attrName(a).get, longLit(l).get)
-      case GreaterThan(l, a)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenHi(attrName(a).get, longLit(l).get - 1)
-      case LessThanOrEqual(l, a)
-          if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get)
-      case LessThan(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
-        tightenLo(attrName(a).get, longLit(l).get + 1)
-      case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
-        kept = strEqPrune(inSnap, attrName(a).get, strLit(v).get)
-      case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
-        kept = strEqPrune(inSnap, attrName(a).get, strLit(v).get)
-      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
-          vs.forall(longLit(_).isDefined) =>
-        kept = TableLog.prunedFilesInLongOf(inSnap, attrName(a).get,
-          vs.flatMap(longLit))
-      case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
-          vs.forall(strLit(_).isDefined) =>
-        kept = TableLog.prunedFilesInOf(inSnap, attrName(a).get,
-          vs.flatMap(strLit))
-      // OptimizeIn rewrites literal IN-lists past the threshold to
-      // InSet over Catalyst-internal values
-      case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
-          hs.forall(_.isInstanceOf[java.lang.Long]) =>
-        kept = TableLog.prunedFilesInLongOf(inSnap, attrName(a).get,
-          hs.toSeq.map(_.asInstanceOf[java.lang.Long].longValue))
-      case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
-          hs.forall(_.isInstanceOf[UTF8String]) =>
-        kept = TableLog.prunedFilesInOf(inSnap, attrName(a).get,
-          hs.toSeq.map(_.toString))
-      case _ => () // unsupported conjunct: no pruning, Filter re-applies
-    }
-    (loB.keySet ++ hiB.keySet).foreach { c =>
-      kept = TableLog.prunedFilesOf(inSnap, c,
-        loB.getOrElse(c, Long.MinValue), hiB.getOrElse(c, Long.MaxValue))
-    }
-    kept
+      : Seq[TableLog.FileEntry] =
+    pruneTree(r.snapshot, cond).getOrElse(r.snapshot.files)
+
+  /** Evaluate the whole predicate TREE to a surviving file set: AND
+    * intersects (an unprunable side simply contributes nothing), OR
+    * unions — and is prunable only when BOTH branches are, since an
+    * unprunable disjunct can match rows anywhere. This is what makes
+    * `k = 1 OR k = 4000` prune exactly like `k IN (1, 4000)`, instead
+    * of the conjunct-only treatment where any OR defeats pruning.
+    * None = this subtree cannot prune (its Filter re-applies
+    * unchanged — stats prune IO, never semantics). */
+  private def pruneTree(s: TableLog.Snapshot, e: Expression)
+      : Option[Seq[TableLog.FileEntry]] = e match {
+    case And(l, r) =>
+      (pruneTree(s, l), pruneTree(s, r)) match {
+        case (Some(a), Some(b)) =>
+          val bp = b.map(_.path).toSet
+          Some(a.filter(f => bp(f.path)))
+        case (a, None) => a
+        case (None, b) => b
+      }
+    case Or(l, r) =>
+      for { a <- pruneTree(s, l); b <- pruneTree(s, r) } yield {
+        val ap = a.map(_.path).toSet
+        a ++ b.filterNot(f => ap(f.path))
+      }
+    case leaf => pruneLeaf(s, leaf)
+  }
+
+  private def pruneLeaf(s: TableLog.Snapshot, e: Expression)
+      : Option[Seq[TableLog.FileEntry]] = e match {
+    case EqualTo(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+      val v = longLit(l).get
+      Some(TableLog.prunedFilesOf(s, attrName(a).get, v, v))
+    case EqualTo(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+      val v = longLit(l).get
+      Some(TableLog.prunedFilesOf(s, attrName(a).get, v, v))
+    case GreaterThanOrEqual(a, l)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        longLit(l).get, Long.MaxValue))
+    case GreaterThan(a, l)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        longLit(l).get + 1, Long.MaxValue))
+    case LessThanOrEqual(a, l)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        Long.MinValue, longLit(l).get))
+    case LessThan(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        Long.MinValue, longLit(l).get - 1))
+    case GreaterThanOrEqual(l, a)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        Long.MinValue, longLit(l).get))
+    case GreaterThan(l, a)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        Long.MinValue, longLit(l).get - 1))
+    case LessThanOrEqual(l, a)
+        if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        longLit(l).get, Long.MaxValue))
+    case LessThan(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+      Some(TableLog.prunedFilesOf(s, attrName(a).get,
+        longLit(l).get + 1, Long.MaxValue))
+    case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
+      Some(strEqPrune(s, attrName(a).get, strLit(v).get))
+    case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
+      Some(strEqPrune(s, attrName(a).get, strLit(v).get))
+    case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
+        vs.forall(longLit(_).isDefined) =>
+      Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
+        vs.flatMap(longLit)))
+    case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
+        vs.forall(strLit(_).isDefined) =>
+      Some(TableLog.prunedFilesInOf(s, attrName(a).get, vs.flatMap(strLit)))
+    // OptimizeIn rewrites literal IN-lists past the threshold to InSet
+    // over Catalyst-internal values
+    case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
+        hs.forall(_.isInstanceOf[java.lang.Long]) =>
+      Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
+        hs.toSeq.map(_.asInstanceOf[java.lang.Long].longValue)))
+    case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
+        hs.forall(_.isInstanceOf[UTF8String]) =>
+      Some(TableLog.prunedFilesInOf(s, attrName(a).get,
+        hs.toSeq.map(_.toString)))
+    case _ => None // unsupported leaf: no pruning, Filter re-applies
   }
 
   /** A string equality prunes twice: the [min,max] string range, then

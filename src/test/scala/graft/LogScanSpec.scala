@@ -70,6 +70,22 @@ class LogScanSpec extends SparkSpec {
     val eq = df.where($"k" === 99999L)
     assert(filesScanned(eq) == 0)
     assert(eq.count() == 0)
+    // DISJUNCTIONS prune as the union of their branches: k=1 OR k=3999
+    // opens the first and last file, like k IN (1, 3999) would
+    val or = df.where($"k" === 1L || $"k" === 3999L)
+    assert(filesScanned(or) == 2, "OR must union the branch prunes")
+    assert(or.count() == 2)
+    // an unprunable disjunct defeats pruning for the whole OR (it can
+    // match anywhere) — but an AND above it still prunes
+    val orBad = df.where(($"k" === 1L || $"v" === 3L) && $"k" < 500)
+    assert(filesScanned(orBad) == 1)
+    assert(orBad.count() ==
+      TableLog.read(spark, t)
+        .where(($"k" === 1L || $"v" === 3L) && $"k" < 500).count())
+    // range OR string-equality: mixed-type branches union too
+    val orMix = df.where($"k" < 10 || $"c" === "cat_7")
+    assert(filesScanned(orMix) <= 3)
+    assert(orMix.count() == 510)
   }
 
   test("scan: SQL over a temp view prunes the same way; aggregates match the oracle-style eager path") {
