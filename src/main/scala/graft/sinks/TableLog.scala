@@ -590,8 +590,23 @@ object TableLog {
     * pruning included where `readWhere`/`readWhereIn`/`readWherePoint`
     * would prune. Legacy tables without a recorded schema fall back to
     * the eager scan (nothing to resolve a leaf schema from). */
-  def scan(spark: SparkSession, table: String): DataFrame = {
-    val s = snapshotOrFail(table)
+  def scan(spark: SparkSession, table: String): DataFrame =
+    mkScan(spark, table, snapshotOrFail(table))
+
+  /** `scan` pinned at a historical version — declarative time travel:
+    * the same manifest pruning and metadata aggregates, against that
+    * version's files, schema, and sidecars. */
+  def scanVersion(spark: SparkSession, table: String,
+      version: Long): DataFrame =
+    mkScan(spark, table, snapshotAt(table, version).getOrElse(
+      sys.error(s"version $version not found in $table")))
+
+  /** `scan` pinned at a wall-clock instant (see `readAsOf`). */
+  def scanAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
+    scanVersion(spark, table, versionAsOf(table, tsMs))
+
+  private def mkScan(spark: SparkSession, table: String,
+      s: Snapshot): DataFrame =
     s.schemaJson match {
       case None => readSnapshot(spark, table, s)
       case Some(j) =>
@@ -604,7 +619,6 @@ object TableLog {
         org.apache.spark.sql.graft.Bridge.ofRows(spark,
           graft.plans.GraftLogRelation(table, s, out))
     }
-  }
 
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     readSnapshot(spark, table, snapshotAt(table, version).getOrElse(

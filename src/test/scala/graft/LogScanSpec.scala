@@ -216,6 +216,28 @@ class LogScanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.PruneLogScan.DYN_KEY)
   }
 
+  test("scanVersion/scanAsOf: declarative time travel keeps pruning and each version's own schema") {
+    val t = mkTable()                                           // v1
+    val ts1 = TableLog.commitTimestamp(t, 1L).get
+    TableLog.renameColumn(spark, t, "k", "key")                 // v2
+    TableLog.append(spark, t, spark.range(4000, 4500)
+      .select($"id".as("key"), ($"id" % 7).as("v"),
+        lit("cat_9").as("c")).repartitionByRange(1, $"key"),
+      statsCols = Seq("key"))                                   // v3
+    // v1 scan: old schema, old rows, pruning intact
+    val v1 = TableLog.scanVersion(spark, t, 1)
+    assert(v1.columns.toSeq == Seq("k", "v", "c"))
+    assert(v1.count() == 4000)
+    assert(filesScanned(v1.where($"k".between(100, 200))) == 1)
+    // current scan: renamed schema, both epochs, pruning across the rename
+    val cur = TableLog.scan(spark, t)
+    assert(cur.columns.toSeq == Seq("key", "v", "c"))
+    assert(cur.count() == 4500)
+    assert(filesScanned(cur.where($"key".between(4000, 4100))) == 1)
+    // timestamp-pinned scan resolves to v1
+    assert(TableLog.scanAsOf(spark, t, ts1).count() == 4000)
+  }
+
   private def checkSame(a: DataFrame, b: DataFrame): Unit = {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }

@@ -257,4 +257,72 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("schema-op resolution: random rename/drop/re-add histories resolve every file epoch correctly") {
+    import graft.sinks.TableLog.SchemaOp
+    // model: column IDENTITIES (ints) bound to names; renames move a
+    // binding, drops remove it, adds bind a fresh identity — possibly
+    // to a freed name (the resurrection hazard). Ground truth for a
+    // file written at version v and a current logical name n: the name
+    // n's CURRENT identity had at v, or None if it didn't exist then.
+    val histGen = for {
+      intents <- Gen.listOfN(12, Gen.choose(0, 2))
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (intents, seed)
+    check("resolvePhysical", Prop.forAllNoShrink(histGen) {
+      case (intents, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val namePool = Vector("a", "b", "c", "d", "e", "f")
+        var bindings = Map("a" -> 0, "b" -> 1, "c" -> 2)
+        var nextId = 3
+        var ver = 1L
+        var ops = List.empty[SchemaOp]
+        val snaps = scala.collection.mutable.Map(1L -> bindings)
+        intents.foreach { intent =>
+          ver += 1
+          intent match {
+            case 0 =>
+              val live = namePool.filter(bindings.contains)
+              val free = namePool.filterNot(bindings.contains)
+              if (free.nonEmpty) {
+                val from = live(rnd.nextInt(live.size))
+                val to = free(rnd.nextInt(free.size))
+                ops ::= SchemaOp(ver, "rename", from, to)
+                bindings = bindings - from + (to -> bindings(from))
+              }
+            case 1 if bindings.size > 1 =>
+              val live = namePool.filter(bindings.contains)
+              val c = live(rnd.nextInt(live.size))
+              ops ::= SchemaOp(ver, "drop", c, "")
+              bindings -= c
+            case _ =>
+              val free = namePool.filterNot(bindings.contains)
+              if (free.nonEmpty) {
+                bindings += free(rnd.nextInt(free.size)) -> nextId
+                nextId += 1
+              }
+          }
+          snaps(ver) = bindings
+        }
+        Prop.all((1L to ver).flatMap { fv =>
+          val atFile = snaps(fv)
+          bindings.toSeq.map { case (n, id) =>
+            val actual = graft.sinks.TableLog
+              .resolvePhysical(n, ops.filter(_.ver > fv))
+            // two invariants: (1) EXACTNESS — an identity alive at file
+            // time must resolve to precisely the name it had then (no
+            // silent data loss); (2) SAFETY — an identity born later
+            // must resolve to None or to a name the file does NOT
+            // carry (an absent physical column reads as null; a
+            // PRESENT one would resurrect another identity's values)
+            val ok = atFile.find(_._2 == id) match {
+              case Some((p0, _)) => actual.contains(p0)
+              case None => actual.forall(p => !atFile.contains(p))
+            }
+            Prop(ok) :|
+              s"name=$n fileVer=$fv atFile=$atFile actual=$actual ops=${ops.reverse}"
+          }
+        }: _*)
+    }, n = 120)
+  }
 }
