@@ -341,6 +341,32 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** The pure SQL face: log tables registered as temp views through
+    * the declarative scan, then ONE `spark.sql` text query — filter,
+    * join, aggregate — exercising manifest range pruning AND
+    * join-driven dynamic pruning from SQL alone. A user who only
+    * speaks SQL gets the same manifest-level behavior as the
+    * DataFrame faces (files-opened pinned in LogScanSpec). */
+  private def o60SqlFace(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/sqlface_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val cust = T(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    graft.sinks.TableLog.create(s, t,
+      cust.repartitionByRange(8, col("c_custkey")),
+      statsCols = Seq("c_custkey"))
+    graft.sinks.TableLog.scan(s, t).createOrReplaceTempView("cust_lake")
+    T(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql("""
+      SELECT n_name,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(bal_c) AS BIGINT) AS sum_bal,
+        min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+      FROM cust_lake JOIN nation_v ON c_nationkey = n_nationkey
+      WHERE c_custkey BETWEEN 100 AND 700 AND n_regionkey = 1
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
   /** Time travel + change-data-feed through the commit log: the same
     * create → append → mergeUpsert lifecycle as o34, then (a) a read
     * PINNED AT VERSION 2 — the manifest chain makes every historical
@@ -3180,6 +3206,7 @@ object SparkEntry {
     "o57_log_scan" -> (o57LogScan _),
     "o58_compact_small" -> (o58CompactSmall _),
     "o59_dyn_join" -> (o59DynJoin _),
+    "o60_sql_face" -> (o60SqlFace _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4556,6 +4583,14 @@ object SparkEntry {
         |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |  FROM li WHERE l_returnflag = 'R'
         |) ORDER BY slice""".stripMargin,
+    "o60_sql_face" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal,
+        |  min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey BETWEEN 100 AND 700 AND n_regionkey = 1
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "o59_dyn_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)

@@ -1412,6 +1412,33 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(t).get.version == v)
   }
 
+  test("compactSmall racing an append: both commit, no row lost or doubled") {
+    val t = tmp("graft_log_csmall_race")
+    TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
+      $"id".as("v")).coalesce(1), statsCols = Seq("k"))
+    (0 until 4).foreach(i => TableLog.append(spark, t,
+      spark.range(100000L + i * 10, 100000L + i * 10 + 10)
+        .select($"id".as("k"), $"id".as("v")).coalesce(1)))
+    val bigSize = java.nio.file.Files.size(java.nio.file.Paths.get(t,
+      TableLog.snapshot(t).get.files.minBy(_.ver).path))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCompact = Future(
+      TableLog.compactSmall(spark, t, smallBytes = bigSize / 2))
+    val fAppend = Future(TableLog.append(spark, t,
+      spark.range(200000, 200010).select($"id".as("k"), $"id".as("v"))
+        .coalesce(1)))
+    val (vc, va) = (Await.result(fCompact, 120.seconds),
+      Await.result(fAppend, 120.seconds))
+    assert(Set(vc, va) == Set(6L, 7L), s"serialized versions, got $vc/$va")
+    val r = TableLog.read(spark, t)
+    assert(r.count() == 100050)
+    assert(r.select(countDistinct($"k")).head.getLong(0) == 100050,
+      "no row doubled by the race")
+    assert(TableLog.snapshot(t).get.rows == 100050)
+  }
+
   test("compactSmall: packed rows drop sidecar-deleted keys; the sidecar still fences carried files") {
     val t = tmp("graft_log_compactsmall_mor")
     TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
