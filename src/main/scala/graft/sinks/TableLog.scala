@@ -1515,12 +1515,24 @@ object TableLog {
     * document around. Drains currently available input. */
   def appendStream(spark: SparkSession, table: String, stream: DataFrame,
       streamId: String, checkpoint: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit =
+      statsCols: Seq[String] = Nil,
+      autoCompactBytes: Option[Long] = None): Unit =
     graft.streaming.StreamingOps.runForeachBatch(stream,
       org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
       (batch, batchId) =>
         append(spark, table, batch, statsCols,
           txnId = Some(s"$streamId#$batchId"))
+        // auto-OPTIMIZE tick: streaming ingest is what CREATES the
+        // small-file problem, so the ingest loop owns the fix —
+        // `compactSmall` is O(files under the threshold), carries
+        // at-size files by reference, and is CAS-safe against the
+        // next batch racing in. Deliberately OUTSIDE the txn-id
+        // idempotence envelope: a replayed batch whose append skips
+        // may still compact, which is a harmless (and welcome)
+        // layout-only maintenance pass; feed tables publish nothing
+        // for "compact" commits, so consumers are undisturbed.
+        autoCompactBytes.foreach(b =>
+          compactSmall(spark, table, b, statsCols = statsCols))
         ()
     }
 

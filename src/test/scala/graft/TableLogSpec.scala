@@ -1412,6 +1412,54 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.snapshot(t).get.version == v)
   }
 
+  test("appendStream autoCompact: streaming ingest keeps its own file count bounded") {
+    val t = tmp("graft_log_autocompact")
+    TableLog.create(spark, t, spark.range(10).select($"id".as("k")).coalesce(1))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_log_ac_ckpt").toString)
+    (0 until 5).foreach { i =>
+      mem.addData((10L + i * 10) until (10L + i * 10 + 10): _*)
+      TableLog.appendStream(spark, t,
+        mem.toDF().select(col("value").as("k")).coalesce(1), "ac", ckpt,
+        autoCompactBytes = Some(1L << 20))
+    }
+    // five micro-batches landed, but the auto-OPTIMIZE tick keeps the
+    // live file set packed instead of one-file-per-batch
+    assert(TableLog.read(spark, t).count() == 60)
+    assert(TableLog.snapshot(t).get.files.size <= 2,
+      s"expected a packed layout, got ${TableLog.snapshot(t).get.files.size} files")
+    // every batch still exactly-once under its txn id
+    assert(TableLog.committedTxnVersion(t, "ac#0").isDefined)
+    assert(TableLog.committedTxnVersion(t, "ac#4").isDefined)
+  }
+
+  test("deleteMor with STRING keys: sidecar delete, zero rewrites, re-insert fence, compaction") {
+    val t = tmp("graft_log_delmor_str")
+    TableLog.create(spark, t, spark.range(2000).select(
+      format_string("doc_%04d", $"id").as("doc"), ($"id" % 7).as("v"))
+      .repartition(4, $"v"), strStatsCols = Seq("doc"))
+    val before = TableLog.snapshot(t).get.files.map(_.path).toSet
+    TableLog.deleteMor(spark, t, "doc",
+      Seq("doc_0005", "doc_1999").toDF("doc"))
+    val s = TableLog.snapshot(t).get
+    assert(s.files.map(_.path).toSet == before, "zero data-file rewrites")
+    val r = TableLog.read(spark, t)
+    assert(r.count() == 1998)
+    assert(r.where($"doc" === "doc_0005").count() == 0)
+    // re-inserted key lives (the fence is by version)
+    TableLog.append(spark, t,
+      Seq(("doc_0005", 99L)).toDF("doc", "v").coalesce(1))
+    assert(TableLog.read(spark, t)
+      .where($"doc" === "doc_0005").count() == 1)
+    // full compaction materializes the sidecar away
+    TableLog.compact(spark, t, 1L << 26)
+    assert(TableLog.snapshot(t).get.dels.isEmpty)
+    assert(TableLog.read(spark, t).count() == 1999)
+  }
+
   test("compactSmall racing an append: both commit, no row lost or doubled") {
     val t = tmp("graft_log_csmall_race")
     TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
