@@ -2018,6 +2018,51 @@ object SparkEntry {
   // E4 text analysis (documents)
   // ====================================================================
 
+  /** RAG-style OVERLAPPING document chunking: fixed window (120 chars)
+    * sliding by 90 — chunk i = substr(text, i*90+1, 120), the last
+    * window covering the tail. Pure generator plan (sequence →
+    * explode → substring): narrow, codegen'd, no shuffle until the
+    * per-source audit aggregate — at 100 TB chunking is a map-only
+    * pass that scales with input splits. The aggregate (chunk count,
+    * total chunk chars, DISTINCT chunk md5s per source) pins both the
+    * window arithmetic and the content bytes against the oracle. */
+  private def e4Chunking(s: SparkSession, dir: String): DataFrame = {
+    val (size, step) = (120, 90)
+    T(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(lit(0), ceil((length(col("text")) - lit(size))
+          .cast("double") / step).cast("int")))))
+      .select(col("source"),
+        expr(s"substring(text, chunk_idx * $step + 1, $size)").as("chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("sum_len"),
+        countDistinct(md5(col("chunk"))).as("n_uniq"))
+      .orderBy("source")
+  }
+
+  /** Edit-distance near-dup verification over BLOCKED candidates: the
+    * quadratic levenshtein verify runs only inside (prefix, length
+    * bucket) blocks — the blocking keys are cheap, deterministic, and
+    * shrink the pair space from O(n²) to per-block quadratics, the
+    * same candidate-bounding discipline as the LSH paths; at 100 TB
+    * the block key is the shuffle key and no executor ever sees the
+    * cross product. Spark's codegen `levenshtein` does the exact
+    * verify; pairs with distance ≤ 25 count as near-dups. */
+  private def e2EditVerify(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 24).as("pfx"),
+      (length(col("text")) / 16).cast("long").as("lb"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.pfx") === col("b.pfx") && col("a.lb") === col("b.lb")
+        && col("a.doc_id") < col("b.doc_id"))
+      .where(levenshtein(col("a.text"), col("b.text")) <= 25)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.doc_id")).as("n_left"),
+        countDistinct(col("b.doc_id")).as("n_right"),
+        sum(levenshtein(col("a.text"), col("b.text"))).as("sum_dist"))
+  }
+
   private def e4TokenStats(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"), TF.tokens(col("text")).as("__t")) // tokenize once
@@ -3210,6 +3255,8 @@ object SparkEntry {
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
+    "e4_chunking" -> (e4Chunking _),
+    "e2_edit_verify" -> (e2EditVerify _),
     "e4_top_tokens" -> (e4TopTokens _),
     "e4_langid" -> (e4LangId _),
     "e4_json_props" -> (e4JsonProps _),
@@ -3955,6 +4002,26 @@ object SparkEntry {
         |   sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
         |FROM s, q WHERE s.bucket = q.qb
         |ORDER BY cos_micro DESC, vec_id LIMIT 10""".stripMargin,
+    "e4_chunking" ->
+      """WITH d AS (SELECT source, text, length(text) AS L FROM documents),
+        |c AS (SELECT source,
+        |  substr(text, CAST(i * 90 + 1 AS BIGINT), 120) AS chunk
+        |  FROM d CROSS JOIN generate_series(0, 255) AS t(i)
+        |  WHERE i <= greatest(0, ceil((L - 120.0) / 90)))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(length(chunk)) AS BIGINT) AS sum_len,
+        |  CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_uniq
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "e2_edit_verify" ->
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 24) AS pfx,
+        |  length(text) // 16 AS lb FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_left,
+        |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_right,
+        |  CAST(sum(levenshtein(a.text, b.text)) AS BIGINT) AS sum_dist
+        |FROM d a JOIN d b
+        |  ON a.pfx = b.pfx AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 25""".stripMargin,
     "e4_token_stats" ->
       s"""SELECT doc_id,
         |CAST(len($sqlTokens) AS BIGINT) AS n_tokens,

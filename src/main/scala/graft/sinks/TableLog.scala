@@ -121,12 +121,19 @@ object TableLog {
     * between O(1) and O(corpus) per batch at 100 TB. Rewrites preserve
     * them verbatim (content-changing rewrites that invalidate a counter
     * own fixing it). */
+  /** `checks`: the CURRENT set of named CHECK constraints (name →
+    * boolean SQL expression) — write-path data-quality gates enforced
+    * on every row-adding commit. Carried complete in every manifest
+    * (folded at the commit gate), so enforcement is a manifest lookup.
+    * SQL semantics: a row violates only when the expression evaluates
+    * to FALSE — NULL passes, exactly like SQL CHECK. */
   final case class Snapshot(version: Long, baseVersion: Long, action: String,
       rows: Long, files: Seq[FileEntry], txn: Option[String] = None,
       schemaJson: Option[String] = None,
       counters: Map[String, Long] = Map.empty,
       dels: Seq[DeleteEntry] = Nil,
-      schemaOps: Seq[SchemaOp] = Nil)
+      schemaOps: Seq[SchemaOp] = Nil,
+      checks: Seq[(String, String)] = Nil)
 
   /** Full checkpoint every Nth append: snapshot resolution replays at
     * most N−1 deltas; commit cost is amortized O(table files / N +
@@ -163,7 +170,12 @@ object TableLog {
       tsMs: Long = 0L,
       txnHw: Map[String, (Long, Long)] = Map.empty,
       txnComplete: Boolean = false,
-      schemaOps: Seq[SchemaOp] = Nil)
+      schemaOps: Seq[SchemaOp] = Nil,
+      // CHECK constraints: ckAdd/ckDrop are THIS commit's delta; the
+      // gate folds them into `checks`, the complete current set
+      ckAdd: Option[(String, String)] = None,
+      ckDrop: Option[String] = None,
+      checks: Seq[(String, String)] = Nil)
 
   /** Split a structured txn id into (stream prefix, sequence):
     * `ingest#42` → ("ingest#", 42), `mv@17` → ("mv@", 17). Opaque ids
@@ -248,7 +260,7 @@ object TableLog {
     val kv = lines.filterNot(l => l.startsWith("file=") ||
         l.startsWith("add=") || l.startsWith("remove=") ||
         l.startsWith("del=") || l.startsWith("deladd=") ||
-        l.startsWith("schemaop="))
+        l.startsWith("schemaop=") || l.startsWith("check="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
     Some(ManifestRec(
@@ -283,6 +295,12 @@ object TableLog {
           SchemaOp(ver.toLong, kind,
             java.net.URLDecoder.decode(c, "UTF-8"),
             java.net.URLDecoder.decode(to, "UTF-8"))
+        }.toSeq,
+      checks = lines.filter(_.startsWith("check="))
+        .map { l =>
+          val Array(n, e) = l.drop(6).split(";", 2)
+          java.net.URLDecoder.decode(n, "UTF-8") ->
+            java.net.URLDecoder.decode(e, "UTF-8")
         }.toSeq))
   }
 
@@ -311,6 +329,10 @@ object TableLog {
       val t = java.net.URLEncoder.encode(op.to, "UTF-8")
       sb ++= s"schemaop=${op.ver};${op.kind};$c;$t\n"
     }
+    r.checks.foreach { case (n, e) =>
+      sb ++= s"check=${java.net.URLEncoder.encode(n, "UTF-8")};" +
+        s"${java.net.URLEncoder.encode(e, "UTF-8")}\n"
+    }
     sb ++= "end=true\n"
     sb.toString
   }
@@ -323,7 +345,7 @@ object TableLog {
     parseRec(manifestPath(table, v)).flatMap { r =>
       if (r.kind == "full")
         Some(Snapshot(r.version, r.baseVersion, r.action, r.rows, r.files,
-          r.txn, r.schemaJson, r.counters, r.dels, r.schemaOps))
+          r.txn, r.schemaJson, r.counters, r.dels, r.schemaOps, r.checks))
       else
         // a missing/unparseable base usually means a concurrent vacuum
         // dropped this version's chain while we resolved it — surface
@@ -335,7 +357,7 @@ object TableLog {
           Snapshot(r.version, r.baseVersion, r.action, r.rows,
             base.files.filterNot(f => rm(f.path)) ++ r.adds,
             r.txn, r.schemaJson, r.counters, base.dels ++ r.delAdds,
-            r.schemaOps)
+            r.schemaOps, r.checks)
         }
     }
 
@@ -420,8 +442,12 @@ object TableLog {
     // denormalization as the txn index): this commit's additions, if
     // any, append to the previous version's full list
     val ops = prev.map(_.schemaOps).getOrElse(Nil) ++ r.schemaOps
+    // CHECK constraint set: previous complete set ± this commit's delta
+    val cks = prev.map(_.checks).getOrElse(Nil)
+      .filterNot(c => r.ckDrop.contains(c._1)) ++ r.ckAdd.toSeq
     val stamped = r.copy(
       schemaOps = ops,
+      checks = cks,
       tsMs = math.max(System.currentTimeMillis, prevTs + 1),
       txnHw = hw, txnComplete = complete,
       // defensive backstop for the MOR-delete fence: a delta's adds
@@ -1172,6 +1198,10 @@ object TableLog {
     // manifest chain IS the transaction log. O(versions) scan; a
     // long-running ingest can vacuum old versions to bound it.
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    // CHECK constraints gate the batch BEFORE any data file is written
+    // (snapshot-isolated: the set as of the append's start)
+    snapshot(table).foreach(b =>
+      enforceChecks(spark, table, b.checks, df, "append"))
     val (newFiles, newRows) =
       writeDataFiles(spark, table, df, statsCols, strStatsCols,
         bloomStatsCols)
@@ -1360,7 +1390,7 @@ object TableLog {
     * semantics); fresh writes record stats under the new name. */
   def renameColumn(spark: SparkSession, table: String, from: String,
       to: String): Long =
-    schemaOpCommit(table, "rename", from, to) { logical =>
+    schemaOpCommit(spark, table, "rename", from, to) { logical =>
       require(logical.fieldNames.contains(from),
         s"renameColumn($table): no column '$from'")
       require(!logical.fieldNames.contains(to),
@@ -1377,7 +1407,7 @@ object TableLog {
     * feed tables (narrowing reads drop the column on old links too);
     * refused while a pending MOR sidecar keys on the column. */
   def dropColumn(spark: SparkSession, table: String, c: String): Long =
-    schemaOpCommit(table, "drop", c, "") { logical =>
+    schemaOpCommit(spark, table, "drop", c, "") { logical =>
       require(logical.fieldNames.contains(c),
         s"dropColumn($table): no column '$c'")
       require(logical.fields.length > 1,
@@ -1386,7 +1416,74 @@ object TableLog {
         logical.fields.filterNot(_.name == c))
     }
 
-  private def schemaOpCommit(table: String, kind: String, colName: String,
+  /** One aggregate pass over `df` counting violations per active CHECK
+    * constraint (violation = expression FALSE; NULL passes — SQL CHECK
+    * semantics); any violation refuses the whole write with the
+    * constraint's name and count. O(batch), map-side combined, before
+    * a single data file is referenced by a manifest. */
+  private def enforceChecks(spark: SparkSession, table: String,
+      checks: Seq[(String, String)], df: DataFrame, what: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val aggs = checks.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0, s"$what to $table violates CHECK constraint " +
+        s"'$n' ($e): $bad row(s) — not committing")
+    }
+  }
+
+  /** Register a named CHECK constraint — a boolean SQL expression every
+    * row of every future row-adding commit (append/appendStream, COW
+    * merge/update, mergeUpsert) must satisfy, enforced as one
+    * violation-counting aggregate before any manifest references the
+    * batch. EXISTING rows are validated first (one table scan — the
+    * ADD CONSTRAINT contract), so a committed constraint certifies the
+    * whole table, past and future. Metadata-only commit; the current
+    * set rides complete in every manifest, so enforcement is a
+    * manifest lookup at 100 TB, and time travel sees each version's
+    * own set. Snapshot-isolated: a write that began before the
+    * constraint committed validates against the set it saw. */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      check: String): Long = {
+    require(name.nonEmpty && !name.contains(";") && !name.contains("\n"),
+      s"addCheckConstraint($table): invalid constraint name '$name'")
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      require(!base.checks.exists(_._1 == name),
+        s"addCheckConstraint($table): constraint '$name' already exists")
+      enforceChecks(spark, table, Seq(name -> check),
+        readSnapshot(spark, table, base), "addCheckConstraint: existing data")
+      val version = base.version + 1
+      val r = ManifestRec(version, base.version, "check_add", base.rows,
+        "delta", Nil, Nil, Nil, Nil, Nil, None, base.schemaJson,
+        base.counters, ckAdd = Some(name -> check))
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
+
+  /** Drop a CHECK constraint by name — metadata-only commit. */
+  def dropCheckConstraint(table: String, name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      require(base.checks.exists(_._1 == name),
+        s"dropCheckConstraint($table): no constraint '$name'")
+      val version = base.version + 1
+      val r = ManifestRec(version, base.version, "check_drop", base.rows,
+        "delta", Nil, Nil, Nil, Nil, Nil, None, base.schemaJson,
+        base.counters, ckDrop = Some(name))
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
+
+  private def schemaOpCommit(spark: SparkSession, table: String,
+      kind: String, colName: String,
       to: String)(evolve: org.apache.spark.sql.types.StructType =>
       org.apache.spark.sql.types.StructType): Long = {
     require(kind == "drop" || !feedEnabled(table),
@@ -1403,6 +1500,18 @@ object TableLog {
         s"$kind($table, $colName): a pending merge-on-read delete " +
           s"sidecar (v${d.ver}) keys on this column — compact() to " +
           "materialize it first"))
+      // a CHECK constraint referencing the column would silently stop
+      // constraining (rename) or fail every future write (drop)
+      base.checks.foreach { case (n, e) =>
+        val refs = org.apache.spark.sql.graft.Bridge
+          .parseExpression(spark, e).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => ua.nameParts.head
+          }.toSet
+        require(!refs.contains(colName),
+          s"$kind($table, $colName): CHECK constraint '$n' ($e) " +
+            "references this column — drop the constraint first")
+      }
       val logical = org.apache.spark.sql.types.DataType
         .fromJson(base.schemaJson.get)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1783,8 +1892,8 @@ object TableLog {
                   adds.foreach(p => out += linkIntoFeed(table, v, p))
                 case "compact" | "zorder" =>
                   () // layout-only: these rows were already delivered
-                case "schema" =>
-                  () // metadata-only (column drop): no rows changed
+                case "schema" | "check_add" | "check_drop" =>
+                  () // metadata-only: no rows changed
                 case act @ ("delete" | "merge" | "update")
                     if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
@@ -2524,6 +2633,10 @@ object TableLog {
             s"${o.dataType.simpleString} — cast the expression " +
             "explicitly (the manifest schema is not changed by update)")
       }
+      // only the rows the update actually touches need re-validation —
+      // untouched rows were validated when they were written
+      enforceChecks(spark, table, base.checks, updated.where(cond),
+        "updateWhere")
       val (newFiles, newRows) = writeDataFiles(spark, table, updated,
         statsCols, strStatsCols, bloomStatsCols)
       require(newRows == scanRows,
@@ -2567,6 +2680,8 @@ object TableLog {
       require(src.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1)
         .isEmpty, s"mergeUpsert: duplicate keys in source")
+      snapshot(table).foreach(b =>
+        enforceChecks(spark, table, b.checks, src, "mergeUpsert"))
       val srcKeys = src.select(keyCols.map(col): _*)
       // set per attempt inside the transform; read by the audit, which
       // rewrite() evaluates after the transform has run
@@ -2875,6 +2990,9 @@ object TableLog {
     while (committed < 0) {
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      // `inserts` is the complete source relation (updates + new
+      // keys); the carried remainder was validated when written
+      enforceChecks(spark, table, base.checks, inserts, "merge")
       val affected = affectedOf(base)
       val affectedPaths = affected.map(_.path)
       val (newFiles, newRows, matched, scanRows) =

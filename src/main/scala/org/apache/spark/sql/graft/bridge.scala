@@ -44,6 +44,14 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Parse a SQL expression string to its raw (unresolved) Catalyst
+    * tree — `functions.expr` defers parsing inside a lazy
+    * ColumnNodeExpression, so reference analysis must go through the
+    * session parser directly (sessionState is private[sql]). */
+  def parseExpression(spark: org.apache.spark.sql.SparkSession,
+      sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+
   /** Build a DataFrame over an arbitrary logical plan (the private[sql]
     * Dataset.ofRows — how a library hands Catalyst a custom LeafNode). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -1460,6 +1460,61 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).count() == 1999)
   }
 
+  test("CHECK constraints: write-path enforcement across every row-adding face; existing-data validation; history") {
+    val t = tmp("graft_log_checks")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k"),
+      ($"id" % 50).as("v")))
+    // existing data already satisfies: the add commits metadata-only
+    val filesBefore = TableLog.snapshot(t).get.files.map(_.path).toSet
+    TableLog.addCheckConstraint(spark, t, "v_range", "v >= 0 AND v < 50")
+    assert(TableLog.snapshot(t).get.files.map(_.path).toSet == filesBefore)
+    assert(TableLog.snapshot(t).get.checks ==
+      Seq("v_range" -> "v >= 0 AND v < 50"))
+    // an add whose expression existing rows violate is refused
+    val e0 = intercept[IllegalArgumentException](
+      TableLog.addCheckConstraint(spark, t, "too_strict", "v < 10"))
+    assert(e0.getMessage.contains("existing data"))
+    // violating append refused with name + count; table unchanged
+    val e1 = intercept[IllegalArgumentException](TableLog.append(spark, t,
+      Seq((200L, 99L), (201L, 3L)).toDF("k", "v")))
+    assert(e1.getMessage.contains("v_range") && e1.getMessage.contains("1 row"))
+    assert(TableLog.read(spark, t).count() == 100)
+    // passing append lands; NULL passes (SQL CHECK semantics)
+    TableLog.append(spark, t, Seq((200L, Some(3L)), (201L, None))
+      .toDF("k", "v"))
+    assert(TableLog.read(spark, t).count() == 102)
+    // COW update: a SET that would break the constraint is refused
+    val e2 = intercept[IllegalArgumentException](TableLog.updateWhere(
+      spark, t, "k", 0, 10, Map("v" -> lit(77L))))
+    assert(e2.getMessage.contains("v_range"))
+    TableLog.updateWhere(spark, t, "k", 0, 10, Map("v" -> lit(7L)))
+    // COW merge: violating source refused, passing source lands
+    intercept[IllegalArgumentException](TableLog.mergeCow(spark, t,
+      Seq((5L, -1L)).toDF("k", "v"), "k"))
+    TableLog.mergeCow(spark, t, Seq((5L, 49L)).toDF("k", "v"), "k")
+    assert(TableLog.read(spark, t).where($"k" === 5L).head.getLong(1) == 49L)
+    // rename/drop of a referenced column is refused until the drop
+    assert(TableLog.snapshot(t).get.checks.nonEmpty, "checks lost in fold")
+    val e3 = intercept[IllegalArgumentException](
+      TableLog.renameColumn(spark, t, "v", "val"))
+    assert(e3.getMessage.contains("v_range"))
+    TableLog.dropCheckConstraint(t, "v_range")
+    TableLog.renameColumn(spark, t, "v", "val")
+    TableLog.append(spark, t, Seq((300L, 99L)).toDF("k", "val"))
+    assert(TableLog.read(spark, t).count() == 103)
+    // time travel sees each version's own constraint set
+    val vWith = TableLog.history(spark, t)
+      .where($"action" === "check_add").head.getLong(0)
+    assert(TableLog.snapshotAt(t, vWith).get.checks.nonEmpty)
+    assert(TableLog.snapshot(t).get.checks.isEmpty)
+    // duplicate add / unknown drop refused
+    TableLog.addCheckConstraint(spark, t, "k_pos", "k >= 0")
+    intercept[IllegalArgumentException](
+      TableLog.addCheckConstraint(spark, t, "k_pos", "k > 0"))
+    intercept[IllegalArgumentException](
+      TableLog.dropCheckConstraint(t, "nope"))
+  }
+
   test("compactSmall racing an append: both commit, no row lost or doubled") {
     val t = tmp("graft_log_csmall_race")
     TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
