@@ -167,11 +167,16 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
     val maxKeys = conf.getConfString(DYN_MAX_KEYS, "100000").toInt
     val spark = SparkSession.active
     val keyCol = org.apache.spark.sql.graft.Bridge.column(otherKey)
+    // single-stage collect + driver dedupe, NOT distinct(): a
+    // distinct is a two-stage shuffle job, and this runs at PLANNING
+    // time — its fixed cost is the whole overhead of the feature. A
+    // truncated collect (> maxKeys rows) means the key set may be
+    // incomplete, so it must bail, never prune on a partial set.
     val rows = org.apache.spark.sql.graft.Bridge.ofRows(spark, other)
-      .select(keyCol).where(keyCol.isNotNull).distinct()
+      .select(keyCol).where(keyCol.isNotNull)
       .limit(maxKeys + 1).collect()
-    if (rows.length > maxKeys) return None // too many keys: not a dim
-    val sorted = rows.map(_.getLong(0)).sorted
+    if (rows.length > maxKeys) return None // big or unknowable: bail
+    val sorted = rows.map(_.getLong(0)).distinct.sorted
     val statKept = fc.map(keptFiles(r, _)).getOrElse(r.snapshot.files)
     val kept = TableLog.prunedFilesByKeys(
       r.snapshot.copy(files = statKept), relKey.name, sorted)
