@@ -367,6 +367,33 @@ object SparkEntry {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** RESTORE under the oracle: create → append → range delete →
+    * RESTORE past the delete → one more append; the final table is
+    * the union of all three slices with the delete UNDONE — the
+    * oracle recomputes that relationally, so a restore that leaked
+    * the deleted rows' absence (or resurrected the wrong version)
+    * changes the hash. Metadata-only mechanics are spec-pinned. */
+  private def o61Restore(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/restore_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), round(col("l_quantity")).cast("long")
+        .as("qty"), col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, li.where(col("l_orderkey") % 20 === 3)
+      .repartitionByRange(4, col("l_orderkey")), statsCols = Seq("l_orderkey"))
+    tl.append(s, t, li.where(col("l_orderkey") % 20 === 4)
+      .repartitionByRange(4, col("l_orderkey")), statsCols = Seq("l_orderkey"))
+    tl.deleteWhere(s, t, "l_orderkey", 1L, 20000L)
+    tl.restore(s, t, 2)
+    tl.append(s, t, li.where(col("l_orderkey") % 20 === 5)
+      .repartitionByRange(4, col("l_orderkey")), statsCols = Seq("l_orderkey"))
+    tl.read(s, t).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Time travel + change-data-feed through the commit log: the same
     * create → append → mergeUpsert lifecycle as o34, then (a) a read
     * PINNED AT VERSION 2 — the manifest chain makes every historical
@@ -3262,6 +3289,7 @@ object SparkEntry {
     "o58_compact_small" -> (o58CompactSmall _),
     "o59_dyn_join" -> (o59DynJoin _),
     "o60_sql_face" -> (o60SqlFace _),
+    "o61_restore" -> (o61Restore _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4660,6 +4688,12 @@ object SparkEntry {
         |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |  FROM li WHERE l_returnflag = 'R'
         |) ORDER BY slice""".stripMargin,
+    "o61_restore" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem WHERE l_orderkey % 20 IN (3, 4, 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "o60_sql_face" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)

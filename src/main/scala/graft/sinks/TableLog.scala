@@ -441,7 +441,12 @@ object TableLog {
     // schema-op history is carried COMPLETE in every manifest (same
     // denormalization as the txn index): this commit's additions, if
     // any, append to the previous version's full list
-    val ops = prev.map(_.schemaOps).getOrElse(Nil) ++ r.schemaOps
+    // a RESTORE resets the op history to the target version's list —
+    // the restored files pre-date ops that no longer apply, and
+    // carrying them forward would freed-fence restored columns to null
+    val ops =
+      if (r.action == "restore") r.schemaOps
+      else prev.map(_.schemaOps).getOrElse(Nil) ++ r.schemaOps
     // CHECK constraint set: previous complete set ± this commit's delta
     val cks = prev.map(_.checks).getOrElse(Nil)
       .filterNot(c => r.ckDrop.contains(c._1)) ++ r.ckAdd.toSeq
@@ -1578,6 +1583,52 @@ object TableLog {
   /** Timestamp time travel: the table as of wall-clock `tsMs`. */
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
     readVersion(spark, table, versionAsOf(table, tsMs))
+
+  /** RESTORE the table to a historical version — the acting half of
+    * time travel (`readAsOf` answers "what did it look like";
+    * `restore` makes it so again): commits a NEW full-manifest version
+    * whose file list, MOR sidecars, schema, and schema-op history are
+    * the target's — metadata-only, zero data files copied or
+    * rewritten; the intervening history stays readable (a restore is
+    * an ordinary commit, not an erasure — `readVersion` still reaches
+    * the undone versions until vacuum). Guards: every restored data
+    * file and sidecar must still exist (vacuum may have reclaimed
+    * them — refused with the missing paths); the CURRENT CHECK
+    * constraints re-validate the restored content (a committed
+    * constraint certifies the whole table — a restore must not smuggle
+    * pre-constraint rows back in; one scan, same contract as ADD);
+    * refused on feed tables (the append-only feed cannot represent
+    * un-appending). Counters carry from the current version — a
+    * restore rewinds DATA, not accounting pins; index tables swing
+    * through their rebalance paths instead. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    require(!feedEnabled(table),
+      s"restore($table): the append-only change feed cannot represent " +
+        "a restore — remove the feed (and re-seed consumers) first")
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      if (base.version == version) return base.version
+      val target = snapshotAt(table, version).getOrElse(sys.error(
+        s"restore($table): version $version is not resolvable " +
+          "(never committed, or vacuumed)"))
+      val missing = (target.files.map(_.path) ++
+        target.dels.map(_.file.path))
+        .filterNot(p => Files.exists(Paths.get(table, p)))
+      require(missing.isEmpty,
+        s"restore($table -> v$version): ${missing.size} data file(s) " +
+          s"already vacuumed (${missing.take(3).mkString(", ")}" +
+          s"${if (missing.size > 3) ", …" else ""}) — unrestorable")
+      enforceChecks(spark, table, base.checks,
+        readSnapshot(spark, table, target), "restore")
+      val v = base.version + 1
+      val r = ManifestRec(v, base.version, "restore", target.rows, "full",
+        target.files, Nil, Nil, target.dels, Nil, None, target.schemaJson,
+        base.counters, schemaOps = target.schemaOps)
+      if (tryCommit(table, r)) committed = v
+    }
+    committed
+  }
 
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
     * face: one row per RETAINED version with (version, ts_ms, action,

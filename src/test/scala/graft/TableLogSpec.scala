@@ -1569,6 +1569,58 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).where($"k" === 5L).count() == 1)
   }
 
+  test("restore: metadata-only rewind of files, sidecars, schema, and op history; guards hold") {
+    val t = tmp("graft_log_restore")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k"),
+      ($"id" * 2).as("v")), statsCols = Seq("k"))                 // v1
+    TableLog.append(spark, t, spark.range(100, 150)
+      .select($"id".as("k"), ($"id" * 2).as("v")))                // v2
+    TableLog.deleteWhere(spark, t, "k", 0, 49)                    // v3
+    assert(TableLog.read(spark, t).count() == 100)
+    val v2Sum = TableLog.readVersion(spark, t, 2)
+      .agg(sum("v")).head.getLong(0)
+    // restore to v2: rows return, zero data files written
+    val dataBefore = TableLog.snapshot(t).get.files.map(_.path).toSet
+    val rv = TableLog.restore(spark, t, 2)
+    assert(rv == 4)
+    assert(TableLog.read(spark, t).count() == 150)
+    assert(TableLog.read(spark, t).agg(sum("v")).head.getLong(0) == v2Sum)
+    // the undone version stays readable (restore is a commit, not erasure)
+    assert(TableLog.readVersion(spark, t, 3).count() == 100)
+    assert(TableLog.history(spark, t).where($"action" === "restore")
+      .head.getLong(0) == 4)
+    // MOR sidecars rewind too
+    TableLog.deleteMor(spark, t, "k", Seq(5L).toDF("k"))          // v5
+    assert(TableLog.read(spark, t).count() == 149)
+    TableLog.restore(spark, t, 4)                                 // v6
+    assert(TableLog.read(spark, t).where($"k" === 5L).count() == 1)
+    // restore across a RENAME: the op-history reset keeps values
+    TableLog.renameColumn(spark, t, "v", "val")                   // v7
+    assert(TableLog.read(spark, t).columns.toSeq == Seq("k", "val"))
+    TableLog.restore(spark, t, 6)                                 // v8
+    val r8 = TableLog.read(spark, t)
+    assert(r8.columns.toSeq == Seq("k", "v"))
+    assert(r8.where($"k" === 3L).head.getLong(1) == 6L,
+      "restored column must keep its values, not freed-fence to null")
+    assert(TableLog.prunedFiles(t, "k", 0, 10).nonEmpty)
+    // CURRENT checks certify restored content: a restore that would
+    // smuggle pre-constraint rows back in is refused
+    TableLog.deleteWhere(spark, t, "k", 100, 149)                 // v9
+    TableLog.addCheckConstraint(spark, t, "k_small", "k < 100")   // v10
+    val e = intercept[IllegalArgumentException](
+      TableLog.restore(spark, t, 8))
+    assert(e.getMessage.contains("k_small"))
+    // vacuumed target: refused with the missing files
+    TableLog.compact(spark, t, 1L << 26)                          // v11
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0)
+    val e2 = intercept[RuntimeException](TableLog.restore(spark, t, 6))
+    assert(e2.getMessage.contains("vacuumed") ||
+      e2.getMessage.contains("not resolvable"))
+    // restoring to the current version is a no-op
+    val cur = TableLog.latestVersion(t)
+    assert(TableLog.restore(spark, t, cur) == cur)
+  }
+
   test("history + vacuumBefore: DESCRIBE HISTORY face; timestamp-granular retention") {
     val t = tmp("graft_log_history")
     TableLog.create(spark, t, spark.range(10).select($"id".as("k")))     // v1
