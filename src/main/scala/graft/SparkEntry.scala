@@ -367,6 +367,36 @@ object SparkEntry {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** ZERO-COPY clone under the oracle: build src (create + append),
+    * hard-link-clone it, then DIVERGE — a range delete on src, an
+    * extra append on dst — and emit both sides' aggregates. The oracle
+    * recomputes each side relationally, so a clone that shared state
+    * after the fork (either direction) changes the hash; the zero-copy
+    * mechanics (same inode, vacuum safety) are spec-pinned. */
+  private def o62Clone(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val src = s"$tmpRoot/clone_src_$sfx"
+    val dst = s"$tmpRoot/clone_dst_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+    val o = T(s, dir, "orders").select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("price_c"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, src, o.where(col("o_orderkey") % 20 === 6)
+      .repartitionByRange(4, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+    tl.append(s, src, o.where(col("o_orderkey") % 20 === 7)
+      .repartitionByRange(4, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+    tl.cloneTable(s, src, dst)
+    tl.deleteWhere(s, src, "o_orderkey", 1L, 3000L)
+    tl.append(s, dst, o.where(col("o_orderkey") % 20 === 8)
+      .repartitionByRange(4, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+    def agg(t: String, side: String) =
+      tl.read(s, t).groupBy(lit(side).as("side"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_c"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    agg(src, "src").unionByName(agg(dst, "dst")).orderBy("side")
+  }
+
   /** RESTORE under the oracle: create → append → range delete →
     * RESTORE past the delete → one more append; the final table is
     * the union of all three slices with the delete UNDONE — the
@@ -3290,6 +3320,7 @@ object SparkEntry {
     "o59_dyn_join" -> (o59DynJoin _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
+    "o62_clone" -> (o62Clone _),
     "o45_delete_in" -> (o45DeleteIn _),
     "o46_bloom_skip" -> (o46BloomSkip _),
     "e4_token_stats" -> (e4TokenStats _),
@@ -4688,6 +4719,21 @@ object SparkEntry {
         |    CAST(sum(qty) AS BIGINT), min(l_orderkey), max(l_orderkey)
         |  FROM li WHERE l_returnflag = 'R'
         |) ORDER BY slice""".stripMargin,
+    "o62_clone" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'dst' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(price_c) AS BIGINT) AS sum_c,
+        |    min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |  FROM o WHERE o_orderkey % 20 IN (6, 7, 8)
+        |  UNION ALL
+        |  SELECT 'src', CAST(count(*) AS BIGINT),
+        |    CAST(sum(price_c) AS BIGINT), min(o_orderkey), max(o_orderkey)
+        |  FROM o WHERE o_orderkey % 20 IN (6, 7)
+        |    AND o_orderkey NOT BETWEEN 1 AND 3000
+        |) ORDER BY side""".stripMargin,
     "o61_restore" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

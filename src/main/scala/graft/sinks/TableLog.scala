@@ -437,7 +437,10 @@ object TableLog {
         hwBase + (stream -> (n, r.version))
       case _ => hwBase
     }
-    val complete = r.version == 1 || prev.exists(_.txnComplete)
+    // a CLONE's first manifest starts a fresh txn history by
+    // construction (no prior writers in dst), so the index is complete
+    val complete = r.version == 1 || r.action == "clone" ||
+      prev.exists(_.txnComplete)
     // schema-op history is carried COMPLETE in every manifest (same
     // denormalization as the txn index): this commit's additions, if
     // any, append to the previous version's full list
@@ -447,9 +450,12 @@ object TableLog {
     val ops =
       if (r.action == "restore") r.schemaOps
       else prev.map(_.schemaOps).getOrElse(Nil) ++ r.schemaOps
-    // CHECK constraint set: previous complete set ± this commit's delta
-    val cks = prev.map(_.checks).getOrElse(Nil)
-      .filterNot(c => r.ckDrop.contains(c._1)) ++ r.ckAdd.toSeq
+    // CHECK constraint set: previous complete set ± this commit's delta;
+    // a CLONE carries the source's set verbatim (there is no prev)
+    val cks =
+      if (r.action == "clone") r.checks
+      else prev.map(_.checks).getOrElse(Nil)
+        .filterNot(c => r.ckDrop.contains(c._1)) ++ r.ckAdd.toSeq
     val stamped = r.copy(
       schemaOps = ops,
       checks = cks,
@@ -1583,6 +1589,51 @@ object TableLog {
   /** Timestamp time travel: the table as of wall-clock `tsMs`. */
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
     readVersion(spark, table, versionAsOf(table, tsMs))
+
+  /** ZERO-COPY table clone: hard-links every data file and MOR sidecar
+    * of `src`'s current snapshot into `dst` and commits dst's FIRST
+    * manifest as a full snapshot carrying src's schema, schema-op
+    * history, sidecars, CHECK constraints, and counters — O(files)
+    * metadata and directory entries, zero bytes copied (the same inode
+    * trick as the change feed, at table scale: links pin inodes, so
+    * either side's vacuum deletes only its own directory entries and
+    * can never free bytes the other still references). The clones then
+    * evolve fully independently.
+    *
+    * dst's first manifest keeps SRC'S VERSION NUMBER (not v1): every
+    * internal fence — sidecar ver > fenced file ver, schema-op ver >
+    * file ver — is a comparison against `FileEntry.ver`, and dst's
+    * future commits must sort AFTER all of them. The log tolerates a
+    * missing version prefix everywhere a clone needs it to (vacuum
+    * floors at the newest full manifest, history/versionAsOf skip
+    * unparseable versions, time travel below the clone point answers
+    * "not found"). Cross-device targets fall back to a real copy per
+    * file. Refused if `dst` already has a log. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Long = {
+    val s = snapshotOrFail(src)
+    require(!Files.isDirectory(logDir(dst)) ||
+        listDir(logDir(dst)).isEmpty,
+      s"cloneTable: $dst already has a commit log")
+    val all = (s.files.map(_.path) ++ s.dels.map(_.file.path)).distinct
+    all.foreach { rel =>
+      val from = Paths.get(src, rel)
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to.getParent)
+      if (!Files.exists(to))
+        try Files.createLink(to, from)
+        catch { case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          Files.copy(from, to) // cross-device: degrade to a real copy
+        }
+    }
+    Files.createDirectories(logDir(dst))
+    val r = ManifestRec(s.version, s.version - 1, "clone", s.rows, "full",
+      s.files, Nil, Nil, s.dels, Nil, None, s.schemaJson, s.counters,
+      schemaOps = s.schemaOps, checks = s.checks)
+    require(tryCommit(dst, r),
+      s"cloneTable: a concurrent clone already committed $dst")
+    s.version
+  }
 
   /** RESTORE the table to a historical version — the acting half of
     * time travel (`readAsOf` answers "what did it look like";

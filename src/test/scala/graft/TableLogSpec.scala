@@ -1569,6 +1569,59 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).where($"k" === 5L).count() == 1)
   }
 
+  test("cloneTable: zero-copy hard-link clone; full metadata carriage; independent evolution") {
+    val src = tmp("graft_log_clone_src")
+    TableLog.create(spark, src, spark.range(1000).select($"id".as("k"),
+      ($"id" % 10).as("v")).repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))                                       // v1
+    TableLog.renameColumn(spark, src, "v", "val")                 // v2
+    TableLog.append(spark, src, spark.range(1000, 1100)
+      .select($"id".as("k"), ($"id" % 10).as("val")).coalesce(1),
+      statsCols = Seq("k"))                                       // v3
+    TableLog.deleteMor(spark, src, "k", Seq(7L, 1050L).toDF("k")) // v4
+    TableLog.addCheckConstraint(spark, src, "val_range", "val < 10") // v5
+    val dst = tmp("graft_log_clone_dst")
+    val cv = TableLog.cloneTable(spark, src, dst)
+    assert(cv == 5)
+    // content identical, including the sidecar and rename resolution
+    assert(TableLog.read(spark, dst).count() == 1098)
+    assert(TableLog.read(spark, dst).where($"k" === 7L).count() == 0)
+    assert(TableLog.read(spark, dst).where($"k" === 3L)
+      .head.getLong(1) == 3L, "renamed column must resolve in the clone")
+    assert(TableLog.read(spark, dst).exceptAll(
+      TableLog.read(spark, src)).count() == 0)
+    // ZERO bytes copied: same inode
+    val f0 = TableLog.snapshot(dst).get.files.head.path
+    assert(java.nio.file.Files.isSameFile(
+      java.nio.file.Paths.get(src, f0), java.nio.file.Paths.get(dst, f0)))
+    // stats pruning works off the carried manifest
+    assert(TableLog.prunedFiles(dst, "k", 0, 100).size == 1)
+    // CHECK constraints carried: violating append to the CLONE refused
+    val e = intercept[IllegalArgumentException](TableLog.append(spark, dst,
+      Seq((2000L, 99L)).toDF("k", "val")))
+    assert(e.getMessage.contains("val_range"))
+    // independent evolution: append to dst, delete in src — neither leaks
+    TableLog.append(spark, dst, Seq((2000L, 5L)).toDF("k", "val"))
+    TableLog.deleteWhere(spark, src, "k", 0, 499)
+    assert(TableLog.read(spark, dst).count() == 1099)
+    // 1098 − 499 (k 0..499 minus the already-MOR-deleted k=7)
+    assert(TableLog.read(spark, src).count() == 599)
+    // src vacuum cannot break the clone: inodes are pinned by dst links
+    TableLog.vacuum(spark, src, keepVersions = 1, olderThanMs = 0)
+    assert(TableLog.read(spark, dst).count() == 1099)
+    // txn index starts complete in the clone (exactly-once ingest works)
+    TableLog.append(spark, dst, Seq((3000L, 1L)).toDF("k", "val"),
+      txnId = Some("s#1"))
+    assert(TableLog.committedTxnVersion(dst, "s#1").isDefined)
+    // time travel below the clone point answers "not found"; clone
+    // version itself is readable
+    assert(TableLog.snapshotAt(dst, 2).isEmpty)
+    assert(TableLog.readVersion(spark, dst, 5).count() == 1098)
+    // cloning onto an existing table refused
+    intercept[IllegalArgumentException](
+      TableLog.cloneTable(spark, src, dst))
+  }
+
   test("restore: metadata-only rewind of files, sidecars, schema, and op history; guards hold") {
     val t = tmp("graft_log_restore")
     TableLog.create(spark, t, spark.range(100).select($"id".as("k"),
