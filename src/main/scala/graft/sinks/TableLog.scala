@@ -1681,6 +1681,78 @@ object TableLog {
     committed
   }
 
+  /** One-row operational summary — the DESCRIBE DETAIL face: current
+    * version, row count, live file count and bytes, pending MOR
+    * sidecars, schema-op and CHECK-constraint counts, and the commit
+    * timestamp. Driver-side metadata only (file sizes are the one
+    * filesystem touch, O(files) stats). */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshotOrFail(table)
+    val bytes = s.files.map(f =>
+      try Files.size(Paths.get(table, f.path))
+      catch { case _: java.io.IOException => 0L }).sum
+    Seq((s.version, s.rows, s.files.size.toLong, bytes,
+      s.dels.size.toLong, s.schemaOps.size.toLong, s.checks.size.toLong,
+      commitTimestamp(table, s.version).getOrElse(0L)))
+      .toDF("version", "rows", "n_files", "bytes", "pending_sidecars",
+        "schema_ops", "checks", "ts_ms")
+  }
+
+  /** Dry-run twin of `vacuum`: what WOULD be reclaimed — retired
+    * manifest versions and unreferenced data files — without touching
+    * anything. Same retention math (checkpoint-granular floor, union
+    * of retained versions' references); stale-tmp sweeping is
+    * time-sensitive and excluded. */
+  def vacuumPreview(table: String, keepVersions: Int = Int.MaxValue,
+      keepFromVersion: Long = Long.MaxValue)
+      : (Seq[Long], Seq[String]) = {
+    val latest = latestVersion(table)
+    if (latest == 0) return (Nil, Nil)
+    val requested = math.max(1L,
+      math.min(keepFromVersion, latest - keepVersions.toLong + 1))
+    val dropBelow = (requested to 1L by -1L).find(v =>
+      parseRec(manifestPath(table, v)).exists(_.kind == "full"))
+      .getOrElse(1L)
+    val droppedVersions = (1L until dropBelow)
+      .filter(v => Files.exists(manifestPath(table, v)))
+    val referenced: Set[String] = {
+      val acc = scala.collection.mutable.HashSet[String]()
+      var cur: Seq[FileEntry] = Nil
+      var curDels: Seq[DeleteEntry] = Nil
+      (dropBelow to latest).foreach { v =>
+        parseRec(manifestPath(table, v)).foreach { r =>
+          cur =
+            if (r.kind == "full") r.files
+            else {
+              val rm = r.removes.toSet
+              cur.filterNot(f => rm(f.path)) ++ r.adds
+            }
+          curDels =
+            if (r.kind == "full") r.dels else curDels ++ r.delAdds
+          acc ++= cur.iterator.map(_.path)
+          acc ++= curDels.iterator.map(_.file.path)
+        }
+      }
+      acc.toSet
+    }
+    val dataRoot = Paths.get(table, "data")
+    def listDeep(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Seq(p)
+      else (try listDir(p) catch {
+        case _: java.io.IOException => Nil
+      }).flatMap(listDeep)
+    val reclaimable =
+      if (!Files.isDirectory(dataRoot)) Nil
+      else listDeep(dataRoot)
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => Paths.get(table).relativize(p).toString)
+        .filterNot(referenced)
+    (droppedVersions, reclaimable.sorted)
+  }
+
   /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
     * face: one row per RETAINED version with (version, ts_ms, action,
     * kind, rows, txn). Metadata-only: O(retained manifests) small-file

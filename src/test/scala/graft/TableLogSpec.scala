@@ -1569,6 +1569,34 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).where($"k" === 5L).count() == 1)
   }
 
+  test("detail + vacuumPreview: the operational faces are metadata-true and the preview matches the sweep") {
+    val t = tmp("graft_log_detail")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k")))
+    TableLog.append(spark, t, spark.range(100, 150).select($"id".as("k")))
+    TableLog.compact(spark, t, 1L << 26)                          // v3 full
+    TableLog.deleteMor(spark, t, "k", Seq(5L).toDF("k"))          // v4
+    TableLog.addCheckConstraint(spark, t, "k_pos", "k >= 0")      // v5
+    val d = TableLog.detail(spark, t).head
+    assert(d.getLong(0) == 5 && d.getLong(1) == 149)
+    assert(d.getLong(3) > 0, "bytes")
+    assert(d.getLong(4) == 1 && d.getLong(6) == 1)
+    assert(d.getLong(7) > 0, "ts")
+    // preview names exactly what vacuum then reclaims
+    val (pv, pf) = TableLog.vacuumPreview(t, keepVersions = 1, keepFromVersion = 3)
+    assert(pv == Seq(1L, 2L))
+    assert(pf.nonEmpty, "pre-compaction files should be reclaimable")
+    val swept = TableLog.vacuum(spark, t, keepVersions = 1,
+      olderThanMs = 0, keepFromVersion = 3)
+    assert(pf.forall(f => swept.exists(_.endsWith(f))),
+      "every previewed file must be in the sweep")
+    assert(pf.forall(f =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t, f))))
+    // post-sweep preview is empty; the table still reads
+    val (pv2, pf2) = TableLog.vacuumPreview(t, keepVersions = 1, keepFromVersion = 3)
+    assert(pv2.isEmpty && pf2.isEmpty)
+    assert(TableLog.read(spark, t).count() == 149)
+  }
+
   test("cloneTable: zero-copy hard-link clone; full metadata carriage; independent evolution") {
     val src = tmp("graft_log_clone_src")
     TableLog.create(spark, src, spark.range(1000).select($"id".as("k"),
