@@ -1648,6 +1648,13 @@ class TableLogSpec extends SparkSpec {
     // cloning onto an existing table refused
     intercept[IllegalArgumentException](
       TableLog.cloneTable(spark, src, dst))
+    // restore below the clone point refuses descriptively (that
+    // history belongs to src, not the clone), and restore to the
+    // clone's own first version works
+    val e2 = intercept[RuntimeException](TableLog.restore(spark, dst, 2))
+    assert(e2.getMessage.contains("not resolvable"))
+    TableLog.restore(spark, dst, 5)
+    assert(TableLog.read(spark, dst).count() == 1098)
   }
 
   test("restore: metadata-only rewind of files, sidecars, schema, and op history; guards hold") {
