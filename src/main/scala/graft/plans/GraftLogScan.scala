@@ -144,6 +144,14 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
       case (o, RelSide(rel, c)) if !preservedRight => (rel, c, false, o)
       case _ => return None
     }
+    // the other side executes TWICE — once here for its key set, once
+    // in the real join. A nondeterministic plan (rand() filter,
+    // unseeded sample) yields DIFFERENT rows across the two runs, so
+    // files would be pruned against a stale key set and matching rows
+    // silently vanish — violating "stats prune IO, never semantics".
+    // Bail unless fully deterministic, mirroring InjectRuntimeFilter's
+    // guard on Spark's own runtime filters.
+    if (other.exists(_.expressions.exists(!_.deterministic))) return None
     // never execute an other side that itself contains an unexpanded
     // log relation of a LARGE table — the bytes gate below covers it,
     // but a missing-stats default must not sneak through

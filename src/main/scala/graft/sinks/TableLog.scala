@@ -1699,6 +1699,33 @@ object TableLog {
         "schema_ops", "checks", "ts_ms")
   }
 
+  /** The retention floor shared by `vacuum` and `vacuumPreview`:
+    * retention is CHECKPOINT-granular, so the floor is the newest FULL
+    * manifest at-or-below the requested version (a retained delta
+    * resolves against its chain back to that checkpoint; v1 is full on
+    * a from-scratch table, so the descending search normally lands).
+    * On a CLONE — whose log STARTS at the fork version, with nothing
+    * below it — or a table re-vacuumed with a WIDER window, every
+    * version at-or-below `requested` may be missing: then the floor is
+    * the earliest EXISTING manifest, which is always a full checkpoint
+    * (a clone's first manifest and a post-vacuum floor are both full —
+    * verified here, because replaying from a delta base would resolve
+    * every later version against the wrong file set). Versions below
+    * the floor are treated as already dropped. */
+  private def floorAtFullManifest(table: String, requested: Long,
+      latest: Long): Long =
+    (requested to 1L by -1L).find(v =>
+      parseRec(manifestPath(table, v)).exists(_.kind == "full"))
+      .getOrElse {
+        val earliest = (1L to latest).find(v =>
+          Files.exists(manifestPath(table, v))).getOrElse(latest)
+        require(parseRec(manifestPath(table, earliest))
+            .exists(_.kind == "full"),
+          s"vacuum floor of $table: earliest retained manifest " +
+            s"v$earliest is not a full checkpoint — log unreplayable")
+        earliest
+      }
+
   /** Dry-run twin of `vacuum`: what WOULD be reclaimed — retired
     * manifest versions and unreferenced data files — without touching
     * anything. Same retention math (checkpoint-granular floor, union
@@ -1711,9 +1738,7 @@ object TableLog {
     if (latest == 0) return (Nil, Nil)
     val requested = math.max(1L,
       math.min(keepFromVersion, latest - keepVersions.toLong + 1))
-    val dropBelow = (requested to 1L by -1L).find(v =>
-      parseRec(manifestPath(table, v)).exists(_.kind == "full"))
-      .getOrElse(1L)
+    val dropBelow = floorAtFullManifest(table, requested, latest)
     val droppedVersions = (1L until dropBelow)
       .filter(v => Files.exists(manifestPath(table, v)))
     val referenced: Set[String] = {
@@ -1721,18 +1746,25 @@ object TableLog {
       var cur: Seq[FileEntry] = Nil
       var curDels: Seq[DeleteEntry] = Nil
       (dropBelow to latest).foreach { v =>
-        parseRec(manifestPath(table, v)).foreach { r =>
-          cur =
-            if (r.kind == "full") r.files
-            else {
-              val rm = r.removes.toSet
-              cur.filterNot(f => rm(f.path)) ++ r.adds
-            }
-          curDels =
-            if (r.kind == "full") r.dels else curDels ++ r.delAdds
-          acc ++= cur.iterator.map(_.path)
-          acc ++= curDels.iterator.map(_.file.path)
-        }
+        // mirror vacuum's replay exactly: an unreadable RETAINED
+        // manifest ABORTS — a lenient preview would under-build
+        // `referenced` and report still-referenced files as
+        // reclaimable, diverging from the sweep it claims to dry-run
+        // (missing-prefix versions BELOW the floor are legitimately
+        // absent and never reach this loop)
+        val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
+          s"vacuumPreview of $table: retained manifest v$v unreadable " +
+            "— the real vacuum would abort here"))
+        cur =
+          if (r.kind == "full") r.files
+          else {
+            val rm = r.removes.toSet
+            cur.filterNot(f => rm(f.path)) ++ r.adds
+          }
+        curDels =
+          if (r.kind == "full") r.dels else curDels ++ r.delAdds
+        acc ++= cur.iterator.map(_.path)
+        acc ++= curDels.iterator.map(_.file.path)
       }
       acc.toSet
     }
@@ -3254,9 +3286,7 @@ object TableLog {
     // timestamp contract depends on this)
     val requested = math.max(1L,
       math.min(keepFromVersion, latest - keepVersions.toLong + 1))
-    val dropBelow = (requested to 1L by -1L).find(v =>
-      parseRec(manifestPath(table, v)).exists(_.kind == "full"))
-      .getOrElse(1L)
+    val dropBelow = floorAtFullManifest(table, requested, latest)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // drop retired manifests first so their references stop counting;
     // deleteIfExists — two concurrent vacuums race here, and the loser

@@ -214,6 +214,16 @@ class LogScanSpec extends SparkSpec {
       assert(filesScanned(jd) == 8)
       assert(jd.count() == 3)
     } finally spark.conf.unset(graft.plans.PruneLogScan.DYN_KEY)
+    // NONDETERMINISTIC dim side: the dim executes once at planning and
+    // once in the real join, so a rand()-dependent plan could yield a
+    // stale key set — pruning must bail to the full scan, rows intact.
+    // (rand() < 2.0 won't do: Catalyst folds provably-true rand
+    // comparisons away before the rule runs — this one it can't.)
+    val ndim = dim.where(monotonically_increasing_id() >= 0)
+    val jn = TableLog.scan(spark, t).join(ndim, Seq("k"))
+    assert(filesScanned(jn) == 8,
+      "nondeterministic dim must defeat dynamic pruning")
+    assert(jn.count() == 3)
   }
 
   test("scanVersion/scanAsOf: declarative time travel keeps pruning and each version's own schema") {

@@ -602,6 +602,54 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).count() == dataBefore)
   }
 
+  test("vacuum floors at the earliest EXISTING manifest: clones and re-widened windows") {
+    val src = tmp("graft_log_cvac_src")
+    TableLog.create(spark, src, spark.range(100).select($"id".as("k"))
+      .coalesce(1), statsCols = Seq("k"))                          // v1
+    TableLog.append(spark, src, spark.range(100, 200)
+      .select($"id".as("k")).coalesce(1), statsCols = Seq("k"))    // v2
+    val dst = tmp("graft_log_cvac_dst")
+    assert(TableLog.cloneTable(spark, src, dst) == 2) // log starts at v2
+    // DEFAULT-window vacuum on a fresh clone: nothing below the fork
+    // exists — the floor must land on the fork manifest, not crash
+    // replaying a missing v1
+    TableLog.vacuum(spark, dst, olderThanMs = 0)
+    assert(TableLog.read(spark, dst).count() == 200)
+    // preview takes the same floor
+    val (pv, pf) = TableLog.vacuumPreview(dst)
+    assert(pv.isEmpty && pf.isEmpty)
+    // evolve past a checkpoint so a narrow vacuum really drops
+    // manifests, then RE-VACUUM WIDER: the requested floor is below
+    // every existing manifest — must floor at the earliest existing
+    (1 to 8).foreach(i => TableLog.append(spark, dst,
+      spark.range(200L + i * 10, 210L + i * 10).select($"id".as("k"))
+        .coalesce(1), statsCols = Seq("k")))              // v3..v10
+    TableLog.vacuum(spark, dst, keepVersions = 1, olderThanMs = 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "_log", "v00000002.manifest")),
+      "narrow vacuum should have dropped the fork manifest")
+    TableLog.vacuum(spark, dst, keepVersions = 1000, olderThanMs = 0)
+    assert(TableLog.read(spark, dst).count() == 280)
+    assert(TableLog.vacuumPreview(dst, keepVersions = 1000)._1.isEmpty)
+  }
+
+  test("vacuumPreview aborts on an unreadable RETAINED manifest (mirrors vacuum)") {
+    val t = tmp("graft_log_pvabort")
+    TableLog.create(spark, t, spark.range(100).toDF("id"))
+    TableLog.append(spark, t, spark.range(100, 200).toDF("id"))
+    TableLog.append(spark, t, spark.range(200, 300).toDF("id"))
+    val p2 = java.nio.file.Paths.get(t, "_log", "v00000002.manifest")
+    val lines = java.nio.file.Files.readString(p2)
+    java.nio.file.Files.writeString(p2, lines.replace("end=true\n", ""))
+    // a lenient preview would under-build `referenced` and report
+    // still-referenced files as reclaimable — it must abort like the
+    // sweep it claims to dry-run
+    val ex = intercept[RuntimeException](TableLog.vacuumPreview(t))
+    assert(ex.getMessage.contains("v2"))
+    java.nio.file.Files.writeString(p2, lines)
+    assert(TableLog.vacuumPreview(t)._2.isEmpty)
+  }
+
   test("cumulative counters: atomic with the commit, O(1) read, replay-safe") {
     val t = tmp("graft_log_counters")
     TableLog.create(spark, t, spark.range(10).toDF("id"),
