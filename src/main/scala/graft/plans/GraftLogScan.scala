@@ -35,16 +35,13 @@ final case class GraftLogRelation(table: String, snapshot: TableLog.Snapshot,
   override def newInstance(): GraftLogRelation =
     copy(output = output.map(_.newInstance()))
 
-  /** Real bytes from the manifest's file list — so anything consulting
-    * logical stats before expansion (join-size heuristics) sees the
-    * table's actual footprint, not a default. */
-  override def computeStats(): Statistics = Statistics(sizeInBytes = {
-    val b = snapshot.files.map { f =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(table, f.path))
-      catch { case _: java.io.IOException => 0L }
-    }.sum
-    BigInt(b).max(1)
-  })
+  /** Real bytes from the MANIFEST's write-time sizes — so anything
+    * consulting logical stats before expansion (join-size heuristics,
+    * the dynamic-prune gate) sees the table's actual footprint with
+    * ZERO filesystem calls at planning (legacy pre-bytes entries fall
+    * back to one counted stat each — `TableLog.fileBytes`). */
+  override def computeStats(): Statistics = Statistics(sizeInBytes =
+    BigInt(snapshot.files.map(TableLog.fileBytes(table, _)).sum).max(1))
 
   override def simpleString(maxFields: Int): String =
     s"GraftLogRelation $table v${snapshot.version} " +

@@ -73,9 +73,34 @@ object TableLog {
     * committed at version D applies to a file iff `ver < D` (the file
     * existed when the delete landed); rows appended later under the
     * same key are NOT deleted. Carried inline in the manifest entry,
-    * so resolution preserves it through checkpoints and deltas. */
+    * so resolution preserves it through checkpoints and deltas.
+    *
+    * `bytes`: the file's on-disk size, recorded at WRITE time (−1 on
+    * legacy entries). Everything that needs table footprint — the
+    * declarative relation's `computeStats` (which gates the dynamic
+    * join prune), `detail`, `compact`/`compactSmall` sizing — sums
+    * this from the manifest instead of stat-ing every data file on
+    * the driver: at 100 TB a per-plan O(files) stat storm is millions
+    * of object-store metadata RPCs before a single task launches.
+    * Legacy entries fall back to a counted filesystem stat
+    * (`fileBytes`). */
   final case class FileEntry(path: String, stats: Seq[FileStat],
-      strStats: Seq[FileStrStat] = Nil, ver: Long = 0L)
+      strStats: Seq[FileStrStat] = Nil, ver: Long = 0L,
+      bytes: Long = -1L)
+
+  /** Manifest-first file size: the write-time `bytes` when carried,
+    * else one counted stat (legacy pre-bytes entries; a vanished path
+    * reads 0). `statFallbacks` makes "zero filesystem calls at
+    * planning" spec-pinnable. */
+  private[graft] val statFallbacks =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] def fileBytes(table: String, f: FileEntry): Long =
+    if (f.bytes >= 0) f.bytes
+    else {
+      statFallbacks.incrementAndGet()
+      try Files.size(Paths.get(table, f.path))
+      catch { case _: java.io.IOException => 0L }
+    }
 
   /** A merge-on-read DELETE sidecar: a small parquet of deleted keys
     * (single column named `keyCol`), committed at version `ver` with
@@ -204,13 +229,17 @@ object TableLog {
   }
 
   // entry codec, shared by `file=` (checkpoint) and `add=` (delta)
-  // lines: `<path>` plus stat segments `;<col>:<min>:<max>` (long) or
-  // `;~<enc col>:<enc min>:<enc max>` (string, URL-encoded) — paths
-  // are uuid-dir/part-file names, which never contain ';' or ':'
+  // lines: `<path>` plus segments `;@<ver>` (added-at version),
+  // `;#<bytes>` (write-time size), `;<col>:<min>:<max>` (long stat) or
+  // `;~<enc col>:<enc min>:<enc max>` (string stat, URL-encoded) —
+  // paths are uuid-dir/part-file names, which never contain ';' or ':'.
+  // Segments are ADDITIVE: a parser that predates one ignores unknown
+  // prefixes, and absence reads as the legacy default (ver 0, bytes −1)
   private def renderEntry(f: FileEntry): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     f.path +
       (if (f.ver > 0) s";@${f.ver}" else "") +
+      (if (f.bytes >= 0) s";#${f.bytes}" else "") +
       f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
       f.strStats.map(st =>
         s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
@@ -220,7 +249,8 @@ object TableLog {
     def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
     val parts = s.split(";")
     val segs = parts.tail.toSeq
-    val (verSegs, statSegs) = segs.partition(_.startsWith("@"))
+    val (verSegs, rest0) = segs.partition(_.startsWith("@"))
+    val (byteSegs, statSegs) = rest0.partition(_.startsWith("#"))
     val (strSegs, longSegs) = statSegs.partition(_.startsWith("~"))
     FileEntry(parts.head,
       longSegs.map { st =>
@@ -231,7 +261,8 @@ object TableLog {
         val Array(c, mn, mx) = st.drop(1).split(":", 3)
         FileStrStat(dec(c), dec(mn), dec(mx))
       },
-      ver = verSegs.headOption.map(_.drop(1).toLong).getOrElse(0L))
+      ver = verSegs.headOption.map(_.drop(1).toLong).getOrElse(0L),
+      bytes = byteSegs.headOption.map(_.drop(1).toLong).getOrElse(-1L))
   }
 
   // delete-sidecar codec: `del=` (full manifests: complete set) and
@@ -606,8 +637,13 @@ object TableLog {
       }
     (names.map { n =>
       val (ls, ss) = statsByName.getOrElse(n, (Nil, Nil))
+      // size recorded NOW, while the writer already holds the file's
+      // metadata hot — every later footprint question (computeStats,
+      // detail, compaction sizing) becomes a manifest lookup
       FileEntry(s"data/$setId/$n", ls,
-        ss ++ bloomByName.getOrElse(n, Nil))
+        ss ++ bloomByName.getOrElse(n, Nil),
+        bytes = try Files.size(Paths.get(outDir, n))
+          catch { case _: java.io.IOException => -1L })
     }, rows)
   }
 
@@ -1684,14 +1720,13 @@ object TableLog {
   /** One-row operational summary — the DESCRIBE DETAIL face: current
     * version, row count, live file count and bytes, pending MOR
     * sidecars, schema-op and CHECK-constraint counts, and the commit
-    * timestamp. Driver-side metadata only (file sizes are the one
-    * filesystem touch, O(files) stats). */
+    * timestamp. Pure manifest metadata — sizes come from the
+    * write-time `bytes` field (stat fallback only for legacy
+    * entries). */
   def detail(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val s = snapshotOrFail(table)
-    val bytes = s.files.map(f =>
-      try Files.size(Paths.get(table, f.path))
-      catch { case _: java.io.IOException => 0L }).sum
+    val bytes = s.files.map(fileBytes(table, _)).sum
     Seq((s.version, s.rows, s.files.size.toLong, bytes,
       s.dels.size.toLong, s.schemaOps.size.toLong, s.checks.size.toLong,
       commitTimestamp(table, s.version).getOrElse(0L)))
@@ -2522,8 +2557,8 @@ object TableLog {
     rewrite(spark, table, "compact", statsCols = statsCols,
         strStatsCols = strStatsCols,
         bloomStatsCols = bloomStatsCols) { df =>
-      val bytes = snapshot(table).get.files.map(f =>
-        Files.size(Paths.get(table, f.path))).sum
+      val bytes = snapshot(table).get.files
+        .map(fileBytes(table, _)).sum
       df.coalesce(math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
     }
 
@@ -2555,8 +2590,12 @@ object TableLog {
     while (committed < 0) {
       val base = snapshotOrFail(table)
       val sized = base.files.map { f =>
-        // a concurrently-vacuumed path is not ours to pack
-        f -> (try Files.size(Paths.get(table, f.path))
+        // manifest-carried size first (the streaming auto-OPTIMIZE
+        // tick must not stat O(table) files per run); legacy entries
+        // stat once, and a concurrently-vacuumed legacy path reads as
+        // not-small — not ours to pack
+        f -> (if (f.bytes >= 0) f.bytes
+              else try Files.size(Paths.get(table, f.path))
               catch { case _: java.io.IOException => Long.MaxValue })
       }
       val small = sized.filter(_._2 < smallBytes)

@@ -226,6 +226,46 @@ class LogScanSpec extends SparkSpec {
     assert(jn.count() == 3)
   }
 
+  test("scan planning reads file sizes from the manifest — zero filesystem stats") {
+    val t = mkTable()
+    val rel = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {
+      case r: graft.plans.GraftLogRelation => r
+    }.get
+    TableLog.statFallbacks.set(0)
+    val fromManifest = rel.computeStats().sizeInBytes
+    assert(fromManifest > 1, "stats must reflect the real footprint")
+    assert(TableLog.statFallbacks.get() == 0,
+      "computeStats must not stat data files on a bytes-carrying manifest")
+    // the manifest sizes are the TRUE sizes
+    val real = TableLog.snapshot(t).get.files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, f.path))).sum
+    assert(fromManifest == BigInt(real))
+    // a full plan through the dyn-join gate (which reads these stats
+    // for the dim side) also stays stat-free
+    val dimT = tmp("graft_log_scan_dim")
+    TableLog.create(spark, dimT, spark.range(3)
+      .select(($"id" + 100).as("k"), lit("d").as("name")).coalesce(1),
+      statsCols = Seq("k"))
+    TableLog.statFallbacks.set(0)
+    val j = TableLog.scan(spark, t).join(TableLog.scan(spark, dimT), Seq("k"))
+    assert(filesScanned(j) >= 1)
+    assert(TableLog.statFallbacks.get() == 0,
+      "dyn-prune size gate must read manifest bytes, not stat files")
+    assert(j.count() == 3)
+    // LEGACY manifest (pre-bytes entries): strip the `;#` segments —
+    // stats still answer, via the counted stat fallback
+    val mf = java.nio.file.Paths.get(t, "_log", "v00000001.manifest")
+    val txt = java.nio.file.Files.readString(mf)
+    java.nio.file.Files.writeString(mf, txt.replaceAll(";#[0-9]+", ""))
+    val rel2 = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {
+      case r: graft.plans.GraftLogRelation => r
+    }.get
+    TableLog.statFallbacks.set(0)
+    assert(rel2.computeStats().sizeInBytes == BigInt(real))
+    assert(TableLog.statFallbacks.get() == 8,
+      "legacy entries fall back to one stat each")
+  }
+
   test("scanVersion/scanAsOf: declarative time travel keeps pruning and each version's own schema") {
     val t = mkTable()                                           // v1
     val ts1 = TableLog.commitTimestamp(t, 1L).get

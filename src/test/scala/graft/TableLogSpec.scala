@@ -1442,8 +1442,11 @@ class TableLogSpec extends SparkSpec {
     val bigSize = java.nio.file.Files.size(
       java.nio.file.Paths.get(t, bigPath))
     val sumBefore = TableLog.read(spark, t).agg(sum("v")).head.getLong(0)
+    TableLog.statFallbacks.set(0)
     val v = TableLog.compactSmall(spark, t, smallBytes = bigSize / 2,
       statsCols = Seq("k"))
+    assert(TableLog.statFallbacks.get() == 0,
+      "auto-OPTIMIZE sizing must read manifest bytes, not stat O(table)")
     val after = TableLog.snapshot(t).get
     val afterPaths = after.files.map(_.path).toSet
     assert(afterPaths.contains(bigPath), "big file must carry by reference")
@@ -1624,9 +1627,18 @@ class TableLogSpec extends SparkSpec {
     TableLog.compact(spark, t, 1L << 26)                          // v3 full
     TableLog.deleteMor(spark, t, "k", Seq(5L).toDF("k"))          // v4
     TableLog.addCheckConstraint(spark, t, "k_pos", "k >= 0")      // v5
+    // manifest carries write-time sizes: detail is ZERO filesystem
+    // stats, and the sizes are the true ones
+    val snap = TableLog.snapshot(t).get
+    snap.files.foreach(f => assert(f.bytes ==
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, f.path)),
+      s"manifest bytes must match disk for ${f.path}"))
+    TableLog.statFallbacks.set(0)
     val d = TableLog.detail(spark, t).head
+    assert(TableLog.statFallbacks.get() == 0,
+      "detail must not stat data files on a bytes-carrying manifest")
     assert(d.getLong(0) == 5 && d.getLong(1) == 149)
-    assert(d.getLong(3) > 0, "bytes")
+    assert(d.getLong(3) == snap.files.map(_.bytes).sum, "bytes")
     assert(d.getLong(4) == 1 && d.getLong(6) == 1)
     assert(d.getLong(7) > 0, "ts")
     // preview names exactly what vacuum then reclaims
