@@ -2689,23 +2689,46 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token").asc)
       .limit(40)
 
-  /** TRAINED BPE end-to-end: fit rules on the corpus itself
-    * (`Bpe.train` — one distributed word histogram, then the driver
-    * merge loop over the Zipf-compressed word-frequency dict), then
-    * encode the corpus with the learned model. Training is an
-    * iterative argmax — not relationally expressible — so this entry
-    * has NO SQL oracle (the driver records its rows-only check); the
-    * merge loop itself is pinned against a hand-computed fixture and a
-    * partitioning-invariance property in ExtOpsSpec, and the encoder
-    * is the same expression `e4_bpe_encode` oracles. */
+  /** TRAINED BPE end-to-end, gated under the oracle by SELF-VERIFYING
+    * INVARIANTS (the `recall_floor_ok` pattern): training is an
+    * iterative argmax no SQL replays, but the trained model + encoder
+    * satisfy corpus-wide properties whose expected values DuckDB
+    * computes from the raw table — (1) every document round-trips:
+    * the concatenated token stream equals the pre-tokenized text
+    * (lowercased, non-alphanumerics dropped — `Bpe.words`' contract),
+    * (2) every document's token count is bounded by its character
+    * count, (3) the model is WELL-FORMED (driver-checked, folded to a
+    * constant): non-empty, ≤ numMerges rules, and each rule's parts
+    * are single training-set characters or EARLIER merge products
+    * (rank monotonicity — the property that licenses the in-order
+    * encoder). A trainer that emitted malformed rules, or an encoder
+    * that dropped/duplicated a token anywhere in the corpus, changes
+    * the hash. The merge loop itself is additionally pinned against a
+    * hand-computed fixture and a partitioning-invariance property in
+    * ExtOpsSpec; the encoder is the same expression `e4_bpe_encode`
+    * oracles value-by-value under a fixed rule list. */
   private def e4BpeTrain(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val model = graft.functions.Bpe.train(docs, "text", numMerges = 200)
-    docs.select(explode(graft.functions.Bpe.encode(col("text"), model))
-        .as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(30)
+    val wellFormed = model.merges.nonEmpty &&
+      model.merges.length <= 200 && {
+        val known = scala.collection.mutable.HashSet[String](
+          model.chars.toIndexedSeq: _*)
+        model.merges.forall { case (x, y) =>
+          val ok = known(x) && known(y); known += x + y; ok
+        }
+      }
+    docs
+      .select(graft.functions.Bpe.encode(col("text"), model).as("toks"),
+        col("text"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(concat_ws("", col("toks")) ===
+            regexp_replace(lower(col("text")), "[^a-z0-9]+", ""), 1L)
+          .otherwise(0L)).as("roundtrip_ok"),
+        sum(when(size(col("toks")).cast("long") <= col("n_chars"), 1L)
+          .otherwise(0L)).as("tokens_bounded"))
+      .withColumn("rules_ok", lit(if (wellFormed) 1L else 0L))
   }
 
   /** Count-Min sketch over all document tokens, dumped as (depth, bucket,
@@ -4402,6 +4425,15 @@ object SparkEntry {
         |CAST(bit_xor(l_suppkey) AS BIGINT) AS k_xor,
         |CAST(MAX(l_linenumber << 2) AS BIGINT) AS max_shift
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the trained-BPE invariants: the oracle predicts every in-plan
+    // check holds corpus-wide (round-trip and token-bound counts =
+    // n_docs; the driver-verified model well-formedness = 1)
+    "e4_bpe_train" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS roundtrip_ok,
+        |CAST(count(*) AS BIGINT) AS tokens_bounded,
+        |CAST(1 AS BIGINT) AS rules_ok
+        |FROM documents""".stripMargin,
     "e4_bpe_tokens" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text,
