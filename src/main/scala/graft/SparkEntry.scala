@@ -740,6 +740,65 @@ object SparkEntry {
     tl.read(s, t).orderBy("o_orderkey")
   }
 
+  /** MERGE-ON-READ update under the oracle: `o51_update_where`'s exact
+    * semantics (same slice, predicate, and set clauses) through
+    * `updateMor` on a DELIBERATELY UNCLUSTERED layout — every file
+    * spans the whole key range, so the COW path would rewrite the lot
+    * while the MOR commit writes only the matched new images + a key
+    * sidecar and carries every base file by reference (zero-rewrite
+    * mechanics spec-pinned in TableLogSpec; the oracle pins the
+    * replace-on-read result relationally, including the l_orderkey
+    * key grouping — all lines of an order match together). */
+  private def o63UpdateMor(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/umor_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "lineitem").where(col("l_orderkey") % 10 === 7)
+      .select(col("l_orderkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        col("l_returnflag"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartition(8, col("qty")),
+      statsCols = Seq("l_orderkey"))
+    tl.updateMor(s, t, "l_orderkey", "l_orderkey", 2000, 20000,
+      Map("qty" -> (col("qty") + 100), "l_returnflag" -> lit("X")),
+      statsCols = Seq("l_orderkey"))
+    tl.read(s, t).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MERGE-ON-READ upsert under the oracle: `o48_merge_cow`'s exact
+    * latest-wins algebra (update band + past-domain inserts on the
+    * orders key) through `mergeMor` on an unclustered layout — the
+    * commit is the source files + a key sidecar, zero base-file
+    * rewrites (spec-pinned); the oracle replays the merge as a full
+    * outer join, so a fence error (old image surviving, late row
+    * swallowed) changes the hash. */
+  private def o66MergeMor(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/mmor_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        cents(col("o_totalprice")).as("price_c"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartition(8, col("status")),
+      statsCols = Seq("o_orderkey"))
+    val upd = base.where(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        (col("price_c") + 500).as("price_c"))
+    val maxKey = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+        lit("I").as("status"), col("price_c"))
+    tl.mergeMor(s, t, upd.unionByName(ins), "o_orderkey",
+      statsCols = Seq("o_orderkey"))
+    tl.read(s, t).groupBy("status")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("status")
+  }
+
   /** Column rename + drop as PURE-METADATA commits: v1 writes under
     * the old names, a rename redirects old files' physical columns at
     * read, a drop followed by a same-name re-add must NOT resurrect
@@ -3336,6 +3395,8 @@ object SparkEntry {
     "o53_read_asof" -> (o53ReadAsOf _),
     "o54_merge_cow_str" -> (o54MergeCowStr _),
     "o52_delete_mor" -> (o52DeleteMor _),
+    "o63_update_mor" -> (o63UpdateMor _),
+    "o66_merge_mor" -> (o66MergeMor _),
     "o55_schema_evolution" -> (o55SchemaEvolution _),
     "o56_history" -> (o56History _),
     "o57_log_scan" -> (o57LogScan _),
@@ -4678,6 +4739,40 @@ object SparkEntry {
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the SAME CASE WHEN transform as o51 — which commit strategy the
+    // update took (COW rewrite vs MOR sidecar) must be invisible to
+    // the reader; only the zero-rewrite mechanics differ (spec-pinned)
+    "o63_update_mor" ->
+      """WITH li AS (SELECT l_orderkey,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty, l_returnflag
+        |  FROM lineitem WHERE l_orderkey % 10 = 7),
+        |u AS (SELECT l_orderkey,
+        |  CASE WHEN l_orderkey BETWEEN 2000 AND 20000
+        |    THEN qty + 100 ELSE qty END AS qty,
+        |  CASE WHEN l_orderkey BETWEEN 2000 AND 20000
+        |    THEN 'X' ELSE l_returnflag END AS l_returnflag FROM li)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the same latest-wins merge algebra as o48, aggregated — the MOR
+    // sidecar commit must read identically to the COW rewrite
+    "o66_merge_mor" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |u AS (SELECT o_orderkey, 'U' AS status, price_c + 500 AS price_c
+        |  FROM t WHERE o_orderkey % 7 = 3),
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
+        |  'I' AS status, price_c FROM t WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM u UNION ALL SELECT * FROM i),
+        |m AS (SELECT COALESCE(src.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.status ELSE t.status END AS status,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE t.price_c END AS price_c
+        |  FROM t FULL OUTER JOIN src ON t.o_orderkey = src.o_orderkey)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM m GROUP BY status ORDER BY status""".stripMargin,
     // latest-version-wins over the typed feed: every key re-inserted at
     // v2 (update), the v3 delete range erased — the final keyed state
     "o49_cdc_apply" ->

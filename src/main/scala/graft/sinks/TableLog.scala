@@ -2153,10 +2153,11 @@ object TableLog {
                   out ++= publishCdcChanges(spark, table, v, rmP, addP,
                     r.schemaJson, captureInserts = act != "delete",
                     prevSnap)
-                case "delete_mor" if cdcFeedEnabled(table) =>
+                case act @ ("delete_mor" | "update_mor" | "merge_mor")
+                    if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
-                    s"publishFeed($table): healing version $v's " +
-                      "delete_mor capture needs a SparkSession — call " +
+                    s"publishFeed($table): healing version $v's $act " +
+                      "capture needs a SparkSession — call " +
                       "publishFeed(spark, table)"))
                   val newDels =
                     if (r.kind == "delta") r.delAdds
@@ -2165,11 +2166,23 @@ object TableLog {
                         .getOrElse(Set.empty[String])
                       r.dels.filterNot(d => pd(d.file.path))
                     }
+                  // old images of the sidecar-deleted keys, as deletes
                   out ++= publishCdcMorDelete(spark, table, v,
                     prevSnap.getOrElse(sys.error(
                       s"publishFeed($table): v${v - 1} unresolvable " +
-                        "while capturing v$v's delete_mor")),
+                        s"while capturing v$v's $act")),
                     newDels, r.schemaJson)
+                  // update/merge MOR also ADD new-image files: link
+                  // them raw as inserts (absent `_change_type` reads
+                  // 'insert'), zero data rewrite — applyCdc's per-key
+                  // resolution lets the same-version insert win over
+                  // the delete, which is the update's meaning
+                  if (act != "delete_mor") {
+                    val adds =
+                      if (r.kind == "delta") r.adds.map(_.path)
+                      else r.files.map(_.path).filterNot(prev)
+                    out ++= adds.map(p => linkIntoFeed(table, v, p))
+                  }
                 case other => sys.error(
                   s"publishFeed($table): version $v is a data-changing " +
                     s"rewrite ('$other') this feed cannot represent" +
@@ -2812,6 +2825,214 @@ object TableLog {
       if (feedEnabled(table)) publishFeed(spark, table)
       committed
     } finally { keyDf.unpersist(); () }
+  }
+
+  /** MERGE-ON-READ update — `updateWhere` semantics (same predicate,
+    * same one-projection set-clause contract) with ZERO data-file
+    * rewrites: the commit writes only the matched rows' NEW IMAGES as
+    * ordinary data files plus a delete-key SIDECAR of their `keyCol`
+    * values; every base file carries over by reference. The sidecar
+    * (version V) fences only files with ver < V, and the new images
+    * are stamped V — so reads see old images vanish and new images
+    * appear atomically, and rows appended later under the same key
+    * are untouched. This is the scattered-update complement to
+    * `updateWhere`'s copy-on-write: on an UNCLUSTERED 100 TB table a
+    * scattered predicate overlaps nearly every file's [min,max] and
+    * COW rewrites the lot — here the write cost is O(matched rows),
+    * independent of table size, and `compact()`/any full rewrite
+    * materializes the sidecar away. Unlike the COW faces, key-sharing
+    * rows must match the predicate TOGETHER (audited: a key whose
+    * rows straddle the predicate boundary would lose its non-matching
+    * rows to the sidecar — refused before committing). `set` may
+    * rewrite `keyCol` itself (old key deleted, new image inserted
+    * under the new key — an upsert-style move). Row count is
+    * invariant and audited; CHECK constraints re-validate the new
+    * images; CDC feeds capture old images as deletes + new images as
+    * inserts (same per-key resolution as a COW update). Returns the
+    * committed version (unchanged if nothing matches). */
+  def updateMor(spark: SparkSession, table: String, keyCol: String,
+      c: String, lo: Long, hi: Long, set: Map[String, Column],
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "updateMor: empty set clause")
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"updateMor on feed-enabled table $table: the append-only " +
+        "change feed cannot represent an update — " +
+        s"enableCdcFeed($table) to capture it as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val cond = coalesce(col(c).cast("long").between(lo, hi), lit(false))
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      val affected = prunedFilesOf(base, c, lo, hi)
+      if (affected.isEmpty) return base.version
+      val scan = morScan(spark, table, base, affected)
+      set.keys.foreach(k => require(scan.columns.contains(k),
+        s"updateMor: set column $k not in $table's schema"))
+      require(scan.columns.contains(keyCol),
+        s"updateMor: key column $keyCol not in $table's schema")
+      val matched = scan.where(cond).cache()
+      try {
+        val mst = matched.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.count(col(keyCol))).head()
+        val matchedRows = mst.getLong(0)
+        if (matchedRows == 0) return base.version
+        // a NULL key is unaddressable by the sidecar anti-join: its
+        // old image would never vanish while its new image appears
+        require(mst.getLong(1) == matchedRows,
+          s"updateMor on $table: ${matchedRows - mst.getLong(1)} " +
+            s"matched row(s) have a NULL $keyCol — a MOR update " +
+            "cannot address them; use updateWhere")
+        val isString = scan.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.StringType
+        val keyDf = matched.select(col(keyCol)).distinct()
+        // COVERAGE audit: the sidecar deletes EVERY row carrying a
+        // matched key from every fenced file — if any key-sharing row
+        // does NOT match the predicate, committing would silently
+        // lose it. One key-column-only scan over the key-pruned
+        // candidates, same cost class as deleteMor's audit.
+        val candidates = keyPruneOf(spark, keyDf, keyCol, isString)(base)
+        val withKeys = morScan(spark, table, base, candidates)
+          .select(col(keyCol))
+          .join(keyDf, Seq(keyCol), "left_semi").count()
+        require(withKeys == matchedRows,
+          s"updateMor on $table: ${withKeys - matchedRows} row(s) " +
+            s"share a matched $keyCol but do not match the predicate " +
+            "— a MOR update would lose them; widen the predicate or " +
+            "use updateWhere")
+        // new images: ONE projection off the matched scan — every set
+        // RHS reads the pre-update row (the updateWhere contract)
+        val updated = matched.select(scan.columns.map(k =>
+          set.get(k).map(_.as(k)).getOrElse(col(k))): _*)
+        scan.schema.fields.zip(updated.schema.fields).foreach {
+          case (o, n) => require(o.dataType == n.dataType,
+            s"updateMor: set expression for ${o.name} has type " +
+              s"${n.dataType.simpleString}, column is " +
+              s"${o.dataType.simpleString} — cast the expression " +
+              "explicitly (the manifest schema is not changed by update)")
+        }
+        enforceChecks(spark, table, base.checks, updated, "updateMor")
+        val (newFiles, newRows) = writeDataFiles(spark, table, updated,
+          statsCols, strStatsCols, bloomStatsCols)
+        require(newRows == matchedRows,
+          s"updateMor audit failed for $table: wrote $newRows new " +
+            s"images for $matchedRows matched rows — not committing")
+        val (delFiles, _) = writeDataFiles(spark, table, keyDf,
+          if (isString) Nil else Seq(keyCol),
+          if (isString) Seq(keyCol) else Nil, Nil)
+        val version = base.version + 1
+        val stamped = newFiles.map(_.copy(ver = version))
+        val newDels = delFiles.map(f =>
+          DeleteEntry(f.copy(ver = version), keyCol, version))
+        val r =
+          if (version % checkpointInterval == 0)
+            ManifestRec(version, base.version, "update_mor", base.rows,
+              "full", base.files ++ stamped, Nil, Nil,
+              base.dels ++ newDels, Nil, txnId, base.schemaJson,
+              base.counters)
+          else
+            ManifestRec(version, base.version, "update_mor", base.rows,
+              "delta", Nil, stamped, Nil, Nil, newDels, txnId,
+              base.schemaJson, base.counters)
+        if (tryCommit(table, r)) committed = version
+        // CAS loss: re-read the base and redo; orphaned files are
+        // invisible garbage until vacuum
+      } finally { matched.unpersist(); () }
+    }
+    // typed-feed capture: old images as deletes + new images as inserts
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
+  /** MERGE-ON-READ upsert — `mergeCow` semantics (latest-wins on
+    * `keyCol`, NULL/duplicate source keys refused) with ZERO data-file
+    * rewrites: the commit writes the SOURCE rows as ordinary data
+    * files plus a delete-key sidecar of the source keys; matched
+    * snapshot rows vanish behind the version fence, unmatched keys'
+    * sidecar entries are harmless no-ops, and every base file carries
+    * over by reference. Write cost is O(source), independent of table
+    * size — the scattered-key complement to `mergeCow`, whose COW
+    * rewrite on an unclustered table touches nearly every stat-
+    * overlapping file. The read-side cost (one anti-join per sidecar
+    * cohort) accrues until `compact()`/any full rewrite materializes;
+    * a merge-heavy table alternates mergeMor batches with periodic
+    * compaction, exactly like Delta/Iceberg MOR maintenance. Row
+    * count audited as base − matched + source (matched counted by a
+    * key-only semi join over key-pruned candidates); CHECK
+    * constraints validate the source; CDC feeds capture matched old
+    * images as deletes + source rows as inserts. Returns the
+    * committed version. */
+  def mergeMor(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count => cnt, countDistinct, lit}
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"mergeMor on feed-enabled table $table: the append-only change " +
+        s"feed cannot represent an upsert — enableCdcFeed($table) to " +
+        "capture it as typed delete+insert rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val src = source.cache()
+    try {
+      val st = src.agg(cnt(lit(1)), cnt(col(keyCol)),
+        countDistinct(col(keyCol))).head()
+      val srcRows = st.getLong(0)
+      if (srcRows == 0) return latestVersion(table)
+      require(st.getLong(1) == srcRows,
+        s"mergeMor: NULL keys in source ($keyCol)")
+      require(st.getLong(2) == srcRows,
+        s"mergeMor: duplicate keys in source ($keyCol)")
+      val isString = src.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType
+      val srcKeys = src.select(col(keyCol))
+      // source rows and sidecar are base-independent: write ONCE,
+      // outside the CAS loop (like deleteMor's sidecar)
+      val (newFiles, newRows) = writeDataFiles(spark, table, src,
+        statsCols, strStatsCols, bloomStatsCols)
+      require(newRows == srcRows,
+        s"mergeMor audit failed for $table: wrote $newRows rows from " +
+          s"a $srcRows-row source — not committing")
+      val (delFiles, _) = writeDataFiles(spark, table, srcKeys,
+        if (isString) Nil else Seq(keyCol),
+        if (isString) Seq(keyCol) else Nil, Nil)
+      val affectedOf = keyPruneOf(spark, srcKeys, keyCol, isString)
+      var committed = -1L
+      while (committed < 0) {
+        val base = snapshotOrFail(table)
+        txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+        enforceChecks(spark, table, base.checks, src, "mergeMor")
+        val candidates = affectedOf(base)
+        val matched =
+          if (candidates.isEmpty) 0L
+          else morScan(spark, table, base, candidates)
+            .select(col(keyCol))
+            .join(srcKeys, Seq(keyCol), "left_semi").count()
+        val version = base.version + 1
+        val stamped = newFiles.map(_.copy(ver = version))
+        val newDels = delFiles.map(f =>
+          DeleteEntry(f.copy(ver = version), keyCol, version))
+        val rows = base.rows - matched + srcRows
+        val r =
+          if (version % checkpointInterval == 0)
+            ManifestRec(version, base.version, "merge_mor", rows,
+              "full", base.files ++ stamped, Nil, Nil,
+              base.dels ++ newDels, Nil, txnId, base.schemaJson,
+              base.counters)
+          else
+            ManifestRec(version, base.version, "merge_mor", rows,
+              "delta", Nil, stamped, Nil, Nil, newDels, txnId,
+              base.schemaJson, base.counters)
+        if (tryCommit(table, r)) committed = version
+      }
+      if (feedEnabled(table)) publishFeed(spark, table)
+      committed
+    } finally { src.unpersist(); () }
   }
 
   /** Stats-pruned COPY-ON-WRITE update: for every row where `c` (cast

@@ -650,6 +650,124 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.vacuumPreview(t)._2.isEmpty)
   }
 
+  test("updateMor: scattered update = new images + key sidecar, ZERO rewrites; fence, travel, compaction, guards") {
+    val t = tmp("graft_log_umor")
+    val df = spark.range(1000).select($"id".as("k"), ($"id" % 7).as("v"),
+      lit("a").as("tag"))
+    // UNCLUSTERED in k: every file spans the whole key range — the COW
+    // update would rewrite all of them; MOR must rewrite none
+    TableLog.create(spark, t, df.repartition(4, $"v"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+    TableLog.updateMor(spark, t, "k", "k", 100, 899,
+      Map("v" -> ($"v" + 100), "tag" -> lit("u")), statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "every base file must carry by reference — zero rewrites")
+    assert(after.rows == 1000 && after.dels.nonEmpty)
+    // content == updateWhere semantics, set RHS reading the pre-image
+    val expected = df.select($"k",
+      when($"k".between(100, 899), $"v" + 100).otherwise($"v").as("v"),
+      when($"k".between(100, 899), lit("u")).otherwise($"tag").as("tag"))
+    assert(TableLog.read(spark, t).exceptAll(expected).isEmpty &&
+      expected.exceptAll(TableLog.read(spark, t)).isEmpty)
+    // version fence: a LATER append under an updated key survives
+    TableLog.append(spark, t, Seq((500L, 0L, "late")).toDF("k", "v", "tag"))
+    assert(TableLog.read(spark, t).where($"k" === 500).count() == 2)
+    // time travel: v1 is the pre-update image
+    assert(TableLog.readVersion(spark, t, 1)
+      .where($"tag" === "u").count() == 0)
+    // compact() materializes the sidecar away, content unchanged
+    TableLog.compact(spark, t, 1L << 26, statsCols = Seq("k"))
+    assert(TableLog.snapshot(t).get.dels.isEmpty)
+    assert(TableLog.read(spark, t).where($"tag" === "u").count() == 800)
+    // GUARDS. straddling keys: rows sharing a matched key that do NOT
+    // match the predicate would be lost — refused
+    val t2 = tmp("graft_log_umor2")
+    TableLog.create(spark, t2, spark.range(200)
+      .select($"id", ($"id" % 100).as("kk")), statsCols = Seq("id"))
+    val e1 = intercept[IllegalArgumentException](TableLog.updateMor(
+      spark, t2, "kk", "id", 0, 49, Map("id" -> ($"id" + 1000L))))
+    assert(e1.getMessage.contains("share a matched"))
+    // a predicate covering each key's rows TOGETHER is fine
+    TableLog.updateMor(spark, t2, "kk", "id", 0, 199,
+      Map("id" -> ($"id" + 1000L)))
+    assert(TableLog.read(spark, t2).where($"id" >= 1000).count() == 200)
+    // NULL matched key refused
+    val t3 = tmp("graft_log_umor3")
+    TableLog.create(spark, t3, spark.range(10).select($"id",
+      when($"id" === 5, lit(null)).otherwise($"id").as("k")))
+    val e2 = intercept[IllegalArgumentException](TableLog.updateMor(
+      spark, t3, "k", "id", 0, 9, Map("id" -> ($"id" + 100L))))
+    assert(e2.getMessage.contains("NULL"))
+    // silent type widening refused, exactly like updateWhere
+    val e3 = intercept[IllegalArgumentException](TableLog.updateMor(
+      spark, t, "k", "k", 0, 10, Map("v" -> ($"v" + lit(0.5)))))
+    assert(e3.getMessage.contains("cast the expression"))
+  }
+
+  test("mergeMor: upsert = source files + key sidecar, ZERO rewrites; latest-wins; accounting; compaction") {
+    val t = tmp("graft_log_mmor")
+    val base = spark.range(1000).select($"id".as("k"), ($"id" % 7).as("v"))
+    TableLog.create(spark, t, base.repartition(4, $"v"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+    // bimodal source: an update band inside the domain + inserts past it
+    val src = spark.range(500, 1500).select($"id".as("k"),
+      lit(999L).as("v"))
+    TableLog.mergeMor(spark, t, src, "k", statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "every base file must carry by reference — zero rewrites")
+    assert(after.rows == 1500)
+    assert(TableLog.read(spark, t).count() == 1500)
+    assert(TableLog.read(spark, t).where($"v" === 999).count() == 1000)
+    assert(TableLog.read(spark, t)
+      .where($"k" < 500 && $"v" === 999).count() == 0,
+      "unmatched snapshot rows must be untouched")
+    // guards: duplicate and NULL source keys refused (latest-wins
+    // would be ambiguous / unaddressable)
+    intercept[IllegalArgumentException](
+      TableLog.mergeMor(spark, t, src.unionAll(src), "k"))
+    intercept[IllegalArgumentException](TableLog.mergeMor(spark, t,
+      Seq((Option.empty[Long], 1L)).toDF("k", "v"), "k"))
+    // second merge stacks (two sidecar cohorts), then compaction
+    // materializes both away
+    TableLog.mergeMor(spark, t, spark.range(700, 720)
+      .select($"id".as("k"), lit(111L).as("v")), "k",
+      statsCols = Seq("k"))
+    assert(TableLog.read(spark, t).where($"v" === 111).count() == 20)
+    assert(TableLog.read(spark, t).count() == 1500)
+    TableLog.compact(spark, t, 1L << 26, statsCols = Seq("k"))
+    assert(TableLog.snapshot(t).get.dels.isEmpty)
+    assert(TableLog.read(spark, t).count() == 1500)
+    assert(TableLog.read(spark, t).where($"v" === 111).count() == 20)
+  }
+
+  test("updateMor/mergeMor CDC capture: silver materializes from the feed alone") {
+    val t = tmp("graft_log_mor_cdc")
+    val sv = tmp("graft_log_mor_cdc_sv")
+    TableLog.enableCdcFeed(t)
+    TableLog.create(spark, t, spark.range(100)
+      .select($"id".as("k"), ($"id" % 5).as("v")).coalesce(2),
+      statsCols = Seq("k"))                                        // v1
+    TableLog.updateMor(spark, t, "k", "k", 10, 59,
+      Map("v" -> ($"v" + 100)), statsCols = Seq("k"))              // v2
+    TableLog.mergeMor(spark, t, spark.range(90, 120)
+      .select($"id".as("k"), lit(777L).as("v")), "k",
+      statsCols = Seq("k"))                                        // v3
+    TableLog.applyCdc(spark, sv,
+      TableLog.readFeed(spark, t, withVersion = true), "k",
+      statsCols = Seq("k"))
+    val b = TableLog.read(spark, t)
+    val s = TableLog.read(spark, sv)
+    assert(s.count() == 120)
+    assert(b.exceptAll(s).isEmpty && s.exceptAll(b).isEmpty,
+      "silver from the feed must equal the bronze state")
+  }
+
   test("cumulative counters: atomic with the commit, O(1) read, replay-safe") {
     val t = tmp("graft_log_counters")
     TableLog.create(spark, t, spark.range(10).toDF("id"),
