@@ -367,6 +367,35 @@ object SparkEntry {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** STRING-KEY join-driven dynamic file pruning under the oracle: a
+    * documents table keyed on a zero-padded STRING doc key (the
+    * content-table shape), range-clustered with string file stats,
+    * inner-joined through the declarative face to a small literal dim
+    * of keys — `PruneLogScan.tryDynPrune` collects the dim's keys at
+    * planning and opens only the fact files whose string stat ranges
+    * (UTF-8 binary order) can contain one, via the same
+    * `prunedFilesByKeysStr` primitive the string COW merge uses
+    * (files-opened pinned in LogScanSpec; values pinned here). */
+  private def o64DynJoinStr(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/dynjstr_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val docs = T(s, dir, "documents")
+      .select(concat(lit("doc-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+        col("lang"), col("n_chars"))
+    graft.sinks.TableLog.create(s, t,
+      docs.repartitionByRange(8, col("key")).sortWithinPartitions("key"),
+      strStatsCols = Seq("key"))
+    val dim = s.range(150, 170).select(concat(lit("doc-"),
+        lpad(col("id").cast("string"), 8, "0")).as("key"),
+      (col("id") * 2).as("w"))
+    graft.sinks.TableLog.scan(s, t).join(dim, Seq("key"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("sum_w"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("lang")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3402,6 +3431,7 @@ object SparkEntry {
     "o57_log_scan" -> (o57LogScan _),
     "o58_compact_small" -> (o58CompactSmall _),
     "o59_dyn_join" -> (o59DynJoin _),
+    "o64_dyn_join_str" -> (o64DynJoinStr _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -4883,6 +4913,18 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 2
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "o64_dyn_join_str" ->
+      """WITH docs AS (SELECT concat('doc-',
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key, lang
+        |  FROM documents),
+        |dim AS (SELECT concat('doc-',
+        |    lpad(CAST(i AS VARCHAR), 8, '0')) AS key,
+        |  CAST(i * 2 AS BIGINT) AS w FROM range(150, 170) t(i))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM docs JOIN dim USING (key)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "o58_compact_small" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -157,15 +157,19 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
     }
     val maxBytes = conf.getConfString(DYN_BYTES, (8L << 20).toString).toLong
     if (otherBytes > maxBytes) return None
-    // first long-typed equi-pair between the two sides
+    // first long- or string-typed equi-pair between the two sides
+    // (long keys prune via the long range stats, string keys — the
+    // document/content-table shape — via the string stats in UTF-8
+    // binary order, the same primitives the COW merges use)
     val relOut = r.outputSet
     val otherOut = other.outputSet
+    def keyType(t: DataType) = t == LongType || t == StringType
     val pair = splitConjunctivePredicates(cond).collectFirst {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.dataType == LongType && relOut.contains(a) &&
+          if keyType(a.dataType) && relOut.contains(a) &&
             otherOut.contains(b) => (a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
-          if a.dataType == LongType && relOut.contains(a) &&
+          if keyType(a.dataType) && relOut.contains(a) &&
             otherOut.contains(b) => (a, b)
     }
     val (relKey, otherKey) = pair.getOrElse(return None)
@@ -181,10 +185,15 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
       .select(keyCol).where(keyCol.isNotNull)
       .limit(maxKeys + 1).collect()
     if (rows.length > maxKeys) return None // big or unknowable: bail
-    val sorted = rows.map(_.getLong(0)).distinct.sorted
     val statKept = fc.map(keptFiles(r, _)).getOrElse(r.snapshot.files)
-    val kept = TableLog.prunedFilesByKeys(
-      r.snapshot.copy(files = statKept), relKey.name, sorted)
+    val kept =
+      if (relKey.dataType == LongType)
+        TableLog.prunedFilesByKeys(r.snapshot.copy(files = statKept),
+          relKey.name, rows.map(_.getLong(0)).distinct.sorted)
+      else
+        TableLog.prunedFilesByKeysStr(r.snapshot.copy(files = statKept),
+          relKey.name,
+          TableLog.utf8SortKeys(rows.map(_.getString(0)).distinct))
     val expanded = expand(r, kept)
     val relSide = fc.map(Filter(_, expanded)).getOrElse(expanded)
     Some(if (relLeft) j.copy(left = relSide) else j.copy(right = relSide))

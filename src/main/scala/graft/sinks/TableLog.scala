@@ -3322,6 +3322,25 @@ object TableLog {
         sortedOverlaps(sortedKeys, st.min, st.max))))
   }
 
+  /** STRING twin of `prunedFilesByKeys`: files whose string stat
+    * range (under the file's own physical name, UTF-8 binary order)
+    * can contain one of the keys — the shared primitive under the
+    * string COW merge and the string-key dynamic join prune. `keys`
+    * must be sorted by `utf8SortKeys`. */
+  private[graft] def prunedFilesByKeysStr(s: Snapshot, c: String,
+      sortedKeys: Array[String]): Seq[FileEntry] = {
+    val phys = statNameFor(s, c)
+    s.files.filter(f => phys(f).exists(p =>
+      f.strStats.find(_.col == p).forall(st =>
+        sortedOverlapsStr(sortedKeys, st.min, st.max))))
+  }
+
+  /** Sort keys in the UTF-8 binary order the string file stats were
+    * written in (Spark's min/max on strings), so binary search and
+    * stat comparison agree. */
+  private[graft] def utf8SortKeys(keys: Array[String]): Array[String] =
+    keys.sortWith((a, b) => a != b && utf8Leq(a, b))
+
   /** Does the sorted key array contain any value in [min, max]?
     * Binary search for the smallest key ≥ min — O(log K) per file, so
     * a 100k-key merge prunes a million-file manifest in driver

@@ -226,6 +226,26 @@ class LogScanSpec extends SparkSpec {
     assert(jn.count() == 3)
   }
 
+  test("scan: STRING-KEY dynamic join pruning — document-style keys prune via the string stats") {
+    val t = mkTable()
+    val dim = Seq(("cat_2", 1L), ("cat_2", 2L)).toDF("c", "w")
+    // inner join on the string key: only the files whose string stat
+    // range can hold 'cat_2' open (c follows k's clustering)
+    val j = TableLog.scan(spark, t).join(dim, Seq("c"))
+    assert(filesScanned(j) <= 2, "string dim keys must prune fact files")
+    assert(j.count() == 1000)
+    checkSame(j, TableLog.read(spark, t).join(dim, Seq("c")))
+    // preserved side must not be pruned
+    val lo = TableLog.scan(spark, t).join(dim, Seq("c"), "left_outer")
+    assert(filesScanned(lo) == 8)
+    assert(lo.count() == 4500) // 4000 − 500 matched + 2×500 matched
+    // provably-disjoint dim: zero fact files open
+    val none = TableLog.scan(spark, t)
+      .join(Seq(("zzz", 1L)).toDF("c", "w"), Seq("c"))
+    assert(filesScanned(none) == 0)
+    assert(none.count() == 0)
+  }
+
   test("scan planning reads file sizes from the manifest — zero filesystem stats") {
     val t = mkTable()
     val rel = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {
