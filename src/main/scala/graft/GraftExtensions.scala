@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // expands TableLog.scan leaves, pruning files from query filters
     // (spark.graft.logPrune.enabled, default on)
     e.injectOptimizerRule(_ => graft.plans.PruneLogScan)
+    // SQL DML face: UPDATE/DELETE/MERGE text over tables registered
+    // via TableLog.registerSqlTable routes to the TableLog faces
+    // (live sessions without extensions use TableLog.sql instead)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     GraftFunctionRegistry.all.foreach { case (name, clazz, builder) =>
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))

@@ -396,6 +396,47 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** The SQL DML face under the oracle: a log table registered via
+    * `registerSqlTable`, then one UPDATE, one DELETE, and one
+    * canonical MERGE — committed from SQL TEXT alone through
+    * `TableLog.sql` (the live-session twin of the `GraftExtensions`
+    * injected parser), each routing to the same stats-pruned TableLog
+    * faces the Scala API uses (prune minimality spec-pinned in
+    * SqlDmlSpec). The final SELECT reads the re-registered view, so a
+    * stale-snapshot refresh bug changes the hash; the oracle replays
+    * the three mutations relationally in statement order. */
+  private def o65SqlDml(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/sqldml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 21)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    tl.registerSqlTable(s, "lake65", t, statsCols = Seq("o_orderkey"))
+    val maxKey = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val upd = base.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), (col("price_c") + 500).as("price_c"),
+        lit("U").as("priority"))
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+        col("price_c"), lit("I").as("priority"))
+    upd.unionByName(ins).createOrReplaceTempView("src65")
+    tl.sql(s, "UPDATE lake65 SET price_c = price_c + 777 " +
+      "WHERE o_orderkey BETWEEN 1000 AND 4000")
+    tl.sql(s, "DELETE FROM lake65 WHERE o_orderkey BETWEEN 5000 AND 9000")
+    tl.sql(s, "MERGE INTO lake65 USING src65 " +
+      "ON lake65.o_orderkey = src65.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    tl.sql(s, """
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake65 GROUP BY priority ORDER BY priority""")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3432,6 +3473,7 @@ object SparkEntry {
     "o58_compact_small" -> (o58CompactSmall _),
     "o59_dyn_join" -> (o59DynJoin _),
     "o64_dyn_join_str" -> (o64DynJoinStr _),
+    "o65_sql_dml" -> (o65SqlDml _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -4913,6 +4955,33 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 2
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the three SQL statements replayed relationally IN ORDER: the
+    // +777 update first (so merged rows see it only where unmatched),
+    // the range delete second (so a deleted key re-enters via the
+    // merge's NOT MATCHED branch), the latest-wins merge last
+    "o65_sql_dml" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 21),
+        |s1 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 4000
+        |    THEN price_c + 777 ELSE price_c END AS price_c, priority
+        |  FROM t),
+        |s2 AS (SELECT * FROM s1 WHERE o_orderkey NOT BETWEEN 5000 AND 9000),
+        |u AS (SELECT o_orderkey, price_c + 500 AS price_c, 'U' AS priority
+        |  FROM t WHERE o_orderkey % 7 = 2),
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
+        |  price_c, 'I' AS priority FROM t WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM u UNION ALL SELECT * FROM i),
+        |s3 AS (SELECT COALESCE(src.o_orderkey, s2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE s2.price_c END AS price_c,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.priority ELSE s2.priority END AS priority
+        |  FROM s2 FULL OUTER JOIN src ON s2.o_orderkey = src.o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
     "o64_dyn_join_str" ->
       """WITH docs AS (SELECT concat('doc-',
         |    lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS key, lang

@@ -1,0 +1,263 @@
+package graft.plans
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL DML face of the commit-log table format: UPDATE / DELETE /
+  * MERGE **text** against a registered log table routes to the
+  * `TableLog` faces (`updateWhere`, `deleteWhere`/`deleteWhereIn`,
+  * `mergeCow`) — same stats-pruned commits, same audits, same CDC
+  * capture — so a user who only speaks SQL mutates the lake exactly
+  * like the Scala faces do, completing the "behaves like a catalog
+  * table" story the declarative `scan` started for SELECT.
+  *
+  * Two entry points share one translation:
+  *   - `TableLog.registerSqlTable` + `TableLog.sql(spark, text)` on
+  *     any live session (the Verify/driver path), and
+  *   - `GraftSqlParser`, injected at session build via
+  *     `GraftExtensions` (`spark.sql.extensions=graft.GraftExtensions`),
+  *     which makes plain `spark.sql("UPDATE …")` work.
+  *
+  * Translation is deliberately CONSERVATIVE: Spark's own parser
+  * produces the DML plans (full SQL grammar — no hand parsing), and
+  * the rewrite only claims statements whose target is a REGISTERED
+  * view and whose shape maps exactly onto a face — single-column long
+  * range / equality predicates (the stats-prunable shapes), string
+  * equality / IN lists for DELETE, and the canonical
+  * `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  * upsert for MERGE. A registered target with an untranslatable shape
+  * FAILS LOUDLY with what to use instead — falling through to Spark
+  * would produce a misleading "table does not support DELETE" on the
+  * temp view. Unregistered targets pass through untouched. */
+object GraftSqlDml {
+
+  /** The DML registry entry `TableLog.registerSqlTable` records: the
+    * table path plus the stat columns every rewriting commit should
+    * re-derive (mirrors the Scala faces' parameters). */
+  final case class Reg(table: String, statsCols: Seq[String],
+      strStatsCols: Seq[String], bloomStatsCols: Seq[String])
+
+  def rewrite(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case DeleteFromTable(t, cond) =>
+      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(v) }
+        yield delete(v, reg, cond)
+    case UpdateTable(t, assigns, cond) =>
+      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(v) }
+        yield update(v, reg, assigns, cond)
+    case m: MergeIntoTable =>
+      for { v <- viewName(m.targetTable); reg <- TableLog.sqlDmlReg(v) }
+        yield merge(v, reg, m)
+    case _ => None
+  }
+
+  private def viewName(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+      Some(u.multipartIdentifier.head)
+    case SubqueryAlias(_, child) => viewName(child)
+    case _ => None
+  }
+
+  private def unsupported(what: String, detail: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft SQL DML: $what — $detail")
+
+  private def attrOf(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+  private def longOf(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case _ => None
+  }
+  private def strOf(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  /** Predicate → (column, lo, hi) for the range faces: BETWEEN (the
+    * parser expands it to >= AND <=), =, >=, >, <=, <, literal on
+    * either side, and conjunctions over ONE column (intersected). */
+  private[graft] def rangeOf(cond: Expression)
+      : Option[(String, Long, Long)] = cond match {
+    // the parser keeps BETWEEN unresolved: 'between(col, lo, hi)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+          Seq("between") && f.arguments.size == 3 =>
+      for { c <- attrOf(f.arguments(0)); lo <- longOf(f.arguments(1));
+            hi <- longOf(f.arguments(2)) } yield (c, lo, hi)
+    // …or already replaced to the Between node (DataFrame-built text)
+    case b: Between =>
+      for { c <- attrOf(b.input); lo <- longOf(b.lower);
+            hi <- longOf(b.upper) } yield (c, lo, hi)
+    case And(l, r) =>
+      for { a <- rangeOf(l); b <- rangeOf(r); if a._1 == b._1 }
+        yield (a._1, math.max(a._2, b._2), math.min(a._3, b._3))
+    case EqualTo(a, l) if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get, longOf(l).get))
+    case EqualTo(l, a) if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get, longOf(l).get))
+    case GreaterThanOrEqual(a, l)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get, Long.MaxValue))
+    case GreaterThan(a, l)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get + 1, Long.MaxValue))
+    case LessThanOrEqual(a, l)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, Long.MinValue, longOf(l).get))
+    case LessThan(a, l) if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, Long.MinValue, longOf(l).get - 1))
+    case GreaterThanOrEqual(l, a)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, Long.MinValue, longOf(l).get))
+    case GreaterThan(l, a)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, Long.MinValue, longOf(l).get - 1))
+    case LessThanOrEqual(l, a)
+        if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get, Long.MaxValue))
+    case LessThan(l, a) if attrOf(a).isDefined && longOf(l).isDefined =>
+      Some((attrOf(a).get, longOf(l).get + 1, Long.MaxValue))
+    case _ => None
+  }
+
+  private def delete(view: String, reg: Reg,
+      cond: Expression): LogicalPlan = {
+    val strIn: Option[(String, Seq[String])] = cond match {
+      case In(a, vs) if attrOf(a).isDefined && vs.nonEmpty &&
+          vs.forall(strOf(_).isDefined) =>
+        Some((attrOf(a).get, vs.flatMap(strOf)))
+      case EqualTo(a, v) if attrOf(a).isDefined && strOf(v).isDefined =>
+        Some((attrOf(a).get, Seq(strOf(v).get)))
+      case EqualTo(v, a) if attrOf(a).isDefined && strOf(v).isDefined =>
+        Some((attrOf(a).get, Seq(strOf(v).get)))
+      case _ => None
+    }
+    strIn match {
+      case Some((c, vals)) => GraftDmlCommand("delete", view, reg.table,
+        s => TableLog.deleteWhereIn(s, reg.table, c, vals, reg.statsCols,
+          reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols))
+      case None =>
+        val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
+          s"DELETE FROM $view",
+          "supported predicates are single-column long ranges " +
+            "(BETWEEN/=/</>) and string =/IN lists — for anything " +
+            "else use TableLog.deleteMor with an explicit key frame"))
+        GraftDmlCommand("delete", view, reg.table,
+          s => TableLog.deleteWhere(s, reg.table, c, lo, hi,
+            reg.statsCols, reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols))
+    }
+  }
+
+  private def update(view: String, reg: Reg, assigns: Seq[Assignment],
+      condOpt: Option[Expression]): LogicalPlan = {
+    val cond = condOpt.getOrElse(unsupported(s"UPDATE $view",
+      "an UPDATE without WHERE rewrites the whole table — state the " +
+        "intent with a predicate, or use a rewrite face directly"))
+    val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
+      s"UPDATE $view", "supported predicates are single-column long " +
+        "ranges (BETWEEN/=/</>) — the stats-prunable shapes"))
+    val set = assigns.map { case Assignment(k, v) =>
+      val name = attrOf(k).getOrElse(unsupported(s"UPDATE $view",
+        s"assignment target ${k.sql} is not a plain column"))
+      name -> org.apache.spark.sql.graft.Bridge.column(v)
+    }.toMap
+    GraftDmlCommand("update", view, reg.table,
+      s => TableLog.updateWhere(s, reg.table, c, lo, hi, set,
+        reg.statsCols, reg.strStatsCols,
+        bloomStatsCols = reg.bloomStatsCols))
+  }
+
+  private def merge(view: String, reg: Reg,
+      m: MergeIntoTable): LogicalPlan = {
+    val canonical =
+      m.matchedActions.forall {
+        case UpdateStarAction(None) => true; case _ => false } &&
+      m.matchedActions.size == 1 &&
+      m.notMatchedActions.forall {
+        case InsertStarAction(None) => true; case _ => false } &&
+      m.notMatchedActions.size == 1 &&
+      m.notMatchedBySourceActions.isEmpty
+    if (!canonical) unsupported(s"MERGE INTO $view",
+      "supported form is WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+        "MATCHED THEN INSERT * (the latest-wins upsert mergeCow " +
+        "implements) — other clause combinations need the Scala faces")
+    val key = m.mergeCondition match {
+      case EqualTo(a, b) =>
+        (attrOf(a), attrOf(b)) match {
+          case (Some(ka), Some(kb)) if ka == kb => ka
+          case _ => unsupported(s"MERGE INTO $view",
+            "ON must equate one identically-named key column " +
+              "(t.k = s.k)")
+        }
+      case _ => unsupported(s"MERGE INTO $view",
+        "ON must be a single equi-key condition")
+    }
+    val source = m.sourceTable
+    GraftDmlCommand("merge", view, reg.table, s =>
+      TableLog.mergeCow(s, reg.table,
+        org.apache.spark.sql.graft.Bridge.ofRows(s, source), key,
+        reg.statsCols, reg.strStatsCols,
+        bloomStatsCols = reg.bloomStatsCols))
+  }
+}
+
+/** One translated DML statement as an eagerly-run command: `run`
+  * executes the TableLog face (the commit, with all its audits and
+  * CAS retries), then RE-REGISTERS the target's temp view — the view
+  * pins a snapshot at `scan` time, so without the refresh a
+  * subsequent SELECT would read the pre-DML version. Returns the
+  * committed version as the statement's one-row result. */
+final case class GraftDmlCommand(kind: String, view: String,
+    table: String, body: SparkSession => Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = body(session)
+    TableLog.scan(session, table).createOrReplaceTempView(view)
+    Seq(Row(v))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDmlCommand $kind $view -> $table"
+}
+
+/** `ParserInterface` wrapper for builder-time injection
+  * (`GraftExtensions`): parse with the delegate (full Spark grammar),
+  * then hand DML over registered log tables to `GraftSqlDml`.
+  * Everything else — including DML on unregistered names — passes
+  * through untouched. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    GraftSqlDml.rewrite(plan).getOrElse(plan)
+  }
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -666,6 +666,43 @@ object TableLog {
   def scan(spark: SparkSession, table: String): DataFrame =
     mkScan(spark, table, snapshotOrFail(table))
 
+  // ── the SQL DML face (plans.GraftSqlDml holds the translation) ──
+  private val sqlDmlRegs = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.plans.GraftSqlDml.Reg]()
+
+  /** Register a log table for the SQL face: the declarative `scan`
+    * becomes temp view `name` (SELECT), and UPDATE / DELETE / MERGE
+    * text naming the view routes to the TableLog mutation faces with
+    * the given stat columns re-derived on every rewriting commit —
+    * through `TableLog.sql` on any session, or plain `spark.sql` when
+    * the session was built with `GraftExtensions`. DML commits
+    * re-register the view, so subsequent SELECTs see the new
+    * version. */
+  def registerSqlTable(spark: SparkSession, name: String, table: String,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Unit = {
+    scan(spark, table).createOrReplaceTempView(name)
+    sqlDmlRegs.put(name.toLowerCase(java.util.Locale.ROOT),
+      graft.plans.GraftSqlDml.Reg(table, statsCols, strStatsCols,
+        bloomStatsCols))
+  }
+
+  private[graft] def sqlDmlReg(name: String)
+      : Option[graft.plans.GraftSqlDml.Reg] =
+    Option(sqlDmlRegs.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** Run one SQL statement with the DML face active on any LIVE
+    * session (the builder-time path is `GraftExtensions`' injected
+    * parser): DML over a registered view translates and commits
+    * through the TableLog faces; everything else — SELECTs included —
+    * is plain `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val plan = org.apache.spark.sql.graft.Bridge.parsePlan(spark, text)
+    graft.plans.GraftSqlDml.rewrite(plan)
+      .map(org.apache.spark.sql.graft.Bridge.ofRows(spark, _))
+      .getOrElse(spark.sql(text))
+  }
+
   /** `scan` pinned at a historical version — declarative time travel:
     * the same manifest pruning and metadata aggregates, against that
     * version's files, schema, and sidecars. */

@@ -52,6 +52,18 @@ object Bridge {
       sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)
 
+  /** Parse a full SQL statement to its raw logical plan (sessionState
+    * is private[sql]) — the live-session entry of the DML face. */
+  def parsePlan(spark: org.apache.spark.sql.SparkSession,
+      sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql)
+
+  /** The session's SQL parser itself — the delegate a wrapping
+    * `ParserInterface` (GraftSqlParser) forwards to. */
+  def sqlParser(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.parser.ParserInterface =
+    spark.sessionState.sqlParser
+
   /** Build a DataFrame over an arbitrary logical plan (the private[sql]
     * Dataset.ofRows — how a library hands Catalyst a custom LeafNode). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,107 @@
+package graft
+
+import graft.plans.{GraftDmlCommand, GraftSqlParser}
+import graft.sinks.TableLog
+import org.apache.spark.sql.functions._
+
+/** The SQL DML face: UPDATE / DELETE / MERGE text over registered log
+  * tables routes to the TableLog faces — same stats-pruned commits,
+  * same audits — and the registered view refreshes so SELECT sees the
+  * new version. Untranslatable shapes on a registered target fail
+  * loudly; unregistered targets pass through. */
+class SqlDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString + "/t"
+
+  test("UPDATE/DELETE/MERGE text commit through the faces; view refreshes; prunes stay minimal") {
+    val t = tmp("graft_sqldml")
+    TableLog.create(spark, t, spark.range(4000)
+      .select($"id".as("k"), ($"id" % 7).as("v"),
+        concat(lit("c"), ($"id" % 3)).as("tag"))
+      .repartitionByRange(8, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_lake", t,
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+
+    // UPDATE: narrow range on the k-clustered table — the commit must
+    // rewrite ONLY the stat-overlapping file, like updateWhere
+    val uv = TableLog.sql(spark,
+      "UPDATE dml_lake SET v = v + 100 WHERE k BETWEEN 600 AND 640")
+    assert(uv.head.getLong(0) == 2)
+    val afterU = TableLog.snapshot(t).get
+    val carried = before.files.map(_.path).toSet
+      .intersect(afterU.files.map(_.path).toSet)
+    assert(carried.size == 7,
+      s"a one-file update must carry 7 of 8 files, carried ${carried.size}")
+    // SELECT through plain SQL sees the refreshed view
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_lake WHERE v >= 100")
+      .head.getLong(0) == 41)
+
+    // DELETE long range
+    TableLog.sql(spark, "DELETE FROM dml_lake WHERE k >= 3900")
+    assert(TableLog.read(spark, t).count() == 3900)
+    // DELETE string IN-list routes to deleteWhereIn
+    TableLog.sql(spark, "DELETE FROM dml_lake WHERE tag IN ('c2')")
+    assert(TableLog.read(spark, t).where($"tag" === "c2").count() == 0)
+    val n2 = TableLog.read(spark, t).count()
+
+    // MERGE canonical upsert
+    spark.range(100, 110).select($"id".as("k"), lit(999L).as("v"),
+      lit("cm").as("tag")).createOrReplaceTempView("dml_src")
+    TableLog.sql(spark,
+      """MERGE INTO dml_lake USING dml_src ON dml_lake.k = dml_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TableLog.read(spark, t).where($"v" === 999).count() == 10)
+    // keys 101/104/107 carried tag c2 and were deleted above — they
+    // re-enter through the NOT MATCHED branch
+    assert(TableLog.read(spark, t).count() == n2 + 3)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_lake WHERE tag = 'cm'")
+      .head.getLong(0) == 10)
+
+    // untranslatable shapes on a REGISTERED target fail loudly
+    val e1 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "UPDATE dml_lake SET v = 0")) // no WHERE
+    assert(e1.getMessage.contains("UPDATE"))
+    val e2 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "DELETE FROM dml_lake WHERE v + k > 3")) // not a range shape
+    assert(e2.getMessage.contains("DELETE"))
+    val e3 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      """MERGE INTO dml_lake USING dml_src ON dml_lake.k = dml_src.k
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e3.getMessage.contains("MERGE"))
+    // an UNREGISTERED name passes through to Spark untouched
+    intercept[Exception](TableLog.sql(spark,
+      "DELETE FROM some_other_view WHERE k = 1"))
+  }
+
+  test("GraftSqlParser (the injected-parser path) rewrites DML to commands; everything else delegates") {
+    val t = tmp("graft_sqldml_p")
+    TableLog.create(spark, t, spark.range(100)
+      .select($"id".as("k"), ($"id" % 5).as("v")),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_lake_p", t,
+      statsCols = Seq("k"))
+    val parser = new GraftSqlParser(
+      org.apache.spark.sql.graft.Bridge.sqlParser(spark))
+    val plan = parser.parsePlan(
+      "UPDATE dml_lake_p SET v = v + 1 WHERE k BETWEEN 10 AND 20")
+    assert(plan.isInstanceOf[GraftDmlCommand])
+    // executing the parsed command commits and refreshes, like spark.sql
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, plan).collect()
+    assert(TableLog.read(spark, t)
+      .where($"k".between(10, 20) && $"v" >= 1).count() == 11)
+    // a SELECT delegates untouched
+    val sel = parser.parsePlan("SELECT 1 AS one")
+    assert(!sel.isInstanceOf[GraftDmlCommand])
+    // DML on an unregistered name delegates untouched
+    val other = parser.parsePlan("DELETE FROM not_registered WHERE k = 1")
+    assert(!other.isInstanceOf[GraftDmlCommand])
+  }
+}
