@@ -996,6 +996,44 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** MERGE-ON-READ "apply changes into" under the oracle: the same
+    * bronze lifecycle as `o49_cdc_apply` (create → re-insert every
+    * key → range delete) on a different slice, materialized to silver
+    * through `applyCdcMor` in TWO batches — the first bootstraps the
+    * table, the second commits the v2 updates + v3 deletes as winning
+    * inserts' files + a touched-key sidecar with ZERO silver-file
+    * rewrites (mechanics spec-pinned in TableLogSpec; the oracle pins
+    * the same final keyed state as the COW apply — which commit
+    * strategy the apply took must be invisible to the reader). */
+  private def o67CdcApplyMor(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"$tmpRoot/cdcapm_$sfx"
+    val sv = s"$tmpRoot/cdcapmsv_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sv))
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 22)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    val tl = graft.sinks.TableLog
+    tl.enableCdcFeed(t)
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                               // v1
+    tl.append(s, t, base.withColumn("price_c", col("price_c") + 1000)
+        .repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                               // v2: same keys
+    tl.deleteWhere(s, t, "o_orderkey", 2000, 3500,
+      statsCols = Seq("o_orderkey"))                               // v3
+    val feed = tl.readFeed(s, t, withVersion = true)
+    tl.applyCdcMor(s, sv, feed.where(col("_change_version") === 1),
+      "o_orderkey", statsCols = Seq("o_orderkey"))     // bootstrap
+    tl.applyCdcMor(s, sv, feed.where(col("_change_version") >= 2),
+      "o_orderkey", statsCols = Seq("o_orderkey"))     // MOR batch
+    tl.read(s, sv).groupBy("priority")
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("priority")
+  }
+
   /** CDC UPDATE capture end-to-end: a CDC-feed bronze table runs the
     * full mutation surface — copy-on-write MERGE (update band + no-file
     * inserts), in-place `updateWhere`, range `deleteWhere` — and SILVER
@@ -3467,6 +3505,7 @@ object SparkEntry {
     "o52_delete_mor" -> (o52DeleteMor _),
     "o63_update_mor" -> (o63UpdateMor _),
     "o66_merge_mor" -> (o66MergeMor _),
+    "o67_cdc_apply_mor" -> (o67CdcApplyMor _),
     "o55_schema_evolution" -> (o55SchemaEvolution _),
     "o56_history" -> (o56History _),
     "o57_log_scan" -> (o57LogScan _),
@@ -4845,6 +4884,18 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM m GROUP BY status ORDER BY status""".stripMargin,
+    // the same latest-version-wins algebra as o49 on its own slice —
+    // the MOR apply's sidecar commits must read identically to COW
+    "o67_cdc_apply_mor" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) + 1000 AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 22),
+        |k2 AS (SELECT * FROM t WHERE o_orderkey NOT BETWEEN 2000 AND 3500)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM k2 GROUP BY priority ORDER BY priority""".stripMargin,
     // latest-version-wins over the typed feed: every key re-inserted at
     // v2 (update), the v3 delete range erased — the final keyed state
     "o49_cdc_apply" ->

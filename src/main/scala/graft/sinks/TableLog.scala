@@ -2190,8 +2190,8 @@ object TableLog {
                   out ++= publishCdcChanges(spark, table, v, rmP, addP,
                     r.schemaJson, captureInserts = act != "delete",
                     prevSnap)
-                case act @ ("delete_mor" | "update_mor" | "merge_mor")
-                    if cdcFeedEnabled(table) =>
+                case act @ ("delete_mor" | "update_mor" | "merge_mor" |
+                    "apply_cdc_mor") if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
                     s"publishFeed($table): healing version $v's $act " +
                       "capture needs a SparkSession — call " +
@@ -3027,49 +3027,65 @@ object TableLog {
         s"mergeMor: duplicate keys in source ($keyCol)")
       val isString = src.schema(keyCol).dataType ==
         org.apache.spark.sql.types.StringType
-      val srcKeys = src.select(col(keyCol))
-      // source rows and sidecar are base-independent: write ONCE,
-      // outside the CAS loop (like deleteMor's sidecar)
-      val (newFiles, newRows) = writeDataFiles(spark, table, src,
-        statsCols, strStatsCols, bloomStatsCols)
-      require(newRows == srcRows,
-        s"mergeMor audit failed for $table: wrote $newRows rows from " +
-          s"a $srcRows-row source — not committing")
-      val (delFiles, _) = writeDataFiles(spark, table, srcKeys,
-        if (isString) Nil else Seq(keyCol),
-        if (isString) Seq(keyCol) else Nil, Nil)
-      val affectedOf = keyPruneOf(spark, srcKeys, keyCol, isString)
-      var committed = -1L
-      while (committed < 0) {
-        val base = snapshotOrFail(table)
-        txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
-        enforceChecks(spark, table, base.checks, src, "mergeMor")
-        val candidates = affectedOf(base)
-        val matched =
-          if (candidates.isEmpty) 0L
-          else morScan(spark, table, base, candidates)
-            .select(col(keyCol))
-            .join(srcKeys, Seq(keyCol), "left_semi").count()
-        val version = base.version + 1
-        val stamped = newFiles.map(_.copy(ver = version))
-        val newDels = delFiles.map(f =>
-          DeleteEntry(f.copy(ver = version), keyCol, version))
-        val rows = base.rows - matched + srcRows
-        val r =
-          if (version % checkpointInterval == 0)
-            ManifestRec(version, base.version, "merge_mor", rows,
-              "full", base.files ++ stamped, Nil, Nil,
-              base.dels ++ newDels, Nil, txnId, base.schemaJson,
-              base.counters)
-          else
-            ManifestRec(version, base.version, "merge_mor", rows,
-              "delta", Nil, stamped, Nil, Nil, newDels, txnId,
-              base.schemaJson, base.counters)
-        if (tryCommit(table, r)) committed = version
-      }
-      if (feedEnabled(table)) publishFeed(spark, table)
-      committed
+      morUpsertCore(spark, table, src, srcRows, src.select(col(keyCol)),
+        keyCol, isString, "merge_mor", "mergeMor", statsCols,
+        strStatsCols, txnId, bloomStatsCols)
     } finally { src.unpersist(); () }
+  }
+
+  /** The shared MOR-upsert commit under `mergeMor` and `applyCdcMor`:
+    * write `ins` as data files + `touchedKeys` as a delete-key
+    * sidecar ONCE (base-independent, like deleteMor's sidecar), then
+    * CAS-commit one delta — adds stamped V, sidecar fencing ver < V —
+    * with rows audited base − matched + inserts. `touchedKeys` may be
+    * a SUPERSET of the inserts' keys (applyCdc: a winning delete
+    * fences its key with no replacement row). */
+  private def morUpsertCore(spark: SparkSession, table: String,
+      ins: DataFrame, insRows: Long, touchedKeys: DataFrame,
+      keyCol: String, isString: Boolean, action: String, what: String,
+      statsCols: Seq[String], strStatsCols: Seq[String],
+      txnId: Option[String], bloomStatsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val keys = touchedKeys.select(col(keyCol)).distinct()
+    val (newFiles, newRows) = writeDataFiles(spark, table, ins,
+      statsCols, strStatsCols, bloomStatsCols)
+    require(newRows == insRows,
+      s"$what audit failed for $table: wrote $newRows rows from a " +
+        s"$insRows-row insert set — not committing")
+    val (delFiles, _) = writeDataFiles(spark, table, keys,
+      if (isString) Nil else Seq(keyCol),
+      if (isString) Seq(keyCol) else Nil, Nil)
+    val affectedOf = keyPruneOf(spark, keys, keyCol, isString)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      enforceChecks(spark, table, base.checks, ins, what)
+      val candidates = affectedOf(base)
+      val matched =
+        if (candidates.isEmpty) 0L
+        else morScan(spark, table, base, candidates)
+          .select(col(keyCol))
+          .join(keys, Seq(keyCol), "left_semi").count()
+      val version = base.version + 1
+      val stamped = newFiles.map(_.copy(ver = version))
+      val newDels = delFiles.map(f =>
+        DeleteEntry(f.copy(ver = version), keyCol, version))
+      val rows = base.rows - matched + insRows
+      val r =
+        if (version % checkpointInterval == 0)
+          ManifestRec(version, base.version, action, rows,
+            "full", base.files ++ stamped, Nil, Nil,
+            base.dels ++ newDels, Nil, txnId, base.schemaJson,
+            base.counters)
+        else
+          ManifestRec(version, base.version, action, rows,
+            "delta", Nil, stamped, Nil, Nil, newDels, txnId,
+            base.schemaJson, base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
   }
 
   /** Stats-pruned COPY-ON-WRITE update: for every row where `c` (cast
@@ -3288,45 +3304,99 @@ object TableLog {
         s"enableCdcFeed($table) to capture it (chaining silver→gold), " +
         "or disable the feed")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
-    require(changes.columns.contains(changeTypeCol) &&
-      changes.columns.contains(changeVersionCol),
-      s"applyCdc: changes must carry $changeTypeCol and $changeVersionCol " +
-        "— read the feed with withVersion = true")
     val ch = changes.cache()
     try {
-      // one metadata job for emptiness + null-keys (count(col) skips
-      // nulls) — per-batch latency is job-count-bound at high trigger
-      // rates, so the audits share passes where they can
-      val chSt = ch.agg(count(lit(1)), count(col(keyCol))).head()
-      if (chSt.getLong(0) == 0) return latestVersion(table)
-      require(chSt.getLong(1) == chSt.getLong(0),
-        s"applyCdc: NULL keys in changes ($keyCol)")
-      // latest-wins resolution: rows at each key's max change version
-      val vmax = ch.groupBy(col(keyCol)).agg(max(col(changeVersionCol))
-        .as("__vmax"))
-      val top = ch.join(vmax, Seq(keyCol))
-        .where(col(changeVersionCol) === col("__vmax"))
-      val ins = top.where(col(changeTypeCol) === "insert")
-        .drop(changeTypeCol, changeVersionCol, "__vmax")
-      val insSt = ins.agg(count(lit(1)),
-        org.apache.spark.sql.functions.countDistinct(col(keyCol))).head()
-      val insRows = insSt.getLong(0)
-      require(insSt.getLong(1) == insRows,
-        s"applyCdc: a key has multiple surviving insert rows at its " +
-          "winning version — ambiguous upsert")
-      // a touched key with a winning delete must still prune/anti-join,
-      // so the key set is ALL keys in the batch, not just the inserts'
-      val touched = ch.select(col(keyCol)).distinct()
-      if (latestVersion(table) == 0L)
-        // streaming bootstrap: first batch creates the silver table
-        return append(spark, table, ins, statsCols, txnId,
-          strStatsCols, bloomStatsCols = bloomStatsCols)
-      val apply =
-        if (ch.schema(keyCol).dataType ==
-            org.apache.spark.sql.types.StringType) cowApplyStr _
-        else cowApply _
-      apply(spark, table, ins, insRows, touched, keyCol, statsCols,
-        strStatsCols, txnId, bloomStatsCols)
+      resolveCdcBatch(ch, keyCol, "applyCdc") match {
+        case None => latestVersion(table)
+        case Some((ins, insRows, touched)) =>
+          if (latestVersion(table) == 0L)
+            // streaming bootstrap: first batch creates the silver table
+            return append(spark, table, ins, statsCols, txnId,
+              strStatsCols, bloomStatsCols = bloomStatsCols)
+          val apply =
+            if (ch.schema(keyCol).dataType ==
+                org.apache.spark.sql.types.StringType) cowApplyStr _
+            else cowApply _
+          apply(spark, table, ins, insRows, touched, keyCol, statsCols,
+            strStatsCols, txnId, bloomStatsCols)
+      }
+    } finally { ch.unpersist(); () }
+  }
+
+  /** The latest-wins resolution shared by `applyCdc` and
+    * `applyCdcMor`: per key the highest `_change_version` wins, a
+    * tied delete+insert pair resolves to the insert (a captured
+    * UPDATE's meaning), tied inserts are refused. None = empty batch.
+    * Returns (winning inserts, their count, ALL touched keys — a
+    * winning delete's key must still prune/anti-join). */
+  private def resolveCdcBatch(ch: DataFrame, keyCol: String,
+      what: String): Option[(DataFrame, Long, DataFrame)] = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
+    require(ch.columns.contains(changeTypeCol) &&
+      ch.columns.contains(changeVersionCol),
+      s"$what: changes must carry $changeTypeCol and $changeVersionCol " +
+        "— read the feed with withVersion = true")
+    // one metadata job for emptiness + null-keys (count(col) skips
+    // nulls) — per-batch latency is job-count-bound at high trigger
+    // rates, so the audits share passes where they can
+    val chSt = ch.agg(count(lit(1)), count(col(keyCol))).head()
+    if (chSt.getLong(0) == 0) return None
+    require(chSt.getLong(1) == chSt.getLong(0),
+      s"$what: NULL keys in changes ($keyCol)")
+    // latest-wins resolution: rows at each key's max change version
+    val vmax = ch.groupBy(col(keyCol)).agg(max(col(changeVersionCol))
+      .as("__vmax"))
+    val top = ch.join(vmax, Seq(keyCol))
+      .where(col(changeVersionCol) === col("__vmax"))
+    val ins = top.where(col(changeTypeCol) === "insert")
+      .drop(changeTypeCol, changeVersionCol, "__vmax")
+    val insSt = ins.agg(count(lit(1)),
+      countDistinct(col(keyCol))).head()
+    val insRows = insSt.getLong(0)
+    require(insSt.getLong(1) == insRows,
+      s"$what: a key has multiple surviving insert rows at its " +
+        "winning version — ambiguous upsert")
+    Some((ins, insRows, ch.select(col(keyCol)).distinct()))
+  }
+
+  /** MERGE-ON-READ "apply changes into" — `applyCdc` semantics (same
+    * latest-wins resolution, same guards, same exactly-once txn ids)
+    * with ZERO data-file rewrites: the batch commits as the winning
+    * inserts' files + a delete-key sidecar of ALL touched keys (a
+    * winning delete fences its key with no replacement; a winning
+    * insert's old image vanishes behind the fence while the new row
+    * rides in the adds). This is the silver-table shape for a
+    * SCATTERED-KEY CDC stream on an unclustered table, where the COW
+    * apply would rewrite nearly every stat-overlapping file per
+    * trigger: per-batch write cost becomes O(batch), and the accrued
+    * sidecar cohorts compact away on the normal maintenance tick
+    * (`compactSmall`/`compact`) — the Delta/Iceberg MOR streaming
+    * pattern. Bootstraps an empty table from the batch's winning
+    * inserts. */
+  def applyCdcMor(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"applyCdcMor on feed-enabled table $table: an upsert is a " +
+        "delete+insert a PLAIN feed cannot represent — " +
+        s"enableCdcFeed($table) to capture it (chaining silver→gold), " +
+        "or disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    val ch = changes.cache()
+    try {
+      resolveCdcBatch(ch, keyCol, "applyCdcMor") match {
+        case None => latestVersion(table)
+        case Some((ins, insRows, touched)) =>
+          if (latestVersion(table) == 0L)
+            return append(spark, table, ins, statsCols, txnId,
+              strStatsCols, bloomStatsCols = bloomStatsCols)
+          morUpsertCore(spark, table, ins, insRows, touched, keyCol,
+            ch.schema(keyCol).dataType ==
+              org.apache.spark.sql.types.StringType,
+            "apply_cdc_mor", "applyCdcMor", statsCols, strStatsCols,
+            txnId, bloomStatsCols)
+      }
     } finally { ch.unpersist(); () }
   }
 

@@ -746,6 +746,50 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).where($"v" === 111).count() == 20)
   }
 
+  test("applyCdcMor: CDC apply with zero rewrites equals the COW apply; exactly-once; compaction") {
+    val t = tmp("graft_log_acmor")
+    val svCow = tmp("graft_log_acmor_cow")
+    val svMor = tmp("graft_log_acmor_mor")
+    TableLog.enableCdcFeed(t)
+    TableLog.create(spark, t, spark.range(500)
+      .select($"id".as("k"), ($"id" % 5).as("v"))
+      .repartitionByRange(4, $"k"), statsCols = Seq("k"))          // v1
+    TableLog.append(spark, t, spark.range(500)
+      .select($"id".as("k"), ($"id" % 5 + 100).as("v"))
+      .repartitionByRange(4, $"k"), statsCols = Seq("k"))          // v2
+    TableLog.deleteWhere(spark, t, "k", 100, 199,
+      statsCols = Seq("k"))                                        // v3
+    val feed = TableLog.readFeed(spark, t, withVersion = true)
+    // COW reference: whole feed in one apply
+    TableLog.applyCdc(spark, svCow, feed, "k", statsCols = Seq("k"))
+    // MOR: bootstrap batch, then the mutation batch as a sidecar commit
+    TableLog.applyCdcMor(spark, svMor,
+      feed.where($"_change_version" === 1), "k", statsCols = Seq("k"))
+    val before = TableLog.snapshot(svMor).get
+    TableLog.applyCdcMor(spark, svMor,
+      feed.where($"_change_version" >= 2), "k", statsCols = Seq("k"),
+      txnId = Some("acm#2"))
+    val after = TableLog.snapshot(svMor).get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "the MOR apply must not rewrite any silver file")
+    assert(after.dels.nonEmpty)
+    // same final keyed state as the COW apply
+    val cow = TableLog.read(spark, svCow)
+    val mor = TableLog.read(spark, svMor)
+    assert(mor.count() == 400) // 500 − deleted range
+    assert(cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty)
+    // exactly-once: replaying the batch under the same txn is a no-op
+    assert(TableLog.applyCdcMor(spark, svMor,
+      feed.where($"_change_version" >= 2), "k", statsCols = Seq("k"),
+      txnId = Some("acm#2")) == after.version)
+    assert(TableLog.snapshot(svMor).get.version == after.version)
+    // compaction materializes the sidecar; content unchanged
+    TableLog.compact(spark, svMor, 1L << 26, statsCols = Seq("k"))
+    assert(TableLog.snapshot(svMor).get.dels.isEmpty)
+    assert(TableLog.read(spark, svMor).exceptAll(cow).isEmpty)
+  }
+
   test("updateMor/mergeMor CDC capture: silver materializes from the feed alone") {
     val t = tmp("graft_log_mor_cdc")
     val sv = tmp("graft_log_mor_cdc_sv")
