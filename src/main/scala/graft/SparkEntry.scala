@@ -437,6 +437,49 @@ object SparkEntry {
       FROM lake65 GROUP BY priority ORDER BY priority""")
   }
 
+  /** The SQL DML face routed MERGE-ON-READ: `o65_sql_dml`'s exact
+    * statement sequence on its own slice, against a table registered
+    * with `morKey` and an UNCLUSTERED layout — the UPDATE commits
+    * through `updateMor` (new images + key sidecar) and the MERGE
+    * through `mergeMor` (source files + key sidecar), ZERO base-file
+    * rewrites either way (spec-pinned in SqlDmlSpec); the range
+    * DELETE stays copy-on-write by design (a range is what the stat
+    * prune rewrites tightly). The oracle replays the same three
+    * mutations — which commit strategy each statement took must be
+    * invisible to the reader. */
+  private def o68SqlDmlMor(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/sqldmlm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 23)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartition(8, col("priority")),
+      statsCols = Seq("o_orderkey"))
+    tl.registerSqlTable(s, "lake68", t, statsCols = Seq("o_orderkey"),
+      morKey = Some("o_orderkey"))
+    val maxKey = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val upd = base.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), (col("price_c") + 500).as("price_c"),
+        lit("U").as("priority"))
+    val ins = base.where(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+        col("price_c"), lit("I").as("priority"))
+    upd.unionByName(ins).createOrReplaceTempView("src68")
+    tl.sql(s, "UPDATE lake68 SET price_c = price_c + 777 " +
+      "WHERE o_orderkey BETWEEN 1000 AND 4000")
+    tl.sql(s, "DELETE FROM lake68 WHERE o_orderkey BETWEEN 5000 AND 9000")
+    tl.sql(s, "MERGE INTO lake68 USING src68 " +
+      "ON lake68.o_orderkey = src68.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    tl.sql(s, """
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake68 GROUP BY priority ORDER BY priority""")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3513,6 +3556,7 @@ object SparkEntry {
     "o59_dyn_join" -> (o59DynJoin _),
     "o64_dyn_join_str" -> (o64DynJoinStr _),
     "o65_sql_dml" -> (o65SqlDml _),
+    "o68_sql_dml_mor" -> (o68SqlDmlMor _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5015,6 +5059,31 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
         |  o_orderpriority AS priority
         |  FROM orders WHERE o_orderkey % 30 = 21),
+        |s1 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 4000
+        |    THEN price_c + 777 ELSE price_c END AS price_c, priority
+        |  FROM t),
+        |s2 AS (SELECT * FROM s1 WHERE o_orderkey NOT BETWEEN 5000 AND 9000),
+        |u AS (SELECT o_orderkey, price_c + 500 AS price_c, 'U' AS priority
+        |  FROM t WHERE o_orderkey % 7 = 2),
+        |i AS (SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM t) AS o_orderkey,
+        |  price_c, 'I' AS priority FROM t WHERE o_orderkey % 97 = 0),
+        |src AS (SELECT * FROM u UNION ALL SELECT * FROM i),
+        |s3 AS (SELECT COALESCE(src.o_orderkey, s2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE s2.price_c END AS price_c,
+        |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.priority ELSE s2.priority END AS priority
+        |  FROM s2 FULL OUTER JOIN src ON s2.o_orderkey = src.o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // o65's replay on the %30=23 slice — MOR-routed commits must read
+    // identically to the COW ones
+    "o68_sql_dml_mor" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 23),
         |s1 AS (SELECT o_orderkey,
         |  CASE WHEN o_orderkey BETWEEN 1000 AND 4000
         |    THEN price_c + 777 ELSE price_c END AS price_c, priority

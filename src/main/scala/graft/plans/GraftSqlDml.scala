@@ -40,9 +40,16 @@ object GraftSqlDml {
 
   /** The DML registry entry `TableLog.registerSqlTable` records: the
     * table path plus the stat columns every rewriting commit should
-    * re-derive (mirrors the Scala faces' parameters). */
+    * re-derive (mirrors the Scala faces' parameters). `morKey` opts
+    * the table's SQL mutations into the MERGE-ON-READ faces keyed on
+    * that column — UPDATE → `updateMor`, MERGE → `mergeMor`, and a
+    * DELETE whose predicate is `morKey IN (long list)` / `= n` →
+    * `deleteMor` — the zero-rewrite path an UNCLUSTERED table wants
+    * (range DELETEs stay copy-on-write: a range is exactly what the
+    * stat prune rewrites tightly). */
   final case class Reg(table: String, statsCols: Seq[String],
-      strStatsCols: Seq[String], bloomStatsCols: Seq[String])
+      strStatsCols: Seq[String], bloomStatsCols: Seq[String],
+      morKey: Option[String] = None)
 
   def rewrite(plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case DeleteFromTable(t, cond) =>
@@ -142,11 +149,29 @@ object GraftSqlDml {
         Some((attrOf(a).get, Seq(strOf(v).get)))
       case _ => None
     }
-    strIn match {
-      case Some((c, vals)) => GraftDmlCommand("delete", view, reg.table,
-        s => TableLog.deleteWhereIn(s, reg.table, c, vals, reg.statsCols,
-          reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols))
-      case None =>
+    // a key IN-list / key equality on a MOR-keyed table: the
+    // scattered-key shape deleteMor exists for — zero rewrites
+    val morKeys: Option[Seq[Long]] = reg.morKey.flatMap(mk => cond match {
+      case In(a, vs) if attrOf(a).contains(mk) && vs.nonEmpty &&
+          vs.forall(longOf(_).isDefined) => Some(vs.flatMap(longOf))
+      case EqualTo(a, l) if attrOf(a).contains(mk) &&
+          longOf(l).isDefined => Some(Seq(longOf(l).get))
+      case EqualTo(l, a) if attrOf(a).contains(mk) &&
+          longOf(l).isDefined => Some(Seq(longOf(l).get))
+      case _ => None
+    })
+    (morKeys, strIn) match {
+      case (Some(keys), _) => GraftDmlCommand("delete", view, reg.table,
+        s => {
+          import s.implicits._
+          TableLog.deleteMor(s, reg.table,
+            reg.morKey.get, keys.toDF(reg.morKey.get))
+        })
+      case (_, Some((c, vals))) =>
+        GraftDmlCommand("delete", view, reg.table,
+          s => TableLog.deleteWhereIn(s, reg.table, c, vals, reg.statsCols,
+            reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols))
+      case _ =>
         val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
           s"DELETE FROM $view",
           "supported predicates are single-column long ranges " +
@@ -172,10 +197,14 @@ object GraftSqlDml {
         s"assignment target ${k.sql} is not a plain column"))
       name -> org.apache.spark.sql.graft.Bridge.column(v)
     }.toMap
-    GraftDmlCommand("update", view, reg.table,
-      s => TableLog.updateWhere(s, reg.table, c, lo, hi, set,
+    GraftDmlCommand("update", view, reg.table, s => reg.morKey match {
+      case Some(mk) => TableLog.updateMor(s, reg.table, mk, c, lo, hi,
+        set, reg.statsCols, reg.strStatsCols,
+        bloomStatsCols = reg.bloomStatsCols)
+      case None => TableLog.updateWhere(s, reg.table, c, lo, hi, set,
         reg.statsCols, reg.strStatsCols,
-        bloomStatsCols = reg.bloomStatsCols))
+        bloomStatsCols = reg.bloomStatsCols)
+    })
   }
 
   private def merge(view: String, reg: Reg,
@@ -204,11 +233,15 @@ object GraftSqlDml {
         "ON must be a single equi-key condition")
     }
     val source = m.sourceTable
-    GraftDmlCommand("merge", view, reg.table, s =>
-      TableLog.mergeCow(s, reg.table,
-        org.apache.spark.sql.graft.Bridge.ofRows(s, source), key,
-        reg.statsCols, reg.strStatsCols,
-        bloomStatsCols = reg.bloomStatsCols))
+    GraftDmlCommand("merge", view, reg.table, s => {
+      val src = org.apache.spark.sql.graft.Bridge.ofRows(s, source)
+      if (reg.morKey.isDefined)
+        TableLog.mergeMor(s, reg.table, src, key, reg.statsCols,
+          reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols)
+      else
+        TableLog.mergeCow(s, reg.table, src, key, reg.statsCols,
+          reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols)
+    })
   }
 }
 

@@ -680,11 +680,12 @@ object TableLog {
     * version. */
   def registerSqlTable(spark: SparkSession, name: String, table: String,
       statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
-      bloomStatsCols: Seq[String] = Nil): Unit = {
+      bloomStatsCols: Seq[String] = Nil,
+      morKey: Option[String] = None): Unit = {
     scan(spark, table).createOrReplaceTempView(name)
     sqlDmlRegs.put(name.toLowerCase(java.util.Locale.ROOT),
       graft.plans.GraftSqlDml.Reg(table, statsCols, strStatsCols,
-        bloomStatsCols))
+        bloomStatsCols, morKey))
   }
 
   private[graft] def sqlDmlReg(name: String)

@@ -81,6 +81,45 @@ class SqlDmlSpec extends SparkSpec {
       "DELETE FROM some_other_view WHERE k = 1"))
   }
 
+  test("morKey routing: UPDATE/MERGE/key-IN-DELETE text commits through the MOR faces, zero rewrites") {
+    val t = tmp("graft_sqldml_mor")
+    // UNCLUSTERED in k: COW would rewrite everything, MOR must not
+    TableLog.create(spark, t, spark.range(2000)
+      .select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartition(6, $"v"), statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_mor", t,
+      statsCols = Seq("k"), morKey = Some("k"))
+    val before = TableLog.snapshot(t).get
+
+    TableLog.sql(spark,
+      "UPDATE dml_mor SET v = v + 100 WHERE k BETWEEN 300 AND 900")
+    TableLog.sql(spark, "DELETE FROM dml_mor WHERE k IN (10, 20, 30)")
+    spark.range(1990, 2010).select($"id".as("k"), lit(999L).as("v"))
+      .createOrReplaceTempView("dml_mor_src")
+    TableLog.sql(spark,
+      """MERGE INTO dml_mor USING dml_mor_src ON dml_mor.k = dml_mor_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val after = TableLog.snapshot(t).get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "all three MOR-routed statements must carry every base file")
+    assert(after.dels.nonEmpty)
+    // content: 2000 − 3 deleted + 10 inserted (2000..2009)
+    assert(TableLog.read(spark, t).count() == 2007)
+    assert(TableLog.read(spark, t).where($"k".isin(10, 20, 30)).count() == 0)
+    assert(TableLog.read(spark, t).where($"v" === 999).count() == 20)
+    assert(TableLog.read(spark, t)
+      .where($"k".between(300, 900) && $"v" < 100).count() == 0)
+    // a RANGE delete on a morKey table stays copy-on-write by design
+    TableLog.sql(spark, "DELETE FROM dml_mor WHERE k BETWEEN 0 AND 4")
+    assert(TableLog.read(spark, t).count() == 2002)
+    // view refresh held throughout
+    assert(TableLog.sql(spark, "SELECT count(*) AS n FROM dml_mor")
+      .head.getLong(0) == 2002)
+  }
+
   test("GraftSqlParser (the injected-parser path) rewrites DML to commands; everything else delegates") {
     val t = tmp("graft_sqldml_p")
     TableLog.create(spark, t, spark.range(100)
