@@ -3402,18 +3402,23 @@ object TableLog {
   }
 
   /** The bronze→keyed-silver CDC pipeline in one line: stream the typed
-    * feed (with versions) and `applyCdc` each micro-batch under txn id
+    * feed (with versions) and apply each micro-batch under txn id
     * `<streamId>#<batchId>` — exactly-once across crash-replays, one
-    * stats-pruned commit per batch. */
+    * stats-pruned commit per batch. `mor = true` routes each batch
+    * through `applyCdcMor` (winning inserts + touched-key sidecar,
+    * zero silver rewrites — the per-trigger cost an unclustered
+    * scattered-key stream wants; pair with a periodic
+    * `compactSmall`/`compact` maintenance tick). */
   def cdcApplyStream(spark: SparkSession, bronze: String, silver: String,
       keyCol: String, streamId: String, checkpoint: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit =
+      statsCols: Seq[String] = Nil, mor: Boolean = false): Unit =
     graft.streaming.StreamingOps.runForeachBatch(
       changeFeedStream(spark, bronze, withVersion = true),
       org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
       (batch, batchId) =>
-        applyCdc(spark, silver, batch, keyCol, statsCols,
-          txnId = Some(s"$streamId#$batchId"))
+        val apply = if (mor) applyCdcMor _ else applyCdc _
+        apply(spark, silver, batch, keyCol, statsCols, Nil,
+          Some(s"$streamId#$batchId"), Nil)
         ()
     }
 

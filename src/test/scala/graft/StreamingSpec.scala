@@ -881,4 +881,43 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(TableLog.latestVersion(silver) == vUpd && silverMap() == s3)
   }
+
+  test("cdcApplyStream(mor = true): per-trigger sidecar commits, zero silver rewrites, exactly once") {
+    import graft.sinks.TableLog
+    import spark.implicits._
+    val bronze = java.nio.file.Files
+      .createTempDirectory("graft_cdcapplym_b").toString + "/t"
+    val silver = java.nio.file.Files
+      .createTempDirectory("graft_cdcapplym_s").toString + "/t"
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_cdcapplym_ck").toString)
+    TableLog.enableCdcFeed(bronze)
+    def rows(ks: Range, f: Long => Long) =
+      ks.map(k => (k.toLong, f(k.toLong))).toDF("k", "v")
+    TableLog.create(spark, bronze,
+      rows(0 until 20, identity).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    def drain(): Unit = TableLog.cdcApplyStream(spark, bronze, silver,
+      "k", "capplym", ckpt, statsCols = Seq("k"), mor = true)
+    drain() // bootstrap batch
+    val boot = TableLog.snapshot(silver).get
+    TableLog.append(spark, bronze,
+      rows(10 until 25, _ * 10).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, bronze, "k", 0, 1, statsCols = Seq("k"))
+    drain() // MOR batches: updates + deletes land as sidecar commits
+    val after = TableLog.snapshot(silver).get
+    assert(boot.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "a MOR streaming apply must never rewrite a silver file")
+    assert(after.dels.nonEmpty)
+    val want = ((2L until 10L).map(k => k -> k) ++
+      (10L until 25L).map(k => k -> k * 10)).toMap
+    assert(TableLog.read(spark, silver).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // replay with the same checkpoint: txn ids make it a no-op
+    val v = TableLog.latestVersion(silver)
+    drain()
+    assert(TableLog.latestVersion(silver) == v)
+  }
 }
