@@ -61,4 +61,45 @@ object ZOrderLong {
     org.apache.spark.sql.graft.Bridge.column(ZOrderLong(
       org.apache.spark.sql.graft.Bridge.expression(a),
       org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** Does the z-interval [zlo, zhi] contain the z-value of ANY cell in
+    * the box [alo, ahi] × [blo, bhi] (cell space [0, 65535]²)? The
+    * file-level decision behind multi-dimensional data skipping: a
+    * z-clustered file stores a contiguous-ish z run whose BOUNDING BOX
+    * can overlap a query box even when no actual z in the run decodes
+    * into it (the curve leaves the box between visits) — this test
+    * prunes those files exactly where per-column stats cannot.
+    *
+    * Quadtree walk instead of BIGMIN bit-tricks: a node (a z-aligned
+    * square) is skipped when its z-span misses the interval or its
+    * square misses the box; it PROVES intersection when its z-span is
+    * fully inside the interval (any of its cells in the box qualifies
+    * — box overlap was already established) or its square is fully
+    * inside the box (any of its z-values in the interval qualifies).
+    * Only boundary nodes recurse, O(perimeter · depth); a node budget
+    * caps the worst case and answers `true` (keep the file — stats
+    * prune IO, never semantics). Child order follows `interleave`:
+    * a-bits sit one position above their paired b-bits, so child
+    * q = (aBit<<1)|bBit covers z offset q·(side/2)². */
+  def zBoxIntersects(zlo: Long, zhi: Long, alo: Long, ahi: Long,
+      blo: Long, bhi: Long, nodeBudget: Int = 1 << 14): Boolean = {
+    if (zlo > zhi || alo > ahi || blo > bhi) return false
+    var budget = nodeBudget
+    def rec(z0: Long, side: Long, a0: Long, b0: Long): Boolean = {
+      budget -= 1
+      if (budget <= 0) return true // out of budget: keep the file
+      val z1 = z0 + side * side - 1
+      if (z1 < zlo || z0 > zhi) return false
+      val a1 = a0 + side - 1
+      val b1 = b0 + side - 1
+      if (a1 < alo || a0 > ahi || b1 < blo || b0 > bhi) return false
+      if (z0 >= zlo && z1 <= zhi) return true
+      if (a0 >= alo && a1 <= ahi && b0 >= blo && b1 <= bhi) return true
+      val h = side / 2
+      val cs = h * h
+      rec(z0, h, a0, b0) || rec(z0 + cs, h, a0, b0 + h) ||
+        rec(z0 + 2 * cs, h, a0 + h, b0) || rec(z0 + 3 * cs, h, a0 + h, b0 + h)
+    }
+    rec(0L, 65536L, 0L, 0L)
+  }
 }

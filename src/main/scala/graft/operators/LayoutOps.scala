@@ -108,6 +108,28 @@ object LayoutOps {
     }
   }
 
+  /** Driver-side scalar TWIN of `norm16` — bit-identical to the Column
+    * form at any value (same three span branches, same double-division
+    * semantics Spark's `/` uses on longs), so a READER normalizing a
+    * query bound lands in exactly the cell the writer's z computation
+    * did. Monotone non-decreasing, which is what the box prune's
+    * cell-range coverage argument needs. `x` must be within
+    * [min, max] (callers clamp query bounds first). */
+  def norm16Scalar(x: Long, min: Long, max: Long): Long = {
+    val span = (BigInt(max) - BigInt(min)).max(BigInt(1))
+    if (span <= BigInt(1L << 46))
+      // Spark: Multiply(long,long)=long, Divide(long,long)=double,
+      // cast("long") truncates — replicated exactly
+      (((x - min) * 65535L).toDouble / span.toLong.toDouble).toLong
+    else if (span < BigInt(Long.MaxValue)) {
+      val bucket = (span / 65536 + 1).toLong
+      ((x - min).toDouble / bucket.toDouble).toLong
+    } else {
+      val bucket = (span / 65536 + 1).toDouble
+      math.min(65535L, ((x.toDouble - min.toDouble) / bucket).toLong)
+    }
+  }
+
   /** Write `df` clustered by the z-order of two long columns (each with
     * its [min,max] key range for normalization), into `nFiles` files.
     * Range-partitioning by z gives globally contiguous z-runs per file;

@@ -89,7 +89,8 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
         // bail ⇒ unchanged join; recursion expands the leaves normally
         tryDynPrune(j).getOrElse(j)
       case Filter(cond, r: GraftLogRelation) if prune =>
-        Filter(cond, expand(r, keptFiles(r, cond)))
+        Filter(cond, expand(r, boxPrune(r.snapshot, keptFiles(r, cond),
+          cond)))
       case r: GraftLogRelation =>
         expand(r, r.snapshot.files)
     }
@@ -280,6 +281,63 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
       : Seq[TableLog.FileEntry] =
     pruneTree(r.snapshot, cond).getOrElse(r.snapshot.files)
 
+  /** The MULTI-DIMENSIONAL tightening pass over a per-leaf-pruned file
+    * set: collect the top-level CONJUNCTS' per-column long ranges (a
+    * row must satisfy all of them, so the joint box is sound whatever
+    * OR-subtrees ride alongside) and hand them to the z-interval box
+    * prune — on a z-ordered table a file whose bounding box overlaps
+    * the query box but whose z run never enters it drops here, where
+    * the per-column stats could not. No z2 stats ⇒ identity. */
+  val BOX_KEY = "spark.graft.logPrune.box.enabled"
+
+  private def boxPrune(s: TableLog.Snapshot,
+      kept: Seq[TableLog.FileEntry], cond: Expression)
+      : Seq[TableLog.FileEntry] = {
+    if (!conf.getConfString(BOX_KEY, "true").toBoolean) return kept
+    val ranges = splitConjunctivePredicates(cond)
+      .flatMap(leafRange)
+      .groupBy(_._1)
+      .map { case (c, vs) =>
+        c -> vs.map(v => (v._2, v._3)).reduce((x, y) =>
+          (math.max(x._1, y._1), math.min(x._2, y._2)))
+      }
+    if (ranges.size < 2) kept
+    else TableLog.prunedFilesByBox(s.copy(files = kept), ranges)
+  }
+
+  /** One comparison leaf as (column, lo, hi) — the shape both the
+    * per-leaf range prune and the conjunction box pass consume. */
+  private def leafRange(e: Expression): Option[(String, Long, Long)] =
+    e match {
+      case EqualTo(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get, longLit(l).get))
+      case EqualTo(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get, longLit(l).get))
+      case GreaterThanOrEqual(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get, Long.MaxValue))
+      case GreaterThan(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get + 1, Long.MaxValue))
+      case LessThanOrEqual(a, l)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, Long.MinValue, longLit(l).get))
+      case LessThan(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, Long.MinValue, longLit(l).get - 1))
+      case GreaterThanOrEqual(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, Long.MinValue, longLit(l).get))
+      case GreaterThan(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, Long.MinValue, longLit(l).get - 1))
+      case LessThanOrEqual(l, a)
+          if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get, Long.MaxValue))
+      case LessThan(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
+        Some((attrName(a).get, longLit(l).get + 1, Long.MaxValue))
+      case _ => None
+    }
+
   /** Evaluate the whole predicate TREE to a surviving file set: AND
     * intersects (an unprunable side simply contributes nothing), OR
     * unions — and is prunable only when BOTH branches are, since an
@@ -308,42 +366,11 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
 
   private def pruneLeaf(s: TableLog.Snapshot, e: Expression)
       : Option[Seq[TableLog.FileEntry]] = e match {
-    case EqualTo(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
-      val v = longLit(l).get
-      Some(TableLog.prunedFilesOf(s, attrName(a).get, v, v))
-    case EqualTo(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
-      val v = longLit(l).get
-      Some(TableLog.prunedFilesOf(s, attrName(a).get, v, v))
-    case GreaterThanOrEqual(a, l)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        longLit(l).get, Long.MaxValue))
-    case GreaterThan(a, l)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        longLit(l).get + 1, Long.MaxValue))
-    case LessThanOrEqual(a, l)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        Long.MinValue, longLit(l).get))
-    case LessThan(a, l) if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        Long.MinValue, longLit(l).get - 1))
-    case GreaterThanOrEqual(l, a)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        Long.MinValue, longLit(l).get))
-    case GreaterThan(l, a)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        Long.MinValue, longLit(l).get - 1))
-    case LessThanOrEqual(l, a)
-        if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        longLit(l).get, Long.MaxValue))
-    case LessThan(l, a) if attrName(a).isDefined && longLit(l).isDefined =>
-      Some(TableLog.prunedFilesOf(s, attrName(a).get,
-        longLit(l).get + 1, Long.MaxValue))
+    // long comparisons, both literal sides (shared shape with the
+    // conjunction box pass)
+    case _ if leafRange(e).isDefined =>
+      val (c, lo, hi) = leafRange(e).get
+      Some(TableLog.prunedFilesOf(s, c, lo, hi))
     case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
       Some(strEqPrune(s, attrName(a).get, strLit(v).get))
     case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>

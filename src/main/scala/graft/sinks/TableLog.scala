@@ -560,7 +560,8 @@ object TableLog {
   private def writeDataFiles(spark: SparkSession, table: String,
       df: DataFrame, statsCols: Seq[String],
       strStatsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): (Seq[FileEntry], Long) = {
+      bloomCols: Seq[String] = Nil,
+      derivedStats: Seq[(String, Column)] = Nil): (Seq[FileEntry], Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
@@ -574,9 +575,12 @@ object TableLog {
       else spark.read.parquet(outDir).count() // footer metadata only
     // per-file min/max for the stat columns: one distributed agg grouped
     // by input file over the files just written (driver result is
-    // files×cols — metadata-sized). Long and string space.
+    // files×cols — metadata-sized). Long and string space; derived
+    // stats (named long expressions over the written columns, e.g. the
+    // z-order value a layout rewrite clustered by) ride the same pass.
     val statsByName: Map[String, (Seq[FileStat], Seq[FileStrStat])] =
-      if ((statsCols.isEmpty && strStatsCols.isEmpty) || names.isEmpty)
+      if ((statsCols.isEmpty && strStatsCols.isEmpty &&
+          derivedStats.isEmpty) || names.isEmpty)
         Map.empty
       else {
         val aggs = statsCols.flatMap(c => Seq(
@@ -584,7 +588,10 @@ object TableLog {
           max(col(c).cast("long")).as(s"mx_$c"))) ++
           strStatsCols.flatMap(c => Seq(
             min(col(c).cast("string")).as(s"smn_$c"),
-            max(col(c).cast("string")).as(s"smx_$c")))
+            max(col(c).cast("string")).as(s"smx_$c"))) ++
+          derivedStats.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+            min(e.cast("long")).as(s"dmn_$i"),
+            max(e.cast("long")).as(s"dmx_$i")) }
         spark.read.parquet(outDir)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -592,13 +599,18 @@ object TableLog {
           .map { r =>
             val name = r.getString(0).split("/").last
             val off = 1 + 2 * statsCols.size
+            val doff = off + 2 * strStatsCols.size
             // an all-null file has no range in LONG space either — omit
             // the stat (readers keep stat-less files, so absence is
             // safe) instead of NPE-ing on getLong
             name -> ((statsCols.zipWithIndex.flatMap { case (c, i) =>
               if (r.isNullAt(1 + 2 * i)) None
               else Some(FileStat(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-            }.toSeq,
+            }.toSeq ++ derivedStats.zipWithIndex.flatMap { case ((n, _), i) =>
+              if (r.isNullAt(doff + 2 * i)) None
+              else Some(FileStat(n, r.getLong(doff + 2 * i),
+                r.getLong(doff + 2 * i + 1)))
+            },
               // an all-null file has no range — omit the stat (the
               // reader keeps stat-less files, so absence is safe)
               strStatsCols.zipWithIndex.flatMap { case (c, i) =>
@@ -2557,7 +2569,8 @@ object TableLog {
       statsCols: Seq[String] = Nil, txnId: Option[String] = None,
       strStatsCols: Seq[String] = Nil,
       counterSet: Map[String, Long] = Map.empty,
-      bloomStatsCols: Seq[String] = Nil)(
+      bloomStatsCols: Seq[String] = Nil,
+      derivedStats: Seq[(String, Column)] = Nil)(
       fn: DataFrame => DataFrame): Long = {
     // the change feed is append-only by construction: refuse the
     // data-changing rewrites it cannot represent (layout-only
@@ -2577,7 +2590,7 @@ object TableLog {
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val out = fn(readSnapshot(spark, table, base))
       val (files, rows) = writeDataFiles(spark, table, out, statsCols,
-        strStatsCols, bloomStatsCols)
+        strStatsCols, bloomStatsCols, derivedStats)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       // a rewrite replaces the whole file list, so its delta (remove
@@ -2682,20 +2695,129 @@ object TableLog {
   }
 
   /** Z-order re-cluster through the log (LayoutOps.zOrderWrite layout,
-    * manifest-committed). */
+    * manifest-committed). Each output file additionally records its
+    * Z-VALUE interval as a derived manifest stat (name
+    * `z2|colA|colB|aLo|aHi|bLo|bHi` — the normalization params ride in
+    * the name so a reader reconstructs the same cell mapping), which
+    * is what makes MULTI-DIMENSIONAL box pruning possible: a
+    * z-clustered file's per-column bounding box can overlap a query
+    * box the curve never actually visits inside it, and the z-interval
+    * test (`ZOrderLong.zBoxIntersects`) prunes exactly those files —
+    * see `prunedFilesByBox`/`readWhereBox` and the declarative face's
+    * conjunction pass. Raw stats for both z columns are always
+    * recorded too: the box test is only SOUND for files whose data
+    * lies within the declared normalization ranges (outside them the
+    * masked interleave is non-monotone), and the raw stats are how the
+    * reader proves that per file. */
   def zOrder(spark: SparkSession, table: String, nFiles: Int,
       colA: String, rangeA: (Long, Long), colB: String,
       rangeB: (Long, Long), statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     import graft.operators.LayoutOps.norm16
-    rewrite(spark, table, "zorder", statsCols = statsCols) { df =>
-      df.withColumn("__z", graft.functions.ZOrderLong.zOrder(
-          norm16(col(colA), rangeA._1, rangeA._2),
-          norm16(col(colB), rangeB._1, rangeB._2)))
+    def z = graft.functions.ZOrderLong.zOrder(
+      norm16(col(colA), rangeA._1, rangeA._2),
+      norm16(col(colB), rangeB._1, rangeB._2))
+    rewrite(spark, table, "zorder",
+        statsCols = (statsCols ++ Seq(colA, colB)).distinct,
+        derivedStats = Seq(
+          z2StatName(colA, colB, rangeA, rangeB) -> z)) { df =>
+      df.withColumn("__z", z)
         .repartitionByRange(nFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
     }
+  }
+
+  /** The derived-stat name a z-order rewrite records its z-interval
+    * under: `z2|colA|colB|aLo|aHi|bLo|bHi` — '|'-separated because the
+    * manifest entry codec reserves ';' and ':'. */
+  private[graft] def z2StatName(colA: String, colB: String,
+      rangeA: (Long, Long), rangeB: (Long, Long)): String =
+    s"z2|$colA|$colB|${rangeA._1}|${rangeA._2}|${rangeB._1}|${rangeB._2}"
+
+  /** MULTI-DIMENSIONAL box prune: given per-column long range
+    * constraints (the query box), drop every file whose recorded
+    * z-interval provably contains NO cell of the box — the tightening
+    * per-column stats cannot see (a file spanning a z-quadrant
+    * boundary has a full-table bounding box but a narrow z run).
+    * Sound exactly when (1) the file carries a `z2` stat whose two
+    * columns resolve to BOTH-constrained query columns (physical
+    * names, rename-aware), and (2) the file's raw stats prove its
+    * data lies inside the declared normalization ranges — otherwise
+    * the file is kept and per-column pruning still applies. Query
+    * bounds clamp into the declared ranges (data is in-range by (2),
+    * so the clamp loses nothing); a bound-empty clamp proves the file
+    * matchless. Stats prune IO, never semantics. */
+  private[graft] def prunedFilesByBox(s: Snapshot,
+      ranges: Map[String, (Long, Long)]): Seq[FileEntry] = {
+    if (ranges.size < 2) return s.files
+    val physOf = ranges.keys.map(c => c -> statNameFor(s, c)).toMap
+    s.files.filter { f =>
+      val z2 = f.stats.filter(_.col.startsWith("z2|"))
+      if (z2.isEmpty) true
+      else {
+        val phys: Map[String, String] = ranges.keys.flatMap(c =>
+          physOf(c)(f).map(_ -> c)).toMap // physical -> logical
+        z2.forall { st =>
+          st.col.split('|') match {
+            case Array(_, pa, pb, aLoS, aHiS, bLoS, bHiS) =>
+              (for {
+                la <- phys.get(pa); lb <- phys.get(pb)
+                (qaLo, qaHi) <- ranges.get(la)
+                (qbLo, qbHi) <- ranges.get(lb)
+              } yield {
+                val (aMin, aMax) = (aLoS.toLong, aHiS.toLong)
+                val (bMin, bMax) = (bLoS.toLong, bHiS.toLong)
+                // the box test needs in-range data: prove it from the
+                // file's raw stats, else skip the test (keep)
+                val inRange =
+                  f.stats.find(_.col == pa).exists(r =>
+                    r.min >= aMin && r.max <= aMax) &&
+                  f.stats.find(_.col == pb).exists(r =>
+                    r.min >= bMin && r.max <= bMax)
+                if (!inRange) true
+                else {
+                  val caLo = math.max(qaLo, aMin)
+                  val caHi = math.min(qaHi, aMax)
+                  val cbLo = math.max(qbLo, bMin)
+                  val cbHi = math.min(qbHi, bMax)
+                  if (caLo > caHi || cbLo > cbHi) false // box ∩ range = ∅
+                  else {
+                    import graft.operators.LayoutOps.norm16Scalar
+                    graft.functions.ZOrderLong.zBoxIntersects(
+                      st.min, st.max,
+                      norm16Scalar(caLo, aMin, aMax),
+                      norm16Scalar(caHi, aMin, aMax),
+                      norm16Scalar(cbLo, bMin, bMax),
+                      norm16Scalar(cbHi, bMin, bMax))
+                  }
+                }
+              }).getOrElse(true)
+            case _ => true // unrecognized stat shape: keep
+          }
+        }
+      }
+    }
+  }
+
+  /** Explicit 2-D box read: per-column range pruning, then the
+    * z-interval box prune (`prunedFilesByBox`) on z-ordered tables,
+    * then the residual filter — the face a `readWhere(cA).where(cB)`
+    * caller upgrades to when the table is z-clustered on (cA, cB).
+    * The declarative `scan` face applies the same tightening to any
+    * SQL/DataFrame conjunction automatically. */
+  def readWhereBox(spark: SparkSession, table: String,
+      cA: String, aLo: Long, aHi: Long,
+      cB: String, bLo: Long, bHi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val s = snapshotOrFail(table)
+    val ranged = prunedFilesOf(
+      s.copy(files = prunedFilesOf(s, cA, aLo, aHi)), cB, bLo, bHi)
+    val kept = prunedFilesByBox(s.copy(files = ranged),
+      Map(cA -> (aLo, aHi), cB -> (bLo, bHi)))
+    morScan(spark, table, s, kept)
+      .where(coalesce(col(cA).cast("long").between(aLo, aHi), lit(false)))
+      .where(coalesce(col(cB).cast("long").between(bLo, bHi), lit(false)))
   }
 
   /** Stats-pruned COPY-ON-WRITE delete: remove the rows where `c` (cast

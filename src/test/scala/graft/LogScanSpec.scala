@@ -246,6 +246,53 @@ class LogScanSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("z-interval box pruning: 2-D conjunctions drop z-boundary files per-column stats must keep") {
+    val t = tmp("graft_log_zbox")
+    // 256×256 grid, z-ordered into 5 files: the odd file count forces
+    // some file's z run to straddle a major quadrant boundary — its
+    // per-column bounding box covers half the grid while its actual z
+    // run never enters the opposite corner
+    TableLog.create(spark, t, spark.range(65536)
+      .select(($"id" / 256).cast("long").as("a"),
+        ($"id" % 256).as("b"), ($"id" % 7).as("v")))
+    TableLog.zOrder(spark, t, 5, "a", (0L, 255L), "b", (0L, 255L))
+    val df = TableLog.scan(spark, t)
+    // the z run of the file straddling the first major boundary
+    // (regions ~3.2–6.4 of 16) spans bbox a[0,127] × b[64,255] while
+    // its actual cells never enter region 1 (a[0,63] × b[64,127]) —
+    // a box there is kept by per-column stats, dropped by the z test
+    val q = df.where($"a".between(0, 40) && $"b".between(64, 100))
+    val withBox = filesScanned(q)
+    spark.conf.set(graft.plans.PruneLogScan.BOX_KEY, "false")
+    val withoutBox =
+      try filesScanned(
+        TableLog.scan(spark, t)
+          .where($"a".between(0, 40) && $"b".between(64, 100)))
+      finally spark.conf.unset(graft.plans.PruneLogScan.BOX_KEY)
+    assert(withBox < withoutBox,
+      s"z-interval test must tighten per-column pruning " +
+        s"($withBox vs $withoutBox)")
+    assert(q.count() == 41L * 37L)
+    // correctness across assorted boxes: scan ≡ eager read
+    for ((al, ah, bl, bh) <- Seq((0, 40, 0, 40), (100, 160, 30, 90),
+        (250, 255, 0, 255), (64, 64, 128, 128), (200, 250, 200, 250))) {
+      val got = TableLog.scan(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh))
+      checkSame(got, TableLog.read(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh)))
+    }
+    // the explicit face prunes the same way and agrees
+    val face = TableLog.readWhereBox(spark, t, "a", 0, 40, "b", 64, 100)
+    assert(face.count() == 41L * 37L)
+    assert(filesScanned(face) == withBox)
+    // a LATER append carries no z2 stat: kept by the box pass, rows
+    // still correct (stats prune IO, never semantics)
+    TableLog.append(spark, t, Seq((20L, 80L, 99L)).toDF("a", "b", "v"))
+    val q2 = TableLog.scan(spark, t)
+      .where($"a".between(0, 40) && $"b".between(64, 100))
+    assert(q2.count() == 41L * 37L + 1)
+  }
+
   test("scan planning reads file sizes from the manifest — zero filesystem stats") {
     val t = mkTable()
     val rel = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {

@@ -325,4 +325,37 @@ class PropertySpec extends SparkSpec {
         }: _*)
     }, n = 120)
   }
+
+  test("zBoxIntersects ≡ brute force: the z-interval box test is exact on small boxes") {
+    import graft.functions.ZOrderLong
+    // small boxes (≤ 8 cells per dim) anywhere in the 65536² cell
+    // space, z-intervals biased to be near the box's own z-values
+    // (uniform intervals almost never intersect — bias exercises the
+    // true branch too)
+    val gen = for {
+      a0 <- Gen.choose(0L, 65527L)
+      aw <- Gen.choose(0L, 7L)
+      b0 <- Gen.choose(0L, 65527L)
+      bw <- Gen.choose(0L, 7L)
+      anchorInBox <- Gen.oneOf(true, false)
+      zc <- Gen.choose(0L, (1L << 32) - 1)
+      zw <- Gen.choose(0L, 1L << 20)
+    } yield {
+      val center =
+        if (anchorInBox)
+          ZOrderLong.interleave(a0 + aw / 2, b0 + bw / 2)
+        else zc
+      (a0, a0 + aw, b0, b0 + bw,
+        math.max(0L, center - zw), center + zw)
+    }
+    check("zbox", Prop.forAllNoShrink(gen) {
+      case (alo, ahi, blo, bhi, zlo, zhi) =>
+        val brute = (alo to ahi).exists(a => (blo to bhi).exists { b =>
+          val z = ZOrderLong.interleave(a, b); z >= zlo && z <= zhi
+        })
+        val fast = ZOrderLong.zBoxIntersects(zlo, zhi, alo, ahi, blo, bhi)
+        // with the default budget the test is exact on these sizes
+        fast == brute
+    }, n = 500)
+  }
 }
