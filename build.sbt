@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// All suites share one SparkSession (SparkSpec.session); concurrent
+// suites in the forked JVM leak session-conf mutations and scheduler
+// load across each other (observed: plan-shape-perturbation flakes).
+// Serial execution is the honest fix for a shared-session design.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

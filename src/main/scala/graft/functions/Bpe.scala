@@ -186,7 +186,7 @@ case class BpeEncode(child: Expression,
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     var i = 0
     while (i < merges.length) {
-      m.put(merges(i)._1 + " " + merges(i)._2, i); i += 1
+      m.put(merges(i)._1 + "\u0000" + merges(i)._2, i); i += 1
     }
     m
   }
@@ -206,7 +206,7 @@ case class BpeEncode(child: Expression,
       var bestRank = Int.MaxValue
       var j = 0
       while (j + 1 < s.length) {
-        val r = rank.get(s(j) + " " + s(j + 1))
+        val r = rank.get(s(j) + "\u0000" + s(j + 1))
         if (r != null && r < bestRank) bestRank = r
         j += 1
       }

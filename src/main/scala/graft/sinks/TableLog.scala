@@ -567,12 +567,35 @@ object TableLog {
     val outDir = s"$table/data/$setId"
     df.write.parquet(outDir)
     import scala.jdk.CollectionConverters._
-    val names = listDir(Paths.get(outDir))
+    val allNames = listDir(Paths.get(outDir))
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .sorted
-    val rows = if (names.isEmpty) 0L
-      else spark.read.parquet(outDir).count() // footer metadata only
+    // Per-file row counts from the parquet FOOTERS, driver-side (the
+    // files were just written, so the metadata is OS-cache hot; this
+    // also replaces the whole-directory count() job). Spark's writer
+    // creates part files EAGERLY, so a task whose input rows were all
+    // filtered away (e.g. a delete-rewrite task whose file fell
+    // entirely inside the deleted range) leaves a ZERO-ROW file — and
+    // the stats pass below groups by input_file_name, in which an
+    // empty file has no group, so it would land in the manifest
+    // STAT-LESS. Stat absence means "keep" to every pruner, so one
+    // such entry silently defeats every future stat prune and makes
+    // disjoint-range no-op deletes impossible. Zero-row files are
+    // deleted here and never manifested.
+    val hconf = spark.sessionState.newHadoopConf()
+    val countByName: Map[String, Long] = allNames.map { n =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$outDir/$n"), hconf))
+      try n -> rdr.getRecordCount finally rdr.close()
+    }.toMap
+    val names = allNames.filter(n => countByName(n) > 0L)
+    allNames.filterNot(countByName(_) > 0L).foreach { n =>
+      Files.deleteIfExists(Paths.get(outDir, n))
+      Files.deleteIfExists(Paths.get(outDir, s".$n.crc"))
+    }
+    val rows = countByName.valuesIterator.sum
     // per-file min/max for the stat columns: one distributed agg grouped
     // by input file over the files just written (driver result is
     // files×cols — metadata-sized). Long and string space; derived

@@ -1053,6 +1053,60 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("deleteWhere: an entirely-deleted rewrite input manifests no stat-less zero-row file") {
+    val t = tmp("graft_log_zerorow")
+    TableLog.create(spark, t,
+      spark.range(4000).toDF("k").repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+    assert(before.files.size == 4)
+    // pick an INTERIOR file and delete exactly its range: the rewrite
+    // reads that one file and filters every row away — Spark's writer
+    // still creates the task's part file eagerly, and (pre-fix) the
+    // resulting ZERO-ROW file landed in the manifest with NO stats
+    // (the per-file stats agg groups by input_file_name, in which an
+    // empty file has no group). A stat-less entry is kept by every
+    // pruner, silently defeating all future stat prunes and breaking
+    // the disjoint-range no-op contract below.
+    val f1 = before.files.find { f =>
+      val s = f.stats.find(_.col == "k").get
+      s.min <= 1500 && 1500 <= s.max
+    }.get
+    val st = f1.stats.find(_.col == "k").get
+    assert(st.min > 0 && st.max < 3999, "fixture: interior file")
+    val v = TableLog.deleteWhere(spark, t, "k", st.min, st.max,
+      statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    assert(v == before.version + 1)
+    // the fully-deleted file is gone and NOTHING replaced it — zero-row
+    // part files never reach the manifest
+    assert(!after.files.map(_.path).contains(f1.path))
+    assert(after.files.size == 3)
+    // every surviving entry carries a k stat (no stat-less survivors)…
+    assert(after.files.forall(_.stats.exists(_.col == "k")),
+      s"stat-less entries: ${after.files.filter(_.stats.isEmpty).map(_.path)}")
+    // …and is footer-verified non-empty on disk
+    val hconf = spark.sessionState.newHadoopConf()
+    after.files.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$t/${f.path}"), hconf))
+      val n = try rdr.getRecordCount finally rdr.close()
+      assert(n > 0, s"zero-row file ${f.path} reached the manifest")
+    }
+    // semantics intact
+    val expected = (0L until 4000L).filterNot(k => k >= st.min && k <= st.max)
+    assert(after.rows == expected.size)
+    assert(TableLog.read(spark, t).count() == expected.size)
+    assert(TableLog.read(spark, t).agg(sum($"k")).head.getLong(0) ==
+      expected.sum)
+    // the no-op contract SURVIVES the all-deleted rewrite: a
+    // disjoint-range delete finds no candidate file and commits nothing
+    assert(TableLog.deleteWhere(spark, t, "k", 1000000, 2000000,
+      statsCols = Seq("k")) == v)
+    assert(TableLog.latestVersion(t) == v)
+  }
+
   test("mergeCow: rewrites only key-overlapping files, carries the rest by reference") {
     val t = tmp("graft_log_mcow")
     // 8 range-clustered files over [0, 8000)
