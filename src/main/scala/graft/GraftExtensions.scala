@@ -23,7 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML face: UPDATE/DELETE/MERGE text over tables registered
     // via TableLog.registerSqlTable routes to the TableLog faces
     // (live sessions without extensions use TableLog.sql instead)
-    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     GraftFunctionRegistry.all.foreach { case (name, clazz, builder) =>
       e.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder))

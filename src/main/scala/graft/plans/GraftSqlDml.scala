@@ -51,15 +51,17 @@ object GraftSqlDml {
       strStatsCols: Seq[String], bloomStatsCols: Seq[String],
       morKey: Option[String] = None)
 
-  def rewrite(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+  def rewrite(spark: SparkSession, plan: LogicalPlan)
+      : Option[LogicalPlan] = plan match {
     case DeleteFromTable(t, cond) =>
-      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(v) }
+      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(spark, v) }
         yield delete(v, reg, cond)
     case UpdateTable(t, assigns, cond) =>
-      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(v) }
+      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(spark, v) }
         yield update(v, reg, assigns, cond)
     case m: MergeIntoTable =>
-      for { v <- viewName(m.targetTable); reg <- TableLog.sqlDmlReg(v) }
+      for { v <- viewName(m.targetTable)
+            reg <- TableLog.sqlDmlReg(spark, v) }
         yield merge(v, reg, m)
     case _ => None
   }
@@ -117,25 +119,71 @@ object GraftSqlDml {
       Some((attrOf(a).get, longOf(l).get, Long.MaxValue))
     case GreaterThan(a, l)
         if attrOf(a).isDefined && longOf(l).isDefined =>
-      Some((attrOf(a).get, longOf(l).get + 1, Long.MaxValue))
+      Some(aboveExclusive(attrOf(a).get, longOf(l).get))
     case LessThanOrEqual(a, l)
         if attrOf(a).isDefined && longOf(l).isDefined =>
       Some((attrOf(a).get, Long.MinValue, longOf(l).get))
     case LessThan(a, l) if attrOf(a).isDefined && longOf(l).isDefined =>
-      Some((attrOf(a).get, Long.MinValue, longOf(l).get - 1))
+      Some(belowExclusive(attrOf(a).get, longOf(l).get))
     case GreaterThanOrEqual(l, a)
         if attrOf(a).isDefined && longOf(l).isDefined =>
       Some((attrOf(a).get, Long.MinValue, longOf(l).get))
     case GreaterThan(l, a)
         if attrOf(a).isDefined && longOf(l).isDefined =>
-      Some((attrOf(a).get, Long.MinValue, longOf(l).get - 1))
+      Some(belowExclusive(attrOf(a).get, longOf(l).get))
     case LessThanOrEqual(l, a)
         if attrOf(a).isDefined && longOf(l).isDefined =>
       Some((attrOf(a).get, longOf(l).get, Long.MaxValue))
     case LessThan(l, a) if attrOf(a).isDefined && longOf(l).isDefined =>
-      Some((attrOf(a).get, longOf(l).get + 1, Long.MaxValue))
+      Some(aboveExclusive(attrOf(a).get, longOf(l).get))
     case _ => None
   }
+
+  /** `col > v` / `col < v` with the literal at the domain endpoint
+    * matches NOTHING — the naive `v + 1` / `v - 1` bound WRAPS (lo
+    * becomes Long.MinValue), turning a match-nothing DELETE into a
+    * delete-everything. Here (unlike leafRange's pruning, where a
+    * residual filter makes the wrap harmless) the range IS the DML
+    * semantics, so the endpoint translates to the canonical empty
+    * range `(1, 0)` — which `delete`/`update` turn into a no-op. */
+  private def aboveExclusive(c: String, v: Long): (String, Long, Long) =
+    if (v == Long.MaxValue) (c, 1L, 0L) else (c, v + 1, Long.MaxValue)
+  private def belowExclusive(c: String, v: Long): (String, Long, Long) =
+    if (v == Long.MinValue) (c, 1L, 0L) else (c, Long.MinValue, v - 1)
+
+  /** The range faces evaluate `cast(col AS long) BETWEEN lo AND hi`,
+    * which on a fractional column is NOT SQL equality — `price = 100`
+    * would silently delete every row with price in [100.0, 101.0)
+    * (truncating cast). So a range-translated predicate is only
+    * claimed when the column resolves to an INTEGRAL type in the
+    * registered table's schema; anything else fails loudly like the
+    * other untranslatable shapes. Legacy tables without a recorded
+    * schema can't be checked and keep the historical behavior. */
+  private def requireIntegralRange(verb: String, view: String, reg: Reg,
+      col: String): Unit =
+    TableLog.tableSchemaOf(reg.table).foreach { st =>
+      st.fields.find(_.name.equalsIgnoreCase(col)) match {
+        case None => unsupported(s"$verb $view",
+          s"predicate column $col does not exist in the table " +
+            s"(columns: ${st.fieldNames.mkString(", ")})")
+        case Some(f) => f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case dt => unsupported(s"$verb $view",
+            s"range/equality predicate on non-integral column $col " +
+              s"(${dt.simpleString}): the long-range faces would apply " +
+              "a truncating cast, not SQL equality — use the Scala " +
+              "faces for fractional/string/temporal predicates")
+        }
+      }
+    }
+
+  /** A statement whose translated range is EMPTY (endpoint-exclusive
+    * bounds, `BETWEEN 5 AND 1`, contradictory conjunctions) matches
+    * nothing: commit nothing, report the current version — the same
+    * outcome the faces produce when no file can contain a match. */
+  private def noOp(kind: String, view: String, reg: Reg): LogicalPlan =
+    GraftDmlCommand(kind, view, reg.table,
+      _ => TableLog.latestVersion(reg.table))
 
   private def delete(view: String, reg: Reg,
       cond: Expression): LogicalPlan = {
@@ -177,7 +225,9 @@ object GraftSqlDml {
           "supported predicates are single-column long ranges " +
             "(BETWEEN/=/</>) and string =/IN lists — for anything " +
             "else use TableLog.deleteMor with an explicit key frame"))
-        GraftDmlCommand("delete", view, reg.table,
+        requireIntegralRange("DELETE FROM", view, reg, c)
+        if (lo > hi) noOp("delete", view, reg)
+        else GraftDmlCommand("delete", view, reg.table,
           s => TableLog.deleteWhere(s, reg.table, c, lo, hi,
             reg.statsCols, reg.strStatsCols,
             bloomStatsCols = reg.bloomStatsCols))
@@ -192,11 +242,13 @@ object GraftSqlDml {
     val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
       s"UPDATE $view", "supported predicates are single-column long " +
         "ranges (BETWEEN/=/</>) — the stats-prunable shapes"))
+    requireIntegralRange("UPDATE", view, reg, c)
     val set = assigns.map { case Assignment(k, v) =>
       val name = attrOf(k).getOrElse(unsupported(s"UPDATE $view",
         s"assignment target ${k.sql} is not a plain column"))
       name -> org.apache.spark.sql.graft.Bridge.column(v)
     }.toMap
+    if (lo > hi) return noOp("update", view, reg)
     GraftDmlCommand("update", view, reg.table, s => reg.morKey match {
       case Some(mk) => TableLog.updateMor(s, reg.table, mk, c, lo, hi,
         set, reg.statsCols, reg.strStatsCols,
@@ -270,10 +322,11 @@ final case class GraftDmlCommand(kind: String, view: String,
   * then hand DML over registered log tables to `GraftSqlDml`.
   * Everything else — including DML on unregistered names — passes
   * through untouched. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
     val plan = delegate.parsePlan(sqlText)
-    GraftSqlDml.rewrite(plan).getOrElse(plan)
+    GraftSqlDml.rewrite(session, plan).getOrElse(plan)
   }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -702,8 +702,17 @@ object TableLog {
     mkScan(spark, table, snapshotOrFail(table))
 
   // ── the SQL DML face (plans.GraftSqlDml holds the translation) ──
-  private val sqlDmlRegs = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.plans.GraftSqlDml.Reg]()
+  // Keyed per SESSION (weakly, so a dropped session's entries are
+  // GC-reclaimed), then by lowercased view name: the views the
+  // registry shadows are SESSION-scoped temp views, so a process-global
+  // name→table map would let session A's "UPDATE v" silently mutate
+  // the table path session B registered under the same name —
+  // wrong-table mutation with no error. Session scoping makes the
+  // registry exactly as visible as the view it describes.
+  private val sqlDmlRegs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        String, graft.plans.GraftSqlDml.Reg]]())
 
   /** Register a log table for the SQL face: the declarative `scan`
     * becomes temp view `name` (SELECT), and UPDATE / DELETE / MERGE
@@ -718,14 +727,27 @@ object TableLog {
       bloomStatsCols: Seq[String] = Nil,
       morKey: Option[String] = None): Unit = {
     scan(spark, table).createOrReplaceTempView(name)
-    sqlDmlRegs.put(name.toLowerCase(java.util.Locale.ROOT),
+    sqlDmlRegs.synchronized {
+      sqlDmlRegs.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap())
+    }.put(name.toLowerCase(java.util.Locale.ROOT),
       graft.plans.GraftSqlDml.Reg(table, statsCols, strStatsCols,
         bloomStatsCols, morKey))
   }
 
-  private[graft] def sqlDmlReg(name: String)
+  private[graft] def sqlDmlReg(spark: SparkSession, name: String)
       : Option[graft.plans.GraftSqlDml.Reg] =
-    Option(sqlDmlRegs.get(name.toLowerCase(java.util.Locale.ROOT)))
+    Option(sqlDmlRegs.get(spark)).flatMap(m =>
+      Option(m.get(name.toLowerCase(java.util.Locale.ROOT))))
+
+  /** The table schema at the latest version, parsed from the
+    * manifest's recorded JSON (None for legacy tables without one) —
+    * the DML face's type oracle. */
+  private[graft] def tableSchemaOf(table: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    snapshot(table).flatMap(_.schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Run one SQL statement with the DML face active on any LIVE
     * session (the builder-time path is `GraftExtensions`' injected
@@ -734,7 +756,7 @@ object TableLog {
     * is plain `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val plan = org.apache.spark.sql.graft.Bridge.parsePlan(spark, text)
-    graft.plans.GraftSqlDml.rewrite(plan)
+    graft.plans.GraftSqlDml.rewrite(spark, plan)
       .map(org.apache.spark.sql.graft.Bridge.ofRows(spark, _))
       .getOrElse(spark.sql(text))
   }

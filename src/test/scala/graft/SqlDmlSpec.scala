@@ -127,7 +127,7 @@ class SqlDmlSpec extends SparkSpec {
       statsCols = Seq("k"))
     TableLog.registerSqlTable(spark, "dml_lake_p", t,
       statsCols = Seq("k"))
-    val parser = new GraftSqlParser(
+    val parser = new GraftSqlParser(spark,
       org.apache.spark.sql.graft.Bridge.sqlParser(spark))
     val plan = parser.parsePlan(
       "UPDATE dml_lake_p SET v = v + 1 WHERE k BETWEEN 10 AND 20")
@@ -142,5 +142,91 @@ class SqlDmlSpec extends SparkSpec {
     // DML on an unregistered name delegates untouched
     val other = parser.parsePlan("DELETE FROM not_registered WHERE k = 1")
     assert(!other.isInstanceOf[GraftDmlCommand])
+  }
+
+  test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
+    val tA = tmp("graft_sqldml_sessA")
+    val tB = tmp("graft_sqldml_sessB")
+    val sessionB = spark.newSession()
+    TableLog.create(spark, tA, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))
+    TableLog.create(spark, tB, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))
+    // the SAME view name registered to DIFFERENT tables in two
+    // sessions — a global registry would let the later registration
+    // hijack the earlier session's DML onto the wrong table
+    TableLog.registerSqlTable(spark, "dml_shared", tA,
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(sessionB, "dml_shared", tB,
+      statsCols = Seq("k"))
+    TableLog.sql(spark, "DELETE FROM dml_shared WHERE k BETWEEN 0 AND 49")
+    assert(TableLog.read(spark, tA).count() == 50,
+      "session A's delete must hit A's table")
+    assert(TableLog.read(spark, tB).count() == 100,
+      "session B's table must be untouched by session A's DML")
+    TableLog.sql(sessionB, "DELETE FROM dml_shared WHERE k BETWEEN 0 AND 9")
+    assert(TableLog.read(spark, tB).count() == 90)
+    assert(TableLog.read(spark, tA).count() == 50)
+    // a session that never registered the name gets the pass-through
+    // (the statement fails on the unknown relation instead of silently
+    // mutating someone else's table)
+    val sessionC = spark.newSession()
+    intercept[Exception](
+      TableLog.sql(sessionC, "DELETE FROM dml_shared WHERE k = 1")
+        .collect())
+    assert(TableLog.read(spark, tA).count() == 50)
+    assert(TableLog.read(spark, tB).count() == 90)
+  }
+
+  test("range predicates on non-integral columns fail loudly (the cast is not SQL equality)") {
+    val t = tmp("graft_sqldml_typed")
+    TableLog.create(spark, t, spark.range(100)
+      .select($"id".as("k"), ($"id" + 0.5).as("price")),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_typed", t,
+      statsCols = Seq("k"))
+    // price = 100 under cast-to-long semantics would delete every row
+    // in [100.0, 101.0) — refuse instead of silently mismatching SQL
+    val e = intercept[UnsupportedOperationException](
+      TableLog.sql(spark, "DELETE FROM dml_typed WHERE price = 50"))
+    assert(e.getMessage.contains("non-integral"))
+    val e2 = intercept[UnsupportedOperationException](
+      TableLog.sql(spark,
+        "UPDATE dml_typed SET k = 0 WHERE price BETWEEN 1 AND 2"))
+    assert(e2.getMessage.contains("non-integral"))
+    // a predicate on a column the table doesn't have is a typo, not a
+    // silent no-op
+    val e3 = intercept[UnsupportedOperationException](
+      TableLog.sql(spark, "DELETE FROM dml_typed WHERE kk = 5"))
+    assert(e3.getMessage.contains("does not exist"))
+    // integral predicates still translate
+    TableLog.sql(spark, "DELETE FROM dml_typed WHERE k < 10")
+    assert(TableLog.read(spark, t).count() == 90)
+  }
+
+  test("domain-endpoint strict inequalities are match-nothing no-ops, not wrap-around deletes") {
+    val t = tmp("graft_sqldml_wrap")
+    TableLog.create(spark, t, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_wrap", t,
+      statsCols = Seq("k"))
+    val v0 = TableLog.latestVersion(t)
+    // k > Long.MaxValue matches nothing; the naive lo = max+1 WRAPS to
+    // Long.MinValue and would delete every row
+    val r1 = TableLog.sql(spark,
+      "DELETE FROM dml_wrap WHERE k > 9223372036854775807").head.getLong(0)
+    assert(r1 == v0, "match-nothing delete must not commit")
+    assert(TableLog.read(spark, t).count() == 100)
+    val r2 = TableLog.sql(spark,
+      "DELETE FROM dml_wrap WHERE k < -9223372036854775808").head.getLong(0)
+    assert(r2 == v0)
+    // empty BETWEEN and contradictory conjunctions: same no-op
+    assert(TableLog.sql(spark,
+      "DELETE FROM dml_wrap WHERE k BETWEEN 5 AND 1").head.getLong(0) == v0)
+    assert(TableLog.sql(spark,
+      "UPDATE dml_wrap SET k = 0 WHERE k > 50 AND k < 40")
+      .head.getLong(0) == v0)
+    assert(TableLog.read(spark, t).count() == 100)
+    assert(TableLog.latestVersion(t) == v0)
   }
 }
