@@ -480,6 +480,45 @@ object SparkEntry {
       FROM lake68 GROUP BY priority ORDER BY priority""")
   }
 
+  /** SQL INSERT + time travel under the oracle: a registered log
+    * table mutated from TEXT alone — one `INSERT … VALUES` (positional
+    * alignment, literals cast to the table's types), one
+    * `INSERT (permuted column list) … SELECT` whose SOURCE time-travels
+    * the table's own pre-insert version (`VERSION AS OF 1` inside the
+    * INSERT), each committing through `TableLog.append` with the
+    * registration's stat columns — and a final SELECT that unions the
+    * live aggregate with a `VERSION AS OF 1` aggregate, so BOTH the
+    * append semantics and the from-text time travel land in the hashed
+    * result. The oracle replays the inserts relationally; the AS OF
+    * row must equal the pristine base. */
+  private def o69SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/sqlins_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 25)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    val tl = graft.sinks.TableLog
+    tl.create(s, t, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    tl.registerSqlTable(s, "lake69", t, statsCols = Seq("o_orderkey"))
+    tl.sql(s, "INSERT INTO lake69 VALUES " +
+      "(9000001, 111, 'V'), (9000002, 222, 'V')")
+    tl.sql(s, "INSERT INTO lake69 (priority, price_c, o_orderkey) " +
+      "SELECT 'S', price_c + 1, o_orderkey + 20000000 " +
+      "FROM lake69 VERSION AS OF 1 WHERE o_orderkey % 11 = 3")
+    tl.sql(s, """
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake69 GROUP BY priority
+      UNION ALL
+      SELECT 'asof_v1' AS priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake69 VERSION AS OF 1
+      ORDER BY priority""")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3557,6 +3596,7 @@ object SparkEntry {
     "o64_dyn_join_str" -> (o64DynJoinStr _),
     "o65_sql_dml" -> (o65SqlDml _),
     "o68_sql_dml_mor" -> (o68SqlDmlMor _),
+    "o69_sql_insert" -> (o69SqlInsert _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5077,6 +5117,29 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the two inserts replayed relationally; the asof_v1 row must
+    // equal the PRISTINE base (a time-travel leak of either insert
+    // changes the hash)
+    "o69_sql_insert" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 25),
+        |v AS (SELECT * FROM t
+        |  UNION ALL SELECT 9000001, 111, 'V'
+        |  UNION ALL SELECT 9000002, 222, 'V'
+        |  UNION ALL SELECT o_orderkey + 20000000, price_c + 1, 'S'
+        |    FROM t WHERE o_orderkey % 11 = 3)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM v GROUP BY priority
+        |UNION ALL
+        |SELECT 'asof_v1' AS priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM t
+        |ORDER BY priority""".stripMargin,
     // o65's replay on the %30=23 slice — MOR-routed commits must read
     // identically to the COW ones
     "o68_sql_dml_mor" ->

@@ -62,8 +62,127 @@ object GraftSqlDml {
     case m: MergeIntoTable =>
       for { v <- viewName(m.targetTable)
             reg <- TableLog.sqlDmlReg(spark, v) }
-        yield merge(v, reg, m)
-    case _ => None
+        yield merge(spark, v, reg, m)
+    case i: InsertIntoStatement =>
+      for { v <- viewName(i.table); reg <- TableLog.sqlDmlReg(spark, v) }
+        yield insert(spark, v, reg, i)
+    case other => timeTravel(spark, other)
+  }
+
+  /** `FROM <registered view> VERSION AS OF n` / `TIMESTAMP AS OF ts`
+    * anywhere in a query: splice the pinned scan's plan in place of
+    * the time-travel node (which Spark itself cannot resolve over a
+    * temp view), so historical SELECTs work from text alone with the
+    * same manifest pruning as `scanVersion`/`scanAsOf`. Time-travel
+    * over unregistered names passes through untouched. */
+  private def timeTravel(spark: SparkSession,
+      plan: LogicalPlan): Option[LogicalPlan] = {
+    var hit = false
+    val out = plan.transformUp {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        viewName(tt.relation)
+          .flatMap(v => TableLog.sqlDmlReg(spark, v).map((v, _))) match {
+          case Some((v, reg)) =>
+            hit = true
+            val df = (tt.version, tt.timestamp) match {
+              case (Some(ver), None) =>
+                val n = try ver.toLong catch {
+                  case _: NumberFormatException =>
+                    unsupported(s"$v VERSION AS OF $ver",
+                      "version must be an integer")
+                }
+                TableLog.scanVersion(spark, reg.table, n)
+              case (None, Some(ts)) =>
+                TableLog.scanAsOf(spark, reg.table, tsMillisOf(v, ts))
+              case _ => unsupported(s"$v AS OF",
+                "exactly one of VERSION / TIMESTAMP must be given")
+            }
+            SubqueryAlias(v, df.queryExecution.logical)
+          case None => tt
+        }
+    }
+    if (hit) Some(out) else None
+  }
+
+  private def tsMillisOf(view: String, e: Expression): Long = e match {
+    case Literal(s: UTF8String, StringType) =>
+      val str = s.toString
+      try {
+        if (str.contains("T")) java.time.Instant.parse(str).toEpochMilli
+        else if (str.length == 10)
+          java.time.LocalDate.parse(str).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        else java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          unsupported(s"TIMESTAMP AS OF over $view",
+            s"cannot parse '$str' — use 'yyyy-MM-dd[ HH:mm:ss[.SSS]]' " +
+              "(UTC) or ISO-8601 instant")
+      }
+    case Literal(us: Long, TimestampType) => Math.floorDiv(us, 1000L)
+    case _ => unsupported(s"TIMESTAMP AS OF over $view",
+      "only literal timestamps are supported")
+  }
+
+  /** `INSERT INTO <registered view>` (VALUES or SELECT source) →
+    * `TableLog.append` with the registration's stat columns — the
+    * most common DML verb, completing the SQL mutation story. Source
+    * columns align POSITIONALLY (standard SQL); an explicit column
+    * list (or BY NAME) must cover every table column — log tables
+    * have no column defaults, so a partial insert is refused rather
+    * than null-filled. Values cast to the table's recorded types. */
+  private def insert(spark: SparkSession, view: String, reg: Reg,
+      i: InsertIntoStatement): LogicalPlan = {
+    import org.apache.spark.sql.functions.col
+    if (i.overwrite) unsupported(s"INSERT OVERWRITE $view",
+      "overwrite is not a log-table verb — DELETE then INSERT, or " +
+        "the Scala rewrite faces")
+    if (i.partitionSpec.nonEmpty) unsupported(s"INSERT INTO $view",
+      "PARTITION clauses do not apply to log tables")
+    val schema = TableLog.tableSchemaOf(reg.table).getOrElse(unsupported(
+      s"INSERT INTO $view", "the table has no recorded schema to " +
+        "align against — use TableLog.append directly"))
+    val lowerTarget = schema.fieldNames.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toSeq
+    val explicitCols = i.userSpecifiedCols.map(
+      _.toLowerCase(java.util.Locale.ROOT))
+    if (explicitCols.nonEmpty && explicitCols.sorted != lowerTarget.sorted)
+      unsupported(s"INSERT INTO $view",
+        s"the column list must cover every table column " +
+          s"(${schema.fieldNames.mkString(", ")}) exactly once — log " +
+          "tables have no column defaults to fill the rest")
+    // the source SELECT may itself time-travel a registered view
+    // ("INSERT … SELECT … FROM v VERSION AS OF n")
+    val srcPlan = timeTravel(spark, i.query).getOrElse(i.query)
+    GraftDmlCommand("insert", view, reg.table, s => {
+      val src = org.apache.spark.sql.graft.Bridge.ofRows(s, srcPlan)
+      val srcNames = src.schema.fieldNames.toSeq
+      // src position → target column name: explicit list, BY NAME, or
+      // table order
+      val targetOf: Seq[String] =
+        if (explicitCols.nonEmpty) explicitCols
+        else if (i.byName) {
+          val lowerSrc = srcNames.map(_.toLowerCase(java.util.Locale.ROOT))
+          if (lowerSrc.sorted != lowerTarget.sorted)
+            unsupported(s"INSERT INTO $view BY NAME",
+              s"source columns (${srcNames.mkString(", ")}) must match " +
+                s"the table's (${schema.fieldNames.mkString(", ")})")
+          lowerSrc
+        } else lowerTarget
+      if (srcNames.size != targetOf.size)
+        unsupported(s"INSERT INTO $view",
+          s"source has ${srcNames.size} columns, expected " +
+            s"${targetOf.size}")
+      val srcColFor = targetOf.zip(srcNames).toMap
+      val aligned = src.select(schema.fields.toIndexedSeq.map { f =>
+        col(srcColFor(f.name.toLowerCase(java.util.Locale.ROOT)))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+      TableLog.append(s, reg.table, aligned, reg.statsCols,
+        strStatsCols = reg.strStatsCols,
+        bloomStatsCols = reg.bloomStatsCols)
+    })
   }
 
   private def viewName(p: LogicalPlan): Option[String] = p match {
@@ -259,7 +378,7 @@ object GraftSqlDml {
     })
   }
 
-  private def merge(view: String, reg: Reg,
+  private def merge(spark: SparkSession, view: String, reg: Reg,
       m: MergeIntoTable): LogicalPlan = {
     val canonical =
       m.matchedActions.forall {
@@ -284,7 +403,8 @@ object GraftSqlDml {
       case _ => unsupported(s"MERGE INTO $view",
         "ON must be a single equi-key condition")
     }
-    val source = m.sourceTable
+    // the MERGE source may time-travel a registered view
+    val source = timeTravel(spark, m.sourceTable).getOrElse(m.sourceTable)
     GraftDmlCommand("merge", view, reg.table, s => {
       val src = org.apache.spark.sql.graft.Bridge.ofRows(s, source)
       if (reg.morKey.isDefined)

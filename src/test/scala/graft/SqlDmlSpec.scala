@@ -144,6 +144,60 @@ class SqlDmlSpec extends SparkSpec {
     assert(!other.isInstanceOf[GraftDmlCommand])
   }
 
+  test("INSERT INTO text appends through the face; VERSION/TIMESTAMP AS OF reads history from text") {
+    val t = tmp("graft_sqldml_ins")
+    TableLog.create(spark, t, spark.range(10)
+      .select($"id".as("k"), ($"id" * 2).as("v")),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_ins", t, statsCols = Seq("k"))
+    val v0 = TableLog.latestVersion(t)
+    // VALUES source, positional alignment + cast to the table's types
+    val r1 = TableLog.sql(spark,
+      "INSERT INTO dml_ins VALUES (100, 1), (101, 3)").head.getLong(0)
+    assert(r1 == v0 + 1)
+    assert(TableLog.read(spark, t).count() == 12)
+    // the view refreshed: SELECT sees the insert
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_ins").head.getLong(0) == 12)
+    // SELECT source + explicit (permuted) column list
+    TableLog.sql(spark,
+      "INSERT INTO dml_ins (v, k) SELECT 7, 200")
+    assert(TableLog.read(spark, t).where($"k" === 200 && $"v" === 7)
+      .count() == 1)
+    // the new files carry k stats (the registration's statsCols applied)
+    val snap = TableLog.snapshot(t).get
+    assert(snap.files.filter(_.ver > v0)
+      .forall(_.stats.exists(_.col == "k")))
+    // VERSION AS OF: the pre-insert version from text alone
+    assert(TableLog.sql(spark,
+      s"SELECT count(*) AS n FROM dml_ins VERSION AS OF $v0")
+      .head.getLong(0) == 10)
+    // …and it composes (joins/filters over the pinned scan)
+    assert(TableLog.sql(spark,
+      s"SELECT sum(v) AS s FROM dml_ins VERSION AS OF $v0 WHERE k < 5")
+      .head.getLong(0) == (0L until 5L).map(_ * 2).sum)
+    // TIMESTAMP AS OF: now() resolves to the latest version
+    val nowIso = java.time.Instant.now().plusSeconds(1).toString
+    assert(TableLog.sql(spark,
+      s"SELECT count(*) AS n FROM dml_ins TIMESTAMP AS OF '$nowIso'")
+      .head.getLong(0) == 13)
+    // refusals: partial column list (no defaults), arity mismatch,
+    // INSERT OVERWRITE
+    val e1 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "INSERT INTO dml_ins (k) VALUES (1)"))
+    assert(e1.getMessage.contains("every table column"))
+    val e2 = intercept[Exception](TableLog.sql(spark,
+      "INSERT INTO dml_ins VALUES (1, 2, 3)").collect())
+    assert(e2.getMessage.contains("columns"))
+    val e3 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "INSERT OVERWRITE dml_ins VALUES (1, 2)"))
+    assert(e3.getMessage.contains("OVERWRITE"))
+    // INSERT into an unregistered name passes through untouched
+    intercept[Exception](TableLog.sql(spark,
+      "INSERT INTO not_registered_ins VALUES (1)").collect())
+    assert(TableLog.read(spark, t).count() == 13)
+  }
+
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
     val tA = tmp("graft_sqldml_sessA")
     val tB = tmp("graft_sqldml_sessB")
