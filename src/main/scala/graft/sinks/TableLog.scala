@@ -1824,9 +1824,10 @@ object TableLog {
     val bytes = s.files.map(fileBytes(table, _)).sum
     Seq((s.version, s.rows, s.files.size.toLong, bytes,
       s.dels.size.toLong, s.schemaOps.size.toLong, s.checks.size.toLong,
-      commitTimestamp(table, s.version).getOrElse(0L)))
+      commitTimestamp(table, s.version).getOrElse(0L),
+      s.dels.map(d => fileBytes(table, d.file)).sum))
       .toDF("version", "rows", "n_files", "bytes", "pending_sidecars",
-        "schema_ops", "checks", "ts_ms")
+        "schema_ops", "checks", "ts_ms", "sidecar_bytes")
   }
 
   /** The retention floor shared by `vacuum` and `vacuumPreview`:
@@ -2226,8 +2227,11 @@ object TableLog {
                     if (r.kind == "delta") r.adds.map(_.path)
                     else r.files.map(_.path).filterNot(prev)
                   adds.foreach(p => out += linkIntoFeed(table, v, p))
-                case "compact" | "zorder" =>
-                  () // layout-only: these rows were already delivered
+                case "compact" | "zorder" | "mor_materialize" =>
+                  // layout-only: these rows were already delivered
+                  // (mor_materialize physically removes rows whose
+                  // deletion was captured at their sidecar's commit)
+                  ()
                 case "schema" | "check_add" | "check_drop" =>
                   () // metadata-only: no rows changed
                 case act @ ("delete" | "merge" | "update")
@@ -2735,6 +2739,90 @@ object TableLog {
       if (tryCommit(table, r)) committed = version
       // CAS loss: re-read the base and re-pack; the orphaned file set
       // is invisible garbage until vacuum
+    }
+    committed
+  }
+
+  /** Does pending sidecar `d` actually fence file `f` with a possible
+    * key hit? A delete at version D applies only to files with
+    * `ver < D`, and within those, a file whose key-column stat range
+    * is DISJOINT from the sidecar's own key range (both recorded at
+    * write time) provably contains no deleted row — its anti-join is
+    * a no-op and the fence can be dropped without rewriting it.
+    * Absent stats on either side → conservatively fenced. A
+    * dead-incarnation file (the key column resolves to no physical
+    * column) reads the key as null, which never matches a non-null
+    * delete key — not fenced. */
+  private def sidecarFences(s: Snapshot, f: FileEntry,
+      d: DeleteEntry): Boolean = {
+    if (f.ver >= d.ver) return false
+    statNameFor(s, d.keyCol)(f) match {
+      case None => false
+      case Some(p) =>
+        d.file.stats.find(_.col == d.keyCol) match {
+          case Some(ks) => f.stats.find(_.col == p).forall(st =>
+            st.min <= ks.max && ks.min <= st.max)
+          case None => d.file.strStats.find(_.col == d.keyCol) match {
+            case Some(ks) => f.strStats.find(_.col == p).forall(st =>
+              utf8Leq(st.min, ks.max) && utf8Leq(ks.min, st.max))
+            case None => true
+          }
+        }
+    }
+  }
+
+  /** MOR sidecar MAINTENANCE — the read-amplification bound the
+    * merge-on-read faces need at scale. Every `updateMor`/`mergeMor`/
+    * `deleteMor`/`applyCdcMor` commit adds a delete sidecar, and
+    * `morScan` pays one anti-join per (cohort × key column) per read;
+    * nothing retires sidecars except a full rewrite the user must
+    * remember to run. This face IS the policy: a no-op while the
+    * pending sidecar count and total bytes stay within bounds, and a
+    * targeted MATERIALIZATION when either is crossed — rewriting ONLY
+    * the files a sidecar fences with a possible key hit
+    * (`sidecarFences`: version fence + write-time stat disjointness,
+    * so a clustered table rewrites the overlapping slice, not itself),
+    * carrying everything else by reference, and committing a full
+    * manifest with ZERO pending sidecars. Layout-only by construction
+    * (sidecar-deleted rows were already subtracted and captured at
+    * their own commits), so it is feed-safe and results are
+    * byte-identical before/after — spec-pinned. Returns the committed
+    * version, or the current one when within bounds. Default bound of
+    * 8 sidecars: read overhead is one broadcast-anti-join per sidecar
+    * key column per cohort, and cohort count grows with distinct
+    * sidecar versions — see DEVNOTES for the measured read-cost curve
+    * that set the default. */
+  def morMaintain(spark: SparkSession, table: String,
+      maxSidecars: Int = 8, maxSidecarBytes: Long = Long.MaxValue,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      if (base.dels.size <= maxSidecars &&
+          base.dels.map(d => fileBytes(table, d.file)).sum <=
+            maxSidecarBytes)
+        return base.version
+      val affected = base.files.filter(f =>
+        base.dels.exists(d => sidecarFences(base, f, d)))
+      val (files, newRows) =
+        if (affected.isEmpty) (Nil, 0L)
+        else writeDataFiles(spark, table,
+          morScan(spark, table, base, affected),
+          statsCols, strStatsCols, bloomStatsCols)
+      require(newRows <= base.rows,
+        s"morMaintain audit failed for $table: materialized $newRows " +
+          s"rows > table rows ${base.rows} — not committing")
+      val version = base.version + 1
+      val rm = affected.map(_.path).toSet
+      // full manifest: clearing pending sidecars needs the complete
+      // set stated (a delta can only ADD sidecars)
+      val r = ManifestRec(version, base.version, "mor_materialize",
+        base.rows, "full",
+        base.files.filterNot(f => rm(f.path)) ++
+          files.map(_.copy(ver = version)),
+        Nil, Nil, Nil, Nil, None, base.schemaJson, base.counters)
+      if (tryCommit(table, r)) committed = version
     }
     committed
   }
@@ -3578,7 +3666,8 @@ object TableLog {
     * `compactSmall`/`compact` maintenance tick). */
   def cdcApplyStream(spark: SparkSession, bronze: String, silver: String,
       keyCol: String, streamId: String, checkpoint: Option[String] = None,
-      statsCols: Seq[String] = Nil, mor: Boolean = false): Unit =
+      statsCols: Seq[String] = Nil, mor: Boolean = false,
+      autoMorSidecars: Option[Int] = None): Unit =
     graft.streaming.StreamingOps.runForeachBatch(
       changeFeedStream(spark, bronze, withVersion = true),
       org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
@@ -3586,6 +3675,14 @@ object TableLog {
         val apply = if (mor) applyCdcMor _ else applyCdc _
         apply(spark, silver, batch, keyCol, statsCols, Nil,
           Some(s"$streamId#$batchId"), Nil)
+        // MOR maintenance tick: a merge-on-read apply stream is what
+        // ACCUMULATES sidecars, so the ingest loop owns retiring them
+        // — same ownership argument as appendStream's compactSmall
+        // tick, and like it deliberately outside the txn envelope
+        // (layout-only; feed tables publish nothing for it)
+        autoMorSidecars.foreach(n =>
+          morMaintain(spark, silver, maxSidecars = n,
+            statsCols = statsCols))
         ()
     }
 

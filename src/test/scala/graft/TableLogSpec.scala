@@ -1107,6 +1107,62 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("morMaintain: bounded sidecars — no-op within bounds, targeted materialization past them, byte-identical reads") {
+    val t = tmp("graft_log_mormaint")
+    TableLog.create(spark, t,
+      spark.range(8000).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartitionByRange(8, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    val v0 = TableLog.latestVersion(t)
+    // three scattered MOR deletes — zero rewrites, three sidecars
+    Seq(10L, 2010L, 4010L).foreach { key =>
+      TableLog.deleteMor(spark, t, "k", Seq(key).toDF("k"))
+    }
+    val snapBefore = TableLog.snapshot(t).get
+    assert(snapBefore.dels.size == 3)
+    assert(snapBefore.files.map(_.path).toSet ==
+      TableLog.snapshotAt(t, v0).get.files.map(_.path).toSet,
+      "MOR deletes must not rewrite data files")
+    val before = TableLog.read(spark, t).orderBy("k").collect().toSeq
+    assert(before.size == 7997)
+    // the read pays anti-joins while sidecars are pending
+    assert(TableLog.read(spark, t).queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+    val d0 = TableLog.detail(spark, t).head
+    assert(d0.getLong(4) == 3 && d0.getLong(8) > 0,
+      "detail must report pending sidecar count and bytes")
+    // within bounds: no commit
+    assert(TableLog.morMaintain(spark, t, maxSidecars = 3,
+      statsCols = Seq("k")) == snapBefore.version)
+    // past the bound: materialize — ONLY the three fenced-and-
+    // overlapping files rewrite (keys 10/2010/4010 live in three of
+    // the eight range-clustered files); the rest carry by reference
+    val v = TableLog.morMaintain(spark, t, maxSidecars = 2,
+      statsCols = Seq("k"))
+    assert(v == snapBefore.version + 1)
+    val after = TableLog.snapshot(t).get
+    assert(after.dels.isEmpty, "sidecars must be retired")
+    assert(after.rows == snapBefore.rows)
+    val carried = snapBefore.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(carried.size == 5,
+      s"exactly the 5 non-overlapping files must carry by reference, " +
+        s"got ${carried.size}")
+    // reads are byte-identical and the plan returns to sidecar-free
+    // shape (no anti-joins)
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == before)
+    assert(!TableLog.read(spark, t).queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+    val d1 = TableLog.detail(spark, t).head
+    assert(d1.getLong(4) == 0 && d1.getLong(8) == 0)
+    // maintenance after maintenance: a clean table is always a no-op
+    assert(TableLog.morMaintain(spark, t, maxSidecars = 0,
+      statsCols = Seq("k")) == v)
+    // time travel still reads the pre-maintenance version complete
+    assert(TableLog.readVersion(spark, t, snapBefore.version)
+      .count() == 7997)
+  }
+
   test("mergeCow: rewrites only key-overlapping files, carries the rest by reference") {
     val t = tmp("graft_log_mcow")
     // 8 range-clustered files over [0, 8000)
