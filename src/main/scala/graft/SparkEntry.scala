@@ -519,6 +519,56 @@ object SparkEntry {
       ORDER BY priority""")
   }
 
+  /** Multi-dimensional Z-BOX file skipping under the oracle: a
+    * z-ordered table queried with a 2-D conjunction box through the
+    * DECLARATIVE face. Each z-ordered file records its z-interval as a
+    * derived manifest stat, and the scan rule's conjunction pass
+    * (`prunedFilesByBox` / `ZOrderLong.zBoxIntersects`, the quadtree
+    * walk) drops files whose per-column bounding box overlaps the
+    * query box but whose z run never enters it — the improvement
+    * per-column stats cannot express. The in-plan invariant asserts
+    * the tightening is REAL on this table (at least one
+    * quadrant-corner box keeps strictly fewer files under the z test
+    * than under per-column stats — non-decorative: a broken box pass
+    * fails the query, not just a spec); the deterministic exact pin
+    * lives in LogScanSpec's 256×256 grid. The oracle replays the
+    * derived grid and box filter relationally — pruning must never
+    * change semantics. */
+  private def o70BoxSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/boxskip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    // deterministic 2-D layout derived from events (a dense, b
+    // hash-spread over [0,256)) — the oracle computes the same grid
+    val base = T(s, dir, "events").select(
+      (col("event_id") % 256).as("a"),
+      ((col("event_id") * lit(2654435761L)) % 256).as("b"),
+      col("event_type"))
+    tl.create(s, t, base)
+    tl.zOrder(s, t, 5, "a", (0L, 255L), "b", (0L, 255L),
+      statsCols = Seq("a", "b"))
+    val snap = tl.snapshot(t).get
+    val corners = Seq((0L, 40L, 64L, 100L), (64L, 100L, 0L, 40L),
+      (200L, 250L, 10L, 60L), (10L, 60L, 200L, 250L))
+    val tightened = corners.exists { case (al, ah, bl, bh) =>
+      val perCol = tl.prunedFilesOf(
+        snap.copy(files = tl.prunedFilesOf(snap, "a", al, ah)),
+        "b", bl, bh)
+      val boxed = tl.prunedFilesByBox(snap.copy(files = perCol),
+        Map("a" -> (al, ah), "b" -> (bl, bh)))
+      boxed.size < perCol.size
+    }
+    assert(tightened, s"o70_box_skip: the z-interval conjunction pass " +
+      "tightened NO quadrant-corner box beyond per-column stats on a " +
+      "z-ordered 5-file table — box skipping is broken")
+    tl.scan(s, t)
+      .where(col("a").between(0, 40) && col("b").between(64, 100))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"))
+      .orderBy(col("event_type"))
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3597,6 +3647,7 @@ object SparkEntry {
     "o65_sql_dml" -> (o65SqlDml _),
     "o68_sql_dml_mor" -> (o68SqlDmlMor _),
     "o69_sql_insert" -> (o69SqlInsert _),
+    "o70_box_skip" -> (o70BoxSkip _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5117,6 +5168,17 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the derived 256×256 grid and 2-D box replayed relationally —
+    // z-box pruning must be invisible to semantics
+    "o70_box_skip" ->
+      """WITH g AS (SELECT event_id % 256 AS a,
+        |  (event_id * 2654435761) % 256 AS b, event_type
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM g WHERE a BETWEEN 0 AND 40 AND b BETWEEN 64 AND 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the two inserts replayed relationally; the asof_v1 row must
     // equal the PRISTINE base (a time-travel leak of either insert
     // changes the hash)
