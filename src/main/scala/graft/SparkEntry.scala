@@ -569,6 +569,58 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** THREE-column z-order clustering under the oracle — `o70`'s n-ary
+    * step (source × time × length is the natural training-data
+    * layout). A table z3-ordered on three derived dims
+    * (`TableLog.zOrder3`, the 48-bit Morton-3 interleave with per-file
+    * `z3|…` interval stats) queried with a 3-D conjunction through the
+    * declarative face, where the OCTREE walk
+    * (`ZOrderLong.zBox3Intersects`) drops straddling files per-column
+    * stats keep. In-plan invariant: at least one octant-corner box
+    * tightens STRICTLY beyond per-column stats — non-decorative (a
+    * broken octree pass fails the query, not just a spec). 2-of-3
+    * column boxes flowing through the same z3 stat are spec-pinned in
+    * LogScanSpec. The oracle replays the derived grid and box
+    * relationally. */
+  private def o71Z3(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/z3skip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "events").select(
+      (col("event_id") % 64).as("a"),
+      ((col("event_id") * lit(2654435761L)) % 64).as("b"),
+      ((col("event_id") * lit(2246822519L)) % 64).as("c"),
+      col("event_type"))
+    tl.create(s, t, base)
+    tl.zOrder3(s, t, 7, "a", (0L, 63L), "b", (0L, 63L), "c", (0L, 63L),
+      statsCols = Seq("a", "b", "c"))
+    val snap = tl.snapshot(t).get
+    def perCol(al: Long, ah: Long, bl: Long, bh: Long, cl: Long,
+        ch: Long) =
+      tl.prunedFilesOf(snap.copy(files = tl.prunedFilesOf(
+        snap.copy(files = tl.prunedFilesOf(snap, "a", al, ah)),
+        "b", bl, bh)), "c", cl, ch)
+    val corners = Seq((0L, 10L, 40L, 60L, 0L, 10L),
+      (40L, 60L, 0L, 10L, 0L, 10L), (0L, 10L, 0L, 10L, 40L, 60L),
+      (50L, 63L, 50L, 63L, 0L, 10L))
+    val tightened = corners.exists { case (al, ah, bl, bh, cl, ch) =>
+      val pc = perCol(al, ah, bl, bh, cl, ch)
+      tl.prunedFilesByBox(snap.copy(files = pc),
+        Map("a" -> (al, ah), "b" -> (bl, bh), "c" -> (cl, ch)))
+        .size < pc.size
+    }
+    assert(tightened, "o71_z3: the octree pass tightened NO " +
+      "octant-corner box beyond per-column stats on a z3-ordered " +
+      "7-file table — 3-D box skipping is broken")
+    tl.scan(s, t)
+      .where(col("a").between(0, 10) && col("b").between(20, 40) &&
+        col("c").between(0, 31))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"), sum(col("c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3648,6 +3700,7 @@ object SparkEntry {
     "o68_sql_dml_mor" -> (o68SqlDmlMor _),
     "o69_sql_insert" -> (o69SqlInsert _),
     "o70_box_skip" -> (o70BoxSkip _),
+    "o71_z3" -> (o71Z3 _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5168,6 +5221,20 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the derived 64³ grid and 3-D box replayed relationally —
+    // octree pruning must be invisible to semantics
+    "o71_z3" ->
+      """WITH g AS (SELECT event_id % 64 AS a,
+        |  (event_id * 2654435761) % 64 AS b,
+        |  (event_id * 2246822519) % 64 AS c, event_type
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM g WHERE a BETWEEN 0 AND 10 AND b BETWEEN 20 AND 40
+        |  AND c BETWEEN 0 AND 31
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the derived 256×256 grid and 2-D box replayed relationally —
     // z-box pruning must be invisible to semantics
     "o70_box_skip" ->

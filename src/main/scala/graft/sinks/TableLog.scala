@@ -2868,6 +2868,45 @@ object TableLog {
       rangeA: (Long, Long), rangeB: (Long, Long)): String =
     s"z2|$colA|$colB|${rangeA._1}|${rangeA._2}|${rangeB._1}|${rangeB._2}"
 
+  /** THREE-column z-order re-cluster — `zOrder`'s n-ary step for the
+    * natural training-data layout (source × time × length). Sorts by
+    * the 48-bit 3-ary Morton interleave (`ZOrder3Long`) of the
+    * 16-bit-normalized columns and records each file's z3-interval as
+    * derived stat `z3|cA|cB|cC|aLo|aHi|bLo|bHi|cLo|cHi`, which
+    * `prunedFilesByBox` tests with the OCTREE walk
+    * (`ZOrderLong.zBox3Intersects`) — 2- or 3-column conjunction
+    * boxes both tighten (a missing dimension tests as full-range).
+    * Raw per-column stats always ride too: the box test is only
+    * sound for files proven inside the declared normalization
+    * ranges. */
+  def zOrder3(spark: SparkSession, table: String, nFiles: Int,
+      colA: String, rangeA: (Long, Long), colB: String,
+      rangeB: (Long, Long), colC: String, rangeC: (Long, Long),
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LayoutOps.norm16
+    def z = graft.functions.ZOrderLong.zOrder3(
+      norm16(col(colA), rangeA._1, rangeA._2),
+      norm16(col(colB), rangeB._1, rangeB._2),
+      norm16(col(colC), rangeC._1, rangeC._2))
+    rewrite(spark, table, "zorder",
+        statsCols = (statsCols ++ Seq(colA, colB, colC)).distinct,
+        derivedStats = Seq(
+          z3StatName(colA, colB, colC, rangeA, rangeB, rangeC) -> z)) {
+      df =>
+        df.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    }
+  }
+
+  private[graft] def z3StatName(colA: String, colB: String, colC: String,
+      rangeA: (Long, Long), rangeB: (Long, Long),
+      rangeC: (Long, Long)): String =
+    s"z3|$colA|$colB|$colC|${rangeA._1}|${rangeA._2}|" +
+      s"${rangeB._1}|${rangeB._2}|${rangeC._1}|${rangeC._2}"
+
   /** MULTI-DIMENSIONAL box prune: given per-column long range
     * constraints (the query box), drop every file whose recorded
     * z-interval provably contains NO cell of the box — the tightening
@@ -2886,47 +2925,61 @@ object TableLog {
     if (ranges.size < 2) return s.files
     val physOf = ranges.keys.map(c => c -> statNameFor(s, c)).toMap
     s.files.filter { f =>
-      val z2 = f.stats.filter(_.col.startsWith("z2|"))
-      if (z2.isEmpty) true
+      val zs = f.stats.filter(st =>
+        st.col.startsWith("z2|") || st.col.startsWith("z3|"))
+      if (zs.isEmpty) true
       else {
         val phys: Map[String, String] = ranges.keys.flatMap(c =>
           physOf(c)(f).map(_ -> c)).toMap // physical -> logical
-        z2.forall { st =>
-          st.col.split('|') match {
-            case Array(_, pa, pb, aLoS, aHiS, bLoS, bHiS) =>
-              (for {
-                la <- phys.get(pa); lb <- phys.get(pb)
-                (qaLo, qaHi) <- ranges.get(la)
-                (qbLo, qbHi) <- ranges.get(lb)
-              } yield {
-                val (aMin, aMax) = (aLoS.toLong, aHiS.toLong)
-                val (bMin, bMax) = (bLoS.toLong, bHiS.toLong)
-                // the box test needs in-range data: prove it from the
-                // file's raw stats, else skip the test (keep)
-                val inRange =
-                  f.stats.find(_.col == pa).exists(r =>
-                    r.min >= aMin && r.max <= aMax) &&
-                  f.stats.find(_.col == pb).exists(r =>
-                    r.min >= bMin && r.max <= bMax)
-                if (!inRange) true
-                else {
-                  val caLo = math.max(qaLo, aMin)
-                  val caHi = math.min(qaHi, aMax)
-                  val cbLo = math.max(qbLo, bMin)
-                  val cbHi = math.min(qbHi, bMax)
-                  if (caLo > caHi || cbLo > cbHi) false // box ∩ range = ∅
-                  else {
-                    import graft.operators.LayoutOps.norm16Scalar
-                    graft.functions.ZOrderLong.zBoxIntersects(
-                      st.min, st.max,
-                      norm16Scalar(caLo, aMin, aMax),
-                      norm16Scalar(caHi, aMin, aMax),
-                      norm16Scalar(cbLo, bMin, bMax),
-                      norm16Scalar(cbHi, bMin, bMax))
-                  }
-                }
-              }).getOrElse(true)
-            case _ => true // unrecognized stat shape: keep
+        zs.forall { st =>
+          // (physical col, declared lo, declared hi) per z dimension
+          val dims: Seq[(String, Long, Long)] = st.col.split('|') match {
+            case Array("z2", pa, pb, aLoS, aHiS, bLoS, bHiS) =>
+              Seq((pa, aLoS.toLong, aHiS.toLong),
+                (pb, bLoS.toLong, bHiS.toLong))
+            case Array("z3", pa, pb, pc, aLoS, aHiS, bLoS, bHiS,
+                cLoS, cHiS) =>
+              Seq((pa, aLoS.toLong, aHiS.toLong),
+                (pb, bLoS.toLong, bHiS.toLong),
+                (pc, cLoS.toLong, cHiS.toLong))
+            case _ => Nil // unrecognized stat shape: keep
+          }
+          if (dims.isEmpty) true
+          else {
+            // per dimension: the query bound clamped into the declared
+            // range, or the full declared range when the query leaves
+            // the column unconstrained (sound — data is in-range by
+            // the proof below, and a full-range dim just widens the
+            // box)
+            val q = dims.map { case (p, mn, mx) =>
+              phys.get(p).flatMap(ranges.get) match {
+                case Some((ql, qh)) =>
+                  (math.max(ql, mn), math.min(qh, mx), true)
+                case None => (mn, mx, false)
+              }
+            }
+            // the box test needs in-range data on EVERY dim: prove it
+            // from the file's raw stats, else skip the test (keep)
+            val inRange = dims.forall { case (p, mn, mx) =>
+              f.stats.find(_.col == p).exists(r =>
+                r.min >= mn && r.max <= mx)
+            }
+            if (!q.exists(_._3) || !inRange) true
+            else if (q.exists { case (l, h, _) => l > h })
+              false // box ∩ declared range = ∅
+            else {
+              import graft.operators.LayoutOps.norm16Scalar
+              val n = dims.zip(q).map { case ((_, mn, mx), (l, h, _)) =>
+                (norm16Scalar(l, mn, mx), norm16Scalar(h, mn, mx))
+              }
+              if (dims.size == 2)
+                graft.functions.ZOrderLong.zBoxIntersects(
+                  st.min, st.max, n(0)._1, n(0)._2, n(1)._1, n(1)._2)
+              else
+                graft.functions.ZOrderLong.zBox3Intersects(
+                  st.min, st.max, n(0)._1, n(0)._2, n(1)._1, n(1)._2,
+                  n(2)._1, n(2)._2)
+            }
           }
         }
       }

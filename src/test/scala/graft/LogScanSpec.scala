@@ -293,6 +293,53 @@ class LogScanSpec extends SparkSpec {
     assert(q2.count() == 41L * 37L + 1)
   }
 
+  test("z3 octree box pruning: 3-D conjunctions drop z-boundary files per-column stats must keep") {
+    val t = tmp("graft_log_z3box")
+    // 64×64×64 grid z3-ordered into 5 files: the odd file count makes
+    // some file's z3 run straddle a major octant boundary — full-ish
+    // per-column bounding box, narrow actual z3 run
+    TableLog.create(spark, t, spark.range(262144)
+      .select(($"id" / 4096).cast("long").as("a"),
+        (($"id" / 64) % 64).cast("long").as("b"),
+        ($"id" % 64).as("c"), ($"id" % 7).as("v")))
+    TableLog.zOrder3(spark, t, 5, "a", (0L, 63L), "b", (0L, 63L),
+      "c", (0L, 63L))
+    // probe a set of octant-corner boxes: at least one must tighten
+    // strictly, and the box-off/box-on results must agree everywhere
+    val boxes = Seq((0, 10, 40, 60, 0, 10), (40, 60, 0, 10, 0, 10),
+      (0, 10, 0, 10, 40, 60), (50, 63, 50, 63, 0, 10))
+    var tightened = false
+    for ((al, ah, bl, bh, cl, ch) <- boxes) {
+      def q() = TableLog.scan(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh) &&
+          $"c".between(cl, ch))
+      val withBox = filesScanned(q())
+      spark.conf.set(graft.plans.PruneLogScan.BOX_KEY, "false")
+      val (withoutBox, expect) =
+        try (filesScanned(q()), q().count())
+        finally spark.conf.unset(graft.plans.PruneLogScan.BOX_KEY)
+      assert(withBox <= withoutBox)
+      if (withBox < withoutBox) tightened = true
+      assert(q().count() == expect)
+      assert(expect ==
+        (ah - al + 1).toLong * (bh - bl + 1) * (ch - cl + 1))
+    }
+    assert(tightened,
+      "the z3 octree test must tighten at least one octant-corner box")
+    // a 2-of-3-column conjunction also flows through the z3 stat (the
+    // unconstrained dim tests as full range) and stays correct
+    val q2 = TableLog.scan(spark, t)
+      .where($"a".between(0, 5) && $"c".between(0, 5))
+    assert(q2.count() == 6L * 64L * 6L)
+    // a LATER append carries no z3 stat: kept by the box pass, rows
+    // still correct (stats prune IO, never semantics)
+    TableLog.append(spark, t, Seq((5L, 50L, 5L, 99L))
+      .toDF("a", "b", "c", "v"))
+    assert(TableLog.scan(spark, t)
+      .where($"a".between(0, 10) && $"b".between(40, 60) &&
+        $"c".between(0, 10)).count() == 11L * 21L * 11L + 1)
+  }
+
   test("scan planning reads file sizes from the manifest — zero filesystem stats") {
     val t = mkTable()
     val rel = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {

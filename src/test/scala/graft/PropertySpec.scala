@@ -358,4 +358,59 @@ class PropertySpec extends SparkSpec {
         fast == brute
     }, n = 500)
   }
+
+  test("zBox3Intersects ≡ brute force: the octree z3-interval box test is exact on small boxes") {
+    import graft.functions.ZOrderLong
+    // small boxes (≤ 6 cells per dim) anywhere in the 65536³ cell
+    // space, z3-intervals biased near the box's own z-values (same
+    // bias rationale as the 2-D test)
+    val gen = for {
+      a0 <- Gen.choose(0L, 65529L)
+      aw <- Gen.choose(0L, 5L)
+      b0 <- Gen.choose(0L, 65529L)
+      bw <- Gen.choose(0L, 5L)
+      c0 <- Gen.choose(0L, 65529L)
+      cw <- Gen.choose(0L, 5L)
+      anchorInBox <- Gen.oneOf(true, false)
+      zc <- Gen.choose(0L, (1L << 48) - 1)
+      zw <- Gen.choose(0L, 1L << 28)
+    } yield {
+      val center =
+        if (anchorInBox)
+          ZOrderLong.interleave3(a0 + aw / 2, b0 + bw / 2, c0 + cw / 2)
+        else zc
+      (a0, a0 + aw, b0, b0 + bw, c0, c0 + cw,
+        math.max(0L, center - zw), center + zw)
+    }
+    check("zbox3", Prop.forAllNoShrink(gen) {
+      case (alo, ahi, blo, bhi, clo, chi, zlo, zhi) =>
+        val brute = (alo to ahi).exists(a => (blo to bhi).exists(b =>
+          (clo to chi).exists { c =>
+            val z = ZOrderLong.interleave3(a, b, c)
+            z >= zlo && z <= zhi
+          }))
+        val fast = ZOrderLong.zBox3Intersects(
+          zlo, zhi, alo, ahi, blo, bhi, clo, chi)
+        fast == brute
+    }, n = 500)
+  }
+
+  test("interleave3 round-trips: z3 bit positions decode back to their dimensions") {
+    import graft.functions.ZOrderLong
+    val gen = for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+      c <- Gen.choose(0L, 65535L)
+    } yield (a, b, c)
+    check("z3roundtrip", Prop.forAllNoShrink(gen) { case (a, b, c) =>
+      val z = ZOrderLong.interleave3(a, b, c)
+      def unspread(x0: Long): Long = {
+        var r = 0L
+        var i = 0
+        while (i < 16) { r |= ((x0 >> (3 * i)) & 1L) << i; i += 1 }
+        r
+      }
+      unspread(z >> 2) == a && unspread(z >> 1) == b && unspread(z) == c
+    }, n = 300)
+  }
 }
