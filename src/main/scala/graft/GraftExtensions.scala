@@ -81,6 +81,11 @@ object GraftFunctionRegistry {
       es => ZOrderLong(
         org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType))),
+    ("z_order3_long", classOf[ZOrder3Long].getName,
+      es => ZOrder3Long(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.LongType))),
     ("normalize_nfc", classOf[NormalizeNfc].getName,
       es => NormalizeNfc(es(0))),
     // AggregateFunction builders: the analyzer wraps them in an

@@ -131,13 +131,15 @@ object GraftSqlDml {
     * columns align POSITIONALLY (standard SQL); an explicit column
     * list (or BY NAME) must cover every table column — log tables
     * have no column defaults, so a partial insert is refused rather
-    * than null-filled. Values cast to the table's recorded types. */
+    * than null-filled. Values cast to the table's recorded types.
+    * `INSERT OVERWRITE` is the whole-table REPLACE (standard Spark
+    * semantics for an unpartitioned target) — one full-rewrite commit
+    * through `TableLog.rewrite`, so history keeps the pre-overwrite
+    * version readable and feed-enabled tables refuse loudly (an
+    * append-only feed cannot represent a replace). */
   private def insert(spark: SparkSession, view: String, reg: Reg,
       i: InsertIntoStatement): LogicalPlan = {
     import org.apache.spark.sql.functions.col
-    if (i.overwrite) unsupported(s"INSERT OVERWRITE $view",
-      "overwrite is not a log-table verb — DELETE then INSERT, or " +
-        "the Scala rewrite faces")
     if (i.partitionSpec.nonEmpty) unsupported(s"INSERT INTO $view",
       "PARTITION clauses do not apply to log tables")
     val schema = TableLog.tableSchemaOf(reg.table).getOrElse(unsupported(
@@ -179,9 +181,15 @@ object GraftSqlDml {
         col(srcColFor(f.name.toLowerCase(java.util.Locale.ROOT)))
           .cast(f.dataType).as(f.name)
       }: _*)
-      TableLog.append(s, reg.table, aligned, reg.statsCols,
-        strStatsCols = reg.strStatsCols,
-        bloomStatsCols = reg.bloomStatsCols)
+      if (i.overwrite)
+        TableLog.rewrite(s, reg.table, "overwrite",
+          expectRows = _ => None, statsCols = reg.statsCols,
+          strStatsCols = reg.strStatsCols,
+          bloomStatsCols = reg.bloomStatsCols)(_ => aligned)
+      else
+        TableLog.append(s, reg.table, aligned, reg.statsCols,
+          strStatsCols = reg.strStatsCols,
+          bloomStatsCols = reg.bloomStatsCols)
     })
   }
 

@@ -76,12 +76,16 @@ class LogScanSpec extends SparkSpec {
     assert(filesScanned(or) == 2, "OR must union the branch prunes")
     assert(or.count() == 2)
     // an unprunable disjunct defeats pruning for the whole OR (it can
-    // match anywhere) — but an AND above it still prunes
-    val orBad = df.where(($"k" === 1L || $"v" === 3L) && $"k" < 500)
+    // match anywhere) — but an AND above it still prunes. Bound 450,
+    // not 500: repartitionByRange SAMPLES its boundaries (seeded by
+    // RDD id, which shifts with suite execution order), so the first
+    // file's edge lands near-but-not-exactly 500 — the probe must sit
+    // comfortably inside the file to pin "1 of 8"
+    val orBad = df.where(($"k" === 1L || $"v" === 3L) && $"k" < 450)
     assert(filesScanned(orBad) == 1)
     assert(orBad.count() ==
       TableLog.read(spark, t)
-        .where(($"k" === 1L || $"v" === 3L) && $"k" < 500).count())
+        .where(($"k" === 1L || $"v" === 3L) && $"k" < 450).count())
     // range OR string-equality: mixed-type branches union too
     val orMix = df.where($"k" < 10 || $"c" === "cat_7")
     assert(filesScanned(orMix) <= 3)

@@ -189,13 +189,21 @@ class SqlDmlSpec extends SparkSpec {
     val e2 = intercept[Exception](TableLog.sql(spark,
       "INSERT INTO dml_ins VALUES (1, 2, 3)").collect())
     assert(e2.getMessage.contains("columns"))
-    val e3 = intercept[UnsupportedOperationException](TableLog.sql(spark,
-      "INSERT OVERWRITE dml_ins VALUES (1, 2)"))
-    assert(e3.getMessage.contains("OVERWRITE"))
     // INSERT into an unregistered name passes through untouched
     intercept[Exception](TableLog.sql(spark,
       "INSERT INTO not_registered_ins VALUES (1)").collect())
     assert(TableLog.read(spark, t).count() == 13)
+    // INSERT OVERWRITE = whole-table replace (standard semantics for
+    // an unpartitioned target), history keeps the old version
+    val vPre = TableLog.latestVersion(t)
+    val vOw = TableLog.sql(spark,
+      "INSERT OVERWRITE dml_ins VALUES (7, 70), (8, 80)").head.getLong(0)
+    assert(vOw == vPre + 1)
+    assert(TableLog.read(spark, t).count() == 2)
+    assert(TableLog.sql(spark,
+      "SELECT sum(v) AS s FROM dml_ins").head.getLong(0) == 150)
+    assert(TableLog.readVersion(spark, t, vPre).count() == 13,
+      "the pre-overwrite version must stay readable")
   }
 
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
