@@ -69,12 +69,18 @@ object GraftSqlDml {
     case other => timeTravel(spark, other)
   }
 
-  /** `FROM <registered view> VERSION AS OF n` / `TIMESTAMP AS OF ts`
-    * anywhere in a query: splice the pinned scan's plan in place of
-    * the time-travel node (which Spark itself cannot resolve over a
-    * temp view), so historical SELECTs work from text alone with the
-    * same manifest pruning as `scanVersion`/`scanAsOf`. Time-travel
-    * over unregistered names passes through untouched. */
+  /** The READ-side rewrites, applied anywhere in a query (and to
+    * INSERT/MERGE sources):
+    *   - `FROM <registered view> VERSION AS OF n` / `TIMESTAMP AS OF
+    *     ts` — splice the pinned scan's plan in place of the
+    *     time-travel node (which Spark itself cannot resolve over a
+    *     temp view), same manifest pruning as `scanVersion`/`scanAsOf`;
+    *   - `FROM table_changes('<registered view>', vFrom, vTo)` — the
+    *     CDC read as a table-valued function: `TableLog.readChanges`'
+    *     added side tagged `_change_type = 'insert'` unioned with the
+    *     removed side tagged `'delete'` (the multiset delta between
+    *     the two versions, MOR- and schema-op-aware).
+    * Both pass through untouched over unregistered names. */
   private def timeTravel(spark: SparkSession,
       plan: LogicalPlan): Option[LogicalPlan] = {
     var hit = false
@@ -99,6 +105,27 @@ object GraftSqlDml {
             }
             SubqueryAlias(v, df.queryExecution.logical)
           case None => tt
+        }
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") && tvf.functionArgs.size == 3 =>
+        (strOf(tvf.functionArgs(0)), longOf(tvf.functionArgs(1)),
+          longOf(tvf.functionArgs(2))) match {
+          case (Some(v), Some(vFrom), Some(vTo)) =>
+            TableLog.sqlDmlReg(spark, v) match {
+              case Some(reg) =>
+                hit = true
+                import org.apache.spark.sql.functions.lit
+                val (a, r) =
+                  TableLog.readChanges(spark, reg.table, vFrom, vTo)
+                val df = a.withColumn("_change_type", lit("insert"))
+                  .unionByName(
+                    r.withColumn("_change_type", lit("delete")))
+                SubqueryAlias(v, df.queryExecution.logical)
+              case None => tvf
+            }
+          case _ => tvf
         }
     }
     if (hit) Some(out) else None

@@ -206,6 +206,46 @@ class SqlDmlSpec extends SparkSpec {
       "the pre-overwrite version must stay readable")
   }
 
+  test("table_changes('<view>', vFrom, vTo): the CDC read as a SQL table-valued function") {
+    val t = tmp("graft_sqldml_tvf")
+    TableLog.create(spark, t, spark.range(100)
+      .select($"id".as("k"), ($"id" * 2).as("v")),
+      statsCols = Seq("k"))                                   // v1
+    TableLog.registerSqlTable(spark, "dml_tvf", t, statsCols = Seq("k"))
+    TableLog.sql(spark, "INSERT INTO dml_tvf VALUES (200, 1), (201, 2)") // v2
+    TableLog.sql(spark, "DELETE FROM dml_tvf WHERE k BETWEEN 0 AND 9")   // v3
+    // the v1→v3 multiset delta from text alone: inserts tagged
+    // 'insert', the delete-rewritten rows' old images tagged 'delete'
+    val ch = TableLog.sql(spark,
+      "SELECT _change_type, count(*) AS n, sum(k) AS sk " +
+        "FROM table_changes('dml_tvf', 1, 3) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // deletes: the rewritten file's removed rows = the whole first
+    // file's old image; inserts: its remainder + the two new rows.
+    // The multiset identity is the pin: removed − added on the common
+    // keys nets to exactly the 10 deleted rows, +2 inserted
+    val added = TableLog.sql(spark,
+      "SELECT k FROM table_changes('dml_tvf', 1, 3) " +
+        "WHERE _change_type = 'insert'")
+    val removed = TableLog.sql(spark,
+      "SELECT k FROM table_changes('dml_tvf', 1, 3) " +
+        "WHERE _change_type = 'delete'")
+    assert(ch.getOrElse("insert", 0L) - 2 ==
+      ch.getOrElse("delete", 0L) - 10,
+      s"multiset identity must hold: $ch")
+    assert(removed.where($"k" < 10).count() == 10)
+    assert(added.where($"k" >= 200).count() == 2)
+    assert(added.where($"k" < 10).count() == 0,
+      "deleted keys must not reappear on the insert side")
+    // composing with a filter and the live view still works
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_tvf").head.getLong(0) == 92)
+    // unregistered names pass through (and fail as Spark would)
+    intercept[Exception](TableLog.sql(spark,
+      "SELECT * FROM table_changes('nope_tvf', 1, 2)").collect())
+  }
+
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
     val tA = tmp("graft_sqldml_sessA")
     val tB = tmp("graft_sqldml_sessB")
