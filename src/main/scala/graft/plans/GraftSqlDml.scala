@@ -79,8 +79,12 @@ object GraftSqlDml {
     *     CDC read as a table-valued function: `TableLog.readChanges`'
     *     added side tagged `_change_type = 'insert'` unioned with the
     *     removed side tagged `'delete'` (the multiset delta between
-    *     the two versions, MOR- and schema-op-aware).
-    * Both pass through untouched over unregistered names. */
+    *     the two versions, MOR- and schema-op-aware);
+    *   - `FROM table_history('<registered view>')` /
+    *     `table_detail('<registered view>')` — DESCRIBE HISTORY /
+    *     DESCRIBE DETAIL as table-valued functions (the observability
+    *     faces, queryable and joinable from SQL alone).
+    * All pass through untouched over unregistered names. */
   private def timeTravel(spark: SparkSession,
       plan: LogicalPlan): Option[LogicalPlan] = {
     var hit = false
@@ -126,6 +130,23 @@ object GraftSqlDml {
               case None => tvf
             }
           case _ => tvf
+        }
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if Seq("table_history", "table_detail").contains(
+            tvf.name.map(_.toLowerCase(java.util.Locale.ROOT))
+              .mkString(".")) && tvf.functionArgs.size == 1 &&
+            strOf(tvf.functionArgs(0)).isDefined =>
+        val v = strOf(tvf.functionArgs(0)).get
+        TableLog.sqlDmlReg(spark, v) match {
+          case Some(reg) =>
+            hit = true
+            val fn = tvf.name.head.toLowerCase(java.util.Locale.ROOT)
+            val df =
+              if (fn == "table_history") TableLog.history(spark, reg.table)
+              else TableLog.detail(spark, reg.table)
+            SubqueryAlias(v, df.queryExecution.logical)
+          case None => tvf
         }
     }
     if (hit) Some(out) else None

@@ -244,6 +244,18 @@ class SqlDmlSpec extends SparkSpec {
     // unregistered names pass through (and fail as Spark would)
     intercept[Exception](TableLog.sql(spark,
       "SELECT * FROM table_changes('nope_tvf', 1, 2)").collect())
+    // DESCRIBE HISTORY / DETAIL as TVFs: queryable, joinable SQL
+    val hist = TableLog.sql(spark,
+      "SELECT version, action FROM table_history('dml_tvf') " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2).toSeq == Seq("create", "append", "delete"))
+    val det = TableLog.sql(spark,
+      "SELECT version, rows, pending_sidecars FROM table_detail('dml_tvf')")
+      .head
+    assert(det.getLong(0) == 3 && det.getLong(1) == 92 &&
+      det.getLong(2) == 0)
   }
 
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {

@@ -1163,6 +1163,77 @@ class TableLogSpec extends SparkSpec {
       .count() == 7997)
   }
 
+  test("morMaintain: string-keyed sidecars prune by string stats — only the hit file rewrites") {
+    val t = tmp("graft_log_mormaint_str")
+    TableLog.create(spark, t,
+      spark.range(4000).select(
+        concat(lit("k"), lpad($"id".cast("string"), 5, "0")).as("name"),
+        ($"id" * 2).as("v"))
+        .repartitionByRange(4, $"name").sortWithinPartitions("name"),
+      strStatsCols = Seq("name"))
+    TableLog.deleteMor(spark, t, "name",
+      Seq("k00010", "k00011").toDF("name"))
+    val snapBefore = TableLog.snapshot(t).get
+    // one commit, but the key frame's partitioning may split the
+    // sidecar into several part files — each is its own entry
+    assert(snapBefore.dels.nonEmpty)
+    val before = TableLog.read(spark, t).orderBy("name").collect().toSeq
+    assert(before.size == 3998)
+    val v = TableLog.morMaintain(spark, t, maxSidecars = 0,
+      strStatsCols = Seq("name"))
+    val after = TableLog.snapshot(t).get
+    assert(after.dels.isEmpty)
+    // both deleted keys live in the first string-range file; the
+    // other three carry by reference under the string-stat
+    // disjointness proof
+    val carried = snapBefore.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet)
+    assert(carried.size == 3,
+      s"string-stat pruning must carry 3 of 4 files, got ${carried.size}")
+    assert(TableLog.read(spark, t).orderBy("name").collect().toSeq ==
+      before)
+    assert(TableLog.morMaintain(spark, t, maxSidecars = 0,
+      strStatsCols = Seq("name")) == v)
+  }
+
+  test("morMaintain after mixed MOR mutation stacks: reads identical before/after, history intact") {
+    val t = tmp("graft_log_mormaint_mix")
+    TableLog.create(spark, t,
+      spark.range(6000).select($"id".as("k"), ($"id" % 13).as("v"))
+        .repartitionByRange(6, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    val rnd = new scala.util.Random(42)
+    // three rounds of mixed merge-on-read mutations at scattered keys
+    (1 to 3).foreach { i =>
+      val delKeys = Seq.fill(4)(rnd.nextLong(6000).abs)
+      TableLog.deleteMor(spark, t, "k", delKeys.toDF("k"))
+      val lo = rnd.nextLong(5000).abs
+      TableLog.updateMor(spark, t, "k", "k", lo, lo + 50,
+        Map("v" -> lit(100L + i)), statsCols = Seq("k"))
+    }
+    val snapBefore = TableLog.snapshot(t).get
+    assert(snapBefore.dels.size >= 6,
+      s"fixture: mutations must stack sidecars, got ${snapBefore.dels.size}")
+    val before = TableLog.read(spark, t).orderBy("k").collect().toSeq
+    val agg = TableLog.read(spark, t).agg(sum($"v"), count(lit(1))).head
+    val v = TableLog.morMaintain(spark, t, maxSidecars = 2,
+      statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    assert(after.dels.isEmpty)
+    assert(after.rows == snapBefore.rows)
+    // byte-identical reads after retiring the whole stack
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == before)
+    val agg2 = TableLog.read(spark, t).agg(sum($"v"), count(lit(1))).head
+    assert(agg.getLong(0) == agg2.getLong(0) &&
+      agg.getLong(1) == agg2.getLong(1))
+    // every pre-maintenance version still time-travels complete
+    (1L to snapBefore.version).foreach { ver =>
+      assert(TableLog.readVersion(spark, t, ver).count() ==
+        TableLog.snapshotAt(t, ver).get.rows)
+    }
+    assert(TableLog.latestVersion(t) == v)
+  }
+
   test("mergeCow: rewrites only key-overlapping files, carries the rest by reference") {
     val t = tmp("graft_log_mcow")
     // 8 range-clustered files over [0, 8000)
