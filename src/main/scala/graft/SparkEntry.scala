@@ -621,6 +621,52 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** INCREMENTAL z-order maintenance under the oracle: a z-ordered
+    * table takes two UNCLUSTERED appends (the streaming-ingest
+    * degradation: new files carry no z stat, so box pruning decays),
+    * then `zOrderMaintain` re-clusters ONLY the tail — in-plan
+    * invariants pin that the appends were unclustered, that after the
+    * tick every file carries the spec, and that every
+    * already-clustered file carried BY REFERENCE (the tick is O(new
+    * data), never O(table)). The final 2-D box aggregate covers both
+    * halves; the oracle replays the derived grid over ALL events —
+    * maintenance must be invisible to semantics. */
+  private def o72ZMaintain(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/zmaint_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    def grid(half: Int) = T(s, dir, "events")
+      .where(col("event_id") % 2 === half)
+      .select((col("event_id") % 256).as("a"),
+        ((col("event_id") * lit(2654435761L)) % 256).as("b"),
+        col("event_type"))
+    tl.create(s, t, grid(0))
+    tl.zOrder(s, t, 5, "a", (0L, 255L), "b", (0L, 255L),
+      statsCols = Seq("a", "b"))
+    val clusteredPaths = tl.snapshot(t).get.files.map(_.path).toSet
+    tl.append(s, t, grid(1).where(col("a") < 128),
+      statsCols = Seq("a", "b"))
+    tl.append(s, t, grid(1).where(col("a") >= 128),
+      statsCols = Seq("a", "b"))
+    val pre = tl.snapshot(t).get
+    assert(pre.files.count(f =>
+      !f.stats.exists(_.col.startsWith("z2|"))) >= 2,
+      "o72: appends must land unclustered")
+    tl.zOrderMaintain(s, t, targetBytes = 64 << 10,
+      statsCols = Seq("a", "b"))
+    val post = tl.snapshot(t).get
+    assert(post.files.forall(_.stats.exists(_.col.startsWith("z2|"))),
+      "o72: every file must carry the spec after maintenance")
+    assert(clusteredPaths.subsetOf(post.files.map(_.path).toSet),
+      "o72: already-clustered files must carry by reference")
+    tl.scan(s, t)
+      .where(col("a").between(0, 100) && col("b").between(50, 150))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"))
+      .orderBy(col("event_type"))
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3701,6 +3747,7 @@ object SparkEntry {
     "o69_sql_insert" -> (o69SqlInsert _),
     "o70_box_skip" -> (o70BoxSkip _),
     "o71_z3" -> (o71Z3 _),
+    "o72_zorder_maintain" -> (o72ZMaintain _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5221,6 +5268,17 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the full derived grid (both halves) and 2-D box replayed
+    // relationally — incremental re-clustering must be invisible
+    "o72_zorder_maintain" ->
+      """WITH g AS (SELECT event_id % 256 AS a,
+        |  (event_id * 2654435761) % 256 AS b, event_type
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM g WHERE a BETWEEN 0 AND 100 AND b BETWEEN 50 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the derived 64³ grid and 3-D box replayed relationally —
     // octree pruning must be invisible to semantics
     "o71_z3" ->

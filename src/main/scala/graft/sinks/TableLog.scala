@@ -1962,7 +1962,8 @@ object TableLog {
   def appendStream(spark: SparkSession, table: String, stream: DataFrame,
       streamId: String, checkpoint: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      autoCompactBytes: Option[Long] = None): Unit =
+      autoCompactBytes: Option[Long] = None,
+      autoZOrderBytes: Option[Long] = None): Unit =
     graft.streaming.StreamingOps.runForeachBatch(stream,
       org.apache.spark.sql.streaming.OutputMode.Append(), checkpoint) {
       (batch, batchId) =>
@@ -1979,6 +1980,20 @@ object TableLog {
         // for "compact" commits, so consumers are undisturbed.
         autoCompactBytes.foreach(b =>
           compactSmall(spark, table, b, statsCols = statsCols))
+        // clustering twin: once the table HAS a z layout (a one-time
+        // zOrder/zOrder3 by the operator), each batch's unclustered
+        // tail re-clusters incrementally — O(new data) — so box
+        // pruning holds under continuous ingest. Before the layout
+        // exists the tick is a no-op (the stream usually creates the
+        // table; erroring here would make the option unusable).
+        autoZOrderBytes.foreach { b =>
+          val hasLayout = snapshot(table).exists(_.files.exists(
+            _.stats.exists(st => st.col.startsWith("z2|") ||
+              st.col.startsWith("z3|"))))
+          if (hasLayout)
+            zOrderMaintain(spark, table, targetBytes = b,
+              statsCols = statsCols)
+        }
         ()
     }
 
@@ -2906,6 +2921,114 @@ object TableLog {
       rangeC: (Long, Long)): String =
     s"z3|$colA|$colB|$colC|${rangeA._1}|${rangeA._2}|" +
       s"${rangeB._1}|${rangeB._2}|${rangeC._1}|${rangeC._2}"
+
+  /** INCREMENTAL z-order maintenance — the clustering twin of
+    * `compactSmall`. Streaming appends (and stat-only delete
+    * rewrites) land WITHOUT the table's z stat, so box pruning
+    * degrades file by file while the only remedy was `zOrder`'s
+    * O(table) full rewrite. This face re-clusters ONLY the
+    * unclustered tail: files carrying no z-interval stat are read
+    * MOR-aware, sorted by the table's existing clustering spec (taken
+    * from the newest clustered file's `z2|`/`z3|` stat — layout
+    * rewrites stamp every output, so the newest is the current
+    * intent; physical spec columns re-resolve to their CURRENT
+    * logical names across renames), written as ~`targetBytes` files
+    * stamped with the spec under today's names, and committed as a
+    * DELTA — every already-clustered file carries by reference, so
+    * the tick is O(new data), never O(table). Appended values
+    * OUTSIDE the spec's declared normalization ranges stay correct
+    * but un-boxable (the reader's in-range proof skips the z test
+    * for such files; raw per-column stats still prune) — re-run
+    * `zOrder`/`zOrder3` with wider ranges to reset the layout.
+    * Returns the committed version, or the current one when fewer
+    * than `minFiles` files are unclustered. */
+  def zOrderMaintain(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20, minFiles: Int = 2,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      def isZ(n: String) = n.startsWith("z2|") || n.startsWith("z3|")
+      val clustered = base.files.filter(_.stats.exists(st => isZ(st.col)))
+      if (clustered.isEmpty) sys.error(
+        s"zOrderMaintain($table): no z-ordered layout to maintain — " +
+          "run zOrder/zOrder3 first")
+      val refFile = clustered.maxBy(_.ver)
+      val spec = refFile.stats.find(st => isZ(st.col)).get.col
+      val unclustered = base.files.filterNot(_.stats.exists(st =>
+        isZ(st.col)))
+      if (unclustered.size < minFiles) return base.version
+      val parts = spec.split('|')
+      val (physCols, zRanges) =
+        if (parts(0) == "z2")
+          (Seq(parts(1), parts(2)),
+            Seq((parts(3).toLong, parts(4).toLong),
+              (parts(5).toLong, parts(6).toLong)))
+        else
+          (Seq(parts(1), parts(2), parts(3)),
+            Seq((parts(4).toLong, parts(5).toLong),
+              (parts(6).toLong, parts(7).toLong),
+              (parts(8).toLong, parts(9).toLong)))
+      // spec columns are PHYSICAL as of the clustering rewrite;
+      // re-resolve each against the current schema so a rename since
+      // then clusters (and stamps) under today's logical names
+      val logicalNames: Seq[String] = {
+        val cols = tableSchemaOf(table).map(_.fieldNames.toSeq)
+          .getOrElse(physCols)
+        physCols.map(p => cols.find(l =>
+          statNameFor(base, l)(refFile).contains(p)).getOrElse(sys.error(
+          s"zOrderMaintain($table): clustered column '$p' no longer " +
+            "resolves (renamed away or dropped) — re-run zOrder with " +
+            "the current columns")))
+      }
+      import graft.operators.LayoutOps.norm16
+      def z = {
+        val n = logicalNames.zip(zRanges).map { case (c, (lo, hi)) =>
+          norm16(col(c), lo, hi) }
+        if (n.size == 2) graft.functions.ZOrderLong.zOrder(n(0), n(1))
+        else graft.functions.ZOrderLong.zOrder3(n(0), n(1), n(2))
+      }
+      val newSpec =
+        if (logicalNames.size == 2)
+          z2StatName(logicalNames(0), logicalNames(1),
+            zRanges(0), zRanges(1))
+        else
+          z3StatName(logicalNames(0), logicalNames(1), logicalNames(2),
+            zRanges(0), zRanges(1), zRanges(2))
+      val bytes = unclustered.map(fileBytes(table, _)).sum
+      val nOut = math.max(1,
+        math.ceil(bytes.toDouble / targetBytes).toInt)
+      val (files, newRows) = writeDataFiles(spark, table,
+        morScan(spark, table, base, unclustered)
+          .withColumn("__z", z)
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"),
+        (statsCols ++ logicalNames).distinct, strStatsCols,
+        bloomStatsCols, derivedStats = Seq(newSpec -> z))
+      val scanRows = morScan(spark, table, base, unclustered).count()
+      require(newRows == scanRows,
+        s"zOrderMaintain audit failed for $table: clustered $newRows " +
+          s"rows from $scanRows — not committing")
+      val version = base.version + 1
+      val stamped = files.map(_.copy(ver = version))
+      val removed = unclustered.map(_.path)
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = removed.toSet
+          ManifestRec(version, base.version, "zorder", base.rows, "full",
+            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
+            base.dels, Nil, None, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "zorder", base.rows,
+            "delta", Nil, stamped, removed, Nil, Nil, None,
+            base.schemaJson, base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
 
   /** MULTI-DIMENSIONAL box prune: given per-column long range
     * constraints (the query box), drop every file whose recorded

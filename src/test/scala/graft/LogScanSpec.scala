@@ -344,6 +344,61 @@ class LogScanSpec extends SparkSpec {
         $"c".between(0, 10)).count() == 11L * 21L * 11L + 1)
   }
 
+  test("zOrderMaintain: incremental re-cluster of the unclustered tail, clustered files carried by reference") {
+    val t = tmp("graft_log_zmaint")
+    TableLog.create(spark, t, spark.range(65536)
+      .select(($"id" / 256).cast("long").as("a"),
+        ($"id" % 256).as("b"), ($"id" % 7).as("v")))
+    TableLog.zOrder(spark, t, 5, "a", (0L, 255L), "b", (0L, 255L))
+    val clusteredPaths = TableLog.snapshot(t).get.files.map(_.path).toSet
+    // streaming-style appends land WITHOUT the z stat
+    TableLog.append(spark, t, spark.range(2000)
+      .select(($"id" % 256).as("a"), (($"id" * 7) % 256).as("b"),
+        lit(1L).as("v")), statsCols = Seq("a", "b"))
+    TableLog.append(spark, t, spark.range(2000, 4000)
+      .select(($"id" % 256).as("a"), (($"id" * 11) % 256).as("b"),
+        lit(2L).as("v")), statsCols = Seq("a", "b"))
+    val snap1 = TableLog.snapshot(t).get
+    assert(snap1.files.count(f =>
+      !f.stats.exists(_.col.startsWith("z2|"))) >= 2,
+      "fixture: appends must be unclustered")
+    val total = TableLog.read(spark, t).count()
+    val sumV = TableLog.read(spark, t).agg(sum($"v")).head.getLong(0)
+    def boxQ() = TableLog.scan(spark, t)
+      .where($"a".between(0, 40) && $"b".between(64, 100))
+    val beforeCount = boxQ().count()
+    // maintain: tiny target so the tail splits into several z files
+    val v = TableLog.zOrderMaintain(spark, t, targetBytes = 8192,
+      statsCols = Seq("a", "b"))
+    assert(v == snap1.version + 1)
+    val snap2 = TableLog.snapshot(t).get
+    // every already-clustered file carried by reference — the tick is
+    // O(new data), never O(table)
+    assert(clusteredPaths.subsetOf(snap2.files.map(_.path).toSet))
+    // the whole table now carries the spec…
+    assert(snap2.files.forall(_.stats.exists(_.col.startsWith("z2|"))))
+    // …and the NEW files' z stats actually prune: some corner box
+    // drops at least one maintained file
+    val newFiles = snap2.files.filterNot(f => clusteredPaths(f.path))
+    assert(newFiles.size >= 2, "fixture: the tail must split")
+    val corners = Seq((0L, 40L, 64L, 100L), (64L, 100L, 0L, 40L),
+      (200L, 250L, 10L, 60L), (10L, 60L, 200L, 250L))
+    assert(corners.exists { case (al, ah, bl, bh) =>
+      TableLog.prunedFilesByBox(snap2.copy(files = newFiles),
+        Map("a" -> (al, ah), "b" -> (bl, bh))).size < newFiles.size
+    }, "maintained files' z stats must prune some corner box")
+    // semantics byte-identical
+    assert(boxQ().count() == beforeCount)
+    assert(TableLog.read(spark, t).count() == total)
+    assert(TableLog.read(spark, t).agg(sum($"v")).head.getLong(0) == sumV)
+    // a clean table is a no-op; a table never clustered refuses
+    assert(TableLog.zOrderMaintain(spark, t,
+      statsCols = Seq("a", "b")) == v)
+    val t2 = tmp("graft_log_zmaint_flat")
+    TableLog.create(spark, t2, spark.range(10).toDF("k"))
+    intercept[RuntimeException](TableLog.zOrderMaintain(spark, t2))
+  }
+
   test("scan planning reads file sizes from the manifest — zero filesystem stats") {
     val t = mkTable()
     val rel = TableLog.scan(spark, t).queryExecution.analyzed.collectFirst {
