@@ -667,6 +667,42 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** VERSION TAGS under the oracle: tag the pristine table
+    * `baseline`, mutate (SQL DELETE), full-compact (so the live
+    * window stops referencing the original files), then VACUUM with
+    * keepVersions = 1 — the tag must protect its version's manifest
+    * chain AND data files below the retention floor. The final SELECT
+    * unions the live aggregate with `VERSION AS OF 'baseline'` FROM
+    * TEXT, post-vacuum: a tag that failed to protect its chain (or a
+    * vacuum that over-retained nothing it should drop) changes the
+    * hash. The oracle replays both states relationally. */
+  private def o73Tags(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/tags_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 27)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    tl.create(s, t, base.repartitionByRange(6, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                              // v1
+    tl.tagVersion(t, "baseline", 1)
+    tl.registerSqlTable(s, "lake73", t, statsCols = Seq("o_orderkey"))
+    tl.sql(s, "DELETE FROM lake73 WHERE o_orderkey BETWEEN 3000 AND 12000")
+    tl.compact(s, t, targetBytes = 1L << 30,
+      statsCols = Seq("o_orderkey"))
+    tl.vacuum(s, t, keepVersions = 1, olderThanMs = 0)
+    // the view pinned a pre-compact snapshot; re-register post-vacuum
+    tl.registerSqlTable(s, "lake73", t, statsCols = Seq("o_orderkey"))
+    tl.sql(s, """
+      SELECT 'live' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+      FROM lake73
+      UNION ALL
+      SELECT 'tag_baseline' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+      FROM lake73 VERSION AS OF 'baseline'
+      ORDER BY state""")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3748,6 +3784,7 @@ object SparkEntry {
     "o70_box_skip" -> (o70BoxSkip _),
     "o71_z3" -> (o71Z3 _),
     "o72_zorder_maintain" -> (o72ZMaintain _),
+    "o73_tags" -> (o73Tags _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5268,6 +5305,20 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // live = base minus the deleted range; the tag row = the PRISTINE
+    // base, read after an aggressive vacuum
+    "o73_tags" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 30 = 27)
+        |SELECT 'live' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM t WHERE o_orderkey NOT BETWEEN 3000 AND 12000
+        |UNION ALL
+        |SELECT 'tag_baseline' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM t
+        |ORDER BY state""".stripMargin,
     // the full derived grid (both halves) and 2-D box replayed
     // relationally — incremental re-clustering must be invisible
     "o72_zorder_maintain" ->

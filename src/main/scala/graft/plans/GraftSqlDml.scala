@@ -96,10 +96,12 @@ object GraftSqlDml {
             hit = true
             val df = (tt.version, tt.timestamp) match {
               case (Some(ver), None) =>
+                // an integer pins the version directly; anything else
+                // resolves as a TAG name (resolveTag fails loudly with
+                // the available tags)
                 val n = try ver.toLong catch {
                   case _: NumberFormatException =>
-                    unsupported(s"$v VERSION AS OF $ver",
-                      "version must be an integer")
+                    TableLog.resolveTag(reg.table, ver)
                 }
                 TableLog.scanVersion(spark, reg.table, n)
               case (None, Some(ts)) =>

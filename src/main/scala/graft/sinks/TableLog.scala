@@ -1721,6 +1721,85 @@ object TableLog {
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
     readVersion(spark, table, versionAsOf(table, tsMs))
 
+  // ===== Version tags (named refs, vacuum-protected) ===================
+
+  private def tagsDir(table: String): Path = Paths.get(table, "_tags")
+  private def tagPath(table: String, tag: String): Path = {
+    require(tag.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,127}"),
+      s"tag name '$tag': letters/digits/._- only (max 128, no leading .)")
+    tagsDir(table).resolve(tag)
+  }
+
+  /** Pin a NAME to a version — `release-2026-08`, `eval-baseline`:
+    * the human-meaningful time-travel handle, readable via
+    * `readTag`/`scanTag` and from SQL as `VERSION AS OF '<tag>'` on a
+    * registered view. A tagged version is PROTECTED FROM VACUUM along
+    * with its checkpoint-granular manifest chain and every data file
+    * it references (the retention union includes each tag's interval),
+    * so a tag is a durability promise, not just a bookmark — delete
+    * the tag to release the history. Tags are per-table refs: a
+    * clone does not carry them. Re-pointing an existing tag requires
+    * `replace = true`; the write is atomic (tmp + create-exclusive
+    * link, move on replace), so a concurrent reader sees the old or
+    * the new version, never a torn file. */
+  def tagVersion(table: String, tag: String, version: Long,
+      replace: Boolean = false): Unit = {
+    require(snapshotAt(table, version).nonEmpty,
+      s"tagVersion($table, '$tag'): version $version does not resolve")
+    Files.createDirectories(tagsDir(table))
+    val p = tagPath(table, tag)
+    if (!replace && Files.exists(p)) sys.error(
+      s"tag '$tag' already exists in $table (→ v${resolveTag(table, tag)})" +
+        " — pass replace = true to re-point it")
+    val tmp = Files.createTempFile(tagsDir(table), ".tmp-tag-", "")
+    Files.writeString(tmp, version.toString, UTF_8)
+    try {
+      if (replace)
+        Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else {
+        try Files.createLink(p, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          sys.error(s"tag '$tag' already exists in $table — pass " +
+            "replace = true to re-point it")
+        }
+        Files.deleteIfExists(tmp)
+      }
+    } finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Every tag of the table, name → version. */
+  def tags(table: String): Map[String, Long] = {
+    val d = tagsDir(table)
+    if (!Files.isDirectory(d)) return Map.empty
+    listDir(d)
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .flatMap { p =>
+        try Some(p.getFileName.toString ->
+          Files.readString(p, UTF_8).trim.toLong)
+        catch { case _: java.io.IOException |
+            _: NumberFormatException => None }
+      }.toMap
+  }
+
+  /** The version a tag names (error if absent). */
+  def resolveTag(table: String, tag: String): Long =
+    tags(table).getOrElse(tag, sys.error(
+      s"tag '$tag' not found in $table — tags: " +
+        s"${tags(table).keys.toSeq.sorted.mkString(", ")}"))
+
+  /** Drop a tag — releases its vacuum protection; the history it
+    * pinned becomes reclaimable by the NEXT vacuum. */
+  def deleteTag(table: String, tag: String): Boolean =
+    Files.deleteIfExists(tagPath(table, tag))
+
+  /** Eager / declarative reads at a tag. */
+  def readTag(spark: SparkSession, table: String, tag: String): DataFrame =
+    readVersion(spark, table, resolveTag(table, tag))
+  def scanTag(spark: SparkSession, table: String, tag: String): DataFrame =
+    scanVersion(spark, table, resolveTag(table, tag))
+
   /** ZERO-COPY table clone: hard-links every data file and MOR sidecar
     * of `src`'s current snapshot into `dst` and commits dst's FIRST
     * manifest as a full snapshot carrying src's schema, schema-op
@@ -1857,6 +1936,59 @@ object TableLog {
         earliest
       }
 
+  /** The manifest intervals a vacuum must retain: the main window
+    * [dropBelow, latest] plus, for each TAG pinning a version below
+    * the floor, that version's own checkpoint-granular chain
+    * [floorAtFullManifest(tagV), tagV] — merged where adjacent, so
+    * the reference replay runs once per retained manifest. */
+  private def protectedIntervals(table: String, dropBelow: Long,
+      latest: Long): Seq[(Long, Long)] = {
+    val tagIv = tags(table).values.toSeq.distinct
+      .filter(v => v >= 1 && v < dropBelow)
+      .map(v => (floorAtFullManifest(table, v, latest), v))
+    (tagIv :+ (dropBelow, latest)).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+        acc match {
+          case (plo, phi) :: rest if lo <= phi + 1 =>
+            (plo, math.max(phi, hi)) :: rest
+          case _ => (lo, hi) :: acc
+        }
+      }.reverse
+  }
+
+  /** Union of [vLo, vHi]'s per-version file references (data files +
+    * MOR sidecars), one forward replay from the interval's floor
+    * checkpoint. A RETAINED version that fails to parse ABORTS the
+    * caller: its adds would drop out of the union and every later
+    * delta would replay against the wrong base — data files still
+    * referenced by readable manifests would be reported (or swept) as
+    * garbage. A destructive pass must never be more tolerant than a
+    * read. */
+  private def replayRefs(table: String, vLo: Long, vHi: Long,
+      caller: String): Iterator[String] = {
+    val acc = scala.collection.mutable.HashSet[String]()
+    var cur: Seq[FileEntry] = Nil
+    var curDels: Seq[DeleteEntry] = Nil
+    (vLo to vHi).foreach { v =>
+      val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
+        s"$caller of $table: retained manifest v$v unreadable — " +
+          "aborting before files it may reference are deemed garbage"))
+      cur =
+        if (r.kind == "full") r.files
+        else {
+          val rm = r.removes.toSet
+          cur.filterNot(f => rm(f.path)) ++ r.adds
+        }
+      // MOR-delete sidecars are referenced data too: reclaiming one
+      // still listed by a retained manifest would resurrect its rows
+      curDels =
+        if (r.kind == "full") r.dels else curDels ++ r.delAdds
+      acc ++= cur.iterator.map(_.path)
+      acc ++= curDels.iterator.map(_.file.path)
+    }
+    acc.iterator
+  }
+
   /** Dry-run twin of `vacuum`: what WOULD be reclaimed — retired
     * manifest versions and unreferenced data files — without touching
     * anything. Same retention math (checkpoint-granular floor, union
@@ -1870,35 +2002,18 @@ object TableLog {
     val requested = math.max(1L,
       math.min(keepFromVersion, latest - keepVersions.toLong + 1))
     val dropBelow = floorAtFullManifest(table, requested, latest)
+    val keep = protectedIntervals(table, dropBelow, latest)
+    def isProtected(v: Long) = keep.exists(iv => v >= iv._1 && v <= iv._2)
     val droppedVersions = (1L until dropBelow)
+      .filterNot(isProtected)
       .filter(v => Files.exists(manifestPath(table, v)))
-    val referenced: Set[String] = {
-      val acc = scala.collection.mutable.HashSet[String]()
-      var cur: Seq[FileEntry] = Nil
-      var curDels: Seq[DeleteEntry] = Nil
-      (dropBelow to latest).foreach { v =>
-        // mirror vacuum's replay exactly: an unreadable RETAINED
-        // manifest ABORTS — a lenient preview would under-build
-        // `referenced` and report still-referenced files as
-        // reclaimable, diverging from the sweep it claims to dry-run
-        // (missing-prefix versions BELOW the floor are legitimately
-        // absent and never reach this loop)
-        val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
-          s"vacuumPreview of $table: retained manifest v$v unreadable " +
-            "— the real vacuum would abort here"))
-        cur =
-          if (r.kind == "full") r.files
-          else {
-            val rm = r.removes.toSet
-            cur.filterNot(f => rm(f.path)) ++ r.adds
-          }
-        curDels =
-          if (r.kind == "full") r.dels else curDels ++ r.delAdds
-        acc ++= cur.iterator.map(_.path)
-        acc ++= curDels.iterator.map(_.file.path)
-      }
-      acc.toSet
-    }
+    // mirror vacuum's replay exactly (shared helper): an unreadable
+    // RETAINED manifest ABORTS — a lenient preview would under-build
+    // `referenced` and report still-referenced files as reclaimable,
+    // diverging from the sweep it claims to dry-run
+    val referenced: Set[String] =
+      keep.iterator.flatMap(iv =>
+        replayRefs(table, iv._1, iv._2, "vacuumPreview")).toSet
     val dataRoot = Paths.get(table, "data")
     def listDeep(p: Path): Seq[Path] =
       if (!Files.isDirectory(p)) Seq(p)
@@ -4119,11 +4234,14 @@ object TableLog {
     val requested = math.max(1L,
       math.min(keepFromVersion, latest - keepVersions.toLong + 1))
     val dropBelow = floorAtFullManifest(table, requested, latest)
+    val keep = protectedIntervals(table, dropBelow, latest)
+    def isProtected(v: Long) = keep.exists(iv => v >= iv._1 && v <= iv._2)
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     // drop retired manifests first so their references stop counting;
     // deleteIfExists — two concurrent vacuums race here, and the loser
-    // must skip quietly, not throw mid-sweep (exists-then-delete TOCTOU)
-    (1L until dropBelow).foreach { v =>
+    // must skip quietly, not throw mid-sweep (exists-then-delete TOCTOU).
+    // TAG-protected intervals survive below the floor.
+    (1L until dropBelow).filterNot(isProtected).foreach { v =>
       val p = manifestPath(table, v)
       if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}"
     }
@@ -4131,38 +4249,12 @@ object TableLog {
       .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
       .foreach { p =>
         if (Files.deleteIfExists(p)) deleted += s"_log/${p.getFileName}" }
-    // union of every retained version's file list, computed in ONE
-    // forward replay from the floor checkpoint (not a resolution per
-    // version): O(retained manifests + changes)
-    val referenced: Set[String] = {
-      val acc = scala.collection.mutable.HashSet[String]()
-      var cur: Seq[FileEntry] = Nil
-      var curDels: Seq[DeleteEntry] = Nil
-      (dropBelow to latest).foreach { v =>
-        // a RETAINED version that fails to parse must ABORT the vacuum,
-        // not be skipped: its adds would drop out of `referenced` and
-        // every later delta would replay against the wrong base — data
-        // files still referenced by readable manifests would be deleted.
-        // (resolveRec fails loudly in the same situation; a destructive
-        // pass must not be more tolerant than a read.)
-        val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
-          s"vacuum of $table: retained manifest v$v unreadable — " +
-            "aborting before deleting files it may reference"))
-        cur =
-          if (r.kind == "full") r.files
-          else {
-            val rm = r.removes.toSet
-            cur.filterNot(f => rm(f.path)) ++ r.adds
-          }
-        // MOR-delete sidecars are referenced data too: reclaiming one
-        // still listed by a retained manifest would resurrect its rows
-        curDels =
-          if (r.kind == "full") r.dels else curDels ++ r.delAdds
-        acc ++= cur.iterator.map(_.path)
-        acc ++= curDels.iterator.map(_.file.path)
-      }
-      acc.toSet
-    }
+    // union of every retained version's file list across ALL protected
+    // intervals (main window + tag chains), each computed in ONE
+    // forward replay from its floor checkpoint: O(retained manifests)
+    val referenced: Set[String] =
+      keep.iterator.flatMap(iv =>
+        replayRefs(table, iv._1, iv._2, "vacuum")).toSet
     val dataRoot = Paths.get(table, "data")
     // Files.walk throws mid-iteration when an entry vanishes under it
     // (a racing writer's _temporary files); list children defensively

@@ -1234,6 +1234,58 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("version tags: named refs, SQL AS OF '<tag>', and vacuum protection of the tagged chain") {
+    val t = tmp("graft_log_tags")
+    TableLog.create(spark, t, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))                                        // v1
+    TableLog.append(spark, t, spark.range(100, 200).toDF("k"),
+      statsCols = Seq("k"))                                        // v2
+    TableLog.tagVersion(t, "baseline", 2)
+    TableLog.append(spark, t, spark.range(200, 300).toDF("k"),
+      statsCols = Seq("k"))                                        // v3
+    // a full rewrite: the latest window no longer references v1-v3's
+    // data files — only the tag keeps them alive below the floor
+    TableLog.compact(spark, t, targetBytes = 1L << 30,
+      statsCols = Seq("k"))                                        // v4
+    TableLog.append(spark, t, spark.range(300, 400).toDF("k"),
+      statsCols = Seq("k"))                                        // v5
+    // reads at the tag
+    assert(TableLog.readTag(spark, t, "baseline").count() == 200)
+    assert(TableLog.scanTag(spark, t, "baseline")
+      .where($"k" < 50).count() == 50)
+    // name hygiene and duplicate refusal; replace re-points
+    intercept[IllegalArgumentException](
+      TableLog.tagVersion(t, "../evil", 2))
+    intercept[RuntimeException](TableLog.tagVersion(t, "baseline", 3))
+    TableLog.tagVersion(t, "rc", 3)
+    assert(TableLog.tags(t) == Map("baseline" -> 2L, "rc" -> 3L))
+    TableLog.tagVersion(t, "rc", 2, replace = true)
+    assert(TableLog.resolveTag(t, "rc") == 2)
+    TableLog.deleteTag(t, "rc")
+    // SQL face: VERSION AS OF '<tag>' on a registered view
+    TableLog.registerSqlTable(spark, "tagged_t", t,
+      statsCols = Seq("k"))
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM tagged_t VERSION AS OF 'baseline'")
+      .head.getLong(0) == 200)
+    intercept[RuntimeException](TableLog.sql(spark,
+      "SELECT * FROM tagged_t VERSION AS OF 'nope'"))
+    // aggressive vacuum: the tag protects v2 AND its chain + files
+    val (pv, _) = TableLog.vacuumPreview(t, keepVersions = 1)
+    assert(!pv.contains(2L), "preview must not drop a tagged version")
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0)
+    assert(TableLog.readTag(spark, t, "baseline").count() == 200,
+      "a tagged version must survive vacuum, files included")
+    assert(TableLog.read(spark, t).count() == 400)
+    // releasing the tag releases the history: the next vacuum
+    // reclaims it and the tagged read is gone
+    TableLog.deleteTag(t, "baseline")
+    TableLog.vacuum(spark, t, keepVersions = 1, olderThanMs = 0)
+    intercept[Exception](TableLog.readVersion(spark, t, 2).count())
+    assert(TableLog.read(spark, t).count() == 400)
+    assert(TableLog.tags(t).isEmpty)
+  }
+
   test("mergeCow: rewrites only key-overlapping files, carries the rest by reference") {
     val t = tmp("graft_log_mcow")
     // 8 range-clustered files over [0, 8000)
