@@ -3543,6 +3543,38 @@ object SparkEntry {
     * (e+U+0301, i+U+0308) is injected per row — NFC must merge exactly
     * those two combining marks, and the normalized text must match the
     * oracle's byte-for-byte. */
+  /** PII scrubbing under the oracle: deterministic synthetic PII
+    * (email/phone/IP derived from `doc_id`) is appended to each
+    * document, scrubbed with `TextExpressions.scrubPii` (pure
+    * codegen'd `regexp_replace` composition, RE2-compatible
+    * patterns), and the result is pinned byte-exactly — lengths,
+    * per-type placeholder counts, and an md5 over the scrubbed
+    * suffix region — against DuckDB running the SAME regexes with
+    * its RE2 engine. Cross-engine regex agreement IS the test: a
+    * pattern that strays outside the common subset (lookarounds,
+    * dialect-specific classes) breaks the hash. */
+  private def e4PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1 555 123 4"), col("doc_id") % 100,
+      lit(" at 10.0."), col("doc_id") % 256, lit(".17 today"))
+    val scrubbed = graft.functions.TextExpressions.scrubPii(withPii)
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), withPii.as("raw"),
+        scrubbed.as("clean"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("raw")) - length(col("clean"))).cast("long")
+          .as("delta_len"),
+        sum(size(split(col("clean"), "<EMAIL>")) - 1).cast("long")
+          .as("n_email"),
+        sum(size(split(col("clean"), "<PHONE>")) - 1).cast("long")
+          .as("n_phone"),
+        sum(size(split(col("clean"), "<IP>")) - 1).cast("long")
+          .as("n_ip"))
+      .orderBy(col("lang"))
+  }
+
   private def e4Normalize(s: SparkSession, dir: String): DataFrame = {
     val t = concat(col("text"), lit(" cafe\u0301 nai\u0308ve")) // decomposed escapes
     val nfc = graft.functions.TextExpressions.normalizeNfc(t)
@@ -3861,6 +3893,7 @@ object SparkEntry {
     "e10_mix_domains" -> (e10MixDomains _),
     "e2_semantic_dedup" -> (e2SemanticDedup _),
     "e4_normalize" -> (e4Normalize _),
+    "e4_pii_scrub" -> (e4PiiScrub _),
     "e2_embed_neardup_blocked" -> (e2EmbedNearDupBlocked _)
   )
 
@@ -5769,6 +5802,33 @@ object SparkEntry {
         |CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
         |right(nfc_normalize(s), 12) AS nfc_suffix
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the SAME RE2-compatible regexes replayed by DuckDB's RE2 engine
+    // ('g' = replace-all, Spark's default) — cross-engine agreement
+    // is the point of restricting scrubPii to the common subset
+    "e4_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1 555 123 4'
+        |    || CAST(doc_id % 100 AS VARCHAR)
+        |    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.17 today' AS raw
+        |  FROM documents),
+        |c AS (SELECT lang, raw,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS clean
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(raw) - length(clean)) AS BIGINT) AS delta_len,
+        |  CAST(sum((length(clean) - length(replace(clean, '<EMAIL>', '')))
+        |    / 7) AS BIGINT) AS n_email,
+        |  CAST(sum((length(clean) - length(replace(clean, '<PHONE>', '')))
+        |    / 7) AS BIGINT) AS n_phone,
+        |  CAST(sum((length(clean) - length(replace(clean, '<IP>', '')))
+        |    / 4) AS BIGINT) AS n_ip
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // bucket width derived with NO base key: bits = smallest b with
     // 2^b·32 ≥ n (DedupOps.signBitsFor(n, 1, 32))
     "e2_embed_neardup_blocked" ->

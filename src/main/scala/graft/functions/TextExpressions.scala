@@ -58,6 +58,25 @@ object TextExpressions {
   /** Unicode NFC normalization (see NormalizeNfc). */
   def normalizeNfc(s: Column): Column =
     Bridge.column(NormalizeNfc(Bridge.expression(s)))
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text: emails, IPv4 addresses, and
+    * phone-shaped digit runs replace with typed placeholders. Pure
+    * composition of Spark's codegen'd `regexp_replace` (no UDF, no
+    * custom expression); patterns restricted to the RE2-compatible
+    * subset (no lookarounds) so an external replay — the DuckDB
+    * oracle, or a Go/Rust scrubber on the same corpus — matches
+    * byte-for-byte. Order matters: emails first (their local parts
+    * contain digits a phone pattern could bite), then IPs (dotted
+    * digit runs a phone pattern could bite), then phones. */
+  def scrubPii(c: Column): Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>")
+  }
 }
 
 /** Unicode NFC normalization — the canonicalization pass every text

@@ -2957,6 +2957,60 @@ object TableLog {
     committed
   }
 
+  /** Declarative maintenance policy for `maintain` — which of the
+    * three incremental ticks run and their thresholds. Each is
+    * O(affected files), never O(table), so one `maintain` call per
+    * ingest cycle is the whole OPTIMIZE story for a streaming
+    * lakehouse table:
+    *   - `smallFileBytes`: bin-pack files under this size
+    *     (`compactSmall`);
+    *   - `maxSidecars`/`maxSidecarBytes`: materialize pending MOR
+    *     delete sidecars past either bound (`morMaintain`);
+    *   - `clusterTailBytes`: re-cluster the unclustered tail under
+    *     the table's existing z layout, if one exists
+    *     (`zOrderMaintain`, skipped on never-clustered tables);
+    *   - `vacuumKeepVersions`: drop history beyond the last N
+    *     versions (tags keep their protection). */
+  final case class MaintainPolicy(
+      smallFileBytes: Option[Long] = None,
+      maxSidecars: Option[Int] = None,
+      maxSidecarBytes: Option[Long] = None,
+      clusterTailBytes: Option[Long] = None,
+      vacuumKeepVersions: Option[Int] = None)
+
+  /** Run every tick the policy enables, in dependency order —
+    * sidecar materialization first (it may create small files),
+    * clustering second (it consumes unclustered files compaction
+    * would otherwise merge blindly), bin-packing third, vacuum last
+    * (earlier ticks retire references). Returns the table's version
+    * after maintenance. */
+  def maintain(spark: SparkSession, table: String,
+      policy: MaintainPolicy, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    if (policy.maxSidecars.isDefined || policy.maxSidecarBytes.isDefined)
+      morMaintain(spark, table,
+        maxSidecars = policy.maxSidecars.getOrElse(Int.MaxValue),
+        maxSidecarBytes = policy.maxSidecarBytes.getOrElse(Long.MaxValue),
+        statsCols = statsCols, strStatsCols = strStatsCols,
+        bloomStatsCols = bloomStatsCols)
+    policy.clusterTailBytes.foreach { b =>
+      val hasLayout = snapshot(table).exists(_.files.exists(
+        _.stats.exists(st => st.col.startsWith("z2|") ||
+          st.col.startsWith("z3|"))))
+      if (hasLayout)
+        zOrderMaintain(spark, table, targetBytes = b,
+          statsCols = statsCols, strStatsCols = strStatsCols,
+          bloomStatsCols = bloomStatsCols)
+    }
+    policy.smallFileBytes.foreach(b =>
+      compactSmall(spark, table, b, statsCols = statsCols,
+        strStatsCols = strStatsCols, bloomStatsCols = bloomStatsCols))
+    policy.vacuumKeepVersions.foreach(n =>
+      vacuum(spark, table, keepVersions = n))
+    latestVersion(table)
+  }
+
   /** Z-order re-cluster through the log (LayoutOps.zOrderWrite layout,
     * manifest-committed). Each output file additionally records its
     * Z-VALUE interval as a derived manifest stat (name

@@ -1234,6 +1234,34 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("maintain: one policy call runs the enabled ticks in dependency order") {
+    val t = tmp("graft_log_maintain")
+    TableLog.create(spark, t,
+      spark.range(4000).toDF("k").repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))
+    // accumulate all three kinds of debt: MOR sidecars, small files,
+    // history
+    TableLog.deleteMor(spark, t, "k", Seq(10L, 2010L).toDF("k"))
+    (0 until 3).foreach(i => TableLog.append(spark, t,
+      Seq(10000L + i).toDF("k"), statsCols = Seq("k")))
+    val before = TableLog.read(spark, t).orderBy("k").collect().toSeq
+    val pre = TableLog.snapshot(t).get
+    assert(pre.dels.nonEmpty)
+    val v = TableLog.maintain(spark, t, TableLog.MaintainPolicy(
+      smallFileBytes = Some(64L << 10),
+      maxSidecars = Some(0),
+      vacuumKeepVersions = Some(1)), statsCols = Seq("k"))
+    val after = TableLog.snapshot(t).get
+    assert(after.dels.isEmpty, "sidecars materialized")
+    assert(after.files.size < pre.files.size + 3,
+      "small appends bin-packed")
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq ==
+      before, "maintenance must be invisible to reads")
+    assert(TableLog.latestVersion(t) == v)
+    // history vacuumed to the floor checkpoint
+    intercept[Exception](TableLog.readVersion(spark, t, 1).count())
+  }
+
   test("version tags: named refs, SQL AS OF '<tag>', and vacuum protection of the tagged chain") {
     val t = tmp("graft_log_tags")
     TableLog.create(spark, t, spark.range(100).toDF("k"),
