@@ -2107,7 +2107,8 @@ object TableLog {
               st.col.startsWith("z3|"))))
           if (hasLayout)
             zOrderMaintain(spark, table, targetBytes = b,
-              statsCols = statsCols)
+              statsCols = statsCols,
+              smallBytes = autoCompactBytes.getOrElse(0L))
         }
         ()
     }
@@ -2841,7 +2842,15 @@ object TableLog {
               else try Files.size(Paths.get(table, f.path))
               catch { case _: java.io.IOException => Long.MaxValue })
       }
-      val small = sized.filter(_._2 < smallBytes)
+      // LAYOUT-PRESERVING: a file carrying a z-interval stat is
+      // clustering-intentional — blind bin-packing would strip the
+      // stat and silently decay box pruning (and then zOrderMaintain
+      // would re-cluster what this pass just de-clustered, churning
+      // every cycle). Small CLUSTERED files are zOrderMaintain's job
+      // (its `smallBytes` parameter packs them z-aware).
+      val small = sized.filter { case (f, b) => b < smallBytes &&
+        !f.stats.exists(st => st.col.startsWith("z2|") ||
+          st.col.startsWith("z3|")) }
       if (small.size < minFiles) return base.version
       val nOut = math.max(1,
         math.ceil(small.map(_._2).sum.toDouble / smallBytes).toInt)
@@ -3001,7 +3010,8 @@ object TableLog {
       if (hasLayout)
         zOrderMaintain(spark, table, targetBytes = b,
           statsCols = statsCols, strStatsCols = strStatsCols,
-          bloomStatsCols = bloomStatsCols)
+          bloomStatsCols = bloomStatsCols,
+          smallBytes = policy.smallFileBytes.getOrElse(0L))
     }
     policy.smallFileBytes.foreach(b =>
       compactSmall(spark, table, b, statsCols = statsCols,
@@ -3114,7 +3124,7 @@ object TableLog {
   def zOrderMaintain(spark: SparkSession, table: String,
       targetBytes: Long = 128L << 20, minFiles: Int = 2,
       statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
-      bloomStatsCols: Seq[String] = Nil): Long = {
+      bloomStatsCols: Seq[String] = Nil, smallBytes: Long = 0L): Long = {
     import org.apache.spark.sql.functions.col
     var committed = -1L
     while (committed < 0) {
@@ -3126,8 +3136,16 @@ object TableLog {
           "run zOrder/zOrder3 first")
       val refFile = clustered.maxBy(_.ver)
       val spec = refFile.stats.find(st => isZ(st.col)).get.col
+      // the rewrite set: every unclustered file, plus — when
+      // `smallBytes` > 0 — clustered FRAGMENTS under that size
+      // (repeated maintenance ticks leave small z files behind;
+      // compactSmall deliberately refuses to touch them because blind
+      // packing would strip the z stat, so z-aware re-packing lives
+      // here, where the output keeps the spec)
       val unclustered = base.files.filterNot(_.stats.exists(st =>
-        isZ(st.col)))
+        isZ(st.col))) ++
+        (if (smallBytes <= 0) Nil
+         else clustered.filter(f => fileBytes(table, f) < smallBytes))
       if (unclustered.size < minFiles) return base.version
       val parts = spec.split('|')
       val (physCols, zRanges) =

@@ -397,6 +397,22 @@ class LogScanSpec extends SparkSpec {
     val t2 = tmp("graft_log_zmaint_flat")
     TableLog.create(spark, t2, spark.range(10).toDF("k"))
     intercept[RuntimeException](TableLog.zOrderMaintain(spark, t2))
+    // ANTI-CHURN contract: compactSmall refuses to touch clustered
+    // files (packing would strip the z stat and the next maintenance
+    // tick would re-cluster what it just destroyed)…
+    val nAfter = TableLog.snapshot(t).get.files.size
+    assert(TableLog.compactSmall(spark, t, smallBytes = 1L << 30,
+      statsCols = Seq("a", "b")) == v, "compactSmall must be a no-op " +
+      "on a fully-clustered table, whatever the threshold")
+    // …and z-AWARE re-packing of small clustered fragments lives in
+    // zOrderMaintain(smallBytes): fewer files, spec retained
+    val v2 = TableLog.zOrderMaintain(spark, t, targetBytes = 1L << 30,
+      statsCols = Seq("a", "b"), smallBytes = 1L << 30)
+    val packed = TableLog.snapshot(t).get
+    assert(packed.files.size < nAfter, "small z fragments must pack")
+    assert(packed.files.forall(_.stats.exists(_.col.startsWith("z2|"))))
+    assert(v2 > v)
+    assert(TableLog.read(spark, t).count() == total)
   }
 
   test("scan planning reads file sizes from the manifest — zero filesystem stats") {
