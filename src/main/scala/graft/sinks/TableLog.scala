@@ -583,13 +583,29 @@ object TableLog {
     // such entry silently defeats every future stat prune and makes
     // disjoint-range no-op deletes impossible. Zero-row files are
     // deleted here and never manifested.
+    // bounded-parallel: a large append commits thousands of part
+    // files, and on an object store each footer open is a ~10-50 ms
+    // round trip — serial reads would put minutes of driver stall on
+    // every big commit
     val hconf = spark.sessionState.newHadoopConf()
-    val countByName: Map[String, Long] = allNames.map { n =>
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$outDir/$n"), hconf))
-      try n -> rdr.getRecordCount finally rdr.close()
-    }.toMap
+    val countByName: Map[String, Long] = {
+      def countOf(n: String): Long = {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$outDir/$n"), hconf))
+        try rdr.getRecordCount finally rdr.close()
+      }
+      if (allNames.size <= 4) allNames.map(n => n -> countOf(n)).toMap
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try allNames.map(n => n -> pool.submit(
+            new java.util.concurrent.Callable[Long] {
+              override def call(): Long = countOf(n)
+            }))
+          .map { case (n, f) => n -> f.get() }.toMap
+        finally pool.shutdown()
+      }
+    }
     val names = allNames.filter(n => countByName(n) > 0L)
     allNames.filterNot(countByName(_) > 0L).foreach { n =>
       Files.deleteIfExists(Paths.get(outDir, n))

@@ -1910,6 +1910,39 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.committedTxnVersion(t, "ac#4").isDefined)
   }
 
+  test("appendStream autoZOrder: continuous ingest keeps the z layout maintained") {
+    val t = tmp("graft_log_autoz")
+    TableLog.create(spark, t, spark.range(4096)
+      .select(($"id" / 64).cast("long").as("a"), ($"id" % 64).as("b")))
+    TableLog.zOrder(spark, t, 3, "a", (0L, 63L), "b", (0L, 63L),
+      statsCols = Seq("a", "b"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ckpt = Some(java.nio.file.Files
+      .createTempDirectory("graft_log_az_ckpt").toString)
+    (0 until 4).foreach { i =>
+      mem.addData((4096L + i * 100) until (4096L + i * 100 + 100): _*)
+      TableLog.appendStream(spark, t,
+        mem.toDF().select((col("value") % 64).as("a"),
+          ((col("value") / 64).cast("long") % 64).as("b")).coalesce(1),
+        "az", ckpt, statsCols = Seq("a", "b"),
+        autoCompactBytes = Some(1L << 20),
+        autoZOrderBytes = Some(1L << 20))
+    }
+    assert(TableLog.read(spark, t).count() == 4096 + 400)
+    val snap = TableLog.snapshot(t).get
+    // the maintenance tick kept EVERY live file clustered (no
+    // unclustered tail accumulates) and the layout packed
+    assert(snap.files.forall(_.stats.exists(_.col.startsWith("z2|"))),
+      s"unclustered tail survived: ${snap.files.map(_.stats.map(_.col))}")
+    assert(snap.files.size <= 4,
+      s"expected a packed z layout, got ${snap.files.size} files")
+    // exactly-once txn ids preserved through the ticks
+    assert(TableLog.committedTxnVersion(t, "az#0").isDefined)
+    assert(TableLog.committedTxnVersion(t, "az#3").isDefined)
+  }
+
   test("deleteMor with STRING keys: sidecar delete, zero rewrites, re-insert fence, compaction") {
     val t = tmp("graft_log_delmor_str")
     TableLog.create(spark, t, spark.range(2000).select(
