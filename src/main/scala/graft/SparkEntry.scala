@@ -703,6 +703,35 @@ object SparkEntry {
       ORDER BY state""")
   }
 
+  /** The COMPLETE SQL lifecycle from text alone — the capstone of the
+    * SQL face: `CREATE TABLE … USING graft … AS SELECT` (DDL commits
+    * v1 and registers the view with its stat columns), then UPDATE,
+    * INSERT, DELETE, and the final aggregate SELECT — five
+    * statements, zero Scala-face calls. Everything the Scala API
+    * pins (stats-pruned commits, view refresh after each DML,
+    * positional INSERT alignment) must compose; the oracle replays
+    * the statement sequence relationally. */
+  private def o74SqlFull(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/sqlfull_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    T(s, dir, "orders").createOrReplaceTempView("orders_src74")
+    tl.sql(s, s"CREATE TABLE lake74 USING graft LOCATION '$t' " +
+      "OPTIONS (statsCols 'o_orderkey') AS " +
+      "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS price_c, o_orderpriority AS priority " +
+      "FROM orders_src74 WHERE o_orderkey % 30 = 29")
+    tl.sql(s, "UPDATE lake74 SET price_c = price_c + 11 " +
+      "WHERE o_orderkey BETWEEN 2000 AND 6000")
+    tl.sql(s, "INSERT INTO lake74 VALUES (77000001, 500, 'X')")
+    tl.sql(s, "DELETE FROM lake74 WHERE o_orderkey BETWEEN 8000 AND 15000")
+    tl.sql(s, """
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake74 GROUP BY priority ORDER BY priority""")
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3817,6 +3846,7 @@ object SparkEntry {
     "o71_z3" -> (o71Z3 _),
     "o72_zorder_maintain" -> (o72ZMaintain _),
     "o73_tags" -> (o73Tags _),
+    "o74_sql_full" -> (o74SqlFull _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5334,6 +5364,26 @@ object SparkEntry {
         |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.price_c ELSE s2.price_c END AS price_c,
         |  CASE WHEN src.o_orderkey IS NOT NULL THEN src.priority ELSE s2.priority END AS priority
         |  FROM s2 FULL OUTER JOIN src ON s2.o_orderkey = src.o_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the five-statement SQL lifecycle replayed relationally in
+    // statement order: CTAS slice, +11 update, one insert, range
+    // delete, aggregate
+    "o74_sql_full" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 29),
+        |s1 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 2000 AND 6000
+        |    THEN price_c + 11 ELSE price_c END AS price_c, priority
+        |  FROM t),
+        |s2 AS (SELECT * FROM s1
+        |  UNION ALL SELECT 77000001, 500, 'X'),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE o_orderkey NOT BETWEEN 8000 AND 15000)
         |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok

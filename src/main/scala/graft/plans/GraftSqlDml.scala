@@ -66,7 +66,72 @@ object GraftSqlDml {
     case i: InsertIntoStatement =>
       for { v <- viewName(i.table); reg <- TableLog.sqlDmlReg(spark, v) }
         yield insert(spark, v, reg, i)
+    case c: CreateTableAsSelect => ctas(spark, c)
     case other => timeTravel(spark, other)
+  }
+
+  /** `CREATE TABLE <name> USING graft LOCATION '<path>' [OPTIONS
+    * (statsCols 'a,b', strStatsCols 'c', bloomStatsCols 'd',
+    * morKey 'k')] AS SELECT …` — the DDL verb: commits version 1 of
+    * a NEW commit-log table at the LOCATION and registers `<name>`
+    * for the whole SQL face (SELECT through the declarative scan,
+    * UPDATE/DELETE/MERGE/INSERT, AS OF, the TVFs). Claimed only for
+    * `USING graft`; any other provider passes through to Spark
+    * untouched. LOCATION is required (the commit log lives there);
+    * `PARTITIONED BY` refuses (cluster with zOrder/zOrder3 after
+    * load); `IF NOT EXISTS` on an existing log is a no-op that still
+    * registers the view. The stat-column OPTIONS become the
+    * registration every later DML re-derives. */
+  private def ctas(spark: SparkSession,
+      c: CreateTableAsSelect): Option[LogicalPlan] = c.tableSpec match {
+    case ts: UnresolvedTableSpec
+        if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
+      val name = c.name match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+            if u.nameParts.size == 1 => u.nameParts.head
+        case other => unsupported("CREATE TABLE … USING graft",
+          s"single-part table names only (got ${other.toString.trim})")
+      }
+      val loc = ts.location.getOrElse(unsupported(
+        s"CREATE TABLE $name USING graft",
+        "a LOCATION '<table path>' is required — the commit log " +
+          "lives there"))
+      if (c.partitioning.nonEmpty) unsupported(
+        s"CREATE TABLE $name USING graft",
+        "PARTITIONED BY does not apply to log tables — cluster with " +
+          "zOrder/zOrder3 after load")
+      val opts: Map[String, String] =
+        ts.optionExpression.options.map { case (k, e) =>
+          k.toLowerCase(java.util.Locale.ROOT) ->
+            strOf(e).getOrElse(unsupported(
+              s"CREATE TABLE $name USING graft",
+              s"OPTION '$k' must be a string literal"))
+        }.toMap
+      def cols(k: String): Seq[String] = opts.get(k).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val known = Set("statscols", "strstatscols", "bloomstatscols",
+        "morkey")
+      opts.keys.filterNot(known).foreach(k => unsupported(
+        s"CREATE TABLE $name USING graft",
+        s"unknown OPTION '$k' — supported: statsCols, strStatsCols, " +
+          "bloomStatsCols, morKey"))
+      val (st, sst, bst) = (cols("statscols"), cols("strstatscols"),
+        cols("bloomstatscols"))
+      val morKey = opts.get("morkey").map(_.trim).filter(_.nonEmpty)
+      val ifNotExists = c.ignoreIfExists
+      val srcPlan = timeTravel(spark, c.query).getOrElse(c.query)
+      Some(GraftDmlCommand("create", name, loc, s => {
+        val v =
+          if (ifNotExists && TableLog.latestVersion(loc) > 0)
+            TableLog.latestVersion(loc)
+          else TableLog.create(s, loc,
+            org.apache.spark.sql.graft.Bridge.ofRows(s, srcPlan),
+            statsCols = st, strStatsCols = sst, bloomStatsCols = bst)
+        TableLog.registerSqlTable(s, name, loc, statsCols = st,
+          strStatsCols = sst, bloomStatsCols = bst, morKey = morKey)
+        v
+      }))
+    case _ => None
   }
 
   /** The READ-side rewrites, applied anywhere in a query (and to

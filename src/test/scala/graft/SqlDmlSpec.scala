@@ -258,6 +258,51 @@ class SqlDmlSpec extends SparkSpec {
       det.getLong(2) == 0)
   }
 
+  test("CREATE TABLE … USING graft AS SELECT: DDL from text creates, registers, and the whole face works") {
+    val loc = tmp("graft_sqldml_ctas")
+    val v = TableLog.sql(spark,
+      s"CREATE TABLE lake_ctas USING graft LOCATION '$loc' " +
+        "OPTIONS (statsCols 'k') AS SELECT id AS k, id * 2 AS v " +
+        "FROM range(100)").head.getLong(0)
+    assert(v == 1)
+    // the created files carry the OPTIONS' stat columns
+    assert(TableLog.snapshot(loc).get.files
+      .forall(_.stats.exists(_.col == "k")))
+    // the registration is live for the WHOLE face: SELECT, DML, AS OF
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM lake_ctas").head.getLong(0) == 100)
+    TableLog.sql(spark, "DELETE FROM lake_ctas WHERE k BETWEEN 0 AND 9")
+    assert(TableLog.read(spark, loc).count() == 90)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM lake_ctas VERSION AS OF 1")
+      .head.getLong(0) == 100)
+    assert(TableLog.sql(spark,
+      "SELECT max(version) AS mv FROM table_history('lake_ctas')")
+      .head.getLong(0) == 2)
+    // IF NOT EXISTS on an existing log: no new version, still registers
+    assert(TableLog.sql(spark,
+      s"CREATE TABLE IF NOT EXISTS lake_ctas USING graft " +
+        s"LOCATION '$loc' AS SELECT 1 AS k, 2 AS v").head.getLong(0) ==
+      TableLog.latestVersion(loc))
+    assert(TableLog.read(spark, loc).count() == 90)
+    // without IF NOT EXISTS, creating over an existing log refuses
+    intercept[Exception](TableLog.sql(spark,
+      s"CREATE TABLE lake_ctas2 USING graft LOCATION '$loc' " +
+        "AS SELECT 1 AS k"))
+    // refusals: missing LOCATION, unknown OPTION, PARTITIONED BY
+    val e1 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "CREATE TABLE nloc USING graft AS SELECT 1 AS k"))
+    assert(e1.getMessage.contains("LOCATION"))
+    val e2 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      s"CREATE TABLE bopt USING graft LOCATION '${loc}_x' " +
+        "OPTIONS (bogus 'y') AS SELECT 1 AS k"))
+    assert(e2.getMessage.contains("bogus"))
+    val e3 = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      s"CREATE TABLE bpart USING graft LOCATION '${loc}_y' " +
+        "PARTITIONED BY (k) AS SELECT 1 AS k"))
+    assert(e3.getMessage.contains("PARTITIONED"))
+  }
+
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
     val tA = tmp("graft_sqldml_sessA")
     val tB = tmp("graft_sqldml_sessB")
