@@ -200,7 +200,7 @@ object GraftSqlDml {
         }
       case tvf: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableValuedFunction
-          if Seq("table_history", "table_detail").contains(
+          if Seq("table_history", "table_detail", "table_tags").contains(
             tvf.name.map(_.toLowerCase(java.util.Locale.ROOT))
               .mkString(".")) && tvf.functionArgs.size == 1 &&
             strOf(tvf.functionArgs(0)).isDefined =>
@@ -209,9 +209,14 @@ object GraftSqlDml {
           case Some(reg) =>
             hit = true
             val fn = tvf.name.head.toLowerCase(java.util.Locale.ROOT)
-            val df =
-              if (fn == "table_history") TableLog.history(spark, reg.table)
-              else TableLog.detail(spark, reg.table)
+            val df = fn match {
+              case "table_history" => TableLog.history(spark, reg.table)
+              case "table_detail" => TableLog.detail(spark, reg.table)
+              case _ =>
+                import spark.implicits._
+                TableLog.tags(reg.table).toSeq.sortBy(_._1)
+                  .toDF("tag", "version")
+            }
             SubqueryAlias(v, df.queryExecution.logical)
           case None => tvf
         }

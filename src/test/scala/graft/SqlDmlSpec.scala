@@ -256,6 +256,12 @@ class SqlDmlSpec extends SparkSpec {
       .head
     assert(det.getLong(0) == 3 && det.getLong(1) == 92 &&
       det.getLong(2) == 0)
+    // tags listing from SQL, joinable with history
+    TableLog.tagVersion(t, "gold", 2)
+    assert(TableLog.sql(spark,
+      "SELECT h.action FROM table_tags('dml_tvf') g " +
+        "JOIN table_history('dml_tvf') h ON g.version = h.version " +
+        "WHERE g.tag = 'gold'").head.getString(0) == "append")
   }
 
   test("CREATE TABLE … USING graft AS SELECT: DDL from text creates, registers, and the whole face works") {
