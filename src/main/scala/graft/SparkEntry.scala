@@ -732,6 +732,51 @@ object SparkEntry {
       FROM lake74 GROUP BY priority ORDER BY priority""")
   }
 
+  /** WRITE-AUDIT-PUBLISH under the oracle: clone a zero-copy branch,
+    * mutate it (range delete + derived-row append) while the in-plan
+    * invariant pins that SRC is bit-untouched, audit the branch, then
+    * `publishBranch` fast-forwards src — the final SELECT unions
+    * src's published aggregate with a `VERSION AS OF <fork>` read of
+    * the pre-publish state, so both the publish and the preserved
+    * history land in the hashed result. The oracle replays the branch
+    * mutations relationally; the fork row must equal the pristine
+    * base. */
+  private def o75Wap(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val src = s"$tmpRoot/wap_src_$sfx"
+    val br = s"$tmpRoot/wap_br_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(br))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 28)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.create(s, src, base.repartitionByRange(4, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                              // v1
+    val fork = tl.cloneTable(s, src, br)
+    val srcRows = tl.snapshot(src).get.rows
+    tl.deleteWhere(s, br, "o_orderkey", 4000, 10000,
+      statsCols = Seq("o_orderkey"))
+    tl.append(s, br, base.where(col("o_orderkey") % 97 === 1)
+      .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+        col("price_c"), lit("W").as("priority")),
+      statsCols = Seq("o_orderkey"))
+    assert(tl.snapshot(src).get.rows == srcRows &&
+      tl.latestVersion(src) == fork,
+      "o75: src must be untouched while the branch diverges")
+    tl.publishBranch(s, src, br)
+    val live = tl.scan(s, src)
+    val asOf = tl.scanVersion(s, src, fork)
+    def agg(df: DataFrame, state: String) = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("price_c")).as("sum_price_c"),
+      max(col("o_orderkey")).as("max_ok"))
+      .select(lit(state).as("state"), col("n_rows"),
+        col("sum_price_c"), col("max_ok"))
+    agg(live, "published").unionByName(agg(asOf, "fork"))
+      .orderBy(col("state"))
+  }
+
   /** ZERO-COPY clone under the oracle: build src (create + append),
     * hard-link-clone it, then DIVERGE — a range delete on src, an
     * extra append on dst — and emit both sides' aggregates. The oracle
@@ -3847,6 +3892,7 @@ object SparkEntry {
     "o72_zorder_maintain" -> (o72ZMaintain _),
     "o73_tags" -> (o73Tags _),
     "o74_sql_full" -> (o74SqlFull _),
+    "o75_wap" -> (o75Wap _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5368,6 +5414,29 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // published = base minus the branch's delete range plus its
+    // derived appends; the fork row = the pristine base (sum over
+    // BIGINT cents, count, max key — integer-exact)
+    "o75_wap" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 28),
+        |pub AS (SELECT * FROM t
+        |    WHERE o_orderkey NOT BETWEEN 4000 AND 10000
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, price_c, 'W'
+        |    FROM t WHERE o_orderkey % 97 = 1)
+        |SELECT 'fork' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  max(o_orderkey) AS max_ok
+        |FROM t
+        |UNION ALL
+        |SELECT 'published' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  max(o_orderkey) AS max_ok
+        |FROM pub
+        |ORDER BY state""".stripMargin,
     // the five-statement SQL lifecycle replayed relationally in
     // statement order: CTAS slice, +11 update, one insert, range
     // delete, aggregate

@@ -1861,6 +1861,81 @@ object TableLog {
     s.version
   }
 
+  /** WRITE-AUDIT-PUBLISH: fast-forward `src` to everything committed
+    * on a BRANCH cloned from it. The pattern: `cloneTable(src,
+    * branch)` forks a zero-copy branch at src's version F; a pipeline
+    * writes freely to the branch (appends, deletes, merges, layout
+    * rewrites — every face); audits run against the branch (counts,
+    * CHECK adds, oracle queries) with src's readers never seeing a
+    * byte of it; then this call publishes the branch's commits
+    * F+1..B into src ATOMICALLY PER VERSION — each branch manifest is
+    * copied VERBATIM through the same create-exclusive commit
+    * primitive every writer uses (the manifests replay against the
+    * fork state src still has, and the clone kept src's version
+    * numbering, so they slot in unchanged), after hard-linking the
+    * new data files and sidecars they reference (zero copy, same
+    * inode trick as the clone; cross-device degrades to copy).
+    *
+    * FAST-FORWARD ONLY: refused if src advanced past the fork —
+    * rebase by re-cloning and re-applying (same discipline as a git
+    * ff-only merge; a true three-way table merge would need conflict
+    * semantics no reader can audit). A writer racing the publish
+    * makes the create-exclusive link fail: the already-published
+    * prefix is a consistent sequence of ordinary commits (each was
+    * complete on the branch), so the error reports where it stopped
+    * and the table is never torn. Feed tables refuse (the feed must
+    * observe each commit as it happens, not a burst of history).
+    * Returns src's new latest version. */
+  def publishBranch(spark: SparkSession, src: String,
+      branch: String): Long = {
+    require(!feedEnabled(src),
+      s"publishBranch($src): feed tables cannot fast-forward a burst " +
+        "of history — stream into them instead")
+    val bLatest = latestVersion(branch)
+    require(bLatest > 0, s"publishBranch: $branch has no commit log")
+    val fork = listDir(logDir(branch))
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .min
+    val sLatest = latestVersion(src)
+    require(sLatest == fork,
+      s"publishBranch: $src advanced to v$sLatest since the branch " +
+        s"forked at v$fork — fast-forward only; re-clone and re-apply")
+    if (bLatest == fork) return sLatest
+    // link every NEW data file / sidecar the branch commits reference
+    // (paths are table-relative uuid dirs, identical in both roots, so
+    // pre-fork files already exist in src and collisions are
+    // impossible); files first, so no published manifest ever
+    // references a missing path
+    (fork + 1 to bLatest).foreach { v =>
+      val r = parseRec(manifestPath(branch, v)).getOrElse(sys.error(
+        s"publishBranch: branch manifest v$v unreadable — aborting " +
+          "before any commit"))
+      ((r.files ++ r.adds).map(_.path) ++
+        (r.dels ++ r.delAdds).map(_.file.path)).distinct.foreach { rel =>
+        val from = Paths.get(branch, rel)
+        val to = Paths.get(src, rel)
+        if (!Files.exists(to)) {
+          Files.createDirectories(to.getParent)
+          try Files.createLink(to, from)
+          catch { case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            Files.copy(from, to) // cross-device: degrade to a copy
+          }
+        }
+      }
+    }
+    (fork + 1 to bLatest).foreach { v =>
+      val bytes = Files.readAllBytes(manifestPath(branch, v))
+      if (!primitiveFor(src).putIfAbsent(manifestPath(src, v), bytes))
+        sys.error(s"publishBranch: $src advanced concurrently at v$v " +
+          s"— the published prefix up to v${v - 1} is committed and " +
+          "consistent; re-clone from the new head to continue")
+    }
+    bLatest
+  }
+
   /** RESTORE the table to a historical version — the acting half of
     * time travel (`readAsOf` answers "what did it look like";
     * `restore` makes it so again): commits a NEW full-manifest version

@@ -1262,6 +1262,59 @@ class TableLogSpec extends SparkSpec {
     intercept[Exception](TableLog.readVersion(spark, t, 1).count())
   }
 
+  test("publishBranch: write-audit-publish — branch commits fast-forward into src, zero-copy, ff-only") {
+    import java.nio.file.{Files, Paths}
+    val src = tmp("graft_log_wap_src")
+    val br = tmp("graft_log_wap_br")
+    TableLog.create(spark, src,
+      spark.range(1000).toDF("k").repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))                                       // v1
+    TableLog.append(spark, src, spark.range(1000, 1500).toDF("k"),
+      statsCols = Seq("k"))                                       // v2
+    val fork = TableLog.cloneTable(spark, src, br)
+    assert(fork == 2)
+    // WRITE on the branch: every face is available; src is untouched
+    TableLog.append(spark, br, spark.range(2000, 2200).toDF("k"),
+      statsCols = Seq("k"))                                       // v3
+    TableLog.deleteWhere(spark, br, "k", 0, 99,
+      statsCols = Seq("k"))                                       // v4
+    assert(TableLog.read(spark, src).count() == 1500)
+    assert(TableLog.latestVersion(src) == fork)
+    // AUDIT on the branch before anything is visible
+    assert(TableLog.read(spark, br).count() == 1600)
+    // PUBLISH: fast-forward src to the branch head
+    val v = TableLog.publishBranch(spark, src, br)
+    assert(v == 4 && TableLog.latestVersion(src) == 4)
+    assert(TableLog.read(spark, src).count() == 1600)
+    assert(TableLog.read(spark, src).where($"k" < 100).count() == 0)
+    // zero-copy: a published data file shares its inode with the
+    // branch's
+    val newFile = TableLog.snapshot(src).get.files
+      .filter(_.ver > fork).head
+    assert(Files.getAttribute(Paths.get(src, newFile.path), "unix:ino")
+      == Files.getAttribute(Paths.get(br, newFile.path), "unix:ino"))
+    // the published history time-travels on src
+    assert(TableLog.readVersion(spark, src, fork).count() == 1500)
+    // a merged branch cannot re-publish (fast-forward only)
+    intercept[IllegalArgumentException](
+      TableLog.publishBranch(spark, src, br))
+    // divergence: src advances while a branch holds work → refused,
+    // with the re-clone instruction
+    val br2 = tmp("graft_log_wap_br2")
+    TableLog.cloneTable(spark, src, br2)
+    TableLog.append(spark, br2, spark.range(3000, 3010).toDF("k"),
+      statsCols = Seq("k"))
+    TableLog.append(spark, src, spark.range(4000, 4010).toDF("k"),
+      statsCols = Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      TableLog.publishBranch(spark, src, br2))
+    assert(e.getMessage.contains("fast-forward"))
+    // a branch with no new commits publishes as a no-op
+    val br3 = tmp("graft_log_wap_br3")
+    val f3 = TableLog.cloneTable(spark, src, br3)
+    assert(TableLog.publishBranch(spark, src, br3) == f3)
+  }
+
   test("version tags: named refs, SQL AS OF '<tag>', and vacuum protection of the tagged chain") {
     val t = tmp("graft_log_tags")
     TableLog.create(spark, t, spark.range(100).toDF("k"),
