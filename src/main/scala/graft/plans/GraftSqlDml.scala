@@ -67,7 +67,74 @@ object GraftSqlDml {
       for { v <- viewName(i.table); reg <- TableLog.sqlDmlReg(spark, v) }
         yield insert(spark, v, reg, i)
     case c: CreateTableAsSelect => ctas(spark, c)
+    case c: Call => call(spark, c)
     case other => timeTravel(spark, other)
+  }
+
+  /** SQL maintenance verbs as `CALL` procedures over registered
+    * views — the operational faces from text alone, each returning
+    * the table's version as its one-row result and refreshing the
+    * view:
+    *   - `CALL compact_small('<view>', smallBytes)`
+    *   - `CALL mor_maintain('<view>', maxSidecars)`
+    *   - `CALL zorder_maintain('<view>', targetBytes[, smallBytes])`
+    *   - `CALL vacuum_keep('<view>', keepVersions)`
+    *   - `CALL tag('<view>', '<name>', version)` /
+    *     `CALL delete_tag('<view>', '<name>')`
+    * Claimed only when the procedure name is one of these AND its
+    * first argument is a registered view; everything else passes
+    * through (Spark reports its own unresolved-procedure error). The
+    * registration's stat columns flow into every rewriting tick. */
+  private val callProcs = Set("compact_small", "mor_maintain",
+    "zorder_maintain", "vacuum_keep", "tag", "delete_tag")
+
+  private def call(spark: SparkSession, c: Call): Option[LogicalPlan] = {
+    val nameOpt = c.procedure match {
+      case p: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+          if p.nameParts.size == 1 =>
+        Some(p.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+    for {
+      proc <- nameOpt
+      if callProcs(proc)
+      view <- c.args.headOption.flatMap(strOf)
+      reg <- TableLog.sqlDmlReg(spark, view)
+    } yield {
+      def longArg(i: Int): Long = c.args.lift(i).flatMap(longOf)
+        .getOrElse(unsupported(s"CALL $proc('$view', …)",
+          s"argument ${i + 1} must be an integer literal"))
+      def strArg(i: Int): String = c.args.lift(i).flatMap(strOf)
+        .getOrElse(unsupported(s"CALL $proc('$view', …)",
+          s"argument ${i + 1} must be a string literal"))
+      GraftDmlCommand(proc, view, reg.table, s => proc match {
+        case "compact_small" =>
+          TableLog.compactSmall(s, reg.table, longArg(1),
+            statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols)
+        case "mor_maintain" =>
+          TableLog.morMaintain(s, reg.table,
+            maxSidecars = longArg(1).toInt,
+            statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols)
+        case "zorder_maintain" =>
+          TableLog.zOrderMaintain(s, reg.table, targetBytes = longArg(1),
+            statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols,
+            smallBytes =
+              if (c.args.size > 2) longArg(2) else 0L)
+        case "vacuum_keep" =>
+          TableLog.vacuum(s, reg.table,
+            keepVersions = longArg(1).toInt)
+          TableLog.latestVersion(reg.table)
+        case "tag" =>
+          TableLog.tagVersion(reg.table, strArg(1), longArg(2))
+          TableLog.latestVersion(reg.table)
+        case "delete_tag" =>
+          TableLog.deleteTag(reg.table, strArg(1))
+          TableLog.latestVersion(reg.table)
+      })
+    }
   }
 
   /** `CREATE TABLE <name> USING graft LOCATION '<path>' [OPTIONS

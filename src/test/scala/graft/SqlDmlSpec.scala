@@ -309,6 +309,46 @@ class SqlDmlSpec extends SparkSpec {
     assert(e3.getMessage.contains("PARTITIONED"))
   }
 
+  test("CALL procedures: maintenance and tag verbs from SQL text") {
+    val t = tmp("graft_sqldml_call")
+    TableLog.create(spark, t, spark.range(2000)
+      .select($"id".as("k")).repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "call_t", t, statsCols = Seq("k"))
+    // accumulate debt: MOR sidecar + small appends
+    TableLog.deleteMor(spark, t, "k", Seq(10L).toDF("k"))
+    TableLog.sql(spark, "INSERT INTO call_t VALUES (5000), (5001)")
+    val preFiles = TableLog.snapshot(t).get.files.size
+    // mor_maintain retires the sidecar
+    TableLog.sql(spark, "CALL mor_maintain('call_t', 0)")
+    assert(TableLog.snapshot(t).get.dels.isEmpty)
+    // compact_small packs the tail
+    TableLog.sql(spark, "CALL compact_small('call_t', 10485760)")
+    assert(TableLog.snapshot(t).get.files.size <= preFiles)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2001)
+    // tag + delete_tag round-trip, visible through the TVF
+    TableLog.sql(spark, "CALL tag('call_t', 'gold', 1)")
+    assert(TableLog.sql(spark,
+      "SELECT version FROM table_tags('call_t') WHERE tag = 'gold'")
+      .head.getLong(0) == 1)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM call_t VERSION AS OF 'gold'")
+      .head.getLong(0) == 2000)
+    TableLog.sql(spark, "CALL delete_tag('call_t', 'gold')")
+    assert(TableLog.tags(t).isEmpty)
+    // vacuum_keep drops history
+    TableLog.sql(spark, "CALL vacuum_keep('call_t', 1)")
+    intercept[Exception](TableLog.readVersion(spark, t, 1).count())
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2001)
+    // unknown procedures and unregistered views pass through
+    intercept[Exception](TableLog.sql(spark,
+      "CALL not_a_proc('call_t', 1)").collect())
+    intercept[Exception](TableLog.sql(spark,
+      "CALL mor_maintain('not_registered_call', 0)").collect())
+  }
+
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
     val tA = tmp("graft_sqldml_sessA")
     val tB = tmp("graft_sqldml_sessB")
