@@ -1315,6 +1315,48 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.publishBranch(spark, src, br3) == f3)
   }
 
+  test("publishBranch racing a writer: stops at a consistent prefix, never a torn table") {
+    import java.nio.file.Path
+    val src = tmp("graft_log_wap_race_src")
+    val br = tmp("graft_log_wap_race_br")
+    TableLog.create(spark, src, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))                                       // v1
+    val fork = TableLog.cloneTable(spark, src, br)
+    TableLog.append(spark, br, spark.range(100, 200).toDF("k"),
+      statsCols = Seq("k"))                                       // v2
+    TableLog.append(spark, br, spark.range(200, 300).toDF("k"),
+      statsCols = Seq("k"))                                       // v3
+    // a primitive that lets the branch's v2 land, then injects a
+    // RACING src commit at v3 before the publish reaches it —
+    // simulating a writer sneaking in mid-publish
+    var injected = false
+    TableLog.setCommitPrimitive(src, new graft.sinks.CommitPrimitive {
+      override def putIfAbsent(p: Path, content: Array[Byte]): Boolean = {
+        if (!injected && p.getFileName.toString == "v00000003.manifest") {
+          injected = true
+          TableLog.clearCommitPrimitive(src)
+          // the racer wins v3 through the normal path
+          TableLog.append(spark, src, spark.range(9000, 9010).toDF("k"),
+            statsCols = Seq("k"))
+          graft.sinks.CommitPrimitive.HardLink.putIfAbsent(p, content)
+        } else
+          graft.sinks.CommitPrimitive.HardLink.putIfAbsent(p, content)
+      }
+    })
+    val e =
+      try intercept[RuntimeException](
+        TableLog.publishBranch(spark, src, br))
+      finally TableLog.clearCommitPrimitive(src)
+    assert(e.getMessage.contains("v2"),
+      s"must report the consistent prefix: ${e.getMessage}")
+    // the table is never torn: v2 is the branch's publish (100 rows
+    // added), v3 is the racer's append — everything reads
+    assert(TableLog.latestVersion(src) == 3)
+    assert(TableLog.read(spark, src).count() == 210)
+    assert(TableLog.readVersion(spark, src, 2).count() == 200)
+    assert(TableLog.readVersion(spark, src, fork).count() == 100)
+  }
+
   test("version tags: named refs, SQL AS OF '<tag>', and vacuum protection of the tagged chain") {
     val t = tmp("graft_log_tags")
     TableLog.create(spark, t, spark.range(100).toDF("k"),
