@@ -10,13 +10,21 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The SQL DML face of the commit-log table format: UPDATE / DELETE /
-  * MERGE **text** against a registered log table routes to the
-  * `TableLog` faces (`updateWhere`, `deleteWhere`/`deleteWhereIn`,
-  * `mergeCow`) — same stats-pruned commits, same audits, same CDC
-  * capture — so a user who only speaks SQL mutates the lake exactly
-  * like the Scala faces do, completing the "behaves like a catalog
-  * table" story the declarative `scan` started for SELECT.
+/** The SQL face of the commit-log table format — a user who only
+  * speaks SQL gets the whole lake from text alone:
+  *   - DML: UPDATE / DELETE / MERGE / INSERT / INSERT OVERWRITE over
+  *     a registered view route to the `TableLog` faces (COW or MOR
+  *     per the registration) — same stats-pruned commits, same
+  *     audits, same CDC capture as the Scala API;
+  *   - DDL: `CREATE TABLE … USING graft LOCATION … AS SELECT`;
+  *   - time travel: `VERSION AS OF <n | 'tag'>` / `TIMESTAMP AS OF`
+  *     anywhere in a query (and in INSERT/MERGE sources);
+  *   - TVFs: `table_changes` / `table_history` / `table_detail` /
+  *     `table_tags`;
+  *   - maintenance: `CALL compact_small / mor_maintain /
+  *     zorder_maintain / vacuum_keep / tag / delete_tag`.
+  * This completes the "behaves like a catalog table" story the
+  * declarative `scan` started for SELECT.
   *
   * Two entry points share one translation:
   *   - `TableLog.registerSqlTable` + `TableLog.sql(spark, text)` on
