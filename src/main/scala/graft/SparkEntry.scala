@@ -3649,6 +3649,32 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Rare-token / OOV-rate quality scoring — the corpus-statistics
+    * JOIN-BACK pattern a lexicon-based quality filter runs at scale:
+    * one distributed token histogram over the whole corpus (the
+    * "language model"), broadcast-or-shuffle joined back to the
+    * per-document token stream, and reduced to per-language rare-token
+    * rates. A document whose tokens are mostly corpus-rare is
+    * gibberish, boilerplate, or the wrong language — the
+    * integer-exact cousin of unigram log-prob scoring (counts, not
+    * float sums, so the oracle compares exactly). Tokenization is the
+    * lowercase `[^a-z]+` split both engines implement identically. */
+  private def e4Oov(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .where(col("tok") =!= "")
+    val corpus = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("corpus_n"))
+    toks.join(corpus, "tok")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("corpus_n") <= 2, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("corpus_n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        countDistinct(col("tok")).as("n_vocab"))
+      .orderBy(col("lang"))
+  }
+
   private def e4Normalize(s: SparkSession, dir: String): DataFrame = {
     val t = concat(col("text"), lit(" cafe\u0301 nai\u0308ve")) // decomposed escapes
     val nfc = graft.functions.TextExpressions.normalizeNfc(t)
@@ -3970,6 +3996,7 @@ object SparkEntry {
     "e2_semantic_dedup" -> (e2SemanticDedup _),
     "e4_normalize" -> (e4Normalize _),
     "e4_pii_scrub" -> (e4PiiScrub _),
+    "e4_oov" -> (e4Oov _),
     "e2_embed_neardup_blocked" -> (e2EmbedNearDupBlocked _)
   )
 
@@ -5921,6 +5948,23 @@ object SparkEntry {
         |CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
         |right(nfc_normalize(s), 12) AS nfc_suffix
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the corpus token histogram joined back to the token stream,
+    // reduced to integer-exact per-language rarity counts
+    "e4_oov" ->
+      """WITH toks AS (SELECT doc_id, lang, tok
+        |  FROM (SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |corpus AS (SELECT tok, count(*) AS corpus_n FROM toks GROUP BY tok)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN corpus_n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rare,
+        |  CAST(sum(CASE WHEN corpus_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(count(DISTINCT t.tok) AS BIGINT) AS n_vocab
+        |FROM toks t JOIN corpus USING (tok)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the SAME RE2-compatible regexes replayed by DuckDB's RE2 engine
     // ('g' = replace-all, Spark's default) — cross-engine agreement
     // is the point of restricting scrubPii to the common subset
