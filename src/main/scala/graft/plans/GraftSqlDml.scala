@@ -256,22 +256,25 @@ object GraftSqlDml {
           .UnresolvedTableValuedFunction
           if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("table_changes") && tvf.functionArgs.size == 3 =>
-        (strOf(tvf.functionArgs(0)), longOf(tvf.functionArgs(1)),
-          longOf(tvf.functionArgs(2))) match {
-          case (Some(v), Some(vFrom), Some(vTo)) =>
-            TableLog.sqlDmlReg(spark, v) match {
-              case Some(reg) =>
-                hit = true
-                import org.apache.spark.sql.functions.lit
-                val (a, r) =
-                  TableLog.readChanges(spark, reg.table, vFrom, vTo)
-                val df = a.withColumn("_change_type", lit("insert"))
-                  .unionByName(
-                    r.withColumn("_change_type", lit("delete")))
-                SubqueryAlias(v, df.queryExecution.logical)
-              case None => tvf
-            }
-          case _ => tvf
+        strOf(tvf.functionArgs(0))
+          .flatMap(v => TableLog.sqlDmlReg(spark, v).map((v, _))) match {
+          case Some((v, reg)) =>
+            hit = true
+            // endpoints are versions or TAG names
+            def endpoint(i: Int): Long =
+              longOf(tvf.functionArgs(i)).orElse(
+                strOf(tvf.functionArgs(i)).map(
+                  TableLog.resolveTag(reg.table, _)))
+                .getOrElse(unsupported(s"table_changes('$v', …)",
+                  s"endpoint ${i + 1} must be an integer version or " +
+                    "a tag name string"))
+            import org.apache.spark.sql.functions.lit
+            val (a, r) = TableLog.readChanges(spark, reg.table,
+              endpoint(1), endpoint(2))
+            val df = a.withColumn("_change_type", lit("insert"))
+              .unionByName(r.withColumn("_change_type", lit("delete")))
+            SubqueryAlias(v, df.queryExecution.logical)
+          case None => tvf
         }
       case tvf: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableValuedFunction

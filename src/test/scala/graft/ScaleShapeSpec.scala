@@ -405,6 +405,63 @@ class ScaleShapeSpec extends SparkSpec {
     assert(pre < full / 2, s"pre-filter kept $pre of $full")
   }
 
+  test("morMaintain work tracks the MUTATED slice, not table size: 2× files, same rewrite count") {
+    import graft.sinks.TableLog
+    // two clustered tables, one twice the other, same three scattered
+    // MOR-deleted keys: the materialization must rewrite the SAME
+    // number of files on both (the keys' files), measured from the
+    // manifests — the property that keeps the tick O(mutations) at
+    // 100 TB
+    def rewritten(n: Long, files: Int): Int = {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_mm_$files").toString + "/t"
+      TableLog.create(spark, t,
+        spark.range(n).select($"id".as("k"), ($"id" % 7).as("v"))
+          .repartitionByRange(files, $"k").sortWithinPartitions("k"),
+        statsCols = Seq("k"))
+      Seq(10L, n / 2, n - 10).foreach(key =>
+        TableLog.deleteMor(spark, t, "k", Seq(key).toDF("k")))
+      val before = TableLog.snapshot(t).get.files.map(_.path).toSet
+      TableLog.morMaintain(spark, t, maxSidecars = 0,
+        statsCols = Seq("k"))
+      val after = TableLog.snapshot(t).get.files.map(_.path).toSet
+      (before -- after).size
+    }
+    val small = rewritten(40000, 16)
+    val big = rewritten(80000, 32)
+    assert(small == 3 && big == 3,
+      s"rewrites must track the 3 deleted keys' files at both scales " +
+        s"(got $small and $big)")
+  }
+
+  test("zOrderMaintain work tracks the TAIL, not table size: 2× clustered files, same rewrite count") {
+    import graft.sinks.TableLog
+    def rewritten(files: Int): (Int, Int) = {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_zm_$files").toString + "/t"
+      TableLog.create(spark, t, spark.range(files * 4096L)
+        .select(($"id" % 256).as("a"),
+          (($"id" * 7) % 256).as("b")))
+      TableLog.zOrder(spark, t, files, "a", (0L, 255L), "b", (0L, 255L),
+        statsCols = Seq("a", "b"))
+      // identical unclustered tail on both tables
+      TableLog.append(spark, t, spark.range(1000)
+        .select(($"id" % 256).as("a"), (($"id" * 11) % 256).as("b"))
+        .coalesce(1), statsCols = Seq("a", "b"))
+      val before = TableLog.snapshot(t).get.files.map(_.path).toSet
+      TableLog.zOrderMaintain(spark, t, targetBytes = 1L << 30,
+        statsCols = Seq("a", "b"), minFiles = 1)
+      val after = TableLog.snapshot(t).get.files.map(_.path).toSet
+      ((before -- after).size, after.size)
+    }
+    val (smallRw, _) = rewritten(8)
+    val (bigRw, bigTotal) = rewritten(16)
+    assert(smallRw == 1 && bigRw == 1,
+      s"only the 1-file tail may rewrite at either scale " +
+        s"(got $smallRw and $bigRw)")
+    assert(bigTotal == 17, "the 16 clustered files must carry")
+  }
+
   test("ClickHouse write shape: partition count + in-partition sort") {
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
     val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",

@@ -262,6 +262,14 @@ class SqlDmlSpec extends SparkSpec {
       "SELECT h.action FROM table_tags('dml_tvf') g " +
         "JOIN table_history('dml_tvf') h ON g.version = h.version " +
         "WHERE g.tag = 'gold'").head.getString(0) == "append")
+    // tag names work as change-interval endpoints
+    TableLog.tagVersion(t, "start", 1)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM table_changes('dml_tvf', 'start', 3) " +
+        "WHERE _change_type = 'delete' AND k < 10").head.getLong(0)
+      == 10)
+    intercept[RuntimeException](TableLog.sql(spark,
+      "SELECT * FROM table_changes('dml_tvf', 'no_such_tag', 3)"))
   }
 
   test("CREATE TABLE … USING graft AS SELECT: DDL from text creates, registers, and the whole face works") {
