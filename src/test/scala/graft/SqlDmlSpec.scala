@@ -142,6 +142,21 @@ class SqlDmlSpec extends SparkSpec {
     // DML on an unregistered name delegates untouched
     val other = parser.parsePlan("DELETE FROM not_registered WHERE k = 1")
     assert(!other.isInstanceOf[GraftDmlCommand])
+    // the newer verbs rewrite through the same injected path: INSERT,
+    // CTAS, CALL, and AS OF/TVF reads all claim on registered names
+    assert(parser.parsePlan("INSERT INTO dml_lake_p VALUES (999, 0)")
+      .isInstanceOf[GraftDmlCommand])
+    assert(parser.parsePlan("CREATE TABLE ctas_p USING graft LOCATION " +
+      s"'${tmp("graft_sqldml_ctas_p")}' AS SELECT 1 AS k")
+      .isInstanceOf[GraftDmlCommand])
+    assert(parser.parsePlan("CALL mor_maintain('dml_lake_p', 0)")
+      .isInstanceOf[GraftDmlCommand])
+    assert(!parser.parsePlan("CALL mor_maintain('not_registered', 0)")
+      .isInstanceOf[GraftDmlCommand])
+    val asOf = parser.parsePlan(
+      "SELECT count(*) FROM dml_lake_p VERSION AS OF 1")
+    assert(org.apache.spark.sql.graft.Bridge.ofRows(spark, asOf)
+      .head.getLong(0) == 100)
   }
 
   test("INSERT INTO text appends through the face; VERSION/TIMESTAMP AS OF reads history from text") {
