@@ -88,6 +88,12 @@ object GraftFunctionRegistry {
         org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.LongType))),
     ("normalize_nfc", classOf[NormalizeNfc].getName,
       es => NormalizeNfc(es(0))),
+    // PII redaction from SQL — same three RE2-subset patterns as the
+    // Column face (one definition, TextExpressions.piii*Re)
+    ("scrub_pii",
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace]
+        .getName,
+      es => TextExpressions.scrubPiiExpr(es(0))),
     // AggregateFunction builders: the analyzer wraps them in an
     // AggregateExpression like any built-in aggregate
     ("vector_sum_long", classOf[VectorSumLong].getName,

@@ -69,13 +69,29 @@ object TextExpressions {
     * byte-for-byte. Order matters: emails first (their local parts
     * contain digits a phone pattern could bite), then IPs (dotted
     * digit runs a phone pattern could bite), then phones. */
+  // the one definition both faces (Column + SQL `scrub_pii`) build from
+  private[functions] val piiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[functions] val piiIpRe =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[functions] val piiPhoneRe = "\\+?\\d[\\d() -]{7,}\\d"
+
   def scrubPii(c: Column): Column = {
     import org.apache.spark.sql.functions.regexp_replace
-    val email = regexp_replace(c,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>")
+    val email = regexp_replace(c, piiEmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, piiIpRe, "<IP>")
+    regexp_replace(ip, piiPhoneRe, "<PHONE>")
+  }
+
+  /** Expression twin of [[scrubPii]] for the SQL function registry. */
+  private[graft] def scrubPiiExpr(e: org.apache.spark.sql.catalyst
+      .expressions.Expression): org.apache.spark.sql.catalyst
+      .expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    def rr(c: org.apache.spark.sql.catalyst.expressions.Expression,
+        p: String, r: String) = RegExpReplace(c, Literal(p), Literal(r))
+    rr(rr(rr(e, piiEmailRe, "<EMAIL>"), piiIpRe, "<IP>"),
+      piiPhoneRe, "<PHONE>")
   }
 }
 

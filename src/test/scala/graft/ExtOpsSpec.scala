@@ -573,6 +573,13 @@ class ExtOpsSpec extends SparkSpec {
     val n = spark.sql(
       "SELECT length(normalize_nfc('e\\u0301')) AS l, length('e\\u0301') AS r").head
     assert(n.getInt(0) == 1 && n.getInt(1) == 2, n.toString)
+    // scrub_pii from SQL ≡ the Column face (one pattern definition)
+    val raw = "mail a@b.com or +1 555 123 4567 at 10.0.0.1"
+    val s = spark.sql(s"SELECT scrub_pii('$raw') AS s").head.getString(0)
+    assert(s == "mail <EMAIL> or <PHONE> at <IP>", s)
+    assert(s == Seq(raw).toDF("t")
+      .select(graft.functions.TextExpressions.scrubPii(col("t")))
+      .head.getString(0))
   }
 
   test("custom dot expressions agree with interpreted fold") {
