@@ -919,5 +919,15 @@ class StreamingSpec extends SparkSpec {
     val v = TableLog.latestVersion(silver)
     drain()
     assert(TableLog.latestVersion(silver) == v)
+    // maintenance tick: more bronze activity flows in, and the
+    // autoMorSidecars bound retires the accumulated sidecars in the
+    // same drain — reads unchanged, zero pending read amplification
+    TableLog.deleteWhere(spark, bronze, "k", 24, 24, statsCols = Seq("k"))
+    TableLog.cdcApplyStream(spark, bronze, silver, "k", "capplym", ckpt,
+      statsCols = Seq("k"), mor = true, autoMorSidecars = Some(0))
+    assert(TableLog.snapshot(silver).get.dels.isEmpty,
+      "the maintenance tick must retire sidecars")
+    assert(TableLog.read(spark, silver).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want - 24L)
   }
 }
