@@ -75,6 +75,7 @@ object GraftSqlDml {
       for { v <- viewName(i.table); reg <- TableLog.sqlDmlReg(spark, v) }
         yield insert(spark, v, reg, i)
     case c: CreateTableAsSelect => ctas(spark, c)
+    case r: ReplaceTableAsSelect => rtas(spark, r)
     case c: Call => call(spark, c)
     case other => timeTravel(spark, other)
   }
@@ -157,57 +158,109 @@ object GraftSqlDml {
     * load); `IF NOT EXISTS` on an existing log is a no-op that still
     * registers the view. The stat-column OPTIONS become the
     * registration every later DML re-derives. */
-  private def ctas(spark: SparkSession,
-      c: CreateTableAsSelect): Option[LogicalPlan] = c.tableSpec match {
-    case ts: UnresolvedTableSpec
-        if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
-      val name = c.name match {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-            if u.nameParts.size == 1 => u.nameParts.head
-        case other => unsupported("CREATE TABLE … USING graft",
-          s"single-part table names only (got ${other.toString.trim})")
-      }
-      val loc = ts.location.getOrElse(unsupported(
-        s"CREATE TABLE $name USING graft",
-        "a LOCATION '<table path>' is required — the commit log " +
-          "lives there"))
-      if (c.partitioning.nonEmpty) unsupported(
-        s"CREATE TABLE $name USING graft",
-        "PARTITIONED BY does not apply to log tables — cluster with " +
-          "zOrder/zOrder3 after load")
-      val opts: Map[String, String] =
-        ts.optionExpression.options.map { case (k, e) =>
-          k.toLowerCase(java.util.Locale.ROOT) ->
-            strOf(e).getOrElse(unsupported(
-              s"CREATE TABLE $name USING graft",
-              s"OPTION '$k' must be a string literal"))
-        }.toMap
-      def cols(k: String): Seq[String] = opts.get(k).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      val known = Set("statscols", "strstatscols", "bloomstatscols",
-        "morkey")
-      opts.keys.filterNot(known).foreach(k => unsupported(
-        s"CREATE TABLE $name USING graft",
-        s"unknown OPTION '$k' — supported: statsCols, strStatsCols, " +
-          "bloomStatsCols, morKey"))
-      val (st, sst, bst) = (cols("statscols"), cols("strstatscols"),
-        cols("bloomstatscols"))
-      val morKey = opts.get("morkey").map(_.trim).filter(_.nonEmpty)
-      val ifNotExists = c.ignoreIfExists
-      val srcPlan = timeTravel(spark, c.query).getOrElse(c.query)
-      Some(GraftDmlCommand("create", name, loc, s => {
-        val v =
-          if (ifNotExists && TableLog.latestVersion(loc) > 0)
-            TableLog.latestVersion(loc)
-          else TableLog.create(s, loc,
-            org.apache.spark.sql.graft.Bridge.ofRows(s, srcPlan),
-            statsCols = st, strStatsCols = sst, bloomStatsCols = bst)
-        TableLog.registerSqlTable(s, name, loc, statsCols = st,
-          strStatsCols = sst, bloomStatsCols = bst, morKey = morKey)
-        v
-      }))
-    case _ => None
+  /** The shared CTAS/RTAS spec: name, LOCATION, OPTIONS-declared stat
+    * columns, and the (possibly time-traveling) source plan. */
+  private final case class DdlSpec(name: String, loc: String,
+      st: Seq[String], sst: Seq[String], bst: Seq[String],
+      morKey: Option[String], srcPlan: LogicalPlan) {
+    def register(s: SparkSession): Unit =
+      TableLog.registerSqlTable(s, name, loc, statsCols = st,
+        strStatsCols = sst, bloomStatsCols = bst, morKey = morKey)
   }
+
+  private def ddlSpecOf(spark: SparkSession, verb: String,
+      nm: LogicalPlan, ts0: TableSpecBase,
+      partitioning: Seq[_], query: LogicalPlan): Option[DdlSpec] =
+    ts0 match {
+      case ts: UnresolvedTableSpec
+          if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
+        val name = nm match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case other => unsupported(s"$verb … USING graft",
+            s"single-part table names only (got ${other.toString.trim})")
+        }
+        val loc = ts.location.getOrElse(unsupported(
+          s"$verb $name USING graft",
+          "a LOCATION '<table path>' is required — the commit log " +
+            "lives there"))
+        if (partitioning.nonEmpty) unsupported(
+          s"$verb $name USING graft",
+          "PARTITIONED BY does not apply to log tables — cluster with " +
+            "zOrder/zOrder3 after load")
+        val opts: Map[String, String] =
+          ts.optionExpression.options.map { case (k, e) =>
+            k.toLowerCase(java.util.Locale.ROOT) ->
+              strOf(e).getOrElse(unsupported(
+                s"$verb $name USING graft",
+                s"OPTION '$k' must be a string literal"))
+          }.toMap
+        def cols(k: String): Seq[String] = opts.get(k).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val known = Set("statscols", "strstatscols", "bloomstatscols",
+          "morkey")
+        opts.keys.filterNot(known).foreach(k => unsupported(
+          s"$verb $name USING graft",
+          s"unknown OPTION '$k' — supported: statsCols, strStatsCols, " +
+            "bloomStatsCols, morKey"))
+        Some(DdlSpec(name, loc, cols("statscols"), cols("strstatscols"),
+          cols("bloomstatscols"),
+          opts.get("morkey").map(_.trim).filter(_.nonEmpty),
+          timeTravel(spark, query).getOrElse(query)))
+      case _ => None
+    }
+
+  private def ctas(spark: SparkSession,
+      c: CreateTableAsSelect): Option[LogicalPlan] =
+    ddlSpecOf(spark, "CREATE TABLE", c.name, c.tableSpec,
+      c.partitioning, c.query).map { d =>
+      val ifNotExists = c.ignoreIfExists
+      GraftDmlCommand("create", d.name, d.loc, s => {
+        val v =
+          if (ifNotExists && TableLog.latestVersion(d.loc) > 0)
+            TableLog.latestVersion(d.loc)
+          else TableLog.create(s, d.loc,
+            org.apache.spark.sql.graft.Bridge.ofRows(s, d.srcPlan),
+            statsCols = d.st, strStatsCols = d.sst,
+            bloomStatsCols = d.bst)
+        d.register(s)
+        v
+      })
+    }
+
+  /** `REPLACE TABLE` / `CREATE OR REPLACE TABLE … USING graft … AS
+    * SELECT` — the atomic-swap DDL verb: an EXISTING log table gets
+    * one full-rewrite commit with the new content (history keeps the
+    * pre-replace version readable — the replace is an ordinary
+    * commit, not an erasure), `OR CREATE` falls back to `create` on a
+    * fresh location, plain REPLACE on a fresh location refuses. Feed
+    * tables refuse through the rewrite face. */
+  private def rtas(spark: SparkSession,
+      r: ReplaceTableAsSelect): Option[LogicalPlan] =
+    ddlSpecOf(spark, "REPLACE TABLE", r.name, r.tableSpec,
+      r.partitioning, r.query).map { d =>
+      val orCreate = r.orCreate
+      GraftDmlCommand("replace", d.name, d.loc, s => {
+        val exists = TableLog.latestVersion(d.loc) > 0
+        val v =
+          if (exists)
+            TableLog.rewrite(s, d.loc, "overwrite",
+              expectRows = _ => None, statsCols = d.st,
+              strStatsCols = d.sst, bloomStatsCols = d.bst)(_ =>
+              org.apache.spark.sql.graft.Bridge.ofRows(s, d.srcPlan))
+          else if (orCreate)
+            TableLog.create(s, d.loc,
+              org.apache.spark.sql.graft.Bridge.ofRows(s, d.srcPlan),
+              statsCols = d.st, strStatsCols = d.sst,
+              bloomStatsCols = d.bst)
+          else sys.error(s"REPLACE TABLE ${d.name}: no committed " +
+            s"version at ${d.loc} — use CREATE TABLE, or CREATE OR " +
+            "REPLACE")
+        d.register(s)
+        v
+      })
+    }
 
   /** The READ-side rewrites, applied anywhere in a query (and to
     * INSERT/MERGE sources):

@@ -330,6 +330,25 @@ class SqlDmlSpec extends SparkSpec {
       s"CREATE TABLE bpart USING graft LOCATION '${loc}_y' " +
         "PARTITIONED BY (k) AS SELECT 1 AS k"))
     assert(e3.getMessage.contains("PARTITIONED"))
+    // REPLACE TABLE: one full-rewrite commit, history preserved
+    val vPre = TableLog.latestVersion(loc)
+    val vRep = TableLog.sql(spark,
+      s"REPLACE TABLE lake_ctas USING graft LOCATION '$loc' " +
+        "OPTIONS (statsCols 'k') AS SELECT id AS k, id AS v " +
+        "FROM range(7)").head.getLong(0)
+    assert(vRep == vPre + 1)
+    assert(TableLog.read(spark, loc).count() == 7)
+    assert(TableLog.readVersion(spark, loc, vPre).count() == 90,
+      "the pre-replace version must stay readable")
+    // plain REPLACE on a fresh location refuses; OR CREATE creates
+    intercept[RuntimeException](TableLog.sql(spark,
+      s"REPLACE TABLE rep_fresh USING graft LOCATION '${loc}_r' " +
+        "AS SELECT 1 AS k"))
+    assert(TableLog.sql(spark,
+      s"CREATE OR REPLACE TABLE rep_fresh USING graft " +
+        s"LOCATION '${loc}_r2' AS SELECT 1 AS k").head.getLong(0) == 1)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM rep_fresh").head.getLong(0) == 1)
   }
 
   test("CALL procedures: maintenance and tag verbs from SQL text") {
