@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     a registered view route to the `TableLog` faces (COW or MOR
   *     per the registration) — same stats-pruned commits, same
   *     audits, same CDC capture as the Scala API;
-  *   - DDL: `CREATE TABLE … USING graft LOCATION … AS SELECT`;
+  *   - DDL: `CREATE [OR REPLACE] TABLE … USING graft LOCATION … AS
+  *     SELECT`, `REPLACE TABLE`, and `DROP TABLE` (external
+  *     semantics — unregister, bytes stay);
   *   - time travel: `VERSION AS OF <n | 'tag'>` / `TIMESTAMP AS OF`
   *     anywhere in a query (and in INSERT/MERGE sources);
   *   - TVFs: `table_changes` / `table_history` / `table_detail` /
@@ -76,6 +78,7 @@ object GraftSqlDml {
         yield insert(spark, v, reg, i)
     case c: CreateTableAsSelect => ctas(spark, c)
     case r: ReplaceTableAsSelect => rtas(spark, r)
+    case d: DropTable => dropTable(spark, d)
     case c: Call => call(spark, c)
     case other => timeTravel(spark, other)
   }
@@ -261,6 +264,31 @@ object GraftSqlDml {
         v
       })
     }
+
+  /** `DROP TABLE <registered view>` — EXTERNAL-table semantics:
+    * unregisters the view and the DML registration, leaving the
+    * commit log and its bytes untouched on disk (re-register to get
+    * them back; `vacuum` + directory removal to purge). `PURGE`
+    * refuses loudly with the table path rather than silently
+    * destroying a durable log. Unregistered names pass through. */
+  private def dropTable(spark: SparkSession,
+      d: DropTable): Option[LogicalPlan] = d.child match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if u.nameParts.size == 1 =>
+      val v = u.nameParts.head
+      TableLog.sqlDmlReg(spark, v).map { reg =>
+        if (d.purge) unsupported(s"DROP TABLE $v PURGE",
+          "graft tables are EXTERNAL — DROP unregisters the view and " +
+            s"leaves the commit log at ${reg.table}; remove that " +
+            "directory to purge bytes")
+        GraftDmlCommand("drop", v, reg.table, s => {
+          val ver = TableLog.latestVersion(reg.table)
+          TableLog.unregisterSqlTable(s, v)
+          ver
+        }, reRegister = false)
+      }
+    case _ => None
+  }
 
   /** The READ-side rewrites, applied anywhere in a query (and to
     * INSERT/MERGE sources):
@@ -683,13 +711,16 @@ object GraftSqlDml {
   * subsequent SELECT would read the pre-DML version. Returns the
   * committed version as the statement's one-row result. */
 final case class GraftDmlCommand(kind: String, view: String,
-    table: String, body: SparkSession => Long)
+    table: String, body: SparkSession => Long,
+    reRegister: Boolean = true)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val v = body(session)
-    TableLog.scan(session, table).createOrReplaceTempView(view)
+    // DROP must not resurrect the view it just removed
+    if (reRegister)
+      TableLog.scan(session, table).createOrReplaceTempView(view)
     Seq(Row(v))
   }
   override def simpleString(maxFields: Int): String =

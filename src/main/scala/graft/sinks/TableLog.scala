@@ -756,6 +756,16 @@ object TableLog {
     Option(sqlDmlRegs.get(spark)).flatMap(m =>
       Option(m.get(name.toLowerCase(java.util.Locale.ROOT))))
 
+  /** Undo `registerSqlTable` — drops the temp view and the DML
+    * registration; the commit log itself is untouched (EXTERNAL-table
+    * semantics, the SQL face's `DROP TABLE`). */
+  def unregisterSqlTable(spark: SparkSession, name: String): Boolean = {
+    val had = Option(sqlDmlRegs.get(spark)).flatMap(m =>
+      Option(m.remove(name.toLowerCase(java.util.Locale.ROOT)))).isDefined
+    spark.catalog.dropTempView(name)
+    had
+  }
+
   /** The table schema at the latest version, parsed from the
     * manifest's recorded JSON (None for legacy tables without one) —
     * the DML face's type oracle. */

@@ -349,6 +349,23 @@ class SqlDmlSpec extends SparkSpec {
         s"LOCATION '${loc}_r2' AS SELECT 1 AS k").head.getLong(0) == 1)
     assert(TableLog.sql(spark,
       "SELECT count(*) AS n FROM rep_fresh").head.getLong(0) == 1)
+    // DROP TABLE: external semantics — view + registration gone, the
+    // commit log and bytes stay; PURGE refuses with the path
+    val eP = intercept[UnsupportedOperationException](TableLog.sql(spark,
+      "DROP TABLE rep_fresh PURGE"))
+    assert(eP.getMessage.contains("EXTERNAL"))
+    TableLog.sql(spark, "DROP TABLE rep_fresh")
+    intercept[Exception](TableLog.sql(spark,
+      "SELECT count(*) FROM rep_fresh").collect())
+    assert(TableLog.read(spark, s"${loc}_r2").count() == 1,
+      "DROP must leave the log and its bytes")
+    // a dropped name passes through on the next DROP (unregistered)
+    intercept[Exception](TableLog.sql(spark,
+      "DROP TABLE rep_fresh").collect())
+    // re-register resurrects
+    TableLog.registerSqlTable(spark, "rep_fresh", s"${loc}_r2")
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM rep_fresh").head.getLong(0) == 1)
   }
 
   test("CALL procedures: maintenance and tag verbs from SQL text") {
