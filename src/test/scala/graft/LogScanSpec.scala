@@ -29,10 +29,15 @@ class LogScanSpec extends SparkSpec {
 
   private def mkTable(): String = {
     val t = tmp("graft_log_scan")
+    // DETERMINISTIC 8-file layout, one exact 500-key block per file:
+    // repartitionByRange SAMPLES its boundaries (seeded by RDD id,
+    // which shifts with suite composition), so its edges wander a few
+    // keys between runs and the files-opened pins below would flake —
+    // range() with explicit numPartitions slices exactly
     TableLog.create(spark, t,
-      spark.range(4000).select($"id".as("k"), ($"id" % 7).as("v"),
-        concat(lit("cat_"), ($"id" / 500).cast("long")).as("c"))
-        .repartitionByRange(8, $"k").sortWithinPartitions("k"),
+      spark.range(0L, 4000L, 1L, 8)
+        .select($"id".as("k"), ($"id" % 7).as("v"),
+          concat(lit("cat_"), ($"id" / 500).cast("long")).as("c")),
       statsCols = Seq("k"), strStatsCols = Seq("c"))
     t
   }
