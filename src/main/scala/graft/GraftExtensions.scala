@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // conf-gated (spark.graft.topkRewrite.enabled); see the rule's scaladoc
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // catalog reads (graft.catalog.GraftCatalog tables) become
+    // GraftLogRelation leaves, so they prune like TableLog.scan
+    // (spark.graft.catalogReads.enabled, default on)
+    e.injectOptimizerRule(_ => graft.plans.ResolveGraftCatalogReads)
     // expands TableLog.scan leaves, pruning files from query filters
     // (spark.graft.logPrune.enabled, default on)
     e.injectOptimizerRule(_ => graft.plans.PruneLogScan)

@@ -732,6 +732,54 @@ object SparkEntry {
       FROM lake74 GROUP BY priority ORDER BY priority""")
   }
 
+  /** The DSv2 CATALOG face under the oracle: every statement names the
+    * table as `<catalog>.sales.lake` through Spark's own
+    * CatalogManager (graft.catalog.GraftCatalog — no temp views, no
+    * LOCATION clauses): CREATE NAMESPACE, CTAS with property-declared
+    * stat columns, a native V2 INSERT, parser-face UPDATE/DELETE, and
+    * a final SELECT that unions the LIVE aggregate with a NATIVE
+    * `VERSION AS OF 2` read (the post-CTAS state resolved through
+    * `loadTable(ident, version)`, not the view splice). The oracle
+    * replays the lifecycle relationally; the 'ctas' rows pin that
+    * time travel through the catalog returns exactly the pre-mutation
+    * table. Catalog name and warehouse are per-SF so re-runs and
+    * mixed-SF sessions never collide (a CatalogManager instance
+    * caches its warehouse at first use). */
+  private def o76CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o76_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    T(s, dir, "orders").createOrReplaceTempView("orders_src76")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sales")
+    s.sql(s"CREATE TABLE $cat.sales.lake " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey') AS " +
+      "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS price_c, o_orderpriority AS priority " +
+      "FROM orders_src76 WHERE o_orderkey % 30 = 26")
+    s.sql(s"INSERT INTO $cat.sales.lake VALUES (88000001, 700, 'X')")
+    tl.sql(s, s"UPDATE $cat.sales.lake SET price_c = price_c + 7 " +
+      "WHERE o_orderkey BETWEEN 1000 AND 5000")
+    tl.sql(s, s"DELETE FROM $cat.sales.lake " +
+      "WHERE o_orderkey BETWEEN 9000 AND 16000")
+    s.sql(s"""
+      SELECT 'live' AS state, priority,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+      FROM $cat.sales.lake GROUP BY priority
+      UNION ALL
+      SELECT 'ctas' AS state, priority,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+      FROM $cat.sales.lake VERSION AS OF 2 GROUP BY priority
+      ORDER BY state, priority""")
+  }
+
   /** WRITE-AUDIT-PUBLISH under the oracle: clone a zero-copy branch,
     * mutate it (range delete + derived-row append) while the in-plan
     * invariant pins that SRC is bit-untouched, audit the branch, then
@@ -3919,6 +3967,7 @@ object SparkEntry {
     "o73_tags" -> (o73Tags _),
     "o74_sql_full" -> (o74SqlFull _),
     "o75_wap" -> (o75Wap _),
+    "o76_catalog_sql" -> (o76CatalogSql _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5441,6 +5490,32 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
+    // the catalog lifecycle replayed relationally in statement order:
+    // CTAS slice ('ctas' rows = the VERSION AS OF 2 read), native
+    // insert, +7 update, range delete ('live' rows)
+    "o76_catalog_sql" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 26),
+        |ins AS (SELECT * FROM t
+        |  UNION ALL SELECT 88000001, 700, 'X'),
+        |upd AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 5000
+        |    THEN price_c + 7 ELSE price_c END AS price_c, priority
+        |  FROM ins),
+        |del AS (SELECT * FROM upd
+        |  WHERE o_orderkey NOT BETWEEN 9000 AND 16000)
+        |SELECT 'live' AS state, priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM del GROUP BY priority
+        |UNION ALL
+        |SELECT 'ctas' AS state, priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM t GROUP BY priority
+        |ORDER BY state, priority""".stripMargin,
     // published = base minus the branch's delete range plus its
     // derived appends; the fork row = the pristine base (sum over
     // BIGINT cents, count, max key — integer-exact)

@@ -1,0 +1,498 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.sinks.TableLog
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource-V2 `TableCatalog` over a warehouse directory of
+  * commit-log tables — the catalog-native face of the table format:
+  *
+  * {{{
+  *   spark.sql.catalog.graft          = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /lake/warehouse
+  *
+  *   CREATE NAMESPACE graft.bronze;
+  *   CREATE TABLE graft.bronze.events (k BIGINT, v BIGINT)
+  *     TBLPROPERTIES ('statsCols' = 'k');
+  *   INSERT INTO graft.bronze.events SELECT id, id % 7 FROM range(10);
+  *   SELECT * FROM graft.bronze.events VERSION AS OF 2;
+  * }}}
+  *
+  * Names resolve through Spark's own `CatalogManager` — no temp-view
+  * registration — and every verb lands on the same `TableLog` commit
+  * primitives as the Scala and registered-view faces:
+  *
+  *   - READS: `loadTable` pins the snapshot; the optimizer rule
+  *     `plans.ResolveGraftCatalogReads` swaps the V2 relation for the
+  *     proven [[graft.plans.GraftLogRelation]] leaf, so catalog reads
+  *     get the full manifest machinery — stat/bloom/z-box file
+  *     pruning, metadata-only aggregates, dynamic join pruning, MOR
+  *     sidecars — identically to `TableLog.scan`. (Without the rule a
+  *     correct-but-unpruned `V1Scan` fallback reads the same pinned
+  *     snapshot.)
+  *   - TIME TRAVEL: `VERSION AS OF n` and `TIMESTAMP AS OF ts` resolve
+  *     through Spark's native `loadTable(ident, version)` overloads —
+  *     a version number, or a TAG name created via `CALL tag(...)` /
+  *     `TableLog.tagVersion`.
+  *   - WRITES: `INSERT INTO` appends one manifest commit;
+  *     `INSERT OVERWRITE` is the whole-table replace through
+  *     `TableLog.rewrite` (history keeps the prior version readable).
+  *     Stat columns are declared once as TABLE PROPERTIES
+  *     (`statsCols`/`strStatsCols`/`bloomStatsCols`/`morKey`, the same
+  *     names as the `USING graft` DDL OPTIONS) and re-derived on every
+  *     write — the catalog is what makes the stat config DECLARATIVE
+  *     instead of a per-call argument.
+  *   - DDL: CREATE/DROP/RENAME TABLE, namespaces. Tables are MANAGED:
+  *     they live under the warehouse and DROP deletes their bytes
+  *     (the registered-view face keeps its EXTERNAL semantics for
+  *     user-supplied paths).
+  *
+  * Scale: every catalog call is O(manifest) driver metadata — list a
+  * directory, read one manifest, read one properties sidecar. Nothing
+  * here scans data; reads and writes inherit the log's pruning and
+  * commit costs unchanged.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val wh = options.get("warehouse")
+    require(wh != null && wh.nonEmpty,
+      s"catalog '$name': spark.sql.catalog.$name.warehouse is required " +
+        "— the directory the catalog's tables live under")
+    warehouse = Paths.get(wh)
+  }
+
+  override def name(): String = catName
+
+  // ── identifier ⇄ filesystem layout ──────────────────────────────
+
+  /** One directory level per namespace segment, then the table dir.
+    * Segments are validated so an identifier can never escape the
+    * warehouse (`..`, separators) or collide with the log's own
+    * entries (leading `_`/`.`). */
+  private def checkSegment(seg: String): String = {
+    require(seg.nonEmpty && !seg.contains("/") && !seg.contains("\\") &&
+      seg != "." && seg != ".." && !seg.startsWith("_") &&
+      !seg.startsWith("."),
+      s"catalog '$catName': invalid name segment '$seg' — segments " +
+        "must be non-empty, contain no path separators, and not start " +
+        "with '_' or '.'")
+    seg
+  }
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, s) => p.resolve(checkSegment(s)))
+
+  /** The table's path as a STRING — the `TableLog` face's table id. */
+  private[graft] def tablePath(ident: Identifier): String =
+    nsPath(ident.namespace).resolve(checkSegment(ident.name)).toString
+
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_log"))
+
+  private def identName(ident: Identifier): String =
+    (Seq(catName) ++ ident.namespace :+ ident.name).mkString(".")
+
+  // ── TableCatalog ────────────────────────────────────────────────
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(Paths.get(tablePath(ident)))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(
+      Array(catName) ++ namespace)
+    listDir(dir).filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    val snap = TableLog.snapshot(path).getOrElse(
+      throw new NoSuchTableException(ident))
+    GraftTable(path, snap, GraftCatalog.readProps(path), identName(ident))
+  }
+
+  /** `VERSION AS OF <v>` — a version number, or a tag name created via
+    * `TableLog.tagVersion` / `CALL tag(...)`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(
+      TableLog.tags(path).getOrElse(version, sys.error(
+        s"${identName(ident)}: VERSION AS OF '$version' is neither a " +
+          "version number nor a tag — see table_tags()")))
+    val snap = TableLog.snapshotAt(path, v).getOrElse(sys.error(
+      s"${identName(ident)}: version $v not found (earliest retained " +
+        "may have been vacuumed)"))
+    GraftTable(path, snap, GraftCatalog.readProps(path), identName(ident))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    val v = TableLog.versionAsOf(path, Math.floorDiv(timestampMicros, 1000L))
+    val snap = TableLog.snapshotAt(path, v).getOrElse(sys.error(
+      s"${identName(ident)}: version $v unresolvable"))
+    GraftTable(path, snap, GraftCatalog.readProps(path), identName(ident))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"${identName(ident)}: PARTITIONED BY does not apply to log " +
+        "tables — cluster with zOrder/zOrder3 maintenance after load")
+    val props = properties.asScala.toMap
+    props.keys.find(_.equalsIgnoreCase(TableCatalog.PROP_LOCATION))
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"${identName(ident)}: LOCATION is not supported — catalog " +
+          "tables are MANAGED under the warehouse; for an external " +
+          "path use TableLog.registerSqlTable / CREATE TABLE <name> " +
+          "USING graft LOCATION …"))
+    // stat-column properties must name real columns — fail at CREATE,
+    // not at the first INSERT that silently derives no stats
+    val fields = schema.fieldNames.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toSet
+    GraftCatalog.statColKeys.foreach { k =>
+      GraftCatalog.colsProp(props, k).filterNot(c =>
+          fields(c.toLowerCase(java.util.Locale.ROOT)))
+        .foreach(c => throw new IllegalArgumentException(
+          s"${identName(ident)}: $k names column '$c' which is not in " +
+            s"the table schema (${schema.fieldNames.mkString(", ")})"))
+    }
+    val path = tablePath(ident)
+    if (isTableDir(Paths.get(path)))
+      throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    Files.createDirectories(Paths.get(path))
+    GraftCatalog.writeProps(path, props)
+    // version 1 carries the schema and zero files — the same manifest
+    // an empty append commits, so every later face (scan, DML, detail)
+    // sees an ordinary log table
+    TableLog.append(spark, path,
+      spark.createDataFrame(new util.ArrayList[Row](), schema),
+      statsCols = GraftCatalog.colsProp(props, "statsCols"),
+      strStatsCols = GraftCatalog.colsProp(props, "strStatsCols"),
+      bloomStatsCols = GraftCatalog.colsProp(props, "bloomStatsCols"))
+    GraftTable(path, TableLog.snapshot(path).get, props, identName(ident))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(Paths.get(path))) throw new NoSuchTableException(ident)
+    var props = GraftCatalog.readProps(path)
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        props = props.filterNot(
+          _._1.equalsIgnoreCase(set.property)) + (set.property -> set.value)
+      case rm: TableChange.RemoveProperty =>
+        props = props.filterNot(_._1.equalsIgnoreCase(rm.property))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"${identName(ident)}: nested column renames are not supported")
+        TableLog.renameColumn(SparkSession.active, path,
+          rn.fieldNames.head, rn.newName)
+      case other => throw new UnsupportedOperationException(
+        s"${identName(ident)}: unsupported ALTER TABLE change $other — " +
+          "supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN")
+    }
+    GraftCatalog.writeProps(path, props)
+    loadTable(ident)
+  }
+
+  /** MANAGED semantics: the table lives under the catalog's warehouse,
+    * so DROP deletes its bytes (contrast the registered-view face,
+    * whose DROP is EXTERNAL — it unregisters and leaves user paths
+    * untouched). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(tablePath(ident))
+    if (!isTableDir(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = Paths.get(tablePath(oldIdent))
+    val to = Paths.get(tablePath(newIdent))
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (Files.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ── SupportsNamespaces ──────────────────────────────────────────
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    Files.isDirectory(p) && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!Files.isDirectory(warehouse)) Array.empty
+    else listDir(warehouse)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => Array(p.getFileName.toString))
+      .sortBy(_.head)
+      .toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!Files.isDirectory(dir) || isTableDir(dir))
+      throw new NoSuchNamespaceException(Array(catName) ++ namespace)
+    listDir(dir)
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .sortBy(_.last)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(Array(catName) ++ namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (Files.exists(p))
+      throw new NamespaceAlreadyExistsException(Array(catName) ++ namespace)
+    Files.createDirectories(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName': namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!Files.isDirectory(p) || isTableDir(p)) return false
+    if (!cascade) {
+      val nonEmpty = listDir(p).nonEmpty
+      if (nonEmpty) throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(Array(catName) ++ namespace)
+      Files.deleteIfExists(p)
+    } else deleteRecursively(p)
+    true
+  }
+
+  // ── helpers ─────────────────────────────────────────────────────
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+object GraftCatalog {
+
+  private val SIDECAR = "_catalog.properties"
+  private[graft] val statColKeys =
+    Seq("statsCols", "strStatsCols", "bloomStatsCols")
+
+  /** The table's declared properties — the stat-column configuration
+    * every catalog write re-derives. Plain `key=value` lines at the
+    * table root (OUTSIDE `_log`, so the manifest codec and vacuum
+    * never see it; vacuum sweeps only `data/`). */
+  private[graft] def readProps(table: String): Map[String, String] = {
+    val p = Paths.get(table, SIDECAR)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  private[graft] def writeProps(table: String,
+      props: Map[String, String]): Unit = {
+    props.keys.foreach(k => require(
+      !k.contains("=") && !k.contains("\n") && k.nonEmpty,
+      s"table property key '$k' must be non-empty and contain no " +
+        "'=' or newline"))
+    props.values.foreach(v => require(!v.contains("\n"),
+      s"table property values must not contain newlines (got '$v')"))
+    val body = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    Files.write(Paths.get(table, SIDECAR),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** A comma-separated column-list property, key case-insensitive —
+    * the same names (`statsCols`, `strStatsCols`, `bloomStatsCols`,
+    * `morKey`) as the `USING graft` DDL OPTIONS. */
+  private[graft] def colsProp(props: Map[String, String],
+      key: String): Seq[String] =
+    props.find(_._1.equalsIgnoreCase(key)).toSeq
+      .flatMap(_._2.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The configured `GraftCatalog` named `name` on this session, if
+    * any — the DML face uses this to claim `catalog.ns.table`
+    * identifiers. Conf check first so non-graft catalog names never
+    * force-instantiate a plugin. */
+  private[graft] def catalogOf(spark: SparkSession,
+      name: String): Option[GraftCatalog] =
+    spark.conf.getOption(s"spark.sql.catalog.$name")
+      .filter(_ == classOf[GraftCatalog].getName)
+      .map(_ => org.apache.spark.sql.graft.Bridge
+        .catalogPlugin(spark, name))
+      .collect { case g: GraftCatalog => g }
+
+  /** Resolve a multipart identifier (`Seq("graft", "ns", "t")`)
+    * through a configured GraftCatalog to the table path plus its
+    * property-declared stat registration — how the SQL DML face
+    * claims catalog identifiers without a temp-view registration. */
+  private[graft] def resolveIdent(spark: SparkSession,
+      parts: Seq[String]): Option[(String, graft.plans.GraftSqlDml.Reg)] = {
+    if (parts.size < 2) return None
+    catalogOf(spark, parts.head).flatMap { cat =>
+      val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+      val path = try cat.tablePath(ident) catch {
+        case _: IllegalArgumentException => return None
+      }
+      if (TableLog.latestVersion(path) == 0) None
+      else {
+        val props = readProps(path)
+        Some((path, graft.plans.GraftSqlDml.Reg(path,
+          colsProp(props, "statsCols"), colsProp(props, "strStatsCols"),
+          colsProp(props, "bloomStatsCols"),
+          props.find(_._1.equalsIgnoreCase("morKey")).map(_._2.trim)
+            .filter(_.nonEmpty))))
+      }
+    }
+  }
+}
+
+/** One catalog table at one PINNED snapshot — `loadTable` resolves the
+  * manifest once, so every query plan over this instance is
+  * snapshot-isolated (the same contract as `TableLog.scan`). The fast
+  * read path is the optimizer substitution to
+  * [[graft.plans.GraftLogRelation]]; the `V1Scan` below is the
+  * correct-but-unpruned fallback for sessions without the rule. */
+final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
+    props: Map[String, String], nameStr: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = nameStr
+
+  override def schema(): StructType =
+    snapshot.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      sys.error(s"$nameStr: the commit log at $path records no schema " +
+        "(legacy table) — read it once with TableLog.scan and rewrite " +
+        "to record one"))
+
+  override def version(): String = snapshot.version.toString
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m.put("version", snapshot.version.toString)
+    m.put("rows", snapshot.rows.toString)
+    m.put("files", snapshot.files.size.toString)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[R <: BaseRelation with TableScan](
+            context: SQLContext): R =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = GraftTable.this.schema()
+            override def buildScan(): RDD[Row] =
+              TableLog.morScan(context.sparkSession, path, snapshot,
+                snapshot.files).rdd
+          }.asInstanceOf[R]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this)
+}
+
+/** `INSERT INTO` → one `TableLog.append` commit; `INSERT OVERWRITE`
+  * (Spark calls `truncate()` on the builder for an unpartitioned
+  * target) → the whole-table replace through `TableLog.rewrite`, so
+  * history keeps the pre-overwrite version readable. Stat columns come
+  * from the table's declared properties — Spark has already aligned
+  * and cast the incoming frame to the table schema
+  * (`TableOutputResolver`), so the append sees exactly the declared
+  * column set. */
+final class GraftWriteBuilder(t: GraftTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          val spark = data.sparkSession
+          val st = GraftCatalog.colsProp(t.props, "statsCols")
+          val sst = GraftCatalog.colsProp(t.props, "strStatsCols")
+          val bst = GraftCatalog.colsProp(t.props, "bloomStatsCols")
+          if (overwriteAll)
+            TableLog.rewrite(spark, t.path, "overwrite",
+              expectRows = _ => None, statsCols = st, strStatsCols = sst,
+              bloomStatsCols = bst)(_ => data)
+          else
+            TableLog.append(spark, t.path, data, st,
+              strStatsCols = sst, bloomStatsCols = bst)
+        }
+      }
+  }
+}

@@ -45,7 +45,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * upsert for MERGE. A registered target with an untranslatable shape
   * FAILS LOUDLY with what to use instead — falling through to Spark
   * would produce a misleading "table does not support DELETE" on the
-  * temp view. Unregistered targets pass through untouched. */
+  * temp view. Unregistered targets pass through untouched.
+  *
+  * CATALOG identifiers: UPDATE / DELETE / MERGE, the CALL procedures,
+  * and the TVFs also claim `catalog.ns.table` names resolved through a
+  * configured [[graft.catalog.GraftCatalog]] — stat columns and morKey
+  * come from the table's declared PROPERTIES instead of a
+  * registration, and there is no view to refresh (every catalog query
+  * re-pins its snapshot via `loadTable`). SELECT, time travel, INSERT,
+  * and CREATE/DROP on catalog names stay on Spark's NATIVE DSv2 path
+  * (the catalog + `ResolveGraftCatalogReads` handle them); the rewrite
+  * only claims the row-level verbs V2 tables cannot express without
+  * SupportsRowLevelOperations. */
 object GraftSqlDml {
 
   /** The DML registry entry `TableLog.registerSqlTable` records: the
@@ -64,14 +75,13 @@ object GraftSqlDml {
   def rewrite(spark: SparkSession, plan: LogicalPlan)
       : Option[LogicalPlan] = plan match {
     case DeleteFromTable(t, cond) =>
-      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(spark, v) }
+      for { (v, reg) <- targetReg(spark, t) }
         yield delete(v, reg, cond)
     case UpdateTable(t, assigns, cond) =>
-      for { v <- viewName(t); reg <- TableLog.sqlDmlReg(spark, v) }
+      for { (v, reg) <- targetReg(spark, t) }
         yield update(v, reg, assigns, cond)
     case m: MergeIntoTable =>
-      for { v <- viewName(m.targetTable)
-            reg <- TableLog.sqlDmlReg(spark, v) }
+      for { (v, reg) <- targetReg(spark, m.targetTable) }
         yield merge(spark, v, reg, m)
     case i: InsertIntoStatement =>
       for { v <- viewName(i.table); reg <- TableLog.sqlDmlReg(spark, v) }
@@ -111,7 +121,7 @@ object GraftSqlDml {
       proc <- nameOpt
       if callProcs(proc)
       view <- c.args.headOption.flatMap(strOf)
-      reg <- TableLog.sqlDmlReg(spark, view)
+      reg <- regOfName(spark, view)
     } yield {
       def longArg(i: Int): Long = c.args.lift(i).flatMap(longOf)
         .getOrElse(unsupported(s"CALL $proc('$view', …)",
@@ -181,6 +191,14 @@ object GraftSqlDml {
           case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedIdentifier if u.nameParts.size == 1 =>
             u.nameParts.head
+          // `CREATE TABLE graft.ns.t USING graft …` — a CATALOG
+          // identifier: fall through untouched so Spark's own catalog
+          // path (graft.catalog.GraftCatalog) handles the DDL
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedIdentifier if u.nameParts.size > 1 &&
+              graft.catalog.GraftCatalog.catalogOf(
+                spark, u.nameParts.head).isDefined =>
+            return None
           case other => unsupported(s"$verb … USING graft",
             s"single-part table names only (got ${other.toString.trim})")
         }
@@ -338,7 +356,7 @@ object GraftSqlDml {
           if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
             Seq("table_changes") && tvf.functionArgs.size == 3 =>
         strOf(tvf.functionArgs(0))
-          .flatMap(v => TableLog.sqlDmlReg(spark, v).map((v, _))) match {
+          .flatMap(v => regOfName(spark, v).map((v, _))) match {
           case Some((v, reg)) =>
             hit = true
             // endpoints are versions or TAG names
@@ -364,7 +382,7 @@ object GraftSqlDml {
               .mkString(".")) && tvf.functionArgs.size == 1 &&
             strOf(tvf.functionArgs(0)).isDefined =>
         val v = strOf(tvf.functionArgs(0)).get
-        TableLog.sqlDmlReg(spark, v) match {
+        regOfName(spark, v) match {
           case Some(reg) =>
             hit = true
             val fn = tvf.name.head.toLowerCase(java.util.Locale.ROOT)
@@ -478,6 +496,37 @@ object GraftSqlDml {
     case SubqueryAlias(_, child) => viewName(child)
     case _ => None
   }
+
+  /** A DML-claimable TARGET: a registered view (single-part name) or a
+    * `catalog.ns.table` identifier through a configured
+    * [[graft.catalog.GraftCatalog]] (stat columns and morKey come from
+    * the table's declared properties instead of a registration). The
+    * returned display name is what error messages and the command's
+    * view-refresh use — catalog names have no temp view, so
+    * `GraftDmlCommand` skips the refresh for them (each catalog query
+    * re-resolves its snapshot through `loadTable` anyway). */
+  private def targetReg(spark: SparkSession,
+      p: LogicalPlan): Option[(String, Reg)] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+      TableLog.sqlDmlReg(spark, u.multipartIdentifier.head)
+        .map((u.multipartIdentifier.head, _))
+    case u: UnresolvedRelation =>
+      graft.catalog.GraftCatalog.resolveIdent(spark, u.multipartIdentifier)
+        .map { case (_, reg) => (u.multipartIdentifier.mkString("."), reg) }
+    case SubqueryAlias(_, child) => targetReg(spark, child)
+    case _ => None
+  }
+
+  /** String-argument twin of `targetReg` for CALL procedures and the
+    * TVFs: the whole string as a registered view first, then as a
+    * dotted catalog identifier. */
+  private def regOfName(spark: SparkSession,
+      s: String): Option[Reg] =
+    TableLog.sqlDmlReg(spark, s).orElse {
+      val parts = s.split("\\.").toSeq
+      if (parts.size < 2) None
+      else graft.catalog.GraftCatalog.resolveIdent(spark, parts).map(_._2)
+    }
 
   private def unsupported(what: String, detail: String): Nothing =
     throw new UnsupportedOperationException(
@@ -649,10 +698,26 @@ object GraftSqlDml {
       s"UPDATE $view", "supported predicates are single-column long " +
         "ranges (BETWEEN/=/</>) — the stats-prunable shapes"))
     requireIntegralRange("UPDATE", view, reg, c)
+    // standard SQL store-assignment: cast each value to the RECORDED
+    // column type (an `UPDATE … SET v = -1` on a BIGINT column must
+    // not be refused for the literal parsing as INT, nor silently
+    // drift the manifest schema); unknown columns refuse here, with
+    // the schema, not downstream
+    val schemaOpt = TableLog.tableSchemaOf(reg.table)
     val set = assigns.map { case Assignment(k, v) =>
       val name = attrOf(k).getOrElse(unsupported(s"UPDATE $view",
         s"assignment target ${k.sql} is not a plain column"))
-      name -> org.apache.spark.sql.graft.Bridge.column(v)
+      val col = org.apache.spark.sql.graft.Bridge.column(v)
+      val typed = schemaOpt match {
+        case Some(schema) =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+            .getOrElse(unsupported(s"UPDATE $view",
+              s"SET names column '$name' which is not in the table " +
+                s"schema (${schema.fieldNames.mkString(", ")})"))
+          col.cast(f.dataType)
+        case None => col // legacy table without a recorded schema
+      }
+      name -> typed
     }.toMap
     if (lo > hi) return noOp("update", view, reg)
     GraftDmlCommand("update", view, reg.table, s => reg.morKey match {
@@ -718,8 +783,10 @@ final case class GraftDmlCommand(kind: String, view: String,
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val v = body(session)
-    // DROP must not resurrect the view it just removed
-    if (reRegister)
+    // DROP must not resurrect the view it just removed; CATALOG targets
+    // (dotted names, no sqlDmlReg entry) have no temp view to refresh —
+    // every catalog query re-resolves its snapshot through loadTable
+    if (reRegister && TableLog.sqlDmlReg(session, view).isDefined)
       TableLog.scan(session, table).createOrReplaceTempView(view)
     Seq(Row(v))
   }

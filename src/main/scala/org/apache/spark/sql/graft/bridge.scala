@@ -58,6 +58,13 @@ object Bridge {
       sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
 
+  /** A configured catalog plugin by name (CatalogManager is
+    * private[sql]) — how the DML face resolves `catalog.ns.table`
+    * identifiers to a GraftCatalog instance. */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
   /** The session's SQL parser itself — the delegate a wrapping
     * `ParserInterface` (GraftSqlParser) forwards to. */
   def sqlParser(spark: org.apache.spark.sql.SparkSession)

@@ -1,0 +1,285 @@
+package graft
+
+import graft.catalog.{GraftCatalog, GraftTable}
+import graft.plans.{GraftLogRelation, ResolveGraftCatalogReads}
+import graft.sinks.TableLog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+/** The DSv2 TableCatalog face: `graft.<ns>.<table>` names resolve
+  * through Spark's own CatalogManager — DDL, INSERT, SELECT, native
+  * time travel — with reads substituted to the GraftLogRelation leaf
+  * so catalog queries prune exactly like `TableLog.scan`. */
+class CatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val CAT = "graftcat"
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh")
+      .toString
+    spark.conf.set(s"spark.sql.catalog.$CAT",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$CAT.warehouse", wh)
+    ResolveGraftCatalogReads.install(spark)
+    wh
+  }
+
+  private def filesScanned(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+
+  test("DDL + INSERT + SELECT lifecycle through the catalog") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE $CAT.bronze")
+    assert(spark.sql(s"SHOW NAMESPACES IN $CAT").collect()
+      .map(_.getString(0)).contains("bronze"))
+    spark.sql(s"CREATE TABLE $CAT.bronze.events (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    assert(spark.sql(s"SHOW TABLES IN $CAT.bronze").collect()
+      .map(_.getString(1)).contains("events"))
+    val path = s"$wh/bronze/events"
+    // CREATE committed version 1: schema recorded, zero files
+    val v1 = TableLog.snapshot(path).get
+    assert(v1.version == 1 && v1.files.isEmpty && v1.rows == 0)
+    assert(v1.schemaJson.isDefined)
+    // an empty catalog table still SELECTs (zero rows, right schema)
+    assert(spark.sql(s"SELECT * FROM $CAT.bronze.events").count() == 0)
+
+    spark.sql(s"INSERT INTO $CAT.bronze.events " +
+      "SELECT id, id % 7 FROM range(1000)")
+    spark.sql(s"INSERT INTO $CAT.bronze.events VALUES (1000, 3), (1001, 5)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.bronze.events")
+      .as[Long].head() == 1002)
+    // the property-declared stat column was derived on every insert
+    val s3 = TableLog.snapshot(path).get
+    assert(s3.version == 3 && s3.files.nonEmpty)
+    assert(s3.files.forall(_.stats.exists(_.col == "k")))
+
+    // INSERT OVERWRITE = whole-table replace, history intact
+    spark.sql(s"INSERT OVERWRITE $CAT.bronze.events " +
+      "SELECT id, id % 3 FROM range(50)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.bronze.events")
+      .as[Long].head() == 50)
+    assert(TableLog.snapshot(path).get.version == 4)
+    // native time travel: the pre-overwrite version is readable
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.bronze.events VERSION AS OF 3")
+      .as[Long].head() == 1002)
+    // ... and by TAG name
+    TableLog.tagVersion(path, "pre_overwrite", 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.bronze.events " +
+      "VERSION AS OF 'pre_overwrite'").as[Long].head() == 1002)
+
+    // RENAME moves the directory; the old name is gone
+    spark.sql(s"ALTER TABLE $CAT.bronze.events RENAME TO bronze.events2")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.bronze.events2")
+      .as[Long].head() == 50)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $CAT.bronze.events").collect())
+
+    // MANAGED drop: bytes are deleted
+    spark.sql(s"DROP TABLE $CAT.bronze.events2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/bronze/events2")))
+    assert(spark.sql(s"SHOW TABLES IN $CAT.bronze").collect().isEmpty)
+  }
+
+  test("catalog reads prune at the manifest exactly like TableLog.scan") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.prune")
+    spark.sql(s"CREATE TABLE $CAT.prune.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    // 8 single-file commits, each one exact 500-key block
+    (0 until 8).foreach { i =>
+      val lo = i * 500
+      spark.sql(s"INSERT INTO $CAT.prune.t " +
+        s"SELECT id, id % 7 FROM range($lo, ${lo + 500}, 1, 1)")
+    }
+    val full = spark.sql(s"SELECT * FROM $CAT.prune.t")
+    // the substitution happened: no V2 scan relation survives
+    assert(full.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s }.isEmpty,
+      "catalog read must substitute to the GraftLogRelation path")
+    assert(filesScanned(full) == 8)
+    val q = spark.sql(s"SELECT * FROM $CAT.prune.t WHERE k BETWEEN 600 AND 700")
+    assert(filesScanned(q) == 1,
+      "catalog read must prune files from the manifest stats")
+    assert(q.count() == 101)
+    // whole-table count answers from the MANIFEST (zero-IO plan)
+    val cnt = spark.sql(s"SELECT count(*) AS n FROM $CAT.prune.t")
+    assert(cnt.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "metadata-only count must answer from the manifest")
+    assert(cnt.as[Long].head() == 4000)
+    // joins through the catalog reach the dynamic-prune path: a small
+    // dim joined on k opens only the matching file
+    val dim = Seq(42L, 77L).toDF("k")
+    dim.createOrReplaceTempView("cat_dim")
+    val j = spark.sql(
+      s"SELECT t.k, t.v FROM $CAT.prune.t t JOIN cat_dim d ON t.k = d.k")
+    assert(filesScanned(j) == 1, "dyn join prune must apply to catalog reads")
+    assert(j.count() == 2)
+    spark.sql(s"DROP TABLE $CAT.prune.t")
+  }
+
+  test("V1Scan fallback (rule off) reads the same rows, unpruned") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.fb")
+    spark.sql(s"CREATE TABLE $CAT.fb.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $CAT.fb.t SELECT id, id % 7 FROM range(300)")
+    val on = spark.sql(s"SELECT * FROM $CAT.fb.t WHERE k < 10 ORDER BY k")
+      .collect()
+    spark.conf.set(ResolveGraftCatalogReads.CONF_KEY, "false")
+    try {
+      val df = spark.sql(s"SELECT * FROM $CAT.fb.t WHERE k < 10 ORDER BY k")
+      // substitution off: the V2 relation stays and plans via V1Scan
+      assert(df.queryExecution.optimizedPlan.collect {
+        case s: DataSourceV2ScanRelation => s }.nonEmpty)
+      assert(df.collect().toSeq == on.toSeq)
+    } finally spark.conf.set(ResolveGraftCatalogReads.CONF_KEY, "true")
+    spark.sql(s"DROP TABLE $CAT.fb.t")
+  }
+
+  test("MOR sidecars and TIMESTAMP AS OF apply to catalog reads") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.mor")
+    spark.sql(s"CREATE TABLE $CAT.mor.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'morKey' = 'k')")
+    val path = s"$wh/mor/t"
+    spark.sql(s"INSERT INTO $CAT.mor.t SELECT id, id FROM range(100)")
+    Thread.sleep(20)
+    val cut = java.time.Instant.now()
+    Thread.sleep(20)
+    // zero-rewrite MOR update through the Scala face on the SAME table
+    TableLog.updateMor(spark, path, "k", "k", 10, 19,
+      Map("v" -> lit(-1L)), statsCols = Seq("k"))
+    val got = spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.mor.t WHERE v = -1").as[Long].head()
+    assert(got == 10, "catalog read must resolve MOR sidecars")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.mor.t")
+      .as[Long].head() == 100)
+    // TIMESTAMP AS OF the pre-update instant sees the old values
+    val asOf = spark.sql(s"SELECT count(*) AS n FROM $CAT.mor.t " +
+      s"TIMESTAMP AS OF '$cut' WHERE v = -1").as[Long].head()
+    assert(asOf == 0, "TIMESTAMP AS OF must pin the pre-update snapshot")
+    spark.sql(s"DROP TABLE $CAT.mor.t")
+  }
+
+  test("CTAS through the catalog; properties validate at CREATE") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.ctas")
+    spark.sql(s"CREATE TABLE $CAT.ctas.t TBLPROPERTIES ('statsCols'='k') " +
+      "AS SELECT id AS k, id % 5 AS v FROM range(200)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.ctas.t")
+      .as[Long].head() == 200)
+    // CTAS = create (v1, empty) + append (v2): history has both
+    assert(TableLog.snapshot(s"$wh/ctas/t").get.version == 2)
+    assert(TableLog.snapshot(s"$wh/ctas/t").get.files
+      .forall(_.stats.exists(_.col == "k")))
+    // a stat column that is not in the schema refuses at CREATE
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $CAT.ctas.bad (a BIGINT) " +
+        "TBLPROPERTIES ('statsCols' = 'nope')"))
+    assert(e.getMessage.contains("nope"))
+    // PARTITIONED BY refuses with zOrder guidance
+    val p = intercept[Exception](spark.sql(
+      s"CREATE TABLE $CAT.ctas.part (a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (b)"))
+    assert(p.getMessage.contains("zOrder"))
+    spark.sql(s"DROP TABLE $CAT.ctas.t")
+  }
+
+  test("UPDATE/DELETE/MERGE/CALL/TVF SQL over catalog identifiers") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.dml")
+    spark.sql(s"CREATE TABLE $CAT.dml.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/dml/t"
+    spark.sql(s"INSERT INTO $CAT.dml.t SELECT id, id % 7 FROM range(1000)")
+
+    // UPDATE routes to the stats-pruned COW face
+    TableLog.sql(spark, s"UPDATE $CAT.dml.t SET v = 99 " +
+      "WHERE k BETWEEN 100 AND 109")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.dml.t WHERE v = 99")
+      .as[Long].head() == 10)
+    // DELETE
+    TableLog.sql(spark, s"DELETE FROM $CAT.dml.t WHERE k BETWEEN 0 AND 49")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.dml.t")
+      .as[Long].head() == 950)
+    // MERGE upsert from a temp-view source
+    Seq((100L, -5L), (5000L, -6L)).toDF("k", "v")
+      .createOrReplaceTempView("cat_dml_src")
+    TableLog.sql(spark, s"MERGE INTO $CAT.dml.t t USING cat_dml_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT v FROM $CAT.dml.t WHERE k = 100")
+      .as[Long].head() == -5)
+    assert(spark.sql(s"SELECT v FROM $CAT.dml.t WHERE k = 5000")
+      .as[Long].head() == -6)
+    // an untranslatable predicate on a CLAIMED catalog target refuses
+    // loudly instead of falling through to a misleading Spark error
+    val bad = intercept[Exception](TableLog.sql(spark,
+      s"DELETE FROM $CAT.dml.t WHERE v % 2 = 0"))
+    assert(bad.getMessage.contains("graft SQL DML"))
+
+    // CALL procedures accept the dotted identifier as the table arg
+    val vBefore = TableLog.latestVersion(path)
+    TableLog.sql(spark, s"CALL compact_small('$CAT.dml.t', ${64L << 20})")
+    assert(TableLog.latestVersion(path) >= vBefore)
+    // TVFs: history + changes over the catalog name
+    val hist = TableLog.sql(spark,
+      s"SELECT * FROM table_history('$CAT.dml.t')")
+    assert(hist.count() >= 4)
+    // v3 → v4 is the DELETE of k 0..49: the manifest delta's removed
+    // minus re-added rows nets to exactly the 50 deleted rows
+    val ch = TableLog.sql(spark,
+      s"SELECT * FROM table_changes('$CAT.dml.t', 3, 4)")
+    val dels = ch.where($"_change_type" === "delete").count()
+    val ins = ch.where($"_change_type" === "insert").count()
+    assert(dels - ins == 50)
+
+    // MOR routing from table properties: zero base-file rewrites
+    spark.sql(s"CREATE TABLE $CAT.dml.m (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'morKey' = 'k')")
+    spark.sql(s"INSERT INTO $CAT.dml.m SELECT id, id FROM range(100)")
+    val mPath = s"$wh/dml/m"
+    val baseFiles = TableLog.snapshot(mPath).get.files.map(_.path).toSet
+    TableLog.sql(spark, s"UPDATE $CAT.dml.m SET v = -1 WHERE k = 7")
+    val after = TableLog.snapshot(mPath).get
+    assert(baseFiles.subsetOf(after.files.map(_.path).toSet),
+      "morKey property must route UPDATE to the zero-rewrite MOR face")
+    assert(after.dels.nonEmpty)
+    assert(spark.sql(s"SELECT v FROM $CAT.dml.m WHERE k = 7")
+      .as[Long].head() == -1)
+    spark.sql(s"DROP TABLE $CAT.dml.t")
+    spark.sql(s"DROP TABLE $CAT.dml.m")
+  }
+
+  test("ALTER TABLE properties and RENAME COLUMN route to the log") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt")
+    spark.sql(s"CREATE TABLE $CAT.alt.t (k BIGINT, txt STRING)")
+    spark.sql(s"INSERT INTO $CAT.alt.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE $CAT.alt.t SET TBLPROPERTIES " +
+      "('statsCols' = 'k')")
+    // the new property drives the NEXT insert's stats
+    spark.sql(s"INSERT INTO $CAT.alt.t VALUES (3, 'c')")
+    val snap = TableLog.snapshot(s"$wh/alt/t").get
+    assert(snap.files.exists(_.stats.exists(_.col == "k")))
+    // metadata-only column rename through the schema-op machinery
+    spark.sql(s"ALTER TABLE $CAT.alt.t RENAME COLUMN txt TO body")
+    val rows = spark.sql(s"SELECT body FROM $CAT.alt.t ORDER BY k")
+      .as[String].collect()
+    assert(rows.toSeq == Seq("a", "b", "c"))
+    spark.sql(s"DROP TABLE $CAT.alt.t")
+  }
+}
