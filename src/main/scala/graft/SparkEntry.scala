@@ -780,6 +780,52 @@ object SparkEntry {
       ORDER BY state, priority""")
   }
 
+  /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
+    * `publishBranch`'s fast-forward refuses: src keeps appending while
+    * a branch deletes a range and appends derived rows; `CALL
+    * merge_branch(view, branchPath, 'o_orderkey')` (the SQL face, with
+    * the key-disjointness contract) folds the branch's net changes
+    * into one commit. The final SELECT unions the merged LIVE
+    * aggregate with a `VERSION AS OF <fork>` read, so the oracle pins
+    * both the three-way result (base − branch delete + BOTH sides'
+    * appends) and the untouched fork history. */
+  private def o77BranchMerge(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val src = s"$tmpRoot/m3_src_$sfx"
+    val br = s"$tmpRoot/m3_br_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(br))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 25)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.create(s, src, base.repartitionByRange(4, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))                              // v1
+    val fork = tl.cloneTable(s, src, br)
+    // SRC ADVANCES (ff publish is now impossible)…
+    tl.append(s, src, base.where(col("o_orderkey") % 97 === 3)
+      .select((col("o_orderkey") + 60000000L).as("o_orderkey"),
+        col("price_c"), lit("S").as("priority")),
+      statsCols = Seq("o_orderkey"))
+    // …while the branch deletes a range and appends derived rows
+    tl.deleteWhere(s, br, "o_orderkey", 3000, 9000,
+      statsCols = Seq("o_orderkey"))
+    tl.append(s, br, base.where(col("o_orderkey") % 97 === 5)
+      .select((col("o_orderkey") + 70000000L).as("o_orderkey"),
+        col("price_c"), lit("B").as("priority")),
+      statsCols = Seq("o_orderkey"))
+    tl.registerSqlTable(s, "lake77", src, statsCols = Seq("o_orderkey"))
+    tl.sql(s, s"CALL merge_branch('lake77', '$br', 'o_orderkey')")
+    val live = tl.scan(s, src)
+    val asOf = tl.scanVersion(s, src, fork)
+    def agg(df: DataFrame, state: String) = df.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+      .select(lit(state).as("state"), col("priority"), col("n_rows"),
+        col("sum_price_c"))
+    agg(live, "live").unionByName(agg(asOf, "fork"))
+      .orderBy(col("state"), col("priority"))
+  }
+
   /** WRITE-AUDIT-PUBLISH under the oracle: clone a zero-copy branch,
     * mutate it (range delete + derived-row append) while the in-plan
     * invariant pins that SRC is bit-untouched, audit the branch, then
@@ -3968,6 +4014,7 @@ object SparkEntry {
     "o74_sql_full" -> (o74SqlFull _),
     "o75_wap" -> (o75Wap _),
     "o76_catalog_sql" -> (o76CatalogSql _),
+    "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
     "o62_clone" -> (o62Clone _),
@@ -5515,6 +5562,32 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
         |FROM t GROUP BY priority
+        |ORDER BY state, priority""".stripMargin,
+    // the three-way merge replayed relationally: live = base minus the
+    // branch's delete range plus BOTH sides' derived appends; the fork
+    // rows = the pristine base
+    "o77_branch_merge" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 25),
+        |live AS (SELECT * FROM t
+        |    WHERE o_orderkey NOT BETWEEN 3000 AND 9000
+        |  UNION ALL
+        |  SELECT o_orderkey + 60000000, price_c, 'S'
+        |    FROM t WHERE o_orderkey % 97 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, price_c, 'B'
+        |    FROM t WHERE o_orderkey % 97 = 5)
+        |SELECT 'fork' AS state, priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM t GROUP BY priority
+        |UNION ALL
+        |SELECT 'live' AS state, priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |FROM live GROUP BY priority
         |ORDER BY state, priority""".stripMargin,
     // published = base minus the branch's delete range plus its
     // derived appends; the fork row = the pristine base (sum over

@@ -103,12 +103,15 @@ object GraftSqlDml {
     *   - `CALL vacuum_keep('<view>', keepVersions)`
     *   - `CALL tag('<view>', '<name>', version)` /
     *     `CALL delete_tag('<view>', '<name>')`
+    *   - `CALL publish_branch('<view>', '<branch path>')` /
+    *     `CALL merge_branch('<view>', '<branch path>'[, '<keyCol>'])`
     * Claimed only when the procedure name is one of these AND its
     * first argument is a registered view; everything else passes
     * through (Spark reports its own unresolved-procedure error). The
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
-    "zorder_maintain", "vacuum_keep", "tag", "delete_tag")
+    "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
+    "publish_branch", "merge_branch")
 
   private def call(spark: SparkSession, c: Call): Option[LogicalPlan] = {
     val nameOpt = c.procedure match {
@@ -155,6 +158,14 @@ object GraftSqlDml {
         case "delete_tag" =>
           TableLog.deleteTag(reg.table, strArg(1))
           TableLog.latestVersion(reg.table)
+        // branch verbs: arg 2 is the BRANCH PATH (branches are
+        // unregistered working clones); merge_branch's optional arg 3
+        // is the key column for the added-file disjointness contract
+        case "publish_branch" =>
+          TableLog.publishBranch(s, reg.table, strArg(1))
+        case "merge_branch" =>
+          TableLog.mergeBranch(s, reg.table, strArg(1),
+            keyCol = c.args.lift(2).flatMap(strOf))
       })
     }
   }

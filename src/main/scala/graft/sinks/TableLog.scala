@@ -1946,6 +1946,172 @@ object TableLog {
     bLatest
   }
 
+  /** THREE-WAY branch merge — the src-advanced case `publishBranch`'s
+    * fast-forward discipline refuses: fold a branch's net changes
+    * since its fork into a src that has kept committing, as ONE
+    * `merge_branch` commit, refusing loudly whenever the two sides'
+    * changes cannot be proven independent. File-level three-way
+    * semantics against the FORK snapshot (the clone manifest both
+    * sides share):
+    *
+    *   - files REMOVED/REWRITTEN by exactly one side apply; removed by
+    *     BOTH sides → CONFLICT (both rewrote the same base file — a
+    *     branch delete and a src compaction of the same region, say —
+    *     no file-level resolution exists; re-clone and re-apply).
+    *   - files ADDED by both sides UNION (the natural semantic for
+    *     append-shaped tables). For KEYED tables pass `keyCol`: the
+    *     merge then refuses unless every (src-added × branch-added)
+    *     pair is provably key-disjoint by the manifest stats — a
+    *     same-key upsert on both sides must not silently double.
+    *   - SCHEMA: branch schema/schema-op/CHECK changes refuse (they
+    *     were validated against the fork state only); src may have
+    *     ADDED columns (branch files read null there, the ordinary
+    *     evolution contract) — renames/drops/type changes refuse.
+    *   - MOR SIDECARS: changes on either side refuse — a sidecar
+    *     fences files by version, and the two sides' post-fork
+    *     version numbers collide; `morMaintain` (materialize) on the
+    *     branch first, which converts them into file rewrites the
+    *     rules above audit.
+    *   - COUNTERS: branch deltas add onto src's values (additive
+    *     counters merge like the concurrent appends they count); a
+    *     PIN swing needs a rebalance rewrite, which conflicts above.
+    *
+    * Branch-added files hard-link in (zero copy, the clone's inode
+    * trick) RESTAMPED to the merge version — branch version numbers
+    * collide with src's post-fork history, and the stamp is what
+    * sidecar/schema-op fencing compares. O(changed files + manifest);
+    * CAS-retries against racing src writers like every commit.
+    * Returns the committed version. */
+  def mergeBranch(spark: SparkSession, src: String, branch: String,
+      keyCol: Option[String] = None): Long = {
+    require(!feedEnabled(src),
+      s"mergeBranch($src): feed tables cannot absorb a burst of " +
+        "history — stream into them instead")
+    val bLatest = latestVersion(branch)
+    require(bLatest > 0, s"mergeBranch: $branch has no commit log")
+    val fork = listDir(logDir(branch))
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .min
+    val bSnap = snapshotOrFail(branch)
+    val base = snapshotAt(src, fork).getOrElse(sys.error(
+      s"mergeBranch: src's v$fork (the fork point) is no longer " +
+        s"resolvable in $src — vacuumed past the fork; re-clone and " +
+        "re-apply"))
+    // the branch must BE a branch of src: its earliest manifest is the
+    // clone commit and carries exactly src's fork file list
+    val forkRec = parseRec(manifestPath(branch, fork)).getOrElse(
+      sys.error(s"mergeBranch: $branch v$fork unreadable"))
+    require(forkRec.kind == "full" &&
+        forkRec.files.map(_.path).toSet == base.files.map(_.path).toSet,
+      s"mergeBranch: $branch's fork manifest does not match $src at " +
+        s"v$fork — not a branch of this table")
+    // (name, type) shape — NULLABILITY-insensitive: rewrites re-derive
+    // the recorded schema from DataFrames and a parquet round-trip
+    // flips nullable, which is not a schema change
+    def shape(j: Option[String]): Option[Seq[(String,
+        org.apache.spark.sql.types.DataType)]] =
+      j.map(x => org.apache.spark.sql.types.DataType.fromJson(x)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.toSeq.map(f => (f.name, f.dataType)))
+    require(shape(bSnap.schemaJson) == shape(base.schemaJson) &&
+        bSnap.schemaOps == base.schemaOps && bSnap.checks == base.checks,
+      s"mergeBranch: $branch changed schema, schema ops, or CHECK " +
+        "constraints since the fork — publish those with a " +
+        "fast-forward (publishBranch), or re-clone")
+    require(bSnap.dels == base.dels,
+      s"mergeBranch: $branch has pending MOR sidecar changes since " +
+        "the fork — run morMaintain(branch) to materialize them into " +
+        "file rewrites first (sidecar version fences do not survive a " +
+        "merge: the two sides' post-fork version numbers collide)")
+    val basePaths = base.files.map(_.path).toSet
+    val bPaths = bSnap.files.map(_.path).toSet
+    val addedB = bSnap.files.filterNot(f => basePaths(f.path))
+    val removedB = basePaths.diff(bPaths)
+    var committed = -1L
+    while (committed < 0) {
+      val srcSnap = snapshotOrFail(src)
+      require(srcSnap.schemaOps == base.schemaOps &&
+          srcSnap.checks == base.checks,
+        s"mergeBranch: $src changed schema ops or CHECK constraints " +
+          "since the fork — the branch's files were never validated " +
+          "against them; re-clone and re-apply")
+      // src schema may have ADDED columns (branch files read null
+      // there); anything else refuses
+      (shape(base.schemaJson), shape(srcSnap.schemaJson)) match {
+        case (Some(b), Some(s)) if b != s =>
+          val sf = s.toMap
+          require(b.forall { case (n, t) => sf.get(n).contains(t) },
+            s"mergeBranch: $src changed existing columns since the " +
+              "fork (only ADDITIVE evolution merges); re-clone and " +
+              "re-apply")
+        case _ => ()
+      }
+      require(srcSnap.dels == base.dels,
+        s"mergeBranch: $src has pending MOR sidecar changes since the " +
+          "fork — run morMaintain(src) first")
+      val srcPaths = srcSnap.files.map(_.path).toSet
+      val removedS = basePaths.diff(srcPaths)
+      val both = removedB.intersect(removedS)
+      require(both.isEmpty,
+        s"mergeBranch CONFLICT: both $src and $branch rewrote or " +
+          s"removed ${both.size} base file(s) since the fork " +
+          s"(${both.take(3).mkString(", ")}${if (both.size > 3) ", …"
+          else ""}) — no file-level resolution exists; re-clone and " +
+          "re-apply the branch's intent")
+      keyCol.foreach { k =>
+        val addedS = srcSnap.files.filterNot(f => basePaths(f.path))
+        def range(f: FileEntry): (Long, Long) =
+          f.stats.find(_.col == k).map(st => (st.min, st.max)).getOrElse(
+            sys.error(s"mergeBranch: added file ${f.path} carries no " +
+              s"'$k' stat — key-disjointness is unprovable; write with " +
+              s"statsCols = Seq(\"$k\"), or merge without keyCol"))
+        val clashes = for {
+          a <- addedS; b <- addedB
+          (alo, ahi) = range(a); (blo, bhi) = range(b)
+          if alo <= bhi && blo <= ahi
+        } yield s"${a.path} ∩ ${b.path} on [$alo..$ahi]×[$blo..$bhi]"
+        require(clashes.isEmpty,
+          s"mergeBranch CONFLICT: src- and branch-added files overlap " +
+            s"on key '$k' (${clashes.take(3).mkString("; ")}${
+              if (clashes.size > 3) "; …" else ""}) — a same-key " +
+            "upsert on both sides cannot merge; re-clone and re-apply")
+      }
+      // link the branch's new files in before the manifest that
+      // references them can commit (uuid dir paths are collision-free)
+      addedB.foreach { f =>
+        val from = Paths.get(branch, f.path)
+        val to = Paths.get(src, f.path)
+        if (!Files.exists(to)) {
+          Files.createDirectories(to.getParent)
+          try Files.createLink(to, from)
+          catch { case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            Files.copy(from, to) // cross-device: degrade to a copy
+          }
+        }
+      }
+      val version = srcSnap.version + 1
+      val files = srcSnap.files.filterNot(f => removedB(f.path)) ++
+        addedB.map(_.copy(ver = version))
+      val rows = srcSnap.rows + (bSnap.rows - base.rows)
+      val counters = srcSnap.counters ++
+        bSnap.counters.collect {
+          case (k, v) if v != base.counters.getOrElse(k, 0L) =>
+            k -> (srcSnap.counters.getOrElse(k,
+              base.counters.getOrElse(k, 0L)) +
+              (v - base.counters.getOrElse(k, 0L)))
+        }
+      val r = ManifestRec(version, srcSnap.version, "merge_branch",
+        rows, "full", files, Nil, Nil, srcSnap.dels, Nil, None,
+        srcSnap.schemaJson, counters, schemaOps = srcSnap.schemaOps,
+        checks = srcSnap.checks)
+      if (tryCommit(src, r)) committed = version
+    }
+    committed
+  }
+
   /** RESTORE the table to a historical version — the acting half of
     * time travel (`readAsOf` answers "what did it look like";
     * `restore` makes it so again): commits a NEW full-manifest version

@@ -1315,6 +1315,113 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.publishBranch(spark, src, br3) == f3)
   }
 
+  test("mergeBranch: three-way merge folds branch changes into an advanced src; conflicts refuse") {
+    import java.nio.file.{Files, Paths}
+    val src = tmp("graft_log_m3_src")
+    val br = tmp("graft_log_m3_br")
+    // 4 exact 250-key files so delete rewrites are file-predictable
+    TableLog.create(spark, src,
+      spark.range(0L, 1000L, 1L, 4).toDF("k"), statsCols = Seq("k"))
+    val fork = TableLog.cloneTable(spark, src, br)
+    // src ADVANCES (this is exactly what publishBranch refuses)…
+    TableLog.append(spark, src, spark.range(10000, 10100).toDF("k"),
+      statsCols = Seq("k"))
+    // …while the branch deletes a range (rewrites file 0) and appends
+    TableLog.deleteWhere(spark, br, "k", 0, 49, statsCols = Seq("k"))
+    TableLog.append(spark, br, spark.range(20000, 20200).toDF("k"),
+      statsCols = Seq("k"))
+    intercept[IllegalArgumentException](
+      TableLog.publishBranch(spark, src, br)) // ff-only refuses
+    val v = TableLog.mergeBranch(spark, src, br)
+    assert(v == TableLog.latestVersion(src))
+    val snap = TableLog.snapshot(src).get
+    assert(snap.action == "merge_branch")
+    // contents: base − branch delete + src append + branch append
+    assert(snap.rows == 1000 - 50 + 100 + 200)
+    val ks = TableLog.read(spark, src).as[Long].collect().toSet
+    assert(ks == ((50L until 1000L) ++ (10000L until 10100L) ++
+      (20000L until 20200L)).toSet)
+    // branch files restamped to the merge version and zero-copy linked
+    val merged = snap.files.filter(_.ver == v)
+    assert(merged.nonEmpty)
+    merged.filter(f => Files.exists(Paths.get(br, f.path))).foreach { f =>
+      assert(Files.getAttribute(Paths.get(src, f.path), "unix:ino") ==
+        Files.getAttribute(Paths.get(br, f.path), "unix:ino"))
+    }
+    // pre-merge src history still time-travels
+    assert(TableLog.readVersion(spark, src, fork).count() == 1000)
+
+    // CONFLICT: both sides rewrite the SAME base file
+    val src2 = tmp("graft_log_m3_src2")
+    val br2 = tmp("graft_log_m3_br2")
+    TableLog.create(spark, src2,
+      spark.range(0L, 1000L, 1L, 4).toDF("k"), statsCols = Seq("k"))
+    TableLog.cloneTable(spark, src2, br2)
+    TableLog.deleteWhere(spark, src2, "k", 0, 9, statsCols = Seq("k"))
+    TableLog.deleteWhere(spark, br2, "k", 40, 49, statsCols = Seq("k"))
+    val c = intercept[Exception](TableLog.mergeBranch(spark, src2, br2))
+    assert(c.getMessage.contains("CONFLICT"))
+
+    // keyCol: overlapping added key ranges refuse; disjoint merge fine
+    val src3 = tmp("graft_log_m3_src3")
+    val br3 = tmp("graft_log_m3_br3")
+    TableLog.create(spark, src3, spark.range(100).toDF("k"),
+      statsCols = Seq("k"))
+    TableLog.cloneTable(spark, src3, br3)
+    TableLog.append(spark, src3, spark.range(500, 600).toDF("k"),
+      statsCols = Seq("k"))
+    TableLog.append(spark, br3, spark.range(550, 650).toDF("k"),
+      statsCols = Seq("k"))
+    val k = intercept[Exception](
+      TableLog.mergeBranch(spark, src3, br3, keyCol = Some("k")))
+    assert(k.getMessage.contains("overlap"))
+    // without the key contract the same merge is a legal union
+    assert(TableLog.mergeBranch(spark, src3, br3) > 0)
+    assert(TableLog.read(spark, src3).count() == 300)
+  }
+
+  test("mergeBranch: sidecar and schema guards refuse; morMaintain unblocks; counters merge additively") {
+    val src = tmp("graft_log_m3g_src")
+    val br = tmp("graft_log_m3g_br")
+    TableLog.create(spark, src,
+      spark.range(0L, 400L, 1L, 2).select($"id".as("k"), $"id".as("v")),
+      statsCols = Seq("k"), counterDelta = Map("ing" -> 400L))
+    TableLog.cloneTable(spark, src, br)
+    TableLog.append(spark, src,
+      spark.range(1000, 1100).select($"id".as("k"), $"id".as("v")),
+      statsCols = Seq("k"), counterDelta = Map("ing" -> 100L))
+    // a pending MOR sidecar on the branch refuses with the maintain hint
+    TableLog.updateMor(spark, br, "k", "k", 10, 19,
+      Map("v" -> org.apache.spark.sql.functions.lit(-1L)),
+      statsCols = Seq("k"))
+    val e = intercept[IllegalArgumentException](
+      TableLog.mergeBranch(spark, src, br))
+    assert(e.getMessage.contains("morMaintain"))
+    // materializing converts it into file rewrites the merge audits
+    TableLog.morMaintain(spark, br, maxSidecars = 0,
+      statsCols = Seq("k"))
+    TableLog.append(spark, br,
+      spark.range(2000, 2050).select($"id".as("k"), $"id".as("v")),
+      statsCols = Seq("k"), counterDelta = Map("ing" -> 50L))
+    val v = TableLog.mergeBranch(spark, src, br)
+    val snap = TableLog.snapshot(src).get
+    assert(snap.rows == 400 + 100 + 50)
+    // the branch's MOR update rode in via its materialized rewrite
+    assert(TableLog.read(spark, src).where($"v" === -1L).count() == 10)
+    // counters: src delta and branch delta both land
+    assert(snap.counters("ing") == 400L + 100L + 50L)
+    // schema guard: a src RENAME since the fork refuses a later merge
+    val br4 = tmp("graft_log_m3g_br4")
+    TableLog.cloneTable(spark, src, br4)
+    TableLog.append(spark, br4,
+      spark.range(3000, 3010).select($"id".as("k"), $"id".as("v")),
+      statsCols = Seq("k"))
+    TableLog.renameColumn(spark, src, "v", "w")
+    val s = intercept[IllegalArgumentException](
+      TableLog.mergeBranch(spark, src, br4))
+    assert(s.getMessage.contains("schema"))
+  }
+
   test("publishBranch racing a writer: stops at a consistent prefix, never a torn table") {
     import java.nio.file.Path
     val src = tmp("graft_log_wap_race_src")
