@@ -90,6 +90,10 @@ object GraftFunctionRegistry {
         org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(2), org.apache.spark.sql.types.LongType))),
+    ("hilbert_long", classOf[HilbertLong].getName,
+      es => HilbertLong(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType))),
     ("normalize_nfc", classOf[NormalizeNfc].getName,
       es => NormalizeNfc(es(0))),
     // PII redaction from SQL — same three RE2-subset patterns as the

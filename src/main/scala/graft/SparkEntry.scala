@@ -569,6 +569,63 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** HILBERT clustering under the oracle — `o70`'s curve-swapped twin:
+    * a FULL-RESOLUTION 65536² derived grid laid out by
+    * `TableLog.hilbertOrder` (the unit-step curve `tools.CurveStats`
+    * measured at 10–22% fewer files per box than Morton at realistic
+    * non-power-of-4 file counts — per-box winners vary at tiny file
+    * counts, so the advantage is pinned by that measurement, not
+    * per-box here), read through the declarative face with a 2-D
+    * conjunction. In-plan invariant — the INTEGRATION-EXACTNESS pin:
+    * on every probe box, `prunedFilesByBox`'s kept set equals the
+    * brute-force interval check over the box's cells against each
+    * file's RECORDED `h2|` stat (full-resolution ranges make the
+    * identity normalization exact, so brute force is well-defined) —
+    * one identity covering stat recording, physical-name resolution,
+    * range clamping, normalization, and the curve walk end-to-end.
+    * The oracle replays the grid and box relationally. */
+  private def o78HilbertSkip(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/hskip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "events").select(
+      (col("event_id") % 65536).as("a"),
+      ((col("event_id") * lit(2654435761L)) % 65536).as("b"),
+      col("event_type"))
+    tl.create(s, t, base)
+    tl.hilbertOrder(s, t, 7, "a", (0L, 65535L), "b", (0L, 65535L),
+      statsCols = Seq("a", "b"))
+    val snap = tl.snapshot(t).get
+    val boxes = Seq((0L, 199L, 0L, 199L), (65300L, 65500L, 100L, 300L),
+      (200L, 399L, 65200L, 65400L), (30000L, 30199L, 30000L, 30199L),
+      (1000L, 2599L, 500L, 599L))
+    boxes.foreach { case (al, ah, bl, bh) =>
+      val perCol = tl.prunedFilesOf(
+        snap.copy(files = tl.prunedFilesOf(snap, "a", al, ah)),
+        "b", bl, bh)
+      val boxed = tl.prunedFilesByBox(snap.copy(files = perCol),
+        Map("a" -> (al, ah), "b" -> (bl, bh))).map(_.path).toSet
+      val brute = perCol.filter { f =>
+        val st = f.stats.find(_.col.startsWith("h2|")).getOrElse(
+          sys.error(s"o78: ${f.path} lost its h2 stat"))
+        (al to ah).exists(a => (bl to bh).exists { b =>
+          val e = graft.functions.HilbertLong.encode16(a, b)
+          e >= st.min && e <= st.max
+        })
+      }.map(_.path).toSet
+      assert(boxed == brute,
+        s"o78_hilbert_skip: box [$al..$ah]×[$bl..$bh] kept $boxed " +
+          s"but the brute-force interval check over the recorded h2 " +
+          s"stats says $brute — the layout→stat→walk chain drifted")
+    }
+    tl.scan(s, t)
+      .where(col("a").between(0, 9999) && col("b").between(0, 19999))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"))
+      .orderBy(col("event_type"))
+  }
+
   /** THREE-column z-order clustering under the oracle — `o70`'s n-ary
     * step (source × time × length is the natural training-data
     * layout). A table z3-ordered on three derived dims
@@ -4008,6 +4065,7 @@ object SparkEntry {
     "o68_sql_dml_mor" -> (o68SqlDmlMor _),
     "o69_sql_insert" -> (o69SqlInsert _),
     "o70_box_skip" -> (o70BoxSkip _),
+    "o78_hilbert_skip" -> (o78HilbertSkip _),
     "o71_z3" -> (o71Z3 _),
     "o72_zorder_maintain" -> (o72ZMaintain _),
     "o73_tags" -> (o73Tags _),
@@ -5681,6 +5739,18 @@ object SparkEntry {
         |  CAST(sum(a) AS BIGINT) AS sum_a,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM g WHERE a BETWEEN 0 AND 40 AND b BETWEEN 64 AND 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // o70's grid at full 16-bit resolution, laid out by the hilbert
+    // curve instead — identical relational answer, the files-opened
+    // exactness is pinned in-plan
+    "o78_hilbert_skip" ->
+      """WITH g AS (SELECT event_id % 65536 AS a,
+        |  (event_id * 2654435761) % 65536 AS b, event_type
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM g WHERE a BETWEEN 0 AND 9999 AND b BETWEEN 0 AND 19999
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the two inserts replayed relationally; the asof_v1 row must
     // equal the PRISTINE base (a time-travel leak of either insert

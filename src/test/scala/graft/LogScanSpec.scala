@@ -302,6 +302,53 @@ class LogScanSpec extends SparkSpec {
     assert(q2.count() == 41L * 37L + 1)
   }
 
+  test("hilbert box pruning: the h2 layout prunes through the declarative face and maintains under its own curve") {
+    val t = tmp("graft_log_hbox")
+    // same 256×256 grid and odd file count as the z-box test — a
+    // boundary-straddling file's per-column bbox is wide while its
+    // hilbert run stays in one spatial neighborhood
+    TableLog.create(spark, t, spark.range(65536)
+      .select(($"id" / 256).cast("long").as("a"),
+        ($"id" % 256).as("b"), ($"id" % 7).as("v")))
+    TableLog.hilbertOrder(spark, t, 5, "a", (0L, 255L), "b", (0L, 255L))
+    assert(TableLog.snapshot(t).get.files.forall(
+      _.stats.exists(_.col.startsWith("h2|"))))
+    // at least one probe box must tighten strictly vs per-column stats
+    val boxes = Seq((0, 40, 64, 100), (200, 255, 0, 40),
+      (64, 100, 200, 255), (100, 160, 30, 90))
+    var tightened = false
+    boxes.foreach { case (al, ah, bl, bh) =>
+      def q() = TableLog.scan(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh))
+      val withBox = filesScanned(q())
+      spark.conf.set(graft.plans.PruneLogScan.BOX_KEY, "false")
+      val withoutBox =
+        try filesScanned(q())
+        finally spark.conf.unset(graft.plans.PruneLogScan.BOX_KEY)
+      assert(withBox <= withoutBox)
+      if (withBox < withoutBox) tightened = true
+      // correctness: scan ≡ eager read on every box
+      checkSame(q(), TableLog.read(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh)))
+    }
+    assert(tightened,
+      "the hilbert-interval test must strictly tighten at least one box")
+    // maintenance re-clusters the unclustered tail UNDER THE SAME
+    // CURVE: an append without the stat, then the tick, then every
+    // file carries h2 again and reads are unchanged
+    TableLog.append(spark, t,
+      spark.range(300).select(($"id" % 256).as("a"),
+        ($"id" % 256).as("b"), ($"id" % 7).as("v")))
+    val before = TableLog.read(spark, t).groupBy($"a").count()
+      .orderBy($"a").collect().toSeq
+    TableLog.zOrderMaintain(spark, t, targetBytes = 64L << 20)
+    assert(TableLog.snapshot(t).get.files.forall(
+      _.stats.exists(_.col.startsWith("h2|"))),
+      "maintenance must stamp the hilbert spec, not silently re-z")
+    assert(TableLog.read(spark, t).groupBy($"a").count()
+      .orderBy($"a").collect().toSeq == before)
+  }
+
   test("z3 octree box pruning: 3-D conjunctions drop z-boundary files per-column stats must keep") {
     val t = tmp("graft_log_z3box")
     // 64×64×64 grid z3-ordered into 5 files: the odd file count makes

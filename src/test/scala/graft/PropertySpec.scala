@@ -395,6 +395,63 @@ class PropertySpec extends SparkSpec {
     }, n = 500)
   }
 
+  test("hilbert encode: bijection on a 64² grid, consecutive indices are grid neighbors") {
+    import graft.functions.HilbertLong
+    // bijectivity + THE hilbert property (unit steps — what morton
+    // lacks at quadrant jumps); exhaustive on the 64² grid, and the
+    // scaled grids agree with the production 65536² encode on the
+    // shared prefix bits
+    val n = 64L
+    val cells = for (x <- 0L until n; y <- 0L until n)
+      yield (HilbertLong.encode(n, x, y), (x, y))
+    val byD = cells.toMap
+    assert(byD.size == (n * n).toInt, "encode must be a bijection")
+    assert(byD.keys.min == 0L && byD.keys.max == n * n - 1)
+    (0L until n * n - 1).foreach { d =>
+      val (x0, y0) = byD(d); val (x1, y1) = byD(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"d=$d: ($x0,$y0) → ($x1,$y1) is not a unit step")
+    }
+    // scale coherence: the top bits of the 16-bit encode follow the
+    // 6-bit encode (a curve is self-similar, so cell (x,y) on the 64
+    // grid contains exactly the 16-bit indices of its 1024² sub-cells)
+    (0 until 200).foreach { _ =>
+      val x = scala.util.Random.nextInt(64).toLong
+      val y = scala.util.Random.nextInt(64).toLong
+      val d6 = HilbertLong.encode(64L, x, y)
+      val d16 = HilbertLong.encode16(x << 10, y << 10)
+      assert(d16 >> 20 == d6, s"($x,$y): 16-bit prefix ${d16 >> 20} != $d6")
+    }
+  }
+
+  test("hBoxIntersects ≡ brute force: the hilbert-interval box test is exact on small boxes") {
+    import graft.functions.HilbertLong
+    val gen = for {
+      a0 <- Gen.choose(0L, 65527L)
+      aw <- Gen.choose(0L, 7L)
+      b0 <- Gen.choose(0L, 65527L)
+      bw <- Gen.choose(0L, 7L)
+      anchorInBox <- Gen.oneOf(true, false)
+      hc <- Gen.choose(0L, (1L << 32) - 1)
+      hw <- Gen.choose(0L, 1L << 20)
+    } yield {
+      val center =
+        if (anchorInBox)
+          HilbertLong.encode16(a0 + aw / 2, b0 + bw / 2)
+        else hc
+      (a0, a0 + aw, b0, b0 + bw,
+        math.max(0L, center - hw), center + hw)
+    }
+    check("hbox", Prop.forAllNoShrink(gen) {
+      case (alo, ahi, blo, bhi, hlo, hhi) =>
+        val brute = (alo to ahi).exists(a => (blo to bhi).exists { b =>
+          val h = HilbertLong.encode16(a, b); h >= hlo && h <= hhi
+        })
+        val fast = HilbertLong.hBoxIntersects(hlo, hhi, alo, ahi, blo, bhi)
+        fast == brute
+    }, n = 500)
+  }
+
   test("interleave3 round-trips: z3 bit positions decode back to their dimensions") {
     import graft.functions.ZOrderLong
     val gen = for {
