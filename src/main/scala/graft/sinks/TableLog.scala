@@ -843,25 +843,44 @@ object TableLog {
       return raw(files)
     val delVers = s.dels.map(_.ver).distinct.sorted
     val opVers = s.schemaOps.map(_.ver).distinct.sorted
-    // cohort key = how many delete/schema-op versions fence AT OR
-    // BELOW the file (those with ver > file.ver apply); same key →
-    // same applicable suffix of each
-    val cohorts = files.groupBy(f =>
-      (delVers.count(_ <= f.ver), opVers.count(_ <= f.ver))).toSeq
-      .sortBy(_._1)
-    cohorts.map { case ((nDel, nOp), fs) =>
-      val fileVer = fs.map(_.ver).min
-      val base = scanPhysical(spark, table, s, fs,
-        s.schemaOps.filter(_.ver > fileVer))
-      val applicable = delVers.drop(nDel).toSet
-      val active = s.dels.filter(d => applicable(d.ver))
-      active.groupBy(_.keyCol).foldLeft(base) {
-        case (df, (k, des)) =>
-          val keys = spark.read.parquet(
-            des.map(d => s"$table/${d.file.path}"): _*)
-          df.join(keys.select(col(k)).distinct(), Seq(k), "left_anti")
+    // TWO-TIER cohorts. Tier 1: files NO sidecar can touch
+    // (`sidecarFences` = version fence + write-time key-stat
+    // disjointness, per file) take the raw scan — zero anti-joins; on
+    // a range-clustered table with narrow MOR deletes that is most of
+    // the table. Tier 2: fenced files keep the VERSION-cohort scheme
+    // (same applicable-suffix key as ever) — NOT per-file fence sets,
+    // which would explode one cohort into one-per-touched-file and
+    // trade a single K-sidecar anti-join for K unions (measured 16×
+    // worse at 32 scattered sidecars, tools.MorMaintStats). Each
+    // cohort additionally drops sidecars stat-disjoint from ALL its
+    // files, shrinking the key-union without changing cohort count.
+    // O(files × dels) stat comparisons at planning — dels are
+    // morMaintain-bounded.
+    val (fenced, unfenced) = files.partition(f =>
+      s.dels.exists(d => sidecarFences(s, f, d)))
+    val rawCohorts = unfenced.groupBy(f => opVers.count(_ <= f.ver))
+      .toSeq.sortBy(_._1).map { case (_, fs) =>
+        val fileVer = fs.map(_.ver).min
+        scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer))
       }
-    }.reduce(_ unionByName _)
+    val delCohorts = fenced.groupBy(f =>
+      (delVers.count(_ <= f.ver), opVers.count(_ <= f.ver))).toSeq
+      .sortBy(_._1).map { case ((nDel, _), fs) =>
+        val fileVer = fs.map(_.ver).min
+        val base = scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer))
+        val applicable = delVers.drop(nDel).toSet
+        val active = s.dels.filter(d => applicable(d.ver))
+          .filter(d => fs.exists(f => sidecarFences(s, f, d)))
+        active.groupBy(_.keyCol).foldLeft(base) {
+          case (df, (k, des)) =>
+            val keys = spark.read.parquet(
+              des.map(d => s"$table/${d.file.path}"): _*)
+            df.join(keys.select(col(k)).distinct(), Seq(k), "left_anti")
+        }
+      }
+    (rawCohorts ++ delCohorts).reduce(_ unionByName _)
   }
 
   /** Resolve logical column `name` to the PHYSICAL name a file written

@@ -56,6 +56,34 @@ object MorMaintStats {
       }
       curve(target) = (0 until 3).map(_ => timeRead()).min
     }
+    // NARROW scenario on a fresh twin: the same 32 single-key deletes
+    // all inside ONE file's key range — morScan's tier-1 fence check
+    // sends the other 31 files down the raw path with zero anti-joins,
+    // so the read toll should stay near the clean-read floor however
+    // many sidecars pend (the case that used to pay the full toll)
+    val tn = java.nio.file.Files.createTempDirectory("mormaintN")
+      .toString + "/t"
+    TableLog.create(spark, tn,
+      spark.range(n).select($"id".as("k"), ($"id" % 97).as("v"))
+        .repartitionByRange(32, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    def timeReadN(): Double = {
+      val t0 = System.nanoTime()
+      TableLog.read(spark, tn).agg(sum($"v")).head.getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeReadN() // warm
+    val narrow = scala.collection.mutable.LinkedHashMap[Int, Double]()
+    var appliedN = 0
+    for (target <- checkAt) {
+      while (appliedN < target) {
+        val key = (appliedN.toLong * 131L) % (n / 32) // all in file 0
+        TableLog.deleteMor(spark, tn, "k", Seq(key).toDF("k"))
+        appliedN += 1
+      }
+      narrow(target) = (0 until 3).map(_ => timeReadN()).min
+    }
+
     val filesTotal = TableLog.snapshot(t).get.files.size
     val t0 = System.nanoTime()
     TableLog.morMaintain(spark, t, maxSidecars = 0, statsCols = Seq("k"))
@@ -66,6 +94,8 @@ object MorMaintStats {
     val postSec = (0 until 3).map(_ => timeRead()).min
     println(s"""{"n":$n,"read_sec_by_sidecars":{${
       curve.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString(",")}},"narrow_read_sec_by_sidecars":{${
+      narrow.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
         .mkString(",")}},"maintain_sec":${f"$maintainSec%.3f"},""" +
       s""""post_maintain_read_sec":${f"$postSec%.3f"},""" +
       s""""files_rewritten":${filesTotal - filesCarried},""" +

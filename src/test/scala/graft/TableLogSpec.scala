@@ -1896,6 +1896,41 @@ class TableLogSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("morScan tier-1: files stat-disjoint from every sidecar take the raw path, fenced files alone pay the anti-join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = tmp("graft_log_mortier")
+    // 8 exact 1000-key files; both deleted keys live in file 0
+    TableLog.create(spark, t,
+      spark.range(0L, 8000L, 1L, 8).select($"id".as("k"), ($"id" % 7).as("v")),
+      statsCols = Seq("k"))
+    TableLog.deleteMor(spark, t, "k", Seq(10L, 20L).toDF("k"))
+    val df = TableLog.read(spark, t)
+    assert(df.count() == 7998)
+    def scannedUnder(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect { case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.length
+        case _ => 0
+      } }.sum
+    val plan = df.queryExecution.optimizedPlan
+    val antiLefts = plan.collect {
+      case j: Join if j.joinType == LeftAnti => scannedUnder(j.left) }
+    assert(antiLefts.sum == 1,
+      s"only the ONE fenced file may pay the anti-join, got $antiLefts")
+    // every data file is still read overall (raw path + fenced path),
+    // plus the sidecar key file(s) on the join's right side
+    assert(scannedUnder(plan) >= 9)
+    // a second sidecar fencing a different file widens the anti-join
+    // tier to exactly two files, never the whole table
+    TableLog.deleteMor(spark, t, "k", Seq(5000L).toDF("k"))
+    val plan2 = TableLog.read(spark, t).queryExecution.optimizedPlan
+    val antiLefts2 = plan2.collect {
+      case j: Join if j.joinType == LeftAnti => scannedUnder(j.left) }
+    assert(antiLefts2.sum == 2, s"got $antiLefts2")
+    assert(TableLog.read(spark, t).count() == 7997)
+  }
+
   test("deleteMor: scattered-key delete on an UNCLUSTERED table rewrites ZERO data files; fencing, time travel, COW interop, compaction") {
     val t = tmp("graft_log_delmor")
     // hash-partitioned on k: every file's [min,max] spans the whole
