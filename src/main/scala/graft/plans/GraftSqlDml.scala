@@ -98,7 +98,8 @@ object GraftSqlDml {
     * the table's version as its one-row result and refreshing the
     * view:
     *   - `CALL compact_small('<view>', smallBytes)`
-    *   - `CALL mor_maintain('<view>', maxSidecars)`
+    *   - `CALL mor_maintain('<view>', maxSidecars)` /
+    *     `CALL mor_fold('<view>')`
     *   - `CALL zorder_maintain('<view>', targetBytes[, smallBytes])`
     *   - `CALL vacuum_keep('<view>', keepVersions)`
     *   - `CALL tag('<view>', '<name>', version)` /
@@ -110,7 +111,7 @@ object GraftSqlDml {
     * through (Spark reports its own unresolved-procedure error). The
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
-    "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
+    "mor_fold", "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
     "publish_branch", "merge_branch")
 
   private def call(spark: SparkSession, c: Call): Option[LogicalPlan] = {
@@ -142,6 +143,8 @@ object GraftSqlDml {
             maxSidecars = longArg(1).toInt,
             statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
             bloomStatsCols = reg.bloomStatsCols)
+        case "mor_fold" =>
+          TableLog.morFold(s, reg.table)
         case "zorder_maintain" =>
           TableLog.zOrderMaintain(s, reg.table, targetBytes = longArg(1),
             statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,

@@ -2122,10 +2122,13 @@ object TableLog {
               base.counters.getOrElse(k, 0L)) +
               (v - base.counters.getOrElse(k, 0L)))
         }
+      // schemaOps/checks stay default-Nil: the commit gate carries
+      // src's previous complete sets forward and treats these fields
+      // as THIS commit's delta — passing the full lists would
+      // duplicate every pre-fork op
       val r = ManifestRec(version, srcSnap.version, "merge_branch",
         rows, "full", files, Nil, Nil, srcSnap.dels, Nil, None,
-        srcSnap.schemaJson, counters, schemaOps = srcSnap.schemaOps,
-        checks = srcSnap.checks)
+        srcSnap.schemaJson, counters)
       if (tryCommit(src, r)) committed = version
     }
     committed
@@ -3245,6 +3248,79 @@ object TableLog {
         base.files.filterNot(f => rm(f.path)) ++
           files.map(_.copy(ver = version)),
         Nil, Nil, Nil, Nil, None, base.schemaJson, base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
+
+  /** FOLD pending MOR delete sidecars — the cheap maintenance step
+    * between `morMaintain` materializations: many small sidecar key
+    * files become few, with ZERO data-file rewrites, so a
+    * delete-burst table (GDPR sweeps, retention ticks — deleteMor
+    * once per key batch) stops paying one file-open per sidecar per
+    * read. Soundness is all about the VERSION FENCE: a sidecar at
+    * version v deletes only from files with ver < v, so two sidecars
+    * d₁@v₁ < d₂@v₂ of the same key column may merge — at the EARLIER
+    * version v₁ — only when NO current data file has ver in
+    * [v₁, v₂): such a file is fenced by d₂ but not d₁, and a merged
+    * entry at either endpoint would fence it wrongly (at v₂ it would
+    * also re-delete keys re-inserted at v₁…v₂). Update/merge-MOR
+    * commits stamp their new-image files AT the sidecar's own
+    * version, so their windows never fold across — exactly right,
+    * since those files carry the re-inserted images. Folds are
+    * maximal runs under that rule, per key column; a fold writes one
+    * coalesced, stat-carrying key file per group (keys are already
+    * distinct per sidecar; the union distincts again) and commits a
+    * full manifest whose delete set swaps the group for its fold —
+    * rows, files, schema untouched; the old key files become
+    * unreferenced and vacuum reclaims them. No-op (current version)
+    * when no group has ≥ 2 members. */
+  def morFold(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.col
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      if (base.dels.size < 2) return base.version
+      val fileVers = base.files.map(_.ver).toSet
+      def blocked(v1: Long, v2: Long): Boolean =
+        (v1 until v2).exists(fileVers)
+      // maximal foldable runs per key column, ascending by version
+      val groups: Seq[Seq[DeleteEntry]] =
+        base.dels.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
+          case (_, ds) =>
+            val sorted = ds.sortBy(_.ver)
+            val runs = scala.collection.mutable.ArrayBuffer(
+              scala.collection.mutable.ArrayBuffer(sorted.head))
+            sorted.tail.foreach { d =>
+              if (!blocked(runs.last.last.ver, d.ver)) runs.last += d
+              else runs += scala.collection.mutable.ArrayBuffer(d)
+            }
+            runs.map(_.toSeq).toSeq
+        }
+      if (!groups.exists(_.size >= 2)) return base.version
+      val folded: Seq[DeleteEntry] = groups.flatMap { g =>
+        if (g.size < 2) g
+        else {
+          val k = g.head.keyCol
+          val vMin = g.map(_.ver).min
+          val keys = spark.read.parquet(
+            g.map(d => s"$table/${d.file.path}"): _*)
+            .select(col(k)).distinct().coalesce(1)
+          val isString = keys.schema(k).dataType ==
+            org.apache.spark.sql.types.StringType
+          val (fs, _) = writeDataFiles(spark, table, keys,
+            if (isString) Nil else Seq(k),
+            if (isString) Seq(k) else Nil, Nil)
+          fs.map(f => DeleteEntry(f.copy(ver = vMin), k, vMin))
+        }
+      }
+      val version = base.version + 1
+      // schemaOps/checks stay default-Nil: the commit gate carries the
+      // previous complete sets forward and treats these fields as THIS
+      // commit's delta — passing the base lists would duplicate them
+      val r = ManifestRec(version, base.version, "mor_fold",
+        base.rows, "full", base.files, Nil, Nil, folded, Nil, None,
+        base.schemaJson, base.counters)
       if (tryCommit(table, r)) committed = version
     }
     committed

@@ -83,6 +83,11 @@ object MorMaintStats {
       }
       narrow(target) = (0 until 3).map(_ => timeReadN()).min
     }
+    // folding the 32-sidecar burst into one key file removes the
+    // per-sidecar file-open toll without touching a data file
+    TableLog.morFold(spark, tn)
+    val narrowFolded = (0 until 3).map(_ => timeReadN()).min
+    val foldedCount = TableLog.snapshot(tn).get.dels.size
 
     val filesTotal = TableLog.snapshot(t).get.files.size
     val t0 = System.nanoTime()
@@ -96,7 +101,9 @@ object MorMaintStats {
       curve.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
         .mkString(",")}},"narrow_read_sec_by_sidecars":{${
       narrow.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-        .mkString(",")}},"maintain_sec":${f"$maintainSec%.3f"},""" +
+        .mkString(",")}},"narrow_folded_sidecars":$foldedCount,""" +
+      s""""narrow_post_fold_read_sec":${f"$narrowFolded%.3f"},""" +
+      s""""maintain_sec":${f"$maintainSec%.3f"},""" +
       s""""post_maintain_read_sec":${f"$postSec%.3f"},""" +
       s""""files_rewritten":${filesTotal - filesCarried},""" +
       s""""files_total":$filesTotal}""")

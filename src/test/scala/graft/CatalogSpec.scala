@@ -171,6 +171,14 @@ class CatalogSpec extends SparkSpec {
     val asOf = spark.sql(s"SELECT count(*) AS n FROM $CAT.mor.t " +
       s"TIMESTAMP AS OF '$cut' WHERE v = -1").as[Long].head()
     assert(asOf == 0, "TIMESTAMP AS OF must pin the pre-update snapshot")
+    // the DataFrameReader option faces route through the same
+    // loadTable overloads (Spark-native time travel, no SQL text)
+    assert(spark.read.option("versionAsOf", "2").table(s"$CAT.mor.t")
+      .where($"v" === -1L).count() == 0)
+    assert(spark.read.option("timestampAsOf", cut.toString)
+      .table(s"$CAT.mor.t").where($"v" === -1L).count() == 0)
+    assert(spark.read.table(s"$CAT.mor.t")
+      .where($"v" === -1L).count() == 10)
     spark.sql(s"DROP TABLE $CAT.mor.t")
   }
 

@@ -374,8 +374,12 @@ class SqlDmlSpec extends SparkSpec {
       .select($"id".as("k")).repartitionByRange(2, $"k"),
       statsCols = Seq("k"))
     TableLog.registerSqlTable(spark, "call_t", t, statsCols = Seq("k"))
-    // accumulate debt: MOR sidecar + small appends
+    // accumulate debt: MOR sidecars + small appends
     TableLog.deleteMor(spark, t, "k", Seq(10L).toDF("k"))
+    TableLog.deleteMor(spark, t, "k", Seq(20L).toDF("k"))
+    // mor_fold collapses the window-adjacent burst to one entry
+    TableLog.sql(spark, "CALL mor_fold('call_t')")
+    assert(TableLog.snapshot(t).get.dels.size == 1)
     TableLog.sql(spark, "INSERT INTO call_t VALUES (5000), (5001)")
     val preFiles = TableLog.snapshot(t).get.files.size
     // mor_maintain retires the sidecar
@@ -385,7 +389,7 @@ class SqlDmlSpec extends SparkSpec {
     TableLog.sql(spark, "CALL compact_small('call_t', 10485760)")
     assert(TableLog.snapshot(t).get.files.size <= preFiles)
     assert(TableLog.sql(spark,
-      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2001)
+      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2000)
     // tag + delete_tag round-trip, visible through the TVF
     TableLog.sql(spark, "CALL tag('call_t', 'gold', 1)")
     assert(TableLog.sql(spark,
@@ -400,7 +404,7 @@ class SqlDmlSpec extends SparkSpec {
     TableLog.sql(spark, "CALL vacuum_keep('call_t', 1)")
     intercept[Exception](TableLog.readVersion(spark, t, 1).count())
     assert(TableLog.sql(spark,
-      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2001)
+      "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2000)
     // unknown procedures and unregistered views pass through
     intercept[Exception](TableLog.sql(spark,
       "CALL not_a_proc('call_t', 1)").collect())

@@ -1931,6 +1931,55 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).count() == 7997)
   }
 
+  test("morFold: delete-burst sidecars fold per version window; image-carrying commits split windows; re-insert fence survives") {
+    val t = tmp("graft_log_morfold")
+    TableLog.create(spark, t,
+      spark.range(0L, 8000L, 1L, 8).select($"id".as("k"), ($"id" % 7).as("v")),
+      statsCols = Seq("k"))                                       // v1
+    // a delete burst: six single-key sidecars, no data commits between
+    (0 until 6).foreach(i =>
+      TableLog.deleteMor(spark, t, "k", Seq(i * 1000L + 3).toDF("k")))
+    assert(TableLog.snapshot(t).get.dels.size == 6)
+    val before = TableLog.read(spark, t).orderBy("k").collect().toSeq
+    assert(before.size == 7994)
+    val v = TableLog.morFold(spark, t)
+    val folded = TableLog.snapshot(t).get
+    assert(v == folded.version && folded.dels.size == 1,
+      s"six window-adjacent sidecars must fold to one, got ${
+        folded.dels.size}")
+    assert(folded.files.map(_.path).toSet ==
+      TableLog.snapshotAt(t, 1).get.files.map(_.path).toSet,
+      "a fold rewrites ZERO data files")
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == before)
+    // the folded sidecar sits at the EARLIEST version: a key
+    // re-inserted after it is in a newer file and stays visible
+    TableLog.append(spark, t, Seq((3L, 99L)).toDF("k", "v"))
+    assert(TableLog.read(spark, t).where($"k" === 3L).count() == 1)
+    // an update-MOR commit stamps its new images AT its own version,
+    // so later sidecars must NOT fold across it (its images carry
+    // re-inserted values an over-folded fence would re-delete)
+    TableLog.updateMor(spark, t, "k", "k", 2500, 2500,
+      Map("v" -> lit(-1L)), statsCols = Seq("k"))
+    TableLog.deleteMor(spark, t, "k", Seq(4500L).toDF("k"))
+    TableLog.deleteMor(spark, t, "k", Seq(5500L).toDF("k"))
+    val preFold = TableLog.read(spark, t).orderBy("k").collect().toSeq
+    TableLog.morFold(spark, t)
+    val after = TableLog.snapshot(t).get
+    // groups: the re-insert APPEND blocks folding across it (its file
+    // holds a re-inserted key an over-fold would re-delete), the
+    // update's images block folding across THEM, and only the two
+    // trailing deletes share a window — 3 entries
+    assert(after.dels.size == 3,
+      s"append/update images must split fold windows, got ${
+        after.dels.size}")
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == preFold)
+    assert(TableLog.read(spark, t).where($"k" === 2500L)
+      .select($"v").as[Long].head() == -1L,
+      "the MOR-updated image must survive folding")
+    // idempotent: nothing left to fold
+    assert(TableLog.morFold(spark, t) == after.version)
+  }
+
   test("deleteMor: scattered-key delete on an UNCLUSTERED table rewrites ZERO data files; fencing, time travel, COW interop, compaction") {
     val t = tmp("graft_log_delmor")
     // hash-partitioned on k: every file's [min,max] spans the whole
