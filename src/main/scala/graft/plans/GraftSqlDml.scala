@@ -106,13 +106,16 @@ object GraftSqlDml {
     *     `CALL delete_tag('<view>', '<name>')`
     *   - `CALL publish_branch('<view>', '<branch path>')` /
     *     `CALL merge_branch('<view>', '<branch path>'[, '<keyCol>'])`
+    *   - `CALL zorder('<view>', nFiles, 'cA', aLo, aHi, 'cB', bLo,
+    *     bHi)` / `hilbert_order(…)` / `zorder3(… , 'cC', cLo, cHi)`
     * Claimed only when the procedure name is one of these AND its
     * first argument is a registered view; everything else passes
     * through (Spark reports its own unresolved-procedure error). The
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
     "mor_fold", "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
-    "publish_branch", "merge_branch")
+    "publish_branch", "merge_branch", "zorder", "zorder3",
+    "hilbert_order")
 
   private def call(spark: SparkSession, c: Call): Option[LogicalPlan] = {
     val nameOpt = c.procedure match {
@@ -169,6 +172,25 @@ object GraftSqlDml {
         case "merge_branch" =>
           TableLog.mergeBranch(s, reg.table, strArg(1),
             keyCol = c.args.lift(2).flatMap(strOf))
+        // layout verbs: the one-time clustering rewrites —
+        // (nFiles, colA, aLo, aHi, colB, bLo, bHi[, colC, cLo, cHi]);
+        // zorder_maintain keeps whichever spec these stamp
+        case "zorder" =>
+          TableLog.zOrder(s, reg.table, longArg(1).toInt,
+            strArg(2), (longArg(3), longArg(4)),
+            strArg(5), (longArg(6), longArg(7)),
+            statsCols = reg.statsCols)
+        case "hilbert_order" =>
+          TableLog.hilbertOrder(s, reg.table, longArg(1).toInt,
+            strArg(2), (longArg(3), longArg(4)),
+            strArg(5), (longArg(6), longArg(7)),
+            statsCols = reg.statsCols)
+        case "zorder3" =>
+          TableLog.zOrder3(s, reg.table, longArg(1).toInt,
+            strArg(2), (longArg(3), longArg(4)),
+            strArg(5), (longArg(6), longArg(7)),
+            strArg(8), (longArg(9), longArg(10)),
+            statsCols = reg.statsCols)
       })
     }
   }

@@ -120,6 +120,35 @@ class SqlDmlSpec extends SparkSpec {
       .head.getLong(0) == 2002)
   }
 
+  test("CALL layout verbs: zorder / hilbert_order cluster from SQL text and the maintained spec sticks") {
+    val t = tmp("graft_sqldml_layout")
+    TableLog.create(spark, t, spark.range(65536)
+      .select(($"id" / 256).cast("long").as("a"), ($"id" % 256).as("b"),
+        ($"id" % 7).as("v")))
+    TableLog.registerSqlTable(spark, "layout_t", t,
+      statsCols = Seq("a", "b"))
+    TableLog.sql(spark,
+      "CALL hilbert_order('layout_t', 5, 'a', 0, 255, 'b', 0, 255)")
+    val snap = TableLog.snapshot(t).get
+    assert(snap.files.forall(_.stats.exists(_.col.startsWith("h2|"))),
+      "the SQL verb must stamp the hilbert spec")
+    // the declarative face box-prunes through the registered view
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM layout_t " +
+        "WHERE a BETWEEN 0 AND 40 AND b BETWEEN 64 AND 100")
+      .head.getLong(0) == 41L * 37L)
+    // the z twin from text on a second table
+    val tz = tmp("graft_sqldml_layoutz")
+    TableLog.create(spark, tz, spark.range(4096)
+      .select(($"id" / 64).cast("long").as("a"), ($"id" % 64).as("b")))
+    TableLog.registerSqlTable(spark, "layout_tz", tz,
+      statsCols = Seq("a", "b"))
+    TableLog.sql(spark,
+      "CALL zorder('layout_tz', 3, 'a', 0, 63, 'b', 0, 63)")
+    assert(TableLog.snapshot(tz).get.files.forall(
+      _.stats.exists(_.col.startsWith("z2|"))))
+  }
+
   test("GraftSqlParser (the injected-parser path) rewrites DML to commands; everything else delegates") {
     val t = tmp("graft_sqldml_p")
     TableLog.create(spark, t, spark.range(100)
@@ -152,6 +181,17 @@ class SqlDmlSpec extends SparkSpec {
     assert(parser.parsePlan("CALL mor_maintain('dml_lake_p', 0)")
       .isInstanceOf[GraftDmlCommand])
     assert(!parser.parsePlan("CALL mor_maintain('not_registered', 0)")
+      .isInstanceOf[GraftDmlCommand])
+    // this round's verbs claim through the same path
+    assert(parser.parsePlan("CALL mor_fold('dml_lake_p')")
+      .isInstanceOf[GraftDmlCommand])
+    assert(parser.parsePlan(
+      "CALL merge_branch('dml_lake_p', '/tmp/nowhere', 'k')")
+      .isInstanceOf[GraftDmlCommand])
+    assert(parser.parsePlan(
+      "CALL hilbert_order('dml_lake_p', 4, 'k', 0, 99, 'v', 0, 4)")
+      .isInstanceOf[GraftDmlCommand])
+    assert(!parser.parsePlan("CALL mor_fold('not_registered')")
       .isInstanceOf[GraftDmlCommand])
     val asOf = parser.parsePlan(
       "SELECT count(*) FROM dml_lake_p VERSION AS OF 1")

@@ -1380,6 +1380,37 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, src3).count() == 300)
   }
 
+  test("mergeBranch on a table with PRE-FORK schema ops: history carries once, renamed reads stay correct") {
+    val src = tmp("graft_log_m3ops_src")
+    val br = tmp("graft_log_m3ops_br")
+    TableLog.create(spark, src,
+      spark.range(100).select($"id".as("k"), $"id".as("old")),
+      statsCols = Seq("k"))
+    // pre-fork rename: physical files carry 'old', reads resolve 'w'
+    TableLog.renameColumn(spark, src, "old", "w")
+    val opsBefore = TableLog.snapshot(src).get.schemaOps
+    assert(opsBefore.size == 1)
+    TableLog.cloneTable(spark, src, br)
+    TableLog.append(spark, src,
+      spark.range(200, 210).select($"id".as("k"), $"id".as("w")),
+      statsCols = Seq("k"))
+    TableLog.append(spark, br,
+      spark.range(300, 310).select($"id".as("k"), $"id".as("w")),
+      statsCols = Seq("k"))
+    TableLog.mergeBranch(spark, src, br)
+    val merged = TableLog.snapshot(src).get
+    // the gate carries the COMPLETE op list forward; the merge commit
+    // must contribute NO duplicate (a doubled rename op would
+    // double-inverse-apply and break physical resolution)
+    assert(merged.schemaOps == opsBefore,
+      s"schema ops must carry exactly once, got ${merged.schemaOps}")
+    // pre-fork files still resolve 'w' from physical 'old'; both
+    // sides' post-fork appends read natively
+    assert(TableLog.read(spark, src).where($"k" < 100)
+      .select(sum($"w")).as[Long].head() == (0L until 100).sum)
+    assert(TableLog.read(spark, src).count() == 120)
+  }
+
   test("mergeBranch: sidecar and schema guards refuse; morMaintain unblocks; counters merge additively") {
     val src = tmp("graft_log_m3g_src")
     val br = tmp("graft_log_m3g_br")
