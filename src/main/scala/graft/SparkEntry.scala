@@ -795,7 +795,9 @@ object SparkEntry {
     * LOCATION clauses): CREATE NAMESPACE, CTAS with property-declared
     * stat columns, a native V2 INSERT, parser-face UPDATE/DELETE, and
     * a final SELECT that unions the LIVE aggregate with a NATIVE
-    * `VERSION AS OF 2` read (the post-CTAS state resolved through
+    * `VERSION AS OF 1` read (the post-CTAS state — ATOMIC CTAS via
+    * the staging catalog publishes schema + data as ONE v1 commit —
+    * resolved through
     * `loadTable(ident, version)`, not the view splice). The oracle
     * replays the lifecycle relationally; the 'ctas' rows pin that
     * time travel through the catalog returns exactly the pre-mutation
@@ -833,7 +835,7 @@ object SparkEntry {
       SELECT 'ctas' AS state, priority,
         CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(price_c) AS BIGINT) AS sum_price_c
-      FROM $cat.sales.lake VERSION AS OF 2 GROUP BY priority
+      FROM $cat.sales.lake VERSION AS OF 1 GROUP BY priority
       ORDER BY state, priority""")
   }
 
@@ -5596,7 +5598,8 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM s3 GROUP BY priority ORDER BY priority""".stripMargin,
     // the catalog lifecycle replayed relationally in statement order:
-    // CTAS slice ('ctas' rows = the VERSION AS OF 2 read), native
+    // CTAS slice ('ctas' rows = the VERSION AS OF 1 read — atomic
+    // CTAS is one commit), native
     // insert, +7 update, range delete ('live' rows)
     "o76_catalog_sql" ->
       """WITH t AS (SELECT o_orderkey,

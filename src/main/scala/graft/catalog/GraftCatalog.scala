@@ -68,7 +68,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * here scans data; reads and writes inherit the log's pruning and
   * commit costs unchanged.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: Path = _
@@ -200,6 +201,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       strStatsCols = GraftCatalog.colsProp(props, "strStatsCols"),
       bloomStatsCols = GraftCatalog.colsProp(props, "bloomStatsCols"))
     GraftTable(path, TableLog.snapshot(path).get, props, identName(ident))
+  }
+
+  // ── StagingTableCatalog: ATOMIC CTAS / RTAS ─────────────────────
+  // The non-staged execs are create-then-append (a reader could see
+  // the empty v1 between the two commits) and, for REPLACE, DROP-
+  // then-recreate (history erased on top of the failure window). The
+  // staged table writes its data files UNCOMMITTED and publishes
+  // everything — properties sidecar included — as ONE manifest commit
+  // in commitStagedChanges: CTAS is v1 with data, REPLACE is one
+  // overwrite version with history preserved (the same semantics as
+  // the view-face REPLACE TABLE). Abort deletes the staged files and,
+  // for a fresh CREATE, the table directory.
+
+  private def validateStage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Map[String, String] = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"${identName(ident)}: PARTITIONED BY does not apply to log " +
+        "tables — cluster with zOrder/zOrder3/hilbertOrder after load")
+    val props = properties.asScala.toMap
+    props.keys.find(_.equalsIgnoreCase(TableCatalog.PROP_LOCATION))
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"${identName(ident)}: LOCATION is not supported — catalog " +
+          "tables are MANAGED under the warehouse"))
+    val fields = schema.fieldNames.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toSet
+    GraftCatalog.statColKeys.foreach { k =>
+      GraftCatalog.colsProp(props, k).filterNot(c =>
+          fields(c.toLowerCase(java.util.Locale.ROOT)))
+        .foreach(c => throw new IllegalArgumentException(
+          s"${identName(ident)}: $k names column '$c' which is not in " +
+            s"the table schema (${schema.fieldNames.mkString(", ")})"))
+    }
+    props
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val props = validateStage(ident, schema, partitions, properties)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(tablePath(ident), identName(ident), schema,
+      props, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val props = validateStage(ident, schema, partitions, properties)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(tablePath(ident), identName(ident), schema,
+      props, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val props = validateStage(ident, schema, partitions, properties)
+    new GraftStagedTable(tablePath(ident), identName(ident), schema,
+      props, replace = true)
   }
 
   override def alterTable(ident: Identifier,
@@ -460,6 +521,81 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this)
+}
+
+/** The staged table an atomic CTAS/RTAS writes into: the V1 write
+  * stages data files (no commit, invisible to readers), and
+  * `commitStagedChanges` publishes files + schema + properties as ONE
+  * manifest — v1 on CREATE, a history-preserving overwrite on
+  * REPLACE. `abortStagedChanges` deletes whatever was staged. */
+final class GraftStagedTable(path: String, nameStr: String,
+    declared: StructType, props: Map[String, String], replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  // (files, rows, actual written schema) — set by the write, read by
+  // the commit; Spark drives both on the driver thread
+  @volatile private var staged: Option[(Seq[TableLog.FileEntry], Long,
+    StructType)] = None
+
+  override def name(): String = nameStr
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the RTAS exec truncates before writing; staging IS the
+      // truncate (the commit replaces the whole file list)
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(path))
+              staged = Some(TableLog.stageDataFiles(data.sparkSession,
+                path, data,
+                GraftCatalog.colsProp(props, "statsCols"),
+                GraftCatalog.colsProp(props, "strStatsCols"),
+                GraftCatalog.colsProp(props, "bloomStatsCols")) match {
+                case (fs, n) => (fs, n, data.schema)
+              })
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val (files, rows, written) = staged.getOrElse(
+      // a CTAS whose query produced no write call still creates the
+      // declared-schema table, empty
+      (Seq.empty[TableLog.FileEntry], 0L, declared))
+    GraftCatalog.writeProps(path, props)
+    TableLog.commitStaged(path, files, rows, written.json, replace)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    staged.foreach { case (files, _, _) =>
+      files.foreach { f =>
+        val p = java.nio.file.Paths.get(path, f.path)
+        java.nio.file.Files.deleteIfExists(p)
+        Option(p.getParent).foreach { d =>
+          try java.nio.file.Files.deleteIfExists(d)
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+        }
+      }
+    }
+    // a fresh CREATE that never committed leaves no table behind
+    if (!replace) {
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.deleteIfExists(root.resolve("_catalog.properties"))
+      Seq(root.resolve("data"), root).foreach { d =>
+        try java.nio.file.Files.deleteIfExists(d)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 }
 
 /** `INSERT INTO` → one `TableLog.append` commit; `INSERT OVERWRITE`

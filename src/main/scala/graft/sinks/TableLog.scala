@@ -3253,6 +3253,52 @@ object TableLog {
     committed
   }
 
+  /** Write a frame's data files into `table` WITHOUT committing —
+    * the staging half of the catalog's ATOMIC CTAS/RTAS
+    * (`GraftStagedTable`): the files land under `data/<uuid>/`
+    * invisible to every reader until `commitStaged` publishes them in
+    * ONE manifest, and an abort just deletes them. Same stat
+    * derivation as every committed write. */
+  private[graft] def stageDataFiles(spark: SparkSession, table: String,
+      df: DataFrame, statsCols: Seq[String],
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): (Seq[FileEntry], Long) =
+    writeDataFiles(spark, table, df, statsCols, strStatsCols,
+      bloomStatsCols)
+
+  /** Publish staged files as ONE commit: version 1 (`create`) on a
+    * fresh table, or — `replace` — the whole-table overwrite on an
+    * existing one (history keeps the prior version readable, exactly
+    * the view-face REPLACE semantics; the non-atomic DSv2 fallback
+    * would DROP the table and erase its history instead). CAS-retries
+    * like every commit; a racing create loses loudly. */
+  private[graft] def commitStaged(table: String, files: Seq[FileEntry],
+      rows: Long, schemaJson: String, replace: Boolean): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      snapshot(table) match {
+        case None =>
+          val r = ManifestRec(1, 0, "create", rows, "full",
+            files.map(_.copy(ver = 1)), Nil, Nil, Nil, Nil, None,
+            Some(schemaJson), Map.empty)
+          if (tryCommit(table, r)) committed = 1
+        case Some(b) =>
+          require(replace, s"commitStaged($table): table already has " +
+            s"${b.version} committed version(s) and this stage was a " +
+            "plain CREATE — a concurrent writer won the race")
+          require(!feedEnabled(table),
+            s"commitStaged($table): the append-only change feed cannot " +
+              "represent a whole-table replace")
+          val version = b.version + 1
+          val r = ManifestRec(version, b.version, "overwrite", rows,
+            "full", files.map(_.copy(ver = version)), Nil, Nil, Nil,
+            Nil, None, Some(schemaJson), b.counters)
+          if (tryCommit(table, r)) committed = version
+      }
+    }
+    committed
+  }
+
   /** FOLD pending MOR delete sidecars — the cheap maintenance step
     * between `morMaintain` materializations: many small sidecar key
     * files become few, with ZERO data-file rewrites, so a

@@ -189,10 +189,31 @@ class CatalogSpec extends SparkSpec {
       "AS SELECT id AS k, id % 5 AS v FROM range(200)")
     assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.ctas.t")
       .as[Long].head() == 200)
-    // CTAS = create (v1, empty) + append (v2): history has both
-    assert(TableLog.snapshot(s"$wh/ctas/t").get.version == 2)
+    // ATOMIC CTAS (StagingTableCatalog): data files stage uncommitted
+    // and version 1 publishes schema + files + stats in ONE commit —
+    // no reader window on an empty table
+    assert(TableLog.snapshot(s"$wh/ctas/t").get.version == 1)
+    assert(TableLog.snapshot(s"$wh/ctas/t").get.rows == 200)
     assert(TableLog.snapshot(s"$wh/ctas/t").get.files
       .forall(_.stats.exists(_.col == "k")))
+    // REPLACE TABLE AS SELECT = ONE history-preserving overwrite
+    // commit (the non-staged exec would drop-and-recreate, erasing
+    // history)
+    spark.sql(s"REPLACE TABLE $CAT.ctas.t " +
+      "TBLPROPERTIES ('statsCols'='k') " +
+      "AS SELECT id AS k, id % 3 AS v FROM range(50)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.ctas.t")
+      .as[Long].head() == 50)
+    assert(TableLog.snapshot(s"$wh/ctas/t").get.version == 2)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.ctas.t VERSION AS OF 1")
+      .as[Long].head() == 200,
+      "the pre-replace version must stay readable")
+    // CREATE OR REPLACE on a fresh name lands as v1
+    spark.sql(s"CREATE OR REPLACE TABLE $CAT.ctas.fresh " +
+      "AS SELECT id AS k FROM range(10)")
+    assert(TableLog.snapshot(s"$wh/ctas/fresh").get.version == 1)
+    spark.sql(s"DROP TABLE $CAT.ctas.fresh")
     // a stat column that is not in the schema refuses at CREATE
     val e = intercept[Exception](spark.sql(
       s"CREATE TABLE $CAT.ctas.bad (a BIGINT) " +
