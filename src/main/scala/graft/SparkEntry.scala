@@ -839,6 +839,52 @@ object SparkEntry {
       ORDER BY state, priority""")
   }
 
+  /** METADATA COLUMNS under the oracle: `_version` — the manifest
+    * version whose commit added each row's file, resolved through
+    * Spark's own `SupportsMetadataColumns` machinery on the DSv2
+    * catalog — grouped over a three-commit lifecycle whose last step
+    * is a zero-rewrite MOR update. The MOR guarantee is what makes
+    * the oracle exact: untouched rows keep their original commit (no
+    * base file was rewritten), updated rows carry the update's
+    * commit. `_file` is env-specific (absolute paths), so an in-plan
+    * invariant pins it instead: every surviving row's `_file` must be
+    * non-blank — `input_file_name` goes blank above a shuffle, so a
+    * blank would mean the attach point drifted off the scan. */
+  private def o79MetadataCols(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh79_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o79_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    T(s, dir, "orders").createOrReplaceTempView("orders_src79")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.audit")
+    s.sql(s"CREATE TABLE $cat.audit.lake " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey', " +
+      "'morKey' = 'o_orderkey') AS " +
+      "SELECT /*+ REPARTITION(4) */ o_orderkey, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, " +
+      "o_orderpriority AS priority " +
+      "FROM orders_src79 WHERE o_orderkey % 30 = 24")            // v1
+    s.sql(s"INSERT INTO $cat.audit.lake " +
+      "SELECT o_orderkey + 40000000, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) + 3, 'I' " +
+      "FROM orders_src79 " +
+      "WHERE o_orderkey % 30 = 24 AND o_orderkey % 97 = 11")     // v2
+    tl.sql(s, s"UPDATE $cat.audit.lake SET price_c = price_c + 5 " +
+      "WHERE o_orderkey BETWEEN 2000 AND 7000")              // v3 (MOR)
+    s.sql(s"""
+      SELECT _version, priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.audit.lake
+      WHERE _file IS NOT NULL AND length(_file) > 0
+      GROUP BY _version, priority ORDER BY _version, priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4074,6 +4120,7 @@ object SparkEntry {
     "o74_sql_full" -> (o74SqlFull _),
     "o75_wap" -> (o75Wap _),
     "o76_catalog_sql" -> (o76CatalogSql _),
+    "o79_metadata_cols" -> (o79MetadataCols _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -5624,6 +5671,34 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
         |FROM t GROUP BY priority
         |ORDER BY state, priority""".stripMargin,
+    // per-row provenance replayed relationally: v1 = the CTAS slice
+    // minus the rows the MOR update moved, v2 = the insert slice
+    // (its +40M keys are outside the update range), v3 = the updated
+    // rows at +5 — exact BECAUSE the update was merge-on-read: no
+    // untouched file was rewritten, so no untouched row changed
+    // _version
+    "o79_metadata_cols" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 24),
+        |ins AS (SELECT o_orderkey + 40000000 AS o_orderkey,
+        |  price_c + 3 AS price_c, 'I' AS priority
+        |  FROM t WHERE o_orderkey % 97 = 11),
+        |rows_v AS (
+        |  SELECT CAST(1 AS BIGINT) AS _version, o_orderkey, price_c,
+        |    priority FROM t WHERE o_orderkey NOT BETWEEN 2000 AND 7000
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), o_orderkey, price_c, priority
+        |    FROM ins
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), o_orderkey, price_c + 5, priority
+        |    FROM t WHERE o_orderkey BETWEEN 2000 AND 7000)
+        |SELECT _version, priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM rows_v GROUP BY _version, priority
+        |ORDER BY _version, priority""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{
+  Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -472,10 +473,20 @@ object GraftCatalog {
   * snapshot-isolated (the same contract as `TableLog.scan`). The fast
   * read path is the optimizer substitution to
   * [[graft.plans.GraftLogRelation]]; the `V1Scan` below is the
-  * correct-but-unpruned fallback for sessions without the rule. */
+  * correct-but-column-pruned fallback for sessions without the rule.
+  *
+  * METADATA COLUMNS: `_version` (the manifest version whose commit
+  * added the row's file) and `_file` (the row's physical file) resolve
+  * through Spark's own `SupportsMetadataColumns` machinery — hidden
+  * from `SELECT *`, spliced in only when referenced, shadowed by
+  * same-named data columns. Both faces produce them: the substitution
+  * rule asks `morScan` to attach them AT THE SCAN (before any MOR
+  * anti-join, where `input_file_name` is still live), and the V1
+  * fallback sees them in its pruned required schema. */
 final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     props: Map[String, String], nameStr: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
 
   override def name(): String = nameStr
 
@@ -502,25 +513,62 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftTable.VersionCol, GraftTable.FileCol)
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // starts at the full data schema; Spark narrows it to the
+      // referenced columns (PLUS any requested metadata columns — they
+      // ride in the relation's output, so the pruned schema carries
+      // them here by name)
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = schema()
+        override def readSchema(): StructType = required
         override def toV1TableScan[R <: BaseRelation with TableScan](
             context: SQLContext): R =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = GraftTable.this.schema()
-            override def buildScan(): RDD[Row] =
-              TableLog.morScan(context.sparkSession, path, snapshot,
-                snapshot.files).rdd
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val dataNames = GraftTable.this.schema().fieldNames.toSet
+              val meta = required.fieldNames.toSeq.filterNot(dataNames)
+              val df = TableLog.morScan(context.sparkSession, path,
+                snapshot, snapshot.files, meta)
+              df.select(required.fieldNames.toIndexedSeq.map(n =>
+                org.apache.spark.sql.functions.col(s"`$n`")): _*).rdd
+            }
           }.asInstanceOf[R]
       }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this)
+}
+
+object GraftTable {
+  /** The two metadata columns every graft catalog table exposes.
+    * `_version` is nullable only in theory (a manifest entry always
+    * knows its commit); declared nullable so the declared type matches
+    * the produced expression exactly. */
+  val VersionCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_version"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "manifest version whose commit added this row's file"
+  }
+  val FileCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = true
+    override def comment(): String = "physical file this row was read from"
+  }
 }
 
 /** The staged table an atomic CTAS/RTAS writes into: the V1 write

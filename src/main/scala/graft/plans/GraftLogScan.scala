@@ -233,15 +233,40 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
           case Count(Seq(e)) if e.references.isEmpty && e.foldable &&
               e.eval(null) != null => s.rows
           case Min(a: AttributeReference) if a.dataType == LongType =>
-            statExtreme(s, a.name, isMin = true).getOrElse(return None)
+            (if (versionMeta(s, a.name)) verExtreme(s, isMin = true)
+             else statExtreme(s, a.name, isMin = true))
+              .getOrElse(return None)
           case Max(a: AttributeReference) if a.dataType == LongType =>
-            statExtreme(s, a.name, isMin = false).getOrElse(return None)
+            (if (versionMeta(s, a.name)) verExtreme(s, isMin = false)
+             else statExtreme(s, a.name, isMin = false))
+              .getOrElse(return None)
           case _ => return None
         }
       case _ => return None
     }
     Some(LocalRelation(agg.output.map(_.asInstanceOf[Attribute]),
       Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+  }
+
+  /** `_version` is the catalog metadata column unless a DATA column
+    * claims the name (Spark's conflict rule shadows the metadata one).
+    * Its per-row value IS the manifest entry's `ver`, so both pruning
+    * and extremes over it are EXACT manifest arithmetic, no stats. */
+  private def versionMeta(s: TableLog.Snapshot, c: String): Boolean =
+    c == "_version" && !s.schemaJson.exists(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType].fieldNames.contains("_version"))
+
+  /** min/max of `_version`: exact over the live files' commit versions
+    * — every manifest entry has ≥1 row (zero-row files are dropped at
+    * write), but a pending MOR sidecar could have emptied the extreme
+    * file, so bail like `statExtreme` does. */
+  private def verExtreme(s: TableLog.Snapshot, isMin: Boolean)
+      : Option[Any] = {
+    if (s.dels.nonEmpty) return None
+    if (s.files.isEmpty) return Some(null)
+    val vs = s.files.map(_.ver)
+    Some(if (isMin) vs.min else vs.max)
   }
 
   /** Some(Some(v)) = exact extreme; Some(None) would be "provably all
@@ -367,17 +392,24 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
   private def pruneLeaf(s: TableLog.Snapshot, e: Expression)
       : Option[Seq[TableLog.FileEntry]] = e match {
     // long comparisons, both literal sides (shared shape with the
-    // conjunction box pass)
+    // conjunction box pass). `_version` prunes EXACTLY on the manifest
+    // entry's commit version — `WHERE _version = 5` opens only the
+    // files commit 5 added, the audit-query fast path.
     case _ if leafRange(e).isDefined =>
       val (c, lo, hi) = leafRange(e).get
-      Some(TableLog.prunedFilesOf(s, c, lo, hi))
+      if (versionMeta(s, c))
+        Some(s.files.filter(f => f.ver >= lo && f.ver <= hi))
+      else Some(TableLog.prunedFilesOf(s, c, lo, hi))
     case EqualTo(a, v) if attrName(a).isDefined && strLit(v).isDefined =>
       Some(strEqPrune(s, attrName(a).get, strLit(v).get))
     case EqualTo(v, a) if attrName(a).isDefined && strLit(v).isDefined =>
       Some(strEqPrune(s, attrName(a).get, strLit(v).get))
     case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
         vs.forall(longLit(_).isDefined) =>
-      Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
+      if (versionMeta(s, attrName(a).get)) {
+        val set = vs.flatMap(longLit).toSet
+        Some(s.files.filter(f => set(f.ver)))
+      } else Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
         vs.flatMap(longLit)))
     case In(a, vs) if attrName(a).isDefined && vs.nonEmpty &&
         vs.forall(strLit(_).isDefined) =>
@@ -386,7 +418,10 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
     // over Catalyst-internal values
     case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
         hs.forall(_.isInstanceOf[java.lang.Long]) =>
-      Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
+      if (versionMeta(s, attrName(a).get)) {
+        val set = hs.map(_.asInstanceOf[java.lang.Long].longValue)
+        Some(s.files.filter(f => set(f.ver)))
+      } else Some(TableLog.prunedFilesInLongOf(s, attrName(a).get,
         hs.toSeq.map(_.asInstanceOf[java.lang.Long].longValue)))
     case InSet(a, hs) if attrName(a).isDefined && hs.nonEmpty &&
         hs.forall(_.isInstanceOf[UTF8String]) =>
@@ -413,7 +448,11 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
       files: Seq[TableLog.FileEntry]): LogicalPlan = {
     if (files.isEmpty) return LocalRelation(r.output)
     val spark = SparkSession.active
-    val df = TableLog.morScan(spark, r.table, r.snapshot, files)
+    // metadata columns the catalog face spliced into the relation's
+    // output (attachMeta skips names a data column already claims)
+    val meta = r.output.map(_.name)
+      .filter(n => n == "_file" || n == "_version")
+    val df = TableLog.morScan(spark, r.table, r.snapshot, files, meta)
     // the OPTIMIZED child plan, not the analyzed one: this rule runs in
     // the user batch AFTER the main optimizer, so analysis-level nodes
     // the scan may contain (Deduplicate/ExceptAll from the MOR

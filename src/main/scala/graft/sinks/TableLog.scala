@@ -835,10 +835,11 @@ object TableLog {
     * delete-key side is a small scan Spark's AQE broadcasts — the read
     * stays one pass over the data files at 100 TB. */
   private[graft] def morScan(spark: SparkSession, table: String, s: Snapshot,
-      files: Seq[FileEntry]): DataFrame = {
+      files: Seq[FileEntry], meta: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
     def raw(fs: Seq[FileEntry]) =
-      scanFiles(spark, s.schemaJson, fs.map(f => s"$table/${f.path}"))
+      attachMeta(scanFiles(spark, s.schemaJson,
+        fs.map(f => s"$table/${f.path}")), meta, files)
     if ((s.dels.isEmpty && s.schemaOps.isEmpty) || files.isEmpty)
       return raw(files)
     val delVers = s.dels.map(_.ver).distinct.sorted
@@ -861,15 +862,15 @@ object TableLog {
     val rawCohorts = unfenced.groupBy(f => opVers.count(_ <= f.ver))
       .toSeq.sortBy(_._1).map { case (_, fs) =>
         val fileVer = fs.map(_.ver).min
-        scanPhysical(spark, table, s, fs,
-          s.schemaOps.filter(_.ver > fileVer))
+        attachMeta(scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer)), meta, files)
       }
     val delCohorts = fenced.groupBy(f =>
       (delVers.count(_ <= f.ver), opVers.count(_ <= f.ver))).toSeq
       .sortBy(_._1).map { case ((nDel, _), fs) =>
         val fileVer = fs.map(_.ver).min
-        val base = scanPhysical(spark, table, s, fs,
-          s.schemaOps.filter(_.ver > fileVer))
+        val base = attachMeta(scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer)), meta, files)
         val applicable = delVers.drop(nDel).toSet
         val active = s.dels.filter(d => applicable(d.ver))
           .filter(d => fs.exists(f => sidecarFences(s, f, d)))
@@ -881,6 +882,32 @@ object TableLog {
         }
       }
     (rawCohorts ++ delCohorts).reduce(_ unionByName _)
+  }
+
+  /** Attach the requested metadata columns (`_file`, `_version`) to a
+    * cohort scan — called AT THE SCAN, under any MOR anti-join or
+    * cohort union, because `input_file_name` is task-local to the file
+    * read and goes blank above a shuffle. A same-named DATA column
+    * shadows the metadata one (Spark's own conflict rule), so names
+    * already present are skipped. `_version` is an O(1) codegen'd map
+    * from the row's file to the manifest version that committed it —
+    * the map is the same O(files) driver metadata the snapshot already
+    * is. */
+  private def attachMeta(df: DataFrame, meta: Seq[String],
+      files: Seq[FileEntry]): DataFrame = {
+    if (meta.isEmpty) return df
+    import org.apache.spark.sql.functions.input_file_name
+    val have = df.columns.toSet
+    var d = df
+    if (meta.contains("_file") && !have("_file"))
+      d = d.withColumn("_file", input_file_name())
+    if (meta.contains("_version") && !have("_version"))
+      d = d.withColumn("_version", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.FileVersion(
+          org.apache.spark.sql.catalyst.expressions.InputFileName(),
+          graft.functions.FileVersionMap(
+            files.map(f => f.path -> f.ver)))))
+    d
   }
 
   /** Resolve logical column `name` to the PHYSICAL name a file written

@@ -293,6 +293,79 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.dml.m")
   }
 
+  test("metadata columns: _version and _file resolve, prune, and " +
+      "survive MOR/schema-op cohorts") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.meta")
+    spark.sql(s"CREATE TABLE $CAT.meta.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"INSERT INTO $CAT.meta.t " +
+      "SELECT id, id FROM range(0, 1000, 1, 2)")      // v2: two files
+    spark.sql(s"INSERT INTO $CAT.meta.t " +
+      "SELECT id, id FROM range(1000, 1500, 1, 1)")   // v3: one file
+    // hidden from SELECT * (Spark's own metadata-column contract)
+    assert(spark.sql(s"SELECT * FROM $CAT.meta.t").columns.toSeq ==
+      Seq("k", "v"))
+    // per-row _version = the committing manifest version
+    val byVer = spark.sql(s"SELECT _version, count(*) AS n " +
+      s"FROM $CAT.meta.t GROUP BY _version ORDER BY _version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byVer == Seq((2L, 1000L), (3L, 500L)))
+    // _file matches the manifest's physical entries
+    val files = spark.sql(s"SELECT DISTINCT _file FROM $CAT.meta.t")
+      .as[String].collect()
+    assert(files.length == 3 && files.forall(_.nonEmpty))
+    val manifest = TableLog.snapshot(s"$wh/meta/t").get.files
+      .map(_.path.split('/').last).toSet
+    assert(files.map(_.split('/').last).toSet == manifest)
+    // a _version filter prunes EXACTLY from the manifest: only the
+    // commit-3 file opens
+    val q = spark.sql(s"SELECT k FROM $CAT.meta.t WHERE _version = 3")
+    assert(filesScanned(q) == 1,
+      "_version predicate must prune to exactly that commit's files")
+    assert(q.count() == 500)
+    // max(_version) answers from the manifest — zero-IO plan
+    val mx = spark.sql(s"SELECT max(_version) AS mv FROM $CAT.meta.t")
+    assert(mx.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "max(_version) must answer from the manifest")
+    assert(mx.as[Long].head() == 3)
+    // schema-op cohort: a column rename must not disturb the metadata
+    spark.sql(s"ALTER TABLE $CAT.meta.t RENAME COLUMN v TO w")
+    assert(spark.sql(s"SELECT _version, count(*) AS n FROM $CAT.meta.t " +
+      "GROUP BY _version ORDER BY _version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1000L), (3L, 500L)))
+
+    // MOR: metadata attaches AT THE SCAN, below the sidecar anti-join
+    // (above a shuffle input_file_name goes blank — this pins it lives
+    // in the right place). Updated rows carry the update's version;
+    // untouched rows keep their original commit.
+    spark.sql(s"CREATE TABLE $CAT.meta.m (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'morKey' = 'k')")
+    spark.sql(s"INSERT INTO $CAT.meta.m SELECT id, id FROM range(100)")
+    TableLog.sql(spark, s"UPDATE $CAT.meta.m SET v = -1 " +
+      "WHERE k BETWEEN 7 AND 9")
+    val mor = spark.sql(s"SELECT _version, count(*) AS n " +
+      s"FROM $CAT.meta.m GROUP BY _version ORDER BY _version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mor == Seq((2L, 97L), (3L, 3L)),
+      s"MOR rows must carry scan-level metadata, got $mor")
+    assert(spark.sql(s"SELECT count(DISTINCT _file) AS n FROM $CAT.meta.m")
+      .as[Long].head() >= 2)
+
+    // V1 fallback (rule off): same metadata through the pruned V1Scan
+    spark.conf.set(ResolveGraftCatalogReads.CONF_KEY, "false")
+    try {
+      val fb = spark.sql(s"SELECT _version, count(*) AS n " +
+        s"FROM $CAT.meta.t GROUP BY _version ORDER BY _version").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fb == Seq((2L, 1000L), (3L, 500L)))
+    } finally spark.conf.set(ResolveGraftCatalogReads.CONF_KEY, "true")
+    spark.sql(s"DROP TABLE $CAT.meta.t")
+    spark.sql(s"DROP TABLE $CAT.meta.m")
+  }
+
   test("ALTER TABLE properties and RENAME COLUMN route to the log") {
     val wh = warehouse
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt")
