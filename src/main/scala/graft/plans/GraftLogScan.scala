@@ -306,6 +306,15 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
       : Seq[TableLog.FileEntry] =
     pruneTree(r.snapshot, cond).getOrElse(r.snapshot.files)
 
+  /** File-prune entry point for the non-declarative faces (the
+    * positional DML's predicate pruning): evaluate a RESOLVED
+    * predicate tree against the snapshot's stats exactly as the
+    * optimizer rule would — per-leaf ranges, IN-lists, string
+    * equality + bloom, and the conjunction z-box pass. */
+  private[graft] def keptFilesOf(s: TableLog.Snapshot, cond: Expression)
+      : Seq[TableLog.FileEntry] =
+    boxPrune(s, pruneTree(s, cond).getOrElse(s.files), cond)
+
   /** The MULTI-DIMENSIONAL tightening pass over a per-leaf-pruned file
     * set: collect the top-level CONJUNCTS' per-column long ranges (a
     * row must satisfy all of them, so the joint box is sound whatever

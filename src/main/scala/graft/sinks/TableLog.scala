@@ -835,16 +835,46 @@ object TableLog {
     * delete-key side is a small scan Spark's AQE broadcasts — the read
     * stays one pass over the data files at 100 TB. */
   private[graft] def morScan(spark: SparkSession, table: String, s: Snapshot,
-      files: Seq[FileEntry], meta: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    def raw(fs: Seq[FileEntry]) =
-      attachMeta(scanFiles(spark, s.schemaJson,
-        fs.map(f => s"$table/${f.path}")), meta, files)
+      files: Seq[FileEntry], meta: Seq[String] = Nil,
+      pos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    // positional (deletion-vector) sidecars apply as scan filters, key
+    // sidecars as version-cohort anti-joins — split once
+    val (dvDels, keyDels) = s.dels.partition(_.keyCol == DvKeyCol)
+    def dvFor(fs: Seq[FileEntry]): Seq[DeleteEntry] =
+      dvDels.filter(d => fs.exists(f => sidecarFences(s, f, d)))
+    def needPos(fs: Seq[FileEntry]): Boolean = pos || dvFor(fs).nonEmpty
+    // pipeline per cohort, all BELOW any anti-join/union where
+    // input_file_name is still task-local: the scan projects
+    // (__graft_file, __graft_pos) when needed, the DV filter drops
+    // vectored positions, the probe columns drop again unless the
+    // caller asked for them (`pos` — the positional DML faces), and
+    // the catalog metadata columns attach last
+    def finish(df: DataFrame, fs: Seq[FileEntry], wp: Boolean)
+        : DataFrame = {
+      val active = if (wp) dvFor(fs) else Nil
+      var d = df
+      if (active.nonEmpty) {
+        val c = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.DvContains(
+            org.apache.spark.sql.graft.Bridge.expression(col(GraftFileCol)),
+            org.apache.spark.sql.graft.Bridge.expression(col(GraftPosCol)),
+            loadDv(spark, table, active)))
+        d = d.where(not(coalesce(c, lit(false))))
+      }
+      if (wp && !pos) d = d.drop(GraftFileCol, GraftPosCol)
+      attachMeta(d, meta, files)
+    }
+    def raw(fs: Seq[FileEntry]) = {
+      val wp = needPos(fs) && fs.nonEmpty
+      finish(scanFiles(spark, s.schemaJson,
+        fs.map(f => s"$table/${f.path}"), wp), fs, wp)
+    }
     if ((s.dels.isEmpty && s.schemaOps.isEmpty) || files.isEmpty)
       return raw(files)
-    val delVers = s.dels.map(_.ver).distinct.sorted
+    val delVers = keyDels.map(_.ver).distinct.sorted
     val opVers = s.schemaOps.map(_.ver).distinct.sorted
-    // TWO-TIER cohorts. Tier 1: files NO sidecar can touch
+    // TWO-TIER cohorts. Tier 1: files NO key sidecar can touch
     // (`sidecarFences` = version fence + write-time key-stat
     // disjointness, per file) take the raw scan — zero anti-joins; on
     // a range-clustered table with narrow MOR deletes that is most of
@@ -856,23 +886,26 @@ object TableLog {
     // cohort additionally drops sidecars stat-disjoint from ALL its
     // files, shrinking the key-union without changing cohort count.
     // O(files × dels) stat comparisons at planning — dels are
-    // morMaintain-bounded.
+    // morMaintain-bounded. Deletion vectors never create cohorts:
+    // their filter rides inside whichever cohort scans the target.
     val (fenced, unfenced) = files.partition(f =>
-      s.dels.exists(d => sidecarFences(s, f, d)))
+      keyDels.exists(d => sidecarFences(s, f, d)))
     val rawCohorts = unfenced.groupBy(f => opVers.count(_ <= f.ver))
       .toSeq.sortBy(_._1).map { case (_, fs) =>
         val fileVer = fs.map(_.ver).min
-        attachMeta(scanPhysical(spark, table, s, fs,
-          s.schemaOps.filter(_.ver > fileVer)), meta, files)
+        val wp = needPos(fs)
+        finish(scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer), wp), fs, wp)
       }
     val delCohorts = fenced.groupBy(f =>
       (delVers.count(_ <= f.ver), opVers.count(_ <= f.ver))).toSeq
       .sortBy(_._1).map { case ((nDel, _), fs) =>
         val fileVer = fs.map(_.ver).min
-        val base = attachMeta(scanPhysical(spark, table, s, fs,
-          s.schemaOps.filter(_.ver > fileVer)), meta, files)
+        val wp = needPos(fs)
+        val base = finish(scanPhysical(spark, table, s, fs,
+          s.schemaOps.filter(_.ver > fileVer), wp), fs, wp)
         val applicable = delVers.drop(nDel).toSet
-        val active = s.dels.filter(d => applicable(d.ver))
+        val active = keyDels.filter(d => applicable(d.ver))
           .filter(d => fs.exists(f => sidecarFences(s, f, d)))
         active.groupBy(_.keyCol).foldLeft(base) {
           case (df, (k, des)) =>
@@ -940,11 +973,12 @@ object TableLog {
     * typed nulls. With no applicable ops this is a plain
     * manifest-schema scan. */
   private def scanPhysical(spark: SparkSession, table: String,
-      s: Snapshot, fs: Seq[FileEntry], ops: Seq[SchemaOp]): DataFrame = {
+      s: Snapshot, fs: Seq[FileEntry], ops: Seq[SchemaOp],
+      withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val paths = fs.map(f => s"$table/${f.path}")
     if (ops.isEmpty || s.schemaJson.isEmpty)
-      return scanFiles(spark, s.schemaJson, paths)
+      return scanFiles(spark, s.schemaJson, paths, withPos)
     val logical = org.apache.spark.sql.types.DataType
       .fromJson(s.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -956,7 +990,18 @@ object TableLog {
       .select(resolved.map {
         case (f, Some(p)) => col(p).as(f.name)
         case (f, None) => lit(null).cast(f.dataType).as(f.name)
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq ++ posCols(withPos): _*)
+  }
+
+  /** The positional probe columns the DV filter and the positional DML
+    * faces read — projected AT THE SCAN (task-local expressions). */
+  private def posCols(withPos: Boolean)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, substring_index}
+    if (!withPos) Nil
+    else Seq(
+      substring_index(input_file_name(), "/", -2).as(GraftFileCol),
+      col("_metadata.row_index").as(GraftPosCol))
   }
 
   /** Scan `paths` under the manifest-recorded schema when present:
@@ -964,12 +1009,17 @@ object TableLog {
     * it as null — schema evolution without a footer merge. Legacy
     * manifests (no schema) fall back to footer inference. */
   private def scanFiles(spark: SparkSession, schemaJson: Option[String],
-      paths: Seq[String]): DataFrame = schemaJson match {
-    case Some(j) => spark.read.schema(
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(paths: _*)
-    case None => spark.read.parquet(paths: _*)
+      paths: Seq[String], withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = schemaJson match {
+      case Some(j) => spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    if (!withPos) base
+    else base.select(col("*") +: posCols(withPos): _*)
   }
 
   /** The evolved table schema for an append: existing columns keep
@@ -2699,7 +2749,8 @@ object TableLog {
                     r.schemaJson, captureInserts = act != "delete",
                     prevSnap)
                 case act @ ("delete_mor" | "update_mor" | "merge_mor" |
-                    "apply_cdc_mor") if cdcFeedEnabled(table) =>
+                    "apply_cdc_mor" | "delete_dv" | "update_dv")
+                    if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
                     s"publishFeed($table): healing version $v's $act " +
                       "capture needs a SparkSession — call " +
@@ -2722,7 +2773,7 @@ object TableLog {
                   // 'insert'), zero data rewrite — applyCdc's per-key
                   // resolution lets the same-version insert win over
                   // the delete, which is the update's meaning
-                  if (act != "delete_mor") {
+                  if (act != "delete_mor" && act != "delete_dv") {
                     val adds =
                       if (r.kind == "delta") r.adds.map(_.path)
                       else r.files.map(_.path).filterNot(prev)
@@ -2820,7 +2871,27 @@ object TableLog {
     import org.apache.spark.sql.functions.{col, lit}
     if (newDels.isEmpty) return Nil
     stageAndLinkCdc(spark, table, v) {
-      newDels.groupBy(_.keyCol).map { case (k, des) =>
+      newDels.groupBy(_.keyCol).map {
+        case (DvKeyCol, des) =>
+          // POSITIONAL sidecar: the deleted rows are exactly the
+          // pre-commit snapshot's rows AT the vectored positions —
+          // scan the identity-fenced candidates position-aware and
+          // keep the vector hits (the mirror image of the read filter)
+          val cand = prevSnap.files.filter(f =>
+            des.exists(d => sidecarFences(prevSnap, f, d)))
+          val c = org.apache.spark.sql.graft.Bridge.column(
+            graft.functions.DvContains(
+              org.apache.spark.sql.graft.Bridge.expression(
+                col(GraftFileCol)),
+              org.apache.spark.sql.graft.Bridge.expression(
+                col(GraftPosCol)),
+              loadDv(spark, table, des)))
+          morScan(spark, table, prevSnap.copy(schemaJson = schemaJson),
+            cand, pos = true)
+            .where(org.apache.spark.sql.functions.coalesce(c,
+              lit(false)))
+            .drop(GraftFileCol, GraftPosCol)
+        case (k, des) =>
         val lo = des.flatMap(_.file.stats.find(_.col == k).map(_.min))
           .minOption
         val hi = des.flatMap(_.file.stats.find(_.col == k).map(_.max))
@@ -3206,8 +3277,62 @@ object TableLog {
     * dead-incarnation file (the key column resolves to no physical
     * column) reads the key as null, which never matches a non-null
     * delete key — not fenced. */
+  /** Positional (DELETION-VECTOR) sidecars ride the same `DeleteEntry`
+    * plumbing as key sidecars — manifest codec, delta merge, vacuum
+    * protection, clone/restore/branch carry, maintenance bounds — under
+    * this reserved key-column marker. The sidecar parquet holds
+    * `(_dv_file, _dv_pos)`: the target file's last two path segments
+    * and the deleted row's `_metadata.row_index`. Unlike key sidecars
+    * they apply at read as a codegen'd SCAN FILTER
+    * ([[graft.functions.DvContains]]), not an anti-join — and they
+    * fence by FILE IDENTITY, not version (paths are never reused), so
+    * folding and maintenance need no version-window reasoning. */
+  private[graft] val DvKeyCol = "__pos__"
+  private[graft] val DvFileField = "_dv_file"
+  private[graft] val DvPosField = "_dv_pos"
+  // scan-internal columns positional faces read back; never user-visible
+  private[graft] val GraftFileCol = "__graft_file"
+  private[graft] val GraftPosCol = "__graft_pos"
+
+  private[graft] def lastTwo(p: String): String = {
+    val i = p.lastIndexOf('/')
+    val j = if (i <= 0) -1 else p.lastIndexOf('/', i - 1)
+    p.substring(j + 1)
+  }
+
+  // loaded vectors, keyed by the (immutable) sidecar file set — repeat
+  // reads of a DV-bearing table pay zero load after the first plan
+  private val dvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.DvSet]()
+
+  private[graft] def loadDv(spark: SparkSession, table: String,
+      dvs: Seq[DeleteEntry]): graft.functions.DvSet = {
+    val paths = dvs.map(d => s"$table/${d.file.path}").sorted
+    val key = paths.mkString("\n")
+    val hit = dvCache.get(key)
+    if (hit != null) return hit
+    val rows = spark.read.parquet(paths: _*)
+      .select(org.apache.spark.sql.functions.col(DvFileField),
+        org.apache.spark.sql.functions.col(DvPosField))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val set = graft.functions.DvSet(rows)
+    if (dvCache.size > 256) dvCache.clear()
+    dvCache.put(key, set)
+    set
+  }
+
   private def sidecarFences(s: Snapshot, f: FileEntry,
       d: DeleteEntry): Boolean = {
+    if (d.keyCol == DvKeyCol)
+      // a deletion vector names its targets by identity: the write-time
+      // [min,max] over the stored file keys bounds the target set with
+      // zero reads; exact membership resolves at scan time through the
+      // loaded vector (a map miss keeps the row). No version fence —
+      // a file committed after the DV can never be in its target list.
+      return d.file.strStats.find(_.col == DvFileField).forall(st =>
+        utf8Leq(st.min, lastTwo(f.path)) &&
+          utf8Leq(lastTwo(f.path), st.max))
     if (f.ver >= d.ver) return false
     statNameFor(s, d.keyCol)(f) match {
       case None => false
@@ -3357,9 +3482,13 @@ object TableLog {
       val fileVers = base.files.map(_.ver).toSet
       def blocked(v1: Long, v2: Long): Boolean =
         (v1 until v2).exists(fileVers)
+      // DELETION VECTORS fence by file identity, not version — every
+      // pending vector folds into one, unconditionally (the window
+      // rule below exists only for version-fenced key sidecars)
+      val (dvD, keyD) = base.dels.partition(_.keyCol == DvKeyCol)
       // maximal foldable runs per key column, ascending by version
       val groups: Seq[Seq[DeleteEntry]] =
-        base.dels.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
+        keyD.groupBy(_.keyCol).toSeq.sortBy(_._1).flatMap {
           case (_, ds) =>
             val sorted = ds.sortBy(_.ver)
             val runs = scala.collection.mutable.ArrayBuffer(
@@ -3370,7 +3499,7 @@ object TableLog {
             }
             runs.map(_.toSeq).toSeq
         }
-      if (!groups.exists(_.size >= 2)) return base.version
+      if (!groups.exists(_.size >= 2) && dvD.size < 2) return base.version
       val folded: Seq[DeleteEntry] = groups.flatMap { g =>
         if (g.size < 2) g
         else {
@@ -3386,7 +3515,17 @@ object TableLog {
             if (isString) Seq(k) else Nil, Nil)
           fs.map(f => DeleteEntry(f.copy(ver = vMin), k, vMin))
         }
-      }
+      } ++ (if (dvD.size < 2) dvD
+        else {
+          val vMin = dvD.map(_.ver).min
+          val pairs = spark.read.parquet(
+            dvD.map(d => s"$table/${d.file.path}"): _*)
+            .select(col(DvFileField), col(DvPosField)).distinct()
+            .coalesce(1)
+          val (fs, _) = writeDataFiles(spark, table, pairs,
+            Seq(DvPosField), Seq(DvFileField), Nil)
+          fs.map(f => DeleteEntry(f.copy(ver = vMin), DvKeyCol, vMin))
+        })
       val version = base.version + 1
       // schemaOps/checks stay default-Nil: the commit gate carries the
       // previous complete sets forward and treats these fields as THIS
@@ -3965,6 +4104,197 @@ object TableLog {
       if (feedEnabled(table)) publishFeed(spark, table)
       committed
     } finally { keyDf.unpersist(); () }
+  }
+
+  /** POSITIONAL merge-on-read delete — ANY deterministic predicate,
+    * ZERO data-file rewrites, NO key column required: the commit
+    * writes one DELETION-VECTOR sidecar of `(file, row_index)` pairs
+    * for the matched rows and a delta manifest referencing it; every
+    * data file carries over by reference, and reads drop the vectored
+    * positions with a codegen'd scan FILTER
+    * ([[graft.functions.DvContains]]) — no anti-join, no broadcast
+    * build, no cohort split. This completes the delete triangle:
+    * `deleteWhere`/`deleteWhereIn` (clustered predicates, COW),
+    * `deleteMor` (scattered KEYS, anti-join MOR), `deleteDv`
+    * (ARBITRARY predicates — `v % 2 = 0`, fractional equality,
+    * multi-column conjunctions — positional MOR). Exact SQL DELETE
+    * semantics: rows where the predicate is TRUE are deleted; FALSE
+    * and NULL keep. The predicate drives MANIFEST pruning through the
+    * same machinery as the declarative face (resolved ranges,
+    * IN-lists, bloom, z-box), so a clustered positional delete scans
+    * only overlapping files. `maxPositions` bounds the vector (it
+    * ships with read plans like a broadcast scalar — default 2M
+    * positions ≈ 16 MB); a wider delete should be COW
+    * (`deleteWhere`) or keyed (`deleteMor`), and the refusal says so.
+    * Positions are recorded off `_metadata.row_index` AT THE SCAN,
+    * below any pending sidecar's anti-join, so they are exact
+    * whatever join strategy the MOR resolution picks. Matched rows
+    * are counted MOR-aware (already-deleted rows never recount), the
+    * manifest `rows` stays exact, CDC feeds capture the deleted rows
+    * as typed rows, and any full rewrite (`compact`/`morMaintain`)
+    * materializes the vector away. Returns the committed version
+    * (unchanged when nothing matches). */
+  def deleteDv(spark: SparkSession, table: String, cond: Column,
+      txnId: Option[String] = None, maxPositions: Long = 2000000L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"deleteDv on feed-enabled table $table: the append-only change " +
+        s"feed cannot represent a delete — enableCdcFeed($table) to " +
+        "capture deletes as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      if (base.files.isEmpty) return base.version
+      val kept = dvPrune(spark, table, base, cond)
+      if (kept.isEmpty) return base.version
+      val matched = morScan(spark, table, base, kept, pos = true)
+        .where(cond)
+        .select(col(GraftFileCol).as(DvFileField),
+          col(GraftPosCol).as(DvPosField)).cache()
+      try {
+        val cnt = matched.count()
+        if (cnt == 0) return base.version
+        require(cnt <= maxPositions,
+          s"deleteDv on $table: $cnt matched rows exceed maxPositions " +
+            s"($maxPositions) — a deletion vector this wide would weigh " +
+            "down every read plan; use deleteWhere (copy-on-write) or " +
+            "deleteMor (key sidecar) for bulk deletes, or raise the bound")
+        val (delFiles, _) = writeDataFiles(spark, table,
+          matched.coalesce(1), Seq(DvPosField), Seq(DvFileField), Nil)
+        val version = base.version + 1
+        val newDels = delFiles.map(f =>
+          DeleteEntry(f.copy(ver = version), DvKeyCol, version))
+        val rows = base.rows - cnt
+        val r =
+          if (version % checkpointInterval == 0)
+            ManifestRec(version, base.version, "delete_dv", rows, "full",
+              base.files, Nil, Nil, base.dels ++ newDels, Nil, txnId,
+              base.schemaJson, base.counters)
+          else
+            ManifestRec(version, base.version, "delete_dv", rows, "delta",
+              Nil, Nil, Nil, Nil, newDels, txnId, base.schemaJson,
+              base.counters)
+        if (tryCommit(table, r)) committed = version
+        // CAS loss: positions were computed against a stale snapshot —
+        // recompute everything; the orphaned sidecar is vacuumed
+      } finally { matched.unpersist(); () }
+    }
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
+  /** POSITIONAL merge-on-read update — `updateWhere`'s set-clause
+    * contract under ANY deterministic predicate, ZERO rewrites, NO
+    * key column: matched rows' NEW IMAGES commit as ordinary data
+    * files and their old positions as a deletion-vector sidecar.
+    * Because positions address rows EXACTLY, the key-based faces'
+    * constraints vanish: no NULL-key refusal, no straddled-shared-key
+    * audit — rows sharing any value update independently. Row count
+    * is invariant and audited; CHECK constraints re-validate the new
+    * images; CDC feeds capture old images as deletes + new images as
+    * inserts. Returns the committed version (unchanged when nothing
+    * matches). */
+  def updateDv(spark: SparkSession, table: String, cond: Column,
+      set: Map[String, Column], statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
+      bloomStatsCols: Seq[String] = Nil,
+      maxPositions: Long = 2000000L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateDv: empty set clause")
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"updateDv on feed-enabled table $table: the append-only " +
+        "change feed cannot represent an update — " +
+        s"enableCdcFeed($table) to capture it as typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      if (base.files.isEmpty) return base.version
+      val kept = dvPrune(spark, table, base, cond)
+      if (kept.isEmpty) return base.version
+      val scan = morScan(spark, table, base, kept, pos = true)
+      val dataCols = scan.columns.toSeq
+        .filterNot(c => c == GraftFileCol || c == GraftPosCol)
+      set.keys.foreach(k => require(dataCols.contains(k),
+        s"updateDv: set column $k not in $table's schema"))
+      val matched = scan.where(cond).cache()
+      try {
+        val cnt = matched.count()
+        if (cnt == 0) return base.version
+        require(cnt <= maxPositions,
+          s"updateDv on $table: $cnt matched rows exceed maxPositions " +
+            s"($maxPositions) — use updateWhere (copy-on-write) or " +
+            "updateMor (key sidecar) for bulk updates, or raise the bound")
+        // new images: ONE projection off the matched scan — every set
+        // RHS reads the pre-update row (the updateWhere contract)
+        val updated = matched.select(dataCols.map(k =>
+          set.get(k).map(_.as(k)).getOrElse(col(k))): _*)
+        scan.select(dataCols.map(col): _*).schema.fields
+          .zip(updated.schema.fields).foreach {
+            case (o, n) => require(o.dataType == n.dataType,
+              s"updateDv: set expression for ${o.name} has type " +
+                s"${n.dataType.simpleString}, column is " +
+                s"${o.dataType.simpleString} — cast the expression " +
+                "explicitly (the manifest schema is not changed by update)")
+          }
+        enforceChecks(spark, table, base.checks, updated, "updateDv")
+        val (newFiles, newRows) = writeDataFiles(spark, table, updated,
+          statsCols, strStatsCols, bloomStatsCols)
+        require(newRows == cnt,
+          s"updateDv audit failed for $table: wrote $newRows new " +
+            s"images for $cnt matched rows — not committing")
+        val (delFiles, _) = writeDataFiles(spark, table,
+          matched.select(col(GraftFileCol).as(DvFileField),
+            col(GraftPosCol).as(DvPosField)).coalesce(1),
+          Seq(DvPosField), Seq(DvFileField), Nil)
+        val version = base.version + 1
+        val stamped = newFiles.map(_.copy(ver = version))
+        val newDels = delFiles.map(f =>
+          DeleteEntry(f.copy(ver = version), DvKeyCol, version))
+        val r =
+          if (version % checkpointInterval == 0)
+            ManifestRec(version, base.version, "update_dv", base.rows,
+              "full", base.files ++ stamped, Nil, Nil,
+              base.dels ++ newDels, Nil, txnId, base.schemaJson,
+              base.counters)
+          else
+            ManifestRec(version, base.version, "update_dv", base.rows,
+              "delta", Nil, stamped, Nil, Nil, newDels, txnId,
+              base.schemaJson, base.counters)
+        if (tryCommit(table, r)) committed = version
+      } finally { matched.unpersist(); () }
+    }
+    // typed-feed capture: old images as deletes + new images as inserts
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
+  /** The positional faces' shared front half: resolve the user
+    * predicate once against the snapshot scan, refuse nondeterminism
+    * (the matched set must be the set the read-side filter hides), and
+    * manifest-prune with the SAME machinery the declarative face uses
+    * — a clustered positional delete touches only overlapping files. */
+  private def dvPrune(spark: SparkSession, table: String, base: Snapshot,
+      cond: Column): Seq[FileEntry] = {
+    val probe = morScan(spark, table, base, base.files, pos = true)
+      .where(cond)
+    val resolved = probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    resolved.foreach(c => require(c.deterministic,
+      s"positional DML on $table: the predicate must be deterministic " +
+        "— a nondeterministic predicate would delete different rows " +
+        "than it matched"))
+    resolved match {
+      case Some(c) => graft.plans.PruneLogScan.keptFilesOf(base, c)
+      case None => base.files
+    }
   }
 
   /** MERGE-ON-READ update — `updateWhere` semantics (same predicate,
