@@ -885,6 +885,42 @@ object SparkEntry {
       GROUP BY _version, priority ORDER BY _version, priority""")
   }
 
+  /** POSITIONAL (deletion-vector) DML under the oracle — the SQL
+    * DELETE/UPDATE completion: predicates NO range/key face can claim
+    * (modulo arithmetic + string comparisons, multi-column
+    * conjunctions) execute as zero-rewrite deletion-vector commits
+    * with exact SQL semantics. The in-plan invariants pin the MOR
+    * contract: after both statements every ORIGINAL data file is still
+    * in the manifest (nothing rewritten) and a `__pos__` sidecar is
+    * pending. The oracle replays the two statements relationally —
+    * exact BECAUSE nothing was rewritten: untouched rows can't drift. */
+  private def o80DvDml(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/dvdml_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    T(s, dir, "orders").createOrReplaceTempView("orders_src80")
+    tl.sql(s, s"CREATE TABLE lake80 USING graft LOCATION '$t' " +
+      "OPTIONS (statsCols 'o_orderkey') AS " +
+      "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS price_c, o_orderpriority AS priority " +
+      "FROM orders_src80 WHERE o_orderkey % 30 = 20")
+    val before = tl.snapshot(t).get.files.map(_.path).toSet
+    tl.sql(s, "DELETE FROM lake80 " +
+      "WHERE price_c % 10 = 3 AND priority <> '1-URGENT'")
+    tl.sql(s, "UPDATE lake80 SET price_c = price_c + 9 " +
+      "WHERE priority = '2-HIGH' AND o_orderkey % 13 = 5")
+    val after = tl.snapshot(t).get
+    assert(before.subsetOf(after.files.map(_.path).toSet),
+      "o80: positional DML must rewrite no base data file")
+    assert(after.dels.exists(_.keyCol == "__pos__"),
+      "o80: a deletion-vector sidecar must be pending")
+    tl.sql(s, """
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM lake80 GROUP BY priority ORDER BY priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4121,6 +4157,7 @@ object SparkEntry {
     "o75_wap" -> (o75Wap _),
     "o76_catalog_sql" -> (o76CatalogSql _),
     "o79_metadata_cols" -> (o79MetadataCols _),
+    "o80_dv_dml" -> (o80DvDml _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -5699,6 +5736,23 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM rows_v GROUP BY _version, priority
         |ORDER BY _version, priority""".stripMargin,
+    // the two positional statements replayed relationally in order:
+    // the modulo+string delete, then the conditional update
+    "o80_dv_dml" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 20),
+        |d AS (SELECT * FROM t
+        |  WHERE NOT (price_c % 10 = 3 AND priority <> '1-URGENT')),
+        |u AS (SELECT o_orderkey,
+        |  CASE WHEN priority = '2-HIGH' AND o_orderkey % 13 = 5
+        |    THEN price_c + 9 ELSE price_c END AS price_c, priority
+        |  FROM d)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM u GROUP BY priority ORDER BY priority""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

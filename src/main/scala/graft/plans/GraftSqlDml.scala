@@ -650,22 +650,21 @@ object GraftSqlDml {
     * registered table's schema; anything else fails loudly like the
     * other untranslatable shapes. Legacy tables without a recorded
     * schema can't be checked and keep the historical behavior. */
-  private def requireIntegralRange(verb: String, view: String, reg: Reg,
-      col: String): Unit =
-    TableLog.tableSchemaOf(reg.table).foreach { st =>
-      st.fields.find(_.name.equalsIgnoreCase(col)) match {
-        case None => unsupported(s"$verb $view",
-          s"predicate column $col does not exist in the table " +
-            s"(columns: ${st.fieldNames.mkString(", ")})")
-        case Some(f) => f.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => ()
-          case dt => unsupported(s"$verb $view",
-            s"range/equality predicate on non-integral column $col " +
-              s"(${dt.simpleString}): the long-range faces would apply " +
-              "a truncating cast, not SQL equality — use the Scala " +
-              "faces for fractional/string/temporal predicates")
-        }
-      }
+  /** The range faces evaluate `cast(col AS long) BETWEEN lo AND hi`,
+    * which on a fractional column is NOT SQL equality — `price = 100`
+    * would delete every row with price in [100.0, 101.0) (truncating
+    * cast). A range-translated predicate is only CLAIMED for the
+    * range faces when the column resolves to an INTEGRAL type in the
+    * recorded schema; anything else (unknown column, fractional,
+    * temporal) routes to the POSITIONAL faces, where Spark evaluates
+    * the predicate itself — exact by construction. Legacy tables
+    * without a recorded schema keep the historical range behavior. */
+  private def integralRangeOk(reg: Reg, col: String): Boolean =
+    TableLog.tableSchemaOf(reg.table).forall { st =>
+      st.fields.find(_.name.equalsIgnoreCase(col)).exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
     }
 
   /** A statement whose translated range is EMPTY (endpoint-exclusive
@@ -711,17 +710,27 @@ object GraftSqlDml {
           s => TableLog.deleteWhereIn(s, reg.table, c, vals, reg.statsCols,
             reg.strStatsCols, bloomStatsCols = reg.bloomStatsCols))
       case _ =>
-        val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
-          s"DELETE FROM $view",
-          "supported predicates are single-column long ranges " +
-            "(BETWEEN/=/</>) and string =/IN lists — for anything " +
-            "else use TableLog.deleteMor with an explicit key frame"))
-        requireIntegralRange("DELETE FROM", view, reg, c)
-        if (lo > hi) noOp("delete", view, reg)
-        else GraftDmlCommand("delete", view, reg.table,
-          s => TableLog.deleteWhere(s, reg.table, c, lo, hi,
-            reg.statsCols, reg.strStatsCols,
-            bloomStatsCols = reg.bloomStatsCols))
+        rangeOf(cond) match {
+          case Some((c, lo, hi)) if integralRangeOk(reg, c) =>
+            if (lo > hi) noOp("delete", view, reg)
+            else GraftDmlCommand("delete", view, reg.table,
+              s => TableLog.deleteWhere(s, reg.table, c, lo, hi,
+                reg.statsCols, reg.strStatsCols,
+                bloomStatsCols = reg.bloomStatsCols))
+          case _ =>
+            // POSITIONAL fallback — the completion of the SQL DELETE
+            // story: any other deterministic predicate (modulo,
+            // multi-column conjunctions, fractional/temporal equality
+            // — where the long-range faces' truncating cast would be
+            // WRONG, Spark's own evaluation of the predicate is
+            // definitionally right) executes as a zero-rewrite
+            // deletion-vector commit with exact SQL semantics.
+            // Unresolvable columns and nondeterminism still fail
+            // loudly, from analysis and deleteDv's own guard.
+            GraftDmlCommand("delete", view, reg.table,
+              s => TableLog.deleteDv(s, reg.table,
+                org.apache.spark.sql.graft.Bridge.column(cond)))
+        }
     }
   }
 
@@ -730,10 +739,6 @@ object GraftSqlDml {
     val cond = condOpt.getOrElse(unsupported(s"UPDATE $view",
       "an UPDATE without WHERE rewrites the whole table — state the " +
         "intent with a predicate, or use a rewrite face directly"))
-    val (c, lo, hi) = rangeOf(cond).getOrElse(unsupported(
-      s"UPDATE $view", "supported predicates are single-column long " +
-        "ranges (BETWEEN/=/</>) — the stats-prunable shapes"))
-    requireIntegralRange("UPDATE", view, reg, c)
     // standard SQL store-assignment: cast each value to the RECORDED
     // column type (an `UPDATE … SET v = -1` on a BIGINT column must
     // not be refused for the literal parsing as INT, nor silently
@@ -755,15 +760,28 @@ object GraftSqlDml {
       }
       name -> typed
     }.toMap
-    if (lo > hi) return noOp("update", view, reg)
-    GraftDmlCommand("update", view, reg.table, s => reg.morKey match {
-      case Some(mk) => TableLog.updateMor(s, reg.table, mk, c, lo, hi,
-        set, reg.statsCols, reg.strStatsCols,
-        bloomStatsCols = reg.bloomStatsCols)
-      case None => TableLog.updateWhere(s, reg.table, c, lo, hi, set,
-        reg.statsCols, reg.strStatsCols,
-        bloomStatsCols = reg.bloomStatsCols)
-    })
+    rangeOf(cond) match {
+      case Some((c, lo, hi)) if integralRangeOk(reg, c) =>
+        if (lo > hi) noOp("update", view, reg)
+        else GraftDmlCommand("update", view, reg.table,
+          s => reg.morKey match {
+            case Some(mk) => TableLog.updateMor(s, reg.table, mk, c, lo,
+              hi, set, reg.statsCols, reg.strStatsCols,
+              bloomStatsCols = reg.bloomStatsCols)
+            case None => TableLog.updateWhere(s, reg.table, c, lo, hi,
+              set, reg.statsCols, reg.strStatsCols,
+              bloomStatsCols = reg.bloomStatsCols)
+          })
+      case _ =>
+        // POSITIONAL fallback: any other deterministic predicate
+        // updates as new images + a deletion-vector, zero rewrites,
+        // exact SQL semantics — see delete's twin comment
+        GraftDmlCommand("update", view, reg.table,
+          s => TableLog.updateDv(s, reg.table,
+            org.apache.spark.sql.graft.Bridge.column(cond), set,
+            reg.statsCols, reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols))
+    }
   }
 
   private def merge(spark: SparkSession, view: String, reg: Reg,

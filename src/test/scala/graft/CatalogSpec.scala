@@ -254,11 +254,19 @@ class CatalogSpec extends SparkSpec {
       .as[Long].head() == -5)
     assert(spark.sql(s"SELECT v FROM $CAT.dml.t WHERE k = 5000")
       .as[Long].head() == -6)
-    // an untranslatable predicate on a CLAIMED catalog target refuses
-    // loudly instead of falling through to a misleading Spark error
-    val bad = intercept[Exception](TableLog.sql(spark,
-      s"DELETE FROM $CAT.dml.t WHERE v % 2 = 0"))
-    assert(bad.getMessage.contains("graft SQL DML"))
+    // a non-range predicate on a catalog target executes POSITIONALLY:
+    // zero-rewrite deletion-vector commit, exact SQL semantics
+    val nB = spark.sql(s"SELECT count(*) AS n FROM $CAT.dml.t")
+      .as[Long].head()
+    val expDel = spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.dml.t WHERE v % 2 = 0")
+      .as[Long].head()
+    val fB = TableLog.snapshot(path).get.files.map(_.path)
+    TableLog.sql(spark, s"DELETE FROM $CAT.dml.t WHERE v % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.dml.t")
+      .as[Long].head() == nB - expDel)
+    assert(TableLog.snapshot(path).get.files.map(_.path) == fB,
+      "a positional delete must rewrite no data file")
 
     // CALL procedures accept the dotted identifier as the table arg
     val vBefore = TableLog.latestVersion(path)

@@ -69,13 +69,28 @@ class SqlDmlSpec extends SparkSpec {
     val e1 = intercept[UnsupportedOperationException](TableLog.sql(spark,
       "UPDATE dml_lake SET v = 0")) // no WHERE
     assert(e1.getMessage.contains("UPDATE"))
-    val e2 = intercept[UnsupportedOperationException](TableLog.sql(spark,
-      "DELETE FROM dml_lake WHERE v + k > 3")) // not a range shape
-    assert(e2.getMessage.contains("DELETE"))
+    // a NON-RANGE predicate now EXECUTES positionally: a zero-rewrite
+    // deletion-vector commit with exact SQL semantics
+    val nBefore = TableLog.read(spark, t).count()
+    val filesBefore = TableLog.snapshot(t).get.files.map(_.path)
+    val expectDel = TableLog.read(spark, t)
+      .where($"v" % 2 === 0 && $"k" > 3500).count()
+    assert(expectDel > 0)
+    TableLog.sql(spark,
+      "DELETE FROM dml_lake WHERE v % 2 = 0 AND k > 3500")
+    assert(TableLog.read(spark, t).count() == nBefore - expectDel)
+    assert(TableLog.snapshot(t).get.files.map(_.path) == filesBefore,
+      "a positional delete must rewrite no data file")
+    assert(TableLog.snapshot(t).get.dels.exists(_.keyCol == "__pos__"))
     val e3 = intercept[UnsupportedOperationException](TableLog.sql(spark,
       """MERGE INTO dml_lake USING dml_src ON dml_lake.k = dml_src.k
         |WHEN MATCHED THEN DELETE""".stripMargin))
     assert(e3.getMessage.contains("MERGE"))
+    // nondeterministic predicates refuse (the matched set must be the
+    // set the read-side filter hides)
+    val eNd = intercept[Exception](TableLog.sql(spark,
+      "DELETE FROM dml_lake WHERE rand() < 0.5"))
+    assert(eNd.getMessage.contains("deterministic"))
     // an UNREGISTERED name passes through to Spark untouched
     intercept[Exception](TableLog.sql(spark,
       "DELETE FROM some_other_view WHERE k = 1"))
@@ -486,30 +501,39 @@ class SqlDmlSpec extends SparkSpec {
     assert(TableLog.read(spark, tB).count() == 90)
   }
 
-  test("range predicates on non-integral columns fail loudly (the cast is not SQL equality)") {
+  test("non-integral predicates route positionally — EXACT SQL " +
+      "semantics, never the truncating cast") {
     val t = tmp("graft_sqldml_typed")
     TableLog.create(spark, t, spark.range(100)
       .select($"id".as("k"), ($"id" + 0.5).as("price")),
       statsCols = Seq("k"))
     TableLog.registerSqlTable(spark, "dml_typed", t,
       statsCols = Seq("k"))
-    // price = 100 under cast-to-long semantics would delete every row
-    // in [100.0, 101.0) — refuse instead of silently mismatching SQL
-    val e = intercept[UnsupportedOperationException](
-      TableLog.sql(spark, "DELETE FROM dml_typed WHERE price = 50"))
-    assert(e.getMessage.contains("non-integral"))
-    val e2 = intercept[UnsupportedOperationException](
-      TableLog.sql(spark,
-        "UPDATE dml_typed SET k = 0 WHERE price BETWEEN 1 AND 2"))
-    assert(e2.getMessage.contains("non-integral"))
-    // a predicate on a column the table doesn't have is a typo, not a
-    // silent no-op
-    val e3 = intercept[UnsupportedOperationException](
+    // price = 50 under cast-to-long range semantics would have deleted
+    // every row in [50.0, 51.0) — i.e. id 50 (price 50.5). Positional
+    // routing evaluates SQL equality: NO row has price exactly 50, so
+    // this is a committed NOTHING — a no-op at the current version.
+    val v0 = TableLog.latestVersion(t)
+    TableLog.sql(spark, "DELETE FROM dml_typed WHERE price = 50")
+    assert(TableLog.latestVersion(t) == v0, "exact equality matches nothing")
+    assert(TableLog.read(spark, t).count() == 100)
+    // ...and exact fractional equality deletes exactly one row
+    TableLog.sql(spark, "DELETE FROM dml_typed WHERE price = 50.5")
+    assert(TableLog.read(spark, t).count() == 99)
+    assert(TableLog.read(spark, t).where($"k" === 50).count() == 0)
+    // fractional BETWEEN updates positionally (new image + vector)
+    TableLog.sql(spark,
+      "UPDATE dml_typed SET k = 0 WHERE price BETWEEN 1 AND 2")
+    assert(TableLog.read(spark, t).where($"k" === 0).count() == 2,
+      "price in {0.5..}: 1.5 matches; plus the original k=0 row")
+    // a predicate on a column the table doesn't have still fails
+    // loudly — now from analysis, naming the column
+    val e3 = intercept[Exception](
       TableLog.sql(spark, "DELETE FROM dml_typed WHERE kk = 5"))
-    assert(e3.getMessage.contains("does not exist"))
-    // integral predicates still translate
-    TableLog.sql(spark, "DELETE FROM dml_typed WHERE k < 10")
-    assert(TableLog.read(spark, t).count() == 90)
+    assert(e3.getMessage.contains("kk"))
+    // integral predicates still translate to the range faces
+    TableLog.sql(spark, "DELETE FROM dml_typed WHERE k BETWEEN 90 AND 200")
+    assert(TableLog.read(spark, t).count() == 89)
   }
 
   test("domain-endpoint strict inequalities are match-nothing no-ops, not wrap-around deletes") {
