@@ -921,6 +921,64 @@ object SparkEntry {
       FROM lake80 GROUP BY priority ORDER BY priority""")
   }
 
+  /** The NATIVE streaming sink under the oracle:
+    * `writeStream.toTable("<cat>.stream.lake")` drains a file-source
+    * stream in two waves — each epoch is ONE txn-stamped append commit
+    * through `GraftStreamingWrite`'s executor-side parquet writers —
+    * and the final aggregate reads the table back through the catalog.
+    * The oracle replays both waves relationally; it is independent of
+    * epoch granularity (however the source batches the files, the
+    * committed content is the union), which is exactly the sink's
+    * correctness contract. In-plan invariants pin the mechanism: the
+    * final snapshot is txn-stamped (`<queryId>#<epoch>` idempotence
+    * key) and every streamed file carries the property-declared key
+    * stat. */
+  private def o81StreamTable(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh81_$sfx"
+    val src = s"$tmpRoot/stream81_src_$sfx"
+    val ckpt = s"$tmpRoot/stream81_ck_$sfx"
+    Seq(wh, src, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val cat = s"graft_o81_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.stream")
+    s.sql(s"CREATE TABLE $cat.stream.lake (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 6)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    base.where(col("o_orderkey") % 2 === 0).write.parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+    val q = stream.writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.stream.lake")
+    try {
+      q.processAllAvailable()
+      base.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), (col("price_c") + 1000L).as("price_c"),
+          lit("W2").as("priority"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val path = s"$wh/stream/lake"
+    val snap = tl.snapshot(path).get
+    assert(snap.txn.exists(_.contains("#")),
+      "o81: epoch commits must be txn-stamped for exactly-once")
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.stats.exists(_.col == "o_orderkey")),
+      "o81: streamed files must carry the property-declared stats")
+    s.sql(s"""
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.stream.lake GROUP BY priority ORDER BY priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4158,6 +4216,7 @@ object SparkEntry {
     "o76_catalog_sql" -> (o76CatalogSql _),
     "o79_metadata_cols" -> (o79MetadataCols _),
     "o80_dv_dml" -> (o80DvDml _),
+    "o81_stream_table" -> (o81StreamTable _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -5736,6 +5795,22 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM rows_v GROUP BY _version, priority
         |ORDER BY _version, priority""".stripMargin,
+    // both streamed waves replayed relationally — the result is the
+    // union of the two epochs' content whatever the epoch granularity
+    "o81_stream_table" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 6),
+        |w AS (SELECT o_orderkey, price_c, priority FROM t
+        |    WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c + 1000, 'W2' FROM t
+        |    WHERE o_orderkey % 2 = 1)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM w GROUP BY priority ORDER BY priority""".stripMargin,
     // the two positional statements replayed relationally in order:
     // the modulo+string delete, then the conditional update
     "o80_dv_dml" ->

@@ -511,7 +511,8 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftTable.VersionCol, GraftTable.FileCol)
@@ -546,7 +547,7 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(this)
+    new GraftWriteBuilder(this, info)
 }
 
 object GraftTable {
@@ -654,7 +655,7 @@ final class GraftStagedTable(path: String, nameStr: String,
   * and cast the incoming frame to the table schema
   * (`TableOutputResolver`), so the append sees exactly the declared
   * column set. */
-final class GraftWriteBuilder(t: GraftTable)
+final class GraftWriteBuilder(t: GraftTable, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwriteAll = false
@@ -662,6 +663,18 @@ final class GraftWriteBuilder(t: GraftTable)
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
   override def build(): Write = new V1Write {
+    // the NATIVE streaming path: writeStream.toTable("graft.ns.t") —
+    // Append mode only; Complete (truncate-per-epoch) refuses
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (overwriteAll) throw new UnsupportedOperationException(
+        s"${t.name}: streaming Complete mode (truncate per epoch) is " +
+          "not supported on a commit-log table — use Append mode, or " +
+          "aggregate into a batch face")
+      new GraftStreamingWrite(t.path, t.props, info.schema(),
+        info.queryId())
+    }
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {

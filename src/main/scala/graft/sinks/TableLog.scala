@@ -562,15 +562,35 @@ object TableLog {
       strStatsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       derivedStats: Seq[(String, Column)] = Nil): (Seq[FileEntry], Long) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
     df.write.parquet(outDir)
-    import scala.jdk.CollectionConverters._
-    val allNames = listDir(Paths.get(outDir))
+    val rels = listDir(Paths.get(outDir))
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .sorted
+      .map(n => s"data/$setId/$n")
+    statEntriesFor(spark, table, rels, statsCols, strStatsCols,
+      bloomCols, derivedStats)
+  }
+
+  /** The manifest-entry pass over ALREADY-WRITTEN files (table-relative
+    * paths): per-file footer row counts, zero-row file deletion, the
+    * stat/bloom aggregation passes, write-time bytes. Shared by
+    * `writeDataFiles` (which just wrote them) and the streaming epoch
+    * commit (whose executor-side DataWriters wrote them — and whose
+    * path list comes from commit MESSAGES, so a zombie task's orphan
+    * file is never manifested). */
+  private def statEntriesFor(spark: SparkSession, table: String,
+      relPaths: Seq[String], statsCols: Seq[String],
+      strStatsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      derivedStats: Seq[(String, Column)] = Nil): (Seq[FileEntry], Long) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val relByName = relPaths.map(p => p.split("/").last -> p).toMap
+    require(relByName.size == relPaths.size,
+      s"statEntriesFor($table): duplicate file leaf names in $relPaths")
+    val allNames = relPaths.map(_.split("/").last).sorted
     // Per-file row counts from the parquet FOOTERS, driver-side (the
     // files were just written, so the metadata is OS-cache hot; this
     // also replaces the whole-directory count() job). Spark's writer
@@ -592,7 +612,7 @@ object TableLog {
       def countOf(n: String): Long = {
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(s"$outDir/$n"), hconf))
+            new org.apache.hadoop.fs.Path(s"$table/${relByName(n)}"), hconf))
         try rdr.getRecordCount finally rdr.close()
       }
       if (allNames.size <= 4) allNames.map(n => n -> countOf(n)).toMap
@@ -608,10 +628,12 @@ object TableLog {
     }
     val names = allNames.filter(n => countByName(n) > 0L)
     allNames.filterNot(countByName(_) > 0L).foreach { n =>
-      Files.deleteIfExists(Paths.get(outDir, n))
-      Files.deleteIfExists(Paths.get(outDir, s".$n.crc"))
+      val p = Paths.get(table, relByName(n))
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.resolveSibling(s".$n.crc"))
     }
     val rows = countByName.valuesIterator.sum
+    val livePaths = names.map(n => s"$table/${relByName(n)}")
     // per-file min/max for the stat columns: one distributed agg grouped
     // by input file over the files just written (driver result is
     // files×cols — metadata-sized). Long and string space; derived
@@ -631,7 +653,7 @@ object TableLog {
           derivedStats.zipWithIndex.flatMap { case ((_, e), i) => Seq(
             min(e.cast("long")).as(s"dmn_$i"),
             max(e.cast("long")).as(s"dmx_$i")) }
-        spark.read.parquet(outDir)
+        spark.read.parquet(livePaths: _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -666,7 +688,7 @@ object TableLog {
       if (bloomCols.isEmpty || names.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{collect_set, lit, pmod, xxhash64}
-        val scan = spark.read.parquet(outDir)
+        val scan = spark.read.parquet(livePaths: _*)
         bloomCols.flatMap { c =>
           val aggs = (0 until bloomK).map(i =>
             collect_set(pmod(xxhash64(lit(i), col(c)), lit(bloomM.toLong))
@@ -691,9 +713,9 @@ object TableLog {
       // size recorded NOW, while the writer already holds the file's
       // metadata hot — every later footprint question (computeStats,
       // detail, compaction sizing) becomes a manifest lookup
-      FileEntry(s"data/$setId/$n", ls,
+      FileEntry(relByName(n), ls,
         ss ++ bloomByName.getOrElse(n, Nil),
-        bytes = try Files.size(Paths.get(outDir, n))
+        bytes = try Files.size(Paths.get(table, relByName(n)))
           catch { case _: java.io.IOException => -1L })
     }, rows)
   }
@@ -2431,6 +2453,85 @@ object TableLog {
     // retention past versions committed AFTER the cutoff
     vacuum(spark, table, keepVersions = 1, olderThanMs = olderThanMs,
       keepFromVersion = floor)
+  }
+
+  /** The epoch-commit half of the NATIVE streaming sink
+    * (`df.writeStream.toTable("graft.ns.t")` —
+    * [[graft.catalog.GraftStreamingWrite]]): executor-side DataWriters
+    * already wrote `relPaths` directly (one parquet file per task,
+    * opened lazily on first row), and this turns the epoch into ONE
+    * txn-stamped append commit. Only MESSAGE-listed paths are
+    * manifested — a zombie/retried task's orphan file never lands (it
+    * is invisible garbage until vacuum, like any CAS-loser's write).
+    * Same contract as `append`: txn idempotence (a replayed epoch
+    * deletes its duplicate files and returns the committed version),
+    * CHECK constraints on the new rows, additive schema evolution,
+    * feed freed-name guard, counters carried, delta/checkpoint
+    * cadence, feed publication. */
+  private[graft] def commitStreamEpoch(spark: SparkSession, table: String,
+      relPaths: Seq[String], txnId: String, statsCols: Seq[String],
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil): Long = {
+    committedTxnVersion(table, txnId).foreach { v =>
+      relPaths.foreach { p =>
+        val ap = Paths.get(table, p)
+        Files.deleteIfExists(ap)
+        Files.deleteIfExists(ap.resolveSibling(
+          s".${ap.getFileName.toString}.crc"))
+      }
+      return v
+    }
+    if (relPaths.isEmpty) return latestVersion(table)
+    val (entries, newRows) = statEntriesFor(spark, table, relPaths,
+      statsCols, strStatsCols, bloomStatsCols)
+    if (entries.isEmpty) return latestVersion(table)
+    val written = spark.read.parquet(
+      entries.map(f => s"$table/${f.path}"): _*)
+    snapshot(table).foreach(b =>
+      enforceChecks(spark, table, b.checks, written, "streaming append"))
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshot(table)
+      committedTxnVersion(table, txnId).foreach(return _)
+      val evolved = base.flatMap(_.schemaJson) match {
+        case Some(j) => Some(mergeEvolved(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType],
+          written.schema).json)
+        case None if base.isEmpty => Some(written.schema.json)
+        case None => None
+      }
+      if (feedEnabled(table)) base.foreach { b =>
+        val baseNames = b.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet).getOrElse(Set.empty[String])
+        val freed = b.schemaOps.map(_.col).toSet
+        val readd = written.schema.fieldNames.filterNot(baseNames)
+          .filter(freed)
+        require(readd.isEmpty,
+          s"streaming append to feed-enabled $table: column(s) " +
+            s"${readd.mkString(", ")} re-add a name a schema op freed " +
+            "— use a fresh column name")
+      }
+      val version = base.map(_.version).getOrElse(0L) + 1
+      val rows = base.map(_.rows).getOrElse(0L) + newRows
+      val counters = base.map(_.counters).getOrElse(Map.empty[String, Long])
+      val action = if (base.isEmpty) "create" else "append"
+      val stamped = entries.map(_.copy(ver = version))
+      val r =
+        if (base.isEmpty || version % checkpointInterval == 0)
+          ManifestRec(version, version - 1, action, rows, "full",
+            base.map(_.files).getOrElse(Nil) ++ stamped, Nil, Nil,
+            base.map(_.dels).getOrElse(Nil), Nil,
+            Some(txnId), evolved, counters)
+        else
+          ManifestRec(version, version - 1, action, rows, "delta",
+            Nil, stamped, Nil, Nil, Nil, Some(txnId), evolved, counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
   }
 
   /** EXACTLY-ONCE streaming ingest: each micro-batch appends through

@@ -374,6 +374,74 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.meta.m")
   }
 
+  test("writeStream.toTable: native streaming sink — one commit per " +
+      "epoch, exactly-once across restart, stats derived") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.stream")
+    spark.sql(s"CREATE TABLE $CAT.stream.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/stream/t"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.stream.t")
+      .as[Long].head()
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"$CAT.stream.t")
+    try {
+      mem.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      assert(count() == 2)
+      val v1 = TableLog.latestVersion(path)
+      mem.addData((3L, 30L))
+      q.processAllAvailable()
+      assert(count() == 3)
+      assert(TableLog.latestVersion(path) == v1 + 1,
+        "each epoch must be exactly ONE append commit")
+      val snap = TableLog.snapshot(path).get
+      assert(snap.files.nonEmpty &&
+        snap.files.forall(_.stats.exists(_.col == "k")),
+        "property-declared stats must derive on streaming appends")
+      assert(snap.txn.exists(_.contains("#")),
+        "epoch commits must be txn-stamped for idempotence")
+    } finally q.stop()
+    // RESTART from the same checkpoint: the replayed epoch finds its
+    // txn committed and skips — no duplicate rows
+    val q2 = mem.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"$CAT.stream.t")
+    try {
+      mem.addData((4L, 40L))
+      q2.processAllAvailable()
+      assert(count() == 4,
+        "a replayed epoch must not double-append (txn idempotence)")
+    } finally q2.stop()
+    // streamed files carry manifest stats: reads prune through the
+    // substitution path exactly like batch-written files
+    val pruned = spark.sql(s"SELECT * FROM $CAT.stream.t WHERE k = 3")
+    assert(filesScanned(pruned) <
+      TableLog.snapshot(path).get.files.size)
+    assert(pruned.count() == 1)
+    // Complete mode (truncate per epoch) refuses loudly
+    spark.sql(s"CREATE TABLE $CAT.stream.agg (k BIGINT, n BIGINT) ")
+    val memc = MemoryStream[(Long, Long)]
+    val qc = memc.toDF().toDF("k", "v").groupBy($"k")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckc").toString)
+      .toTable(s"$CAT.stream.agg")
+    try {
+      memc.addData((1L, 1L))
+      val e = intercept[Exception](qc.processAllAvailable())
+      assert(e.getMessage.contains("Complete") ||
+        Option(e.getCause).exists(_.getMessage.contains("Complete")))
+    } finally qc.stop()
+    spark.sql(s"DROP TABLE $CAT.stream.t")
+    spark.sql(s"DROP TABLE $CAT.stream.agg")
+  }
+
   test("ALTER TABLE properties and RENAME COLUMN route to the log") {
     val wh = warehouse
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt")
