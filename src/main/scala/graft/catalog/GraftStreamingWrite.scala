@@ -33,9 +33,17 @@ import org.apache.spark.sql.types.StructType
 final class GraftStreamingWrite(path: String, props: Map[String, String],
     schema: StructType, queryId: String) extends StreamingWrite {
 
+  /** One fresh id per StreamingWrite instance (= per query RUN): a
+    * crash-restart replaying an already-committed epoch gets a new
+    * run id, so its task files can NEVER collide with the names the
+    * first run manifested — task-attempt ids alone don't guarantee
+    * that across application restarts. Mirrors batch writes'
+    * `data/<uuid>` set id. */
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamWriterFactory(path, queryId,
+    new GraftStreamWriterFactory(path, queryId, runId,
       ParquetWrite.factory(SparkSession.active, schema))
 
   override def commit(epochId: Long,
@@ -66,17 +74,20 @@ final case class GraftFileMessage(relPath: String, rows: Long)
     extends WriterCommitMessage
 
 /** Serializable; ships the driver-captured parquet conf to executors.
-  * File names carry (epoch, partition, task-attempt), so two attempts
-  * of one partition never collide and the loser's file stays
+  * File names carry (run, epoch, partition, task-attempt): two
+  * attempts of one partition never collide within a run, and the
+  * per-run id keeps a restart's replay of an already-manifested epoch
+  * from colliding with the first run's files. Losers stay
   * unmanifested. */
 final class GraftStreamWriterFactory(tablePath: String, queryId: String,
-    pw: ParquetWriteFactory) extends StreamingDataWriterFactory {
+    runId: String, pw: ParquetWriteFactory)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val rel =
-        f"data/stream-$queryId-e$epochId%06d/p$partitionId%05d-t$taskId.parquet"
+        f"data/stream-$queryId-e$epochId%06d/p$partitionId%05d-t$taskId-$runId.parquet"
       private var rows = 0L
       private var w: RowFileWriter = null
       override def write(r: InternalRow): Unit = {

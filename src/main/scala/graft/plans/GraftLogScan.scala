@@ -251,10 +251,16 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
   /** `_version` is the catalog metadata column unless a DATA column
     * claims the name (Spark's conflict rule shadows the metadata one).
     * Its per-row value IS the manifest entry's `ver`, so both pruning
-    * and extremes over it are EXACT manifest arithmetic, no stats. */
+    * and extremes over it are EXACT manifest arithmetic, no stats.
+    * A RECORDED schema is REQUIRED to claim the metadata column: a
+    * legacy (schema-less) manifest can't prove its parquet data lacks
+    * a real `_version` column — and if one exists it shadows the
+    * metadata column at scan, so manifest arithmetic here would
+    * silently disagree with what the scan returns. Legacy tables fall
+    * back to the stats path / no fast-path. */
   private def versionMeta(s: TableLog.Snapshot, c: String): Boolean =
-    c == "_version" && !s.schemaJson.exists(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
+    c == "_version" && s.schemaJson.exists(j =>
+      !org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType].fieldNames.contains("_version"))
 
   /** min/max of `_version`: exact over the live files' commit versions

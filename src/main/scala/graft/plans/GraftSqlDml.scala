@@ -67,10 +67,14 @@ object GraftSqlDml {
     * DELETE whose predicate is `morKey IN (long list)` / `= n` →
     * `deleteMor` — the zero-rewrite path an UNCLUSTERED table wants
     * (range DELETEs stay copy-on-write: a range is exactly what the
-    * stat prune rewrites tightly). */
+    * stat prune rewrites tightly). `maxDvPositions` caps each
+    * positional (deletion-vector) commit — past it a DELETE
+    * auto-falls-back to copy-on-write and an UPDATE refuses with
+    * guidance (the TableLog faces' own contract). */
   final case class Reg(table: String, statsCols: Seq[String],
       strStatsCols: Seq[String], bloomStatsCols: Seq[String],
-      morKey: Option[String] = None)
+      morKey: Option[String] = None,
+      maxDvPositions: Long = 2000000L)
 
   def rewrite(spark: SparkSession, plan: LogicalPlan)
       : Option[LogicalPlan] = plan match {
@@ -211,10 +215,11 @@ object GraftSqlDml {
     * columns, and the (possibly time-traveling) source plan. */
   private final case class DdlSpec(name: String, loc: String,
       st: Seq[String], sst: Seq[String], bst: Seq[String],
-      morKey: Option[String], srcPlan: LogicalPlan) {
+      morKey: Option[String], mdp: Long, srcPlan: LogicalPlan) {
     def register(s: SparkSession): Unit =
       TableLog.registerSqlTable(s, name, loc, statsCols = st,
-        strStatsCols = sst, bloomStatsCols = bst, morKey = morKey)
+        strStatsCols = sst, bloomStatsCols = bst, morKey = morKey,
+        maxDvPositions = mdp)
   }
 
   private def ddlSpecOf(spark: SparkSession, verb: String,
@@ -256,14 +261,19 @@ object GraftSqlDml {
         def cols(k: String): Seq[String] = opts.get(k).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val known = Set("statscols", "strstatscols", "bloomstatscols",
-          "morkey")
+          "morkey", "maxdvpositions")
         opts.keys.filterNot(known).foreach(k => unsupported(
           s"$verb $name USING graft",
           s"unknown OPTION '$k' — supported: statsCols, strStatsCols, " +
-            "bloomStatsCols, morKey"))
+            "bloomStatsCols, morKey, maxDvPositions"))
+        val mdp = opts.get("maxdvpositions").map(v =>
+          try v.trim.toLong catch { case _: NumberFormatException =>
+            unsupported(s"$verb $name USING graft",
+              s"OPTION 'maxDvPositions' must be a long (got '$v')")
+          }).getOrElse(2000000L)
         Some(DdlSpec(name, loc, cols("statscols"), cols("strstatscols"),
           cols("bloomstatscols"),
-          opts.get("morkey").map(_.trim).filter(_.nonEmpty),
+          opts.get("morkey").map(_.trim).filter(_.nonEmpty), mdp,
           timeTravel(spark, query).getOrElse(query)))
       case _ => None
     }
@@ -729,7 +739,10 @@ object GraftSqlDml {
             // loudly, from analysis and deleteDv's own guard.
             GraftDmlCommand("delete", view, reg.table,
               s => TableLog.deleteDv(s, reg.table,
-                org.apache.spark.sql.graft.Bridge.column(cond)))
+                org.apache.spark.sql.graft.Bridge.column(cond),
+                maxPositions = reg.maxDvPositions,
+                statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
+                bloomStatsCols = reg.bloomStatsCols))
         }
     }
   }
@@ -780,7 +793,8 @@ object GraftSqlDml {
           s => TableLog.updateDv(s, reg.table,
             org.apache.spark.sql.graft.Bridge.column(cond), set,
             reg.statsCols, reg.strStatsCols,
-            bloomStatsCols = reg.bloomStatsCols))
+            bloomStatsCols = reg.bloomStatsCols,
+            maxPositions = reg.maxDvPositions))
     }
   }
 

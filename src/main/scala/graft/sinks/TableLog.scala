@@ -56,6 +56,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TableLog {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.TableLog")
+
   /** Per-file column range, LONG-typed (the engine's integer-first
     * convention: keys, micro-scores, epoch-micros all live in long
     * space). Stats prune IO, never semantics — `readWhere` keeps any
@@ -763,14 +765,15 @@ object TableLog {
   def registerSqlTable(spark: SparkSession, name: String, table: String,
       statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
       bloomStatsCols: Seq[String] = Nil,
-      morKey: Option[String] = None): Unit = {
+      morKey: Option[String] = None,
+      maxDvPositions: Long = 2000000L): Unit = {
     scan(spark, table).createOrReplaceTempView(name)
     sqlDmlRegs.synchronized {
       sqlDmlRegs.computeIfAbsent(spark, _ =>
         new java.util.concurrent.ConcurrentHashMap())
     }.put(name.toLowerCase(java.util.Locale.ROOT),
       graft.plans.GraftSqlDml.Reg(table, statsCols, strStatsCols,
-        bloomStatsCols, morKey))
+        bloomStatsCols, morKey, maxDvPositions))
   }
 
   private[graft] def sqlDmlReg(spark: SparkSession, name: String)
@@ -4234,10 +4237,27 @@ object TableLog {
     * manifest `rows` stays exact, CDC feeds capture the deleted rows
     * as typed rows, and any full rewrite (`compact`/`morMaintain`)
     * materializes the vector away. Returns the committed version
-    * (unchanged when nothing matches). */
+    * (unchanged when nothing matches).
+    *
+    * Two scale guards beyond the per-commit cap: (1) a delete whose
+    * matched count exceeds `maxPositions` AUTO-FALLS-BACK to the
+    * copy-on-write rewrite (`deleteImpl` with the same predicate —
+    * sound because `dvPrune` already refused nondeterminism, so the
+    * rewrite's re-evaluation matches the counted set exactly); set
+    * `cowFallback = false` to get the old refusal. (2) the AGGREGATE
+    * pending deletion-vector weight is bounded: every DV-bearing read
+    * ships the union of all pending sidecars with the plan, and
+    * nothing else shrinks it across commits — so when the pending DV
+    * sidecar bytes exceed `maxPendingDvBytes` (default 64 MB ≈ 4
+    * max-width vectors) this face materializes them away
+    * (`morMaintain(maxSidecars = 0)`) before committing its own.
+    * Both paths announce themselves in the log. */
   def deleteDv(spark: SparkSession, table: String, cond: Column,
-      txnId: Option[String] = None, maxPositions: Long = 2000000L): Long = {
-    import org.apache.spark.sql.functions.col
+      txnId: Option[String] = None, maxPositions: Long = 2000000L,
+      statsCols: Seq[String] = Nil, strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil, cowFallback: Boolean = true,
+      maxPendingDvBytes: Long = 64L << 20): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"deleteDv on feed-enabled table $table: the append-only change " +
         s"feed cannot represent a delete — enableCdcFeed($table) to " +
@@ -4246,6 +4266,8 @@ object TableLog {
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     var committed = -1L
     while (committed < 0) {
+      maintainDvIfHeavy(spark, table, maxPendingDvBytes, statsCols,
+        strStatsCols, bloomStatsCols)
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       if (base.files.isEmpty) return base.version
@@ -4258,11 +4280,25 @@ object TableLog {
       try {
         val cnt = matched.count()
         if (cnt == 0) return base.version
-        require(cnt <= maxPositions,
-          s"deleteDv on $table: $cnt matched rows exceed maxPositions " +
-            s"($maxPositions) — a deletion vector this wide would weigh " +
-            "down every read plan; use deleteWhere (copy-on-write) or " +
-            "deleteMor (key sidecar) for bulk deletes, or raise the bound")
+        if (cnt > maxPositions) {
+          require(cowFallback,
+            s"deleteDv on $table: $cnt matched rows exceed maxPositions " +
+              s"($maxPositions) — a deletion vector this wide would " +
+              "weigh down every read plan; use deleteWhere " +
+              "(copy-on-write) or deleteMor (key sidecar) for bulk " +
+              "deletes, or raise the bound")
+          // over-cap bulk delete: step over the wall the planner can
+          // see past — run the SAME predicate as a copy-on-write
+          // rewrite of the pruned files. NULL predicate keeps, like
+          // SQL DELETE.
+          logger.warn(s"deleteDv on $table: $cnt matched rows exceed " +
+            s"maxPositions ($maxPositions) — falling back to the " +
+            "copy-on-write rewrite (deleteWhere path)")
+          return deleteImpl(spark, table,
+            b => dvPrune(spark, table, b, cond),
+            df => df.where(not(coalesce(cond, lit(false)))),
+            statsCols, strStatsCols, txnId, bloomStatsCols)
+        }
         val (delFiles, _) = writeDataFiles(spark, table,
           matched.coalesce(1), Seq(DvPosField), Seq(DvFileField), Nil)
         val version = base.version + 1
@@ -4302,7 +4338,8 @@ object TableLog {
       set: Map[String, Column], statsCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
       bloomStatsCols: Seq[String] = Nil,
-      maxPositions: Long = 2000000L): Long = {
+      maxPositions: Long = 2000000L,
+      maxPendingDvBytes: Long = 64L << 20): Long = {
     import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "updateDv: empty set clause")
     require(!feedEnabled(table) || cdcFeedEnabled(table),
@@ -4313,6 +4350,8 @@ object TableLog {
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
     var committed = -1L
     while (committed < 0) {
+      maintainDvIfHeavy(spark, table, maxPendingDvBytes, statsCols,
+        strStatsCols, bloomStatsCols)
       val base = snapshotOrFail(table)
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       if (base.files.isEmpty) return base.version
@@ -4373,6 +4412,31 @@ object TableLog {
     // typed-feed capture: old images as deletes + new images as inserts
     if (feedEnabled(table)) publishFeed(spark, table)
     committed
+  }
+
+  /** The positional faces' aggregate-weight guard: every DV-bearing
+    * read collects the UNION of all pending deletion-vector sidecars
+    * to the driver and ships it with the plan (`loadDv` +
+    * `addReferenceObj`), and nothing but a full rewrite shrinks it —
+    * so repeated positional DML would otherwise grow every read plan
+    * without bound. Manifest-first arithmetic (`fileBytes`), zero
+    * filesystem calls on modern entries; past the bound, ONE
+    * `morMaintain(maxSidecars = 0)` materializes all pending sidecars
+    * and the table returns to a zero-overhead read. */
+  private def maintainDvIfHeavy(spark: SparkSession, table: String,
+      bound: Long, statsCols: Seq[String], strStatsCols: Seq[String],
+      bloomStatsCols: Seq[String]): Unit = {
+    val s = snapshot(table).getOrElse(return)
+    val pend = s.dels.filter(_.keyCol == DvKeyCol)
+      .map(d => fileBytes(table, d.file)).sum
+    if (pend > bound) {
+      logger.warn(s"positional DML on $table: $pend pending " +
+        s"deletion-vector sidecar bytes exceed $bound — materializing " +
+        "all pending MOR sidecars (morMaintain) before this commit")
+      morMaintain(spark, table, maxSidecars = 0, statsCols = statsCols,
+        strStatsCols = strStatsCols, bloomStatsCols = bloomStatsCols)
+      ()
+    }
   }
 
   /** The positional faces' shared front half: resolve the user

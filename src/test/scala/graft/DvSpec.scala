@@ -89,11 +89,55 @@ class DvSpec extends SparkSpec {
       TableLog.deleteDv(spark, t, rand() < 0.5))
     assert(nd.getMessage.contains("deterministic"))
     val wide = intercept[Exception](
-      TableLog.deleteDv(spark, t, col("v") >= 0, maxPositions = 10))
+      TableLog.deleteDv(spark, t, col("v") >= 0, maxPositions = 10,
+        cowFallback = false))
     assert(wide.getMessage.contains("maxPositions"))
     // neither refusal committed anything
     assert(TableLog.latestVersion(t) == 1)
     assert(TableLog.read(spark, t).count() == 1000)
+  }
+
+  test("deleteDv past maxPositions auto-falls-back to copy-on-write " +
+      "with identical results") {
+    val t = tmp("graft_dv_cow")
+    mkTable(t)
+    // 300 matched rows > cap 10 → the COW rewrite path, same predicate
+    val v = TableLog.deleteDv(spark, t, col("v").isin(1, 4, 7),
+      maxPositions = 10, statsCols = Seq("k"))
+    assert(v == 2)
+    val s = TableLog.snapshot(t).get
+    // COW: no pending sidecar, exact SQL delete semantics
+    assert(s.dels.isEmpty, "COW fallback must not leave a sidecar")
+    val want = spark.range(1000).select($"id".as("k"), ($"id" % 10).as("v"),
+      concat(lit("u"), ($"id" % 97).cast("string")).as("who"))
+      .where(!col("v").isin(1, 4, 7)).orderBy("k").collect().toSeq
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == want)
+    // audit: manifest row count tracks the rewrite exactly
+    assert(s.rows == want.size.toLong)
+    // rewritten files carry the caller's stats — pruning still works
+    assert(s.files.forall(_.stats.exists(_.col == "k")))
+  }
+
+  test("aggregate pending DV weight past the bound materializes " +
+      "sidecars before committing") {
+    val t = tmp("graft_dv_agg")
+    mkTable(t)
+    val v1 = TableLog.deleteDv(spark, t, col("v") === 1)
+    assert(TableLog.snapshot(t).get.dels.size == 1)
+    // bound of 1 byte: the pending vector from v1 is over it, so this
+    // commit first materializes (one morMaintain commit), THEN adds
+    // its own fresh vector — two versions ahead, one sidecar pending
+    val v2 = TableLog.deleteDv(spark, t, col("v") === 2,
+      maxPendingDvBytes = 1L, statsCols = Seq("k"))
+    assert(v2 == v1 + 2)
+    val s = TableLog.snapshot(t).get
+    assert(s.dels.size == 1 && s.dels.forall(_.ver == v2),
+      "only the new commit's vector may pend after materialization")
+    val want = spark.range(1000).select($"id".as("k"), ($"id" % 10).as("v"),
+      concat(lit("u"), ($"id" % 97).cast("string")).as("who"))
+      .where(col("v") =!= 1 && col("v") =!= 2).orderBy("k").collect().toSeq
+    assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == want)
+    assert(s.rows == want.size.toLong)
   }
 
   test("updateDv: positional update needs no key — straddled values " +

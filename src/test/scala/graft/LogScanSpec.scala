@@ -532,4 +532,53 @@ class LogScanSpec extends SparkSpec {
   private def checkSame(a: DataFrame, b: DataFrame): Unit = {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("legacy (schema-less) manifests never claim the _version " +
+      "metadata fast path — a DATA column named _version keeps data " +
+      "semantics") {
+    val t = tmp("graft_log_legacy")
+    // a DATA column literally named `_version`, values DISJOINT from
+    // the commit versions (1, 2) so any manifest-arithmetic answer is
+    // provably wrong
+    TableLog.create(spark, t,
+      spark.range(0L, 100L, 1L, 2)
+        .select($"id".as("k"), lit(77L).as("_version")),
+      statsCols = Seq("k", "_version"))
+    TableLog.append(spark, t,
+      spark.range(100L, 200L, 1L, 2)
+        .select($"id".as("k"), lit(99L).as("_version")),
+      statsCols = Seq("k", "_version"))
+    // strip the recorded schema from every manifest — the legacy
+    // (pre-schema) log format, where the engine cannot prove the
+    // parquet data lacks a real `_version` column
+    val logDir = java.nio.file.Paths.get(t, "_log")
+    import scala.jdk.CollectionConverters._
+    val ms = java.nio.file.Files.list(logDir).iterator().asScala.toList
+    for (p <- ms if p.toString.endsWith(".manifest")) {
+      val kept = java.nio.file.Files.readAllLines(p).asScala
+        .filterNot(_.startsWith("schema=")).asJava
+      java.nio.file.Files.write(p, kept)
+      ()
+    }
+    val s = TableLog.snapshot(t).get
+    assert(s.schemaJson.isEmpty, "strip failed — table is not legacy")
+    // the catalog-read shape: a GraftLogRelation whose output is the
+    // footer-inferred schema (which CONTAINS the data `_version`)
+    graft.plans.PruneLogScan.install(spark)
+    val inferred = TableLog.read(spark, t).schema
+    assert(inferred.fieldNames.contains("_version"))
+    val out = inferred.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable)())
+    def df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.GraftLogRelation(t, s, out))
+    // extremes: data values (77/99), never the commit versions (1/2)
+    val mx = df.agg(max("_version").as("mx"), min("_version").as("mn")).head
+    assert(mx.getLong(0) == 99L && mx.getLong(1) == 77L)
+    // predicates: data semantics — commit-version values match NOTHING
+    assert(df.where($"_version" === 77L).count() == 100L)
+    assert(df.where($"_version" === 99L).count() == 100L)
+    assert(df.where($"_version" === 1L).count() == 0L)
+    assert(df.where($"_version".isin(1L, 2L)).count() == 0L)
+  }
 }

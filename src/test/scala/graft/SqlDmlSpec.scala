@@ -561,4 +561,50 @@ class SqlDmlSpec extends SparkSpec {
     assert(TableLog.read(spark, t).count() == 100)
     assert(TableLog.latestVersion(t) == v0)
   }
+
+  test("bulk positional DELETE past maxDvPositions commits via " +
+      "copy-on-write with identical results") {
+    val t = tmp("graft_sqldml_bulkdv")
+    TableLog.create(spark, t, spark.range(1000)
+      .select($"id".as("k"), ($"id" % 10).as("v")),
+      statsCols = Seq("k"))
+    // a tiny per-commit vector cap, declared at registration
+    TableLog.registerSqlTable(spark, "dml_bulk", t,
+      statsCols = Seq("k"), maxDvPositions = 10)
+    // non-range predicate → positional route; 100 matched > 10 → COW
+    val v = TableLog.sql(spark,
+      "DELETE FROM dml_bulk WHERE v % 3 = 1").head.getLong(0)
+    assert(v == 2)
+    val s = TableLog.snapshot(t).get
+    assert(s.dels.isEmpty, "over-cap DELETE must land as COW, no sidecar")
+    assert(s.rows == 700L, "audit count must track the rewrite")
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_bulk").head.getLong(0) == 700)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_bulk WHERE v % 3 = 1")
+      .head.getLong(0) == 0)
+    // an UNDER-cap positional delete on the same registration still
+    // takes the zero-rewrite vector path
+    val filesBefore = TableLog.snapshot(t).get.files.map(_.path)
+    TableLog.sql(spark, "DELETE FROM dml_bulk WHERE v % 7 = 2 AND k < 10")
+    assert(TableLog.snapshot(t).get.files.map(_.path) == filesBefore)
+    assert(TableLog.snapshot(t).get.dels.exists(_.keyCol == "__pos__"))
+    // ...and the bulk UPDATE twin still refuses with guidance (an
+    // arbitrary-predicate bulk update has no COW face to step to)
+    val e = intercept[Exception](TableLog.sql(spark,
+      "UPDATE dml_bulk SET v = 0 WHERE v % 3 = 0"))
+    assert(e.getMessage.contains("maxPositions"))
+  }
+
+  test("CREATE TABLE OPTIONS carry maxDvPositions into the registration") {
+    val loc = tmp("graft_sqldml_bulkopt")
+    TableLog.sql(spark,
+      s"""CREATE TABLE dml_bulkopt USING graft LOCATION '$loc'
+         |OPTIONS (statsCols 'k', maxDvPositions '10')
+         |AS SELECT id AS k, id % 10 AS v FROM range(1000)""".stripMargin)
+    TableLog.sql(spark, "DELETE FROM dml_bulkopt WHERE v % 3 = 1")
+    val s = TableLog.snapshot(loc).get
+    assert(s.dels.isEmpty && s.rows == 700L,
+      "OPTIONS-declared cap must route the bulk delete to COW")
+  }
 }
