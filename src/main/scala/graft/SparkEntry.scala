@@ -979,6 +979,69 @@ object SparkEntry {
       FROM $cat.stream.lake GROUP BY priority ORDER BY priority""")
   }
 
+  /** The NATIVE streaming READ under the oracle — the symmetric half
+    * of o81's sink: `readStream.table(bronze)` (a
+    * [[graft.catalog.GraftMicroBatchStream]] whose offsets are
+    * manifest versions and whose micro-batches are the commits' exact
+    * file deltas) feeds `writeStream.toTable(silver)`. Two appends
+    * land on bronze around a full STOP/RESTART of the stream; the
+    * checkpointed version offset makes the restart deliver exactly
+    * the unseen commit — pinned by silver's commit count (create + 2
+    * epochs, nothing double-delivered) — and the final aggregate is
+    * oracled against the same rows computed relationally. */
+  private def o82StreamRead(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh82_$sfx"
+    val ckpt = s"$tmpRoot/stream82_ck_$sfx"
+    Seq(wh, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val cat = s"graft_o82_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sr")
+    s.sql(s"CREATE TABLE $cat.sr.bronze (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    s.sql(s"CREATE TABLE $cat.sr.silver (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val bronze = s"$wh/sr/bronze"
+    val silver = s"$wh/sr/silver"
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 7)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    // keys ≡ 7 (mod 30) are all odd — split the slice on mod 60
+    // (7 vs 37) so BOTH waves are non-empty
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 7),
+      statsCols = Seq("o_orderkey"))
+    def run(): Unit = {
+      val q = s.readStream.table(s"$cat.sr.bronze")
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable(s"$cat.sr.silver")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // wave 1: the pre-stream rows (startingVersion=earliest)
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 37),
+      statsCols = Seq("o_orderkey"))
+    run() // RESTART from the checkpoint: exactly the unseen commit
+    assert(tl.latestVersion(silver) == 3,
+      "o82: create + exactly one epoch commit per run — a replayed " +
+        "offset would add a fourth version (double delivery)")
+    val snap = tl.snapshot(silver).get
+    assert(snap.txn.exists(_.contains("#")),
+      "o82: epoch commits must be txn-stamped for exactly-once")
+    assert(snap.files.forall(_.stats.exists(_.col == "o_orderkey")),
+      "o82: streamed silver files must carry the declared stats")
+    s.sql(s"""
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.sr.silver GROUP BY priority ORDER BY priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4217,6 +4280,7 @@ object SparkEntry {
     "o79_metadata_cols" -> (o79MetadataCols _),
     "o80_dv_dml" -> (o80DvDml _),
     "o81_stream_table" -> (o81StreamTable _),
+    "o82_stream_read" -> (o82StreamRead _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -5811,6 +5875,17 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM w GROUP BY priority ORDER BY priority""".stripMargin,
+    // the two streamed waves (all of the filtered orders slice) land
+    // in silver exactly once whatever the epoch granularity — the
+    // relational replay is just the slice's aggregate
+    "o82_stream_read" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM orders WHERE o_orderkey % 30 = 7
+        |GROUP BY priority ORDER BY priority""".stripMargin,
     // the two positional statements replayed relationally in order:
     // the modulo+string delete, then the conditional update
     "o80_dv_dml" ->

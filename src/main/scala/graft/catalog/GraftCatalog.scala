@@ -512,7 +512,8 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftTable.VersionCol, GraftTable.FileCol)
@@ -529,6 +530,13 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
         required = requiredSchema
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
+        // the native streaming READ — offsets = manifest versions,
+        // partitions = the commits' file deltas (GraftMicroBatchStream)
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming
+              .MicroBatchStream =
+          new GraftMicroBatchStream(path, nameStr,
+            GraftTable.this.schema(), required, options)
         override def toV1TableScan[R <: BaseRelation with TableScan](
             context: SQLContext): R =
           new BaseRelation with TableScan {

@@ -1,0 +1,306 @@
+package graft.catalog
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, ReadMaxFiles,
+  SupportsAdmissionControl}
+import org.apache.spark.sql.graft.{ParquetRead, ParquetReadFactory}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Offset = manifest version: the commit log IS the stream's
+  * write-ahead log, so offsets are exact, totally ordered, and free. */
+final case class GraftStreamOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** The NATIVE streaming READ: `spark.readStream.table("graft.ns.t")`.
+  *
+  * The symmetric half of [[GraftStreamingWrite]]: offsets are manifest
+  * versions, and a micro-batch `(start, end]` is EXACTLY the data
+  * files the commits in that window added — the same per-version
+  * delta `TableLog.readChanges` computes, planned here as one
+  * `InputPartition` per file with zero snapshot folds and zero
+  * filesystem listings (lengths ride in the manifest). Admission
+  * control via `maxFilesPerTrigger`; `startingVersion` is
+  * `earliest` (default — deliver the whole table, then the tail),
+  * `latest` (new commits only), or a version number (deliver FROM
+  * that version inclusive).
+  *
+  * Semantics are the append-only CHANGE LOG, like every
+  * commit-log-table streaming source: `create`/`append`/`clone`
+  * commits deliver their added files raw (a MOR sidecar can only
+  * fence files OLDER than itself, so files are unfenced at their own
+  * commit — raw reads are exact as-of delivery); layout/metadata
+  * commits (`compact`, `zorder`, `mor_materialize`, `mor_fold`,
+  * `schema`, checks, `noop`) are skipped — their adds are rewrites of
+  * rows already delivered; row-CHANGING commits (delete/update/merge/
+  * overwrite/restore in any face) refuse with guidance unless
+  * `skipChangeCommits=true` (then they are skipped whole, the Delta
+  *-style contract), or the consumer reads the typed CDC feed instead.
+  *
+  * Schema evolution: rename/drop ops are PURE METADATA here, so a
+  * file may store a streamed logical column under an older physical
+  * name, or carry a dead incarnation that must read as null. The
+  * reader therefore decodes an EXPANDED physical schema — the
+  * logical fields plus every historical physical alias the op log can
+  * produce, plus one typed void sentinel per field where a resolution
+  * can be "absent" — and each partition ships a per-file projection
+  * from expanded ordinals to the stream's output (identity, and
+  * zero-copy, whenever the file's physical names ARE the logical
+  * ones — every file written since the last rename). Ops committed
+  * AFTER stream start refuse at planning with restart guidance (the
+  * pinned stream schema cannot represent them — the file-source /
+  * Delta contract).
+  *
+  * Exactly-once: offsets live in the CONSUMER's checkpoint; restarts
+  * re-plan from the last committed offset, and the file delta for a
+  * version window is immutable, so replays are byte-identical. */
+final class GraftMicroBatchStream(path: String, tableName: String,
+    dataSchema: StructType, readSchema: StructType,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with SupportsAdmissionControl {
+
+  private val maxFiles: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+  private val skipChange: Boolean =
+    options.getBoolean("skipChangeCommits", false)
+
+  // ── schema plumbing (driver, once per stream) ──
+
+  // the op log pinned at stream start: resolution for any file version
+  // in the stream is decided by the ops AFTER it, all known here;
+  // later-committed ops refuse at planning (checked per batch)
+  private val pinnedOps = TableLog.snapshot(path).map(_.schemaOps)
+    .getOrElse(Nil)
+  private val pinnedOpsKey = pinnedOps.toSet
+
+  private val dataNames = dataSchema.fieldNames.toSet
+  /** readSchema split: data fields stream from parquet; metadata
+    * fields (`_version`/`_file`) are partition constants. */
+  private val fields: Array[StructField] = readSchema.fields
+
+  /** Every physical name a logical field can resolve to across the op
+    * history: resolution outcomes only change at op versions, so
+    * probing "ops after v" at v ∈ {0} ∪ op versions is exhaustive. */
+  private def variantsOf(logical: String): Seq[Option[String]] = {
+    val fences = 0L +: pinnedOps.map(_.ver)
+    fences.distinct.map(v =>
+      TableLog.resolvePhysical(logical, pinnedOps.filter(_.ver > v)))
+      .distinct
+  }
+
+  /** The expanded physical schema the parquet reader decodes, and the
+    * index into it for (logical field, physical name | absent). */
+  private val (expandedSchema: StructType,
+      expandedIdx: Map[(Int, Option[String]), Int]) = {
+    val fieldsOut = scala.collection.mutable.ArrayBuffer[StructField]()
+    val idx = scala.collection.mutable.Map[(Int, Option[String]), Int]()
+    val byName = scala.collection.mutable.Map[String, (Int, DataType)]()
+    var voidByType = Map[DataType, Int]()
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (dataNames.contains(f.name)) {
+        variantsOf(f.name).foreach {
+          case Some(p) =>
+            byName.get(p) match {
+              case Some((j, dt)) =>
+                require(dt == f.dataType, s"streaming read of " +
+                  s"$tableName: physical column '$p' served two " +
+                  s"logical fields with different types " +
+                  s"(${dt.simpleString} vs ${f.dataType.simpleString})" +
+                  " across the rename history — compact() to rewrite " +
+                  "files to current names, then restart the stream")
+                idx((i, Some(p))) = j
+              case None =>
+                val j = fieldsOut.length
+                fieldsOut += StructField(p, f.dataType, nullable = true)
+                byName(p) = (j, f.dataType)
+                idx((i, Some(p))) = j
+            }
+          case None =>
+            val j = voidByType.getOrElse(f.dataType, {
+              val j = fieldsOut.length
+              fieldsOut += StructField(
+                s"__graft_void_${voidByType.size}__", f.dataType,
+                nullable = true)
+              voidByType += f.dataType -> j
+              j
+            })
+            idx((i, None)) = j
+        }
+      }
+    }
+    (StructType(fieldsOut.toSeq), idx.toMap)
+  }
+
+  /** Per-file projection: output ordinal i ← expanded ordinal
+    * proj(i); -1 = the partition's commit version, -2 = its path. */
+  private def projFor(fileVer: Long): Array[Int] =
+    fields.zipWithIndex.map { case (f, i) =>
+      if (!dataNames.contains(f.name)) {
+        if (f.name == "_version") -1
+        else if (f.name == "_file") -2
+        else sys.error(s"streaming read of $tableName: unsupported " +
+          s"metadata column '${f.name}'")
+      } else {
+        val phys = TableLog.resolvePhysical(f.name,
+          pinnedOps.filter(_.ver > fileVer))
+        expandedIdx.getOrElse((i, phys), sys.error(
+          s"streaming read of $tableName: column '${f.name}' " +
+            s"resolved to an alias unknown at stream start — a " +
+            "rename/drop was committed mid-stream; restart the " +
+            "stream to pin the new schema"))
+      }
+    }
+
+  private val identityProj: Array[Int] =
+    if (fields.length == expandedSchema.length &&
+        fields.indices.forall(i => dataNames.contains(fields(i).name) &&
+          expandedSchema(i).name == fields(i).name))
+      fields.indices.toArray
+    else null
+
+  // ── offsets ──
+
+  private def startingVersion: Long =
+    Option(options.get("startingVersion")).map(_.trim) match {
+      case None | Some("earliest") => 0L
+      case Some("latest") => TableLog.latestVersion(path)
+      case Some(v) => math.max(v.toLong - 1, 0L) // deliver FROM v
+    }
+
+  override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Files a commit contributes to the stream (empty for skipped
+    * kinds); refuses row-changing commits unless opted out. */
+  private def streamedFiles(d: TableLog.CommitDelta)
+      : Seq[TableLog.FileEntry] =
+    if (TableLog.streamDeliverActions(d.action)) d.added
+    else if (TableLog.streamLayoutActions(d.action)) Nil
+    else if (skipChange) Nil
+    else sys.error(s"streaming read of $tableName: version " +
+      s"${d.version} is a row-changing '${d.action}' commit, which " +
+      "an append-only stream cannot represent — set " +
+      "option(\"skipChangeCommits\", \"true\") to skip such commits, " +
+      "or consume the typed CDC change feed for row-level deltas")
+
+  override def latestOffset(): Offset =
+    latestOffset(GraftStreamOffset(startingVersion),
+      getDefaultReadLimit)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val latest = TableLog.latestVersion(path)
+    if (latest <= from) return GraftStreamOffset(from)
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    var v = from
+    var n = 0
+    TableLog.commitDeltas(path, from + 1, latest).foreach { d =>
+      if (v == d.version - 1) { // still contiguous (not capped out)
+        val add = streamedFiles(d).size
+        // always admit at least one version so the stream progresses
+        if (n == 0 || n + add <= cap) { v = d.version; n += add }
+      }
+    }
+    GraftStreamOffset(v)
+  }
+
+  // ── planning + reading ──
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GraftStreamOffset].version,
+      end.asInstanceOf[GraftStreamOffset].version)
+    if (e <= s) return Array.empty
+    // a rename/drop committed after stream start cannot be projected
+    // into the pinned schema — fail the batch with restart guidance
+    TableLog.snapshot(path).map(_.schemaOps).getOrElse(Nil)
+      .filterNot(pinnedOpsKey).foreach(op => sys.error(
+        s"streaming read of $tableName: schema op '${op.kind} " +
+          s"${op.col}' committed at version ${op.ver} after stream " +
+          "start — restart the stream to pin the new schema"))
+    TableLog.commitDeltas(path, s + 1, e).flatMap { d =>
+      val fs = streamedFiles(d)
+      if (fs.isEmpty) Nil
+      else {
+        val proj = projFor(d.version)
+        fs.map(f => GraftFilePartition(
+          s"$path/${f.path}", TableLog.fileBytes(path, f), d.version,
+          f.path, proj))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val identity = identityProj
+    new GraftStreamReaderFactory(
+      ParquetRead.factory(SparkSession.active, expandedSchema),
+      fields.map(_.dataType), identity != null)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One data file of one commit; `proj` maps output ordinals to
+  * expanded-schema ordinals (-1 = version, -2 = file path). */
+final case class GraftFilePartition(absPath: String, length: Long,
+    version: Long, relPath: String, proj: Array[Int])
+    extends InputPartition
+
+final class GraftStreamReaderFactory(pr: ParquetReadFactory,
+    outTypes: Array[DataType], identity: Boolean)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val base = pr.open(p.absPath, p.length)
+    val it =
+      if (identity) base
+      else {
+        val file = UTF8String.fromString(p.relPath)
+        base.map { row =>
+          // copy() first: vectorized rows are mutable views into the
+          // current batch; a projected GenericInternalRow LOOKS
+          // immutable to buffering consumers, so it must own its data
+          val r = row.copy()
+          val out = new GenericInternalRow(p.proj.length)
+          var i = 0
+          while (i < p.proj.length) {
+            p.proj(i) match {
+              case -1 => out.update(i, p.version)
+              case -2 => out.update(i, file)
+              case j => out.update(i,
+                if (r.isNullAt(j)) null else r.get(j, outTypes(i)))
+            }
+            i += 1
+          }
+          out: InternalRow
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

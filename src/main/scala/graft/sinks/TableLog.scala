@@ -1220,6 +1220,46 @@ object TableLog {
     (b.filterNot(f => an(f.path)), a.filterNot(f => bn(f.path)))
   }
 
+  /** One commit's contribution to a version-ordered stream: its
+    * action and the DATA files it ADDED (delta manifests list them
+    * directly; full manifests stamp adds with their own version;
+    * version 1 — create or clone, whose entries may carry
+    * source-stamped versions — is all-new by definition). */
+  private[graft] final case class CommitDelta(version: Long,
+      action: String, added: Seq[FileEntry])
+
+  /** Per-version manifest deltas over `[max(vFrom,1), vTo]` — the
+    * native streaming source's planning primitive: O(versions in the
+    * window) manifest parses, no snapshot folds, no filesystem
+    * listings beyond the manifest files themselves. A vacuumed
+    * manifest inside the window fails with restart guidance (the
+    * stream's offset predates retention). */
+  private[graft] def commitDeltas(table: String, vFrom: Long,
+      vTo: Long): Seq[CommitDelta] =
+    (math.max(vFrom, 1L) to vTo).map { v =>
+      val r = parseRec(manifestPath(table, v)).getOrElse(sys.error(
+        s"commitDeltas($table): manifest $v not found — the version " +
+          "was vacuumed past this stream's offset; restart the " +
+          "stream from a fresh checkpoint"))
+      val added =
+        if (v == 1L) { if (r.kind == "full") r.files else r.adds }
+        else if (r.kind == "delta") r.adds
+        else r.files.filter(_.ver == v)
+      CommitDelta(v, r.action, added)
+    }
+
+  /** Stream classification of manifest actions: DELIVER (every added
+    * file is new rows — the append-only stream payload), LAYOUT (the
+    * same rows reshuffled or pure metadata — skipped silently; their
+    * adds are rewrites of already-delivered rows), and everything
+    * else CHANGES rows in a way an append-only delta cannot
+    * represent — refused unless the consumer opts into skipping. */
+  private[graft] val streamDeliverActions: Set[String] =
+    Set("create", "append", "clone")
+  private[graft] val streamLayoutActions: Set[String] =
+    Set("compact", "zorder", "mor_materialize", "mor_fold", "schema",
+      "check_add", "check_drop", "noop")
+
   /** The change feed as DataFrames: (addedRows, removedRows) between
     * two versions, scanning ONLY the changed files. Group-aggregate
     * consumers apply it as new = old + agg(added) − agg(removed) —

@@ -442,6 +442,140 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.stream.agg")
   }
 
+  test("readStream.table: native streaming read — manifest-version " +
+      "offsets, exactly-once restart, layout commits skipped, " +
+      "change commits refuse") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.sread")
+    spark.sql(s"CREATE TABLE $CAT.sread.bronze (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    spark.sql(s"CREATE TABLE $CAT.sread.silver (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val bronze = s"$wh/sread/bronze"
+    val silver = s"$wh/sread/silver"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_srck")
+      .toString
+    def silverCount() = spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.sread.silver").as[Long].head()
+    spark.sql(s"INSERT INTO $CAT.sread.bronze VALUES (1, 10), (2, 20)")
+    def mkQuery() = spark.readStream.table(s"$CAT.sread.bronze")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$CAT.sread.silver")
+    val q = mkQuery()
+    try {
+      q.processAllAvailable()
+      assert(silverCount() == 2, "startingVersion=earliest delivers " +
+        "the pre-stream rows")
+      spark.sql(s"INSERT INTO $CAT.sread.bronze VALUES (3, 30)")
+      spark.sql(s"INSERT INTO $CAT.sread.bronze VALUES (4, 40)")
+      q.processAllAvailable()
+      assert(silverCount() == 4, "tail appends flow through")
+    } finally q.stop()
+    // RESTART from the same checkpoint: offsets replay exactly-once
+    spark.sql(s"INSERT INTO $CAT.sread.bronze VALUES (5, 50)")
+    val q2 = mkQuery()
+    try {
+      q2.processAllAvailable()
+      assert(silverCount() == 5,
+        "a restart must deliver exactly the unseen versions")
+    } finally q2.stop()
+    // LAYOUT commit (compaction) is skipped — no re-delivery
+    TableLog.compact(spark, bronze, 1L << 30, statsCols = Seq("k"))
+    val q3 = mkQuery()
+    try {
+      q3.processAllAvailable()
+      assert(silverCount() == 5, "compaction must not re-deliver rows")
+    } finally q3.stop()
+    // ROW-CHANGING commit refuses with guidance...
+    TableLog.deleteWhere(spark, bronze, "k", 1, 1, statsCols = Seq("k"))
+    spark.sql(s"INSERT INTO $CAT.sread.bronze VALUES (6, 60)")
+    val q4 = mkQuery()
+    val e = intercept[Exception] {
+      try { q4.processAllAvailable() } finally q4.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("skipChangeCommits")),
+      s"delete must fail the stream with guidance, got: ${msgs(e)}")
+    // ...and skipChangeCommits steps over it, still delivering appends
+    val q5 = spark.readStream
+      .option("skipChangeCommits", "true")
+      .table(s"$CAT.sread.bronze")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$CAT.sread.silver")
+    try {
+      q5.processAllAvailable()
+      assert(silverCount() == 6,
+        "skipChangeCommits must skip the delete, deliver the append")
+    } finally q5.stop()
+    // maxFilesPerTrigger paces a fresh catch-up into multiple epochs —
+    // each a separate silver commit (the admission-control pin)
+    spark.sql(s"CREATE TABLE $CAT.sread.silver2 (k BIGINT, v BIGINT)")
+    val silver2 = s"$wh/sread/silver2"
+    val q6 = spark.readStream
+      .option("skipChangeCommits", "true")
+      .option("maxFilesPerTrigger", "1")
+      .table(s"$CAT.sread.bronze")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_srck2").toString)
+      .toTable(s"$CAT.sread.silver2")
+    try {
+      q6.processAllAvailable()
+      val n2 = spark.sql(s"SELECT count(*) AS n FROM $CAT.sread.silver2")
+        .as[Long].head()
+      // the stream is the append-only CHANGE LOG: all 6 ever-appended
+      // rows — the skipped delete commit never propagates (the
+      // documented skipChangeCommits contract), and the skipped
+      // compaction re-delivers nothing
+      assert(n2 == 6,
+        s"paced catch-up must deliver every appended row once, got $n2")
+      assert(TableLog.latestVersion(silver2) > 2,
+        "maxFilesPerTrigger=1 must split the catch-up into epochs")
+    } finally q6.stop()
+    assert(TableLog.snapshot(silver).get.files
+      .forall(_.stats.exists(_.col == "k")),
+      "silver stats derive on streamed appends end-to-end")
+    spark.sql(s"DROP TABLE $CAT.sread.bronze")
+    spark.sql(s"DROP TABLE $CAT.sread.silver")
+    spark.sql(s"DROP TABLE $CAT.sread.silver2")
+  }
+
+  test("readStream.table streams across PRE-START column renames " +
+      "(per-file physical projection) and refuses mid-stream ones") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.sread2")
+    spark.sql(s"CREATE TABLE $CAT.sread2.b (k BIGINT, txt STRING)")
+    spark.sql(s"INSERT INTO $CAT.sread2.b VALUES (1, 'a'), (2, 'b')")
+    // metadata-only rename: the two files above still STORE 'txt'
+    spark.sql(s"ALTER TABLE $CAT.sread2.b RENAME COLUMN txt TO body")
+    spark.sql(s"INSERT INTO $CAT.sread2.b VALUES (3, 'c')")
+    val q = spark.readStream.table(s"$CAT.sread2.b")
+      .writeStream.format("memory").queryName("sread2_mem")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_srck3").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT k, body FROM sread2_mem ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"pre-rename files must project old physical names, got $got")
+      // a rename committed MID-STREAM cannot be projected into the
+      // pinned schema — the batch fails with restart guidance
+      spark.sql(s"ALTER TABLE $CAT.sread2.b RENAME COLUMN body TO txt2")
+      spark.sql(s"INSERT INTO $CAT.sread2.b VALUES (4, 'd')")
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(msgs(e).exists(_.contains("restart the stream")),
+        s"mid-stream rename must refuse with guidance, got ${msgs(e)}")
+    } finally q.stop()
+    spark.sql(s"DROP TABLE $CAT.sread2.b")
+  }
+
   test("ALTER TABLE properties and RENAME COLUMN route to the log") {
     val wh = warehouse
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt")
