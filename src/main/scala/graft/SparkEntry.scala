@@ -678,6 +678,57 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** HILBERT-3 layout under the oracle — the adjudicated 3-D
+    * clustering verb (tools.CurveStats3: 11–21% fewer files opened
+    * than Morton-3 on selective boxes at non-power-of-8 file counts).
+    * Cluster the derived 64³ grid into THREE files (each run spans
+    * ~2.67 octants, so some bounding box covers a corner octant its
+    * curve run never visits — the case per-column stats cannot prune)
+    * and pin in-plan that the DECODE-ONLY exact interval test
+    * (`h3BoxIntersects`) tightens at least one corner box beyond
+    * per-column stats; the final 3-D box aggregate is oracled — box
+    * skipping must be invisible to semantics. */
+  private def o83H3(s: SparkSession, dir: String): DataFrame = {
+    val t = s"$tmpRoot/h3skip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val tl = graft.sinks.TableLog
+    val base = T(s, dir, "events").select(
+      (col("event_id") % 64).as("a"),
+      ((col("event_id") * lit(2654435761L)) % 64).as("b"),
+      ((col("event_id") * lit(2246822519L)) % 64).as("c"),
+      col("event_type"))
+    tl.create(s, t, base)
+    tl.hilbertOrder3(s, t, 3, "a", (0L, 63L), "b", (0L, 63L),
+      "c", (0L, 63L), statsCols = Seq("a", "b", "c"))
+    val snap = tl.snapshot(t).get
+    assert(snap.files.forall(_.stats.exists(_.col.startsWith("h3|"))),
+      "o83_h3: every clustered file must carry the h3 spec")
+    def perCol(al: Long, ah: Long, bl: Long, bh: Long, cl: Long,
+        ch: Long) =
+      tl.prunedFilesOf(snap.copy(files = tl.prunedFilesOf(
+        snap.copy(files = tl.prunedFilesOf(snap, "a", al, ah)),
+        "b", bl, bh)), "c", cl, ch)
+    val corners = for (ca <- Seq((0L, 10L), (53L, 63L));
+        cb <- Seq((0L, 10L), (53L, 63L)); cc <- Seq((0L, 10L), (53L, 63L)))
+      yield (ca._1, ca._2, cb._1, cb._2, cc._1, cc._2)
+    val tightened = corners.exists { case (al, ah, bl, bh, cl, ch) =>
+      val pc = perCol(al, ah, bl, bh, cl, ch)
+      tl.prunedFilesByBox(snap.copy(files = pc),
+        Map("a" -> (al, ah), "b" -> (bl, bh), "c" -> (cl, ch)))
+        .size < pc.size
+    }
+    assert(tightened, "o83_h3: the h3 interval pass tightened NO " +
+      "corner box beyond per-column stats on a hilbert3-ordered " +
+      "3-file table — h3 box skipping is broken")
+    tl.scan(s, t)
+      .where(col("a").between(0, 15) && col("b").between(32, 52) &&
+        col("c").between(8, 40))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("a")).as("sum_a"),
+        sum(col("b")).as("sum_b"), sum(col("c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
   /** INCREMENTAL z-order maintenance under the oracle: a z-ordered
     * table takes two UNCLUSTERED appends (the streaming-ingest
     * degradation: new files carry no z stat, so box pruning decays),
@@ -826,15 +877,23 @@ object SparkEntry {
       "WHERE o_orderkey BETWEEN 1000 AND 5000")
     tl.sql(s, s"DELETE FROM $cat.sales.lake " +
       "WHERE o_orderkey BETWEEN 9000 AND 16000")
+    // ALTER through Spark's own TableChange routing: a metadata-only
+    // additive column (old rows read null — counted via n_channel),
+    // then an insert carrying it
+    s.sql(s"ALTER TABLE $cat.sales.lake ADD COLUMNS (channel STRING)")
+    s.sql(s"INSERT INTO $cat.sales.lake " +
+      "VALUES (88000002, 900, 'X', 'web')")
     s.sql(s"""
       SELECT 'live' AS state, priority,
         CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        CAST(count(channel) AS BIGINT) AS n_channel
       FROM $cat.sales.lake GROUP BY priority
       UNION ALL
       SELECT 'ctas' AS state, priority,
         CAST(count(*) AS BIGINT) AS n_rows,
-        CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        CAST(0 AS BIGINT) AS n_channel
       FROM $cat.sales.lake VERSION AS OF 1 GROUP BY priority
       ORDER BY state, priority""")
   }
@@ -4272,6 +4331,7 @@ object SparkEntry {
     "o70_box_skip" -> (o70BoxSkip _),
     "o78_hilbert_skip" -> (o78HilbertSkip _),
     "o71_z3" -> (o71Z3 _),
+    "o83_h3" -> (o83H3 _),
     "o72_zorder_maintain" -> (o72ZMaintain _),
     "o73_tags" -> (o73Tags _),
     "o74_sql_full" -> (o74SqlFull _),
@@ -5819,16 +5879,21 @@ object SparkEntry {
         |  CASE WHEN o_orderkey BETWEEN 1000 AND 5000
         |    THEN price_c + 7 ELSE price_c END AS price_c, priority
         |  FROM ins),
-        |del AS (SELECT * FROM upd
-        |  WHERE o_orderkey NOT BETWEEN 9000 AND 16000)
+        |del AS (SELECT o_orderkey, price_c, priority,
+        |    CAST(NULL AS VARCHAR) AS channel FROM upd
+        |  WHERE o_orderkey NOT BETWEEN 9000 AND 16000),
+        |alt AS (SELECT * FROM del
+        |  UNION ALL SELECT 88000002, 900, 'X', 'web')
         |SELECT 'live' AS state, priority,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
-        |FROM del GROUP BY priority
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(count(channel) AS BIGINT) AS n_channel
+        |FROM alt GROUP BY priority
         |UNION ALL
         |SELECT 'ctas' AS state, priority,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  CAST(0 AS BIGINT) AS n_channel
         |FROM t GROUP BY priority
         |ORDER BY state, priority""".stripMargin,
     // per-row provenance replayed relationally: v1 = the CTAS slice
@@ -6010,6 +6075,20 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS sum_c
         |FROM g WHERE a BETWEEN 0 AND 10 AND b BETWEEN 20 AND 40
         |  AND c BETWEEN 0 AND 31
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same derived grid, hilbert3-clustered — the curve is layout,
+    // never semantics, so the relational replay is the plain box
+    "o83_h3" ->
+      """WITH g AS (SELECT event_id % 64 AS a,
+        |  (event_id * 2654435761) % 64 AS b,
+        |  (event_id * 2246822519) % 64 AS c, event_type
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(a) AS BIGINT) AS sum_a,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM g WHERE a BETWEEN 0 AND 15 AND b BETWEEN 32 AND 52
+        |  AND c BETWEEN 8 AND 40
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the derived 256×256 grid and 2-D box replayed relationally —
     // z-box pruning must be invisible to semantics

@@ -280,9 +280,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${identName(ident)}: nested column renames are not supported")
         TableLog.renameColumn(SparkSession.active, path,
           rn.fieldNames.head, rn.newName)
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"${identName(ident)}: nested column adds are not supported")
+        require(add.position() == null,
+          s"${identName(ident)}: FIRST/AFTER column positions are not " +
+            "supported — new columns append at the end (column order " +
+            "is metadata; reads resolve by name)")
+        TableLog.addColumn(SparkSession.active, path,
+          add.fieldNames.head, add.dataType, add.isNullable)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"${identName(ident)}: nested column drops are not supported")
+        TableLog.dropColumn(SparkSession.active, path,
+          del.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"${identName(ident)}: unsupported ALTER TABLE change $other — " +
-          "supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN")
+          "supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
+          "ADD COLUMNS, DROP COLUMN")
     }
     GraftCatalog.writeProps(path, props)
     loadTable(ident)
@@ -486,7 +501,20 @@ object GraftCatalog {
 final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     props: Map[String, String], nameStr: String)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Group-based DELETE/UPDATE/MERGE through Spark's own row-level
+    * framework — the vanilla-session mutation path
+    * ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(GraftTable.this, info)
+    }
 
   override def name(): String = nameStr
 

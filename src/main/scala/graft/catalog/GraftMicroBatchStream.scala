@@ -81,90 +81,16 @@ final class GraftMicroBatchStream(path: String, tableName: String,
     .getOrElse(Nil)
   private val pinnedOpsKey = pinnedOps.toSet
 
-  private val dataNames = dataSchema.fieldNames.toSet
-  /** readSchema split: data fields stream from parquet; metadata
-    * fields (`_version`/`_file`) are partition constants. */
-  private val fields: Array[StructField] = readSchema.fields
-
-  /** Every physical name a logical field can resolve to across the op
-    * history: resolution outcomes only change at op versions, so
-    * probing "ops after v" at v ∈ {0} ∪ op versions is exhaustive. */
-  private def variantsOf(logical: String): Seq[Option[String]] = {
-    val fences = 0L +: pinnedOps.map(_.ver)
-    fences.distinct.map(v =>
-      TableLog.resolvePhysical(logical, pinnedOps.filter(_.ver > v)))
-      .distinct
-  }
-
-  /** The expanded physical schema the parquet reader decodes, and the
-    * index into it for (logical field, physical name | absent). */
-  private val (expandedSchema: StructType,
-      expandedIdx: Map[(Int, Option[String]), Int]) = {
-    val fieldsOut = scala.collection.mutable.ArrayBuffer[StructField]()
-    val idx = scala.collection.mutable.Map[(Int, Option[String]), Int]()
-    val byName = scala.collection.mutable.Map[String, (Int, DataType)]()
-    var voidByType = Map[DataType, Int]()
-    fields.zipWithIndex.foreach { case (f, i) =>
-      if (dataNames.contains(f.name)) {
-        variantsOf(f.name).foreach {
-          case Some(p) =>
-            byName.get(p) match {
-              case Some((j, dt)) =>
-                require(dt == f.dataType, s"streaming read of " +
-                  s"$tableName: physical column '$p' served two " +
-                  s"logical fields with different types " +
-                  s"(${dt.simpleString} vs ${f.dataType.simpleString})" +
-                  " across the rename history — compact() to rewrite " +
-                  "files to current names, then restart the stream")
-                idx((i, Some(p))) = j
-              case None =>
-                val j = fieldsOut.length
-                fieldsOut += StructField(p, f.dataType, nullable = true)
-                byName(p) = (j, f.dataType)
-                idx((i, Some(p))) = j
-            }
-          case None =>
-            val j = voidByType.getOrElse(f.dataType, {
-              val j = fieldsOut.length
-              fieldsOut += StructField(
-                s"__graft_void_${voidByType.size}__", f.dataType,
-                nullable = true)
-              voidByType += f.dataType -> j
-              j
-            })
-            idx((i, None)) = j
-        }
-      }
-    }
-    (StructType(fieldsOut.toSeq), idx.toMap)
-  }
-
-  /** Per-file projection: output ordinal i ← expanded ordinal
-    * proj(i); -1 = the partition's commit version, -2 = its path. */
-  private def projFor(fileVer: Long): Array[Int] =
-    fields.zipWithIndex.map { case (f, i) =>
-      if (!dataNames.contains(f.name)) {
-        if (f.name == "_version") -1
-        else if (f.name == "_file") -2
-        else sys.error(s"streaming read of $tableName: unsupported " +
-          s"metadata column '${f.name}'")
-      } else {
-        val phys = TableLog.resolvePhysical(f.name,
-          pinnedOps.filter(_.ver > fileVer))
-        expandedIdx.getOrElse((i, phys), sys.error(
-          s"streaming read of $tableName: column '${f.name}' " +
-            s"resolved to an alias unknown at stream start — a " +
-            "rename/drop was committed mid-stream; restart the " +
-            "stream to pin the new schema"))
-      }
-    }
-
-  private val identityProj: Array[Int] =
-    if (fields.length == expandedSchema.length &&
-        fields.indices.forall(i => dataNames.contains(fields(i).name) &&
-          expandedSchema(i).name == fields(i).name))
-      fields.indices.toArray
-    else null
+  private val proj = new PhysicalProjection(tableName, dataSchema,
+    readSchema.fields, pinnedOps,
+    opLabel = "streaming read",
+    staleHint = "a rename/drop was committed mid-stream; restart the " +
+      "stream to pin the new schema")
+  private def fields = readSchema.fields
+  private def expandedSchema = proj.expandedSchema
+  private def projFor(fileVer: Long): Array[Int] = proj.projFor(fileVer)
+  private def identityProj: Array[Int] =
+    if (proj.identity) fields.indices.toArray else null
 
   // ── offsets ──
 
@@ -263,6 +189,97 @@ final class GraftMicroBatchStream(path: String, tableName: String,
 final case class GraftFilePartition(absPath: String, length: Long,
     version: Long, relPath: String, proj: Array[Int])
     extends InputPartition
+
+/** Per-file physical-name projection for RAW file scans (the native
+  * streaming source and the row-level-operation scan): rename/drop
+  * schema ops are pure metadata in this engine, so a file may store a
+  * logical column under an older physical name, or carry a dead
+  * incarnation that must read as null. The reader decodes an EXPANDED
+  * physical schema — the logical fields plus every historical alias
+  * the op log can produce (resolution outcomes only change at op
+  * versions, so probing "ops after v" at v ∈ {0} ∪ op versions is
+  * exhaustive), plus one typed void sentinel per type where a
+  * resolution can be "absent" — and each file gets an ordinal map
+  * from expanded to output (identity, and zero-copy, whenever the
+  * file's physical names ARE the logical ones). */
+private[catalog] final class PhysicalProjection(tableName: String,
+    dataSchema: StructType, val fields: Array[StructField],
+    ops: Seq[TableLog.SchemaOp], opLabel: String, staleHint: String) {
+
+  private val dataNames = dataSchema.fieldNames.toSet
+
+  private def variantsOf(logical: String): Seq[Option[String]] = {
+    val fences = 0L +: ops.map(_.ver)
+    fences.distinct.map(v =>
+      TableLog.resolvePhysical(logical, ops.filter(_.ver > v)))
+      .distinct
+  }
+
+  val (expandedSchema: StructType,
+      expandedIdx: Map[(Int, Option[String]), Int]) = {
+    val fieldsOut = scala.collection.mutable.ArrayBuffer[StructField]()
+    val idx = scala.collection.mutable.Map[(Int, Option[String]), Int]()
+    val byName = scala.collection.mutable.Map[String, (Int, DataType)]()
+    var voidByType = Map[DataType, Int]()
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (dataNames.contains(f.name)) {
+        variantsOf(f.name).foreach {
+          case Some(p) =>
+            byName.get(p) match {
+              case Some((j, dt)) =>
+                require(dt == f.dataType, s"$opLabel of " +
+                  s"$tableName: physical column '$p' served two " +
+                  s"logical fields with different types " +
+                  s"(${dt.simpleString} vs ${f.dataType.simpleString})" +
+                  " across the rename history — compact() to rewrite " +
+                  "files to current names first")
+                idx((i, Some(p))) = j
+              case None =>
+                val j = fieldsOut.length
+                fieldsOut += StructField(p, f.dataType, nullable = true)
+                byName(p) = (j, f.dataType)
+                idx((i, Some(p))) = j
+            }
+          case None =>
+            val j = voidByType.getOrElse(f.dataType, {
+              val j = fieldsOut.length
+              fieldsOut += StructField(
+                s"__graft_void_${voidByType.size}__", f.dataType,
+                nullable = true)
+              voidByType += f.dataType -> j
+              j
+            })
+            idx((i, None)) = j
+        }
+      }
+    }
+    (StructType(fieldsOut.toSeq), idx.toMap)
+  }
+
+  /** Output ordinal i ← expanded ordinal; -1 = commit version,
+    * -2 = file path (the two metadata columns). */
+  def projFor(fileVer: Long): Array[Int] =
+    fields.zipWithIndex.map { case (f, i) =>
+      if (!dataNames.contains(f.name)) {
+        if (f.name == "_version") -1
+        else if (f.name == "_file") -2
+        else sys.error(s"$opLabel of $tableName: unsupported " +
+          s"metadata column '${f.name}'")
+      } else {
+        val phys = TableLog.resolvePhysical(f.name,
+          ops.filter(_.ver > fileVer))
+        expandedIdx.getOrElse((i, phys), sys.error(
+          s"$opLabel of $tableName: column '${f.name}' resolved to " +
+            s"an alias unknown when this operation planned — " +
+            staleHint))
+      }
+    }
+
+  val identity: Boolean =
+    fields.length == expandedSchema.length &&
+      fields.indices.forall(i => dataNames.contains(fields(i).name) &&
+        expandedSchema(i).name == fields(i).name)
+}
 
 final class GraftStreamReaderFactory(pr: ParquetReadFactory,
     outTypes: Array[DataType], identity: Boolean)

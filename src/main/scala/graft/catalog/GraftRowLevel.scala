@@ -1,0 +1,298 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.TableLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
+  RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.graft.{
+  ParquetRead, ParquetWrite, ParquetWriteFactory, RowFileWriter}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED row-level DELETE/UPDATE/MERGE through Spark's OWN
+  * framework (`SupportsRowLevelOperations`) — the face a VANILLA
+  * session (no GraftExtensions, no registered views) uses to mutate a
+  * catalog table with plain SQL. Spark's analyzer rewrites the
+  * command into a ReplaceData plan over this operation: the SCAN
+  * half plans the candidate files (manifest-pruned from the pushed
+  * condition, then narrowed at runtime to exactly the groups holding
+  * matching rows — `SupportsRuntimeV2Filtering` on the `_file`
+  * metadata column this operation requires), Spark itself computes
+  * the surviving/updated rows, and the WRITE half lands them as new
+  * data files and commits ONE delta manifest replacing the scanned
+  * groups ([[TableLog.replaceFilesCommit]] — copy-on-write with
+  * by-reference carry of every untouched file, the `deleteWhere`
+  * shape driven by Spark's planner instead of ours).
+  *
+  * Both the main scan and the runtime group-filter subquery come from
+  * THIS builder, so `_file` values agree by construction (the
+  * manifest-relative path). Pending MOR sidecars refuse up front (a
+  * raw group scan would resurrect merge-on-read-deleted rows), and
+  * the commit re-validates that every scanned group is still live —
+  * a concurrent rewrite fails the statement instead of losing its
+  * update. Schema-op tables scan through the same per-file physical
+  * projection as the streaming source ([[PhysicalProjection]]). */
+final class GraftRowLevelOperation(t: GraftTable,
+    info: RowLevelOperationInfo) extends RowLevelOperation {
+
+  require(t.snapshot.dels.isEmpty,
+    s"row-level ${info.command} on ${t.name}: pending merge-on-read " +
+      "sidecars — a group rewrite over raw files would resurrect " +
+      "their deleted rows; run morMaintain/compact first, or use the " +
+      "graft SQL DML face")
+
+  /** The groups the LAST-planned scan will read — what the commit
+    * replaces. Set by the scan at planning (after pushdown pruning
+    * and runtime group filtering); the write executes strictly after
+    * the final plan, so last-write-wins is the correct linkage. */
+  @volatile private[catalog] var scanned: Seq[TableLog.FileEntry] =
+    t.snapshot.files
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this, t)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftReplaceDataWrite(
+        GraftRowLevelOperation.this, t, winfo)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+}
+
+final class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
+    t: GraftTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = t.schema()
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Filters narrow the candidate FILE set through the manifest
+    * stats; rows are still filtered by Spark (every filter returns as
+    * residual), so partial translation is always sound. */
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val s = t.snapshot
+    val kept = pushed.foldLeft(s.files) { (fs, f) =>
+      GraftRowLevelScan.pruneBy(s, fs, f)
+    }
+    new GraftRowLevelScan(op, t, required, kept)
+  }
+}
+
+final class GraftRowLevelScan(op: GraftRowLevelOperation, t: GraftTable,
+    required: StructType, initial: Seq[TableLog.FileEntry])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[TableLog.FileEntry] = initial
+
+  private val proj = new PhysicalProjection(t.name, t.schema(),
+    required.fields, t.snapshot.schemaOps,
+    opLabel = "row-level operation",
+    staleHint = "retry the statement")
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  /** Runtime group filter: Spark hands back the DISTINCT `_file`
+    * values of the rows matching the condition (collected by the
+    * group-filter subquery over this same builder) — keep exactly
+    * those groups. Unrecognized predicate shapes are ignored (no
+    * narrowing — strictly more files rewritten, never fewer). */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      GraftRowLevelScan.inSetOnFile(p).foreach { set =>
+        files = files.filter(f => set.contains(f.path))
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    op.scanned = files
+    files.map(f => GraftFilePartition(s"${t.path}/${f.path}",
+      TableLog.fileBytes(t.path, f), f.ver, f.path,
+      proj.projFor(f.ver))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(
+      ParquetRead.factory(SparkSession.active, proj.expandedSchema),
+      required.fields.map(_.dataType), proj.identity)
+}
+
+object GraftRowLevelScan {
+
+  /** Manifest-stat pruning for the pushed source filters — the same
+    * [min,max]/IN arithmetic as the declarative face, over whatever
+    * leaves translate; untranslated leaves prune nothing. */
+  private[catalog] def pruneBy(s: TableLog.Snapshot,
+      fs: Seq[TableLog.FileEntry],
+      f: sources.Filter): Seq[TableLog.FileEntry] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case sh: Short => Some(sh.toLong)
+      case _ => None
+    }
+    def range(c: String, lo: Long, hi: Long) = {
+      val kept = TableLog.prunedFilesOf(s, c, lo, hi).map(_.path).toSet
+      fs.filter(e => kept(e.path))
+    }
+    f match {
+      case sources.EqualTo(c, v) if longOf(v).isDefined =>
+        range(c, longOf(v).get, longOf(v).get)
+      case sources.GreaterThan(c, v) if longOf(v).isDefined &&
+          longOf(v).get < Long.MaxValue =>
+        range(c, longOf(v).get + 1, Long.MaxValue)
+      case sources.GreaterThanOrEqual(c, v) if longOf(v).isDefined =>
+        range(c, longOf(v).get, Long.MaxValue)
+      case sources.LessThan(c, v) if longOf(v).isDefined &&
+          longOf(v).get > Long.MinValue =>
+        range(c, Long.MinValue, longOf(v).get - 1)
+      case sources.LessThanOrEqual(c, v) if longOf(v).isDefined =>
+        range(c, Long.MinValue, longOf(v).get)
+      case sources.In(c, vs) if vs.nonEmpty &&
+          vs.forall(longOf(_).isDefined) =>
+        val kept = TableLog.prunedFilesInLongOf(s, c,
+          vs.flatMap(longOf).toSeq).map(_.path).toSet
+        fs.filter(e => kept(e.path))
+      case sources.EqualTo(c, v: String) =>
+        val kept = TableLog.prunedFilesInOf(s, c, Seq(v))
+          .map(_.path).toSet
+        fs.filter(e => kept(e.path))
+      case sources.In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val kept = TableLog.prunedFilesInOf(s, c,
+          vs.toSeq.map(_.asInstanceOf[String])).map(_.path).toSet
+        fs.filter(e => kept(e.path))
+      case sources.And(l, r) => pruneBy(s, pruneBy(s, fs, l), r)
+      case _ => fs
+    }
+  }
+
+  /** Extract `_file IN (v1, v2, …)` from a V2 predicate; None for any
+    * other shape. */
+  private[catalog] def inSetOnFile(p: Predicate): Option[Set[String]] = {
+    if (p.name() != "IN") return None
+    val children = p.children()
+    if (children.isEmpty) return None
+    val onFile = children.head match {
+      case r: NamedReference =>
+        r.fieldNames().length == 1 && r.fieldNames().head == "_file"
+      case _ => false
+    }
+    if (!onFile) return None
+    val vals = children.tail.flatMap {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    if (vals.length == children.length - 1) Some(vals.toSet) else None
+  }
+}
+
+/** The write half: executor DataWriters land the replacement groups
+  * as parquet files under `data/rl-<uuid>/` (lazy-opened — empty
+  * tasks leave no file), and the driver commit swaps them in for the
+  * scanned groups via ONE manifest. Abort deletes whatever was
+  * staged; nothing unmanifested is ever visible. */
+final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
+    t: GraftTable, info: LogicalWriteInfo) extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val setId =
+      java.util.UUID.randomUUID().toString.take(8)
+
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DataWriterFactory =
+      new GraftBatchWriterFactory(t.path, s"data/rl-$setId",
+        ParquetWrite.factory(SparkSession.active, info.schema()))
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val files = messages.collect {
+        case m: GraftFileMessage if m.rows > 0 => m.relPath }
+      TableLog.replaceFilesCommit(SparkSession.active, t.path,
+        op.command().toString.toLowerCase(java.util.Locale.ROOT),
+        op.scanned.map(_.path), files.toSeq,
+        GraftCatalog.colsProp(t.props, "statsCols"),
+        GraftCatalog.colsProp(t.props, "strStatsCols"),
+        GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.foreach {
+        case m: GraftFileMessage =>
+          val p = Paths.get(t.path, m.relPath)
+          Files.deleteIfExists(p)
+          Files.deleteIfExists(p.resolveSibling(
+            s".${p.getFileName.toString}.crc"))
+        case _ => ()
+      }
+  }
+}
+
+/** Batch twin of the streaming writer factory: one lazily-opened
+  * parquet file per task under the write's staging set. */
+final class GraftBatchWriterFactory(tablePath: String, setDir: String,
+    pw: ParquetWriteFactory) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val rel =
+        f"$setDir/p$partitionId%05d-t$taskId.parquet"
+      private var rows = 0L
+      private var w: RowFileWriter = null
+      override def write(r: InternalRow): Unit = {
+        if (w == null) {
+          Files.createDirectories(Paths.get(tablePath, rel).getParent)
+          w = pw.open(s"$tablePath/$rel", partitionId,
+            (taskId & 0x7fffffffL).toInt)
+        }
+        w.write(r)
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        if (w != null) w.close()
+        GraftFileMessage(rel, rows)
+      }
+      override def abort(): Unit = if (w != null) {
+        w.close()
+        val p = Paths.get(tablePath, rel)
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(p.resolveSibling(
+          s".${p.getFileName.toString}.crc"))
+        ()
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -119,7 +119,7 @@ object GraftSqlDml {
   private val callProcs = Set("compact_small", "mor_maintain",
     "mor_fold", "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
     "publish_branch", "merge_branch", "zorder", "zorder3",
-    "hilbert_order")
+    "hilbert_order", "hilbert_order3")
 
   private def call(spark: SparkSession, c: Call): Option[LogicalPlan] = {
     val nameOpt = c.procedure match {
@@ -191,6 +191,12 @@ object GraftSqlDml {
             statsCols = reg.statsCols)
         case "zorder3" =>
           TableLog.zOrder3(s, reg.table, longArg(1).toInt,
+            strArg(2), (longArg(3), longArg(4)),
+            strArg(5), (longArg(6), longArg(7)),
+            strArg(8), (longArg(9), longArg(10)),
+            statsCols = reg.statsCols)
+        case "hilbert_order3" =>
+          TableLog.hilbertOrder3(s, reg.table, longArg(1).toInt,
             strArg(2), (longArg(3), longArg(4)),
             strArg(5), (longArg(6), longArg(7)),
             strArg(8), (longArg(9), longArg(10)),

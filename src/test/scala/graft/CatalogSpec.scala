@@ -594,4 +594,113 @@ class CatalogSpec extends SparkSpec {
     assert(rows.toSeq == Seq("a", "b", "c"))
     spark.sql(s"DROP TABLE $CAT.alt.t")
   }
+
+  test("row-level DELETE/UPDATE/MERGE through Spark's OWN framework " +
+      "(SupportsRowLevelOperations — no graft parser, no registered " +
+      "views): group-based COW with by-reference carry") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rl")
+    spark.sql(s"CREATE TABLE $CAT.rl.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/rl/t"
+    // 4 range-disjoint files so group narrowing is observable
+    TableLog.append(spark, path,
+      spark.range(4000).select($"id".as("k"), ($"id" % 10).as("v"))
+        .repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(path).get
+    assert(before.files.size == 4)
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.rl.t")
+      .as[Long].head()
+    // DELETE: the interior range touches ONE group; the other three
+    // carry over BY REFERENCE (same paths in the next manifest)
+    spark.sql(s"DELETE FROM $CAT.rl.t WHERE k >= 1000 AND k < 1100")
+    val afterDel = TableLog.snapshot(path).get
+    assert(count() == 3900)
+    assert(afterDel.rows == 3900, "manifest rows must stay exact")
+    val carried = before.files.map(_.path).toSet
+      .intersect(afterDel.files.map(_.path).toSet)
+    assert(carried.size == 3,
+      s"3 untouched groups must carry by reference, carried=$carried")
+    assert(afterDel.files.forall(_.stats.exists(_.col == "k")),
+      "rewritten groups must re-derive the declared stats")
+    // UPDATE through the same framework
+    spark.sql(s"UPDATE $CAT.rl.t SET v = -1 WHERE k = 2000")
+    assert(spark.sql(s"SELECT v FROM $CAT.rl.t WHERE k = 2000")
+      .as[Long].head() == -1L)
+    assert(count() == 3900, "update must not change row count")
+    assert(TableLog.snapshot(path).get.rows == 3900)
+    // MERGE: matched rows update, unmatched insert
+    spark.range(3).select(($"id" * 1000).as("k"), lit(777L).as("v"))
+      .createOrReplaceTempView("rl_src")
+    spark.sql(s"""MERGE INTO $CAT.rl.t t USING rl_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    // k=0 and k=2000 matched (updated); k=1000 was deleted → insert
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $CAT.rl.t " +
+      "WHERE k IN (0, 1000, 2000)").as[Long].head() == 3 * 777L)
+    assert(count() == 3901)
+    assert(TableLog.snapshot(path).get.rows == 3901)
+    // a no-match DELETE plans zero groups and commits nothing
+    val v0 = TableLog.latestVersion(path)
+    spark.sql(s"DELETE FROM $CAT.rl.t WHERE k = 99999999")
+    assert(TableLog.latestVersion(path) == v0,
+      "no-match delete must not commit")
+    assert(count() == 3901)
+    // full relational replay pins exact semantics end-to-end
+    val want = spark.range(4000)
+      .select($"id".as("k"), ($"id" % 10).as("v"))
+      .where(!($"k" >= 1000 && $"k" < 1100))
+      .select($"k", when($"k" === 2000, -1L).otherwise($"v").as("v"))
+      .select($"k",
+        when($"k" === 0 || $"k" === 2000, 777L).otherwise($"v").as("v"))
+      .union(Seq((1000L, 777L)).toDF("k", "v"))
+      .orderBy("k").collect().toSeq
+    assert(spark.sql(s"SELECT k, v FROM $CAT.rl.t ORDER BY k")
+      .collect().toSeq == want)
+    spark.sql(s"DROP TABLE $CAT.rl.t")
+  }
+
+  test("ALTER TABLE ADD COLUMNS / DROP COLUMN route to the log — " +
+      "metadata-only, with the re-add-after-drop fence") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt2")
+    spark.sql(s"CREATE TABLE $CAT.alt2.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $CAT.alt2.t VALUES (1, 10), (2, 20)")
+    val path = s"$wh/alt2/t"
+    val filesBefore = TableLog.snapshot(path).get.files.map(_.path)
+    // additive ADD: pure metadata, old rows read the column as null
+    spark.sql(s"ALTER TABLE $CAT.alt2.t ADD COLUMNS (tag STRING)")
+    assert(TableLog.snapshot(path).get.files.map(_.path) == filesBefore,
+      "ADD COLUMNS must rewrite no data file")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.alt2.t " +
+      "WHERE tag IS NULL").as[Long].head() == 2)
+    spark.sql(s"INSERT INTO $CAT.alt2.t VALUES (3, 30, 'x')")
+    assert(spark.sql(s"SELECT tag FROM $CAT.alt2.t WHERE k = 3")
+      .as[String].head() == "x")
+    // non-nullable adds refuse (unsatisfiable on existing rows)
+    val eNn = intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.alt2.t ADD COLUMNS (must BIGINT NOT NULL)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eNn).exists(_.contains("non-nullable")))
+    // DROP: pure metadata; the column vanishes from reads
+    val filesPreDrop = TableLog.snapshot(path).get.files.map(_.path)
+    spark.sql(s"ALTER TABLE $CAT.alt2.t DROP COLUMN v")
+    assert(TableLog.snapshot(path).get.files.map(_.path) == filesPreDrop,
+      "DROP COLUMN must rewrite no data file")
+    assert(!spark.sql(s"SELECT * FROM $CAT.alt2.t").columns.contains("v"))
+    // RE-ADD after drop: the dead incarnation's stored values must
+    // NOT resurrect — the drop op's version fence nulls them
+    spark.sql(s"ALTER TABLE $CAT.alt2.t ADD COLUMNS (v BIGINT)")
+    val got = spark.sql(s"SELECT k, v FROM $CAT.alt2.t ORDER BY k")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, None), (2L, None), (3L, None)),
+      s"re-added column must read null everywhere, got $got")
+    spark.sql(s"INSERT INTO $CAT.alt2.t VALUES (4, 'y', 99)")
+    assert(spark.sql(s"SELECT v FROM $CAT.alt2.t WHERE k = 4")
+      .as[Long].head() == 99L)
+    spark.sql(s"DROP TABLE $CAT.alt2.t")
+  }
 }

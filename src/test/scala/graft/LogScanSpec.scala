@@ -396,6 +396,66 @@ class LogScanSpec extends SparkSpec {
         $"c".between(0, 10)).count() == 11L * 21L * 11L + 1)
   }
 
+  test("h3 box pruning: the hilbert3 layout prunes through the " +
+      "declarative face and maintains under its own curve") {
+    val t = tmp("graft_log_h3box")
+    TableLog.create(spark, t, spark.range(262144)
+      .select(($"id" / 4096).cast("long").as("a"),
+        (($"id" / 64) % 64).cast("long").as("b"),
+        ($"id" % 64).as("c"), ($"id" % 7).as("v")))
+    // THREE files: each spans ~2.67 top-level octants, so some file's
+    // curve run is L-shaped — its per-column bounding box covers a
+    // corner octant the run never visits, which is exactly the case
+    // the interval test prunes and per-column stats cannot (at 5
+    // files Hilbert locality makes the bounding boxes themselves
+    // tight and the box pass has nothing left to do — measured)
+    TableLog.hilbertOrder3(spark, t, 3, "a", (0L, 63L), "b", (0L, 63L),
+      "c", (0L, 63L))
+    assert(TableLog.snapshot(t).get.files.forall(
+      _.stats.exists(_.col.startsWith("h3|"))),
+      "hilbertOrder3 must stamp the h3 spec on every file")
+    // the 8 corner boxes of the cube: at least one lands in some
+    // file's bounding-box-but-not-run corner
+    val boxes = for (ca <- Seq((0, 10), (53, 63));
+        cb <- Seq((0, 10), (53, 63)); cc <- Seq((0, 10), (53, 63)))
+      yield (ca._1, ca._2, cb._1, cb._2, cc._1, cc._2)
+    var tightened = false
+    for ((al, ah, bl, bh, cl, ch) <- boxes) {
+      def q() = TableLog.scan(spark, t)
+        .where($"a".between(al, ah) && $"b".between(bl, bh) &&
+          $"c".between(cl, ch))
+      val withBox = filesScanned(q())
+      spark.conf.set(graft.plans.PruneLogScan.BOX_KEY, "false")
+      val (withoutBox, expect) =
+        try (filesScanned(q()), q().count())
+        finally spark.conf.unset(graft.plans.PruneLogScan.BOX_KEY)
+      assert(withBox <= withoutBox)
+      if (withBox < withoutBox) tightened = true
+      assert(q().count() == expect)
+      assert(expect ==
+        (ah - al + 1).toLong * (bh - bl + 1) * (ch - cl + 1))
+    }
+    assert(tightened,
+      "the h3 interval test must tighten at least one octant-corner box")
+    // maintenance under the table's OWN curve: an unclustered append
+    // re-clusters with an h3 stat, clustered files carry by reference
+    TableLog.append(spark, t,
+      spark.range(1000).select(($"id" % 64).as("a"),
+        (($"id" * 7) % 64).as("b"), (($"id" * 13) % 64).as("c"),
+        lit(99L).as("v")))
+    val preMaint = TableLog.snapshot(t).get
+    val clustered = preMaint.files.filter(
+      _.stats.exists(_.col.startsWith("h3|")))
+    TableLog.zOrderMaintain(spark, t, targetBytes = 1L << 30)
+    val after = TableLog.snapshot(t).get
+    assert(after.files.forall(_.stats.exists(_.col.startsWith("h3|"))),
+      "maintain must re-cluster the tail under the h3 spec")
+    assert(clustered.map(_.path).toSet.subsetOf(
+      after.files.map(_.path).toSet),
+      "clustered files must carry by reference through maintenance")
+    assert(TableLog.read(spark, t).count() == 262144L + 1000L)
+  }
+
   test("zOrderMaintain: incremental re-cluster of the unclustered tail, clustered files carried by reference") {
     val t = tmp("graft_log_zmaint")
     TableLog.create(spark, t, spark.range(65536)

@@ -470,4 +470,78 @@ class PropertySpec extends SparkSpec {
       unspread(z >> 2) == a && unspread(z >> 1) == b && unspread(z) == c
     }, n = 300)
   }
+
+  test("h3BoxIntersects ≡ brute force: the aligned-block h3-interval " +
+      "box test is exact on small boxes") {
+    import graft.functions.Hilbert3
+    val gen = for {
+      a0 <- Gen.choose(0L, 65529L)
+      aw <- Gen.choose(0L, 5L)
+      b0 <- Gen.choose(0L, 65529L)
+      bw <- Gen.choose(0L, 5L)
+      c0 <- Gen.choose(0L, 65529L)
+      cw <- Gen.choose(0L, 5L)
+      anchorInBox <- Gen.oneOf(true, false)
+      dc <- Gen.choose(0L, (1L << 48) - 1)
+      dw <- Gen.choose(0L, 1L << 28)
+    } yield {
+      val center =
+        if (anchorInBox)
+          Hilbert3.encode16(a0 + aw / 2, b0 + bw / 2, c0 + cw / 2)
+        else dc
+      (a0, a0 + aw, b0, b0 + bw, c0, c0 + cw,
+        math.max(0L, center - dw),
+        math.min((1L << 48) - 1, center + dw))
+    }
+    check("h3box", Prop.forAllNoShrink(gen) {
+      case (alo, ahi, blo, bhi, clo, chi, dlo, dhi) =>
+        val brute = (alo to ahi).exists(a => (blo to bhi).exists(b =>
+          (clo to chi).exists { c =>
+            val d = Hilbert3.encode16(a, b, c)
+            d >= dlo && d <= dhi
+          }))
+        val fast = Hilbert3.h3BoxIntersects(
+          dlo, dhi, alo, ahi, blo, bhi, clo, chi)
+        fast == brute
+    }, n = 500)
+  }
+
+  test("hilbert3 encode/decode: mutual inverses, bijection prefix, " +
+      "consecutive indices are unit grid steps") {
+    import graft.functions.Hilbert3
+    // inverse roundtrip on random cells of the full 65536³ space
+    val rnd = new scala.util.Random(7)
+    (0 until 20000).foreach { _ =>
+      val (a, b, c) = (rnd.nextInt(65536).toLong,
+        rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      val d = Hilbert3.encode16(a, b, c)
+      assert(d >= 0L && d < (1L << 48))
+      val p = Hilbert3.decode16(d)
+      assert(Hilbert3.decodeA(p) == a && Hilbert3.decodeB(p) == b &&
+        Hilbert3.decodeC(p) == c, s"roundtrip failed at ($a,$b,$c)")
+    }
+    // THE hilbert property: consecutive indices are Manhattan-1 grid
+    // neighbors (what morton-3 lacks at octant jumps) — checked over
+    // random index runs across the whole range
+    (0 until 200).foreach { _ =>
+      val d0 = math.abs(rnd.nextLong()) % ((1L << 48) - 1000)
+      (d0 until d0 + 999).foreach { d =>
+        val p0 = Hilbert3.decode16(d); val p1 = Hilbert3.decode16(d + 1)
+        val step = math.abs(Hilbert3.decodeA(p0) - Hilbert3.decodeA(p1)) +
+          math.abs(Hilbert3.decodeB(p0) - Hilbert3.decodeB(p1)) +
+          math.abs(Hilbert3.decodeC(p0) - Hilbert3.decodeC(p1))
+        assert(step == 1, s"d=$d: step $step is not a unit move")
+      }
+    }
+    // bijectivity (exhaustive on the top-3-plane prefix): the first
+    // 8^3 = 512 aligned blocks of the index each map to a distinct
+    // 8192-cell-wide octant corner — i.e. the high coord bits of the
+    // 512 block starts are all distinct
+    val seen = (0 until 512).map { k =>
+      val p = Hilbert3.decode16(k.toLong << 39)
+      (Hilbert3.decodeA(p) >> 13, Hilbert3.decodeB(p) >> 13,
+        Hilbert3.decodeC(p) >> 13)
+    }.toSet
+    assert(seen.size == 512, "top-level octant walk must be a bijection")
+  }
 }

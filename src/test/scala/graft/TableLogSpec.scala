@@ -1107,6 +1107,45 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("distributed commit-stats count pass (past the footer " +
+      "threshold): zero-row files still never manifest, stats and " +
+      "rows identical to the footer path") {
+    val saved = TableLog.footerCountThreshold
+    TableLog.footerCountThreshold = 0 // force the distributed path
+    try {
+      val t = tmp("graft_log_zerorow_dist")
+      TableLog.create(spark, t,
+        spark.range(4000).toDF("k").repartitionByRange(4, $"k"),
+        statsCols = Seq("k"))
+      val before = TableLog.snapshot(t).get
+      assert(before.files.size == 4)
+      assert(before.rows == 4000L)
+      assert(before.files.forall(_.stats.exists(_.col == "k")),
+        "distributed pass must derive the same per-file stats")
+      // delete exactly one interior file's range: its rewrite is a
+      // zero-row part file — with the distributed pass, the zero-row
+      // set is listing − aggregate groups, and it must still vanish
+      val f1 = before.files.find { f =>
+        val s = f.stats.find(_.col == "k").get
+        s.min <= 1500 && 1500 <= s.max
+      }.get
+      val st = f1.stats.find(_.col == "k").get
+      val v = TableLog.deleteWhere(spark, t, "k", st.min, st.max,
+        statsCols = Seq("k"))
+      val after = TableLog.snapshot(t).get
+      assert(v == before.version + 1)
+      assert(!after.files.map(_.path).contains(f1.path))
+      assert(after.files.size == 3)
+      assert(after.files.forall(_.stats.exists(_.col == "k")))
+      val expected = 4000L - (st.max - st.min + 1)
+      assert(after.rows == expected)
+      assert(TableLog.read(spark, t).count() == expected)
+      // the no-op contract survives here too
+      assert(TableLog.deleteWhere(spark, t, "k", 1000000, 2000000,
+        statsCols = Seq("k")) == v)
+    } finally TableLog.footerCountThreshold = saved
+  }
+
   test("morMaintain: bounded sidecars — no-op within bounds, targeted materialization past them, byte-identical reads") {
     val t = tmp("graft_log_mormaint")
     TableLog.create(spark, t,
