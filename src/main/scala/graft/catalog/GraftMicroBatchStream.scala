@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.read.{
   InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxFiles,
-  SupportsAdmissionControl}
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graft.{ParquetRead, ParquetReadFactory}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +65,16 @@ final case class GraftStreamOffset(version: Long) extends Offset {
 final class GraftMicroBatchStream(path: String, tableName: String,
     dataSchema: StructType, readSchema: StructType,
     options: CaseInsensitiveStringMap) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** `Trigger.AvailableNow` bound: the version frontier captured at
+    * query start — the drain processes up to here (respecting
+    * `maxFilesPerTrigger` pacing) and stops, commits after the
+    * capture wait for the next run. */
+  @volatile private var availableNowBound: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = TableLog.latestVersion(path)
 
   private val maxFiles: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
@@ -129,7 +138,10 @@ final class GraftMicroBatchStream(path: String, tableName: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].version
-    val latest = TableLog.latestVersion(path)
+    val head = TableLog.latestVersion(path)
+    val latest =
+      if (availableNowBound >= 0) math.min(head, availableNowBound)
+      else head
     if (latest <= from) return GraftStreamOffset(from)
     val cap = limit match {
       case m: ReadMaxFiles => m.maxFiles()

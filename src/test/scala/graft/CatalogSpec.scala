@@ -541,6 +541,38 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.sread.silver2")
   }
 
+  test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
+      "exactly-once across separate runs") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.savail")
+    spark.sql(s"CREATE TABLE $CAT.savail.b (k BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $CAT.savail.s (k BIGINT, v BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_srav")
+      .toString
+    spark.sql(s"INSERT INTO $CAT.savail.b VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $CAT.savail.b VALUES (3, 30)")
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$CAT.savail.b")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$CAT.savail.s")
+      assert(q.awaitTermination(120000),
+        "AvailableNow must drain and terminate on its own")
+    }
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.savail.s")
+      .as[Long].head()
+    drain()
+    assert(count() == 3, "first drain delivers the whole frontier")
+    // nothing new: a second drain terminates without delivering
+    drain()
+    assert(count() == 3)
+    spark.sql(s"INSERT INTO $CAT.savail.b VALUES (4, 40)")
+    drain()
+    assert(count() == 4, "a later drain delivers exactly the new commit")
+    spark.sql(s"DROP TABLE $CAT.savail.b")
+    spark.sql(s"DROP TABLE $CAT.savail.s")
+  }
+
   test("readStream.table streams across PRE-START column renames " +
       "(per-file physical projection) and refuses mid-stream ones") {
     val wh = warehouse
