@@ -1101,6 +1101,66 @@ object SparkEntry {
       FROM $cat.sr.silver GROUP BY priority ORDER BY priority""")
   }
 
+  /** The CHANGES-TABLE face under the oracle — `graft.ns.t__changes`
+    * as a streaming CDC SUBSCRIPTION: a CDC-feed bronze takes an
+    * insert wave, a range DELETE (captured as typed rows), and a
+    * second insert wave; `readStream.table(bronze__changes)` with
+    * `Trigger.AvailableNow` drains the published feed into a sink
+    * catalog table across TWO runs split around the delete (offsets =
+    * published feed versions in the consumer checkpoint — the second
+    * run delivers exactly the unseen versions). The oracled aggregate
+    * groups the SINK by `_change_type`: insert counts/sums replay the
+    * two waves, delete counts/sums replay the deleted slice — the
+    * full row-level change log, exactly once. */
+  private def o84ChangesTable(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh84_$sfx"
+    val ckpt = s"$tmpRoot/chg84_ck_$sfx"
+    Seq(wh, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val cat = s"graft_o84_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ch")
+    s.sql(s"CREATE TABLE $cat.ch.bronze (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    s.sql(s"CREATE TABLE $cat.ch.sink (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING, _change_type STRING, " +
+      "_change_version BIGINT)")
+    val bronze = s"$wh/ch/bronze"
+    tl.enableCdcFeed(bronze)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 8)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 8),
+      statsCols = Seq("o_orderkey"))
+    def drain(): Unit = {
+      val q = s.readStream.table(s"$cat.ch.bronze__changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.ch.sink")
+      assert(q.awaitTermination(180000), "o84: drain must terminate")
+    }
+    drain() // wave 1
+    // typed-captured COW delete + the second insert wave
+    tl.deleteWhere(s, bronze, "o_orderkey", 2000, 9000,
+      statsCols = Seq("o_orderkey"))
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 38),
+      statsCols = Seq("o_orderkey"))
+    drain() // RESTART: exactly the unseen feed versions
+    s.sql(s"""
+      SELECT _change_type, priority,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.ch.sink GROUP BY _change_type, priority
+      ORDER BY _change_type, priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4341,6 +4401,7 @@ object SparkEntry {
     "o80_dv_dml" -> (o80DvDml _),
     "o81_stream_table" -> (o81StreamTable _),
     "o82_stream_read" -> (o82StreamRead _),
+    "o84_changes_table" -> (o84ChangesTable _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -5951,6 +6012,28 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM orders WHERE o_orderkey % 30 = 7
         |GROUP BY priority ORDER BY priority""".stripMargin,
+    // the change LOG replayed relationally: inserts = both waves,
+    // deletes = the first wave's rows in the deleted range (typed
+    // full-row capture) — grouped by change type
+    "o84_changes_table" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 8),
+        |ins AS (SELECT * FROM t WHERE o_orderkey % 60 = 8
+        |  UNION ALL SELECT * FROM t WHERE o_orderkey % 60 = 38),
+        |del AS (SELECT * FROM t WHERE o_orderkey % 60 = 8
+        |  AND o_orderkey BETWEEN 2000 AND 9000),
+        |ch AS (SELECT 'insert' AS _change_type, o_orderkey, price_c,
+        |    priority FROM ins
+        |  UNION ALL SELECT 'delete', o_orderkey, price_c, priority
+        |    FROM del)
+        |SELECT _change_type, priority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM ch GROUP BY _change_type, priority
+        |ORDER BY _change_type, priority""".stripMargin,
     // the two positional statements replayed relationally in order:
     // the modulo+string delete, then the conditional update
     "o80_dv_dml" ->

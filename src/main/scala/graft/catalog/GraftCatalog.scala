@@ -133,9 +133,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    val snap = TableLog.snapshot(path).getOrElse(
-      throw new NoSuchTableException(ident))
-    GraftTable(path, snap, GraftCatalog.readProps(path), identName(ident))
+    TableLog.snapshot(path) match {
+      case Some(snap) =>
+        GraftTable(path, snap, GraftCatalog.readProps(path),
+          identName(ident))
+      case None =>
+        // the CHANGES face: `graft.ns.t__changes` reads/streams the
+        // published change feed of feed-enabled table `t`
+        val n = ident.name()
+        if (n.endsWith("__changes")) {
+          val base = Identifier.of(ident.namespace(),
+            n.stripSuffix("__changes"))
+          val basePath = tablePath(base)
+          if (TableLog.snapshot(basePath).isDefined &&
+              TableLog.feedEnabled(basePath))
+            return GraftChangesTable(basePath, identName(ident))
+          if (TableLog.snapshot(basePath).isDefined)
+            sys.error(s"${identName(ident)}: table exists but has no " +
+              "change feed — enableFeed/enableCdcFeed first")
+        }
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF <v>` — a version number, or a tag name created via

@@ -1,0 +1,205 @@
+package graft.catalog
+
+import java.util
+
+import graft.sinks.TableLog
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, ReadMaxFiles,
+  SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.graft.{ParquetRead, ParquetReadFactory}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The CHANGES face of a feed-enabled catalog table —
+  * `graft.ns.t__changes`: a read-only table whose rows are the
+  * table's published change feed (data columns + `_change_type` +
+  * `_change_version`), batch-readable (the whole feed so far) and —
+  * the point — STREAMABLE: `spark.readStream.table("…__changes")`
+  * is a row-level CDC SUBSCRIPTION, the typed complement of the
+  * data-stream's refusal on row-changing commits. Offsets are feed
+  * versions bounded by the PUBLISHED frontier (a version's links are
+  * complete exactly when its `_done` marker exists — a mid-publish
+  * crash window can never lose rows, the healing publish re-delivers
+  * under the same offset); each micro-batch reads exactly the links
+  * the window's versions published. Insert links are raw data files
+  * with no stored `_change_type` — the reader serves the constant;
+  * CDC capture files carry theirs. Plain (insert-only) feeds stream
+  * as all-'insert'; typed (CDC) feeds deliver deletes as typed rows.
+  * Exactly-once across restart = consumer checkpoint + immutable
+  * per-version link sets. */
+final case class GraftChangesTable(path: String, nameStr: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = nameStr
+
+  override def schema(): StructType =
+    TableLog.changesSchemaOf(SparkSession.active, path)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toMicroBatchStream(checkpointLocation: String)
+            : MicroBatchStream =
+          new GraftChangesStream(path, nameStr, required, options)
+        override def toV1TableScan[R <: BaseRelation with TableScan](
+            context: SQLContext): R =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              import org.apache.spark.sql.functions.lit
+              var df: DataFrame = TableLog.readFeed(
+                context.sparkSession, path, withVersion = true)
+              // a PLAIN (insert-only) feed has no stored change type
+              if (!df.columns.contains(TableLog.changeTypeCol))
+                df = df.withColumn(TableLog.changeTypeCol, lit("insert"))
+              df.selectExpr(required.fieldNames.toIndexedSeq
+                .map(n => s"`$n`"): _*).rdd
+            }
+          }.asInstanceOf[R]
+      }
+    }
+}
+
+/** Offsets = published feed versions; batches = the window's links. */
+final class GraftChangesStream(path: String, tableName: String,
+    readSchema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val maxFiles: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+
+  @volatile private var availableNowBound: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = TableLog.publishedFrontier(path)
+
+  private def startingVersion: Long =
+    Option(options.get("startingVersion")).map(_.trim) match {
+      case None | Some("earliest") => 0L
+      case Some("latest") => TableLog.publishedFrontier(path)
+      case Some(v) => math.max(v.toLong - 1, 0L)
+    }
+
+  override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(): Offset =
+    latestOffset(GraftStreamOffset(startingVersion), getDefaultReadLimit)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val head = TableLog.publishedFrontier(path)
+    val frontier =
+      if (availableNowBound >= 0) math.min(head, availableNowBound)
+      else head
+    if (frontier <= from) return GraftStreamOffset(from)
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val byVer = TableLog.feedLinksBetween(path, from + 1, frontier)
+      .groupBy(_._1)
+    var v = from
+    var n = 0
+    (from + 1 to frontier).foreach { cand =>
+      if (v == cand - 1) {
+        val add = byVer.getOrElse(cand, Nil).size
+        if (n == 0 || n + add <= cap) { v = cand; n += add }
+      }
+    }
+    GraftStreamOffset(v)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[GraftStreamOffset].version,
+      end.asInstanceOf[GraftStreamOffset].version)
+    if (e <= s) return Array.empty
+    TableLog.feedLinksBetween(path, s + 1, e).map { case (v, p) =>
+      GraftFilePartition(p.toString, java.nio.file.Files.size(p), v,
+        p.getFileName.toString, proj = null)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // parquet decodes the required DATA fields plus `_change_type`
+    // (absent in insert links → null → the reader serves 'insert');
+    // `_change_version` is the partition's version constant
+    val dataRequired = StructType(readSchema.fields.filterNot(f =>
+      f.name == TableLog.changeVersionCol))
+    val ctIdx = dataRequired.fieldNames.indexOf(TableLog.changeTypeCol)
+    val cvIdx = readSchema.fieldNames.indexOf(TableLog.changeVersionCol)
+    new GraftChangesReaderFactory(
+      ParquetRead.factory(SparkSession.active, dataRequired),
+      readSchema.fields.map(_.dataType), ctIdx, cvIdx)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Serves rows of the changes schema: parquet row (data fields +
+  * possibly-null `_change_type`) → output row with `_change_type`
+  * coalesced to 'insert' and `_change_version` spliced in. */
+final class GraftChangesReaderFactory(pr: ParquetReadFactory,
+    outTypes: Array[org.apache.spark.sql.types.DataType],
+    ctIdx: Int, cvIdx: Int) extends PartitionReaderFactory {
+
+  private val insertTag = UTF8String.fromString("insert")
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    val it = pr.open(p.absPath, p.length).map { row =>
+      val n = outTypes.length
+      val out = new GenericInternalRow(n)
+      var i = 0 // parquet ordinal (data fields + _change_type)
+      var o = 0 // output ordinal
+      val r = row.copy()
+      while (o < n) {
+        if (o == cvIdx && cvIdx >= 0) out.update(o, p.version)
+        else {
+          val v =
+            if (r.isNullAt(i)) null
+            else r.get(i, if (o == ctIdx) StringType else outTypes(o))
+          out.update(o,
+            if (o == ctIdx && v == null) insertTag.clone() else v)
+          i += 1
+        }
+        o += 1
+      }
+      out: InternalRow
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -3260,6 +3260,38 @@ object TableLog {
     if (withVersion) withChangeVersion(typed) else typed
   }
 
+  /** Highest PUBLISHED feed version (all markers ≤ it present) — the
+    * changes-table stream's offset frontier: a version's links are
+    * complete exactly when its marker exists, so offsets bounded by
+    * this never race a mid-publish crash window. */
+  private[graft] def publishedFrontier(table: String): Long =
+    publishFrontier(table, latestVersion(table)) - 1
+
+  /** The feed links for versions in `[vFrom, vTo]`, with each link's
+    * publishing version (parsed from the `v<N>_` name prefix) —
+    * deterministic order. */
+  private[graft] def feedLinksBetween(table: String, vFrom: Long,
+      vTo: Long): Seq[(Long, java.nio.file.Path)] =
+    listDir(feedDir(table))
+      .filter(_.getFileName.toString.matches("v\\d{9}_.*"))
+      .map(p => (p.getFileName.toString.substring(1, 10).toLong, p))
+      .filter { case (v, _) => v >= vFrom && v <= vTo }
+      .sortBy { case (v, p) => (v, p.getFileName.toString) }
+
+  /** The changes-table schema: data columns + `_change_type` +
+    * `_change_version` (the CDC subscription row shape). */
+  private[graft] def changesSchemaOf(spark: SparkSession,
+      table: String): org.apache.spark.sql.types.StructType =
+    // declared NULLABLE although the served values never are: insert
+    // links lack the stored `_change_type` column, and the vectorized
+    // parquet reader refuses to null-fill a missing column declared
+    // non-nullable
+    feedSchema(spark, table)
+      .add(changeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = true)
+      .add(changeVersionCol, org.apache.spark.sql.types.LongType,
+        nullable = true)
+
   private def feedSchema(spark: SparkSession,
       table: String): org.apache.spark.sql.types.StructType =
     snapshot(table).flatMap(_.schemaJson) match {

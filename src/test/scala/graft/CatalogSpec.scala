@@ -541,6 +541,64 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.sread.silver2")
   }
 
+  test("graft.ns.t__changes: the CDC subscription face — batch read " +
+      "plus readStream with typed deletes and exactly-once restart") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.cdcs")
+    spark.sql(s"CREATE TABLE $CAT.cdcs.t (k BIGINT, v BIGINT)")
+    val path = s"$wh/cdcs/t"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.cdcs.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $CAT.cdcs.t VALUES (3, 30)")
+    TableLog.deleteMor(spark, path, "k", Seq(2L).toDF("k"))
+    // batch: the whole published feed as a read-only table
+    val batch = spark.sql(s"SELECT _change_type, count(*) AS n " +
+      s"FROM $CAT.cdcs.t__changes GROUP BY _change_type ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    assert(batch == Seq(("delete", 1L), ("insert", 3L)),
+      s"batch feed read must see typed changes, got $batch")
+    // an existing table WITHOUT a feed refuses with guidance
+    spark.sql(s"CREATE TABLE $CAT.cdcs.nofeed (k BIGINT)")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $CAT.cdcs.nofeed__changes").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no change feed")))
+    // STREAM: the row-level CDC subscription, sunk into another
+    // catalog table (memory sinks can't recover a checkpoint)
+    spark.sql(s"CREATE TABLE $CAT.cdcs.sink (k BIGINT, v BIGINT, " +
+      "_change_type STRING, _change_version BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chg")
+      .toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$CAT.cdcs.t__changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$CAT.cdcs.sink")
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    val got = spark.sql("SELECT k, v, _change_type, _change_version " +
+      s"FROM $CAT.cdcs.sink ORDER BY _change_version, _change_type, k")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) ==
+      Seq((1L, "insert"), (2L, "insert"), (3L, "insert"),
+        (2L, "delete")),
+      s"stream must deliver typed changes in version order, got $got")
+    assert(got.map(_._4) == got.map(_._4).sorted,
+      "_change_version must ride each row")
+    // restart: only NEW changes deliver (exactly-once)
+    spark.sql(s"INSERT INTO $CAT.cdcs.t VALUES (4, 40)")
+    drain()
+    val n2 = spark.sql(s"SELECT count(*) AS n FROM $CAT.cdcs.sink")
+      .as[Long].head()
+    assert(n2 == 5, s"restart must deliver exactly the new insert, $n2")
+    spark.sql(s"DROP TABLE $CAT.cdcs.t")
+    spark.sql(s"DROP TABLE $CAT.cdcs.sink")
+    spark.sql(s"DROP TABLE $CAT.cdcs.nofeed")
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse
