@@ -124,14 +124,22 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, t: GraftTable,
     Array(Expressions.column("_file"))
 
   /** Runtime group filter: Spark hands back the DISTINCT `_file`
-    * values of the rows matching the condition (collected by the
-    * group-filter subquery over this same builder) — keep exactly
-    * those groups. Unrecognized predicate shapes are ignored (no
-    * narrowing — strictly more files rewritten, never fewer). */
+    * values of the rows matching the condition — collected by a
+    * group-filter subquery that scans through the table's ORDINARY
+    * read path, whose `_file` is `input_file_name()`: an ABSOLUTE
+    * URI, while manifest entries are table-relative. Both sides
+    * normalize to the last two path segments (`data/<set>/<part>` —
+    * unique per table, the deletion-vector machinery's convention)
+    * before comparing; a representation mismatch here would silently
+    * narrow the group set to EMPTY and turn the whole DELETE into a
+    * no-op (caught by the scale-shape spec). Unrecognized predicate
+    * shapes are ignored (no narrowing — strictly more files
+    * rewritten, never fewer). */
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
-      GraftRowLevelScan.inSetOnFile(p).foreach { set =>
-        files = files.filter(f => set.contains(f.path))
+      GraftRowLevelScan.inSetOnFile(p).foreach { raw =>
+        val set = raw.map(TableLog.lastTwo)
+        files = files.filter(f => set.contains(TableLog.lastTwo(f.path)))
       }
     }
 

@@ -462,6 +462,86 @@ class ScaleShapeSpec extends SparkSpec {
     assert(bigTotal == 17, "the 16 clustered files must carry")
   }
 
+  test("row-level DELETE work tracks the MATCHED slice, not table " +
+      "size: 2× files, same rewrite count — and planning is " +
+      "manifest-only") {
+    val cat = "graftscale"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import graft.sinks.TableLog
+    def mk(nFiles: Int, name: String): String = {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rl")
+      spark.sql(s"CREATE TABLE $cat.rl.$name (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('statsCols' = 'k')")
+      val path = s"$wh/rl/$name"
+      // 1000-key blocks at BOTH scales: the deleted range overlaps
+      // exactly one file regardless of table size
+      TableLog.append(spark, path,
+        spark.range(nFiles * 1000L)
+          .select($"id".as("k"), ($"id" % 7).as("v"))
+          .repartitionByRange(nFiles, $"k"),
+        statsCols = Seq("k"))
+      path
+    }
+    def rewriteShape(path: String, name: String): (Int, Int, Long) = {
+      val before = TableLog.snapshot(path).get
+      val stats0 = TableLog.statFallbacks.get()
+      spark.sql(s"DELETE FROM $cat.rl.$name " +
+        "WHERE k >= 1200 AND k < 1800")
+      assert(TableLog.statFallbacks.get() == stats0,
+        "row-level planning must make zero filesystem stat calls")
+      val after = TableLog.snapshot(path).get
+      val beforeSet = before.files.map(_.path).toSet
+      val afterSet = after.files.map(_.path).toSet
+      ((beforeSet -- afterSet).size, (afterSet -- beforeSet).size,
+        after.rows)
+    }
+    val (sRm, sAdd, sRows) = rewriteShape(mk(8, "small"), "small")
+    val (bRm, bAdd, bRows) = rewriteShape(mk(16, "big"), "big")
+    assert(sRm == 1 && bRm == 1,
+      s"exactly ONE group rewrites at either scale ($sRm/$bRm)")
+    assert(sAdd <= 1 && bAdd <= 1)
+    assert(sRows == 8000L - 600 && bRows == 16000L - 600)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.rl.big " +
+      "WHERE k >= 1200 AND k < 1800").as[Long].head() == 0)
+  }
+
+  test("streaming-read planning is manifest-only: zero filesystem " +
+      "stat calls from offsets through partitions") {
+    val cat = "graftscale2"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale2_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import graft.sinks.TableLog
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sr")
+    spark.sql(s"CREATE TABLE $cat.sr.t (k BIGINT)")
+    (0 until 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.sr.t VALUES ($i)"))
+    val stats0 = TableLog.statFallbacks.get()
+    val stream = new graft.catalog.GraftMicroBatchStream(
+      s"$wh/sr/t", "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val end = stream.latestOffset(stream.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+    assert(parts.length == 5, s"${parts.length}")
+    assert(TableLog.statFallbacks.get() == stats0,
+      "offset resolution + partition planning must be manifest-only")
+  }
+
   test("ClickHouse write shape: partition count + in-partition sort") {
     val li = spark.read.parquet(sf("0.001") + "/lineitem.parquet")
     val cfg = ClickHouseSink.Config(url = "jdbc:clickhouse://unused:8123/db",
