@@ -599,6 +599,48 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.cdcs.nofeed")
   }
 
+  test("readStream.table startingVersion: latest skips history, a " +
+      "number delivers FROM it, vacuumed offsets fail with restart " +
+      "guidance") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.ssv")
+    spark.sql(s"CREATE TABLE $CAT.ssv.b (k BIGINT)")
+    val bronze = s"$wh/ssv/b"
+    spark.sql(s"INSERT INTO $CAT.ssv.b VALUES (1)") // v2
+    spark.sql(s"INSERT INTO $CAT.ssv.b VALUES (2)") // v3
+    def drainTo(name: String, opts: Map[String, String]): Unit = {
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table(s"$CAT.ssv.b")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_$name").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    // latest: existing history skipped — nothing delivered
+    drainTo("ssv_latest", Map("startingVersion" -> "latest"))
+    assert(spark.sql("SELECT count(*) AS n FROM ssv_latest")
+      .as[Long].head() == 0)
+    // numeric: deliver FROM that version inclusive
+    drainTo("ssv_v3", Map("startingVersion" -> "3"))
+    assert(spark.sql("SELECT k FROM ssv_v3").as[Long].collect()
+      .toSeq == Seq(2L))
+    // an offset below the vacuum floor fails with restart guidance
+    (1 to 12).foreach(i =>
+      spark.sql(s"INSERT INTO $CAT.ssv.b VALUES (${10 + i})"))
+    TableLog.vacuum(spark, bronze, keepVersions = 3)
+    val e = intercept[Exception](
+      drainTo("ssv_old", Map("startingVersion" -> "2")))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vacuumed")),
+      s"vacuumed offset must fail with guidance, got ${msgs(e)}")
+    spark.sql(s"DROP TABLE $CAT.ssv.b")
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse
