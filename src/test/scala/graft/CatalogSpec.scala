@@ -599,6 +599,41 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.cdcs.nofeed")
   }
 
+  test("__changes stream options: startingVersion=latest subscribes " +
+      "to NEW changes only; maxFilesPerTrigger paces the catch-up") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.chop")
+    spark.sql(s"CREATE TABLE $CAT.chop.t (k BIGINT)")
+    val path = s"$wh/chop/t"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.chop.t VALUES (1)")
+    spark.sql(s"INSERT INTO $CAT.chop.t VALUES (2)")
+    def drainTo(name: String, opts: Map[String, String],
+        ckpt: String): Unit = {
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table(s"$CAT.chop.t__changes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    def tmpCk(n: String) = java.nio.file.Files
+      .createTempDirectory(n).toString
+    // latest: the published history is skipped
+    drainTo("chop_latest", Map("startingVersion" -> "latest"),
+      tmpCk("graft_chl"))
+    assert(spark.sql("SELECT count(*) AS n FROM chop_latest")
+      .as[Long].head() == 0)
+    // paced catch-up from earliest still delivers everything
+    drainTo("chop_paced", Map("maxFilesPerTrigger" -> "1"),
+      tmpCk("graft_chp"))
+    assert(spark.sql("SELECT count(*) AS n FROM chop_paced")
+      .as[Long].head() == 2)
+    spark.sql(s"DROP TABLE $CAT.chop.t")
+  }
+
   test("readStream.table startingVersion: latest skips history, a " +
       "number delivers FROM it, vacuumed offsets fail with restart " +
       "guidance") {
