@@ -78,6 +78,8 @@ final class GraftMicroBatchStream(path: String, tableName: String,
 
   private val maxFiles: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+  private val maxBytes: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map(_.trim.toLong)
   private val skipChange: Boolean =
     options.getBoolean("skipChangeCommits", false)
 
@@ -115,9 +117,15 @@ final class GraftMicroBatchStream(path: String, tableName: String,
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFiles.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFiles.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytes.map(b => ReadLimit.maxBytes(b)).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** Files a commit contributes to the stream (empty for skipped
     * kinds); refuses row-changing commits unless opted out. */
@@ -136,6 +144,19 @@ final class GraftMicroBatchStream(path: String, tableName: String,
     latestOffset(GraftStreamOffset(startingVersion),
       getDefaultReadLimit)
 
+  /** Flatten a (possibly composite) limit into file/byte caps. */
+  private def capsOf(limit: ReadLimit): (Int, Long) = limit match {
+    case m: ReadMaxFiles => (m.maxFiles(), Long.MaxValue)
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      (Int.MaxValue, m.maxBytes())
+    case c: org.apache.spark.sql.connector.read.streaming
+        .CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).foldLeft((Int.MaxValue, Long.MaxValue)) {
+        case ((f1, b1), (f2, b2)) => (math.min(f1, f2), math.min(b1, b2))
+      }
+    case _ => (Int.MaxValue, Long.MaxValue)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].version
     val head = TableLog.latestVersion(path)
@@ -143,17 +164,19 @@ final class GraftMicroBatchStream(path: String, tableName: String,
       if (availableNowBound >= 0) math.min(head, availableNowBound)
       else head
     if (latest <= from) return GraftStreamOffset(from)
-    val cap = limit match {
-      case m: ReadMaxFiles => m.maxFiles()
-      case _ => Int.MaxValue
-    }
+    val (fileCap, byteCap) = capsOf(limit)
     var v = from
     var n = 0
+    var bytes = 0L
     TableLog.commitDeltas(path, from + 1, latest).foreach { d =>
       if (v == d.version - 1) { // still contiguous (not capped out)
-        val add = streamedFiles(d).size
+        val fs = streamedFiles(d)
+        val add = fs.size
+        val addBytes = fs.map(f => TableLog.fileBytes(path, f)).sum
         // always admit at least one version so the stream progresses
-        if (n == 0 || n + add <= cap) { v = d.version; n += add }
+        if (n == 0 || (n + add <= fileCap && bytes + addBytes <= byteCap)) {
+          v = d.version; n += add; bytes += addBytes
+        }
       }
     }
     GraftStreamOffset(v)

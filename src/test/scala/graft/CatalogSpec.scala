@@ -599,6 +599,30 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.cdcs.nofeed")
   }
 
+  test("readStream.table maxBytesPerTrigger: byte-budget admission " +
+      "splits the catch-up into epochs") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.sbyte")
+    spark.sql(s"CREATE TABLE $CAT.sbyte.b (k BIGINT)")
+    spark.sql(s"CREATE TABLE $CAT.sbyte.s (k BIGINT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO $CAT.sbyte.b VALUES ($i)"))
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", "1") // < any file: 1 version/epoch
+      .table(s"$CAT.sbyte.b")
+      .writeStream.option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_sbk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$CAT.sbyte.s")
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.sbyte.s")
+      .as[Long].head() == 4, "paced drain still delivers everything")
+    assert(TableLog.latestVersion(s"$wh/sbyte/s") > 3,
+      "a 1-byte budget must admit one version per epoch")
+    spark.sql(s"DROP TABLE $CAT.sbyte.b")
+    spark.sql(s"DROP TABLE $CAT.sbyte.s")
+  }
+
   test("__changes stream options: startingVersion=latest subscribes " +
       "to NEW changes only; maxFilesPerTrigger paces the catch-up") {
     val wh = warehouse
