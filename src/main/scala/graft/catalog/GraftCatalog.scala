@@ -562,7 +562,7 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
       TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftTable.VersionCol, GraftTable.FileCol)
+    Array(GraftTable.VersionCol, GraftTable.FileCol, GraftTable.PosCol)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -623,6 +623,19 @@ object GraftTable {
       org.apache.spark.sql.types.StringType
     override def isNullable: Boolean = true
     override def comment(): String = "physical file this row was read from"
+  }
+  /** Row index within the row's physical file — captured below any
+    * deletion-vector filter, so `(_file, _pos)` is the row's STABLE
+    * identity (the positional-DML address space) until a rewrite
+    * moves it. The groundwork for delta-based row-level operations
+    * (`SupportsDelta.rowId`). */
+  val PosCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = "_pos"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "row index within the row's physical file"
   }
 }
 

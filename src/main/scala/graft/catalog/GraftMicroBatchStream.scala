@@ -292,12 +292,15 @@ private[catalog] final class PhysicalProjection(tableName: String,
   }
 
   /** Output ordinal i ← expanded ordinal; -1 = commit version,
-    * -2 = file path (the two metadata columns). */
+    * -2 = file path, -3 = row index within the file (the raw reader
+    * serves whole files in order, so a per-partition counter IS
+    * `_metadata.row_index`). */
   def projFor(fileVer: Long): Array[Int] =
     fields.zipWithIndex.map { case (f, i) =>
       if (!dataNames.contains(f.name)) {
         if (f.name == "_version") -1
         else if (f.name == "_file") -2
+        else if (f.name == "_pos") -3
         else sys.error(s"$opLabel of $tableName: unsupported " +
           s"metadata column '${f.name}'")
       } else {
@@ -328,17 +331,20 @@ final class GraftStreamReaderFactory(pr: ParquetReadFactory,
       if (identity) base
       else {
         val file = UTF8String.fromString(p.relPath)
+        var rowIdx = -1L
         base.map { row =>
           // copy() first: vectorized rows are mutable views into the
           // current batch; a projected GenericInternalRow LOOKS
           // immutable to buffering consumers, so it must own its data
           val r = row.copy()
+          rowIdx += 1
           val out = new GenericInternalRow(p.proj.length)
           var i = 0
           while (i < p.proj.length) {
             p.proj(i) match {
               case -1 => out.update(i, p.version)
               case -2 => out.update(i, file)
+              case -3 => out.update(i, rowIdx)
               case j => out.update(i,
                 if (r.isNullAt(j)) null else r.get(j, outTypes(i)))
             }

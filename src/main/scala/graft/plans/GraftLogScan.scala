@@ -466,7 +466,7 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
     // metadata columns the catalog face spliced into the relation's
     // output (attachMeta skips names a data column already claims)
     val meta = r.output.map(_.name)
-      .filter(n => n == "_file" || n == "_version")
+      .filter(n => n == "_file" || n == "_version" || n == "_pos")
     val df = TableLog.morScan(spark, r.table, r.snapshot, files, meta)
     // the OPTIMIZED child plan, not the analyzed one: this rule runs in
     // the user batch AFTER the main optimizer, so analysis-level nodes

@@ -898,7 +898,8 @@ object TableLog {
     val (dvDels, keyDels) = s.dels.partition(_.keyCol == DvKeyCol)
     def dvFor(fs: Seq[FileEntry]): Seq[DeleteEntry] =
       dvDels.filter(d => fs.exists(f => sidecarFences(s, f, d)))
-    def needPos(fs: Seq[FileEntry]): Boolean = pos || dvFor(fs).nonEmpty
+    def needPos(fs: Seq[FileEntry]): Boolean =
+      pos || meta.contains("_pos") || dvFor(fs).nonEmpty
     // pipeline per cohort, all BELOW any anti-join/union where
     // input_file_name is still task-local: the scan projects
     // (__graft_file, __graft_pos) when needed, the DV filter drops
@@ -917,6 +918,15 @@ object TableLog {
             loadDv(spark, table, active)))
         d = d.where(not(coalesce(c, lit(false))))
       }
+      // the `_pos` metadata column = the row's index within its
+      // physical file (`_metadata.row_index`), captured here BELOW
+      // the DV filter and any anti-join — so survivors keep their
+      // original positions exactly (the deletion-vector address
+      // space), and `( _file, _pos )` is a stable row identity
+      if (meta.contains("_pos"))
+        d =
+          if (wp) d.withColumn("_pos", col(GraftPosCol))
+          else d.withColumn("_pos", lit(null).cast("long")) // empty set
       if (wp && !pos) d = d.drop(GraftFileCol, GraftPosCol)
       attachMeta(d, meta, files)
     }

@@ -599,6 +599,45 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.cdcs.nofeed")
   }
 
+  test("_pos metadata column: row index within the physical file, " +
+      "stable below deletion vectors — the (_file,_pos) row identity") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.posm")
+    spark.sql(s"CREATE TABLE $CAT.posm.t (k BIGINT, v BIGINT)")
+    val path = s"$wh/posm/t"
+    TableLog.append(spark, path,
+      spark.range(100).select($"id".as("k"), ($"id" % 9).as("v"))
+        .repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    TableLog.append(spark, path,
+      spark.range(100, 150).select($"id".as("k"), ($"id" % 9).as("v")),
+      statsCols = Seq("k"))
+    // dense per-file indexing: min 0, max n-1 in every file
+    val perFile = spark.sql(s"SELECT _file, count(*) AS n, " +
+      s"CAST(min(_pos) AS BIGINT) AS mn, CAST(max(_pos) AS BIGINT) " +
+      s"AS mx FROM $CAT.posm.t GROUP BY _file")
+      .as[(String, Long, Long, Long)].collect()
+    assert(perFile.nonEmpty &&
+      perFile.forall { case (_, n, mn, mx) => mn == 0 && mx == n - 1 },
+      s"per-file _pos must be dense 0..n-1, got ${perFile.toSeq}")
+    val before = spark.sql(
+      s"SELECT k, _file, _pos FROM $CAT.posm.t")
+      .as[(Long, String, Long)].collect().toSet
+    // a positional delete removes rows WITHOUT moving survivors:
+    // their (_file,_pos) identities are untouched
+    TableLog.deleteDv(spark, path,
+      org.apache.spark.sql.functions.col("k") % 10 === 3)
+    val after = spark.sql(
+      s"SELECT k, _file, _pos FROM $CAT.posm.t")
+      .as[(Long, String, Long)].collect().toSet
+    assert(after.subsetOf(before),
+      "survivor identities must be unchanged by a DV delete")
+    assert(before.diff(after).map(_._1) ==
+      before.map(_._1).filter(_ % 10 == 3),
+      "exactly the vectored rows vanish")
+    spark.sql(s"DROP TABLE $CAT.posm.t")
+  }
+
   test("readStream.table maxBytesPerTrigger: byte-budget admission " +
       "splits the catch-up into epochs") {
     val wh = warehouse
