@@ -1161,6 +1161,67 @@ object SparkEntry {
       ORDER BY _change_type, priority""")
   }
 
+  /** DELTA-BASED row-level DML through Spark's OWN framework
+    * (`SupportsDelta`, `rowLevelMode = 'mor'`) under the oracle:
+    * DELETE / UPDATE / MERGE on a catalog table run as WriteDelta —
+    * matched positions commit as deletion-vector sidecar shards
+    * (collected DISTRIBUTED, one per task) and new images as ordinary
+    * data files, with ZERO base-file rewrites (in-plan asserts pin
+    * the mechanism); statements COMPOSE, the later scans filtering
+    * the earlier vectors positionally. The oracle replays the three
+    * statements relationally in order. This is the vanilla-session
+    * scale path for scattered mutations on a 100 TB table: write
+    * cost O(changed rows), not O(overlapping files) — the reference
+    * importer (cmd/cli/main.go) rewrites whole tables per run and
+    * has no incremental-mutation story at all. */
+  private def o85DeltaDml(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/rld_wh_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o85_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    T(s, dir, "orders").createOrReplaceTempView("orders_src85")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rl")
+    s.sql(s"CREATE TABLE $cat.rl.lake " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey', " +
+      "'rowLevelMode' = 'mor') AS " +
+      "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS price_c, o_orderpriority AS priority " +
+      "FROM orders_src85 WHERE o_orderkey % 30 = 21")
+    val path = s"$wh/rl/lake"
+    val before = tl.snapshot(path).get.files.map(_.path).toSet
+    // arbitrary (non-range) predicates — the positional sweet spot
+    s.sql(s"DELETE FROM $cat.rl.lake " +
+      "WHERE price_c % 10 = 3 AND priority <> '1-URGENT'")
+    s.sql(s"UPDATE $cat.rl.lake SET price_c = price_c + 9 " +
+      "WHERE priority = '2-HIGH' AND o_orderkey % 13 = 5")
+    s.sql("SELECT o_orderkey, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c " +
+      "FROM orders_src85 WHERE o_orderkey % 30 = 21 " +
+      "AND o_orderkey % 7 = 1").createOrReplaceTempView("rld_src85")
+    s.sql(s"""MERGE INTO $cat.rl.lake t USING rld_src85 v
+      ON t.o_orderkey = v.o_orderkey
+      WHEN MATCHED THEN UPDATE SET price_c = t.price_c + 1000
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, price_c, priority)
+        VALUES (v.o_orderkey, v.price_c, 'REINSERTED')""")
+    val after = tl.snapshot(path).get
+    assert(before.subsetOf(after.files.map(_.path).toSet),
+      "o85: delta DML must rewrite no base data file")
+    assert(after.dels.nonEmpty && after.dels.forall(
+      _.keyCol == "__pos__"),
+      "o85: the mutations must be pending deletion-vector sidecars")
+    s.sql(s"""
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.rl.lake GROUP BY priority ORDER BY priority""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4402,6 +4463,7 @@ object SparkEntry {
     "o81_stream_table" -> (o81StreamTable _),
     "o82_stream_read" -> (o82StreamRead _),
     "o84_changes_table" -> (o84ChangesTable _),
+    "o85_delta_dml" -> (o85DeltaDml _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6051,6 +6113,34 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM u GROUP BY priority ORDER BY priority""".stripMargin,
+    // the three delta statements replayed relationally in order: the
+    // modulo+string delete, the conditional update, then the merge
+    // (matched rows +1000; deleted source keys reinsert)
+    "o85_delta_dml" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 21),
+        |d AS (SELECT * FROM t
+        |  WHERE NOT (price_c % 10 = 3 AND priority <> '1-URGENT')),
+        |u AS (SELECT o_orderkey,
+        |  CASE WHEN priority = '2-HIGH' AND o_orderkey % 13 = 5
+        |    THEN price_c + 9 ELSE price_c END AS price_c, priority
+        |  FROM d),
+        |src AS (SELECT o_orderkey, price_c FROM t
+        |  WHERE o_orderkey % 7 = 1),
+        |m AS (SELECT u.o_orderkey,
+        |    CASE WHEN src.o_orderkey IS NOT NULL THEN u.price_c + 1000
+        |      ELSE u.price_c END AS price_c, u.priority
+        |  FROM u LEFT JOIN src ON u.o_orderkey = src.o_orderkey
+        |  UNION ALL
+        |  SELECT src.o_orderkey, src.price_c, 'REINSERTED' AS priority
+        |  FROM src
+        |  WHERE src.o_orderkey NOT IN (SELECT o_orderkey FROM u))
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM m GROUP BY priority ORDER BY priority""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

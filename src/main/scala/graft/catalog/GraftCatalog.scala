@@ -205,6 +205,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${identName(ident)}: $k names column '$c' which is not in " +
             s"the table schema (${schema.fieldNames.mkString(", ")})"))
     }
+    GraftTable.rowLevelMode(props, identName(ident))
     val path = tablePath(ident)
     if (isTableDir(Paths.get(path)))
       throw new TableAlreadyExistsException(ident)
@@ -253,6 +254,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${identName(ident)}: $k names column '$c' which is not in " +
             s"the table schema (${schema.fieldNames.mkString(", ")})"))
     }
+    GraftTable.rowLevelMode(props, identName(ident))
     props
   }
 
@@ -531,7 +533,10 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(GraftTable.this, info)
+        if (GraftTable.rowLevelMode(props, nameStr) == "mor")
+          new GraftDeltaOperation(GraftTable.this, info)
+        else
+          new GraftRowLevelOperation(GraftTable.this, info)
     }
 
   override def name(): String = nameStr
@@ -605,10 +610,14 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
 }
 
 object GraftTable {
-  /** The two metadata columns every graft catalog table exposes.
+  /** The metadata columns every graft catalog table exposes.
     * `_version` is nullable only in theory (a manifest entry always
     * knows its commit); declared nullable so the declared type matches
-    * the produced expression exactly. */
+    * the produced expression exactly. `_file` and `_pos` are declared
+    * NON-nullable: they are this table's delta-operation row identity
+    * (`SupportsDelta.rowId`), and Spark's row-level rewrite refuses a
+    * nullable row id — the producing expressions (`input_file_name`,
+    * the raw reader's physical row counter) never yield null. */
   val VersionCol: MetadataColumn = new MetadataColumn {
     override def name(): String = "_version"
     override def dataType(): org.apache.spark.sql.types.DataType =
@@ -621,21 +630,40 @@ object GraftTable {
     override def name(): String = "_file"
     override def dataType(): org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.StringType
-    override def isNullable: Boolean = true
+    override def isNullable: Boolean = false
     override def comment(): String = "physical file this row was read from"
   }
   /** Row index within the row's physical file — captured below any
     * deletion-vector filter, so `(_file, _pos)` is the row's STABLE
     * identity (the positional-DML address space) until a rewrite
-    * moves it. The groundwork for delta-based row-level operations
+    * moves it: the row id of delta-based row-level operations
     * (`SupportsDelta.rowId`). */
   val PosCol: MetadataColumn = new MetadataColumn {
     override def name(): String = "_pos"
     override def dataType(): org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.LongType
-    override def isNullable: Boolean = true
+    override def isNullable: Boolean = false
     override def comment(): String =
       "row index within the row's physical file"
+  }
+
+  /** The `rowLevelMode` table property: how Spark's OWN row-level
+    * framework (DELETE/UPDATE/MERGE on a vanilla session) executes.
+    * `cow` (default) = group-based copy-on-write (ReplaceData:
+    * matched groups rewritten, untouched files carried by reference);
+    * `mor` = delta-based merge-on-read (WriteDelta: matched rows'
+    * positions committed as a deletion-vector sidecar, new images as
+    * ordinary files — zero data-file rewrites). */
+  private[catalog] def rowLevelMode(props: Map[String, String],
+      name: String): String = {
+    val v = props.find(_._1.equalsIgnoreCase("rowLevelMode"))
+      .map(_._2.trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("cow")
+    if (v != "cow" && v != "mor")
+      throw new IllegalArgumentException(
+        s"$name: rowLevelMode must be 'cow' (group-based " +
+          s"copy-on-write) or 'mor' (delta-based merge-on-read), got '$v'")
+    v
   }
 }
 

@@ -320,7 +320,8 @@ private[catalog] final class PhysicalProjection(tableName: String,
 }
 
 final class GraftStreamReaderFactory(pr: ParquetReadFactory,
-    outTypes: Array[DataType], identity: Boolean)
+    outTypes: Array[DataType], identity: Boolean,
+    dv: graft.functions.DvSet = null)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
@@ -328,16 +329,27 @@ final class GraftStreamReaderFactory(pr: ParquetReadFactory,
     val p = partition.asInstanceOf[GraftFilePartition]
     val base = pr.open(p.absPath, p.length)
     val it =
-      if (identity) base
+      if (identity && dv == null) base
       else {
         val file = UTF8String.fromString(p.relPath)
+        val dvKey = if (dv == null) null
+          else graft.sinks.TableLog.lastTwo(p.relPath)
         var rowIdx = -1L
-        base.map { row =>
+        // filter BEFORE projecting, on the shared physical index:
+        // `rowIdx` advances for every raw row (positions stay the
+        // deletion-vector address space), and the projection reads the
+        // accepted row's index — filter and map run in lockstep on a
+        // strictly sequential iterator, so a pending positional MOR
+        // delete drops exactly its vectored rows with survivors'
+        // `_pos` untouched
+        base.filter { _ =>
+          rowIdx += 1
+          dv == null || !dv.containsKey(dvKey, rowIdx)
+        }.map { row =>
           // copy() first: vectorized rows are mutable views into the
           // current batch; a projected GenericInternalRow LOOKS
           // immutable to buffering consumers, so it must own its data
           val r = row.copy()
-          rowIdx += 1
           val out = new GenericInternalRow(p.proj.length)
           var i = 0
           while (i < p.proj.length) {

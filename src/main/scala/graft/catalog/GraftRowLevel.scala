@@ -13,13 +13,15 @@ import org.apache.spark.sql.connector.read.{
   SupportsPushDownFilters, SupportsPushDownRequiredColumns,
   SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{
-  BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo,
-  PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
-  RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+  BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite,
+  DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory,
+  LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation,
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta,
+  Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.graft.{
   ParquetRead, ParquetWrite, ParquetWriteFactory, RowFileWriter}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** GROUP-BASED row-level DELETE/UPDATE/MERGE through Spark's OWN
@@ -45,41 +47,112 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a concurrent rewrite fails the statement instead of losing its
   * update. Schema-op tables scan through the same per-file physical
   * projection as the streaming source ([[PhysicalProjection]]). */
-final class GraftRowLevelOperation(t: GraftTable,
-    info: RowLevelOperationInfo) extends RowLevelOperation {
+/** What both row-level modes share: the planned-group linkage between
+  * the SCAN half and the WRITE half (the scan records what it planned;
+  * the write commits against exactly that), and the optional pending
+  * deletion-vector set the raw-file readers must filter. */
+abstract class GraftRlOpBase(private[catalog] val t: GraftTable)
+    extends RowLevelOperation {
 
-  require(t.snapshot.dels.isEmpty,
-    s"row-level ${info.command} on ${t.name}: pending merge-on-read " +
+  /** The groups the LAST-planned scan will read. Set by the scan at
+    * planning (after pushdown pruning and runtime group filtering);
+    * the write executes strictly after the final plan, so
+    * last-write-wins is the correct linkage. */
+  @volatile private[catalog] var scanned: Seq[TableLog.FileEntry] =
+    t.snapshot.files
+
+  /** Pending deletion vectors the raw-file scan must filter out (the
+    * delta mode under pending positional sidecars); null = none. */
+  private[catalog] def scanDv: graft.functions.DvSet = null
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this)
+}
+
+final class GraftRowLevelOperation(t0: GraftTable,
+    info: RowLevelOperationInfo) extends GraftRlOpBase(t0) {
+
+  require(t0.snapshot.dels.isEmpty,
+    s"row-level ${info.command} on ${t0.name}: pending merge-on-read " +
       "sidecars — a group rewrite over raw files would resurrect " +
       "their deleted rows; run morMaintain/compact first, or use the " +
       "graft SQL DML face")
 
-  /** The groups the LAST-planned scan will read — what the commit
-    * replaces. Set by the scan at planning (after pushdown pruning
-    * and runtime group filtering); the write executes strictly after
-    * the final plan, so last-write-wins is the correct linkage. */
-  @volatile private[catalog] var scanned: Seq[TableLog.FileEntry] =
-    t.snapshot.files
-
   override def command(): RowLevelOperation.Command = info.command()
-
-  override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRowLevelScanBuilder(this, t)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new GraftReplaceDataWrite(
-        GraftRowLevelOperation.this, t, winfo)
+        GraftRowLevelOperation.this, t0, winfo)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column("_file"))
 }
 
-final class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
-    t: GraftTable) extends ScanBuilder
+/** DELTA-BASED row-level DELETE/UPDATE/MERGE (`SupportsDelta`) — the
+  * `rowLevelMode = 'mor'` face of Spark's own framework. Where the
+  * group-based operation rewrites every file holding a matched row
+  * (ReplaceData), this one commits the matched rows' POSITIONS as a
+  * deletion-vector sidecar and new images as ordinary data files
+  * (WriteDelta) — zero data-file rewrites, write cost O(changed
+  * rows), the vanilla-session twin of [[TableLog.deleteDv]] /
+  * [[TableLog.updateDv]]. The row id is `(_file, _pos)` — the scan's
+  * physical address space, captured below any pending deletion-vector
+  * filter so positions stay exact. Updates arrive as delete+insert
+  * pairs (`representUpdateAsDeleteAndInsert`), so the writer needs
+  * only the two primitives. Positions are collected DISTRIBUTED (each
+  * task writes its own sidecar shard), so no driver-side bound like
+  * `deleteDv`'s `maxPositions` applies at the statement level; the
+  * aggregate pending-vector weight is still bounded by
+  * `morMaintain`'s policy face.
+  *
+  * Pending POSITIONAL sidecars compose (the scan filters them, the
+  * new sidecar unions at read); pending KEY sidecars refuse — their
+  * anti-join cohorts don't exist in the raw-file scan, and scanning
+  * through them would re-delete rows a key sidecar already removed
+  * (double-counted manifest rows). */
+final class GraftDeltaOperation(t0: GraftTable,
+    info: RowLevelOperationInfo) extends GraftRlOpBase(t0)
+    with SupportsDelta {
+
+  private val pendingDv =
+    t0.snapshot.dels.filter(_.keyCol == TableLog.DvKeyCol)
+
+  require(pendingDv.length == t0.snapshot.dels.length,
+    s"delta row-level ${info.command} on ${t0.name}: pending KEY " +
+      "merge-on-read sidecars — the positional scan cannot apply " +
+      "their anti-join cohorts; run morMaintain/compact first, or " +
+      "use the graft SQL DML face")
+
+  override private[catalog] lazy val scanDv: graft.functions.DvSet =
+    if (pendingDv.isEmpty) null
+    else TableLog.loadDv(SparkSession.active, t0.path, pendingDv)
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def newWriteBuilder(
+      winfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(GraftDeltaOperation.this, t0, winfo)
+    }
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+}
+
+final class GraftRowLevelScanBuilder(op: GraftRlOpBase)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val t: GraftTable = op.t
 
   private var required: StructType = t.schema()
   private var pushed: Array[sources.Filter] = Array.empty
@@ -102,13 +175,15 @@ final class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
     val kept = pushed.foldLeft(s.files) { (fs, f) =>
       GraftRowLevelScan.pruneBy(s, fs, f)
     }
-    new GraftRowLevelScan(op, t, required, kept)
+    new GraftRowLevelScan(op, required, kept)
   }
 }
 
-final class GraftRowLevelScan(op: GraftRowLevelOperation, t: GraftTable,
+final class GraftRowLevelScan(op: GraftRlOpBase,
     required: StructType, initial: Seq[TableLog.FileEntry])
     extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private val t: GraftTable = op.t
 
   @volatile private var files: Seq[TableLog.FileEntry] = initial
 
@@ -153,7 +228,7 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, t: GraftTable,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStreamReaderFactory(
       ParquetRead.factory(SparkSession.active, proj.expandedSchema),
-      required.fields.map(_.dataType), proj.identity)
+      required.fields.map(_.dataType), proj.identity, op.scanDv)
 }
 
 object GraftRowLevelScan {
@@ -266,6 +341,180 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
         case _ => ()
       }
   }
+}
+
+/** The delta write half: executor [[DeltaWriter]]s land DELETE row
+  * ids as per-task deletion-vector sidecar shards and INSERT rows as
+  * per-task data files (updates arrive pre-split), each with its
+  * write-time stats computed inline — no second pass over the
+  * vectors; the driver commits ONE manifest carrying the sidecars as
+  * `DeleteEntry`s and the new images by reference
+  * ([[TableLog.writeDeltaCommit]]). Abort deletes whatever was
+  * staged. */
+final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
+    info: LogicalWriteInfo) extends DeltaWrite {
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val setId =
+      java.util.UUID.randomUUID().toString.take(8)
+    private val planVersion = t.snapshot.version
+
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+      val spark = SparkSession.active
+      new GraftDeltaWriterFactory(t.path, s"data/rld-$setId",
+        ParquetWrite.factory(spark, info.schema()),
+        ParquetWrite.factory(spark, GraftDeltaWrite.dvSchema))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ms = messages.collect { case m: GraftDeltaMessage => m }
+      val dvEntries = ms.filter(_.dvRows > 0).map(m =>
+        TableLog.FileEntry(m.dvRel,
+          Seq(TableLog.FileStat(TableLog.DvPosField, m.posMin, m.posMax)),
+          Seq(TableLog.FileStrStat(TableLog.DvFileField,
+            m.dvFileMin, m.dvFileMax)),
+          0L, m.dvBytes))
+      TableLog.writeDeltaCommit(SparkSession.active, t.path,
+        "write_delta_" +
+          op.command().toString.toLowerCase(java.util.Locale.ROOT),
+        planVersion, op.scanned.map(_.path),
+        dvEntries.toSeq, ms.map(_.dvRows).sum,
+        ms.filter(_.dataRows > 0).map(_.dataRel).toSeq,
+        GraftCatalog.colsProp(t.props, "statsCols"),
+        GraftCatalog.colsProp(t.props, "strStatsCols"),
+        GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.foreach {
+        case m: GraftDeltaMessage =>
+          Seq(m.dataRel, m.dvRel).filter(_ != null).foreach { rel =>
+            val p = Paths.get(t.path, rel)
+            Files.deleteIfExists(p)
+            Files.deleteIfExists(p.resolveSibling(
+              s".${p.getFileName.toString}.crc"))
+          }
+        case _ => ()
+      }
+  }
+}
+
+object GraftDeltaWrite {
+  /** The deletion-vector sidecar schema — identical to the one
+    * `TableLog.deleteDv` writes, so read-side fencing, folding, and
+    * maintenance treat both indistinguishably. */
+  private[catalog] val dvSchema = StructType(Seq(
+    StructField(TableLog.DvFileField,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    StructField(TableLog.DvPosField,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** One delta task's staged output: the data-file shard (inserts) and
+  * the deletion-vector shard (deletes), either possibly absent, with
+  * the vector shard's inline write-time stats (the commit builds its
+  * `DeleteEntry` from these — file-identity fencing needs the stored
+  * key range, and a second read of the sidecar just to learn it would
+  * double the write's I/O). */
+final case class GraftDeltaMessage(dataRel: String, dataRows: Long,
+    dvRel: String, dvRows: Long, dvFileMin: String, dvFileMax: String,
+    posMin: Long, posMax: Long, dvBytes: Long)
+    extends WriterCommitMessage
+
+final class GraftDeltaWriterFactory(tablePath: String, setDir: String,
+    dataPw: ParquetWriteFactory, dvPw: ParquetWriteFactory)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dataRel =
+        f"$setDir/p$partitionId%05d-t$taskId.parquet"
+      private val dvRel =
+        f"$setDir/dv-p$partitionId%05d-t$taskId.parquet"
+      private var dataW: RowFileWriter = null
+      private var dataRows = 0L
+      private var dvW: RowFileWriter = null
+      private var dvRows = 0L
+      private var fMin: String = null
+      private var fMax: String = null
+      private var pMin = Long.MaxValue
+      private var pMax = Long.MinValue
+
+      /** `id` = the rowId projection in `rowId()` order:
+        * (_file, _pos). The stored key is the file's last two path
+        * segments — the deletion-vector convention (`DvSet` keys,
+        * `sidecarFences` stat fencing) — and paths are ASCII, so the
+        * inline String min/max agrees with the binary UTF8 order the
+        * fence comparison uses. */
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        val file = TableLog.lastTwo(id.getUTF8String(0).toString)
+        val pos = id.getLong(1)
+        if (dvW == null) {
+          Files.createDirectories(
+            Paths.get(tablePath, dvRel).getParent)
+          dvW = dvPw.open(s"$tablePath/$dvRel", partitionId,
+            (taskId & 0x7fffffffL).toInt)
+        }
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(2)
+        row.update(0,
+          org.apache.spark.unsafe.types.UTF8String.fromString(file))
+        row.update(1, pos)
+        dvW.write(row)
+        dvRows += 1
+        if (fMin == null || file < fMin) fMin = file
+        if (fMax == null || file > fMax) fMax = file
+        if (pos < pMin) pMin = pos
+        if (pos > pMax) pMax = pos
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft delta write: updates are represented as " +
+            "delete+insert (representUpdateAsDeleteAndInsert)")
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataW == null) {
+          Files.createDirectories(
+            Paths.get(tablePath, dataRel).getParent)
+          dataW = dataPw.open(s"$tablePath/$dataRel", partitionId,
+            (taskId & 0x7fffffffL).toInt)
+        }
+        dataW.write(row)
+        dataRows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (dataW != null) dataW.close()
+        if (dvW != null) dvW.close()
+        GraftDeltaMessage(
+          if (dataW != null) dataRel else null, dataRows,
+          if (dvW != null) dvRel else null, dvRows,
+          fMin, fMax, pMin, pMax,
+          if (dvW != null) Files.size(Paths.get(tablePath, dvRel))
+          else 0L)
+      }
+
+      override def abort(): Unit = {
+        if (dataW != null) dataW.close()
+        if (dvW != null) dvW.close()
+        Seq(dataW -> dataRel, dvW -> dvRel).foreach { case (w, rel) =>
+          if (w != null) {
+            val p = Paths.get(tablePath, rel)
+            Files.deleteIfExists(p)
+            Files.deleteIfExists(p.resolveSibling(
+              s".${p.getFileName.toString}.crc"))
+            ()
+          }
+        }
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 /** Batch twin of the streaming writer factory: one lazily-opened

@@ -26,6 +26,15 @@ final class DvSet(
     ps != null && java.util.Arrays.binarySearch(ps, pos) >= 0
   }
 
+  /** Membership by PRE-NORMALIZED key (the file's last two path
+    * segments) — the raw-file reader path, which knows its partition's
+    * manifest-relative path up front and reduces it once instead of
+    * per row. */
+  def containsKey(key: String, pos: Long): Boolean = {
+    val ps = entries.get(key)
+    ps != null && java.util.Arrays.binarySearch(ps, pos) >= 0
+  }
+
   def positions: Long =
     entries.values.stream.mapToLong(_.length.toLong).sum
 }

@@ -4676,6 +4676,70 @@ object TableLog {
     committed
   }
 
+  /** The delta-based row-level commit (`SupportsDelta` /
+    * `rowLevelMode = 'mor'`): matched rows' positions arrive as
+    * already-written deletion-vector sidecar shards (one per task,
+    * stats inline — positions were collected DISTRIBUTED, never on
+    * the driver), new images as already-written data files. ONE
+    * manifest carries both; every existing data file carries over by
+    * reference. Concurrency: the write's positions address the
+    * PLANNING snapshot's files, so the commit re-validates that (a)
+    * every scanned file is still live (a concurrent rewrite moved the
+    * address space → fail and retry the statement, same contract as
+    * the group-based path) and (b) no merge-on-read sidecar committed
+    * after planning fences a scanned file (the scan didn't filter it,
+    * so this write's matched set could double-delete its rows). A
+    * plain concurrent APPEND passes both checks and composes. */
+  private[graft] def writeDeltaCommit(spark: SparkSession,
+      table: String, action: String, planVersion: Long,
+      scannedPaths: Seq[String], dvEntries: Seq[FileEntry],
+      deleted: Long, addedRel: Seq[String], statsCols: Seq[String],
+      strStatsCols: Seq[String], bloomStatsCols: Seq[String]): Long = {
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"row-level $action on feed-enabled table $table: the " +
+        "append-only change feed cannot represent it — " +
+        s"enableCdcFeed($table) to capture typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    val (entries, newRows) = statEntriesFor(spark, table, addedRel,
+      statsCols, strStatsCols, bloomStatsCols)
+    if (dvEntries.isEmpty && entries.isEmpty)
+      return latestVersion(table)
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      val live = base.files.map(_.path).toSet
+      scannedPaths.foreach(p => require(live(p),
+        s"row-level $action on $table: file $p was rewritten by a " +
+          "concurrent commit after the scan planned — its positions " +
+          "no longer address the live rows; retry the statement"))
+      val scannedEntries = base.files.filter(f =>
+        scannedPaths.contains(f.path))
+      base.dels.filter(_.ver > planVersion).foreach(d =>
+        scannedEntries.foreach(f => require(!sidecarFences(base, f, d),
+          s"row-level $action on $table: a merge-on-read sidecar " +
+            s"committed at version ${d.ver} (after the scan planned " +
+            s"at $planVersion) fences scanned file ${f.path} — the " +
+            "matched set may overlap its deletes; retry the statement")))
+      val version = base.version + 1
+      val stamped = entries.map(_.copy(ver = version))
+      val newDels = dvEntries.map(f =>
+        DeleteEntry(f.copy(ver = version), DvKeyCol, version))
+      val rows = base.rows - deleted + newRows
+      val r =
+        if (version % checkpointInterval == 0)
+          ManifestRec(version, base.version, action, rows, "full",
+            base.files ++ stamped, Nil, Nil, base.dels ++ newDels, Nil,
+            None, base.schemaJson, base.counters)
+        else
+          ManifestRec(version, base.version, action, rows, "delta",
+            Nil, stamped, Nil, Nil, newDels, None, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
   /** The positional faces' aggregate-weight guard: every DV-bearing
     * read collects the UNION of all pending deletion-vector sidecars
     * to the driver and ships it with the plan (`loadDv` +

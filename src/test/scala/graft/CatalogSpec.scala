@@ -638,6 +638,98 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.posm.t")
   }
 
+  test("delta row-level DML (rowLevelMode='mor', SupportsDelta): " +
+      "DELETE/UPDATE/MERGE commit deletion vectors + new images, " +
+      "ZERO data-file rewrites, composing across statements") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rld")
+    // bad mode refuses at CREATE, not at the first DML
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE $CAT.rld.bad (k BIGINT) " +
+        "TBLPROPERTIES ('rowLevelMode' = 'sideways')")
+    }
+    spark.sql(s"CREATE TABLE $CAT.rld.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/rld/t"
+    TableLog.append(spark, path,
+      spark.range(4000).select($"id".as("k"), ($"id" % 10).as("v"))
+        .repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))
+    val before = TableLog.snapshot(path).get
+    assert(before.files.size == 4)
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.rld.t")
+      .as[Long].head()
+    // DELETE: merge-on-read — every data file carries by reference,
+    // the only new artifact is the deletion-vector sidecar
+    spark.sql(s"DELETE FROM $CAT.rld.t WHERE k >= 1000 AND k < 1100")
+    val afterDel = TableLog.snapshot(path).get
+    assert(count() == 3900)
+    assert(afterDel.rows == 3900, "manifest rows must stay exact")
+    assert(afterDel.files.map(_.path).toSet ==
+      before.files.map(_.path).toSet,
+      "a MOR delete must rewrite ZERO data files")
+    assert(afterDel.dels.nonEmpty &&
+      afterDel.dels.forall(_.keyCol == "__pos__"),
+      "the delete must commit as a deletion-vector sidecar")
+    // SECOND delete composes with the pending vector: the scan
+    // filters already-deleted positions, so rows stay exact and
+    // nothing resurrects (the positional address space is stable)
+    spark.sql(s"DELETE FROM $CAT.rld.t WHERE k >= 1050 AND k < 1200")
+    assert(count() == 3800)
+    assert(TableLog.snapshot(path).get.rows == 3800,
+      "overlapping MOR deletes must not double-count")
+    // UPDATE: delete+insert — old files untouched, one new image file
+    spark.sql(s"UPDATE $CAT.rld.t SET v = -1 WHERE k = 2000")
+    val afterUpd = TableLog.snapshot(path).get
+    assert(spark.sql(s"SELECT v FROM $CAT.rld.t WHERE k = 2000")
+      .as[Long].head() == -1L)
+    assert(count() == 3800, "update must not change row count")
+    assert(afterUpd.rows == 3800)
+    assert(before.files.map(_.path).toSet
+      .subsetOf(afterUpd.files.map(_.path).toSet),
+      "original files must survive a MOR update untouched")
+    assert(afterUpd.files.size == before.files.size + 1,
+      "the update's new image lands as one new data file")
+    assert(afterUpd.files.forall(_.stats.exists(_.col == "k")),
+      "new image files must derive the declared stats")
+    // MERGE: matched rows update (delete+insert), unmatched insert
+    spark.range(3).select(($"id" * 1000).as("k"), lit(777L).as("v"))
+      .createOrReplaceTempView("rld_src")
+    spark.sql(s"""MERGE INTO $CAT.rld.t t USING rld_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $CAT.rld.t " +
+      "WHERE k IN (0, 1000, 2000)").as[Long].head() == 3 * 777L)
+    assert(count() == 3801)
+    assert(TableLog.snapshot(path).get.rows == 3801)
+    // a no-match DELETE commits nothing
+    val v0 = TableLog.latestVersion(path)
+    spark.sql(s"DELETE FROM $CAT.rld.t WHERE k = 99999999")
+    assert(TableLog.latestVersion(path) == v0,
+      "no-match delete must not commit")
+    // full relational replay pins exact semantics end-to-end
+    val want = spark.range(4000)
+      .select($"id".as("k"), ($"id" % 10).as("v"))
+      .where(!($"k" >= 1000 && $"k" < 1200))
+      .select($"k", when($"k" === 2000, -1L).otherwise($"v").as("v"))
+      .select($"k",
+        when($"k" === 0 || $"k" === 2000, 777L).otherwise($"v").as("v"))
+      .union(Seq((1000L, 777L)).toDF("k", "v"))
+      .orderBy("k").collect().toSeq
+    val got = spark.sql(s"SELECT k, v FROM $CAT.rld.t ORDER BY k")
+      .collect().toSeq
+    assert(got == want, "delta DML replay must match the relational " +
+      "specification exactly")
+    // materialization retires the vectors; results unchanged
+    TableLog.morMaintain(spark, path, maxSidecars = 0,
+      statsCols = Seq("k"))
+    assert(TableLog.snapshot(path).get.dels.isEmpty)
+    assert(spark.sql(s"SELECT k, v FROM $CAT.rld.t ORDER BY k")
+      .collect().toSeq == want,
+      "materializing the vectors must not change results")
+    spark.sql(s"DROP TABLE $CAT.rld.t")
+  }
+
   test("readStream.table maxBytesPerTrigger: byte-budget admission " +
       "splits the catch-up into epochs") {
     val wh = warehouse
