@@ -49,10 +49,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * projection as the streaming source ([[PhysicalProjection]]). */
 /** What both row-level modes share: the planned-group linkage between
   * the SCAN half and the WRITE half (the scan records what it planned;
-  * the write commits against exactly that), and the optional pending
-  * deletion-vector set the raw-file readers must filter. */
-abstract class GraftRlOpBase(private[catalog] val t: GraftTable)
-    extends RowLevelOperation {
+  * the write commits against exactly that), and pending-sidecar
+  * admission. Pending POSITIONAL (deletion-vector) sidecars COMPOSE
+  * with both modes — the raw-file readers filter their positions on
+  * the shared physical row index, so neither a group rewrite nor a
+  * delta scan can resurrect or re-delete a vectored row. Pending KEY
+  * sidecars refuse: their anti-join cohorts don't exist in the
+  * raw-file scan, and materializing them here would be an
+  * analysis-time table rewrite (even an EXPLAIN would trigger it). */
+abstract class GraftRlOpBase(private[catalog] val t: GraftTable,
+    cmdLabel: String) extends RowLevelOperation {
+
+  /** The pending deletion-vector sidecars the scan filters — also the
+    * commit's evidence for MOR-aware removed-row accounting. */
+  private[catalog] val pendingDv: Seq[TableLog.DeleteEntry] =
+    t.snapshot.dels.filter(_.keyCol == TableLog.DvKeyCol)
+
+  require(pendingDv.length == t.snapshot.dels.length,
+    s"row-level $cmdLabel on ${t.name}: pending KEY merge-on-read " +
+      "sidecars — the raw-file scan cannot apply their anti-join " +
+      "cohorts; run morMaintain/compact first, or use the graft SQL " +
+      "DML face")
 
   /** The groups the LAST-planned scan will read. Set by the scan at
     * planning (after pushdown pruning and runtime group filtering);
@@ -61,9 +78,11 @@ abstract class GraftRlOpBase(private[catalog] val t: GraftTable)
   @volatile private[catalog] var scanned: Seq[TableLog.FileEntry] =
     t.snapshot.files
 
-  /** Pending deletion vectors the raw-file scan must filter out (the
-    * delta mode under pending positional sidecars); null = none. */
-  private[catalog] def scanDv: graft.functions.DvSet = null
+  /** Pending deletion vectors as the loaded set the raw-file readers
+    * filter; null = none (the common zero-overhead path). */
+  private[catalog] lazy val scanDv: graft.functions.DvSet =
+    if (pendingDv.isEmpty) null
+    else TableLog.loadDv(SparkSession.active, t.path, pendingDv)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -71,13 +90,8 @@ abstract class GraftRlOpBase(private[catalog] val t: GraftTable)
 }
 
 final class GraftRowLevelOperation(t0: GraftTable,
-    info: RowLevelOperationInfo) extends GraftRlOpBase(t0) {
-
-  require(t0.snapshot.dels.isEmpty,
-    s"row-level ${info.command} on ${t0.name}: pending merge-on-read " +
-      "sidecars — a group rewrite over raw files would resurrect " +
-      "their deleted rows; run morMaintain/compact first, or use the " +
-      "graft SQL DML face")
+    info: RowLevelOperationInfo)
+    extends GraftRlOpBase(t0, info.command.toString) {
 
   override def command(): RowLevelOperation.Command = info.command()
 
@@ -114,21 +128,9 @@ final class GraftRowLevelOperation(t0: GraftTable,
   * through them would re-delete rows a key sidecar already removed
   * (double-counted manifest rows). */
 final class GraftDeltaOperation(t0: GraftTable,
-    info: RowLevelOperationInfo) extends GraftRlOpBase(t0)
+    info: RowLevelOperationInfo)
+    extends GraftRlOpBase(t0, s"delta ${info.command}")
     with SupportsDelta {
-
-  private val pendingDv =
-    t0.snapshot.dels.filter(_.keyCol == TableLog.DvKeyCol)
-
-  require(pendingDv.length == t0.snapshot.dels.length,
-    s"delta row-level ${info.command} on ${t0.name}: pending KEY " +
-      "merge-on-read sidecars — the positional scan cannot apply " +
-      "their anti-join cohorts; run morMaintain/compact first, or " +
-      "use the graft SQL DML face")
-
-  override private[catalog] lazy val scanDv: graft.functions.DvSet =
-    if (pendingDv.isEmpty) null
-    else TableLog.loadDv(SparkSession.active, t0.path, pendingDv)
 
   override def command(): RowLevelOperation.Command = info.command()
 
@@ -327,7 +329,8 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
         op.scanned.map(_.path), files.toSeq,
         GraftCatalog.colsProp(t.props, "statsCols"),
         GraftCatalog.colsProp(t.props, "strStatsCols"),
-        GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+        GraftCatalog.colsProp(t.props, "bloomStatsCols"),
+        t.snapshot.version, op.pendingDv)
       ()
     }
 

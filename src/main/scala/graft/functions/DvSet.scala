@@ -35,6 +35,14 @@ final class DvSet(
     ps != null && java.util.Arrays.binarySearch(ps, pos) >= 0
   }
 
+  /** Vectored-position count for one file (by pre-normalized key) —
+    * the MOR-aware removed-row arithmetic of group rewrites over
+    * pending vectors. */
+  def positionsFor(key: String): Long = {
+    val ps = entries.get(key)
+    if (ps == null) 0L else ps.length.toLong
+  }
+
   def positions: Long =
     entries.values.stream.mapToLong(_.length.toLong).sum
 }

@@ -4631,7 +4631,9 @@ object TableLog {
   private[graft] def replaceFilesCommit(spark: SparkSession,
       table: String, action: String, removedPaths: Seq[String],
       addedRel: Seq[String], statsCols: Seq[String],
-      strStatsCols: Seq[String], bloomStatsCols: Seq[String]): Long = {
+      strStatsCols: Seq[String], bloomStatsCols: Seq[String],
+      planVersion: Long = Long.MaxValue,
+      pendingDv: Seq[DeleteEntry] = Nil): Long = {
     require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"row-level $action on feed-enabled table $table: the " +
         "append-only change feed cannot represent it — " +
@@ -4641,22 +4643,48 @@ object TableLog {
       statsCols, strStatsCols, bloomStatsCols)
     if (removedPaths.isEmpty && entries.isEmpty)
       return latestVersion(table)
+    // MOR-aware removed-row count: the raw footer count of a replaced
+    // group includes rows a pending deletion vector already deleted
+    // (the scan filtered them, so the replacement files don't carry
+    // them and the manifest `rows` never counted them) — subtract the
+    // vectored positions per removed file
     val removedRows =
       if (removedPaths.isEmpty) 0L
-      else spark.read.parquet(
-        removedPaths.map(p => s"$table/$p"): _*).count()
+      else {
+        val raw = spark.read.parquet(
+          removedPaths.map(p => s"$table/$p"): _*).count()
+        val vectored =
+          if (pendingDv.isEmpty) 0L
+          else {
+            val dv = loadDv(spark, table, pendingDv)
+            removedPaths.map(p => dv.positionsFor(lastTwo(p))).sum
+          }
+        raw - vectored
+      }
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
-      require(base.dels.isEmpty,
-        s"row-level $action on $table: a merge-on-read sidecar " +
-          "committed after the operation's scan planned — the " +
-          "scanned groups are stale; retry the statement")
       val live = base.files.map(_.path).toSet
       removedPaths.foreach(p => require(live(p),
         s"row-level $action on $table: file $p was rewritten by a " +
           "concurrent commit after the scan planned — retry the " +
           "statement"))
+      // a sidecar committed AFTER the scan planned may fence a
+      // scanned group: the raw read didn't filter it, so the rewrite
+      // would resurrect its deleted rows — fail instead
+      val removedEntries = base.files.filter(f =>
+        removedPaths.contains(f.path))
+      base.dels.filter(_.ver > planVersion).foreach(d =>
+        removedEntries.foreach(f => require(!sidecarFences(base, f, d),
+          s"row-level $action on $table: a merge-on-read sidecar " +
+            s"committed at version ${d.ver} (after the scan planned " +
+            s"at $planVersion) fences scanned file ${f.path}; retry " +
+            "the statement")))
+      require(base.dels.forall(d => d.keyCol == DvKeyCol ||
+          d.ver > planVersion),
+        s"row-level $action on $table: pending KEY merge-on-read " +
+          "sidecars — the scanned groups are stale; retry the " +
+          "statement")
       val version = base.version + 1
       val stamped = entries.map(_.copy(ver = version))
       val rows = base.rows - removedRows + newRows

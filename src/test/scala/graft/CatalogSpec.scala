@@ -730,6 +730,59 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.rld.t")
   }
 
+  test("group-based (cow) row-level DML composes with PENDING " +
+      "deletion vectors: the rewrite filters them (no resurrect), " +
+      "manifest rows stay exact; KEY sidecars still refuse") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rlp")
+    spark.sql(s"CREATE TABLE $CAT.rlp.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/rlp/t"
+    TableLog.append(spark, path,
+      spark.range(2000).select($"id".as("k"), ($"id" % 10).as("v"))
+        .repartitionByRange(2, $"k"),
+      statsCols = Seq("k"))
+    // a positional MOR delete leaves a pending vector over file 1
+    TableLog.deleteDv(spark, path,
+      org.apache.spark.sql.functions.col("k") % 100 === 7)
+    assert(TableLog.snapshot(path).get.dels.nonEmpty)
+    assert(TableLog.snapshot(path).get.rows == 1980)
+    // the group rewrite scans THROUGH the vector: k=107 is already
+    // deleted and must not resurrect; k in [100,200) minus the
+    // vectored k=107 go now — and the rows arithmetic must subtract
+    // the vectored positions of the replaced group, not its raw count
+    spark.sql(s"DELETE FROM $CAT.rlp.t WHERE k >= 100 AND k < 200")
+    val s1 = TableLog.snapshot(path).get
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlp.t")
+      .as[Long].head() == 1881)
+    assert(s1.rows == 1881,
+      s"manifest rows must stay exact under pending vectors, got ${s1.rows}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlp.t " +
+      "WHERE k % 100 = 7").as[Long].head() == 0,
+      "vectored rows must stay deleted — inside the rewritten group " +
+        "(not resurrected by the rewrite) and outside it (vector " +
+        "still pending)")
+    // UPDATE through the same framework, vectors still pending
+    spark.sql(s"UPDATE $CAT.rlp.t SET v = -5 WHERE k = 1507")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlp.t " +
+      "WHERE v = -5").as[Long].head() == 0,
+      "k=1507 is vectored-deleted; the update must not resurrect it")
+    assert(TableLog.snapshot(path).get.rows == 1881)
+    spark.sql(s"UPDATE $CAT.rlp.t SET v = -5 WHERE k = 1506")
+    assert(spark.sql(s"SELECT v FROM $CAT.rlp.t WHERE k = 1506")
+      .as[Long].head() == -5L)
+    assert(TableLog.snapshot(path).get.rows == 1881)
+    // KEY sidecars (anti-join MOR) still refuse with the maintain hint
+    TableLog.deleteMor(spark, path, "k",
+      Seq(300L).toDF("k"))
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $CAT.rlp.t WHERE k = 400")
+    }
+    assert(e.getMessage.contains("KEY merge-on-read"),
+      s"expected the KEY-sidecar refusal, got: ${e.getMessage}")
+    spark.sql(s"DROP TABLE $CAT.rlp.t")
+  }
+
   test("readStream.table maxBytesPerTrigger: byte-budget admission " +
       "splits the catch-up into epochs") {
     val wh = warehouse
