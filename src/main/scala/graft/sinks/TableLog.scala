@@ -2973,7 +2973,9 @@ object TableLog {
                     r.schemaJson, captureInserts = act != "delete",
                     prevSnap)
                 case act @ ("delete_mor" | "update_mor" | "merge_mor" |
-                    "apply_cdc_mor" | "delete_dv" | "update_dv")
+                    "apply_cdc_mor" | "delete_dv" | "update_dv" |
+                    "write_delta_delete" | "write_delta_update" |
+                    "write_delta_merge")
                     if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
                     s"publishFeed($table): healing version $v's $act " +
@@ -2997,7 +2999,8 @@ object TableLog {
                   // 'insert'), zero data rewrite — applyCdc's per-key
                   // resolution lets the same-version insert win over
                   // the delete, which is the update's meaning
-                  if (act != "delete_mor" && act != "delete_dv") {
+                  if (act != "delete_mor" && act != "delete_dv" &&
+                      act != "write_delta_delete") {
                     val adds =
                       if (r.kind == "delta") r.adds.map(_.path)
                       else r.files.map(_.path).filterNot(prev)

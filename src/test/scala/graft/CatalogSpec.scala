@@ -730,6 +730,34 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.rld.t")
   }
 
+  test("delta row-level DML on a CDC-feed table publishes typed " +
+      "changes: vectored old images as deletes, new images as inserts") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rldc")
+    spark.sql(s"CREATE TABLE $CAT.rldc.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('rowLevelMode' = 'mor')")
+    val path = s"$wh/rldc/t"
+    TableLog.enableCdcFeed(path)
+    TableLog.append(spark, path,
+      spark.range(100).select($"id".as("k"), ($"id" % 5).as("v")))
+    spark.sql(s"DELETE FROM $CAT.rldc.t WHERE k % 10 = 3") // 10 rows
+    spark.sql(s"UPDATE $CAT.rldc.t SET v = 99 WHERE k = 44") // del+ins
+    val ch = spark.sql(s"SELECT _change_type, CAST(count(*) AS BIGINT)" +
+      s" AS n FROM $CAT.rldc.t__changes GROUP BY _change_type")
+      .as[(String, Long)].collect().toMap
+    assert(ch.getOrElse("insert", 0L) == 101,
+      s"100 appended + 1 update new image, got $ch")
+    assert(ch.getOrElse("delete", 0L) == 11,
+      s"10 deleted + 1 update old image, got $ch")
+    // the update's typed pair carries exact old/new images
+    val upd = spark.sql(s"SELECT _change_type, v FROM " +
+      s"$CAT.rldc.t__changes WHERE k = 44 ORDER BY _change_version, " +
+      "_change_type").as[(String, Long)].collect().toSeq
+    assert(upd.contains(("delete", 4L)) && upd.contains(("insert", 99L)),
+      s"expected old image v=4 delete + new image v=99 insert, got $upd")
+    spark.sql(s"DROP TABLE $CAT.rldc.t")
+  }
+
   test("group-based (cow) row-level DML composes with PENDING " +
       "deletion vectors: the rewrite filters them (no resurrect), " +
       "manifest rows stay exact; KEY sidecars still refuse") {
