@@ -67,6 +67,16 @@ final class GraftMicroBatchStream(path: String, tableName: String,
     options: CaseInsensitiveStringMap) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  /** For the metadata-column guard in `ResolveGraftCatalogReads`:
+    * Spark never prunes metadata columns into a streaming scan
+    * (`V2ScanRelationPushDown` matches batch relations only), so a
+    * `readStream.table(…).select("_pos")` plan binds ordinals the
+    * stream's rows don't carry — the rule refuses it per batch with
+    * guidance instead of letting codegen misread. */
+  private[graft] def tableNameForErrors: String = tableName
+  private[graft] def dataFieldNames: Set[String] =
+    dataSchema.fieldNames.toSet
+
   /** `Trigger.AvailableNow` bound: the version frontier captured at
     * query start — the drain processes up to here (respecting
     * `maxFilesPerTrigger` pacing) and stops, commits after the

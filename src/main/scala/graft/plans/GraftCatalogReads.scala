@@ -61,6 +61,29 @@ object ResolveGraftCatalogReads extends Rule[LogicalPlan] {
       case d: DeleteFromTable => guard(d.table)
       case u: UpdateTable => guard(u.table)
       case m: MergeIntoTable => guard(m.targetTable)
+      // metadata columns on a STREAMING read refuse per batch: Spark
+      // resolves them against the table (AddMetadataColumns appends
+      // the referenced attrs to the relation output) but never prunes
+      // them into the streaming scan (V2ScanRelationPushDown matches
+      // batch relations only) — the stream's rows carry only data
+      // columns, so codegen would bind the metadata ordinals past the
+      // row's width (loud AIOOBE at best, a silently misread column
+      // when the data row is wide enough). Fail with guidance instead.
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .StreamingDataSourceV2ScanRelation
+          if s.stream.isInstanceOf[graft.catalog.GraftMicroBatchStream] =>
+        val st = s.stream.asInstanceOf[graft.catalog.GraftMicroBatchStream]
+        val data = st.dataFieldNames
+        val meta = s.output.map(_.name)
+          .filter(n => (n == "_version" || n == "_file" || n == "_pos")
+            && !data(n))
+        if (meta.nonEmpty) sys.error(
+          s"streaming read of ${st.tableNameForErrors}: metadata " +
+            s"column(s) ${meta.mkString(", ")} are batch-only — " +
+            "Spark does not prune metadata columns into a streaming " +
+            "scan; read the commit version from the stream's batch " +
+            "boundary instead, or join a batch read of the table for " +
+            "file/position identity")
       case _ => ()
     }
     plan.transformDownWithSubqueries {

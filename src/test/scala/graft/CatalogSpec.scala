@@ -730,6 +730,36 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.rld.t")
   }
 
+  test("metadata columns on a STREAMING read refuse with guidance " +
+      "(Spark never prunes them into the stream's scan)") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.smet")
+    spark.sql(s"CREATE TABLE $CAT.smet.t (k BIGINT)")
+    TableLog.append(spark, s"$wh/smet/t",
+      spark.range(10).select($"id".as("k")))
+    graft.plans.ResolveGraftCatalogReads.install(spark)
+    val ck = java.nio.file.Files.createTempDirectory("smet_ck").toString
+    val q = spark.readStream.table(s"$CAT.smet.t")
+      .select($"k", $"_pos")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("noop").start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q.awaitTermination(120000) }
+    assert(e.getMessage.contains("batch-only"),
+      s"expected the metadata-column refusal, got: ${e.getMessage}")
+    // the same projection through the BATCH face works: per-file
+    // dense 0..n-1 indexing across however many files the append cut
+    val batch = spark.sql(s"SELECT _file, _pos FROM $CAT.smet.t")
+      .as[(String, Long)].collect()
+    assert(batch.length == 10, "batch _pos must stay served")
+    batch.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (0L until g.length.toLong),
+        s"per-file _pos must be dense, got ${g.toSeq}")
+    }
+    spark.sql(s"DROP TABLE $CAT.smet.t")
+  }
+
   test("delta row-level DML on a CDC-feed table publishes typed " +
       "changes: vectored old images as deletes, new images as inserts") {
     val wh = warehouse
