@@ -33,8 +33,26 @@ object Bench {
     // measured runs show the first shots 2-3x slower purely from
     // compilation, which would masquerade as "contention".
     def probePoint(): Double = (1 to 3).map(_ => probe()).min
+    // I/O-STACK probe: a fixed single-column parquet scan. Paired with
+    // the CPU probe it SEPARATES drift components — a contended run
+    // with a quiet CPU probe but an inflated I/O probe is storage-side
+    // interference (host page-cache pressure, noisy-neighbor disk),
+    // not scheduler steal; both quiet + queries inflated = a real
+    // regression. (Page cache holds the file after the first read, so
+    // this measures the read PATH — footer parse, page decode — which
+    // is exactly the stack every scan shares.)
+    def ioProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("count(l_orderkey)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioProbePoint(): Double = (1 to 3).map(_ => ioProbe()).min
     (1 to 8).foreach(_ => probe())
+    (1 to 3).foreach(_ => ioProbe())
     val probesBefore = (1 to 3).map(_ => probePoint())
+    val ioBefore = (1 to 3).map(_ => ioProbePoint())
+    val ioMid = scala.collection.mutable.ArrayBuffer[Double]()
     // best-of-2 per query: this VM shows multi-x hypervisor/GC noise on
     // single shots; the second run measures steady state (plans are fresh
     // per call — only JIT/codegen caches persist, as they would in any
@@ -90,13 +108,16 @@ object Bench {
           // memo are unaffected)
           spark.catalog.clearCache()
           qIdx += 1
-          if (qIdx % 10 == 0) probesMid += probePoint()
+          if (qIdx % 10 == 0) { probesMid += probePoint()
+            ioMid += ioProbePoint() }
         }
       }
     }
     val results = samples.map { case (k, ts) => k -> ts.toSeq }
     val probesAfter = (1 to 3).map(_ => probePoint())
+    val ioAfter = (1 to 3).map(_ => ioProbePoint())
     val probes = probesBefore ++ probesMid ++ probesAfter
+    val ioProbes = ioBefore ++ ioMid ++ ioAfter
     // VERDICT: trimmed spread (2nd-min to 2nd-max) over the MID+AFTER
     // sampling points only. The before-points are excluded — a fresh JVM's
     // probe starts ~2x slow and settles over minutes (C2 tiering, heap
@@ -107,6 +128,7 @@ object Bench {
     // comparing probe_sec (the floor) between artifacts instead.
     def trimmedSpread(xs: Seq[Double]) = { val s = xs.sorted; s(s.size - 2) / s(1) }
     val probeSpread = trimmedSpread((probesMid ++ probesAfter).toSeq)
+    val ioSpread = trimmedSpread((ioMid ++ ioAfter).toSeq)
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val medianDrift = median(probesAfter) / median(probesBefore)
     val contended = probeSpread > 3.0
@@ -125,7 +147,10 @@ object Bench {
       s""""runs_per_query":$nRuns,"runs":$runsJson,""" +
       s""""probe_sec":${f"${probes.min}%.3f"},"probe_spread":${f"$probeSpread%.2f"},""" +
       s""""probe_samples":${probes.map(p => f"$p%.3f").mkString("[", ",", "]")},""" +
-      s""""probe_median_drift":${f"$medianDrift%.2f"},"contended":$contended}"""
+      s""""probe_median_drift":${f"$medianDrift%.2f"},""" +
+      s""""io_probe_sec":${f"${ioProbes.min}%.3f"},"io_probe_spread":${f"$ioSpread%.2f"},""" +
+      s""""io_probe_samples":${ioProbes.map(p => f"$p%.3f").mkString("[", ",", "]")},""" +
+      s""""contended":$contended}"""
     println(json)
     // self-describing artifact: preserve the run (and its contention
     // verdict) independent of whoever captured stdout
