@@ -4768,6 +4768,19 @@ object TableLog {
       if (tryCommit(table, r)) committed = version
     }
     if (feedEnabled(table)) publishFeed(spark, table)
+    // aggregate-weight guard, POST-commit: a pre-scan materialization
+    // is impossible here (the operation's positions address the
+    // planning snapshot — rewriting files now would abort this very
+    // statement at the live-check), so the bound applies after the
+    // commit lands: the NEXT statement starts from a maintained table.
+    // Count gate matters doubly for this face — each statement lands
+    // one sidecar shard per task.
+    maintainDvIfHeavy(spark, table,
+      spark.conf.getOption("spark.graft.rowLevel.maxPendingDvBytes")
+        .map(_.toLong).getOrElse(64L << 20),
+      statsCols, strStatsCols, bloomStatsCols,
+      spark.conf.getOption("spark.graft.rowLevel.maxPendingDvSidecars")
+        .map(_.toInt).getOrElse(64))
     committed
   }
 
@@ -4782,14 +4795,19 @@ object TableLog {
     * and the table returns to a zero-overhead read. */
   private def maintainDvIfHeavy(spark: SparkSession, table: String,
       bound: Long, statsCols: Seq[String], strStatsCols: Seq[String],
-      bloomStatsCols: Seq[String]): Unit = {
+      bloomStatsCols: Seq[String], maxCount: Int = 64): Unit = {
     val s = snapshot(table).getOrElse(return)
-    val pend = s.dels.filter(_.keyCol == DvKeyCol)
-      .map(d => fileBytes(table, d.file)).sum
-    if (pend > bound) {
-      logger.warn(s"positional DML on $table: $pend pending " +
-        s"deletion-vector sidecar bytes exceed $bound — materializing " +
-        "all pending MOR sidecars (morMaintain) before this commit")
+    val dvs = s.dels.filter(_.keyCol == DvKeyCol)
+    val pend = dvs.map(d => fileBytes(table, d.file)).sum
+    // count gate next to the bytes gate: delta row-level writes land
+    // one sidecar SHARD per task, so statement-sized deletes can grow
+    // the sidecar count (one parquet open per loadDv miss) long before
+    // the bytes bound trips
+    if (pend > bound || dvs.length > maxCount) {
+      logger.warn(s"positional DML on $table: ${dvs.length} pending " +
+        s"deletion-vector sidecars / $pend bytes exceed the " +
+        s"($maxCount, $bound) policy — materializing all pending MOR " +
+        "sidecars (morMaintain)")
       morMaintain(spark, table, maxSidecars = 0, statsCols = statsCols,
         strStatsCols = strStatsCols, bloomStatsCols = bloomStatsCols)
       ()

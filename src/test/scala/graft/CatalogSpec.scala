@@ -788,6 +788,36 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.rldc.t")
   }
 
+  test("delta row-level DML auto-maintains past the pending-sidecar " +
+      "policy (post-commit: its own positions stay valid, the NEXT " +
+      "statement starts from a materialized table)") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rlm")
+    spark.sql(s"CREATE TABLE $CAT.rlm.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('rowLevelMode' = 'mor')")
+    val path = s"$wh/rlm/t"
+    TableLog.append(spark, path,
+      spark.range(500).select($"id".as("k"), ($"id" % 7).as("v")))
+    spark.conf.set("spark.graft.rowLevel.maxPendingDvSidecars", "1")
+    try {
+      spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 3")  // 10 rows
+      // past the 1-sidecar policy the commit materialized everything:
+      // zero pending sidecars, content identical
+      assert(TableLog.snapshot(path).get.dels.isEmpty,
+        "post-commit maintenance must retire the vectors")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
+        .as[Long].head() == 490)
+      assert(TableLog.snapshot(path).get.rows == 490)
+      // and the next statement runs against the clean table
+      spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 4")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
+        .as[Long].head() == 480)
+      assert(TableLog.snapshot(path).get.rows == 480)
+    } finally
+      spark.conf.unset("spark.graft.rowLevel.maxPendingDvSidecars")
+    spark.sql(s"DROP TABLE $CAT.rlm.t")
+  }
+
   test("group-based (cow) row-level DML composes with PENDING " +
       "deletion vectors: the rewrite filters them (no resurrect), " +
       "manifest rows stay exact; KEY sidecars still refuse") {
