@@ -509,6 +509,59 @@ class ScaleShapeSpec extends SparkSpec {
       "WHERE k >= 1200 AND k < 1800").as[Long].head() == 0)
   }
 
+  test("delta row-level DELETE (rowLevelMode='mor') write cost " +
+      "tracks the MATCHED slice: 2× files, ZERO rewrites, a one-file " +
+      "one-shard vector at either scale") {
+    val cat = "graftscale3"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale3_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import graft.sinks.TableLog
+    def mk(nFiles: Int, name: String): String = {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rld")
+      spark.sql(s"CREATE TABLE $cat.rld.$name (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+      val path = s"$wh/rld/$name"
+      TableLog.append(spark, path,
+        spark.range(nFiles * 1000L)
+          .select($"id".as("k"), ($"id" % 7).as("v"))
+          .repartitionByRange(nFiles, $"k"),
+        statsCols = Seq("k"))
+      path
+    }
+    def shape(path: String, name: String): (Int, Int, Long, Long) = {
+      val before = TableLog.snapshot(path).get
+      val stats0 = TableLog.statFallbacks.get()
+      spark.sql(s"DELETE FROM $cat.rld.$name " +
+        "WHERE k >= 1200 AND k < 1800")
+      assert(TableLog.statFallbacks.get() == stats0,
+        "delta planning must make zero filesystem stat calls")
+      val after = TableLog.snapshot(path).get
+      assert(after.files.map(_.path).toSet ==
+        before.files.map(_.path).toSet,
+        "a MOR delete must rewrite ZERO data files at any scale")
+      val dvPaths = after.dels.map(d => s"$path/${d.file.path}")
+      val targets = spark.read.parquet(dvPaths: _*)
+        .select("_dv_file").distinct().count()
+      (after.dels.size, targets.toInt, after.rows,
+        spark.sql(s"SELECT count(*) AS n FROM $cat.rld.$name")
+          .as[Long].head())
+    }
+    val (sShards, sTargets, sRows, sCnt) = shape(mk(8, "small"), "small")
+    val (bShards, bTargets, bRows, bCnt) = shape(mk(16, "big"), "big")
+    // manifest pruning keeps exactly the ONE overlapping file, so the
+    // scan is one partition and the commit one sidecar shard — the
+    // write cost is the matched slice, independent of table size
+    assert(sShards == 1 && bShards == 1,
+      s"one sidecar shard at either scale (got $sShards/$bShards)")
+    assert(sTargets == 1 && bTargets == 1,
+      s"the vector must target ONE file (got $sTargets/$bTargets)")
+    assert(sRows == 8000L - 600 && bRows == 16000L - 600)
+    assert(sCnt == sRows && bCnt == bRows)
+  }
+
   test("streaming-read planning is manifest-only: zero filesystem " +
       "stat calls from offsets through partitions") {
     val cat = "graftscale2"
