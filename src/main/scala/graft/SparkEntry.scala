@@ -1222,6 +1222,62 @@ object SparkEntry {
       FROM $cat.rl.lake GROUP BY priority ORDER BY priority""")
   }
 
+  /** METADATA-ONLY DELETE under the oracle (`SupportsDeleteV2` +
+    * Spark's own `OptimizeMetadataOnlyDeleteFromTable`): when manifest
+    * range + null-count stats PROVE a condition covers whole files
+    * exactly, the row-level plan converts to a manifest-only drop —
+    * ZERO data reads, ZERO data writes, the cheapest delete shape and
+    * the common one on a range-clustered 100 TB table (retention
+    * drops). The query commits one exact-coverage delete (in-plan
+    * asserts pin the metadata path fired and no file was rewritten)
+    * and one arbitrary-predicate delete (the fallback row-level
+    * path), then aggregates; the oracle replays both relationally. */
+  private def o86MetadataDelete(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/mdd_wh_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o86_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.md")
+    s.sql(s"CREATE TABLE $cat.md.lake (o_orderkey BIGINT, " +
+      "price_c BIGINT, bucket BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey,bucket')")
+    val path = s"$wh/md/lake"
+    // bucket = o_orderkey % 90: the %30=22 slice hits exactly the
+    // residues 22/52/82, three non-empty buckets (a %3 bucket would
+    // be CONSTANT on this slice — 30k+22 ≡ 1 mod 3 for every k)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 22)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        (col("o_orderkey") % 90).as("bucket"))
+    // one file per bucket: min = max = bucket, the exactness witness
+    Seq(22, 52, 82).foreach(b => tl.append(s, path,
+      base.where(col("bucket") === b).coalesce(1),
+      statsCols = Seq("o_orderkey", "bucket")))
+    val before = tl.snapshot(path).get.files.map(_.path).toSet
+    assert(before.size == 3, s"o86: three bucket files, got $before")
+    val md0 = tl.metadataDeletes.get()
+    s.sql(s"DELETE FROM $cat.md.lake WHERE bucket = 52")
+    assert(tl.metadataDeletes.get() == md0 + 1,
+      "o86: exact bucket coverage must take the metadata-only path")
+    val mid = tl.snapshot(path).get.files.map(_.path).toSet
+    assert(mid.subsetOf(before) && mid.size == before.size - 1,
+      "o86: exactly one file drops, none rewrite")
+    // arbitrary predicate: provably NOT metadata-expressible → the
+    // row-level fallback (group rewrite) handles it
+    s.sql(s"DELETE FROM $cat.md.lake WHERE o_orderkey % 7 = 3")
+    assert(tl.metadataDeletes.get() == md0 + 1,
+      "o86: a modulo predicate must NOT take the metadata path")
+    s.sql(s"""
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.md.lake GROUP BY bucket ORDER BY bucket""")
+  }
+
   /** THREE-WAY branch merge under the oracle — the src-ADVANCED case
     * `publishBranch`'s fast-forward refuses: src keeps appending while
     * a branch deletes a range and appends derived rows; `CALL
@@ -4464,6 +4520,7 @@ object SparkEntry {
     "o82_stream_read" -> (o82StreamRead _),
     "o84_changes_table" -> (o84ChangesTable _),
     "o85_delta_dml" -> (o85DeltaDml _),
+    "o86_metadata_delete" -> (o86MetadataDelete _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6141,6 +6198,19 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM m GROUP BY priority ORDER BY priority""".stripMargin,
+    // the two deletes replayed relationally in order: the whole-bucket
+    // (metadata-only) drop, then the modulo fallback
+    "o86_metadata_delete" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderkey % 90 AS bucket
+        |  FROM orders WHERE o_orderkey % 30 = 22),
+        |d1 AS (SELECT * FROM t WHERE NOT (bucket = 52)),
+        |d2 AS (SELECT * FROM d1 WHERE NOT (o_orderkey % 7 = 3))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM d2 GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

@@ -522,7 +522,35 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     props: Map[String, String], nameStr: String)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** METADATA-ONLY delete: when the condition's exact file coverage
+    * is provable from manifest stats (range + null counts), Spark's
+    * own `OptimizeMetadataOnlyDeleteFromTable` converts the row-level
+    * plan to this — whole files drop from the manifest with ZERO data
+    * reads or writes, the cheapest delete shape and the common one on
+    * a range-clustered table (retention drops). `deleteWhere`
+    * re-plans against the CURRENT snapshot inside the commit loop, so
+    * a concurrent commit that breaks exactness fails the statement
+    * loudly instead of dropping a boundary row. TRUNCATE TABLE rides
+    * the same face (always-true covers every file). */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    GraftTable.translateMd(predicates).exists(p =>
+      TableLog.canMetadataDelete(path, p))
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    val p = GraftTable.translateMd(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$nameStr: condition not translatable for a metadata-only " +
+          "delete"))
+    TableLog.metadataDelete(SparkSession.active, path, p)
+    ()
+  }
 
   /** Group-based DELETE/UPDATE/MERGE through Spark's own row-level
     * framework — the vanilla-session mutation path
@@ -645,6 +673,82 @@ object GraftTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "row index within the row's physical file"
+  }
+
+  /** Translate Spark's V2 predicates (implicitly ANDed) into the
+    * metadata-delete IR — integral comparisons, IN lists, null tests,
+    * AND/OR structure. Any untranslatable leaf fails the WHOLE
+    * translation (None → Spark keeps the row-level plan): partial
+    * translation would drop files a residual was supposed to keep. */
+  private[catalog] def translateMd(
+      preds: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Option[TableLog.MdPred] = {
+    import TableLog.MdPred
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.filter.{
+      AlwaysFalse, AlwaysTrue, And, Or, Predicate}
+    type V2Expr = org.apache.spark.sql.connector.expressions.Expression
+    def colOf(e: V2Expr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames().head)
+      case _ => None
+    }
+    def litOf(e: V2Expr): Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions
+          .Literal[_] => l.value match {
+        case v: java.lang.Long => Some(v.longValue)
+        case v: java.lang.Integer => Some(v.longValue)
+        case v: java.lang.Short => Some(v.longValue)
+        case v: java.lang.Byte => Some(v.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    def flip(op: String): String = op match {
+      case "<" => ">"
+      case "<=" => ">="
+      case ">" => "<"
+      case ">=" => "<="
+      case other => other
+    }
+    def one(p: Predicate): Option[MdPred] = p match {
+      case a: And =>
+        for { l <- one(a.left()); r <- one(a.right()) }
+          yield MdPred.AndP(l, r)
+      case o: Or =>
+        for { l <- one(o.left()); r <- one(o.right()) }
+          yield MdPred.OrP(l, r)
+      case _: AlwaysTrue => Some(MdPred.True)
+      case _: AlwaysFalse => Some(MdPred.False)
+      case _ => p.name() match {
+        case op @ ("=" | "<" | "<=" | ">" | ">=")
+            if p.children().length == 2 =>
+          val l = p.children()(0)
+          val r = p.children()(1)
+          (colOf(l), litOf(r)) match {
+            case (Some(c), Some(v)) => Some(MdPred.Cmp(op, c, v))
+            case _ => (litOf(l), colOf(r)) match {
+              case (Some(v), Some(c)) => Some(MdPred.Cmp(flip(op), c, v))
+              case _ => None
+            }
+          }
+        case "IN" if p.children().length >= 2 =>
+          colOf(p.children().head).flatMap { c =>
+            val vs = p.children().drop(1).flatMap(litOf)
+            if (vs.length == p.children().length - 1)
+              Some(MdPred.InLongs(c, vs.toIndexedSeq))
+            else None
+          }
+        case "IS_NULL" if p.children().length == 1 =>
+          colOf(p.children().head).map(MdPred.NullTest(_, isNull = true))
+        case "IS_NOT_NULL" if p.children().length == 1 =>
+          colOf(p.children().head).map(MdPred.NullTest(_, isNull = false))
+        case _ => None
+      }
+    }
+    if (preds.isEmpty) return Some(MdPred.True)
+    preds.toSeq.map(one).reduce((a, b) =>
+      for { l <- a; r <- b } yield MdPred.AndP(l, r))
   }
 
   /** The `rowLevelMode` table property: how Spark's OWN row-level

@@ -62,8 +62,16 @@ object TableLog {
     * convention: keys, micro-scores, epoch-micros all live in long
     * space). Stats prune IO, never semantics — `readWhere` keeps any
     * file whose range overlaps (or that has no stat for the column)
-    * and still applies the residual filter. */
-  final case class FileStat(col: String, min: Long, max: Long)
+    * and still applies the residual filter.
+    *
+    * `nulls`: the column's NULL count in this file (−1 on legacy
+    * entries = unknown). Ranges alone can only prove a file has NO
+    * matching row (disjointness); proving EVERY row matches — the
+    * metadata-only DELETE's requirement — additionally needs "no
+    * nulls" (SQL predicates are not-satisfied on NULL, so one
+    * uncounted null row would be wrongly dropped with its file). */
+  final case class FileStat(col: String, min: Long, max: Long,
+      nulls: Long = -1L)
   /** Per-file STRING range, for categorical skipping (partition-style
     * pruning without a partition layout: pair with a
     * `repartitionByRange` write so each file covers a tight value
@@ -85,10 +93,17 @@ object TableLog {
     * the driver: at 100 TB a per-plan O(files) stat storm is millions
     * of object-store metadata RPCs before a single task launches.
     * Legacy entries fall back to a counted filesystem stat
-    * (`fileBytes`). */
+    * (`fileBytes`).
+    *
+    * `rows`: the file's row count, recorded at WRITE time (−1 on
+    * legacy entries) — the metadata-only DELETE's accounting source
+    * (dropping a whole file must adjust the manifest's exact `rows`
+    * without reading the file) and, at 100 TB, the difference between
+    * a manifest lookup and a footer RPC per file for any row-count
+    * question. */
   final case class FileEntry(path: String, stats: Seq[FileStat],
       strStats: Seq[FileStrStat] = Nil, ver: Long = 0L,
-      bytes: Long = -1L)
+      bytes: Long = -1L, rows: Long = -1L)
 
   /** Manifest-first file size: the write-time `bytes` when carried,
     * else one counted stat (legacy pre-bytes entries; a vanished path
@@ -232,17 +247,21 @@ object TableLog {
 
   // entry codec, shared by `file=` (checkpoint) and `add=` (delta)
   // lines: `<path>` plus segments `;@<ver>` (added-at version),
-  // `;#<bytes>` (write-time size), `;<col>:<min>:<max>` (long stat) or
+  // `;#<bytes>` (write-time size), `;$<rows>` (write-time row count),
+  // `;<col>:<min>:<max>[:<nulls>]` (long stat, optional null count) or
   // `;~<enc col>:<enc min>:<enc max>` (string stat, URL-encoded) —
   // paths are uuid-dir/part-file names, which never contain ';' or ':'.
   // Segments are ADDITIVE: a parser that predates one ignores unknown
-  // prefixes, and absence reads as the legacy default (ver 0, bytes −1)
+  // prefixes, and absence reads as the legacy default (ver 0, bytes −1,
+  // rows −1, nulls −1)
   private def renderEntry(f: FileEntry): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     f.path +
       (if (f.ver > 0) s";@${f.ver}" else "") +
       (if (f.bytes >= 0) s";#${f.bytes}" else "") +
-      f.stats.map(st => s";${st.col}:${st.min}:${st.max}").mkString +
+      (if (f.rows >= 0) s";$$${f.rows}" else "") +
+      f.stats.map(st => s";${st.col}:${st.min}:${st.max}" +
+        (if (st.nulls >= 0) s":${st.nulls}" else "")).mkString +
       f.strStats.map(st =>
         s";~${enc(st.col)}:${enc(st.min)}:${enc(st.max)}").mkString
   }
@@ -252,19 +271,22 @@ object TableLog {
     val parts = s.split(";")
     val segs = parts.tail.toSeq
     val (verSegs, rest0) = segs.partition(_.startsWith("@"))
-    val (byteSegs, statSegs) = rest0.partition(_.startsWith("#"))
+    val (byteSegs, rest1) = rest0.partition(_.startsWith("#"))
+    val (rowSegs, statSegs) = rest1.partition(_.startsWith("$"))
     val (strSegs, longSegs) = statSegs.partition(_.startsWith("~"))
     FileEntry(parts.head,
       longSegs.map { st =>
-        val Array(c, mn, mx) = st.split(":", 3)
-        FileStat(c, mn.toLong, mx.toLong)
+        val a = st.split(":")
+        FileStat(a(0), a(1).toLong, a(2).toLong,
+          if (a.length > 3) a(3).toLong else -1L)
       },
       strSegs.map { st =>
         val Array(c, mn, mx) = st.drop(1).split(":", 3)
         FileStrStat(dec(c), dec(mn), dec(mx))
       },
       ver = verSegs.headOption.map(_.drop(1).toLong).getOrElse(0L),
-      bytes = byteSegs.headOption.map(_.drop(1).toLong).getOrElse(-1L))
+      bytes = byteSegs.headOption.map(_.drop(1).toLong).getOrElse(-1L),
+      rows = rowSegs.headOption.map(_.drop(1).toLong).getOrElse(-1L))
   }
 
   // delete-sidecar codec: `del=` (full manifests: complete set) and
@@ -624,6 +646,9 @@ object TableLog {
     // files×cols — metadata-sized). Long and string space; derived
     // stats (named long expressions over the written columns, e.g. the
     // z-order value a layout rewrite clustered by) ride the same pass.
+    // per-column non-null counts ride the same pass APPENDED (base
+    // offsets of the range stats stay put): nulls = fileRows − count,
+    // the exactness witness the metadata-only DELETE needs
     val statAggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"mn_$c"),
       max(col(c).cast("long")).as(s"mx_$c"))) ++
@@ -632,7 +657,9 @@ object TableLog {
         max(col(c).cast("string")).as(s"smx_$c"))) ++
       derivedStats.zipWithIndex.flatMap { case ((_, e), i) => Seq(
         min(e.cast("long")).as(s"dmn_$i"),
-        max(e.cast("long")).as(s"dmx_$i")) }
+        max(e.cast("long")).as(s"dmx_$i")) } ++
+      statsCols.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.functions.count(col(c)).as(s"cnt_$i") }
     // parse one grouped-agg row into (long stats, string stats);
     // `base` = the ordinal of the first stat column in the row. An
     // all-null file has no range in either space — omit the stat
@@ -642,10 +669,16 @@ object TableLog {
         : (Seq[FileStat], Seq[FileStrStat]) = {
       val off = base + 2 * statsCols.size
       val doff = off + 2 * strStatsCols.size
+      val coff = doff + 2 * derivedStats.size
       (statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(base + 2 * i)) None
         else Some(FileStat(c, r.getLong(base + 2 * i),
-          r.getLong(base + 2 * i + 1)))
+          r.getLong(base + 2 * i + 1),
+          // nulls from the appended count agg; the row's group is one
+          // file, so count(1)-equivalent is injected by the caller as
+          // the per-file total (nulls patched there — here we carry
+          // the NON-NULL count negated as a sentinel the caller flips)
+          nulls = -(r.getLong(coff + i) + 2)))
       }.toSeq ++ derivedStats.zipWithIndex.flatMap { case ((n, _), i) =>
         if (r.isNullAt(doff + 2 * i)) None
         else Some(FileStat(n, r.getLong(doff + 2 * i),
@@ -657,6 +690,12 @@ object TableLog {
             r.getString(off + 2 * i + 1)))
         }.toSeq)
     }
+    // flip parseStats' sentinel into a real null count once the file's
+    // total row count is known: nulls = rows − nonNull
+    def patchNulls(ls: Seq[FileStat], fileRows: Long): Seq[FileStat] =
+      ls.map(st =>
+        if (st.nulls <= -2) st.copy(nulls = fileRows - (-st.nulls - 2))
+        else st)
     val distributedCount = allNames.size > footerCountThreshold
     val (countByName: Map[String, Long],
         distStats: Map[String, (Seq[FileStat], Seq[FileStrStat])]) =
@@ -742,13 +781,15 @@ object TableLog {
       }
     (names.map { n =>
       val (ls, ss) = statsByName.getOrElse(n, (Nil, Nil))
-      // size recorded NOW, while the writer already holds the file's
-      // metadata hot — every later footprint question (computeStats,
-      // detail, compaction sizing) becomes a manifest lookup
-      FileEntry(relByName(n), ls,
+      // size + row count recorded NOW, while the writer already holds
+      // the file's metadata hot — every later footprint or row-count
+      // question (computeStats, detail, compaction sizing, the
+      // metadata-only DELETE's accounting) becomes a manifest lookup
+      FileEntry(relByName(n), patchNulls(ls, countByName(n)),
         ss ++ bloomByName.getOrElse(n, Nil),
         bytes = try Files.size(Paths.get(table, relByName(n)))
-          catch { case _: java.io.IOException => -1L })
+          catch { case _: java.io.IOException => -1L },
+        rows = countByName(n))
     }, rows)
   }
 
@@ -4702,6 +4743,174 @@ object TableLog {
             Nil, stamped, removedPaths, Nil, Nil, None, base.schemaJson,
             base.counters)
       if (tryCommit(table, r)) committed = version
+    }
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
+  // ── METADATA-ONLY DELETE (SupportsDeleteV2) ──────────────────────
+  /** Neutral predicate IR the catalog face translates Spark's V2
+    * predicates into — long-space comparisons over stat columns plus
+    * null tests and boolean structure. Anything untranslatable never
+    * becomes an IR node (the face returns None and Spark keeps the
+    * row-level plan). */
+  sealed trait MdPred
+  object MdPred {
+    final case class Cmp(op: String, col: String, v: Long) extends MdPred
+    final case class InLongs(col: String, vs: Seq[Long]) extends MdPred
+    final case class NullTest(col: String, isNull: Boolean) extends MdPred
+    final case class AndP(l: MdPred, r: MdPred) extends MdPred
+    final case class OrP(l: MdPred, r: MdPred) extends MdPred
+    case object True extends MdPred
+    case object False extends MdPred
+  }
+
+  /** Three-valued file coverage under `p`: 1 = EVERY row satisfies
+    * (file droppable whole), 0 = NO row satisfies (file untouched),
+    * −1 = cannot prove either. The asymmetry that matters: NONE needs
+    * only range disjointness (a NULL never satisfies a predicate, so
+    * nulls strengthen NONE), while ALL additionally needs a RECORDED
+    * ZERO null count — one uncounted null row would be wrongly
+    * dropped with its file. Absent stats, absent row counts, and
+    * unknown null counts all degrade to −1, never to a wrong drop. */
+  private def mdCoverage(s: Snapshot, f: FileEntry, p: MdPred): Int = {
+    import MdPred._
+    def statFor(c: String): Option[FileStat] =
+      statNameFor(s, c)(f).flatMap(ph => f.stats.find(_.col == ph))
+    p match {
+      case True => 1
+      case False => 0
+      case AndP(l, r) =>
+        (mdCoverage(s, f, l), mdCoverage(s, f, r)) match {
+          case (1, 1) => 1
+          case (0, _) | (_, 0) => 0
+          case _ => -1
+        }
+      case OrP(l, r) =>
+        (mdCoverage(s, f, l), mdCoverage(s, f, r)) match {
+          case (1, _) | (_, 1) => 1
+          case (0, 0) => 0
+          case _ => -1
+        }
+      case Cmp(op, c, v) => statFor(c) match {
+        case None => -1
+        case Some(st) =>
+          val all = op match {
+            case "=" => st.min == v && st.max == v
+            case "<" => st.max < v
+            case "<=" => st.max <= v
+            case ">" => st.min > v
+            case ">=" => st.min >= v
+            case _ => false
+          }
+          val none = op match {
+            case "=" => st.max < v || st.min > v
+            case "<" => st.min >= v
+            case "<=" => st.min > v
+            case ">" => st.max <= v
+            case ">=" => st.max < v
+            case _ => false
+          }
+          if (none) 0
+          else if (all && st.nulls == 0) 1
+          else -1
+      }
+      case InLongs(c, vs) => statFor(c) match {
+        case None => -1
+        case Some(st) =>
+          if (vs.forall(v => v < st.min || v > st.max)) 0
+          else if (st.min == st.max && vs.contains(st.min) &&
+            st.nulls == 0) 1
+          else -1
+      }
+      case NullTest(c, isNull) => statFor(c) match {
+        // an all-null file records NO range stat — its null count is
+        // unreachable through FileStat, so only the zero-null proof
+        // (ALL for IS_NOT_NULL, NONE for IS_NULL) is decidable
+        case Some(st) if st.nulls == 0 => if (isNull) 0 else 1
+        case Some(st) if st.nulls > 0 => -1
+        case _ => -1
+      }
+    }
+  }
+
+  /** The exact-coverage plan: Some(files to drop) iff EVERY live file
+    * is provably ALL or NONE, every ALL file carries a write-time row
+    * count, and no KEY sidecar is pending (deletion vectors compose —
+    * their positions subtract from the dropped files' live counts). */
+  private def mdDeletePlan(s: Snapshot,
+      p: MdPred): Option[Seq[FileEntry]] = {
+    if (s.dels.exists(_.keyCol != DvKeyCol)) return None
+    val covs = s.files.map(f => f -> mdCoverage(s, f, p))
+    if (covs.exists(_._2 < 0)) return None
+    val drop = covs.collect { case (f, 1) => f }
+    if (drop.exists(_.rows < 0)) return None
+    Some(drop)
+  }
+
+  private[graft] def canMetadataDelete(table: String,
+      p: MdPred): Boolean = {
+    if (feedEnabled(table) && !cdcFeedEnabled(table)) return false
+    snapshot(table).exists(s => mdDeletePlan(s, p).isDefined)
+  }
+
+  /** METADATA-ONLY delete: drop whole files from the manifest with
+    * ZERO data reads and ZERO data writes — the cheapest possible
+    * delete shape, and on a range-clustered 100 TB table the COMMON
+    * one (retention drops, partition-style deletes). Planned against
+    * the CURRENT snapshot inside the CAS loop, so exactness can never
+    * go stale between check and commit — a concurrent commit that
+    * breaks coverage fails the statement loudly. `rows` stays exact
+    * from the manifest's write-time per-file counts, minus pending
+    * deletion-vector positions on dropped files (their rows were
+    * already deducted at the vector's own commit). CDC feeds capture
+    * the dropped rows as typed deletes through the standard "delete"
+    * action (the capture scans the REMOVED files at the pre-commit
+    * snapshot, MOR-aware — still zero reads on the commit path
+    * itself). */
+  /** Spec-pinnable counter: commits that went metadata-only (the COW
+    * rewrite of a whole file leaves an identical manifest diff, so
+    * tests distinguish the PATH here, like `statFallbacks`). */
+  private[graft] val metadataDeletes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def metadataDelete(spark: SparkSession, table: String,
+      p: MdPred): Long = {
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"metadata delete on feed-enabled table $table: the append-only " +
+        s"change feed cannot represent a delete — enableCdcFeed" +
+        s"($table), or remove ${feedDir(table)} to disable the feed")
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      val drop = mdDeletePlan(base, p).getOrElse(sys.error(
+        s"metadata-only DELETE on $table: exact file coverage is no " +
+          "longer provable (a concurrent commit, a legacy entry " +
+          "without row counts, or a pending key sidecar) — retry the " +
+          "statement, or compact() to refresh the manifest metadata"))
+      if (drop.isEmpty) return base.version
+      val dvs = base.dels.filter(_.keyCol == DvKeyCol)
+      val removedLive =
+        if (dvs.isEmpty) drop.map(_.rows).sum
+        else {
+          val dv = loadDv(spark, table, dvs)
+          drop.map(f => f.rows - dv.positionsFor(lastTwo(f.path))).sum
+        }
+      val rmPaths = drop.map(_.path)
+      val version = base.version + 1
+      val rows = base.rows - removedLive
+      val r =
+        if (version % checkpointInterval == 0) {
+          val rm = rmPaths.toSet
+          ManifestRec(version, base.version, "delete", rows, "full",
+            base.files.filterNot(f => rm(f.path)), Nil, Nil, base.dels,
+            Nil, None, base.schemaJson, base.counters)
+        } else
+          ManifestRec(version, base.version, "delete", rows, "delta",
+            Nil, Nil, rmPaths, Nil, Nil, None, base.schemaJson,
+            base.counters)
+      if (tryCommit(table, r)) { committed = version
+        metadataDeletes.incrementAndGet(); () }
     }
     if (feedEnabled(table)) publishFeed(spark, table)
     committed

@@ -730,6 +730,89 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.rld.t")
   }
 
+  test("metadata-only DELETE (SupportsDeleteV2): exact whole-file " +
+      "coverage drops files with ZERO reads/writes; boundary ranges " +
+      "and uncounted nulls fall back to the row-level path") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.md")
+    spark.sql(s"CREATE TABLE $CAT.md.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/md/t"
+    // four appends with EXACT 1000-key file boundaries (range
+    // repartitioning samples, so its boundaries are approximate — a
+    // straddling boundary would silently route every case to the
+    // fallback and this test would pin nothing)
+    (0 until 4).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    val before = TableLog.snapshot(path).get
+    assert(before.files.size == 4)
+    assert(before.files.forall(f => f.rows == 1000 &&
+      f.stats.exists(st => st.col == "k" && st.nulls == 0)),
+      "write-time row counts and null counts must be recorded")
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.md.t")
+      .as[Long].head()
+    // a range covering file 0 EXACTLY: metadata-only drop
+    val md0 = TableLog.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $CAT.md.t WHERE k < 1000")
+    assert(TableLog.metadataDeletes.get() == md0 + 1,
+      "exact coverage must take the metadata-only path")
+    val s1 = TableLog.snapshot(path).get
+    assert(s1.files.size == 3 && s1.rows == 3000 && count() == 3000)
+    assert(s1.files.map(_.path).toSet.subsetOf(
+      before.files.map(_.path).toSet), "no file may be rewritten")
+    assert(s1.dels.isEmpty)
+    // a BOUNDARY range falls back (here: the COW group rewrite)
+    spark.sql(s"DELETE FROM $CAT.md.t WHERE k >= 1200 AND k < 1800")
+    assert(TableLog.metadataDeletes.get() == md0 + 1,
+      "a straddling range must NOT take the metadata path")
+    assert(count() == 2400 && TableLog.snapshot(path).get.rows == 2400)
+    // an uncounted-null hazard falls back: the file's range satisfies
+    // the predicate but a NULL row must survive a SQL DELETE
+    TableLog.append(spark, path,
+      Seq((Option.empty[Long], 77L), (Some(9000L), 88L))
+        .toDF("k", "v").coalesce(1), statsCols = Seq("k"))
+    spark.sql(s"DELETE FROM $CAT.md.t WHERE k >= 9000")
+    assert(TableLog.metadataDeletes.get() == md0 + 1,
+      "a file with nulls must NOT drop whole")
+    assert(count() == 2401, "the NULL row must survive the delete")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.md.t " +
+      "WHERE k IS NULL").as[Long].head() == 1)
+    // TRUNCATE rides the same face: drop-all, zero reads
+    spark.sql(s"TRUNCATE TABLE $CAT.md.t")
+    assert(TableLog.metadataDeletes.get() == md0 + 2)
+    assert(count() == 0 && TableLog.snapshot(path).get.rows == 0)
+    spark.sql(s"DROP TABLE $CAT.md.t")
+  }
+
+  test("metadata-only DELETE composes with pending deletion vectors: " +
+      "dropped files' live counts subtract the vectored positions") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.mdv")
+    spark.sql(s"CREATE TABLE $CAT.mdv.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/mdv/t"
+    (0 until 2).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    // positional delete leaves a pending vector over file 0's rows
+    spark.sql(s"DELETE FROM $CAT.mdv.t WHERE k % 100 = 7") // 20 rows
+    assert(TableLog.snapshot(path).get.dels.nonEmpty)
+    assert(TableLog.snapshot(path).get.rows == 1980)
+    // now drop file 0 whole: live rows removed = 1000 − 10 vectored
+    val md0 = TableLog.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $CAT.mdv.t WHERE k < 1000")
+    assert(TableLog.metadataDeletes.get() == md0 + 1,
+      "exact coverage over a vectored file must stay metadata-only")
+    val s1 = TableLog.snapshot(path).get
+    assert(s1.rows == 990, s"990 live rows expected, got ${s1.rows}")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.mdv.t")
+      .as[Long].head() == 990)
+    spark.sql(s"DROP TABLE $CAT.mdv.t")
+  }
+
   test("metadata columns on a STREAMING read refuse with guidance " +
       "(Spark never prunes them into the stream's scan)") {
     val wh = warehouse
