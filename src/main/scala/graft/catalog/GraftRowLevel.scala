@@ -48,35 +48,103 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * update. Schema-op tables scan through the same per-file physical
   * projection as the streaming source ([[PhysicalProjection]]). */
 /** What both row-level modes share: the planned-group linkage between
-  * the SCAN half and the WRITE half (the scan records what it planned;
-  * the write commits against exactly that), and pending-sidecar
-  * admission. Pending POSITIONAL (deletion-vector) sidecars COMPOSE
-  * with both modes — the raw-file readers filter their positions on
-  * the shared physical row index, so neither a group rewrite nor a
-  * delta scan can resurrect or re-delete a vectored row. Pending KEY
-  * sidecars refuse: their anti-join cohorts don't exist in the
-  * raw-file scan, and materializing them here would be an
-  * analysis-time table rewrite (even an EXPLAIN would trigger it). */
+  * the SCAN half and the WRITE half (each scan records what it
+  * planned; the write commits against the unique planned set), and
+  * pending-sidecar admission. Pending POSITIONAL (deletion-vector)
+  * sidecars COMPOSE with both modes — the raw-file readers filter
+  * their positions on the shared physical row index, so neither a
+  * group rewrite nor a delta scan can resurrect or re-delete a
+  * vectored row. Pending KEY sidecars SELF-HEAL: their anti-join
+  * cohorts don't exist in the raw-file scan, so the operation runs
+  * one `morMaintain(maxSidecars = 0)` (layout-only, byte-identical
+  * rows) and re-pins the maintained snapshot — gated by
+  * `spark.graft.rowLevel.maxAutoMaintainBytes` (default 1 GiB) on
+  * the fenced-file rewrite weight, refusing with guidance past it.
+  * The maintenance commit happens while BUILDING the operation
+  * (analysis), so even an EXPLAIN of the statement triggers it — the
+  * accepted trade for vanilla DELETE/UPDATE/MERGE self-healing; the
+  * commit is a visible 'mor_materialize' in `history()`. */
 abstract class GraftRlOpBase(private[catalog] val t: GraftTable,
     cmdLabel: String) extends RowLevelOperation {
+
+  /** The manifest version the statement's OTHER scans see: Spark's
+    * runtime group-filter subquery (and the condition scans of
+    * UPDATE/MERGE) read the ORIGINAL pinned table, NOT this
+    * operation's possibly self-healed snapshot — any file this
+    * operation sees beyond this version is invisible to them, so
+    * their `_file` output must never narrow it away. */
+  private[catalog] val groupFilterVersion: Long = t.snapshot.version
+
+  /** The snapshot this operation scans and commits against: the
+    * table's pinned snapshot, or — when KEY sidecars were pending —
+    * the re-pinned snapshot after the gated self-heal above. */
+  private[catalog] val snap: TableLog.Snapshot = {
+    val base = t.snapshot
+    if (base.dels.forall(_.keyCol == TableLog.DvKeyCol)) base
+    else {
+      val spark = SparkSession.active
+      val fencedBytes = base.files.filter(f =>
+        base.dels.exists(d => TableLog.sidecarFences(base, f, d)))
+        .map(f => TableLog.fileBytes(t.path, f)).sum
+      val gate = spark.conf
+        .getOption("spark.graft.rowLevel.maxAutoMaintainBytes")
+        .map(_.toLong).getOrElse(1L << 30)
+      require(fencedBytes <= gate,
+        s"row-level $cmdLabel on ${t.name}: pending KEY merge-on-read " +
+          "sidecars fence " + fencedBytes + " bytes of data files — " +
+          s"above the auto-materialization gate ($gate); run " +
+          "morMaintain/compact first, use the graft SQL DML face, or " +
+          "raise spark.graft.rowLevel.maxAutoMaintainBytes")
+      TableLog.morMaintain(spark, t.path, maxSidecars = 0,
+        statsCols = GraftCatalog.colsProp(t.props, "statsCols"),
+        strStatsCols = GraftCatalog.colsProp(t.props, "strStatsCols"),
+        bloomStatsCols = GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+      TableLog.snapshotOrFail(t.path)
+    }
+  }
 
   /** The pending deletion-vector sidecars the scan filters — also the
     * commit's evidence for MOR-aware removed-row accounting. */
   private[catalog] val pendingDv: Seq[TableLog.DeleteEntry] =
-    t.snapshot.dels.filter(_.keyCol == TableLog.DvKeyCol)
+    snap.dels.filter(_.keyCol == TableLog.DvKeyCol)
 
-  require(pendingDv.length == t.snapshot.dels.length,
-    s"row-level $cmdLabel on ${t.name}: pending KEY merge-on-read " +
-      "sidecars — the raw-file scan cannot apply their anti-join " +
-      "cohorts; run morMaintain/compact first, or use the graft SQL " +
-      "DML face")
+  require(pendingDv.length == snap.dels.length,
+    s"row-level $cmdLabel on ${t.name}: a concurrent writer committed " +
+      "a KEY merge-on-read sidecar during planning — the raw-file " +
+      "scan cannot apply its anti-join cohort; retry the statement")
 
-  /** The groups the LAST-planned scan will read. Set by the scan at
-    * planning (after pushdown pruning and runtime group filtering);
-    * the write executes strictly after the final plan, so
-    * last-write-wins is the correct linkage. */
-  @volatile private[catalog] var scanned: Seq[TableLog.FileEntry] =
-    t.snapshot.files
+  /** Every row-level Scan built for this operation, each carrying the
+    * file set IT planned (captured at `planInputPartitions`, after
+    * pushdown pruning and runtime group filtering). The write half
+    * consumes [[plannedFiles]] — the UNIQUE planned set — instead of
+    * a shared last-write-wins field, so commit correctness no longer
+    * depends on Spark's scan-planning ORDER: if an engine change ever
+    * makes two scans of this operation plan different file sets, the
+    * statement fails loudly instead of committing a removal of files
+    * whose surviving rows were never rewritten. */
+  private[catalog] val builtScans =
+    new java.util.concurrent.CopyOnWriteArrayList[GraftRowLevelScan]()
+
+  /** The file set the executed scan actually planned. Exactly one
+    * scan having planned is the only shape Spark's row-level rewrite
+    * produces (the runtime group-filter subquery scans the ORIGINAL
+    * table, not this operation); agreement across several planned
+    * scans (plan reuse) is accepted, disagreement or zero planned
+    * scans refuses the commit. */
+  private[catalog] def plannedFiles: Seq[TableLog.FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    val planned = builtScans.asScala.flatMap(s => Option(s.plannedSet))
+    require(planned.nonEmpty,
+      s"row-level $cmdLabel on ${t.name}: the write half is " +
+        "committing but no row-level scan planned input partitions — " +
+        "refusing to guess the replaced file set")
+    val sets = planned.map(_.map(_.path).toSet).distinct
+    require(sets.size == 1,
+      s"row-level $cmdLabel on ${t.name}: ${planned.size} row-level " +
+        s"scans planned ${sets.size} DIFFERENT file sets — cannot " +
+        "bind the write to a unique scanned set; retry the statement")
+    planned.head
+  }
 
   /** Pending deletion vectors as the loaded set the raw-file readers
     * filter; null = none (the common zero-overhead path). */
@@ -173,11 +241,13 @@ final class GraftRowLevelScanBuilder(op: GraftRlOpBase)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = {
-    val s = t.snapshot
+    val s = op.snap
     val kept = pushed.foldLeft(s.files) { (fs, f) =>
       GraftRowLevelScan.pruneBy(s, fs, f)
     }
-    new GraftRowLevelScan(op, required, kept)
+    val scan = new GraftRowLevelScan(op, required, kept)
+    op.builtScans.add(scan)
+    scan
   }
 }
 
@@ -189,8 +259,13 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
 
   @volatile private var files: Seq[TableLog.FileEntry] = initial
 
+  /** The file set THIS scan planned — null until
+    * `planInputPartitions` runs; re-planning (AQE) overwrites with
+    * the then-current narrowed set, which is what actually executed. */
+  @volatile private[catalog] var plannedSet: Seq[TableLog.FileEntry] = _
+
   private val proj = new PhysicalProjection(t.name, t.schema(),
-    required.fields, t.snapshot.schemaOps,
+    required.fields, op.snap.schemaOps,
     opLabel = "row-level operation",
     staleHint = "retry the statement")
 
@@ -211,17 +286,22 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
     * narrow the group set to EMPTY and turn the whole DELETE into a
     * no-op (caught by the scale-shape spec). Unrecognized predicate
     * shapes are ignored (no narrowing — strictly more files
-    * rewritten, never fewer). */
+    * rewritten, never fewer). Files this operation sees BEYOND the
+    * group filter's own snapshot (`op.groupFilterVersion` — the KEY-
+    * sidecar self-heal re-pins past the original table pin) are kept
+    * unconditionally: the subquery never saw their paths, so its
+    * output cannot be evidence they hold no matching rows. */
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.foreach { p =>
       GraftRowLevelScan.inSetOnFile(p).foreach { raw =>
         val set = raw.map(TableLog.lastTwo)
-        files = files.filter(f => set.contains(TableLog.lastTwo(f.path)))
+        files = files.filter(f => f.ver > op.groupFilterVersion ||
+          set.contains(TableLog.lastTwo(f.path)))
       }
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    op.scanned = files
+    plannedSet = files
     files.map(f => GraftFilePartition(s"${t.path}/${f.path}",
       TableLog.fileBytes(t.path, f), f.ver, f.path,
       proj.projFor(f.ver))).toArray
@@ -326,11 +406,11 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
         case m: GraftFileMessage if m.rows > 0 => m.relPath }
       TableLog.replaceFilesCommit(SparkSession.active, t.path,
         op.command().toString.toLowerCase(java.util.Locale.ROOT),
-        op.scanned.map(_.path), files.toSeq,
+        op.plannedFiles.map(_.path), files.toSeq,
         GraftCatalog.colsProp(t.props, "statsCols"),
         GraftCatalog.colsProp(t.props, "strStatsCols"),
         GraftCatalog.colsProp(t.props, "bloomStatsCols"),
-        t.snapshot.version, op.pendingDv)
+        op.snap.version, op.pendingDv)
       ()
     }
 
@@ -360,7 +440,7 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val setId =
       java.util.UUID.randomUUID().toString.take(8)
-    private val planVersion = t.snapshot.version
+    private val planVersion = op.snap.version
 
     override def createBatchWriterFactory(
         pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -381,7 +461,7 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
       TableLog.writeDeltaCommit(SparkSession.active, t.path,
         "write_delta_" +
           op.command().toString.toLowerCase(java.util.Locale.ROOT),
-        planVersion, op.scanned.map(_.path),
+        planVersion, op.plannedFiles.map(_.path),
         dvEntries.toSeq, ms.map(_.dvRows).sum,
         ms.filter(_.dataRows > 0).map(_.dataRel).toSeq,
         GraftCatalog.colsProp(t.props, "statsCols"),

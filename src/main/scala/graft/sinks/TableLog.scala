@@ -3622,7 +3622,7 @@ object TableLog {
     set
   }
 
-  private def sidecarFences(s: Snapshot, f: FileEntry,
+  private[graft] def sidecarFences(s: Snapshot, f: FileEntry,
       d: DeleteEntry): Boolean = {
     if (d.keyCol == DvKeyCol)
       // a deletion vector names its targets by identity: the write-time

@@ -903,7 +903,7 @@ class CatalogSpec extends SparkSpec {
 
   test("group-based (cow) row-level DML composes with PENDING " +
       "deletion vectors: the rewrite filters them (no resurrect), " +
-      "manifest rows stay exact; KEY sidecars still refuse") {
+      "manifest rows stay exact; KEY sidecars self-heal in-statement") {
     val wh = warehouse
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rlp")
     spark.sql(s"CREATE TABLE $CAT.rlp.t (k BIGINT, v BIGINT) " +
@@ -943,14 +943,20 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT v FROM $CAT.rlp.t WHERE k = 1506")
       .as[Long].head() == -5L)
     assert(TableLog.snapshot(path).get.rows == 1881)
-    // KEY sidecars (anti-join MOR) still refuse with the maintain hint
+    // KEY sidecars (anti-join MOR) SELF-HEAL: the statement runs a
+    // gated morMaintain (materializing the pending key AND positional
+    // sidecars) and then lands against the maintained snapshot
     TableLog.deleteMor(spark, path, "k",
       Seq(300L).toDF("k"))
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $CAT.rlp.t WHERE k = 400")
-    }
-    assert(e.getMessage.contains("KEY merge-on-read"),
-      s"expected the KEY-sidecar refusal, got: ${e.getMessage}")
+    spark.sql(s"DELETE FROM $CAT.rlp.t WHERE k = 400")
+    val s2 = TableLog.snapshot(path).get
+    assert(s2.dels.isEmpty,
+      "the self-heal must materialize every pending sidecar")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlp.t " +
+      "WHERE k IN (300, 400)").as[Long].head() == 0,
+      "both the MOR-deleted and the statement-deleted key must be gone")
+    assert(s2.rows == 1879,
+      s"manifest rows must stay exact through the self-heal, got ${s2.rows}")
     spark.sql(s"DROP TABLE $CAT.rlp.t")
   }
 
@@ -1248,5 +1254,78 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT v FROM $CAT.alt2.t WHERE k = 4")
       .as[Long].head() == 99L)
     spark.sql(s"DROP TABLE $CAT.alt2.t")
+  }
+
+  test("vanilla row-level DELETE self-heals pending KEY sidecars: " +
+      "gated morMaintain, exact rows, maintenance visible in history") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.heal")
+    spark.sql(s"CREATE TABLE $CAT.heal.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/heal/t"
+    TableLog.append(spark, path,
+      spark.range(2000).select($"id".as("k"), ($"id" % 10).as("v"))
+        .repartitionByRange(4, $"k"),
+      statsCols = Seq("k"))
+    // a pending KEY merge-on-read sidecar (deleteMor) — previously a
+    // hard refusal for the vanilla row-level path
+    TableLog.deleteMor(spark, path, "k",
+      spark.range(10).select(($"id" * 100).as("k")))
+    val pre = TableLog.snapshot(path).get
+    assert(pre.dels.exists(_.keyCol == "k"),
+      "setup must leave a pending KEY sidecar")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.heal.t")
+      .as[Long].head() == 1990)
+    // the DELETE self-heals (one mor_materialize commit) and lands
+    spark.sql(s"DELETE FROM $CAT.heal.t WHERE k >= 500 AND k < 600")
+    val after = TableLog.snapshot(path).get
+    assert(after.dels.isEmpty,
+      "self-heal must clear every pending sidecar")
+    val actions = TableLog.history(spark, path)
+      .orderBy("version").select("action").as[String].collect().toSeq
+    assert(actions.contains("mor_materialize"),
+      s"the maintenance commit must be visible in history, got $actions")
+    assert(actions.indexOf("mor_materialize") < actions.length - 1 &&
+      actions.last == "delete",
+      s"maintenance must precede the delete commit, got $actions")
+    // exact surviving rows: 2000 − 10 MOR-deleted − the 99 range rows
+    // not already MOR-deleted (k=500 was MOR-deleted)
+    val want = spark.range(2000)
+      .select($"id".as("k"), ($"id" % 10).as("v"))
+      .where(!($"k" % 100 === 0 && $"k" < 1000))
+      .where(!($"k" >= 500 && $"k" < 600))
+      .orderBy("k").collect().toSeq
+    assert(spark.sql(s"SELECT k, v FROM $CAT.heal.t ORDER BY k")
+      .collect().toSeq == want)
+    assert(after.rows == want.size, "manifest rows must stay exact")
+    spark.sql(s"DROP TABLE $CAT.heal.t")
+  }
+
+  test("row-level self-heal refuses past the auto-maintain gate " +
+      "with guidance, and the table is left untouched") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.heal2")
+    spark.sql(s"CREATE TABLE $CAT.heal2.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/heal2/t"
+    TableLog.append(spark, path,
+      spark.range(1000).select($"id".as("k"), $"id".as("v")),
+      statsCols = Seq("k"))
+    TableLog.deleteMor(spark, path, "k", Seq(3L, 7L).toDF("k"))
+    val v0 = TableLog.latestVersion(path)
+    spark.conf.set("spark.graft.rowLevel.maxAutoMaintainBytes", "1")
+    try {
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val e = intercept[Exception](
+        spark.sql(s"DELETE FROM $CAT.heal2.t WHERE k < 100"))
+      assert(msgs(e).exists(_.contains("auto-materialization gate")),
+        s"gate refusal must carry guidance, got ${msgs(e)}")
+      assert(TableLog.latestVersion(path) == v0,
+        "a refused statement must commit nothing")
+    } finally
+      spark.conf.unset("spark.graft.rowLevel.maxAutoMaintainBytes")
+    spark.sql(s"DROP TABLE $CAT.heal2.t")
   }
 }
