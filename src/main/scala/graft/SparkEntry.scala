@@ -883,17 +883,29 @@ object SparkEntry {
     s.sql(s"ALTER TABLE $cat.sales.lake ADD COLUMNS (channel STRING)")
     s.sql(s"INSERT INTO $cat.sales.lake " +
       "VALUES (88000002, 900, 'X', 'web')")
+    // lossless TYPE WIDENING through the same routing: an INT column
+    // widens to BIGINT metadata-only (zero rewrites), the pre-widen
+    // file's narrow physical value reads exactly through the wide
+    // schema, and a post-widen insert exceeds the old type's range
+    s.sql(s"ALTER TABLE $cat.sales.lake ADD COLUMNS (units INT)")
+    s.sql(s"INSERT INTO $cat.sales.lake " +
+      "VALUES (88000003, 900, 'X', 'web', 5)")
+    s.sql(s"ALTER TABLE $cat.sales.lake ALTER COLUMN units TYPE BIGINT")
+    s.sql(s"INSERT INTO $cat.sales.lake " +
+      "VALUES (88000004, 900, 'X', 'web', 6000000000)")
     s.sql(s"""
       SELECT 'live' AS state, priority,
         CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(price_c) AS BIGINT) AS sum_price_c,
-        CAST(count(channel) AS BIGINT) AS n_channel
+        CAST(count(channel) AS BIGINT) AS n_channel,
+        CAST(sum(units) AS BIGINT) AS sum_units
       FROM $cat.sales.lake GROUP BY priority
       UNION ALL
       SELECT 'ctas' AS state, priority,
         CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(price_c) AS BIGINT) AS sum_price_c,
-        CAST(0 AS BIGINT) AS n_channel
+        CAST(0 AS BIGINT) AS n_channel,
+        CAST(NULL AS BIGINT) AS sum_units
       FROM $cat.sales.lake VERSION AS OF 1 GROUP BY priority
       ORDER BY state, priority""")
   }
@@ -6060,20 +6072,25 @@ object SparkEntry {
         |    THEN price_c + 7 ELSE price_c END AS price_c, priority
         |  FROM ins),
         |del AS (SELECT o_orderkey, price_c, priority,
-        |    CAST(NULL AS VARCHAR) AS channel FROM upd
+        |    CAST(NULL AS VARCHAR) AS channel,
+        |    CAST(NULL AS BIGINT) AS units FROM upd
         |  WHERE o_orderkey NOT BETWEEN 9000 AND 16000),
         |alt AS (SELECT * FROM del
-        |  UNION ALL SELECT 88000002, 900, 'X', 'web')
+        |  UNION ALL SELECT 88000002, 900, 'X', 'web', NULL
+        |  UNION ALL SELECT 88000003, 900, 'X', 'web', 5
+        |  UNION ALL SELECT 88000004, 900, 'X', 'web', 6000000000)
         |SELECT 'live' AS state, priority,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
-        |  CAST(count(channel) AS BIGINT) AS n_channel
+        |  CAST(count(channel) AS BIGINT) AS n_channel,
+        |  CAST(sum(units) AS BIGINT) AS sum_units
         |FROM alt GROUP BY priority
         |UNION ALL
         |SELECT 'ctas' AS state, priority,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
-        |  CAST(0 AS BIGINT) AS n_channel
+        |  CAST(0 AS BIGINT) AS n_channel,
+        |  CAST(NULL AS BIGINT) AS sum_units
         |FROM t GROUP BY priority
         |ORDER BY state, priority""".stripMargin,
     // per-row provenance replayed relationally: v1 = the CTAS slice

@@ -314,10 +314,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${identName(ident)}: nested column drops are not supported")
         TableLog.dropColumn(SparkSession.active, path,
           del.fieldNames.head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          s"${identName(ident)}: nested column type changes are not " +
+            "supported")
+        TableLog.widenColumnType(SparkSession.active, path,
+          ut.fieldNames.head, ut.newDataType())
       case other => throw new UnsupportedOperationException(
         s"${identName(ident)}: unsupported ALTER TABLE change $other — " +
           "supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
-          "ADD COLUMNS, DROP COLUMN")
+          "ADD COLUMNS, DROP COLUMN, ALTER COLUMN TYPE (lossless " +
+          "widening)")
     }
     GraftCatalog.writeProps(path, props)
     loadTable(ident)

@@ -1932,6 +1932,55 @@ object TableLog {
     committed
   }
 
+  /** WIDEN a column's type — PURE METADATA, the explicit half of the
+    * lossless widening lattice [[widen]] (the implicit half is
+    * `mergeEvolved`, which commits the same schema when an append's
+    * frame first arrives wider): one delta manifest with the field's
+    * type replaced; zero data files change, and reads apply the
+    * widened schema over the old files' narrower physical types (the
+    * probed vectorized-reader upcast — `tools/WidenProbe`, oracled by
+    * `o41_type_widening`). Anything outside the lattice — narrowing,
+    * cross-family changes — refuses with guidance: those need a full
+    * rewrite. Refused while a pending MOR delete sidecar keys on the
+    * column (its stored key values carry the old type). Routed from
+    * `ALTER TABLE … ALTER COLUMN … TYPE` by the catalog. */
+  def widenColumnType(spark: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      require(base.schemaJson.nonEmpty,
+        s"widenColumnType on $table: legacy table without a recorded " +
+          "schema — rewrite it once to record one")
+      val logical = org.apache.spark.sql.types.DataType
+        .fromJson(base.schemaJson.get)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val idx = logical.fieldNames.indexOf(name)
+      require(idx >= 0, s"widenColumnType($table): no column '$name'")
+      val cur = logical.fields(idx).dataType
+      if (cur == to) return base.version
+      require(widen(cur, to).contains(to),
+        s"widenColumnType($table, $name): ${cur.simpleString} -> " +
+          s"${to.simpleString} is not a lossless widening " +
+          "(byte<short<int<long, float<->double, int-or-narrower<" +
+          "double) — narrowing or cross-family changes need a full " +
+          "table rewrite")
+      base.dels.find(_.keyCol == name).foreach(d => sys.error(
+        s"widenColumnType($table, $name): a pending merge-on-read " +
+          s"delete sidecar (v${d.ver}) keys on this column — " +
+          "compact() to materialize it first"))
+      val evolved = org.apache.spark.sql.types.StructType(
+        logical.fields.updated(idx,
+          logical.fields(idx).copy(dataType = to)))
+      val version = base.version + 1
+      val r = ManifestRec(version, base.version, "schema", base.rows,
+        "delta", Nil, Nil, Nil, Nil, Nil, None, Some(evolved.json),
+        base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
+    committed
+  }
+
   private def schemaOpCommit(spark: SparkSession, table: String,
       kind: String, colName: String,
       to: String)(evolve: org.apache.spark.sql.types.StructType =>

@@ -1256,6 +1256,56 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.alt2.t")
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE routes to the log: lossless " +
+      "widening is metadata-only; narrowing refuses with guidance") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.alt3")
+    spark.sql(s"CREATE TABLE $CAT.alt3.t (k BIGINT, n INT, x FLOAT)")
+    spark.sql(s"INSERT INTO $CAT.alt3.t VALUES " +
+      "(1, 10, CAST(1.5 AS FLOAT)), (2, 20, CAST(2.25 AS FLOAT))")
+    val path = s"$wh/alt3/t"
+    val filesBefore = TableLog.snapshot(path).get.files.map(_.path)
+    spark.sql(s"ALTER TABLE $CAT.alt3.t ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $CAT.alt3.t ALTER COLUMN x TYPE DOUBLE")
+    assert(TableLog.snapshot(path).get.files.map(_.path) == filesBefore,
+      "lossless widening must rewrite no data file")
+    val sch = spark.table(s"$CAT.alt3.t").schema
+    assert(sch("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sch("x").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // old files' narrower physical values read exactly through the
+    // widened schema; new writes land wide
+    spark.sql(s"INSERT INTO $CAT.alt3.t VALUES " +
+      "(3, 3000000000, CAST(0.125 AS DOUBLE))")
+    val got = spark.sql(
+      s"SELECT k, n, x FROM $CAT.alt3.t ORDER BY k")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1.5), (2L, 20L, 2.25),
+      (3L, 3000000000L, 0.125)), s"got $got")
+    // narrowing refuses, nothing commits: Spark's own analyzer gate
+    // (Cast.canUpCast) fires first on SQL text; the log face carries
+    // its own guidance for direct callers and any analyzer drift
+    val v0 = TableLog.latestVersion(path)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.alt3.t ALTER COLUMN n TYPE INT"))
+    assert(msgs(e).exists(_.contains("NOT_SUPPORTED_CHANGE_COLUMN")),
+      s"narrowing must refuse, got ${msgs(e)}")
+    val e2 = intercept[Exception](TableLog.widenColumnType(spark, path,
+      "n", org.apache.spark.sql.types.IntegerType))
+    assert(msgs(e2).exists(_.contains("not a lossless widening")),
+      s"the log face must refuse narrowing with guidance, got ${msgs(e2)}")
+    // cross-family via the log face (long -> double is lossy) refuses
+    val e3 = intercept[Exception](TableLog.widenColumnType(spark, path,
+      "n", org.apache.spark.sql.types.DoubleType))
+    assert(msgs(e3).exists(_.contains("not a lossless widening")))
+    assert(TableLog.latestVersion(path) == v0)
+    spark.sql(s"DROP TABLE $CAT.alt3.t")
+  }
+
   test("vanilla row-level DELETE self-heals pending KEY sidecars: " +
       "gated morMaintain, exact rows, maintenance visible in history") {
     val wh = warehouse
