@@ -94,12 +94,22 @@ final class GraftChangesStream(path: String, tableName: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowBound = TableLog.publishedFrontier(path)
 
-  private def startingVersion: Long =
-    Option(options.get("startingVersion")).map(_.trim) match {
-      case None | Some("earliest") => 0L
-      case Some("latest") => TableLog.publishedFrontier(path)
-      case Some(v) => math.max(v.toLong - 1, 0L)
-    }
+  /** Same option surface as the data stream: `startingVersion` is
+    * INCLUSIVE (deliver the feed FROM that version), `startingTag`
+    * EXCLUSIVE (the tag names a state the consumer already holds —
+    * deliver the changes after it); mutually exclusive. */
+  private def startingVersion: Long = {
+    val tag = Option(options.get("startingTag")).map(_.trim)
+    tag.foreach(_ => require(options.get("startingVersion") == null,
+      s"changes stream of $tableName: startingTag and startingVersion " +
+        "are mutually exclusive"))
+    tag.map(TableLog.resolveTag(path, _)).getOrElse(
+      Option(options.get("startingVersion")).map(_.trim) match {
+        case None | Some("earliest") => 0L
+        case Some("latest") => TableLog.publishedFrontier(path)
+        case Some(v) => math.max(v.toLong - 1, 0L)
+      })
+  }
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
   override def deserializeOffset(json: String): Offset =

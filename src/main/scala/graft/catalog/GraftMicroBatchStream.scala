@@ -115,12 +115,22 @@ final class GraftMicroBatchStream(path: String, tableName: String,
 
   // ── offsets ──
 
-  private def startingVersion: Long =
-    Option(options.get("startingVersion")).map(_.trim) match {
-      case None | Some("earliest") => 0L
-      case Some("latest") => TableLog.latestVersion(path)
-      case Some(v) => math.max(v.toLong - 1, 0L) // deliver FROM v
-    }
+  /** `startingTag` is EXCLUSIVE — the tag names a snapshot the
+    * consumer already holds (seeded via `readTag`), so the stream
+    * delivers what came AFTER it; `startingVersion` stays INCLUSIVE
+    * (deliver FROM that version). Mutually exclusive options. */
+  private def startingVersion: Long = {
+    val tag = Option(options.get("startingTag")).map(_.trim)
+    tag.foreach(_ => require(options.get("startingVersion") == null,
+      s"streaming read of $tableName: startingTag and startingVersion " +
+        "are mutually exclusive"))
+    tag.map(TableLog.resolveTag(path, _)).getOrElse(
+      Option(options.get("startingVersion")).map(_.trim) match {
+        case None | Some("earliest") => 0L
+        case Some("latest") => TableLog.latestVersion(path)
+        case Some(v) => math.max(v.toLong - 1, 0L) // deliver FROM v
+      })
+  }
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
 

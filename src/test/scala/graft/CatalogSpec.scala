@@ -1061,6 +1061,51 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.ssv.b")
   }
 
+  test("startingTag on the data stream AND the __changes stream: " +
+      "exclusive — deliver strictly after the tagged snapshot") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.stag")
+    spark.sql(s"CREATE TABLE $CAT.stag.b (k BIGINT)")
+    val bronze = s"$wh/stag/b"
+    TableLog.enableCdcFeed(bronze)
+    spark.sql(s"INSERT INTO $CAT.stag.b VALUES (1)") // v2
+    TableLog.tagVersion(bronze, "seeded", 2L)
+    spark.sql(s"INSERT INTO $CAT.stag.b VALUES (2)") // v3
+    def drainTo(src: String, name: String,
+        opts: Map[String, String]): Unit = {
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table(src)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"graft_$name").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    // data stream: only the post-tag insert arrives
+    drainTo(s"$CAT.stag.b", "stag_data",
+      Map("startingTag" -> "seeded"))
+    assert(spark.sql("SELECT k FROM stag_data").as[Long].collect()
+      .toSeq == Seq(2L))
+    // changes stream: same cut, typed rows
+    drainTo(s"$CAT.stag.b__changes", "stag_ch",
+      Map("startingTag" -> "seeded"))
+    assert(spark.sql("SELECT k, _change_type FROM stag_ch")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "insert")))
+    // unknown tags and conflicting options fail loudly
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception](drainTo(s"$CAT.stag.b", "stag_bad",
+      Map("startingTag" -> "nope")))
+    assert(msgs(e1).exists(_.contains("not found")))
+    val e2 = intercept[Exception](drainTo(s"$CAT.stag.b", "stag_both",
+      Map("startingTag" -> "seeded", "startingVersion" -> "1")))
+    assert(msgs(e2).exists(_.contains("mutually exclusive")))
+    spark.sql(s"DROP TABLE $CAT.stag.b")
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse
