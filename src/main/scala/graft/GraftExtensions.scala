@@ -15,6 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // readChangeFeed option on table reads → the CHANGES face (an
+    // ANALYZER rule: the relation's output changes, so it cannot be
+    // installed on a live session — GraftSessions.withExtensions
+    // bridges; the __changes identifier is the option-free alias)
+    e.injectResolutionRule(_ => graft.plans.ResolveChangeFeedReads)
     // conf-gated (spark.graft.topkRewrite.enabled); see the rule's scaladoc
     e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     // catalog reads (graft.catalog.GraftCatalog tables) become
@@ -109,6 +114,48 @@ object GraftFunctionRegistry {
     ("count_min_long", classOf[CountMinLong].getName,
       es => CountMinLong(es(0), int(es(1), "count_min_long", "depth"),
         int(es(2), "count_min_long", "width"))))
+}
+
+/** A sibling SparkSession on the SAME SparkContext built WITH
+  * [[GraftExtensions]] — for live sessions that need an
+  * extension-only surface (`readChangeFeed`, the injected parser):
+  * optimizer rules and functions install onto a live session
+  * (`ResolveGraftCatalogReads.install`, `GraftFunctions.register`),
+  * but ANALYZER rules are fixed at session construction, so those
+  * surfaces need a session built with the extensions. Public-API
+  * bridge: `Builder.getOrCreate` returns the active/default session
+  * when one exists, so both are cleared around the build (and
+  * restored after) — the new session shares the SparkContext, all
+  * cluster state, and the warehouse; runtime SQL confs (catalog
+  * registrations, shuffle partitions) are per-session and must be
+  * set by the caller on the returned session. Cached per context. */
+object GraftSessions {
+  import org.apache.spark.sql.SparkSession
+
+  @volatile private var cached: SparkSession = _
+
+  def withExtensions(spark: SparkSession): SparkSession = synchronized {
+    val c = cached
+    if (c != null && (c.sparkContext eq spark.sparkContext) &&
+        !c.sparkContext.isStopped) return c
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SessionProfile.tune(SparkSession.builder()
+          .master(spark.sparkContext.master)
+          .withExtensions(new GraftExtensions))
+        .getOrCreate()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      cached = s2
+      s2
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
 
 /** Runtime twin of GraftExtensions for sessions that already exist. */

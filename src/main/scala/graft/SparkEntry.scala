@@ -1173,6 +1173,90 @@ object SparkEntry {
       ORDER BY _change_type, priority""")
   }
 
+  /** The UNIFIED CDC read under the oracle —
+    * `readStream.option("readChangeFeed", "true").table(bronze)`: the
+    * Delta-shaped surface on the table ITSELF (an analyzer rule from
+    * `GraftExtensions` re-points the relation at the changes face;
+    * `__changes` stays the option-free alias), serving typed
+    * `_change_type` rows from commit-version offsets instead of
+    * refusing row-changing commits. Lifecycle: insert wave → drain 1
+    * → COW range DELETE (typed capture) + MOR UPDATE (zero-rewrite
+    * pre/post pair capture) + second insert wave → drain 2 from the
+    * SAME checkpoint (exactly the unseen versions) → drain 3 (no new
+    * commits; an in-plan count assert pins zero re-delivery). The
+    * drained typed log then feeds the EXISTING apply machinery
+    * (`applyCdc`, latest-version-wins) into a keyed silver path. The
+    * oracled result unions the typed log grouped by `_change_type`
+    * with the silver state grouped by priority — the oracle replays
+    * capture and apply relationally. */
+  private def o87ReadChangeFeed(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val s = graft.GraftSessions.withExtensions(s0)
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh87_$sfx"
+    val ckpt = s"$tmpRoot/rcf87_ck_$sfx"
+    val silver = s"$tmpRoot/rcf87_sv_$sfx"
+    Seq(wh, ckpt, silver).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val cat = s"graft_o87_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rcf")
+    s.sql(s"CREATE TABLE $cat.rcf.bronze (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    s.sql(s"CREATE TABLE $cat.rcf.sink (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING, _change_type STRING, " +
+      "_change_version BIGINT)")
+    val bronze = s"$wh/rcf/bronze"
+    tl.enableCdcFeed(bronze)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 9)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 9),
+      statsCols = Seq("o_orderkey"))                              // v2
+    def drain(): Unit = {
+      val q = s.readStream.option("readChangeFeed", "true")
+        .table(s"$cat.rcf.bronze")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.rcf.sink")
+      assert(q.awaitTermination(180000), "o87: drain must terminate")
+    }
+    drain() // run 1: wave 1 as typed inserts
+    tl.deleteWhere(s, bronze, "o_orderkey", 2000, 9000,
+      statsCols = Seq("o_orderkey"))                              // v3
+    tl.updateMor(s, bronze, "o_orderkey", "o_orderkey", 10000, 20000,
+      Map("price_c" -> (col("price_c") + 55)),
+      statsCols = Seq("o_orderkey"))                              // v4
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 39),
+      statsCols = Seq("o_orderkey"))                              // v5
+    drain() // RESTART: exactly the unseen commits
+    val n2 = s.sql(s"SELECT count(*) FROM $cat.rcf.sink")
+      .head.getLong(0)
+    drain() // nothing new
+    assert(s.sql(s"SELECT count(*) FROM $cat.rcf.sink")
+      .head.getLong(0) == n2,
+      "o87: a drain with no new commits must deliver nothing")
+    // the typed log feeds the existing keyed apply machinery
+    tl.applyCdc(s, silver, s.sql(s"SELECT * FROM $cat.rcf.sink"),
+      "o_orderkey", statsCols = Seq("o_orderkey"))
+    s.sql(s"SELECT * FROM $cat.rcf.sink")
+      .groupBy(lit("log").as("face"),
+        col("_change_type").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .unionByName(tl.read(s, silver)
+        .groupBy(lit("silver").as("face"), col("priority").as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("price_c").as("sum_price_c"),
+          min("o_orderkey").as("min_ok"),
+          max("o_orderkey").as("max_ok")))
+      .orderBy("face", "grp")
+  }
+
   /** DELTA-BASED row-level DML through Spark's OWN framework
     * (`SupportsDelta`, `rowLevelMode = 'mor'`) under the oracle:
     * DELETE / UPDATE / MERGE on a catalog table run as WriteDelta —
@@ -4533,6 +4617,7 @@ object SparkEntry {
     "o84_changes_table" -> (o84ChangesTable _),
     "o85_delta_dml" -> (o85DeltaDml _),
     "o86_metadata_delete" -> (o86MetadataDelete _),
+    "o87_read_change_feed" -> (o87ReadChangeFeed _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6228,6 +6313,47 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM d2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // capture AND apply replayed relationally: the typed log is
+    // inserts = wave1 + the MOR update's post-images + wave2, deletes
+    // = the COW-deleted slice + the update's pre-images; the silver
+    // state is latest-version-wins over that log
+    "o87_read_change_feed" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 9),
+        |w1 AS (SELECT * FROM t WHERE o_orderkey % 60 = 9),
+        |w2 AS (SELECT * FROM t WHERE o_orderkey % 60 = 39),
+        |live1 AS (SELECT * FROM w1
+        |  WHERE o_orderkey NOT BETWEEN 2000 AND 9000),
+        |updo AS (SELECT * FROM live1
+        |  WHERE o_orderkey BETWEEN 10000 AND 20000),
+        |updn AS (SELECT o_orderkey, price_c + 55 AS price_c, priority
+        |  FROM updo),
+        |log AS (
+        |  SELECT 'insert' AS ct, * FROM w1
+        |  UNION ALL SELECT 'insert', * FROM updn
+        |  UNION ALL SELECT 'insert', * FROM w2
+        |  UNION ALL SELECT 'delete', * FROM w1
+        |    WHERE o_orderkey BETWEEN 2000 AND 9000
+        |  UNION ALL SELECT 'delete', * FROM updo),
+        |silver AS (
+        |  SELECT * FROM live1
+        |    WHERE o_orderkey NOT BETWEEN 10000 AND 20000
+        |  UNION ALL SELECT * FROM updn
+        |  UNION ALL SELECT * FROM w2)
+        |SELECT 'log' AS face, ct AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM log GROUP BY ct
+        |UNION ALL
+        |SELECT 'silver' AS face, priority AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM silver GROUP BY priority
+        |ORDER BY face, grp""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

@@ -158,7 +158,9 @@ final class GraftMicroBatchStream(path: String, tableName: String,
       s"${d.version} is a row-changing '${d.action}' commit, which " +
       "an append-only stream cannot represent — set " +
       "option(\"skipChangeCommits\", \"true\") to skip such commits, " +
-      "or consume the typed CDC change feed for row-level deltas")
+      "or read the typed CDC feed: " +
+      "option(\"readChangeFeed\", \"true\") on this table (sessions " +
+      s"built with GraftExtensions), or the ${tableName}__changes face")
 
   override def latestOffset(): Offset =
     latestOffset(GraftStreamOffset(startingVersion),

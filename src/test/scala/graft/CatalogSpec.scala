@@ -1106,6 +1106,80 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.stag.b")
   }
 
+  test("readChangeFeed on the table itself (extension session): " +
+      "typed rows, exactly-once across stop/restart, batch face, " +
+      "and refusals") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rcf")
+    spark.sql(s"CREATE TABLE $CAT.rcf.b (k BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $CAT.rcf.s (k BIGINT, v BIGINT, " +
+      "_change_type STRING, _change_version BIGINT)")
+    val path = s"$wh/rcf/b"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.rcf.b VALUES (1, 10), (2, 20)") // v2
+    // the extension session shares the context; catalog confs are
+    // per-session and must be re-declared
+    val s2 = GraftSessions.withExtensions(spark)
+    s2.conf.set(s"spark.sql.catalog.$CAT",
+      classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$CAT.warehouse", wh)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rcf").toString
+    def drain(): Unit = {
+      val q = s2.readStream.option("readChangeFeed", "true")
+        .table(s"$CAT.rcf.b")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$CAT.rcf.s")
+      assert(q.awaitTermination(120000))
+    }
+    drain() // run 1: the insert wave, typed
+    assert(spark.sql(s"SELECT k, _change_type FROM $CAT.rcf.s " +
+      "ORDER BY k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "insert"), (2L, "insert")))
+    // a COW delete (typed capture) + another insert land mid-stream
+    TableLog.deleteWhere(spark, path, "k", 1L, 1L)          // v3
+    spark.sql(s"INSERT INTO $CAT.rcf.b VALUES (3, 30)")     // v4
+    drain() // RESTART from the checkpoint: exactly the unseen versions
+    val afterTwo = spark.sql(s"SELECT _change_type, k FROM $CAT.rcf.s " +
+      "ORDER BY _change_version, k").as[(String, Long)].collect().toSeq
+    assert(afterTwo == Seq(("insert", 1L), ("insert", 2L),
+      ("delete", 1L), ("insert", 3L)), s"got $afterTwo")
+    drain() // run 3: nothing new — exactly-once means no re-delivery
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rcf.s")
+      .as[Long].head() == 4)
+    // the PLAIN data stream still refuses the row-changing commit,
+    // now pointing at readChangeFeed
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ePlain = intercept[Exception] {
+      val q = s2.readStream.table(s"$CAT.rcf.b")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_rcfp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    }
+    assert(msgs(ePlain).exists(_.contains("readChangeFeed")),
+      s"plain-stream refusal must point at the option, got ${msgs(ePlain)}")
+    // batch face: the whole feed so far as one typed frame
+    val batch = s2.read.option("readChangeFeed", "true")
+      .table(s"$CAT.rcf.b")
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(batch == Map("insert" -> 3L, "delete" -> 1L), s"got $batch")
+    // no feed → analysis-time refusal with guidance
+    spark.sql(s"CREATE TABLE $CAT.rcf.p (k BIGINT)")
+    val eNoFeed = intercept[Exception](
+      s2.read.option("readChangeFeed", "true").table(s"$CAT.rcf.p"))
+    assert(msgs(eNoFeed).exists(_.contains("no change feed")),
+      s"got ${msgs(eNoFeed)}")
+    Seq("b", "s", "p").foreach(t =>
+      spark.sql(s"DROP TABLE $CAT.rcf.$t"))
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse
