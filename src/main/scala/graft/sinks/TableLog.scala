@@ -251,9 +251,13 @@ object TableLog {
   // `;<col>:<min>:<max>[:<nulls>]` (long stat, optional null count) or
   // `;~<enc col>:<enc min>:<enc max>` (string stat, URL-encoded) —
   // paths are uuid-dir/part-file names, which never contain ';' or ':'.
-  // Segments are ADDITIVE: a parser that predates one ignores unknown
-  // prefixes, and absence reads as the legacy default (ver 0, bytes −1,
-  // rows −1, nulls −1)
+  // Absence of a segment reads as the legacy default (ver 0, bytes −1,
+  // rows −1, nulls −1) — OLD manifests parse under NEW readers. The
+  // converse is NOT true: a reader that predates a segment CRASHES on
+  // it (an unknown `;x` prefix lands in the long-stat arm; a 4th stat
+  // field breaks a 3-way split), so every segment addition must bump
+  // `ManifestFormat` below and readers refuse manifests stamped newer
+  // than they understand instead of misparsing them.
   private def renderEntry(f: FileEntry): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     f.path +
@@ -303,6 +307,16 @@ object TableLog {
       java.net.URLDecoder.decode(keyCol, "UTF-8"), ver.toLong)
   }
 
+  /** The manifest dialect this build reads and writes, stamped as
+    * `format=` in every manifest. Bump it whenever a change would
+    * MISPARSE under the previous reader (a new entry-codec segment, a
+    * new stat field) — additions an old reader safely ignores (new
+    * `key=` lines) don't need one. Readers refuse manifests stamped
+    * newer than this, loudly: the alternative is an AIOOBE deep in the
+    * entry codec, or worse a silently wrong parse. Unstamped manifests
+    * predate the stamp and always parse (dialect 1). */
+  private[graft] val ManifestFormat = 2
+
   /** Parse a manifest; the `end=true` terminator is written last, so a
     * manifest missing it (impossible via the link protocol, possible if
     * someone hand-copies a partial file) is rejected. */
@@ -318,6 +332,10 @@ object TableLog {
         l.startsWith("schemaop=") || l.startsWith("check="))
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     if (!kv.get("end").contains("true")) return None
+    kv.get("format").map(_.toLong).filter(_ > ManifestFormat).foreach(f =>
+      sys.error(s"manifest $p is format $f, newer than this reader's " +
+        s"$ManifestFormat — upgrade the reader before opening tables " +
+        "written by newer writers (refusing rather than misparsing)"))
     Some(ManifestRec(
       version = kv("version").toLong,
       baseVersion = kv("base").toLong,
@@ -361,6 +379,7 @@ object TableLog {
 
   private def renderManifest(r: ManifestRec): String = {
     val sb = new StringBuilder
+    sb ++= s"format=$ManifestFormat\n"
     sb ++= s"version=${r.version}\n"
     sb ++= s"base=${r.baseVersion}\n"
     sb ++= s"action=${r.action}\n"
@@ -660,25 +679,24 @@ object TableLog {
         max(e.cast("long")).as(s"dmx_$i")) } ++
       statsCols.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.functions.count(col(c)).as(s"cnt_$i") }
-    // parse one grouped-agg row into (long stats, string stats);
-    // `base` = the ordinal of the first stat column in the row. An
-    // all-null file has no range in either space — omit the stat
-    // (readers keep stat-less files, so absence is safe) instead of
-    // NPE-ing on getLong.
-    def parseStats(r: org.apache.spark.sql.Row, base: Int)
-        : (Seq[FileStat], Seq[FileStrStat]) = {
+    // one grouped-agg row parsed into (long stats, string stats,
+    // per-column NON-NULL counts); `base` = the ordinal of the first
+    // stat column in the row. Null counts can only be derived once the
+    // file's TOTAL row count is known (nulls = rows − nonNull), so the
+    // non-null counts travel as their own map and `withNulls` joins
+    // them in at entry-build time — FileStat.nulls never carries an
+    // intermediate encoding. An all-null file has no range in either
+    // space — omit the stat (readers keep stat-less files, so absence
+    // is safe) instead of NPE-ing on getLong.
+    type ParsedStats = (Seq[FileStat], Seq[FileStrStat], Map[String, Long])
+    def parseStats(r: org.apache.spark.sql.Row, base: Int): ParsedStats = {
       val off = base + 2 * statsCols.size
       val doff = off + 2 * strStatsCols.size
       val coff = doff + 2 * derivedStats.size
       (statsCols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(base + 2 * i)) None
         else Some(FileStat(c, r.getLong(base + 2 * i),
-          r.getLong(base + 2 * i + 1),
-          // nulls from the appended count agg; the row's group is one
-          // file, so count(1)-equivalent is injected by the caller as
-          // the per-file total (nulls patched there — here we carry
-          // the NON-NULL count negated as a sentinel the caller flips)
-          nulls = -(r.getLong(coff + i) + 2)))
+          r.getLong(base + 2 * i + 1)))
       }.toSeq ++ derivedStats.zipWithIndex.flatMap { case ((n, _), i) =>
         if (r.isNullAt(doff + 2 * i)) None
         else Some(FileStat(n, r.getLong(doff + 2 * i),
@@ -688,17 +706,26 @@ object TableLog {
           if (r.isNullAt(off + 2 * i)) None
           else Some(FileStrStat(c, r.getString(off + 2 * i),
             r.getString(off + 2 * i + 1)))
-        }.toSeq)
+        }.toSeq,
+        statsCols.zipWithIndex.map { case (c, i) =>
+          c -> r.getLong(coff + i) }.toMap)
     }
-    // flip parseStats' sentinel into a real null count once the file's
-    // total row count is known: nulls = rows − nonNull
-    def patchNulls(ls: Seq[FileStat], fileRows: Long): Seq[FileStat] =
-      ls.map(st =>
-        if (st.nulls <= -2) st.copy(nulls = fileRows - (-st.nulls - 2))
-        else st)
+    // nulls = rows − nonNull for the declared stat columns (derived
+    // stats carry no count agg and stay at the legacy "unknown")
+    def withNulls(ls: Seq[FileStat], nonNull: Map[String, Long],
+        fileRows: Long): Seq[FileStat] =
+      ls.map(st => nonNull.get(st.col)
+        .map(nn => st.copy(nulls = fileRows - nn)).getOrElse(st))
     val distributedCount = allNames.size > footerCountThreshold
+    def countOf(n: String): Long = {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            s"$table/${relByName(n)}"), hconf))
+      try rdr.getRecordCount finally rdr.close()
+    }
     val (countByName: Map[String, Long],
-        distStats: Map[String, (Seq[FileStat], Seq[FileStrStat])]) =
+        distStats: Map[String, ParsedStats]) =
       if (distributedCount) {
         import org.apache.spark.sql.functions.{count, lit}
         val aggs = (count(lit(1)).as("__n") +: statAggs)
@@ -709,19 +736,32 @@ object TableLog {
           .collect()
         val counted = rs.map(r =>
           r.getString(0).split("/").last -> r.getLong(1)).toMap
+        // files with no aggregate group are deleted as empty below, so
+        // a group keyed by a basename outside the just-written set —
+        // URI-encoding drift, an alien path in the scan — must fail
+        // LOUDLY here: mapping it to getOrElse-0 would physically
+        // delete a non-empty data file (the footer path fails loudly
+        // on the same shape by construction)
+        val unknown = counted.keySet -- allNames
+        require(unknown.isEmpty,
+          s"statEntriesFor($table): distributed row-count groups " +
+            s"match no just-written file: ${unknown.take(5).mkString(",")}")
+        // "no group" usually means a zero-row part file — but prove it
+        // with the file's own footer before the caller deletes it (the
+        // claimed-empty set is small, so this is a handful of
+        // metadata reads, not a driver stall)
+        allNames.filterNot(counted.contains).foreach { n =>
+          val c = countOf(n)
+          require(c == 0L,
+            s"statEntriesFor($table): $n has $c rows in its footer " +
+              "but produced no distributed aggregate group — the " +
+              "scan missed it; refusing to delete it as empty")
+        }
         (allNames.map(n => n -> counted.getOrElse(n, 0L)).toMap,
-          if (statAggs.isEmpty) Map.empty[String,
-            (Seq[FileStat], Seq[FileStrStat])]
+          if (statAggs.isEmpty) Map.empty[String, ParsedStats]
           else rs.map(r =>
             r.getString(0).split("/").last -> parseStats(r, 2)).toMap)
       } else {
-        def countOf(n: String): Long = {
-          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(
-                s"$table/${relByName(n)}"), hconf))
-          try rdr.getRecordCount finally rdr.close()
-        }
         val counts =
           if (allNames.size <= 4) allNames.map(n => n -> countOf(n)).toMap
           else {
@@ -733,7 +773,7 @@ object TableLog {
               .map { case (n, f) => n -> f.get() }.toMap
             finally pool.shutdown()
           }
-        (counts, Map.empty[String, (Seq[FileStat], Seq[FileStrStat])])
+        (counts, Map.empty[String, ParsedStats])
       }
     val names = allNames.filter(n => countByName(n) > 0L)
     allNames.filterNot(countByName(_) > 0L).foreach { n =>
@@ -743,7 +783,7 @@ object TableLog {
     }
     val rows = countByName.valuesIterator.sum
     val livePaths = names.map(n => s"$table/${relByName(n)}")
-    val statsByName: Map[String, (Seq[FileStat], Seq[FileStrStat])] =
+    val statsByName: Map[String, ParsedStats] =
       if (statAggs.isEmpty || names.isEmpty) Map.empty
       else if (distributedCount) distStats
       else spark.read.parquet(livePaths: _*)
@@ -780,12 +820,13 @@ object TableLog {
         }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSeq }
       }
     (names.map { n =>
-      val (ls, ss) = statsByName.getOrElse(n, (Nil, Nil))
+      val (ls, ss, nonNull) =
+        statsByName.getOrElse(n, (Nil, Nil, Map.empty[String, Long]))
       // size + row count recorded NOW, while the writer already holds
       // the file's metadata hot — every later footprint or row-count
       // question (computeStats, detail, compaction sizing, the
       // metadata-only DELETE's accounting) becomes a manifest lookup
-      FileEntry(relByName(n), patchNulls(ls, countByName(n)),
+      FileEntry(relByName(n), withNulls(ls, nonNull, countByName(n)),
         ss ++ bloomByName.getOrElse(n, Nil),
         bytes = try Files.size(Paths.get(table, relByName(n)))
           catch { case _: java.io.IOException => -1L },
@@ -4948,13 +4989,25 @@ object TableLog {
       val rmPaths = drop.map(_.path)
       val version = base.version + 1
       val rows = base.rows - removedLive
+      val rm = rmPaths.toSet
+      val survivors = base.files.filterNot(f => rm(f.path))
+      // a deletion vector whose every fenced target file was just
+      // dropped is DEAD: carrying it forward makes every future scan
+      // load an orphaned sidecar and lets maintainDvIfHeavy count its
+      // bytes toward an unnecessary full rewrite. Prune it here — and
+      // since a delta manifest has no del-removal line, an orphaning
+      // drop forces a FULL manifest (rare: only when a DV's whole
+      // fenced range fell inside the deleted files). mdDeletePlan
+      // refused KEY sidecars, so every pending entry is a DV.
+      val liveDels = base.dels.filter(d =>
+        survivors.exists(f => sidecarFences(base, f, d)))
       val r =
-        if (version % checkpointInterval == 0) {
-          val rm = rmPaths.toSet
+        if (version % checkpointInterval == 0 ||
+            liveDels.size < base.dels.size)
           ManifestRec(version, base.version, "delete", rows, "full",
-            base.files.filterNot(f => rm(f.path)), Nil, Nil, base.dels,
+            survivors, Nil, Nil, liveDels,
             Nil, None, base.schemaJson, base.counters)
-        } else
+        else
           ManifestRec(version, base.version, "delete", rows, "delta",
             Nil, Nil, rmPaths, Nil, Nil, None, base.schemaJson,
             base.counters)

@@ -813,6 +813,99 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.mdv.t")
   }
 
+  test("metadata-only DELETE prunes deletion vectors whose every " +
+      "target file was dropped (no orphaned sidecar survives)") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.mdo")
+    spark.sql(s"CREATE TABLE $CAT.mdo.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/mdo/t"
+    (0 until 2).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    // a vector confined ENTIRELY to file 0 (its string-stat file-key
+    // range fences only that file)...
+    spark.sql(s"DELETE FROM $CAT.mdo.t WHERE k < 1000 AND k % 100 = 7")
+    val withDv = TableLog.snapshot(path).get
+    assert(withDv.dels.nonEmpty && withDv.rows == 1990)
+    // ...orphans when file 0 drops whole: the entry must vanish from
+    // the manifest instead of being read (and byte-counted toward a
+    // morMaintain rewrite) forever
+    val md0 = TableLog.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $CAT.mdo.t WHERE k < 1000")
+    assert(TableLog.metadataDeletes.get() == md0 + 1,
+      "the drop must stay metadata-only")
+    val s1 = TableLog.snapshot(path).get
+    assert(s1.dels.isEmpty,
+      s"orphaned deletion vector must be pruned, got ${s1.dels}")
+    assert(s1.rows == 1000 && spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.mdo.t").as[Long].head() == 1000)
+    // a vector that still fences a SURVIVING file is NOT pruned
+    spark.sql(s"DELETE FROM $CAT.mdo.t WHERE k % 100 = 7") // 10 rows
+    assert(TableLog.snapshot(path).get.dels.nonEmpty)
+    TableLog.append(spark, path,
+      spark.range(2000L, 3000L).select($"id".as("k"),
+        ($"id" % 10).as("v")).coalesce(1), statsCols = Seq("k"))
+    val md1 = TableLog.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $CAT.mdo.t WHERE k >= 2000")
+    assert(TableLog.metadataDeletes.get() == md1 + 1)
+    val s2 = TableLog.snapshot(path).get
+    assert(s2.dels.nonEmpty,
+      "a vector fencing a surviving file must carry forward")
+    assert(s2.rows == 990 && spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.mdo.t").as[Long].head() == 990)
+    spark.sql(s"DROP TABLE $CAT.mdo.t")
+  }
+
+  test("vacuum sweeps crashed row-level staging orphans (rl-/rld-) " +
+      "while referenced deletion-vector shards survive") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.vrl")
+    spark.sql(s"CREATE TABLE $CAT.vrl.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/vrl/t"
+    (0 until 2).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    // a real delta DML leaves a REFERENCED DV shard under data/rld-*
+    spark.sql(s"DELETE FROM $CAT.vrl.t WHERE k % 100 = 7") // 20 rows
+    val dvPaths = TableLog.snapshot(path).get.dels.map(_.file.path)
+    assert(dvPaths.nonEmpty && dvPaths.forall(_.startsWith("data/rld-")))
+    // a driver crash mid-write leaves unmanifested staging files that
+    // abort() never got to delete — both the group-rewrite (rl-) and
+    // delta (rld-) shapes
+    spark.range(99).toDF("k")
+      .write.parquet(s"$path/data/rl-deadc0de")
+    spark.range(42).toDF("k")
+      .write.parquet(s"$path/data/rld-deadbeef")
+    def count() = spark.sql(s"SELECT count(*) AS n FROM $CAT.vrl.t")
+      .as[Long].head()
+    assert(count() == 1980, "orphans must be invisible to reads")
+    val deleted = TableLog.vacuum(spark, path, olderThanMs = 0L)
+    assert(deleted.exists(_.startsWith("data/rl-deadc0de")),
+      s"rl- orphan must be swept, got $deleted")
+    assert(deleted.exists(_.startsWith("data/rld-deadbeef")),
+      s"rld- orphan must be swept, got $deleted")
+    // the emptied dir's mtime was refreshed by the deletions, so the
+    // dir itself goes on the NEXT sweep (files are what cost bytes)
+    val orphanDir = java.nio.file.Paths.get(path, "data/rl-deadc0de")
+    if (java.nio.file.Files.exists(orphanDir)) {
+      val s = java.nio.file.Files.list(orphanDir)
+      try assert(!s.iterator().hasNext,
+        "no files may remain under the swept orphan dir")
+      finally s.close()
+      TableLog.vacuum(spark, path, olderThanMs = 0L)
+    }
+    assert(!java.nio.file.Files.exists(orphanDir))
+    dvPaths.foreach(p => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, p)),
+      s"referenced DV shard $p must survive the sweep"))
+    assert(count() == 1980, "reads identical after the sweep")
+    spark.sql(s"DROP TABLE $CAT.vrl.t")
+  }
+
   test("metadata columns on a STREAMING read refuse with guidance " +
       "(Spark never prunes them into the stream's scan)") {
     val wh = warehouse

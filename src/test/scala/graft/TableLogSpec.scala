@@ -1143,6 +1143,21 @@ class TableLogSpec extends SparkSpec {
       // the no-op contract survives here too
       assert(TableLog.deleteWhere(spark, t, "k", 1000000, 2000000,
         statsCols = Seq("k")) == v)
+      // null counts ride the distributed pass like the footer path:
+      // nulls = per-file rows − the aggregate's non-null count
+      assert(after.files.forall(
+        _.stats.find(_.col == "k").exists(_.nulls == 0)),
+        "null-free files must record nulls = 0 through the " +
+          "distributed pass")
+      TableLog.append(spark, t,
+        spark.range(4).selectExpr(
+          "IF(id % 2 = 0, id + 50000, NULL) AS k").coalesce(1),
+        statsCols = Seq("k"))
+      val nf = TableLog.snapshot(t).get.files
+        .find(_.stats.exists(st => st.col == "k" && st.min >= 50000))
+        .getOrElse(fail("null-bearing file not found"))
+      assert(nf.stats.find(_.col == "k").get.nulls == 2,
+        "the distributed pass must record the exact null count")
     } finally TableLog.footerCountThreshold = saved
   }
 
@@ -3143,5 +3158,31 @@ class TableLogSpec extends SparkSpec {
       counterSet = Map("bits" -> 9L))(df => df)
     assert(TableLog.snapshot(t).get.counters ==
       Map("docs" -> 15L, "bits" -> 9L))
+  }
+
+  test("manifest format gate: a manifest stamped newer than this " +
+      "reader refuses loudly; unstamped (legacy) manifests parse") {
+    val t = tmp("graft_log_format")
+    TableLog.create(spark, t, spark.range(10).toDF("k"))
+    val logDir = java.nio.file.Paths.get(t, "_log")
+    val v1 = logDir.resolve("v00000001.manifest")
+    // every manifest this build writes is stamped with the current
+    // dialect
+    val body = new String(java.nio.file.Files.readAllBytes(v1),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(body.startsWith(s"format=${TableLog.ManifestFormat}\n"))
+    // a future-dialect manifest refuses instead of misparsing (the
+    // entry codec is NOT forward-compatible: an unknown segment is an
+    // AIOOBE at best, a wrong value at worst)
+    java.nio.file.Files.write(v1,
+      body.replaceFirst("format=\\d+", "format=9999")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[RuntimeException](TableLog.snapshot(t))
+    assert(e.getMessage.contains("format 9999"), e.getMessage)
+    // an UNSTAMPED manifest (pre-gate legacy) still parses
+    java.nio.file.Files.write(v1,
+      body.replaceFirst("format=\\d+\n", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(TableLog.snapshot(t).get.rows == 10L)
   }
 }
