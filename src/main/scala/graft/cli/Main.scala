@@ -15,12 +15,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
+    def usage(): Nothing = {
       System.err.println(
         "usage: graft.cli.Main <convert-cna|convert-cna-with-derived|convert-mutations> <datahubDir>\n" +
         "     | graft.cli.Main <combine-cna|combine-cna-with-derived|combine-mutations> <dir> <outputBase>")
       sys.exit(2)
     }
+    if (args.length < 2) usage()
+    // combine modes take a third positional (the output base name)
+    if (args(0).startsWith("combine-") && args.length < 3) usage()
     val mode = args(0)
     val spark = graft.SessionProfile.tune(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -45,7 +48,8 @@ object Main {
         case "combine-mutations" =>
           Pipelines.combine(spark, args(1), args(2), Pipelines.mutationSuffixes)
         case other =>
-          System.err.println(s"unknown mode: $other"); sys.exit(2); Nil
+          System.err.println(s"unknown mode: $other")
+          usage()
       }
       written.foreach(p => println(s"wrote: $p"))
       // total wall-clock log, like the reference (cmd/cli/main.go:76,107-108)
