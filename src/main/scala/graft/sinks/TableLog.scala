@@ -3640,13 +3640,18 @@ object TableLog {
       val version = base.version + 1
       val stamped = files.map(_.copy(ver = version))
       val removed = subset.map(_.path)
+      // sidecars whose every fenced file was packed away (morScan
+      // applied them) prune here too — full manifest when pruned
+      val rm = removed.toSet
+      val survivors = base.files.filterNot(f => rm(f.path)) ++ stamped
+      val liveDels = liveDelsAfter(base, survivors)
       val r =
-        if (version % checkpointInterval == 0) {
-          val rm = removed.toSet
+        if (version % checkpointInterval == 0 ||
+            liveDels.size < base.dels.size)
           ManifestRec(version, base.version, "compact", base.rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
-            base.dels, Nil, None, base.schemaJson, base.counters)
-        } else
+            survivors, Nil, Nil,
+            liveDels, Nil, None, base.schemaJson, base.counters)
+        else
           ManifestRec(version, base.version, "compact", base.rows, "delta",
             Nil, stamped, removed, Nil, Nil, None, base.schemaJson,
             base.counters)
@@ -3711,6 +3716,21 @@ object TableLog {
     dvCache.put(key, set)
     set
   }
+
+  /** The delete entries still worth carrying once `survivors` is the
+    * file list: an entry fencing NO surviving file is DEAD — its keys/
+    * positions were applied by whatever rewrite or drop removed its
+    * targets — and carrying it forever costs every future scan a
+    * sidecar load and lets `maintainDvIfHeavy` count dead bytes toward
+    * an unnecessary rewrite. Callers that prune must write a FULL
+    * manifest when anything was pruned (a delta has no del-removal
+    * line). O(dels × files) stat comparisons, zero I/O; dels is
+    * maintenance-bounded, and the empty common case is free. */
+  private def liveDelsAfter(base: Snapshot,
+      survivors: Seq[FileEntry]): Seq[DeleteEntry] =
+    if (base.dels.isEmpty) Nil
+    else base.dels.filter(d =>
+      survivors.exists(f => sidecarFences(base, f, d)))
 
   private[graft] def sidecarFences(s: Snapshot, f: FileEntry,
       d: DeleteEntry): Boolean = {
@@ -4448,14 +4468,20 @@ object TableLog {
       val rows = base.rows - (scanRows - newRows)
       val version = base.version + 1
       val stamped = newFiles.map(_.copy(ver = version))
-      // mirror append's checkpoint cadence so delta chains stay bounded
+      // mirror append's checkpoint cadence so delta chains stay
+      // bounded; sidecars whose every fenced file this rewrite
+      // replaced (morScan applied them) are pruned — full manifest
+      // when anything pruned (liveDelsAfter)
+      val rm = affectedPaths.toSet
+      val survivors = base.files.filterNot(f => rm(f.path)) ++ stamped
+      val liveDels = liveDelsAfter(base, survivors)
       val r =
-        if (version % checkpointInterval == 0) {
-          val rm = affectedPaths.toSet
+        if (version % checkpointInterval == 0 ||
+            liveDels.size < base.dels.size)
           ManifestRec(version, base.version, "delete", rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
-            base.dels, Nil, txnId, base.schemaJson, base.counters)
-        } else
+            survivors, Nil, Nil,
+            liveDels, Nil, txnId, base.schemaJson, base.counters)
+        else
           ManifestRec(version, base.version, "delete", rows, "delta",
             Nil, stamped, affectedPaths, Nil, Nil, txnId, base.schemaJson,
             base.counters)
@@ -4822,13 +4848,24 @@ object TableLog {
       val version = base.version + 1
       val stamped = entries.map(_.copy(ver = version))
       val rows = base.rows - removedRows + newRows
+      val rm = removedPaths.toSet
+      val survivors = base.files.filterNot(f => rm(f.path)) ++ stamped
+      // same orphan rule as metadataDelete: a sidecar whose every
+      // fenced file was just replaced (its keys/positions applied in
+      // the rewrite) must not be carried forever — prune it, forcing a
+      // FULL manifest when anything pruned (deltas can't remove dels).
+      // The stamped new files are in `survivors` deliberately: a new
+      // basename that lexically falls inside a vector's file-key range
+      // keeps it (conservative — exact membership resolves at scan
+      // time through the loaded vector, a map miss keeps the row).
+      val liveDels = liveDelsAfter(base, survivors)
       val r =
-        if (version % checkpointInterval == 0) {
-          val rm = removedPaths.toSet
+        if (version % checkpointInterval == 0 ||
+            liveDels.size < base.dels.size)
           ManifestRec(version, base.version, action, rows, "full",
-            base.files.filterNot(f => rm(f.path)) ++ stamped, Nil, Nil,
-            base.dels, Nil, None, base.schemaJson, base.counters)
-        } else
+            survivors, Nil, Nil,
+            liveDels, Nil, None, base.schemaJson, base.counters)
+        else
           ManifestRec(version, base.version, action, rows, "delta",
             Nil, stamped, removedPaths, Nil, Nil, None, base.schemaJson,
             base.counters)
@@ -4991,16 +5028,11 @@ object TableLog {
       val rows = base.rows - removedLive
       val rm = rmPaths.toSet
       val survivors = base.files.filterNot(f => rm(f.path))
-      // a deletion vector whose every fenced target file was just
-      // dropped is DEAD: carrying it forward makes every future scan
-      // load an orphaned sidecar and lets maintainDvIfHeavy count its
-      // bytes toward an unnecessary full rewrite. Prune it here — and
-      // since a delta manifest has no del-removal line, an orphaning
-      // drop forces a FULL manifest (rare: only when a DV's whole
-      // fenced range fell inside the deleted files). mdDeletePlan
-      // refused KEY sidecars, so every pending entry is a DV.
-      val liveDels = base.dels.filter(d =>
-        survivors.exists(f => sidecarFences(base, f, d)))
+      // prune deletion vectors orphaned by the drop (liveDelsAfter;
+      // forcing a FULL manifest when anything pruned — rare: only when
+      // a DV's whole fenced range fell inside the dropped files).
+      // mdDeletePlan refused KEY sidecars, so every entry is a DV.
+      val liveDels = liveDelsAfter(base, survivors)
       val r =
         if (version % checkpointInterval == 0 ||
             liveDels.size < base.dels.size)

@@ -858,6 +858,46 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $CAT.mdo.t")
   }
 
+  test("COW row-level rewrite prunes deletion vectors whose every " +
+      "fenced file it replaced") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.cdo")
+    spark.sql(s"CREATE TABLE $CAT.cdo.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/cdo/t"
+    (0 until 2).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    // a vector confined to file 0, via the engine face (the table's
+    // rowLevelMode stays 'cow' so vanilla DML takes ReplaceData)
+    TableLog.deleteDv(spark, path,
+      col("k") < 1000 && col("k") % 100 === 7) // 10 rows
+    assert(TableLog.snapshot(path).get.dels.nonEmpty)
+    assert(TableLog.snapshot(path).get.rows == 1990)
+    // a straddling vanilla DELETE rewrites BOTH files (not exact
+    // coverage, so the metadata-only path cannot fire): the vector's
+    // only fenced file is gone and its positions were applied in the
+    // rewrite — the entry must not be carried forward
+    val md0 = TableLog.metadataDeletes.get()
+    spark.sql(s"DELETE FROM $CAT.cdo.t WHERE k >= 500 AND k < 1500")
+    assert(TableLog.metadataDeletes.get() == md0,
+      "the straddling shape must take the COW rewrite")
+    val s1 = TableLog.snapshot(path).get
+    assert(s1.dels.isEmpty,
+      s"orphaned vector must be pruned by the rewrite, got ${s1.dels}")
+    // 1990 − (1000 live rows in [500,1500) minus the 5 already
+    // vector-deleted there) = 995
+    assert(s1.rows == 995 && spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.cdo.t").as[Long].head() == 995)
+    // k%100=7 survivors: the vector deleted {7..907}, the rewrite
+    // {1007..1407} — only {1507..1907} remain
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.cdo.t " +
+      "WHERE k % 100 = 7").as[Long].head() == 5,
+      "vector-deleted rows must stay deleted through the rewrite")
+    spark.sql(s"DROP TABLE $CAT.cdo.t")
+  }
+
   test("vacuum sweeps crashed row-level staging orphans (rl-/rld-) " +
       "while referenced deletion-vector shards survive") {
     val wh = warehouse
