@@ -2840,27 +2840,36 @@ object SparkEntry {
     * Three stage aggregations, each a keyed join back on user_id (the
     * previous stage's timestamp gates the next) — no window over the whole
     * event history, so each stage shuffles only (user, ts) pairs. */
+  /** Three-stage funnel in ONE shuffle: each stage's per-user
+    * timestamp is a whole-partition window min whose condition reads
+    * the PREVIOUS stage's min (`c_us = min(us | click ∧ us > v_us)`),
+    * so the three WindowExecs chain over one hash(user_id) exchange +
+    * one sort, the per-user reduction reuses the same partitioning
+    * (zero extra shuffles), and the stage counts are one partial-agg
+    * count-non-null pass. Replaces the 3-shuffle / 2-join / 2-persist
+    * formulation (r8-r16): at 100 TB that shape materialized the whole
+    * user dimension to executor storage twice and ran three separate
+    * actions; this one is a single declarative job. */
   private def e8Funnel(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    import s.implicits._
-    val ev = T(s, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
-    // each stage feeds the next AND its own count — persist the two reused
-    // ones, take the three scalar counts eagerly, release the caches
-    val v = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("v_us"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c = ev.where(col("event_type") === "click")
-      .join(v, "user_id").where(col("us") > col("v_us"))
-      .groupBy("user_id").agg(min("us").as("c_us"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val p = ev.where(col("event_type") === "purchase")
-      .join(c, "user_id").where(col("us") > col("c_us"))
-      .groupBy("user_id").agg(min("us").as("p_us"))
-    val result = try Seq((v.count(), c.count(), p.count()))
-      .toDF("n_view", "n_view_click", "n_full_funnel")
-    finally { v.unpersist(blocking = false); c.unpersist(blocking = false) }
-    result
+    val w = Window.partitionBy("user_id")
+    val staged = T(s, dir, "events")
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("v_us", min(when(col("event_type") === "view",
+        col("us"))).over(w))
+      .withColumn("c_us", min(when(col("event_type") === "click" &&
+        col("us") > col("v_us"), col("us"))).over(w))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        col("us") > col("c_us"), col("us"))).over(w))
+    // one row per user (the window mins are per-user constants), then
+    // count the non-null stage marks
+    staged.groupBy("user_id")
+      .agg(first("v_us").as("v_us"), first("c_us").as("c_us"),
+        first("p_us").as("p_us"))
+      .agg(count("v_us").as("n_view"),
+        count("c_us").as("n_view_click"),
+        count("p_us").as("n_full_funnel"))
   }
 
   /** The typed-Aggregator surface: variance from exact integer moments via
