@@ -3,14 +3,16 @@ package graft.catalog
 import graft.sinks.TableLog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+  Expression, GenericInternalRow, JoinedRow, Literal, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{
   InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream, Offset, ReadLimit, ReadMaxFiles,
   SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.graft.{ParquetRead, ParquetReadFactory}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -353,7 +355,6 @@ final class GraftStreamReaderFactory(pr: ParquetReadFactory,
     val it =
       if (identity && dv == null) base
       else {
-        val file = UTF8String.fromString(p.relPath)
         val dvKey = if (dv == null) null
           else graft.sinks.TableLog.lastTwo(p.relPath)
         var rowIdx = -1L
@@ -364,27 +365,42 @@ final class GraftStreamReaderFactory(pr: ParquetReadFactory,
         // strictly sequential iterator, so a pending positional MOR
         // delete drops exactly its vectored rows with survivors'
         // `_pos` untouched
-        base.filter { _ =>
+        val filtered = base.filter { _ =>
           rowIdx += 1
           dv == null || !dv.containsKey(dvKey, rowIdx)
-        }.map { row =>
-          // copy() first: vectorized rows are mutable views into the
-          // current batch; a projected GenericInternalRow LOOKS
-          // immutable to buffering consumers, so it must own its data
-          val r = row.copy()
-          val out = new GenericInternalRow(p.proj.length)
-          var i = 0
-          while (i < p.proj.length) {
-            p.proj(i) match {
-              case -1 => out.update(i, p.version)
-              case -2 => out.update(i, file)
-              case -3 => out.update(i, rowIdx)
-              case j => out.update(i,
-                if (r.isNullAt(j)) null else r.get(j, outTypes(i)))
+        }
+        if (identity) filtered
+        // ^ vector-filtered identity scan (the common vanilla-session
+        //   row-level shape): survivors pass through as the same
+        //   reused views the plain identity path serves — zero copies
+        else {
+          // codegen'd UnsafeProjection into ONE reused row buffer —
+          // no per-row allocation or boxing (the old path paid a
+          // row.copy() + a boxed GenericInternalRow per row). Reuse
+          // is the source contract: the identity path has always
+          // returned the vectorized reader's mutable views, so every
+          // consumer copies when it buffers. The per-row metadata
+          // (the shared physical index) rides a 1-field row joined
+          // LEFT of the data row; constants (version, file) fold as
+          // literals into the generated code.
+          val exprs: Seq[Expression] =
+            p.proj.toSeq.zipWithIndex.map { case (src, i) =>
+              src match {
+                case -1 => Literal(p.version, LongType)
+                case -2 =>
+                  Literal(UTF8String.fromString(p.relPath), StringType)
+                case -3 => BoundReference(0, LongType, nullable = false)
+                case j => BoundReference(1 + j, outTypes(i),
+                  nullable = true)
+              }
             }
-            i += 1
+          val project = UnsafeProjection.create(exprs)
+          val meta = new GenericInternalRow(1)
+          val joined = new JoinedRow
+          filtered.map { row =>
+            meta.setLong(0, rowIdx)
+            project(joined(meta, row)): InternalRow
           }
-          out: InternalRow
         }
       }
     new PartitionReader[InternalRow] {
