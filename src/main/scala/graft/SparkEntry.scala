@@ -1173,6 +1173,62 @@ object SparkEntry {
       ORDER BY _change_type, priority""")
   }
 
+  /** The BOUNDED batch CDC read under the oracle —
+    * `spark.read.option("startingVersion"/"endingVersion"/tags, …)
+    * .table(bronze__changes)`: the "what changed between v5 and v9"
+    * incremental-ETL shape, opening exactly the window's feed links.
+    * Lifecycle: insert wave (v2, tagged) → COW range DELETE (v3,
+    * typed capture) → MOR UPDATE (v4, old/new image pair) → second
+    * insert wave (v5). The oracled result unions three windows —
+    * whole feed, the closed [v3,v4] mutation window, and
+    * startingTag(wave1) (exclusive → [v3,v5]) — each grouped by
+    * change type; the oracle reconstructs every window relationally
+    * from the same base slices. */
+  private def o88ChangesBetween(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh88_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o88_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cb")
+    s.sql(s"CREATE TABLE $cat.cb.bronze (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val bronze = s"$wh/cb/bronze"
+    tl.enableCdcFeed(bronze)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 19)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 19),
+      statsCols = Seq("o_orderkey"))                              // v2
+    tl.tagVersion(bronze, "wave1", 2L)
+    tl.deleteWhere(s, bronze, "o_orderkey", 2000, 9000,
+      statsCols = Seq("o_orderkey"))                              // v3
+    tl.updateMor(s, bronze, "o_orderkey", "o_orderkey", 10000, 20000,
+      Map("price_c" -> (col("price_c") + 77)),
+      statsCols = Seq("o_orderkey"))                              // v4
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 49),
+      statsCols = Seq("o_orderkey"))                              // v5
+    def window(face: String, opts: (String, String)*): DataFrame = {
+      var r = s.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table(s"$cat.cb.bronze__changes")
+        .groupBy(lit(face).as("face"), col("_change_type").as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    }
+    window("all")
+      .unionByName(window("mutations",
+        "startingVersion" -> "3", "endingVersion" -> "4"))
+      .unionByName(window("after_wave1", "startingTag" -> "wave1"))
+      .orderBy("face", "grp")
+  }
+
   /** The UNIFIED CDC read under the oracle —
     * `readStream.option("readChangeFeed", "true").table(bronze)`: the
     * Delta-shaped surface on the table ITSELF (an analyzer rule from
@@ -4627,6 +4683,7 @@ object SparkEntry {
     "o85_delta_dml" -> (o85DeltaDml _),
     "o86_metadata_delete" -> (o86MetadataDelete _),
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
+    "o88_changes_between" -> (o88ChangesBetween _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6322,6 +6379,42 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM d2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // every window reconstructed relationally from the same base
+    // slices: all = the full typed log; mutations [v3,v4] = the COW
+    // delete + the MOR update's pre/post pair; after the wave1 tag
+    // (exclusive) = mutations + wave2
+    "o88_changes_between" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 19),
+        |w1 AS (SELECT * FROM t WHERE o_orderkey % 60 = 19),
+        |w2 AS (SELECT * FROM t WHERE o_orderkey % 60 = 49),
+        |dels AS (SELECT * FROM w1
+        |  WHERE o_orderkey BETWEEN 2000 AND 9000),
+        |live1 AS (SELECT * FROM w1
+        |  WHERE o_orderkey NOT BETWEEN 2000 AND 9000),
+        |updo AS (SELECT * FROM live1
+        |  WHERE o_orderkey BETWEEN 10000 AND 20000),
+        |updn AS (SELECT o_orderkey, price_c + 77 AS price_c, priority
+        |  FROM updo),
+        |log AS (
+        |  SELECT 'all' AS face, 'insert' AS ct, * FROM w1
+        |  UNION ALL SELECT 'all', 'insert', * FROM updn
+        |  UNION ALL SELECT 'all', 'insert', * FROM w2
+        |  UNION ALL SELECT 'all', 'delete', * FROM dels
+        |  UNION ALL SELECT 'all', 'delete', * FROM updo
+        |  UNION ALL SELECT 'mutations', 'insert', * FROM updn
+        |  UNION ALL SELECT 'mutations', 'delete', * FROM dels
+        |  UNION ALL SELECT 'mutations', 'delete', * FROM updo
+        |  UNION ALL SELECT 'after_wave1', 'insert', * FROM updn
+        |  UNION ALL SELECT 'after_wave1', 'insert', * FROM w2
+        |  UNION ALL SELECT 'after_wave1', 'delete', * FROM dels
+        |  UNION ALL SELECT 'after_wave1', 'delete', * FROM updo)
+        |SELECT face, ct AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM log GROUP BY face, ct ORDER BY face, grp""".stripMargin,
     // capture AND apply replayed relationally: the typed log is
     // inserts = wave1 + the MOR update's post-images + wave2, deletes
     // = the COW-deleted slice + the update's pre-images; the silver

@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** The CHANGES face of a feed-enabled catalog table —
   * `graft.ns.t__changes`: a read-only table whose rows are the
   * table's published change feed (data columns + `_change_type` +
-  * `_change_version`), batch-readable (the whole feed so far) and —
+  * `_change_version`), batch-readable (the whole published feed, or a
+  * version window via `startingVersion`/`startingTag` +
+  * `endingVersion`/`endingTag` — the bounded "what changed between
+  * v5 and v9" incremental-ETL read, opening exactly the window's
+  * links) and —
   * the point — STREAMABLE: `spark.readStream.table("…__changes")`
   * is a row-level CDC SUBSCRIPTION, the typed complement of the
   * data-stream's refusal on row-changing commits. Offsets are feed
@@ -67,18 +71,57 @@ final case class GraftChangesTable(path: String, nameStr: String)
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
-              import org.apache.spark.sql.functions.lit
-              var df: DataFrame = TableLog.readFeed(
-                context.sparkSession, path, withVersion = true)
-              // a PLAIN (insert-only) feed has no stored change type
-              if (!df.columns.contains(TableLog.changeTypeCol))
-                df = df.withColumn(TableLog.changeTypeCol, lit("insert"))
-              df.selectExpr(required.fieldNames.toIndexedSeq
-                .map(n => s"`$n`"): _*).rdd
+              // the bounded batch CDC read: [startingVersion|Tag,
+              // endingVersion|Tag] resolved against the PUBLISHED
+              // frontier (same options as the stream plus the ending
+              // pair; whole published feed when unbounded). Exactly
+              // the window's links are opened.
+              val (lo, hi) = GraftChangesTable.batchBounds(path,
+                nameStr, options)
+              TableLog.readFeedBetween(context.sparkSession, path,
+                lo, hi)
+                .selectExpr(required.fieldNames.toIndexedSeq
+                  .map(n => s"`$n`"): _*).rdd
             }
           }.asInstanceOf[R]
       }
     }
+}
+
+object GraftChangesTable {
+  /** Batch-read version window from scan options, resolved against
+    * the published frontier. Start: `startingVersion` INCLUSIVE
+    * (`earliest` = 0, `latest` = nothing-yet — an empty window, the
+    * stream's "from now" made batch), `startingTag` EXCLUSIVE (the
+    * tag names a state the consumer already holds). End:
+    * `endingVersion` INCLUSIVE (`latest`/absent = the frontier),
+    * `endingTag` INCLUSIVE (the tag names the state to catch up TO).
+    * Each pair is mutually exclusive; an end past the frontier
+    * refuses loudly in [[TableLog.readFeedBetween]]. */
+  private[catalog] def batchBounds(path: String, tableName: String,
+      options: CaseInsensitiveStringMap): (Long, Long) = {
+    val frontier = TableLog.publishedFrontier(path)
+    val sTag = Option(options.get("startingTag")).map(_.trim)
+    sTag.foreach(_ => require(options.get("startingVersion") == null,
+      s"changes read of $tableName: startingTag and startingVersion " +
+        "are mutually exclusive"))
+    val lo = sTag.map(TableLog.resolveTag(path, _) + 1).getOrElse(
+      Option(options.get("startingVersion")).map(_.trim) match {
+        case None | Some("earliest") => 0L
+        case Some("latest") => frontier + 1
+        case Some(v) => v.toLong
+      })
+    val eTag = Option(options.get("endingTag")).map(_.trim)
+    eTag.foreach(_ => require(options.get("endingVersion") == null,
+      s"changes read of $tableName: endingTag and endingVersion " +
+        "are mutually exclusive"))
+    val hi = eTag.map(TableLog.resolveTag(path, _)).getOrElse(
+      Option(options.get("endingVersion")).map(_.trim) match {
+        case None | Some("latest") => frontier
+        case Some(v) => v.toLong
+      })
+    (lo, hi)
+  }
 }
 
 /** Offsets = published feed versions; batches = the window's links. */

@@ -3361,6 +3361,49 @@ object TableLog {
     if (withVersion) withChangeVersion(base) else base
   }
 
+  /** The feed rows for commit versions in `[vFrom, vTo]` ONLY — the
+    * bounded batch CDC read ("what changed between v5 and v9", the
+    * incremental-ETL backfill shape). Reads EXACTLY the window's link
+    * files (driver listing + explicit path list — on a 100k-version
+    * feed a 3-version window opens 3 versions' links, not the whole
+    * directory), bounded by the PUBLISHED frontier like the stream:
+    * an unpublished version's links may be mid-publish-incomplete, so
+    * they are never served batch either. `vTo` past the frontier
+    * refuses loudly (the caller asked for versions that don't exist
+    * yet or aren't fully published). Empty windows return an empty
+    * frame with the changes schema. */
+  def readFeedBetween(spark: SparkSession, table: String, vFrom: Long,
+      vTo: Long): DataFrame = {
+    require(feedEnabled(table), s"readFeedBetween($table): feed not enabled")
+    val frontier = publishedFrontier(table)
+    require(vTo <= frontier,
+      s"readFeedBetween($table): endingVersion $vTo exceeds the " +
+        s"published feed frontier $frontier")
+    val floor = feedFloor(table)
+    require(vFrom >= floor,
+      s"readFeedBetween($table): the window starts at $vFrom but " +
+        s"vacuumFeed retired links below $floor — versions " +
+        s"[$vFrom, ${floor - 1}] are no longer servable; start at " +
+        s"$floor or later, or re-backfill from the table snapshot")
+    val links = feedLinksBetween(table, vFrom, vTo)
+      .map(_._2.toString)
+    val sch =
+      if (cdcFeedEnabled(table)) cdcSchema(spark, table)
+      else feedSchema(spark, table)
+    val base =
+      if (links.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      else spark.read.schema(sch).parquet(links: _*)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val typed =
+      if (base.columns.contains(changeTypeCol))
+        base.withColumn(changeTypeCol,
+          coalesce(col(changeTypeCol), lit("insert")))
+      else base.withColumn(changeTypeCol, lit("insert"))
+    withChangeVersion(typed)
+  }
+
   /** The commit version each feed row was published under, parsed from
     * the link name's `v<N>_` prefix — free (no stored column), and the
     * same total order the manifest chain defines. */
@@ -3402,6 +3445,15 @@ object TableLog {
           coalesce(col(changeTypeCol), lit("insert")))
       }
     if (withVersion) withChangeVersion(typed) else typed
+  }
+
+  /** The feed's retention floor: the lowest version whose links are
+    * guaranteed still present (0 when no vacuumFeed ever retired any —
+    * every window is servable). Written monotonically by vacuumFeed. */
+  private[graft] def feedFloor(table: String): Long = {
+    val p = Paths.get(table, "_feed_floor")
+    try Files.readString(p, UTF_8).trim.toLong
+    catch { case _: java.io.IOException => 0L }
   }
 
   /** Highest PUBLISHED feed version (all markers ≤ it present) — the
@@ -3460,6 +3512,19 @@ object TableLog {
       if (ver.exists(_ < floor) && Files.deleteIfExists(p))
         Some(s"_feed/$n")
       else None
+    }
+    // durable retention floor, monotone: below it, "no links" can mean
+    // "retired" rather than "version published nothing" — bounded
+    // batch reads refuse windows reaching under it instead of silently
+    // serving a partial history. Lives OUTSIDE _feed (the feed dir
+    // must stay a pure parquet glob for the unbounded readers).
+    if (retired.nonEmpty && floor > feedFloor(table)) {
+      val p = Paths.get(table, "_feed_floor")
+      val tmp = Files.createTempFile(Paths.get(table), ".tmp-floor-", "")
+      Files.writeString(tmp, floor.toString, UTF_8)
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // CDC capture-stage hygiene. A version's stage part names are the
     // publication's idempotence anchor, so publishFeed never removes a

@@ -1313,6 +1313,73 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $CAT.rcf.$t"))
   }
 
+  test("bounded batch CDC read: startingVersion/endingVersion and " +
+      "tag forms open exactly the window; frontier overrun refuses") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rcb")
+    spark.sql(s"CREATE TABLE $CAT.rcb.t (k BIGINT, v BIGINT)")
+    val path = s"$wh/rcb/t"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.rcb.t VALUES (1, 10), (2, 20)") // v2
+    TableLog.tagVersion(path, "wave1", 2L)
+    TableLog.deleteWhere(spark, path, "k", 1L, 1L)              // v3
+    spark.sql(s"INSERT INTO $CAT.rcb.t VALUES (3, 30)")         // v4
+    def rows(opts: (String, String)*): Seq[(String, Long, Long)] = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table(s"$CAT.rcb.t__changes")
+        .select($"_change_type", $"k", $"_change_version")
+        .as[(String, Long, Long)].collect().toSeq
+        .sortBy(t => (t._3, t._2))
+    }
+    // unbounded = the whole published feed
+    assert(rows() == Seq(("insert", 1L, 2L), ("insert", 2L, 2L),
+      ("delete", 1L, 3L), ("insert", 3L, 4L)))
+    // inclusive start
+    assert(rows("startingVersion" -> "3") ==
+      Seq(("delete", 1L, 3L), ("insert", 3L, 4L)))
+    // inclusive end
+    assert(rows("endingVersion" -> "2") ==
+      Seq(("insert", 1L, 2L), ("insert", 2L, 2L)))
+    // a closed window
+    assert(rows("startingVersion" -> "3", "endingVersion" -> "3") ==
+      Seq(("delete", 1L, 3L)))
+    // startingTag is EXCLUSIVE (the consumer already holds wave1),
+    // endingTag INCLUSIVE (catch up TO the tagged state)
+    assert(rows("startingTag" -> "wave1") ==
+      Seq(("delete", 1L, 3L), ("insert", 3L, 4L)))
+    assert(rows("endingTag" -> "wave1") ==
+      Seq(("insert", 1L, 2L), ("insert", 2L, 2L)))
+    // 'latest' start = nothing yet; schema intact
+    assert(rows("startingVersion" -> "latest").isEmpty)
+    // an end past the published frontier refuses loudly
+    val e = intercept[Exception](rows("endingVersion" -> "99"))
+    assert(e.getMessage.contains("exceeds the published"),
+      e.getMessage)
+    // the same bounds compose with readChangeFeed on the table ITSELF
+    // (the analyzer rule forwards the scan options)
+    val s2 = GraftSessions.withExtensions(spark)
+    s2.conf.set(s"spark.sql.catalog.$CAT", classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$CAT.warehouse", wh)
+    val viaOpt = s2.read.option("readChangeFeed", "true")
+      .option("startingVersion", "3").table(s"$CAT.rcb.t")
+      .selectExpr("_change_type", "k", "_change_version")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(t => (t._3, t._2))
+    assert(viaOpt == Seq(("delete", 1L, 3L), ("insert", 3L, 4L)),
+      s"got $viaOpt")
+    // vacuumFeed records a durable retention floor: a window reaching
+    // below it refuses loudly (silently serving a partial history is
+    // the failure mode), while windows at or above it stay exact
+    TableLog.vacuumFeed(path, keepVersions = 2) // floor = v3
+    assert(TableLog.feedFloor(path) == 3L)
+    val eFloor = intercept[Exception](rows())
+    assert(eFloor.getMessage.contains("no longer servable"),
+      eFloor.getMessage)
+    assert(rows("startingVersion" -> "3") ==
+      Seq(("delete", 1L, 3L), ("insert", 3L, 4L)))
+    spark.sql(s"DROP TABLE $CAT.rcb.t")
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse
