@@ -1173,6 +1173,53 @@ object SparkEntry {
       ORDER BY _change_type, priority""")
   }
 
+  /** PREDICATE OVERWRITE under the oracle —
+    * `df.writeTo(t).overwrite(cond)` (Delta's replaceWhere): the
+    * recompute-a-slice backfill in ONE atomic commit. Lifecycle:
+    * insert wave → overwrite the [5000,15000] key slice with
+    * recomputed rows (price_c+100) through Spark's own
+    * OverwriteByExpression → SupportsOverwrite path (exact predicate
+    * translation, manifest-stat pruning of which files rewrite,
+    * new-row predicate enforcement); in-plan asserts pin ONE commit
+    * and the 'replace' action. Result = the final state grouped by
+    * priority; the oracle reconstructs it relationally. */
+  private def o89ReplaceWhere(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh89_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o89_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rw")
+    s.sql(s"CREATE TABLE $cat.rw.t (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val path = s"$wh/rw/t"
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 29)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, path, base, statsCols = Seq("o_orderkey"))    // v2
+    val v2 = tl.latestVersion(path)
+    base.where(col("o_orderkey").between(5000, 15000))
+      .withColumn("price_c", col("price_c") + 100)
+      .writeTo(s"$cat.rw.t")
+      .overwrite(col("o_orderkey").between(5000, 15000))       // v3
+    val snap = tl.snapshot(path).get
+    assert(snap.version == v2 + 1,
+      "o89: the predicate overwrite must be ONE commit")
+    assert(snap.action == "replace",
+      s"o89: expected a 'replace' commit, got '${snap.action}'")
+    s.sql(s"SELECT * FROM $cat.rw.t")
+      .groupBy(col("priority").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("grp")
+  }
+
   /** The BOUNDED batch CDC read under the oracle —
     * `spark.read.option("startingVersion"/"endingVersion"/tags, …)
     * .table(bronze__changes)`: the "what changed between v5 and v9"
@@ -4684,6 +4731,7 @@ object SparkEntry {
     "o86_metadata_delete" -> (o86MetadataDelete _),
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
     "o88_changes_between" -> (o88ChangesBetween _),
+    "o89_replace_where" -> (o89ReplaceWhere _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6379,6 +6427,22 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM d2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the replace replayed relationally: final = base outside the
+    // slice + the recomputed slice (price_c + 100)
+    "o89_replace_where" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 29),
+        |fin AS (
+        |  SELECT * FROM t WHERE o_orderkey NOT BETWEEN 5000 AND 15000
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c + 100, priority FROM t
+        |    WHERE o_orderkey BETWEEN 5000 AND 15000)
+        |SELECT priority AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM fin GROUP BY priority ORDER BY grp""".stripMargin,
     // every window reconstructed relationally from the same base
     // slices: all = the full typed log; mutations [v3,v4] = the COW
     // delete + the MOR update's pre/post pair; after the wave1 tag

@@ -16,7 +16,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{
-  LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+  LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write,
+  Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -598,6 +599,7 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
@@ -758,6 +760,41 @@ object GraftTable {
       for { l <- a; r <- b } yield MdPred.AndP(l, r))
   }
 
+  /** V1 source filters → one Catalyst Column, EXACT or refuse: the
+    * predicate-overwrite path must delete precisely the rows the
+    * user's expression names, so an untranslatable filter is a loud
+    * error, never a broader rewrite. (Contrast with pruning, where
+    * untranslatable just means "keep the file".) */
+  private[catalog] def filterColumn(name: String,
+      f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isInCollection(vs.toSeq)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case StringStartsWith(a, p) => col(a).startsWith(p)
+      case StringEndsWith(a, p) => col(a).endsWith(p)
+      case StringContains(a, p) => col(a).contains(p)
+      case And(l, r) => filterColumn(name, l) && filterColumn(name, r)
+      case Or(l, r) => filterColumn(name, l) || filterColumn(name, r)
+      case Not(c) => !filterColumn(name, c)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"$name: overwrite predicate '$other' has no exact " +
+          "translation — rewrite the condition with comparisons, " +
+          "IN, NULL tests, string prefix/suffix/contains, AND/OR/NOT")
+    }
+  }
+
   /** The `rowLevelMode` table property: how Spark's OWN row-level
     * framework (DELETE/UPDATE/MERGE on a vanilla session) executes.
     * `cow` (default) = group-based copy-on-write (ReplaceData:
@@ -856,17 +893,41 @@ final class GraftStagedTable(path: String, nameStr: String,
 /** `INSERT INTO` → one `TableLog.append` commit; `INSERT OVERWRITE`
   * (Spark calls `truncate()` on the builder for an unpartitioned
   * target) → the whole-table replace through `TableLog.rewrite`, so
-  * history keeps the pre-overwrite version readable. Stat columns come
-  * from the table's declared properties — Spark has already aligned
-  * and cast the incoming frame to the table schema
+  * history keeps the pre-overwrite version readable; PREDICATE
+  * overwrite (`df.writeTo(t).overwrite(cond)` — Delta's replaceWhere)
+  * → ONE atomic `TableLog.replaceWhere` commit: affected files prune
+  * by manifest stats from the same pushed filters, the condition
+  * translates EXACTLY or refuses, and new rows must satisfy it. Stat
+  * columns come from the table's declared properties — Spark has
+  * already aligned and cast the incoming frame to the table schema
   * (`TableOutputResolver`), so the append sees exactly the declared
   * column set. */
 final class GraftWriteBuilder(t: GraftTable, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
   private var overwriteAll = false
+  private var replaceCond: Option[(org.apache.spark.sql.Column,
+    TableLog.Snapshot => Seq[TableLog.FileEntry])] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[org.apache.spark.sql.sources
+      .Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)) {
+      overwriteAll = true
+    } else {
+      // exact translation (or loud refusal) for the rewrite filter;
+      // the SAME pushed filters drive manifest-stat pruning of which
+      // files rewrite at all (conservative: untranslated leaves keep)
+      val cond = filters.map(GraftTable.filterColumn(t.name, _))
+        .reduce(_ && _)
+      val prune = (s: TableLog.Snapshot) => filters.foldLeft(s.files)(
+        (fs, f) => GraftRowLevelScan.pruneBy(s, fs, f))
+      replaceCond = Some((cond, prune))
+    }
+    this
+  }
 
   override def build(): Write = new V1Write {
     // the NATIVE streaming path: writeStream.toTable("graft.ns.t") —
@@ -892,9 +953,15 @@ final class GraftWriteBuilder(t: GraftTable, info: LogicalWriteInfo)
             TableLog.rewrite(spark, t.path, "overwrite",
               expectRows = _ => None, statsCols = st, strStatsCols = sst,
               bloomStatsCols = bst)(_ => data)
-          else
-            TableLog.append(spark, t.path, data, st,
-              strStatsCols = sst, bloomStatsCols = bst)
+          else replaceCond match {
+            case Some((cond, prune)) =>
+              TableLog.replaceWhere(spark, t.path, cond, data,
+                statsCols = st, strStatsCols = sst,
+                bloomStatsCols = bst, prune = prune)
+            case None =>
+              TableLog.append(spark, t.path, data, st,
+                strStatsCols = sst, bloomStatsCols = bst)
+          }
         }
       }
   }

@@ -3085,7 +3085,7 @@ object TableLog {
                   ()
                 case "schema" | "check_add" | "check_drop" =>
                   () // metadata-only: no rows changed
-                case act @ ("delete" | "merge" | "update")
+                case act @ ("delete" | "merge" | "update" | "replace")
                     if cdcFeedEnabled(table) =>
                   val spark = sparkOpt.getOrElse(sys.error(
                     s"publishFeed($table): healing version $v's $act " +
@@ -4554,6 +4554,101 @@ object TableLog {
     }
     // typed-feed capture of the deleted rows; crash before the marker
     // is healed by the next publish (same window as append's)
+    if (feedEnabled(table)) publishFeed(spark, table)
+    committed
+  }
+
+  /** PREDICATE OVERWRITE (Delta's `replaceWhere` / Spark's
+    * `df.writeTo(t).overwrite(cond)`): atomically DELETE every row
+    * matching `cond` and INSERT `df`, in ONE commit — the recompute-
+    * a-slice backfill shape ("replace day X with its corrected rows")
+    * that a deleteWhere + append pair can only approximate with a
+    * window where readers see neither-or-half. New rows are REQUIRED
+    * to satisfy `cond` (checked against the already-written files,
+    * one columnar scan of the new files only): without that, rows the
+    * predicate can't see ride in and the NEXT replace of the same
+    * slice silently misses them. Affected files rewrite keep-side
+    * like a COW delete (`morScan`, so pending sidecars apply and can
+    * never resurrect); `prune` narrows the rewrite set and MUST be
+    * conservative (keep any file that might hold a matching row —
+    * callers translate their predicate to manifest-stat pruning, the
+    * default rewrites everything). NULL `cond` rows are KEPT, exactly
+    * like a SQL DELETE. CDC feeds capture the replaced rows as typed
+    * deletes and the new rows as inserts through the standard
+    * file-diff identity (kept rows cancel in the multiset
+    * difference). Returns the committed version. */
+  def replaceWhere(spark: SparkSession, table: String, cond: Column,
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil,
+      bloomStatsCols: Seq[String] = Nil,
+      txnId: Option[String] = None,
+      prune: Snapshot => Seq[FileEntry] = _.files): Long = {
+    import org.apache.spark.sql.functions.coalesce
+    require(!feedEnabled(table) || cdcFeedEnabled(table),
+      s"replaceWhere on feed-enabled table $table: the append-only " +
+        s"change feed cannot represent it — enableCdcFeed($table) to " +
+        "capture typed rows, or remove " +
+        s"${feedDir(table)} to disable the feed")
+    txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    // the NEW slice is written once, outside the CAS loop (append's
+    // contract); a lost race re-plans only the keep-side rewrite
+    val (newFiles, newRows) = writeDataFiles(spark, table, df,
+      statsCols, strStatsCols, bloomStatsCols)
+    if (newRows > 0) {
+      val bad = spark.read.parquet(
+          newFiles.map(f => s"$table/${f.path}"): _*)
+        .where(!coalesce(cond, org.apache.spark.sql.functions.lit(false)))
+        .count()
+      if (bad > 0) {
+        newFiles.foreach(f =>
+          Files.deleteIfExists(Paths.get(table, f.path)))
+        sys.error(s"replaceWhere on $table: $bad new rows do NOT " +
+          "satisfy the replace predicate — they would be invisible " +
+          "to the predicate that owns this slice (and to the next " +
+          "replace of it); fix the predicate or the data")
+      }
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshotOrFail(table)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      val affected = prune(base)
+      val affectedPaths = affected.map(_.path).toSet
+      // keep-side rewrite of the affected files (MOR-aware); NULL
+      // predicate rows are kept, like a SQL DELETE
+      val (keptFiles, keptRows) =
+        if (affected.isEmpty) (Nil, 0L)
+        else {
+          val scan = morScan(spark, table, base, affected)
+          writeDataFiles(spark, table,
+            scan.where(coalesce(!cond,
+              org.apache.spark.sql.functions.lit(true))),
+            statsCols, strStatsCols, bloomStatsCols)
+        }
+      val scanRows =
+        if (affected.isEmpty) 0L
+        else morScan(spark, table, base, affected).count()
+      require(keptRows <= scanRows,
+        s"replaceWhere audit failed for $table: keep-side rewrite " +
+          s"produced $keptRows rows from $scanRows — not committing")
+      val version = base.version + 1
+      val stamped = (keptFiles ++ newFiles).map(_.copy(ver = version))
+      val rows = base.rows - (scanRows - keptRows) + newRows
+      val survivors =
+        base.files.filterNot(f => affectedPaths(f.path)) ++ stamped
+      val liveDels = liveDelsAfter(base, survivors)
+      val r =
+        if (version % checkpointInterval == 0 ||
+            liveDels.size < base.dels.size)
+          ManifestRec(version, base.version, "replace", rows, "full",
+            survivors, Nil, Nil, liveDels, Nil, txnId, base.schemaJson,
+            base.counters)
+        else
+          ManifestRec(version, base.version, "replace", rows, "delta",
+            Nil, stamped, affectedPaths.toSeq.sorted, Nil, Nil, txnId,
+            base.schemaJson, base.counters)
+      if (tryCommit(table, r)) committed = version
+    }
     if (feedEnabled(table)) publishFeed(spark, table)
     committed
   }

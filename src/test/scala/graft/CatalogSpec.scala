@@ -1313,6 +1313,70 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $CAT.rcf.$t"))
   }
 
+  test("predicate overwrite (writeTo.overwrite = replaceWhere): one " +
+      "atomic commit, file pruning, new-row enforcement, refusals") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rw")
+    spark.sql(s"CREATE TABLE $CAT.rw.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val path = s"$wh/rw/t"
+    // three exact-boundary files: [0,1000) [1000,2000) [2000,3000)
+    (0 until 3).foreach(i => TableLog.append(spark, path,
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
+      statsCols = Seq("k")))
+    val before = TableLog.snapshot(path).get
+    val v0 = before.version
+    // replace the middle slice with recomputed rows — ONE commit
+    spark.range(1000L, 1500L).select($"id".as("k"), lit(999L).as("v"))
+      .writeTo(s"$CAT.rw.t")
+      .overwrite($"k" >= 1000 && $"k" < 2000)
+    val s1 = TableLog.snapshot(path).get
+    assert(s1.version == v0 + 1, "replaceWhere must be ONE commit")
+    assert(s1.action == "replace")
+    assert(s1.rows == 2500 && spark.sql(
+      s"SELECT count(*) AS n FROM $CAT.rw.t").as[Long].head() == 2500)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rw.t " +
+      "WHERE v = 999").as[Long].head() == 500)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rw.t " +
+      "WHERE k >= 1500 AND k < 2000").as[Long].head() == 0,
+      "unreplaced rows of the slice must be gone")
+    // file pruning: the disjoint files carry over by reference
+    val untouched = before.files.map(_.path).filter(p =>
+      s1.files.map(_.path).contains(p))
+    assert(untouched.size == 2,
+      s"disjoint files must not rewrite, carried: $untouched")
+    // new rows violating the predicate refuse (they'd be invisible
+    // to the predicate that owns the slice), table untouched
+    val e = intercept[Exception] {
+      spark.range(0L, 10L).select(($"id" + 5000).as("k"),
+        lit(1L).as("v"))
+        .writeTo(s"$CAT.rw.t").overwrite($"k" < 100)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("do NOT satisfy")), msgs(e))
+    assert(TableLog.snapshot(path).get.version == s1.version)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rw.t")
+      .as[Long].head() == 2500)
+    // an empty replacement = pure predicate delete through the same face
+    spark.range(0).select($"id".as("k"), $"id".as("v"))
+      .writeTo(s"$CAT.rw.t").overwrite($"k" >= 2000)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rw.t")
+      .as[Long].head() == 1500)
+    // NULL-predicate rows are KEPT, like a SQL DELETE
+    TableLog.append(spark, path,
+      Seq((Option.empty[Long], 5L)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    spark.range(0).select($"id".as("k"), $"id".as("v"))
+      .writeTo(s"$CAT.rw.t").overwrite($"k" < 500)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rw.t " +
+      "WHERE k IS NULL").as[Long].head() == 1,
+      "NULL rows must survive a predicate overwrite")
+    spark.sql(s"DROP TABLE $CAT.rw.t")
+  }
+
   test("bounded batch CDC read: startingVersion/endingVersion and " +
       "tag forms open exactly the window; frontier overrun refuses") {
     val wh = warehouse
