@@ -117,7 +117,8 @@ object GraftSqlDml {
     * through (Spark reports its own unresolved-procedure error). The
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
-    "mor_fold", "zorder_maintain", "vacuum_keep", "tag", "delete_tag",
+    "mor_fold", "zorder_maintain", "vacuum_keep", "vacuum_feed",
+    "tag", "delete_tag",
     "publish_branch", "merge_branch", "zorder", "zorder3",
     "hilbert_order", "hilbert_order3")
 
@@ -161,6 +162,9 @@ object GraftSqlDml {
         case "vacuum_keep" =>
           TableLog.vacuum(s, reg.table,
             keepVersions = longArg(1).toInt)
+          TableLog.latestVersion(reg.table)
+        case "vacuum_feed" =>
+          TableLog.vacuumFeed(reg.table, keepVersions = longArg(1).toInt)
           TableLog.latestVersion(reg.table)
         case "tag" =>
           TableLog.tagVersion(reg.table, strArg(1), longArg(2))

@@ -509,6 +509,50 @@ class ScaleShapeSpec extends SparkSpec {
       "WHERE k >= 1200 AND k < 1800").as[Long].head() == 0)
   }
 
+  test("predicate overwrite work tracks the REPLACED slice, not " +
+      "table size: 2× files, same rewrite count") {
+    val cat = "graftscale"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_rww").toString
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    import graft.sinks.TableLog
+    def mk(nFiles: Int, name: String): String = {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rw")
+      spark.sql(s"CREATE TABLE $cat.rw.$name (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('statsCols' = 'k')")
+      val path = s"$wh/rw/$name"
+      // 1000-key blocks at BOTH scales: the replaced range overlaps
+      // exactly one file regardless of table size
+      TableLog.append(spark, path,
+        spark.range(nFiles * 1000L)
+          .select($"id".as("k"), ($"id" % 7).as("v"))
+          .repartitionByRange(nFiles, $"k"),
+        statsCols = Seq("k"))
+      path
+    }
+    def shape(path: String, name: String): (Int, Long) = {
+      val before = TableLog.snapshot(path).get
+      spark.range(1200L, 1500L)
+        .select($"id".as("k"), lit(42L).as("v")).coalesce(1)
+        .writeTo(s"$cat.rw.$name")
+        .overwrite($"k" >= 1200 && $"k" < 1800)
+      val after = TableLog.snapshot(path).get
+      ((before.files.map(_.path).toSet --
+        after.files.map(_.path).toSet).size, after.rows)
+    }
+    val (sRm, sRows) = shape(mk(8, "small"), "small")
+    val (bRm, bRows) = shape(mk(16, "big"), "big")
+    assert(sRm == 1 && bRm == 1,
+      s"exactly ONE file rewrites at either scale ($sRm/$bRm)")
+    assert(sRows == 8000L - 600 + 300 && bRows == 16000L - 600 + 300)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.rw.big " +
+      "WHERE v = 42").as[Long].head() == 300)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.rw.big " +
+      "WHERE k >= 1500 AND k < 1800").as[Long].head() == 0)
+  }
+
   test("delta row-level DELETE (rowLevelMode='mor') write cost " +
       "tracks the MATCHED slice: 2× files, ZERO rewrites, a one-file " +
       "one-shard vector at either scale") {

@@ -460,6 +460,13 @@ class SqlDmlSpec extends SparkSpec {
     intercept[Exception](TableLog.readVersion(spark, t, 1).count())
     assert(TableLog.sql(spark,
       "SELECT count(*) AS n FROM call_t").head.getLong(0) == 2000)
+    // vacuum_feed retires feed links below the floor and records it
+    TableLog.enableCdcFeed(t)
+    TableLog.sql(spark, "INSERT INTO call_t VALUES (6000)")
+    TableLog.sql(spark, "INSERT INTO call_t VALUES (6001)")
+    TableLog.sql(spark, "CALL vacuum_feed('call_t', 1)")
+    assert(TableLog.feedFloor(t) == TableLog.latestVersion(t),
+      "vacuum_feed must record the retention floor")
     // unknown procedures and unregistered views pass through
     intercept[Exception](TableLog.sql(spark,
       "CALL not_a_proc('call_t', 1)").collect())
