@@ -511,7 +511,10 @@ class ScaleShapeSpec extends SparkSpec {
 
   test("predicate overwrite work tracks the REPLACED slice, not " +
       "table size: 2× files, same rewrite count") {
-    val cat = "graftscale"
+    // own catalog name: a catalog instance binds its warehouse at
+    // FIRST use per session, so sharing "graftscale" would land these
+    // tables in whichever warehouse an earlier test bound
+    val cat = "graftscalerw"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     val wh = java.nio.file.Files
