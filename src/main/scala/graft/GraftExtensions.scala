@@ -128,7 +128,13 @@ object GraftFunctionRegistry {
   * restored after) — the new session shares the SparkContext, all
   * cluster state, and the warehouse; runtime SQL confs (catalog
   * registrations, shuffle partitions) are per-session and must be
-  * set by the caller on the returned session. Cached per context. */
+  * set by the caller on the returned session. Cached per context.
+  *
+  * Known window: the default/active globals are JVM-wide, so a
+  * CONCURRENT thread calling `getOrCreate` during the (cached,
+  * once-per-context) build observes no default session and binds its
+  * own. Callers that build sessions from multiple threads should
+  * invoke this once up front, before spawning them. */
 object GraftSessions {
   import org.apache.spark.sql.SparkSession
 
@@ -152,8 +158,18 @@ object GraftSessions {
       cached = s2
       s2
     } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+      // restore EXACTLY the prior state: getOrCreate binds the new
+      // session as default when none existed, and leaving the
+      // extension session as the process default would hand it to
+      // every later unrelated getOrCreate
+      prevDefault match {
+        case Some(d) => SparkSession.setDefaultSession(d)
+        case None => SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(a) => SparkSession.setActiveSession(a)
+        case None => SparkSession.clearActiveSession()
+      }
     }
   }
 }

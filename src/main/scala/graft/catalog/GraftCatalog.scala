@@ -607,7 +607,21 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     Array(GraftTable.VersionCol, GraftTable.FileCol, GraftTable.PosCol)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the readChangeFeed option is honored by an ANALYZER rule
+    // (ResolveChangeFeedReads re-points the relation at the changes
+    // face before any scan is built) — reaching THIS builder with the
+    // option set means the session has no GraftExtensions and the
+    // semantics-changing option would be silently dropped: the user
+    // asked for the typed change feed and would get current table
+    // rows. Refuse with the bridge instead.
+    if (options.getBoolean("readChangeFeed", false))
+      throw new UnsupportedOperationException(
+        s"$name: readChangeFeed requires a session built with " +
+          "GraftExtensions (GraftSessions.withExtensions(spark) " +
+          s"bridges a live one), or read the ${name}__changes face " +
+          "directly — on this session the option would be silently " +
+          "ignored")
     new ScanBuilder with SupportsPushDownRequiredColumns {
       // starts at the full data schema; Spark narrows it to the
       // referenced columns (PLUS any requested metadata columns — they
@@ -641,6 +655,7 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
           }.asInstanceOf[R]
       }
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)

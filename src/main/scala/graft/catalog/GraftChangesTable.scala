@@ -192,6 +192,18 @@ final class GraftChangesStream(path: String, tableName: String,
     val (s, e) = (start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version)
     if (e <= s) return Array.empty
+    // the batch window [s+1, e] must sit at or above the feed's
+    // retention floor: below it, "no links" can mean vacuumFeed
+    // retired them, and the stream would silently deliver a partial
+    // change log — the exact failure the batch face refuses. Covers
+    // both a fresh start (offset from startingVersion/Tag) and a
+    // restart whose checkpointed offset fell behind a vacuum.
+    val floor = TableLog.feedFloor(path)
+    require(s + 1 >= floor,
+      s"changes stream of $tableName: the batch starts at version " +
+        s"${s + 1} but vacuumFeed retired links below $floor — " +
+        s"restart from a fresh checkpoint with startingVersion=$floor " +
+        "or later, or re-backfill from the table snapshot")
     TableLog.feedLinksBetween(path, s + 1, e).map { case (v, p) =>
       GraftFilePartition(p.toString, java.nio.file.Files.size(p), v,
         p.getFileName.toString, proj = null)

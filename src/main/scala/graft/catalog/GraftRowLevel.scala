@@ -39,11 +39,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * by-reference carry of every untouched file, the `deleteWhere`
   * shape driven by Spark's planner instead of ours).
   *
-  * Both the main scan and the runtime group-filter subquery come from
-  * THIS builder, so `_file` values agree by construction (the
-  * manifest-relative path). Pending MOR sidecars refuse up front (a
-  * raw group scan would resurrect merge-on-read-deleted rows), and
-  * the commit re-validates that every scanned group is still live —
+  * The runtime group-filter subquery scans the ORIGINAL table
+  * through a regular batch scan (NOT this builder), so its `_file`
+  * values are absolute URIs where the candidate paths are
+  * manifest-relative — both sides normalize via `lastTwo` before
+  * comparing, and files added at a version past the operation's
+  * group-filter snapshot are kept unconditionally
+  * (`f.ver > op.groupFilterVersion` in filter(): the subquery never
+  * saw them, e.g. the self-heal's rewrite outputs). Pending
+  * positional sidecars compose (the raw readers filter their
+  * positions); pending KEY sidecars self-heal (see below); and the
+  * commit re-validates that every scanned group is still live —
   * a concurrent rewrite fails the statement instead of losing its
   * update. Schema-op tables scan through the same per-file physical
   * projection as the streaming source ([[PhysicalProjection]]). */

@@ -3343,7 +3343,14 @@ object TableLog {
     * untouched data files) and read it as null, coalesced here — so a
     * consumer derives the surviving state as
     * inserts.exceptAll(deletes), exact by the capture's multiset
-    * identity. */
+    * identity.
+    *
+    * Retention: this face deliberately serves WHATEVER LINKS REMAIN
+    * after a `vacuumFeed` (spec-pinned — the lagging-consumer shape:
+    * feed retention is its own policy and retiring old links is not
+    * an error). Consumers that need completeness-or-refusal use
+    * [[readFeedBetween]] (and the `__changes` faces), which fence on
+    * the durable retention floor. */
   def readFeed(spark: SparkSession, table: String,
       withVersion: Boolean = false): DataFrame = {
     require(feedEnabled(table), s"readFeed($table): feed not enabled")
@@ -3505,20 +3512,24 @@ object TableLog {
   def vacuumFeed(table: String, keepVersions: Int): Seq[String] = {
     require(feedEnabled(table), s"vacuumFeed($table): feed not enabled")
     val floor = math.max(1L, latestVersion(table) - keepVersions + 1)
-    val retired = listDir(feedDir(table)).flatMap { p =>
+    def below(p: Path): Option[String] = {
       val n = p.getFileName.toString
       val ver = if (n.startsWith("v") && n.length > 10)
         n.slice(1, 10).toLongOption else None
-      if (ver.exists(_ < floor) && Files.deleteIfExists(p))
-        Some(s"_feed/$n")
-      else None
+      if (ver.exists(_ < floor)) Some(n) else None
     }
     // durable retention floor, monotone: below it, "no links" can mean
     // "retired" rather than "version published nothing" — bounded
-    // batch reads refuse windows reaching under it instead of silently
-    // serving a partial history. Lives OUTSIDE _feed (the feed dir
-    // must stay a pure parquet glob for the unbounded readers).
-    if (retired.nonEmpty && floor > feedFloor(table)) {
+    // reads refuse windows reaching under it instead of silently
+    // serving a partial history. Persisted BEFORE any link is deleted:
+    // a crash between the two must leave the floor over-claiming
+    // (links still present but fenced — conservative refusal, and the
+    // re-run finishes the deletion) rather than under-claiming
+    // (links gone, floor unrecorded → every bounded read silently
+    // serves the partial feed forever). Lives OUTSIDE _feed (the feed
+    // dir must stay a pure parquet glob for the unbounded readers).
+    val doomed = listDir(feedDir(table)).filter(p => below(p).isDefined)
+    if (doomed.nonEmpty && floor > feedFloor(table)) {
       val p = Paths.get(table, "_feed_floor")
       val tmp = Files.createTempFile(Paths.get(table), ".tmp-floor-", "")
       Files.writeString(tmp, floor.toString, UTF_8)
@@ -3526,6 +3537,9 @@ object TableLog {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    val retired = doomed.flatMap(p =>
+      if (Files.deleteIfExists(p)) Some(s"_feed/${p.getFileName}")
+      else None)
     // CDC capture-stage hygiene. A version's stage part names are the
     // publication's idempotence anchor, so publishFeed never removes a
     // stage — retirement happens HERE, and only once the version is

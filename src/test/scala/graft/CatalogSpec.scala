@@ -1441,8 +1441,42 @@ class CatalogSpec extends SparkSpec {
       eFloor.getMessage)
     assert(rows("startingVersion" -> "3") ==
       Seq(("delete", 1L, 3L), ("insert", 3L, 4L)))
+    // the changes STREAM fences on the same floor: a fresh consumer
+    // from earliest would silently miss the retired versions
+    val eStream = intercept[Exception] {
+      val q = spark.readStream.table(s"$CAT.rcb.t__changes")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_rcbf").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    }
+    assert(msgsOf(eStream).exists(_.contains("retired links below")),
+      s"got ${msgsOf(eStream)}")
+    // ...and a stream starting AT the floor drains fine
+    val okCk = java.nio.file.Files
+      .createTempDirectory("graft_rcbo").toString
+    val q2 = spark.readStream.option("startingVersion", "3")
+      .table(s"$CAT.rcb.t__changes")
+      .writeStream.format("noop")
+      .option("checkpointLocation", okCk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    // readChangeFeed on a session WITHOUT GraftExtensions refuses
+    // instead of silently serving current table rows
+    val ePlain = intercept[Exception](
+      spark.read.option("readChangeFeed", "true")
+        .table(s"$CAT.rcb.t").collect())
+    assert(msgsOf(ePlain).exists(_.contains("GraftExtensions")),
+      s"got ${msgsOf(ePlain)}")
     spark.sql(s"DROP TABLE $CAT.rcb.t")
   }
+
+  private def msgsOf(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ msgsOf(t.getCause)
 
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
