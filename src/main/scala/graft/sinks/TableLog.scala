@@ -111,6 +111,13 @@ object TableLog {
     * planning" spec-pinnable. */
   private[graft] val statFallbacks =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Planned MOR-scan file reads (test observability, same role as
+    * `statFallbacks`): every data file handed to `morScan` counts once
+    * at PLAN time, so "this write face reads each affected file's
+    * data exactly ONCE" is spec-pinnable as a counter delta. */
+  private[graft] val morFilesPlanned =
+    new java.util.concurrent.atomic.AtomicLong
   private[graft] def fileBytes(table: String, f: FileEntry): Long =
     if (f.bytes >= 0) f.bytes
     else {
@@ -975,6 +982,7 @@ object TableLog {
       files: Seq[FileEntry], meta: Seq[String] = Nil,
       pos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    morFilesPlanned.addAndGet(files.size)
     // positional (deletion-vector) sidecars apply as scan filters, key
     // sidecars as version-cohort anti-joins — split once
     val (dvDels, keyDels) = s.dels.partition(_.keyCol == DvKeyCol)
@@ -4604,6 +4612,15 @@ object TableLog {
         "capture typed rows, or remove " +
         s"${feedDir(table)} to disable the feed")
     txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+    // staged files (the new slice, each CAS attempt's keep-side
+    // rewrite) are deleted on EVERY non-commit exit — a lost race, the
+    // audit throw, a concurrent same-txn commit — instead of sitting
+    // unmanifested until a vacuum
+    def dropStaged(fs: Seq[FileEntry]): Unit = fs.foreach { f =>
+      val p = Paths.get(table, f.path)
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+    }
     // the NEW slice is written once, outside the CAS loop (append's
     // contract); a lost race re-plans only the keep-side rewrite
     val (newFiles, newRows) = writeDataFiles(spark, table, df,
@@ -4614,8 +4631,7 @@ object TableLog {
         .where(!coalesce(cond, org.apache.spark.sql.functions.lit(false)))
         .count()
       if (bad > 0) {
-        newFiles.foreach(f =>
-          Files.deleteIfExists(Paths.get(table, f.path)))
+        dropStaged(newFiles)
         sys.error(s"replaceWhere on $table: $bad new rows do NOT " +
           "satisfy the replace predicate — they would be invisible " +
           "to the predicate that owns this slice (and to the next " +
@@ -4625,7 +4641,9 @@ object TableLog {
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
-      txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
+      txnId.flatMap(committedTxnVersion(table, _)).foreach { v =>
+        dropStaged(newFiles); return v
+      }
       val affected = prune(base)
       val affectedPaths = affected.map(_.path).toSet
       // keep-side rewrite of the affected files (MOR-aware); NULL
@@ -4639,12 +4657,49 @@ object TableLog {
               org.apache.spark.sql.functions.lit(true))),
             statsCols, strStatsCols, bloomStatsCols)
         }
+      // live row count of the affected slice, METADATA-SIDE: the
+      // manifest already carries each file's write-time footer count,
+      // and a deletion vector's removals are its recorded positions
+      // per file — so `scanRows` needs ZERO data reads (at 100 TB the
+      // affected slice can be TBs, and the old second morScan().count()
+      // repeated per CAS attempt). KEY sidecars remove a DATA-dependent
+      // row count (anti-join), so a KEY-fenced affected file — or a
+      // legacy entry without a recorded count — falls back to the
+      // counting scan; spark.graft.replaceWhere.auditScan=true keeps
+      // the two-scan cross-check for audit runs.
+      val dvs = base.dels.filter(d => d.keyCol == DvKeyCol &&
+        affected.exists(f => sidecarFences(base, f, d)))
+      val keyFenced = affected.exists(f =>
+        base.dels.exists(d => d.keyCol != DvKeyCol &&
+          sidecarFences(base, f, d)))
       val scanRows =
         if (affected.isEmpty) 0L
-        else morScan(spark, table, base, affected).count()
-      require(keptRows <= scanRows,
-        s"replaceWhere audit failed for $table: keep-side rewrite " +
-          s"produced $keptRows rows from $scanRows — not committing")
+        else if (keyFenced || affected.exists(_.rows < 0L))
+          morScan(spark, table, base, affected).count()
+        else {
+          val vectored =
+            if (dvs.isEmpty) 0L
+            else {
+              val dv = loadDv(spark, table, dvs)
+              affected.map(f => dv.positionsFor(lastTwo(f.path))).sum
+            }
+          val derived = affected.map(_.rows).sum - vectored
+          if (spark.conf.get("spark.graft.replaceWhere.auditScan",
+              "false").toBoolean) {
+            val counted = morScan(spark, table, base, affected).count()
+            require(counted == derived,
+              s"replaceWhere audit scan on $table: manifest-derived " +
+                s"live count $derived != counted $counted over " +
+                s"${affected.size} affected files")
+          }
+          derived
+        }
+      if (keptRows > scanRows) {
+        dropStaged(keptFiles); dropStaged(newFiles)
+        sys.error(s"replaceWhere audit failed for $table: keep-side " +
+          s"rewrite produced $keptRows rows from $scanRows — not " +
+          "committing (staged files removed)")
+      }
       val version = base.version + 1
       val stamped = (keptFiles ++ newFiles).map(_.copy(ver = version))
       val rows = base.rows - (scanRows - keptRows) + newRows
@@ -4662,6 +4717,10 @@ object TableLog {
             Nil, stamped, affectedPaths.toSeq.sorted, Nil, Nil, txnId,
             base.schemaJson, base.counters)
       if (tryCommit(table, r)) committed = version
+      // lost race: this attempt's keep-side rewrite was planned
+      // against a stale base and is re-planned next iteration — the
+      // failed manifest never referenced it
+      else dropStaged(keptFiles)
     }
     if (feedEnabled(table)) publishFeed(spark, table)
     committed

@@ -535,20 +535,28 @@ class ScaleShapeSpec extends SparkSpec {
         statsCols = Seq("k"))
       path
     }
-    def shape(path: String, name: String): (Int, Long) = {
+    def shape(path: String, name: String): (Int, Long, Long) = {
       val before = TableLog.snapshot(path).get
+      val planned0 = TableLog.morFilesPlanned.get()
       spark.range(1200L, 1500L)
         .select($"id".as("k"), lit(42L).as("v")).coalesce(1)
         .writeTo(s"$cat.rw.$name")
         .overwrite($"k" >= 1200 && $"k" < 1800)
+      val planned = TableLog.morFilesPlanned.get() - planned0
       val after = TableLog.snapshot(path).get
       ((before.files.map(_.path).toSet --
-        after.files.map(_.path).toSet).size, after.rows)
+        after.files.map(_.path).toSet).size, after.rows, planned)
     }
-    val (sRm, sRows) = shape(mk(8, "small"), "small")
-    val (bRm, bRows) = shape(mk(16, "big"), "big")
+    val (sRm, sRows, sPlanned) = shape(mk(8, "small"), "small")
+    val (bRm, bRows, bPlanned) = shape(mk(16, "big"), "big")
     assert(sRm == 1 && bRm == 1,
       s"exactly ONE file rewrites at either scale ($sRm/$bRm)")
+    // the affected file's DATA is read exactly ONCE (the keep-side
+    // rewrite scan): scanRows derives from manifest footer counts, so
+    // the old second counting scan per CAS attempt must not come back
+    assert(sPlanned == 1 && bPlanned == 1,
+      s"predicate overwrite must plan each affected file's read " +
+        s"exactly once (got $sPlanned/$bPlanned)")
     assert(sRows == 8000L - 600 + 300 && bRows == 16000L - 600 + 300)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.rw.big " +
       "WHERE v = 42").as[Long].head() == 300)

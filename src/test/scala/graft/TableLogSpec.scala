@@ -3185,4 +3185,126 @@ class TableLogSpec extends SparkSpec {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(TableLog.snapshot(t).get.rows == 10L)
   }
+
+  test("racing replaceWhere × 2 (disjoint slices) + append: every " +
+      "commit serializable, final rows exact, no staged file lost " +
+      "or orphaned") {
+    val t = tmp("graft_log_rw_race")
+    // 8 range-clustered files of 1000 keys each; the two replaced
+    // slices each prune to exactly one (disjoint) file
+    TableLog.create(spark, t,
+      spark.range(8000L).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(8, $"k"), statsCols = Seq("k"))
+    def slice(lo: Long, hi: Long) = (s: TableLog.Snapshot) =>
+      s.files.filter(f => f.stats.find(_.col == "k").forall(st =>
+        st.min < hi && lo <= st.max))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      Either[Throwable, Long]]()
+    def th(body: => Long) = new Thread(() => {
+      start.await()
+      try results.add(Right(body))
+      catch { case e: Throwable => results.add(Left(e)) }
+    })
+    val threads = Seq(
+      // replace [1000,2000) with 400 rows of v=41
+      th(TableLog.replaceWhere(spark, t, $"k" >= 1000 && $"k" < 2000,
+        spark.range(1000L, 1400L).select($"id".as("k"),
+          lit(41L).as("v")).coalesce(1),
+        statsCols = Seq("k"), prune = slice(1000, 2000))),
+      // replace [5000,6000) with 250 rows of v=42
+      th(TableLog.replaceWhere(spark, t, $"k" >= 5000 && $"k" < 6000,
+        spark.range(5000L, 5250L).select($"id".as("k"),
+          lit(42L).as("v")).coalesce(1),
+        statsCols = Seq("k"), prune = slice(5000, 6000))),
+      // and an unrelated concurrent append of 300 rows
+      th(TableLog.append(spark, t,
+        spark.range(9000L, 9300L).select($"id".as("k"),
+          lit(43L).as("v")).coalesce(1), statsCols = Seq("k"))))
+    threads.foreach(_.start()); start.countDown()
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.forall(_.isRight), s"all three writers must succeed: $rs")
+    // serialized: versions 2, 3, 4 in some order — no commit lost
+    assert(rs.flatMap(_.toOption).sorted == Seq(2L, 3L, 4L))
+    val back = TableLog.read(spark, t)
+    assert(back.count() == 8000L - 1000 + 400 - 1000 + 250 + 300)
+    assert(back.where($"v" === 41).count() == 400)
+    assert(back.where($"v" === 42).count() == 250)
+    assert(back.where($"v" === 43).count() == 300)
+    assert(back.where($"k" >= 1400 && $"k" < 2000).count() == 0,
+      "the replaced slice must not resurrect")
+    assert(back.where($"k" >= 5250 && $"k" < 6000).count() == 0)
+    // no orphans: every .parquet on disk is referenced by SOME
+    // committed version (lost-CAS keep-side rewrites were deleted)
+    val referenced = (1L to TableLog.latestVersion(t)).flatMap(v =>
+      TableLog.snapshotAt(t, v).toSeq.flatMap(s =>
+        s.files.map(_.path) ++ s.dels.map(_.file.path))).toSet
+    val dataDir = java.nio.file.Paths.get(t, "data")
+    val onDisk = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(t).relativize(p).toString)
+      .toSet
+    assert(onDisk == referenced,
+      s"staged-file leak or loss: onDisk-only=${(onDisk -- referenced)
+        .take(4)}, referenced-only=${(referenced -- onDisk).take(4)}")
+  }
+
+  test("replaceWhere scanRows derives from the manifest: exact with " +
+      "a pending deletion vector on the slice, KEY sidecars fall " +
+      "back to the counting scan, auditScan cross-checks") {
+    val t = tmp("graft_log_rw_meta")
+    TableLog.create(spark, t,
+      spark.range(4000L).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(4, $"k"), statsCols = Seq("k"))
+    // a positional (DV) delete of 100 rows INSIDE the slice about to
+    // be replaced: the metadata-derived live count must subtract them.
+    // All slices are strictly INTERIOR to one file's key block —
+    // range-partition boundaries are sample-approximate, so a slice
+    // touching a boundary could overlap two files and flake the
+    // planned-read pins below.
+    TableLog.deleteDv(spark, t, $"k" >= 1250 && $"k" < 1350,
+      statsCols = Seq("k"))
+    assert(TableLog.snapshot(t).get.dels.nonEmpty, "DV must be pending")
+    def pruneRange(lo: Long, hi: Long) = (s: TableLog.Snapshot) =>
+      s.files.filter(f => f.stats.find(_.col == "k").forall(st =>
+        st.min < hi && lo <= st.max))
+    spark.conf.set("spark.graft.replaceWhere.auditScan", "true")
+    try {
+      val planned0 = TableLog.morFilesPlanned.get()
+      TableLog.replaceWhere(spark, t, $"k" >= 1200 && $"k" < 1800,
+        spark.range(1200L, 1500L).select($"id".as("k"),
+          lit(40L).as("v")).coalesce(1),
+        statsCols = Seq("k"), prune = pruneRange(1200, 1800))
+      // audit mode scans TWICE on purpose (rewrite + cross-check);
+      // the require inside pinned derived == counted
+      assert(TableLog.morFilesPlanned.get() - planned0 == 2)
+      // manifest rows exact: 4000 − 100 (DV, inside the slice) −
+      // 500 (live slice rest) + 300 new
+      assert(TableLog.snapshot(t).get.rows == 4000L - 600 + 300)
+      assert(TableLog.read(spark, t).count() == 3700)
+    } finally spark.conf.unset("spark.graft.replaceWhere.auditScan")
+    // default mode: ONE planned read of the (single) affected file
+    val planned1 = TableLog.morFilesPlanned.get()
+    TableLog.replaceWhere(spark, t, $"k" >= 3200 && $"k" < 3800,
+      spark.range(3200L, 3300L).select($"id".as("k"),
+        lit(50L).as("v")).coalesce(1),
+      statsCols = Seq("k"), prune = pruneRange(3200, 3800))
+    assert(TableLog.morFilesPlanned.get() - planned1 == 1)
+    assert(TableLog.read(spark, t).count() == 3700 - 600 + 100)
+    // KEY sidecar pending on the slice → data-dependent removal →
+    // counting-scan fallback (≥2 planned reads), still exact
+    TableLog.deleteMor(spark, t, "k",
+      spark.range(3200L, 3250L).toDF("k"))
+    val planned2 = TableLog.morFilesPlanned.get()
+    TableLog.replaceWhere(spark, t, $"k" >= 3200 && $"k" < 3800,
+      spark.range(3200L, 3210L).select($"id".as("k"),
+        lit(60L).as("v")).coalesce(1),
+      statsCols = Seq("k"), prune = pruneRange(3200, 3800))
+    assert(TableLog.morFilesPlanned.get() - planned2 >= 2,
+      "KEY-fenced slices must fall back to the counting scan")
+    assert(TableLog.read(spark, t).count() == 3150 - 50 + 10)
+    assert(TableLog.read(spark, t).where($"v" === 60).count() == 10)
+  }
 }
