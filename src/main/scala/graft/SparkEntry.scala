@@ -1213,6 +1213,17 @@ object SparkEntry {
       "o89: the predicate overwrite must be ONE commit")
     assert(snap.action == "replace",
       s"o89: expected a 'replace' commit, got '${snap.action}'")
+    // the SQL-TEXT twin: `CALL replace_where` recomputes a SECOND
+    // (disjoint) slice from text alone — same one-commit atomicity,
+    // same new-row enforcement, predicate parsed from the string
+    base.where(col("o_orderkey").between(20000, 30000))
+      .withColumn("price_c", col("price_c") + 200)
+      .createOrReplaceTempView(s"o89_src_$sfx")
+    tl.sql(s, s"CALL replace_where('$cat.rw.t', " +
+      s"'o_orderkey >= 20000 AND o_orderkey <= 30000', 'o89_src_$sfx')") // v4
+    val snap4 = tl.snapshot(path).get
+    assert(snap4.version == v2 + 2 && snap4.action == "replace",
+      "o89: CALL replace_where must be ONE 'replace' commit")
     s.sql(s"SELECT * FROM $cat.rw.t")
       .groupBy(col("priority").as("grp"))
       .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
@@ -6427,8 +6438,9 @@ object SparkEntry {
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM d2 GROUP BY bucket ORDER BY bucket""".stripMargin,
-    // the replace replayed relationally: final = base outside the
-    // slice + the recomputed slice (price_c + 100)
+    // the two replaces replayed relationally: final = base outside
+    // both (disjoint) slices + the first slice recomputed (+100, the
+    // DataFrame face) + the second (+200, CALL replace_where)
     "o89_replace_where" ->
       """WITH t AS (SELECT o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
@@ -6436,9 +6448,13 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 30 = 29),
         |fin AS (
         |  SELECT * FROM t WHERE o_orderkey NOT BETWEEN 5000 AND 15000
+        |    AND o_orderkey NOT BETWEEN 20000 AND 30000
         |  UNION ALL
         |  SELECT o_orderkey, price_c + 100, priority FROM t
-        |    WHERE o_orderkey BETWEEN 5000 AND 15000)
+        |    WHERE o_orderkey BETWEEN 5000 AND 15000
+        |  UNION ALL
+        |  SELECT o_orderkey, price_c + 200, priority FROM t
+        |    WHERE o_orderkey BETWEEN 20000 AND 30000)
         |SELECT priority AS grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok

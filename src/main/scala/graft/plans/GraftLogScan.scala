@@ -297,6 +297,12 @@ object PruneLogScan extends Rule[LogicalPlan] with PredicateHelper {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, IntegerType) => Some(v.toLong)
     case Literal(v: Short, ShortType) => Some(v.toLong)
+    // the ANALYZED (unoptimized) tree wraps a narrower literal in a
+    // widening cast (`k >= CAST(1200 AS bigint)`) — exact in long
+    // space, so unwrap; the non-declarative faces (positional DML,
+    // CALL replace_where) prune from analyzed conditions where
+    // ConstantFolding hasn't run
+    case c: Cast if c.dataType == LongType => longLit(c.child)
     case _ => None
   }
   private def strLit(e: Expression): Option[String] = e match {

@@ -112,13 +112,23 @@ object GraftSqlDml {
     *     `CALL merge_branch('<view>', '<branch path>'[, '<keyCol>'])`
     *   - `CALL zorder('<view>', nFiles, 'cA', aLo, aHi, 'cB', bLo,
     *     bHi)` / `hilbert_order(…)` / `zorder3(… , 'cC', cLo, cHi)`
+    *   - `CALL replace_where('<view>', '<cond SQL>', '<source view
+    *     or SELECT …>')` — the SQL-text twin of
+    *     `df.writeTo(t).overwrite(cond)` (Spark has no `INSERT …
+    *     REPLACE WHERE` grammar): one atomic predicate-overwrite
+    *     commit, the condition evaluated by Spark itself (exact by
+    *     construction; unresolvable columns and nondeterminism refuse
+    *     BEFORE any file is written), manifest-stat pruning through
+    *     the same machinery as the positional faces, and the new-row
+    *     enforcement / NULL-keep / CDC semantics of
+    *     `TableLog.replaceWhere`.
     * Claimed only when the procedure name is one of these AND its
     * first argument is a registered view; everything else passes
     * through (Spark reports its own unresolved-procedure error). The
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
     "mor_fold", "zorder_maintain", "vacuum_keep", "vacuum_feed",
-    "tag", "delete_tag",
+    "tag", "delete_tag", "replace_where",
     "publish_branch", "merge_branch", "zorder", "zorder3",
     "hilbert_order", "hilbert_order3")
 
@@ -166,6 +176,43 @@ object GraftSqlDml {
         case "vacuum_feed" =>
           TableLog.vacuumFeed(reg.table, keepVersions = longArg(1).toInt)
           TableLog.latestVersion(reg.table)
+        case "replace_where" =>
+          val cond = org.apache.spark.sql.graft.Bridge.column(
+            s.sessionState.sqlParser.parseExpression(strArg(1)))
+          val srcText = strArg(2).trim
+          val src =
+            if (srcText.matches("[A-Za-z_][A-Za-z0-9_.]*")) s.table(srcText)
+            else s.sql(srcText)
+          // align the source to the table schema by NAME (refusing
+          // missing columns / type drift loudly) — the catalog face
+          // gets this from TableOutputResolver; text-alone must not
+          // silently write a reordered or mistyped frame
+          val aligned = TableLog.tableSchemaOf(reg.table) match {
+            case Some(sch) =>
+              sch.fields.foreach { f =>
+                val g = src.schema.fields.find(_.name == f.name)
+                  .getOrElse(unsupported(
+                    s"CALL replace_where('$view', …)",
+                    s"source is missing table column ${f.name}"))
+                if (g.dataType != f.dataType) unsupported(
+                  s"CALL replace_where('$view', …)",
+                  s"source column ${f.name} is ${g.dataType
+                    .simpleString}, table has ${f.dataType.simpleString}")
+              }
+              src.select(sch.fieldNames.map(
+                org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+            case None => src
+          }
+          // resolve + refuse (unknown columns, nondeterminism) BEFORE
+          // the new slice is written; the same call is the per-CAS
+          // manifest prune
+          def pruned(b: TableLog.Snapshot) =
+            TableLog.dvPrune(s, reg.table, b, cond,
+              face = s"CALL replace_where('$view', …)")
+          TableLog.snapshot(reg.table).foreach(pruned)
+          TableLog.replaceWhere(s, reg.table, cond, aligned,
+            statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
+            bloomStatsCols = reg.bloomStatsCols, prune = pruned)
         case "tag" =>
           TableLog.tagVersion(reg.table, strArg(1), longArg(2))
           TableLog.latestVersion(reg.table)

@@ -5395,8 +5395,9 @@ object TableLog {
     * (the matched set must be the set the read-side filter hides), and
     * manifest-prune with the SAME machinery the declarative face uses
     * — a clustered positional delete touches only overlapping files. */
-  private def dvPrune(spark: SparkSession, table: String, base: Snapshot,
-      cond: Column): Seq[FileEntry] = {
+  private[graft] def dvPrune(spark: SparkSession, table: String,
+      base: Snapshot, cond: Column,
+      face: String = "positional DML"): Seq[FileEntry] = {
     val probe = morScan(spark, table, base, base.files, pos = true)
       .where(cond)
     val resolved = probe.queryExecution.analyzed.collectFirst {
@@ -5404,7 +5405,7 @@ object TableLog {
         f.condition
     }
     resolved.foreach(c => require(c.deterministic,
-      s"positional DML on $table: the predicate must be deterministic " +
+      s"$face on $table: the predicate must be deterministic " +
         "— a nondeterministic predicate would delete different rows " +
         "than it matched"))
     resolved match {

@@ -614,4 +614,72 @@ class SqlDmlSpec extends SparkSpec {
     assert(s.dels.isEmpty && s.rows == 700L,
       "OPTIONS-declared cap must route the bulk delete to COW")
   }
+
+  test("CALL replace_where: predicate overwrite from text alone — " +
+      "one atomic commit, stat-pruned rewrite, refusals for " +
+      "nondeterminism / schema drift / violating new rows") {
+    val t = tmp("graft_sqldml_rw")
+    TableLog.create(spark, t, spark.range(8000)
+      .select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions("k"),
+      statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "dml_rw", t, statsCols = Seq("k"))
+    val before = TableLog.snapshot(t).get
+
+    // happy path: recompute the [1200,1800) slice from a SELECT source
+    val v = TableLog.sql(spark,
+      "CALL replace_where('dml_rw', 'k >= 1200 AND k < 1800', " +
+        "'SELECT id AS k, CAST(42 AS BIGINT) AS v FROM range(1200, 1500)')")
+      .head.getLong(0)
+    assert(v == before.version + 1, "replace_where must be ONE commit")
+    val after = TableLog.snapshot(t).get
+    assert(after.rows == 8000L - 600 + 300)
+    // stat-pruned: only the one overlapping file left the manifest
+    assert((before.files.map(_.path).toSet --
+      after.files.map(_.path).toSet).size == 1,
+      "the rewrite set must track the replaced slice")
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_rw WHERE v = 42")
+      .head.getLong(0) == 300)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_rw WHERE k >= 1500 AND k < 1800")
+      .head.getLong(0) == 0, "the replaced slice must not resurrect")
+
+    // a registered-VIEW source works too (and column order may differ:
+    // alignment is by name)
+    spark.sql("SELECT CAST(41 AS BIGINT) AS v, id AS k FROM range(2200, 2300)")
+      .createOrReplaceTempView("rw_src")
+    TableLog.sql(spark,
+      "CALL replace_where('dml_rw', 'k >= 2200 AND k < 2400', 'rw_src')")
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM dml_rw WHERE v = 41")
+      .head.getLong(0) == 100)
+
+    val filesNow = TableLog.snapshot(t).get.files.map(_.path).toSet
+    // nondeterministic predicate refuses BEFORE any file is written
+    val eNd = intercept[Exception](TableLog.sql(spark,
+      "CALL replace_where('dml_rw', 'rand() < 0.5', 'rw_src')"))
+    assert(eNd.getMessage.contains("deterministic"), eNd.getMessage)
+    // unknown predicate column refuses (analysis, loud)
+    intercept[Exception](TableLog.sql(spark,
+      "CALL replace_where('dml_rw', 'nope > 3', 'rw_src')"))
+    // schema drift refuses: missing column, then type drift
+    val eMiss = intercept[UnsupportedOperationException](
+      TableLog.sql(spark, "CALL replace_where('dml_rw', 'k < 0', " +
+        "'SELECT id AS k FROM range(10)')"))
+    assert(eMiss.getMessage.contains("missing table column v"))
+    val eTyp = intercept[UnsupportedOperationException](
+      TableLog.sql(spark, "CALL replace_where('dml_rw', 'k < 0', " +
+        "'SELECT id AS k, CAST(1 AS INT) AS v FROM range(10)')"))
+    assert(eTyp.getMessage.contains("is int, table has bigint"))
+    // new rows violating the predicate abort with the table untouched
+    val eViol = intercept[Exception](TableLog.sql(spark,
+      "CALL replace_where('dml_rw', 'k >= 5000 AND k < 5100', " +
+        "'SELECT id AS k, CAST(9 AS BIGINT) AS v FROM range(5000, 5200)')"))
+    assert(eViol.getMessage.contains("do NOT satisfy"), eViol.getMessage)
+    assert(TableLog.snapshot(t).get.files.map(_.path).toSet == filesNow,
+      "every refusal must leave the table untouched")
+    assert(TableLog.sql(spark, "SELECT count(*) AS n FROM dml_rw")
+      .head.getLong(0) == 8000L - 600 + 300 - 200 + 100)
+  }
 }
