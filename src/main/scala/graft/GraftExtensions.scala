@@ -130,11 +130,16 @@ object GraftFunctionRegistry {
   * registrations, shuffle partitions) are per-session and must be
   * set by the caller on the returned session. Cached per context.
   *
-  * Known window: the default/active globals are JVM-wide, so a
-  * CONCURRENT thread calling `getOrCreate` during the (cached,
-  * once-per-context) build observes no default session and binds its
-  * own. Callers that build sessions from multiple threads should
-  * invoke this once up front, before spawning them. */
+  * Concurrency: the default/active globals are JVM-wide, and Spark's
+  * own `Builder.build` guards its default-session check/create with
+  * the CLASSIC SparkSession companion monitor — so the clear → build
+  * → restore window below holds THAT monitor. A concurrent
+  * `getOrCreate` on another thread (without its own active session)
+  * blocks at the same monitor until the prior state is restored,
+  * instead of observing no default and silently binding a brand-new
+  * unrelated session. (A thread with an ACTIVE session returns it
+  * before the lock — untouched either way: actives are thread-local
+  * and only this thread's is cleared.) */
 object GraftSessions {
   import org.apache.spark.sql.SparkSession
 
@@ -144,31 +149,36 @@ object GraftSessions {
     val c = cached
     if (c != null && (c.sparkContext eq spark.sparkContext) &&
         !c.sparkContext.isStopped) return c
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    try {
-      val s2 = SessionProfile.tune(SparkSession.builder()
-          .master(spark.sparkContext.master)
-          .withExtensions(new GraftExtensions))
-        .getOrCreate()
-      s2.conf.set("spark.sql.shuffle.partitions",
-        spark.conf.get("spark.sql.shuffle.partitions"))
-      cached = s2
-      s2
-    } finally {
-      // restore EXACTLY the prior state: getOrCreate binds the new
-      // session as default when none existed, and leaving the
-      // extension session as the process default would hand it to
-      // every later unrelated getOrCreate
-      prevDefault match {
-        case Some(d) => SparkSession.setDefaultSession(d)
-        case None => SparkSession.clearDefaultSession()
-      }
-      prevActive match {
-        case Some(a) => SparkSession.setActiveSession(a)
-        case None => SparkSession.clearActiveSession()
+    // the monitor Spark's Builder.build takes around its
+    // default-session check — holding it makes clear/build/restore
+    // atomic w.r.t. every concurrent getOrCreate
+    org.apache.spark.sql.classic.SparkSession.synchronized {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        val s2 = SessionProfile.tune(SparkSession.builder()
+            .master(spark.sparkContext.master)
+            .withExtensions(new GraftExtensions))
+          .getOrCreate()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        cached = s2
+        s2
+      } finally {
+        // restore EXACTLY the prior state: getOrCreate binds the new
+        // session as default when none existed, and leaving the
+        // extension session as the process default would hand it to
+        // every later unrelated getOrCreate
+        prevDefault match {
+          case Some(d) => SparkSession.setDefaultSession(d)
+          case None => SparkSession.clearDefaultSession()
+        }
+        prevActive match {
+          case Some(a) => SparkSession.setActiveSession(a)
+          case None => SparkSession.clearActiveSession()
+        }
       }
     }
   }

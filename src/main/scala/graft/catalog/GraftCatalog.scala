@@ -604,24 +604,24 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
       TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftTable.VersionCol, GraftTable.FileCol, GraftTable.PosCol)
+    Array(GraftTable.VersionCol, GraftTable.FileCol, GraftTable.PosCol,
+      GraftTable.ChangeTypeCol, GraftTable.ChangeVersionCol)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    // the readChangeFeed option is honored by an ANALYZER rule
-    // (ResolveChangeFeedReads re-points the relation at the changes
-    // face before any scan is built) — reaching THIS builder with the
-    // option set means the session has no GraftExtensions and the
-    // semantics-changing option would be silently dropped: the user
+    // the readChangeFeed option is honored BEFORE any scan runs: by
+    // the ResolveChangeFeedReads ANALYZER rule on GraftExtensions
+    // sessions (the relation re-points at the changes face before a
+    // scan is built), or by the ResolveGraftCatalogReads OPTIMIZER
+    // substitution on live sessions that called `install` (batch
+    // only). Reaching EXECUTION of this builder's scan with the
+    // option still set means neither is present and the
+    // semantics-changing option would be silently dropped — the user
     // asked for the typed change feed and would get current table
-    // rows. Refuse with the bridge instead.
-    if (options.getBoolean("readChangeFeed", false))
-      throw new UnsupportedOperationException(
-        s"$name: readChangeFeed requires a session built with " +
-          "GraftExtensions (GraftSessions.withExtensions(spark) " +
-          s"bridges a live one), or read the ${name}__changes face " +
-          "directly — on this session the option would be silently " +
-          "ignored")
+    // rows. The batch refusal sits in buildScan (execution), not
+    // here: V2ScanRelationPushDown builds the scan BEFORE user
+    // optimizer rules run, so a build-time throw would break the
+    // install path it exists to protect.
     new ScanBuilder with SupportsPushDownRequiredColumns {
       // starts at the full data schema; Spark narrows it to the
       // referenced columns (PLUS any requested metadata columns — they
@@ -636,17 +636,46 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
         // partitions = the commits' file deltas (GraftMicroBatchStream)
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming
-              .MicroBatchStream =
+              .MicroBatchStream = {
+          // the STREAMING face has no optimizer-substitution path
+          // (micro-batch scans are planned by the execution engine) —
+          // refuse here, where it still fires before any batch runs
+          if (options.getBoolean("readChangeFeed", false))
+            throw new UnsupportedOperationException(
+              s"$name: streaming readChangeFeed requires a session " +
+                "built with GraftExtensions (GraftSessions" +
+                ".withExtensions(spark) bridges a live one), or " +
+                s"readStream.table('${name}__changes') — on this " +
+                "session the option would be silently ignored")
           new GraftMicroBatchStream(path, nameStr,
             GraftTable.this.schema(), required, options)
+        }
         override def toV1TableScan[R <: BaseRelation with TableScan](
             context: SQLContext): R =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
+              if (options.getBoolean("readChangeFeed", false))
+                throw new UnsupportedOperationException(
+                  s"$name: readChangeFeed was not honored — install " +
+                    "the substitution rule (graft.plans" +
+                    ".ResolveGraftCatalogReads.install(spark)) or " +
+                    "build the session with GraftExtensions, or read " +
+                    s"the ${name}__changes face directly — otherwise " +
+                    "the option would silently serve current table " +
+                    "rows instead of the typed change feed")
               val dataNames = GraftTable.this.schema().fieldNames.toSet
               val meta = required.fieldNames.toSeq.filterNot(dataNames)
+              val cdcCols = meta.filter(n =>
+                n == TableLog.changeTypeCol ||
+                  n == TableLog.changeVersionCol)
+              if (cdcCols.nonEmpty)
+                throw new UnsupportedOperationException(
+                  s"$name: ${cdcCols.mkString(", ")} are change-feed " +
+                    "columns — add .option(\"readChangeFeed\", " +
+                    s"\"true\") (with the substitution rule installed)" +
+                    s" or read the ${name}__changes face")
               val df = TableLog.morScan(context.sparkSession, path,
                 snapshot, snapshot.files, meta)
               df.select(required.fieldNames.toIndexedSeq.map(n =>
@@ -697,6 +726,32 @@ object GraftTable {
     override def isNullable: Boolean = false
     override def comment(): String =
       "row index within the row's physical file"
+  }
+  /** The CDC columns, resolvable as METADATA columns so a batch
+    * `spark.read.option("readChangeFeed","true").table(t)` can
+    * reference them on a session WITHOUT GraftExtensions — the
+    * [[graft.plans.ResolveGraftCatalogReads]] substitution (installed
+    * via `install(spark)`) re-points the read at the change feed and
+    * serves them; referenced WITHOUT the option (or without the rule)
+    * they refuse loudly. Sessions built with GraftExtensions get the
+    * richer analyzer-rule swap where both ride the flat schema. */
+  val ChangeTypeCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = TableLog.changeTypeCol
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "change-feed row kind (insert/delete/update_pre/update_post) — " +
+        "served only under readChangeFeed or the __changes face"
+  }
+  val ChangeVersionCol: MetadataColumn = new MetadataColumn {
+    override def name(): String = TableLog.changeVersionCol
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "commit version that published this change-feed row — " +
+        "served only under readChangeFeed or the __changes face"
   }
 
   /** Translate Spark's V2 predicates (implicitly ANDed) into the

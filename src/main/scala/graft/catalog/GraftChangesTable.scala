@@ -91,14 +91,22 @@ final case class GraftChangesTable(path: String, nameStr: String)
 object GraftChangesTable {
   /** Batch-read version window from scan options, resolved against
     * the published frontier. Start: `startingVersion` INCLUSIVE
-    * (`earliest` = 0, `latest` = nothing-yet — an empty window, the
-    * stream's "from now" made batch), `startingTag` EXCLUSIVE (the
-    * tag names a state the consumer already holds). End:
-    * `endingVersion` INCLUSIVE (`latest`/absent = the frontier),
-    * `endingTag` INCLUSIVE (the tag names the state to catch up TO).
-    * Each pair is mutually exclusive; an end past the frontier
-    * refuses loudly in [[TableLog.readFeedBetween]]. */
-  private[catalog] def batchBounds(path: String, tableName: String,
+    * (`earliest` — and the absent-option default — means "all
+    * RETAINED changes": it clamps to the feed's vacuum floor, so an
+    * optionless batch read keeps working after a `vacuumFeed` instead
+    * of permanently refusing; an EXPLICIT numeric start below the
+    * floor still refuses loudly in [[TableLog.readFeedBetween]] —
+    * the caller named versions that are gone. `latest` = nothing-yet,
+    * an empty window, the stream's "from now" made batch),
+    * `startingTag` EXCLUSIVE (the tag names a state the consumer
+    * already holds). End: `endingVersion` INCLUSIVE (`latest`/absent
+    * = the frontier), `endingTag` INCLUSIVE (the tag names the state
+    * to catch up TO). Each pair is mutually exclusive; an end past
+    * the frontier refuses loudly. The changes STREAM deliberately
+    * does NOT clamp (a subscription that silently skips retired
+    * versions breaks its exactly-once story — it refuses with
+    * guidance instead). */
+  private[graft] def batchBounds(path: String, tableName: String,
       options: CaseInsensitiveStringMap): (Long, Long) = {
     val frontier = TableLog.publishedFrontier(path)
     val sTag = Option(options.get("startingTag")).map(_.trim)
@@ -107,7 +115,8 @@ object GraftChangesTable {
         "are mutually exclusive"))
     val lo = sTag.map(TableLog.resolveTag(path, _) + 1).getOrElse(
       Option(options.get("startingVersion")).map(_.trim) match {
-        case None | Some("earliest") => 0L
+        case None | Some("earliest") =>
+          math.max(0L, TableLog.feedFloor(path))
         case Some("latest") => frontier + 1
         case Some(v) => v.toLong
       })

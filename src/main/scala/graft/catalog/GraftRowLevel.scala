@@ -66,10 +66,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rows) and re-pins the maintained snapshot — gated by
   * `spark.graft.rowLevel.maxAutoMaintainBytes` (default 1 GiB) on
   * the fenced-file rewrite weight, refusing with guidance past it.
-  * The maintenance commit happens while BUILDING the operation
-  * (analysis), so even an EXPLAIN of the statement triggers it — the
-  * accepted trade for vanilla DELETE/UPDATE/MERGE self-healing; the
-  * commit is a visible 'mor_materialize' in `history()`. */
+  * The maintenance commit is DEFERRED to the operation's first
+  * forcing point — the scan's `planInputPartitions` or the write's
+  * commit path — so a plain EXPLAIN of the statement (whose physical
+  * planning builds the scan but never plans partitions) stays
+  * side-effect-free: analysis of a read-only plan must not write,
+  * and a cancelled statement must not leave a commit behind. Past
+  * the gate the refusal likewise fires at execution, not EXPLAIN.
+  * The commit is a visible 'mor_materialize' in `history()`. */
 abstract class GraftRlOpBase(private[catalog] val t: GraftTable,
     cmdLabel: String) extends RowLevelOperation {
 
@@ -83,41 +87,45 @@ abstract class GraftRlOpBase(private[catalog] val t: GraftTable,
 
   /** The snapshot this operation scans and commits against: the
     * table's pinned snapshot, or — when KEY sidecars were pending —
-    * the re-pinned snapshot after the gated self-heal above. */
-  private[catalog] val snap: TableLog.Snapshot = {
+    * the re-pinned snapshot after the gated self-heal above. LAZY:
+    * first forced at `planInputPartitions`/write time, never by
+    * EXPLAIN (see the class scaladoc). */
+  private[catalog] lazy val snap: TableLog.Snapshot = {
     val base = t.snapshot
-    if (base.dels.forall(_.keyCol == TableLog.DvKeyCol)) base
-    else {
-      val spark = SparkSession.active
-      val fencedBytes = base.files.filter(f =>
-        base.dels.exists(d => TableLog.sidecarFences(base, f, d)))
-        .map(f => TableLog.fileBytes(t.path, f)).sum
-      val gate = spark.conf
-        .getOption("spark.graft.rowLevel.maxAutoMaintainBytes")
-        .map(_.toLong).getOrElse(1L << 30)
-      require(fencedBytes <= gate,
-        s"row-level $cmdLabel on ${t.name}: pending KEY merge-on-read " +
-          "sidecars fence " + fencedBytes + " bytes of data files — " +
-          s"above the auto-materialization gate ($gate); run " +
-          "morMaintain/compact first, use the graft SQL DML face, or " +
-          "raise spark.graft.rowLevel.maxAutoMaintainBytes")
-      TableLog.morMaintain(spark, t.path, maxSidecars = 0,
-        statsCols = GraftCatalog.colsProp(t.props, "statsCols"),
-        strStatsCols = GraftCatalog.colsProp(t.props, "strStatsCols"),
-        bloomStatsCols = GraftCatalog.colsProp(t.props, "bloomStatsCols"))
-      TableLog.snapshotOrFail(t.path)
-    }
+    val healed =
+      if (base.dels.forall(_.keyCol == TableLog.DvKeyCol)) base
+      else {
+        val spark = SparkSession.active
+        val fencedBytes = base.files.filter(f =>
+          base.dels.exists(d => TableLog.sidecarFences(base, f, d)))
+          .map(f => TableLog.fileBytes(t.path, f)).sum
+        val gate = spark.conf
+          .getOption("spark.graft.rowLevel.maxAutoMaintainBytes")
+          .map(_.toLong).getOrElse(1L << 30)
+        require(fencedBytes <= gate,
+          s"row-level $cmdLabel on ${t.name}: pending KEY merge-on-read " +
+            "sidecars fence " + fencedBytes + " bytes of data files — " +
+            s"above the auto-materialization gate ($gate); run " +
+            "morMaintain/compact first, use the graft SQL DML face, or " +
+            "raise spark.graft.rowLevel.maxAutoMaintainBytes")
+        TableLog.morMaintain(spark, t.path, maxSidecars = 0,
+          statsCols = GraftCatalog.colsProp(t.props, "statsCols"),
+          strStatsCols = GraftCatalog.colsProp(t.props, "strStatsCols"),
+          bloomStatsCols = GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+        TableLog.snapshotOrFail(t.path)
+      }
+    require(healed.dels.forall(_.keyCol == TableLog.DvKeyCol),
+      s"row-level $cmdLabel on ${t.name}: a concurrent writer " +
+        "committed a KEY merge-on-read sidecar during planning — the " +
+        "raw-file scan cannot apply its anti-join cohort; retry the " +
+        "statement")
+    healed
   }
 
   /** The pending deletion-vector sidecars the scan filters — also the
     * commit's evidence for MOR-aware removed-row accounting. */
-  private[catalog] val pendingDv: Seq[TableLog.DeleteEntry] =
+  private[catalog] lazy val pendingDv: Seq[TableLog.DeleteEntry] =
     snap.dels.filter(_.keyCol == TableLog.DvKeyCol)
-
-  require(pendingDv.length == snap.dels.length,
-    s"row-level $cmdLabel on ${t.name}: a concurrent writer committed " +
-      "a KEY merge-on-read sidecar during planning — the raw-file " +
-      "scan cannot apply its anti-join cohort; retry the statement")
 
   /** Every row-level Scan built for this operation, each carrying the
     * file set IT planned (captured at `planInputPartitions`, after
@@ -247,36 +255,60 @@ final class GraftRowLevelScanBuilder(op: GraftRlOpBase)
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = {
-    val s = op.snap
-    val kept = pushed.foldLeft(s.files) { (fs, f) =>
-      GraftRowLevelScan.pruneBy(s, fs, f)
-    }
-    val scan = new GraftRowLevelScan(op, required, kept)
+    // op.snap is NOT forced here: scan build runs during physical
+    // planning (EXPLAIN included), and forcing it would run the
+    // KEY-sidecar self-heal commit from a read-only plan. The pushed
+    // filters are captured and the prune happens when the scan first
+    // needs its file set (planInputPartitions / runtime filtering).
+    val pushedNow = pushed
+    val scan = new GraftRowLevelScan(op, required, () => {
+      val s = op.snap
+      pushedNow.foldLeft(s.files) { (fs, f) =>
+        GraftRowLevelScan.pruneBy(s, fs, f)
+      }
+    })
     op.builtScans.add(scan)
     scan
   }
 }
 
 final class GraftRowLevelScan(op: GraftRlOpBase,
-    required: StructType, initial: Seq[TableLog.FileEntry])
+    required: StructType, initial: () => Seq[TableLog.FileEntry])
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private val t: GraftTable = op.t
 
-  @volatile private var files: Seq[TableLog.FileEntry] = initial
+  // lazily initialized from the thunk (first forcing point of the
+  // operation's snapshot — execution, never EXPLAIN); runtime group
+  // filtering narrows it in place under the same lock
+  private var filesOpt: Option[Seq[TableLog.FileEntry]] = None
+  private def files: Seq[TableLog.FileEntry] = synchronized {
+    filesOpt.getOrElse { val f = initial(); filesOpt = Some(f); f }
+  }
+  private def narrow(f: Seq[TableLog.FileEntry] => Seq[TableLog
+      .FileEntry]): Unit = synchronized { filesOpt = Some(f(files)) }
 
   /** The file set THIS scan planned — null until
     * `planInputPartitions` runs; re-planning (AQE) overwrites with
     * the then-current narrowed set, which is what actually executed. */
   @volatile private[catalog] var plannedSet: Seq[TableLog.FileEntry] = _
 
-  private val proj = new PhysicalProjection(t.name, t.schema(),
+  private lazy val proj = new PhysicalProjection(t.name, t.schema(),
     required.fields, op.snap.schemaOps,
     opLabel = "row-level operation",
     staleHint = "retry the statement")
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Declared up front (this scan serves rows, never columnar
+    * batches) so `supportsColumnar` — evaluated during PHYSICAL
+    * PLANNING, i.e. by EXPLAIN — answers from the mode instead of
+    * forcing `inputPartitions`, which is the operation's first
+    * forcing point and must stay execution-only (the KEY-sidecar
+    * self-heal commit hangs off it). */
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.UNSUPPORTED
 
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("_file"))
@@ -301,8 +333,8 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
     predicates.foreach { p =>
       GraftRowLevelScan.inSetOnFile(p).foreach { raw =>
         val set = raw.map(TableLog.lastTwo)
-        files = files.filter(f => f.ver > op.groupFilterVersion ||
-          set.contains(TableLog.lastTwo(f.path)))
+        narrow(_.filter(f => f.ver > op.groupFilterVersion ||
+          set.contains(TableLog.lastTwo(f.path))))
       }
     }
 
@@ -446,7 +478,9 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val setId =
       java.util.UUID.randomUUID().toString.take(8)
-    private val planVersion = op.snap.version
+    // def, not val: toBatch may be called during planning, and
+    // forcing op.snap there would run the self-heal from EXPLAIN
+    private def planVersion = op.snap.version
 
     override def createBatchWriterFactory(
         pinfo: PhysicalWriteInfo): DeltaWriterFactory = {

@@ -74,7 +74,26 @@ object ResolveGraftCatalogReads extends Rule[LogicalPlan] {
           if s.stream.isInstanceOf[graft.catalog.GraftMicroBatchStream] =>
         val st = s.stream.asInstanceOf[graft.catalog.GraftMicroBatchStream]
         val data = st.dataFieldNames
-        val meta = s.output.map(_.name)
+        // AddMetadataColumns appends the table's WHOLE metadata-column
+        // set to a streaming relation once any one is referenced —
+        // guard on the columns the plan actually CONSUMES, not the
+        // appended output
+        // per-node `references` (expression refs MINUS the node's own
+        // produced attributes — a leaf's output rides productIterator
+        // and would otherwise count itself as consumed)
+        val consumed = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(plan.collect { case n => n.references }
+            .flatten)
+        val used = s.output.filter(consumed.contains).map(_.name)
+        val cdc = used
+          .filter(n => (n == graft.sinks.TableLog.changeTypeCol ||
+            n == graft.sinks.TableLog.changeVersionCol) && !data(n))
+        if (cdc.nonEmpty) sys.error(
+          s"streaming read of ${st.tableNameForErrors}: " +
+            s"${cdc.mkString(", ")} are change-feed columns — stream " +
+            "the __changes face, or use readChangeFeed on a session " +
+            "built with GraftExtensions")
+        val meta = used
           .filter(n => (n == "_version" || n == "_file" || n == "_pos")
             && !data(n))
         if (meta.nonEmpty) sys.error(
@@ -90,11 +109,72 @@ object ResolveGraftCatalogReads extends Rule[LogicalPlan] {
       case s: DataSourceV2ScanRelation if !guarded.contains(s) &&
           s.relation.table.isInstanceOf[GraftTable] =>
         val t = s.relation.table.asInstanceOf[GraftTable]
-        GraftLogRelation(t.path, t.snapshot, s.output)
+        if (s.relation.options.getBoolean("readChangeFeed", false))
+          changesSwap(t, s.output, s.relation.options)
+        else substitute(t, s.output)
       case r: DataSourceV2Relation if !guarded.contains(r) &&
           r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
-        GraftLogRelation(t.path, t.snapshot, r.output)
+        if (r.options.getBoolean("readChangeFeed", false))
+          changesSwap(t, r.output, r.options)
+        else substitute(t, r.output)
     }
+  }
+
+  private def substitute(t: GraftTable,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : LogicalPlan = {
+    // the CDC metadata columns resolve on any session (so the
+    // readChangeFeed batch face works without GraftExtensions), but
+    // they only MEAN anything under the option — a plain read
+    // referencing them must refuse, not serve nulls
+    val dataNames = t.schema().fieldNames.toSet
+    val cdc = output.map(_.name).filter(n =>
+      (n == graft.sinks.TableLog.changeTypeCol ||
+        n == graft.sinks.TableLog.changeVersionCol) && !dataNames(n))
+    if (cdc.nonEmpty) sys.error(
+      s"read of ${t.name}: ${cdc.mkString(", ")} are change-feed " +
+        "columns — add .option(\"readChangeFeed\", \"true\") to the " +
+        s"read, or use the ${t.name}__changes face")
+    GraftLogRelation(t.path, t.snapshot, output)
+  }
+
+  /** The `readChangeFeed` BATCH face for live sessions (`install`):
+    * re-point the read at the table's published change feed. The
+    * analyzer already resolved the relation's output — data columns,
+    * plus `_change_type`/`_change_version` when referenced (they are
+    * METADATA columns of [[GraftTable]]) — so the swap maps each
+    * expected attribute BY NAME onto the changes frame, keeping the
+    * original exprIds (parent references stay valid; an optimizer
+    * rule must not change plan output). Version windows
+    * (`startingVersion`/`startingTag` + `endingVersion`/`endingTag`)
+    * resolve through the same [[GraftChangesTable.batchBounds]] the
+    * `__changes` face uses — retention-floor fencing and
+    * published-frontier bounding included. Sessions built with
+    * GraftExtensions never reach this: the analyzer rule re-points
+    * the relation first, with the full changes schema in the flat
+    * output. */
+  private def changesSwap(t: GraftTable,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : LogicalPlan = {
+    import graft.sinks.TableLog
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    require(TableLog.feedEnabled(t.path),
+      s"readChangeFeed on ${t.name}: the table has no change feed — " +
+        s"TableLog.enableCdcFeed('${t.path}') to capture row changes " +
+        "as typed rows (enableFeed for insert-only), then retry")
+    val spark = SparkSession.active
+    val (lo, hi) = graft.catalog.GraftChangesTable.batchBounds(
+      t.path, t.name, options)
+    val child = TableLog.readFeedBetween(spark, t.path, lo, hi)
+      .queryExecution.analyzed
+    val byName = child.output.map(a => a.name -> a).toMap
+    Project(output.map { a =>
+      val src = byName.getOrElse(a.name, sys.error(
+        s"readChangeFeed on ${t.name}: column ${a.name} is not " +
+          "served by the change feed"))
+      Alias(src, a.name)(exprId = a.exprId)
+    }, child)
   }
 }

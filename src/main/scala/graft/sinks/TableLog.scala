@@ -3482,12 +3482,33 @@ object TableLog {
     * publishing version (parsed from the `v<N>_` name prefix) —
     * deterministic order. */
   private[graft] def feedLinksBetween(table: String, vFrom: Long,
-      vTo: Long): Seq[(Long, java.nio.file.Path)] =
+      vTo: Long): Seq[(Long, java.nio.file.Path)] = {
+    // O(feed dir) per call by design — the retention floor
+    // (vacuumFeed) is what bounds the directory, and tools.FeedStats
+    // puts the flat-layout cost at ~10 ms per bounded window at 10k
+    // retained links (~100 ms at an unvacuumed 100k). Version parse
+    // and range check run per NAME with no regex and no allocation;
+    // only the window sorts.
+    def verOf(n: String): Long = {
+      if (n.length < 11 || n.charAt(0) != 'v' || n.charAt(10) != '_')
+        return -1L
+      var v = 0L
+      var i = 1
+      while (i < 10) {
+        val c = n.charAt(i)
+        if (c < '0' || c > '9') return -1L
+        v = v * 10 + (c - '0')
+        i += 1
+      }
+      v
+    }
     listDir(feedDir(table))
-      .filter(_.getFileName.toString.matches("v\\d{9}_.*"))
-      .map(p => (p.getFileName.toString.substring(1, 10).toLong, p))
-      .filter { case (v, _) => v >= vFrom && v <= vTo }
+      .flatMap { p =>
+        val v = verOf(p.getFileName.toString)
+        if (v >= vFrom && v <= vTo && v >= 0) Some((v, p)) else None
+      }
       .sortBy { case (v, p) => (v, p.getFileName.toString) }
+  }
 
   /** The changes-table schema: data columns + `_change_type` +
     * `_change_version` (the CDC subscription row shape). */

@@ -1431,12 +1431,18 @@ class CatalogSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq.sortBy(t => (t._3, t._2))
     assert(viaOpt == Seq(("delete", 1L, 3L), ("insert", 3L, 4L)),
       s"got $viaOpt")
-    // vacuumFeed records a durable retention floor: a window reaching
-    // below it refuses loudly (silently serving a partial history is
-    // the failure mode), while windows at or above it stay exact
+    // vacuumFeed records a durable retention floor: an EXPLICIT
+    // numeric window reaching below it refuses loudly (the caller
+    // named versions that are gone), while the optionless default and
+    // 'earliest' clamp to the floor — "all RETAINED changes" stays
+    // expressible after a vacuum
     TableLog.vacuumFeed(path, keepVersions = 2) // floor = v3
     assert(TableLog.feedFloor(path) == 3L)
-    val eFloor = intercept[Exception](rows())
+    assert(rows() == Seq(("delete", 1L, 3L), ("insert", 3L, 4L)),
+      "optionless batch read must clamp to the retention floor")
+    assert(rows("startingVersion" -> "earliest") ==
+      Seq(("delete", 1L, 3L), ("insert", 3L, 4L)))
+    val eFloor = intercept[Exception](rows("startingVersion" -> "2"))
     assert(eFloor.getMessage.contains("no longer servable"),
       eFloor.getMessage)
     assert(rows("startingVersion" -> "3") ==
@@ -1464,13 +1470,49 @@ class CatalogSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     assert(q2.awaitTermination(120000))
-    // readChangeFeed on a session WITHOUT GraftExtensions refuses
-    // instead of silently serving current table rows
-    val ePlain = intercept[Exception](
-      spark.read.option("readChangeFeed", "true")
-        .table(s"$CAT.rcb.t").collect())
-    assert(msgsOf(ePlain).exists(_.contains("GraftExtensions")),
-      s"got ${msgsOf(ePlain)}")
+    // readChangeFeed on the VANILLA session (no GraftExtensions, just
+    // ResolveGraftCatalogReads.install — this spec's shared session):
+    // the optimizer substitution re-points the batch read at the
+    // change feed, the CDC columns resolving as METADATA columns — no
+    // sibling session involved. Options compose; the optionless
+    // default clamps to the floor like the __changes face.
+    val viaInstall = spark.read.option("readChangeFeed", "true")
+      .table(s"$CAT.rcb.t")
+      .selectExpr("_change_type", "k", "_change_version")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(t => (t._3, t._2))
+    assert(viaInstall == Seq(("delete", 1L, 3L), ("insert", 3L, 4L)),
+      s"got $viaInstall")
+    val viaInstallWin = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", "4").table(s"$CAT.rcb.t")
+      .selectExpr("_change_type", "k")
+      .as[(String, Long)].collect().toSeq
+    assert(viaInstallWin == Seq(("insert", 3L)), s"got $viaInstallWin")
+    // change rows WITHOUT referencing the CDC columns: count = feed
+    // rows (the option changes what the read IS)
+    assert(spark.read.option("readChangeFeed", "true")
+      .table(s"$CAT.rcb.t").count() == 2L)
+    // the CDC columns refuse on a PLAIN read — they mean nothing
+    // without the option
+    val eNoOpt = intercept[Exception](
+      spark.read.table(s"$CAT.rcb.t").selectExpr("_change_type")
+        .collect())
+    assert(msgsOf(eNoOpt).exists(_.contains("readChangeFeed")),
+      s"got ${msgsOf(eNoOpt)}")
+    // ...and streaming readChangeFeed still needs GraftExtensions
+    // (micro-batch scans have no substitution path): refusal with the
+    // bridge, not silent table rows
+    val ePlainStream = intercept[Exception] {
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"$CAT.rcb.t")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_rcbs").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    }
+    assert(msgsOf(ePlainStream).exists(_.contains("GraftExtensions")),
+      s"got ${msgsOf(ePlainStream)}")
     spark.sql(s"DROP TABLE $CAT.rcb.t")
   }
 
@@ -1743,6 +1785,16 @@ class CatalogSpec extends SparkSpec {
       "setup must leave a pending KEY sidecar")
     assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.heal.t")
       .as[Long].head() == 1990)
+    // EXPLAIN is side-effect-free: the self-heal commit is deferred
+    // to execution, so a read-only plan of the statement must not
+    // mutate the table (and a cancelled statement leaves no commit)
+    val vPre = TableLog.latestVersion(path)
+    spark.sql(s"EXPLAIN EXTENDED DELETE FROM $CAT.heal.t " +
+      "WHERE k >= 500 AND k < 600").collect()
+    assert(TableLog.latestVersion(path) == vPre,
+      "EXPLAIN of a row-level DELETE must not commit the self-heal")
+    assert(TableLog.snapshot(path).get.dels.exists(_.keyCol == "k"),
+      "the pending KEY sidecar must survive EXPLAIN")
     // the DELETE self-heals (one mor_materialize commit) and lands
     spark.sql(s"DELETE FROM $CAT.heal.t WHERE k >= 500 AND k < 600")
     val after = TableLog.snapshot(path).get
