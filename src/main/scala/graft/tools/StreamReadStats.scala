@@ -92,10 +92,41 @@ object StreamReadStats {
     spark.sql(s"ALTER TABLE $cat.b.ren RENAME COLUMN v TO v2")
     val secRen = best("ren", n)
 
+    // DV-filtered BATCH read: ~1% of rows vectored, so every scan
+    // pays the DvContains codegen filter (the batch face all readers
+    // share; the data STREAM never sees vectors — it refuses
+    // row-changing commits). Timed as two counted morScans, min.
+    val tDv = mkTable("dvt")
+    TableLog.deleteDv(spark, tDv, col("k") % 100 === 0,
+      statsCols = Seq("k"))
+    val dvLive = n - (n + 99) / 100
+    val secDv = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val c = TableLog.read(spark, tDv).count()
+      assert(c == dvLive, s"dv read $c, expected $dvLive")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    // changes-feed stream: the __changes face's reader splices
+    // _change_type/_change_version per row (GenericInternalRow copy —
+    // the typed-CDC cost); n insert links drained via AvailableNow
+    spark.sql(s"CREATE TABLE $cat.b.ch (k BIGINT, v BIGINT, s STRING)")
+    val chPath = s"$root/b/ch"
+    TableLog.enableCdcFeed(chPath)
+    TableLog.append(spark, chPath,
+      spark.range(n).select(col("id").as("k"), (col("id") % 97).as("v"),
+        concat(lit("payload-"), col("id") % 1000).as("s"))
+        .repartition(files),
+      statsCols = Seq("k"))
+    val secCh = best("ch__changes", n)
+
     val mrs = (sec: Double, rows: Long) => (rows / sec / 1e6)
     println(f"""{"metric":"stream_read_mrows_per_sec","n":$n,"files":$files,""" +
       f""""identity":${mrs(secIdent, n)}%.2f,"renamed":${mrs(secRen, n)}%.2f,""" +
-      f""""identity_sec":$secIdent%.2f,"renamed_sec":$secRen%.2f}""")
+      f""""dv_filtered_batch":${mrs(secDv, dvLive)}%.2f,""" +
+      f""""changes_feed":${mrs(secCh, n)}%.2f,""" +
+      f""""identity_sec":$secIdent%.2f,"renamed_sec":$secRen%.2f,""" +
+      f""""dv_sec":$secDv%.2f,"changes_sec":$secCh%.2f}""")
     spark.stop()
   }
 }
