@@ -1280,10 +1280,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
           min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
     }
+    // the TIMESTAMP window twin of [v3,v4]: commit stamps are
+    // strictly monotonic, so [ts(v3), ts(v4)] resolves to exactly the
+    // mutation window — the "what changed between 9:00 and 9:05"
+    // incremental-ETL form
+    val tsOf = tl.history(s, bronze)
+      .select(col("version"), col("ts_ms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     window("all")
       .unionByName(window("mutations",
         "startingVersion" -> "3", "endingVersion" -> "4"))
       .unionByName(window("after_wave1", "startingTag" -> "wave1"))
+      .unionByName(window("by_timestamp",
+        "startingTimestamp" -> tsOf(3L).toString,
+        "endingTimestamp" -> tsOf(4L).toString))
       .orderBy("face", "grp")
   }
 
@@ -6490,7 +6500,10 @@ object SparkEntry {
         |  UNION ALL SELECT 'after_wave1', 'insert', * FROM updn
         |  UNION ALL SELECT 'after_wave1', 'insert', * FROM w2
         |  UNION ALL SELECT 'after_wave1', 'delete', * FROM dels
-        |  UNION ALL SELECT 'after_wave1', 'delete', * FROM updo)
+        |  UNION ALL SELECT 'after_wave1', 'delete', * FROM updo
+        |  UNION ALL SELECT 'by_timestamp', 'insert', * FROM updn
+        |  UNION ALL SELECT 'by_timestamp', 'delete', * FROM dels
+        |  UNION ALL SELECT 'by_timestamp', 'delete', * FROM updo)
         |SELECT face, ct AS grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok

@@ -108,27 +108,41 @@ object GraftChangesTable {
     * guidance instead). */
   private[graft] def batchBounds(path: String, tableName: String,
       options: CaseInsensitiveStringMap): (Long, Long) = {
+    def exclusive(names: String*): Unit = {
+      val set = names.filter(options.get(_) != null)
+      require(set.size <= 1, s"changes read of $tableName: " +
+        s"${set.mkString(" and ")} are mutually exclusive")
+    }
+    exclusive("startingVersion", "startingTag", "startingTimestamp")
+    exclusive("endingVersion", "endingTag", "endingTimestamp")
     val frontier = TableLog.publishedFrontier(path)
     val sTag = Option(options.get("startingTag")).map(_.trim)
-    sTag.foreach(_ => require(options.get("startingVersion") == null,
-      s"changes read of $tableName: startingTag and startingVersion " +
-        "are mutually exclusive"))
-    val lo = sTag.map(TableLog.resolveTag(path, _) + 1).getOrElse(
-      Option(options.get("startingVersion")).map(_.trim) match {
-        case None | Some("earliest") =>
-          math.max(0L, TableLog.feedFloor(path))
-        case Some("latest") => frontier + 1
-        case Some(v) => v.toLong
-      })
+    // startingTimestamp = the first version committed AT or AFTER the
+    // instant (epoch millis), INCLUSIVE — "every change from ts
+    // onward"; past the newest commit it is an empty window
+    val sTs = Option(options.get("startingTimestamp")).map(_.trim.toLong)
+    val lo = sTag.map(TableLog.resolveTag(path, _) + 1)
+      .orElse(sTs.map(TableLog.versionAtOrAfter(path, _)))
+      .getOrElse(
+        Option(options.get("startingVersion")).map(_.trim) match {
+          case None | Some("earliest") =>
+            math.max(0L, TableLog.feedFloor(path))
+          case Some("latest") => frontier + 1
+          case Some(v) => v.toLong
+        })
     val eTag = Option(options.get("endingTag")).map(_.trim)
-    eTag.foreach(_ => require(options.get("endingVersion") == null,
-      s"changes read of $tableName: endingTag and endingVersion " +
-        "are mutually exclusive"))
-    val hi = eTag.map(TableLog.resolveTag(path, _)).getOrElse(
-      Option(options.get("endingVersion")).map(_.trim) match {
-        case None | Some("latest") => frontier
-        case Some(v) => v.toLong
-      })
+    // endingTimestamp = the newest version committed AT or BEFORE the
+    // instant, INCLUSIVE ("everything that had happened by ts") —
+    // resolved by versionAsOf; a resolution past the published
+    // frontier refuses in readFeedBetween like a numeric end would
+    val eTs = Option(options.get("endingTimestamp")).map(_.trim.toLong)
+    val hi = eTag.map(TableLog.resolveTag(path, _))
+      .orElse(eTs.map(TableLog.versionAsOf(path, _)))
+      .getOrElse(
+        Option(options.get("endingVersion")).map(_.trim) match {
+          case None | Some("latest") => frontier
+          case Some(v) => v.toLong
+        })
     (lo, hi)
   }
 }
@@ -149,18 +163,24 @@ final class GraftChangesStream(path: String, tableName: String,
   /** Same option surface as the data stream: `startingVersion` is
     * INCLUSIVE (deliver the feed FROM that version), `startingTag`
     * EXCLUSIVE (the tag names a state the consumer already holds —
-    * deliver the changes after it); mutually exclusive. */
+    * deliver the changes after it), `startingTimestamp` INCLUSIVE
+    * from the first version committed at or after the instant; all
+    * mutually exclusive. */
   private def startingVersion: Long = {
+    val names = Seq("startingVersion", "startingTag",
+      "startingTimestamp").filter(options.get(_) != null)
+    require(names.size <= 1, s"changes stream of $tableName: " +
+      s"${names.mkString(" and ")} are mutually exclusive")
     val tag = Option(options.get("startingTag")).map(_.trim)
-    tag.foreach(_ => require(options.get("startingVersion") == null,
-      s"changes stream of $tableName: startingTag and startingVersion " +
-        "are mutually exclusive"))
-    tag.map(TableLog.resolveTag(path, _)).getOrElse(
-      Option(options.get("startingVersion")).map(_.trim) match {
-        case None | Some("earliest") => 0L
-        case Some("latest") => TableLog.publishedFrontier(path)
-        case Some(v) => math.max(v.toLong - 1, 0L)
-      })
+    val ts = Option(options.get("startingTimestamp")).map(_.trim.toLong)
+    tag.map(TableLog.resolveTag(path, _))
+      .orElse(ts.map(TableLog.versionAtOrAfter(path, _) - 1))
+      .getOrElse(
+        Option(options.get("startingVersion")).map(_.trim) match {
+          case None | Some("earliest") => 0L
+          case Some("latest") => TableLog.publishedFrontier(path)
+          case Some(v) => math.max(v.toLong - 1, 0L)
+        })
   }
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)

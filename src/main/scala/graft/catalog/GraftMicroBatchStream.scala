@@ -120,18 +120,24 @@ final class GraftMicroBatchStream(path: String, tableName: String,
   /** `startingTag` is EXCLUSIVE — the tag names a snapshot the
     * consumer already holds (seeded via `readTag`), so the stream
     * delivers what came AFTER it; `startingVersion` stays INCLUSIVE
-    * (deliver FROM that version). Mutually exclusive options. */
+    * (deliver FROM that version); `startingTimestamp` INCLUSIVE from
+    * the first version committed at or after the instant (epoch
+    * millis). Mutually exclusive options. */
   private def startingVersion: Long = {
+    val names = Seq("startingVersion", "startingTag",
+      "startingTimestamp").filter(options.get(_) != null)
+    require(names.size <= 1, s"streaming read of $tableName: " +
+      s"${names.mkString(" and ")} are mutually exclusive")
     val tag = Option(options.get("startingTag")).map(_.trim)
-    tag.foreach(_ => require(options.get("startingVersion") == null,
-      s"streaming read of $tableName: startingTag and startingVersion " +
-        "are mutually exclusive"))
-    tag.map(TableLog.resolveTag(path, _)).getOrElse(
-      Option(options.get("startingVersion")).map(_.trim) match {
-        case None | Some("earliest") => 0L
-        case Some("latest") => TableLog.latestVersion(path)
-        case Some(v) => math.max(v.toLong - 1, 0L) // deliver FROM v
-      })
+    val ts = Option(options.get("startingTimestamp")).map(_.trim.toLong)
+    tag.map(TableLog.resolveTag(path, _))
+      .orElse(ts.map(TableLog.versionAtOrAfter(path, _) - 1))
+      .getOrElse(
+        Option(options.get("startingVersion")).map(_.trim) match {
+          case None | Some("earliest") => 0L
+          case Some("latest") => TableLog.latestVersion(path)
+          case Some(v) => math.max(v.toLong - 1, 0L) // deliver FROM v
+        })
   }
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)

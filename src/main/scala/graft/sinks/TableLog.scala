@@ -2127,6 +2127,49 @@ object TableLog {
   def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
     readVersion(spark, table, versionAsOf(table, tsMs))
 
+  /** `versionAsOf`'s complement for the CDC faces: the SMALLEST
+    * retained version whose commit timestamp is AT OR AFTER `tsMs` —
+    * "the first change from ts onward" (`startingTimestamp`), where
+    * versionAsOf answers "the table AS OF ts". Same O(log versions)
+    * binary search over the monotonic commit timestamps. A ts past
+    * the newest commit returns latest+1 — an EMPTY window, the
+    * stream's "from now" made timestamp-shaped, never an error (the
+    * caller is subscribing to the future). A ts at or before the
+    * earliest RETAINED version's stamp refuses when history was
+    * vacuumed (earliest > 1): versions below the retention floor may
+    * also satisfy it, and resolving to `earliest` would SILENTLY
+    * skip their changes — the same loud-over-partial posture as the
+    * feed floor fence. On a never-vacuumed table it resolves to 1. */
+  private[graft] def versionAtOrAfter(table: String, tsMs: Long): Long = {
+    val latest = latestVersion(table)
+    require(latest > 0, s"versionAtOrAfter: no committed version in $table")
+    val earliest = listDir(logDir(table))
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .min
+    def ts(v: Long): Long =
+      parseRec(manifestPath(table, v)).map(_.tsMs).getOrElse(
+        sys.error(s"versionAtOrAfter: manifest v$v of $table unreadable"))
+    if (tsMs > ts(latest)) return latest + 1
+    if (tsMs <= ts(earliest)) {
+      require(earliest == 1,
+        s"versionAtOrAfter($table, $tsMs): timestamp is at or before " +
+          s"the earliest RETAINED version (v$earliest at " +
+          s"${ts(earliest)} — older history was vacuumed); changes " +
+          "from vacuumed versions cannot be served — start at " +
+          s"version $earliest or later, or use startingVersion")
+      return 1L
+    }
+    // invariant: ts(hi) >= tsMs; answer = smallest such version
+    var lo = earliest; var hi = latest
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) >= tsMs) hi = mid else lo = mid + 1
+    }
+    hi
+  }
+
   // ===== Version tags (named refs, vacuum-protected) ===================
 
   private def tagsDir(table: String): Path = Paths.get(table, "_tags")

@@ -1180,6 +1180,16 @@ class CatalogSpec extends SparkSpec {
     drainTo("ssv_v3", Map("startingVersion" -> "3"))
     assert(spark.sql("SELECT k FROM ssv_v3").as[Long].collect()
       .toSeq == Seq(2L))
+    // timestamp: deliver FROM the first version committed at or
+    // after the instant (v3's own stamp opens at v3)
+    val ts3 = TableLog.history(spark, bronze)
+      .where($"version" === 3).select($"ts_ms").as[Long].head()
+    drainTo("ssv_ts", Map("startingTimestamp" -> ts3.toString))
+    assert(spark.sql("SELECT k FROM ssv_ts").as[Long].collect()
+      .toSeq == Seq(2L))
+    intercept[Exception](drainTo("ssv_mx",
+      Map("startingTimestamp" -> ts3.toString,
+        "startingVersion" -> "3")))
     // an offset below the vacuum floor fails with restart guidance
     (1 to 12).foreach(i =>
       spark.sql(s"INSERT INTO $CAT.ssv.b VALUES (${10 + i})"))
@@ -1416,6 +1426,47 @@ class CatalogSpec extends SparkSpec {
       Seq(("insert", 1L, 2L), ("insert", 2L, 2L)))
     // 'latest' start = nothing yet; schema intact
     assert(rows("startingVersion" -> "latest").isEmpty)
+    // TIMESTAMP windows: strictly monotonic commit stamps make the
+    // resolution exact — startingTimestamp INCLUSIVE from the first
+    // version committed at or after the instant, endingTimestamp
+    // INCLUSIVE through the newest at or before it
+    val tsOf = TableLog.history(spark, path)
+      .select($"version", $"ts_ms").as[(Long, Long)].collect().toMap
+    assert(rows("startingTimestamp" -> tsOf(3L).toString,
+        "endingTimestamp" -> tsOf(3L).toString) ==
+      Seq(("delete", 1L, 3L)), "[ts(v3), ts(v3)] must be v3 alone")
+    assert(rows("startingTimestamp" -> (tsOf(3L) + 1).toString) ==
+      Seq(("insert", 3L, 4L)),
+      "a start strictly after v3's stamp must open at v4")
+    assert(rows("endingTimestamp" -> (tsOf(3L) - 1).toString) ==
+      Seq(("insert", 1L, 2L), ("insert", 2L, 2L)))
+    // a future start is the empty window ("from now"), never an error
+    assert(rows("startingTimestamp" ->
+      (tsOf(4L) + 3600000L).toString).isEmpty)
+    // option pairs refuse
+    val eMx = intercept[Exception](rows("startingTimestamp" -> "1",
+      "startingVersion" -> "2"))
+    assert(eMx.getMessage.contains("mutually exclusive"))
+    // ...and the STREAM takes startingTimestamp too: from v3's stamp,
+    // an AvailableNow drain delivers exactly v3 + v4
+    val tsCk = java.nio.file.Files
+      .createTempDirectory("graft_rcbt").toString
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $CAT.rcb.tsink " +
+      "(k BIGINT, v BIGINT, _change_type STRING, " +
+      "_change_version BIGINT)")
+    val qTs = spark.readStream
+      .option("startingTimestamp", tsOf(3L).toString)
+      .table(s"$CAT.rcb.t__changes")
+      .writeStream.option("checkpointLocation", tsCk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$CAT.rcb.tsink")
+    assert(qTs.awaitTermination(120000))
+    val tsRows = spark.sql(s"SELECT _change_type, k, _change_version " +
+      s"FROM $CAT.rcb.tsink ORDER BY _change_version, k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tsRows == Seq(("delete", 1L, 3L), ("insert", 3L, 4L)),
+      s"got $tsRows")
+    spark.sql(s"DROP TABLE $CAT.rcb.tsink")
     // an end past the published frontier refuses loudly
     val e = intercept[Exception](rows("endingVersion" -> "99"))
     assert(e.getMessage.contains("exceeds the published"),
