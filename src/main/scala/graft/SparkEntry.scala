@@ -1231,6 +1231,64 @@ object SparkEntry {
       .orderBy("grp")
   }
 
+  /** The FULL MERGE clause matrix under the oracle — conditional
+    * matched actions, a guarded insert, and `WHEN NOT MATCHED BY
+    * SOURCE` (the full-sync idiom: target rows the source no longer
+    * carries update or delete), all through Spark's OWN row-level
+    * framework (`RewriteMergeIntoTable` → ReplaceData over
+    * [[graft.catalog.GraftRowLevel]]) on a catalog table. Target =
+    * orders keys ≡24 (mod 30); source = the matched half (≡24 mod 60,
+    * price doubled) plus an unmatched wave (≡26 mod 30). Clauses:
+    * matched & doubled-price > 40000000¢ delete, matched update to
+    * the source image, unmatched & key ≡2 (mod 4) insert, not-matched-
+    * by-source & price < 10000000¢ delete, remaining stale rows mark
+    * priority 'STALE'. One commit; the oracle reconstructs the final
+    * state relationally from the same slices (no join needed — the
+    * matched/unmatched partitions are disjoint key residues). */
+  private def o90MergeFull(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh90_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o90_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    graft.plans.ResolveGraftCatalogReads.install(s)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mf")
+    s.sql(s"CREATE TABLE $cat.mf.t (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val path = s"$wh/mf/t"
+    val base = T(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, path, base.where(col("o_orderkey") % 30 === 24),
+      statsCols = Seq("o_orderkey"))                              // v2
+    val v2 = tl.latestVersion(path)
+    base.where(col("o_orderkey") % 60 === 24 ||
+        col("o_orderkey") % 30 === 26)
+      .withColumn("price_c", col("price_c") * 2)
+      .createOrReplaceTempView(s"o90_src_$sfx")
+    s.sql(s"""MERGE INTO $cat.mf.t t USING o90_src_$sfx s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.price_c > 40000000 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price_c = s.price_c,
+        priority = s.priority
+      WHEN NOT MATCHED AND s.o_orderkey % 4 = 2 THEN
+        INSERT (o_orderkey, price_c, priority)
+        VALUES (s.o_orderkey, s.price_c, s.priority)
+      WHEN NOT MATCHED BY SOURCE AND t.price_c < 10000000 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET priority = 'STALE'""")
+    assert(tl.latestVersion(path) == v2 + 1,
+      "o90: the five-clause merge must be ONE commit")
+    s.sql(s"SELECT * FROM $cat.mf.t")
+      .groupBy(col("priority").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("grp")
+  }
+
   /** The BOUNDED batch CDC read under the oracle —
     * `spark.read.option("startingVersion"/"endingVersion"/tags, …)
     * .table(bronze__changes)`: the "what changed between v5 and v9"
@@ -4753,6 +4811,7 @@ object SparkEntry {
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
     "o88_changes_between" -> (o88ChangesBetween _),
     "o89_replace_where" -> (o89ReplaceWhere _),
+    "o90_merge_full" -> (o90MergeFull _),
     "o77_branch_merge" -> (o77BranchMerge _),
     "o60_sql_face" -> (o60SqlFace _),
     "o61_restore" -> (o61Restore _),
@@ -6465,6 +6524,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, price_c + 200, priority FROM t
         |    WHERE o_orderkey BETWEEN 20000 AND 30000)
+        |SELECT priority AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM fin GROUP BY priority ORDER BY grp""".stripMargin,
+    // the five-clause merge replayed relationally: the matched /
+    // source-only / target-only partitions are disjoint key residues
+    // (mod-60 24 / mod-30 26 / mod-60 54), so each clause's effect is
+    // a filter on its slice — no join needed
+    "o90_merge_full" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority FROM orders),
+        |upd AS (SELECT o_orderkey, price_c * 2 AS price_c, priority
+        |  FROM t WHERE o_orderkey % 60 = 24
+        |    AND price_c * 2 <= 40000000),
+        |ins AS (SELECT o_orderkey, price_c * 2 AS price_c, priority
+        |  FROM t WHERE o_orderkey % 30 = 26 AND o_orderkey % 4 = 2),
+        |stale AS (SELECT o_orderkey, price_c, 'STALE' AS priority
+        |  FROM t WHERE o_orderkey % 60 = 54 AND price_c >= 10000000),
+        |fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins
+        |  UNION ALL SELECT * FROM stale)
         |SELECT priority AS grp, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok

@@ -524,7 +524,9 @@ object GraftCatalog {
   * from `SELECT *`, spliced in only when referenced, shadowed by
   * same-named data columns. Both faces produce them: the substitution
   * rule asks `morScan` to attach them AT THE SCAN (before any MOR
-  * anti-join, where `input_file_name` is still live), and the V1
+  * anti-join, where file identity is still live; served as
+  * `_metadata.file_path` — deterministic, so runtime group-filter
+  * subqueries over this path survive Spark's DPP cleanup), and the V1
   * fallback sees them in its pruned required schema. */
 final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
     props: Map[String, String], nameStr: String)
@@ -697,7 +699,7 @@ object GraftTable {
     * the produced expression exactly. `_file` and `_pos` are declared
     * NON-nullable: they are this table's delta-operation row identity
     * (`SupportsDelta.rowId`), and Spark's row-level rewrite refuses a
-    * nullable row id — the producing expressions (`input_file_name`,
+    * nullable row id — the producing expressions (`_metadata.file_path`,
     * the raw reader's physical row counter) never yield null. */
   val VersionCol: MetadataColumn = new MetadataColumn {
     override def name(): String = "_version"

@@ -316,7 +316,9 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
   /** Runtime group filter: Spark hands back the DISTINCT `_file`
     * values of the rows matching the condition — collected by a
     * group-filter subquery that scans through the table's ORDINARY
-    * read path, whose `_file` is `input_file_name()`: an ABSOLUTE
+    * read path, whose `_file` is `_metadata.file_path` (DETERMINISTIC
+    * by design — `CleanupDynamicPruningFilters` strips the filter
+    * otherwise; see `TableLog.attachMeta`): an ABSOLUTE
     * URI, while manifest entries are table-relative. Both sides
     * normalize to the last two path segments (`data/<set>/<part>` —
     * unique per table, the deletion-vector machinery's convention)

@@ -1074,25 +1074,38 @@ object TableLog {
 
   /** Attach the requested metadata columns (`_file`, `_version`) to a
     * cohort scan — called AT THE SCAN, under any MOR anti-join or
-    * cohort union, because `input_file_name` is task-local to the file
-    * read and goes blank above a shuffle. A same-named DATA column
-    * shadows the metadata one (Spark's own conflict rule), so names
-    * already present are skipped. `_version` is an O(1) codegen'd map
-    * from the row's file to the manifest version that committed it —
-    * the map is the same O(files) driver metadata the snapshot already
-    * is. */
+    * cohort union (file identity is only defined at the file read). A
+    * same-named DATA column shadows the metadata one (Spark's own
+    * conflict rule), so names already present are skipped. `_version`
+    * is an O(1) codegen'd map from the row's file to the manifest
+    * version that committed it — the map is the same O(files) driver
+    * metadata the snapshot already is.
+    *
+    * The file identity is `_metadata.file_path`, NOT
+    * `input_file_name()`. Same value (the absolute URI of the row's
+    * file), but `input_file_name` is a NONDETERMINISTIC expression,
+    * and determinism is load-bearing here: Spark's row-level runtime
+    * group filter (`RowLevelOperationRuntimeGroupFiltering`) plans a
+    * subquery over this read path to collect the `_file` values
+    * holding matched rows, and `CleanupDynamicPruningFilters` STRIPS
+    * any runtime-pruning filter whose plan is not fully deterministic
+    * (`NodeWithOnlyDeterministicProjectAndFilter`). With
+    * `input_file_name` in the subquery, every catalog
+    * DELETE/UPDATE/MERGE silently lost its runtime narrowing — a
+    * MERGE rewrote the WHOLE table however few groups matched. */
   private def attachMeta(df: DataFrame, meta: Seq[String],
       files: Seq[FileEntry]): DataFrame = {
     if (meta.isEmpty) return df
-    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.functions.col
+    val fp = col("_metadata.file_path")
     val have = df.columns.toSet
     var d = df
     if (meta.contains("_file") && !have("_file"))
-      d = d.withColumn("_file", input_file_name())
+      d = d.withColumn("_file", fp)
     if (meta.contains("_version") && !have("_version"))
       d = d.withColumn("_version", org.apache.spark.sql.graft.Bridge.column(
         graft.functions.FileVersion(
-          org.apache.spark.sql.catalyst.expressions.InputFileName(),
+          org.apache.spark.sql.graft.Bridge.expression(fp),
           graft.functions.FileVersionMap(
             files.map(f => f.path -> f.ver)))))
     d
@@ -1149,13 +1162,21 @@ object TableLog {
   }
 
   /** The positional probe columns the DV filter and the positional DML
-    * faces read — projected AT THE SCAN (task-local expressions). */
+    * faces read — projected AT THE SCAN (task-local expressions).
+    * `_metadata.file_path`, NOT `input_file_name()`: the two agree on
+    * every value this engine reads (absolute URI of the row's file),
+    * but `input_file_name` is declared NONDETERMINISTIC, and one
+    * nondeterministic expression anywhere in a subquery plan makes
+    * Spark's `CleanupDynamicPruningFilters` strip runtime-pruning
+    * filters whose subquery embeds this scan (the row-level runtime
+    * group filter — see [[attachMeta]]). */
   private def posCols(withPos: Boolean)
       : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, substring_index}
+    import org.apache.spark.sql.functions.{col, substring_index}
     if (!withPos) Nil
     else Seq(
-      substring_index(input_file_name(), "/", -2).as(GraftFileCol),
+      substring_index(col("_metadata.file_path"), "/", -2)
+        .as(GraftFileCol),
       col("_metadata.row_index").as(GraftPosCol))
   }
 

@@ -1,0 +1,166 @@
+package graft
+
+import graft.catalog.GraftCatalog
+import graft.plans.ResolveGraftCatalogReads
+import graft.sinks.TableLog
+import org.apache.spark.sql.functions._
+
+/** The FULL SQL MERGE clause matrix through Spark's own row-level
+  * framework — conditional matched actions, multiple clauses per
+  * branch, and `WHEN NOT MATCHED BY SOURCE` (the full-sync idiom:
+  * target rows absent from the source update or delete). Nothing in
+  * graft special-cases these: Spark's `RewriteMergeIntoTable`
+  * produces the ReplaceData (group-based COW) or WriteDelta
+  * (MOR delta) plan over [[graft.catalog.GraftRowLevel]], and these
+  * pins prove the operation's scan/write halves carry every clause
+  * combination, not just the canonical upsert.
+  *
+  * One semantic consequence pinned here: a NOT-MATCHED-BY-SOURCE
+  * clause makes EVERY target row a candidate, so the runtime group
+  * filter cannot prune scan groups by source keys — the whole table
+  * rewrites (COW) or is scanned (MOR). That is inherent to the
+  * semantics, not a graft limitation. */
+class FullMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val CAT = "graftfm"
+
+  private lazy val warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_fm_wh")
+      .toString
+    spark.conf.set(s"spark.sql.catalog.$CAT",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$CAT.warehouse", wh)
+    ResolveGraftCatalogReads.install(spark)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.fm")
+    wh
+  }
+
+  /** target k=0..9 v=k*10; source k=5..14 v=k*100. Clauses:
+    *   MATCHED AND s.v > 700        → DELETE          (k=8,9)
+    *   MATCHED                      → UPDATE v = s.v  (k=5,6,7)
+    *   NOT MATCHED AND s.k < 13     → INSERT          (k=10,11,12)
+    *   NOT MATCHED BY SOURCE AND t.k < 2 → DELETE     (k=0,1)
+    *   NOT MATCHED BY SOURCE        → UPDATE v = -1   (k=2,3,4)
+    * Final: 2..4 → -1; 5..7 → k*100; 10..12 → k*100. */
+  private def runScenario(table: String): Unit = {
+    spark.range(10).select($"id".as("k"), ($"id" * 10).as("v"))
+      .createOrReplaceTempView("fm_t0")
+    spark.sql(s"INSERT INTO $table SELECT k, v FROM fm_t0")
+    spark.range(5, 15).select($"id".as("k"), ($"id" * 100).as("v"))
+      .createOrReplaceTempView("fm_src")
+    spark.sql(s"""MERGE INTO $table t USING fm_src s ON t.k = s.k
+      WHEN MATCHED AND s.v > 700 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.k < 13 THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""")
+    val want = Seq(2L -> -1L, 3L -> -1L, 4L -> -1L,
+      5L -> 500L, 6L -> 600L, 7L -> 700L,
+      10L -> 1000L, 11L -> 1100L, 12L -> 1200L)
+    val got = spark.sql(s"SELECT k, v FROM $table ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"$table full-clause merge result")
+  }
+
+  test("full MERGE clause matrix on a COW (group-based) table") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.cow (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    runScenario(s"$CAT.fm.cow")
+    val snap = TableLog.snapshot(s"$wh/fm/cow").get
+    assert(snap.rows == 9 && snap.dels.isEmpty,
+      "COW merge must land as plain data files, no sidecars")
+    assert(snap.files.forall(_.stats.exists(_.col == "k")),
+      "rewritten files must derive the declared stats")
+  }
+
+  test("full MERGE clause matrix on a MOR (delta-based) table") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.mor (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    runScenario(s"$CAT.fm.mor")
+    val snap = TableLog.snapshot(s"$wh/fm/mor").get
+    assert(snap.rows == 9, "manifest row accounting after delta merge")
+  }
+
+  test("runtime group filter narrows a DELETE that static stats " +
+      "cannot prune") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.rt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val t = s"$CAT.fm.rt"
+    // v carries NO manifest stats, so `WHERE v = 2` cannot prune a
+    // single file statically — only the runtime group-filter subquery
+    // (DISTINCT _file of matching rows) can narrow the rewrite
+    spark.range(10).select($"id".as("k"), lit(1L).as("v"))
+      .createOrReplaceTempView("fm_rt1")
+    spark.sql(s"INSERT INTO $t SELECT k, v FROM fm_rt1")
+    spark.range(1000000, 1000010).select($"id".as("k"), lit(2L).as("v"))
+      .createOrReplaceTempView("fm_rt2")
+    spark.sql(s"INSERT INTO $t SELECT k, v FROM fm_rt2")
+    val before = TableLog.snapshot(s"$wh/fm/rt").get
+    val v1Files = before.files.filter(
+      _.stats.exists(st => st.col == "k" && st.max < 1000000L))
+      .map(_.path).toSet
+    assert(v1Files.nonEmpty && v1Files.size < before.files.size)
+    spark.sql(s"DELETE FROM $t WHERE v = 2")
+    val after = TableLog.snapshot(s"$wh/fm/rt").get
+    assert(v1Files.subsetOf(after.files.map(_.path).toSet),
+      "files holding no matching rows must carry over by reference " +
+        "(runtime group filtering, not a whole-table rewrite)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").as[Long].head()
+      == 10L)
+  }
+
+  test("NOT MATCHED BY SOURCE forces a full-table candidate set; " +
+      "without it the group filter prunes to matched groups") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.prune (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val t = s"$CAT.fm.prune"
+    // two far-apart key clusters land in separate files
+    spark.range(10).select($"id".as("k"), lit(0L).as("v"))
+      .createOrReplaceTempView("fm_lo")
+    spark.sql(s"INSERT INTO $t SELECT k, v FROM fm_lo")
+    spark.range(1000000, 1000010).select($"id".as("k"), lit(0L).as("v"))
+      .createOrReplaceTempView("fm_hi")
+    spark.sql(s"INSERT INTO $t SELECT k, v FROM fm_hi")
+    val before = TableLog.snapshot(s"$wh/fm/prune").get
+    assert(before.files.size >= 2)
+    val loFiles = before.files.filter(
+      _.stats.exists(st => st.col == "k" && st.max < 1000000L))
+    assert(loFiles.nonEmpty && loFiles.size < before.files.size)
+
+    // canonical upsert touching only the low cluster: high-cluster
+    // files must carry over BY REFERENCE (same basename in the next
+    // manifest) — the runtime group filter + manifest prune at work
+    Seq((3L, 7L)).toDF("k", "v").createOrReplaceTempView("fm_s1")
+    spark.sql(s"""MERGE INTO $t t USING fm_s1 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val mid = TableLog.snapshot(s"$wh/fm/prune").get
+    val hiNames = before.files.filter(
+      _.stats.exists(st => st.col == "k" && st.min >= 1000000L))
+      .map(_.path).toSet
+    assert(hiNames.nonEmpty &&
+      hiNames.subsetOf(mid.files.map(_.path).toSet),
+      "untouched key cluster must carry over by reference")
+
+    // the same source with a NOT MATCHED BY SOURCE clause rewrites
+    // everything: every pre-merge file is replaced
+    Seq((3L, 8L)).toDF("k", "v").createOrReplaceTempView("fm_s2")
+    spark.sql(s"""MERGE INTO $t t USING fm_s2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 1""")
+    val after = TableLog.snapshot(s"$wh/fm/prune").get
+    assert(mid.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet).isEmpty,
+      "a NOT-MATCHED-BY-SOURCE merge has no prunable groups — " +
+        "every live file is a candidate and rewrites")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $t").as[Long].head()
+      == 8L + 19L /* 19 other rows ticked 0→1 */,
+      "by-source update must reach every unmatched row")
+  }
+}
