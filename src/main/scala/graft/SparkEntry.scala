@@ -1695,7 +1695,10 @@ object SparkEntry {
     tl.append(s, t, li.where(col("l_orderkey") % 20 === 4)
       .repartitionByRange(4, col("l_orderkey")), statsCols = Seq("l_orderkey"))
     tl.deleteWhere(s, t, "l_orderkey", 1L, 20000L)
-    tl.restore(s, t, 2)
+    // the restore runs through the SQL-TEXT face (CALL restore) —
+    // same commit as tl.restore(s, t, 2), exercised from text alone
+    tl.registerSqlTable(s, "o61_rst", t, statsCols = Seq("l_orderkey"))
+    tl.sql(s, "CALL restore('o61_rst', 2)")
     tl.append(s, t, li.where(col("l_orderkey") % 20 === 5)
       .repartitionByRange(4, col("l_orderkey")), statsCols = Seq("l_orderkey"))
     tl.read(s, t).groupBy(col("l_returnflag"))

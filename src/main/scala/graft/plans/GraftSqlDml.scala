@@ -128,7 +128,7 @@ object GraftSqlDml {
     * registration's stat columns flow into every rewriting tick. */
   private val callProcs = Set("compact_small", "mor_maintain",
     "mor_fold", "zorder_maintain", "vacuum_keep", "vacuum_feed",
-    "tag", "delete_tag", "replace_where",
+    "tag", "delete_tag", "replace_where", "restore", "clone",
     "publish_branch", "merge_branch", "zorder", "zorder3",
     "hilbert_order", "hilbert_order3")
 
@@ -213,6 +213,18 @@ object GraftSqlDml {
           TableLog.replaceWhere(s, reg.table, cond, aligned,
             statsCols = reg.statsCols, strStatsCols = reg.strStatsCols,
             bloomStatsCols = reg.bloomStatsCols, prune = pruned)
+        // the acting half of time travel from SQL text: rewind the
+        // table to a VERSION (integer) or a TAG (string) — one full-
+        // manifest commit, history intact, same refusals as the Scala
+        // face (vacuumed target, feed tables, CHECK re-validation)
+        case "restore" =>
+          val v = c.args.lift(1).flatMap(longOf).getOrElse(
+            TableLog.resolveTag(reg.table, strArg(1)))
+          TableLog.restore(s, reg.table, v)
+        // zero-copy clone into a PATH (clones are unregistered
+        // working copies, the branch/WAP convention)
+        case "clone" =>
+          TableLog.cloneTable(s, reg.table, strArg(1))
         case "tag" =>
           TableLog.tagVersion(reg.table, strArg(1), longArg(2))
           TableLog.latestVersion(reg.table)
@@ -866,9 +878,12 @@ object GraftSqlDml {
       m.notMatchedActions.size == 1 &&
       m.notMatchedBySourceActions.isEmpty
     if (!canonical) unsupported(s"MERGE INTO $view",
-      "supported form is WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-        "MATCHED THEN INSERT * (the latest-wins upsert mergeCow " +
-        "implements) — other clause combinations need the Scala faces")
+      "supported form on a REGISTERED VIEW is WHEN MATCHED THEN " +
+        "UPDATE SET * WHEN NOT MATCHED THEN INSERT * (the latest-wins " +
+        "upsert mergeCow implements); the full clause matrix — " +
+        "conditional actions, WHEN NOT MATCHED BY SOURCE — is " +
+        "supported on CATALOG tables (MERGE INTO graft.ns.t, through " +
+        "Spark's own row-level framework)")
     val key = m.mergeCondition match {
       case EqualTo(a, b) =>
         (attrOf(a), attrOf(b)) match {

@@ -474,6 +474,41 @@ class SqlDmlSpec extends SparkSpec {
       "CALL mor_maintain('not_registered_call', 0)").collect())
   }
 
+  test("CALL restore / clone: time-travel ACTIONS from SQL text") {
+    val t = tmp("graft_sqldml_restore")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k")),
+      statsCols = Seq("k"))                                       // v1
+    TableLog.registerSqlTable(spark, "rst_t", t, statsCols = Seq("k"))
+    def count(): Long = TableLog.sql(spark,
+      "SELECT count(*) AS n FROM rst_t").head.getLong(0)
+    TableLog.sql(spark, "INSERT INTO rst_t VALUES (1000)")        // v2
+    TableLog.sql(spark, "CALL tag('rst_t', 'base', 1)")
+    TableLog.sql(spark, "INSERT INTO rst_t VALUES (1001)")        // v3
+    assert(count() == 102)
+    // restore by VERSION: a NEW commit carrying v2's file list, and
+    // the registered view refreshes to see it
+    TableLog.sql(spark, "CALL restore('rst_t', 2)")
+    assert(count() == 101)
+    assert(TableLog.latestVersion(t) == 4,
+      "restore must land as a new commit, not rewrite history")
+    // restore by TAG (string second argument resolves through tags)
+    TableLog.sql(spark, "CALL restore('rst_t', 'base')")
+    assert(count() == 100)
+    // an unresolvable version refuses loudly
+    intercept[Exception](TableLog.sql(spark,
+      "CALL restore('rst_t', 99)"))
+    // clone: zero-copy working copy at the current version; the
+    // clone then diverges without touching the source
+    val dst = tmp("graft_sqldml_clone")
+    TableLog.sql(spark, s"CALL clone('rst_t', '$dst')")
+    assert(TableLog.snapshot(dst).get.rows == 100)
+    TableLog.append(spark, dst, Seq(7L).toDF("k"),
+      statsCols = Seq("k"))
+    assert(TableLog.snapshot(dst).get.rows == 101)
+    assert(TableLog.snapshot(t).get.rows == 100,
+      "a clone's append must not touch the source")
+  }
+
   test("registrations are SESSION-scoped: one session's DML never touches another session's table") {
     val tA = tmp("graft_sqldml_sessA")
     val tB = tmp("graft_sqldml_sessB")
