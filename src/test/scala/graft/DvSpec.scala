@@ -201,6 +201,34 @@ class DvSpec extends SparkSpec {
       rowsBefore)
   }
 
+  test("predicates push into the parquet scan THROUGH a DV-pending " +
+      "read (the probe projection is deterministic)") {
+    val t = tmp("graft_dv_push")
+    mkTable(t)
+    TableLog.deleteDv(spark, t, col("v") === 3 && col("who") === "u13")
+    // the DV read path projects the probe columns at the scan; if any
+    // of them were NONDETERMINISTIC (input_file_name once was),
+    // PushPredicateThroughNonJoin would refuse to push a user filter
+    // below the projection and the parquet scan would read everything
+    val df = TableLog.read(spark, t).where(col("k") >= 900)
+    val plan = df.queryExecution.executedPlan
+    val root = plan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val scans = root.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(k,900)"),
+      s"user predicate must reach the parquet scan under a pending " +
+        s"deletion vector: $pushed")
+    // k in [900,999] minus the one DV-deleted row in range (k=983:
+    // 983%10==3 and 983%97==13)
+    assert(df.count() == 99)
+  }
+
   test("CDC feed captures positional deletes and updates as typed rows") {
     val t = tmp("graft_dv_cdc")
     mkTable(t, n = 200, parts = 2)
