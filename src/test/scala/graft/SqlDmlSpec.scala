@@ -474,6 +474,31 @@ class SqlDmlSpec extends SparkSpec {
       "CALL mor_maintain('not_registered_call', 0)").collect())
   }
 
+  test("DELETE with an IN-subquery predicate rides the positional " +
+      "fallback: zero rewrites, exact rows") {
+    val t = tmp("graft_sqldml_subq")
+    TableLog.create(spark, t, spark.range(2000)
+      .select($"id".as("k"), ($"id" % 7).as("v"))
+      .repartitionByRange(4, $"k"), statsCols = Seq("k"))
+    TableLog.registerSqlTable(spark, "subq_t", t, statsCols = Seq("k"))
+    Seq(3L, 700L, 1500L, 99999L).toDF("k")
+      .createOrReplaceTempView("subq_src")
+    val before = TableLog.snapshot(t).get
+    // no range/IN-list face can express this — the positional
+    // fallback evaluates the subquery through Spark itself
+    TableLog.sql(spark,
+      "DELETE FROM subq_t WHERE k IN (SELECT k FROM subq_src)")
+    val after = TableLog.snapshot(t).get
+    assert(after.files.map(_.path) == before.files.map(_.path),
+      "subquery delete must land as a deletion vector, zero rewrites")
+    assert(after.dels.nonEmpty)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM subq_t").head.getLong(0) == 1997)
+    assert(TableLog.sql(spark,
+      "SELECT count(*) AS n FROM subq_t WHERE k IN (3, 700, 1500)")
+      .head.getLong(0) == 0)
+  }
+
   test("CALL restore / clone: time-travel ACTIONS from SQL text") {
     val t = tmp("graft_sqldml_restore")
     TableLog.create(spark, t, spark.range(100).select($"id".as("k")),
