@@ -444,6 +444,16 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect {
         case m: GraftFileMessage if m.rows > 0 => m.relPath }
+      // UPDATE/MERGE rewrites carry NEW row values — CHECK constraints
+      // enforce on the staged files before any manifest references
+      // them (a DELETE's output is survivors a prior commit already
+      // certified — skipped, it would re-scan the whole rewrite). A
+      // throw here reaches Spark's abort(), which deletes the staging.
+      if (op.command() != RowLevelOperation.Command.DELETE)
+        TableLog.enforceChecksOnFiles(SparkSession.active, t.path,
+          op.snap.checks, files.toSeq,
+          s"row-level ${op.command().toString.toLowerCase(
+            java.util.Locale.ROOT)}")
       TableLog.replaceFilesCommit(SparkSession.active, t.path,
         op.command().toString.toLowerCase(java.util.Locale.ROOT),
         op.plannedFiles.map(_.path), files.toSeq,
@@ -494,6 +504,14 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.collect { case m: GraftDeltaMessage => m }
+      // delta UPDATE/MERGE lands new images as data files — CHECK
+      // constraints enforce on exactly those (deletes add no rows);
+      // a throw reaches Spark's abort(), which deletes the staging
+      TableLog.enforceChecksOnFiles(SparkSession.active, t.path,
+        op.snap.checks,
+        ms.filter(_.dataRows > 0).map(_.dataRel).toSeq,
+        s"delta ${op.command().toString.toLowerCase(
+          java.util.Locale.ROOT)}")
       val dvEntries = ms.filter(_.dvRows > 0).map(m =>
         TableLog.FileEntry(m.dvRel,
           Seq(TableLog.FileStat(TableLog.DvPosField, m.posMin, m.posMax)),

@@ -1915,9 +1915,24 @@ object TableLog {
     }
   }
 
+  /** [[enforceChecks]] over ALREADY-WRITTEN table-relative files — the
+    * staged-output twin used by the faces whose rows are landed by
+    * executors before the driver can see a frame (the row-level
+    * ReplaceData/WriteDelta commits, replaceWhere's new slice, an
+    * INSERT OVERWRITE's content). One agg scan of exactly the NEW
+    * files, zero when the table has no constraints. */
+  private[graft] def enforceChecksOnFiles(spark: SparkSession,
+      table: String, checks: Seq[(String, String)],
+      relPaths: Seq[String], what: String): Unit = {
+    if (checks.isEmpty || relPaths.isEmpty) return
+    enforceChecks(spark, table, checks,
+      spark.read.parquet(relPaths.map(p => s"$table/$p"): _*), what)
+  }
+
   /** Register a named CHECK constraint — a boolean SQL expression every
     * row of every future row-adding commit (append/appendStream, COW
-    * merge/update, mergeUpsert) must satisfy, enforced as one
+    * merge/update, mergeUpsert, INSERT OVERWRITE, replaceWhere, the
+    * vanilla-session row-level UPDATE/MERGE) must satisfy, enforced as one
     * violation-counting aggregate before any manifest references the
     * batch. EXISTING rows are validated first (one table scan — the
     * ADD CONSTRAINT contract), so a committed constraint certifies the
@@ -3719,6 +3734,23 @@ object TableLog {
       val out = fn(readSnapshot(spark, table, base))
       val (files, rows) = writeDataFiles(spark, table, out, statsCols,
         strStatsCols, bloomStatsCols, derivedStats)
+      // an OVERWRITE's content is user-provided and uncertified —
+      // CHECK constraints enforce on the written files before any
+      // manifest references them (other rewrite actions carry rows a
+      // prior commit already certified: compact/zorder re-layout,
+      // "merge" enforced its source at the caller, "delete" keeps
+      // survivors)
+      if (action == "overwrite" && base.checks.nonEmpty)
+        try enforceChecksOnFiles(spark, table, base.checks,
+          files.map(_.path), "overwrite")
+        catch { case e: Throwable =>
+          files.foreach { f =>
+            val p = Paths.get(table, f.path)
+            Files.deleteIfExists(p)
+            Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+          }
+          throw e
+        }
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       // a rewrite replaces the whole file list, so its delta (remove
@@ -4706,6 +4738,9 @@ object TableLog {
       Files.deleteIfExists(p)
       Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
     }
+    // CHECK constraints validate against the set seen at write start
+    // (the addCheckConstraint snapshot-isolation contract)
+    val checks0 = snapshot(table).map(_.checks).getOrElse(Nil)
     // the NEW slice is written once, outside the CAS loop (append's
     // contract); a lost race re-plans only the keep-side rewrite
     val (newFiles, newRows) = writeDataFiles(spark, table, df,
@@ -4722,6 +4757,12 @@ object TableLog {
           "to the predicate that owns this slice (and to the next " +
           "replace of it); fix the predicate or the data")
       }
+      // the new slice is uncertified rows — CHECK constraints enforce
+      // like every other row-adding face (the kept side is survivors
+      // a prior commit certified)
+      try enforceChecksOnFiles(spark, table, checks0,
+        newFiles.map(_.path), "replaceWhere")
+      catch { case e: Throwable => dropStaged(newFiles); throw e }
     }
     var committed = -1L
     while (committed < 0) {

@@ -85,6 +85,45 @@ class FullMergeSpec extends SparkSpec {
     assert(snap.rows == 9, "manifest row accounting after delta merge")
   }
 
+  test("CHECK constraints fence the row-level write paths: COW " +
+      "ReplaceData and MOR WriteDelta refuse violating new values") {
+    val wh = warehouse
+    for ((ns, props) <- Seq(
+        ("ck", "'statsCols' = 'k'"),
+        ("ckm", "'statsCols' = 'k', 'rowLevelMode' = 'mor'"))) {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.$ns")
+      spark.sql(s"CREATE TABLE $CAT.$ns.t (k BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ($props)")
+      val t = s"$CAT.$ns.t"
+      spark.range(20).select($"id".as("k"), lit(1L).as("v"))
+        .createOrReplaceTempView(s"ck_src_$ns")
+      spark.sql(s"INSERT INTO $t SELECT k, v FROM ck_src_$ns")
+      TableLog.addCheckConstraint(spark, s"$wh/$ns/t", "v_pos", "v >= 0")
+      // a vanilla-session UPDATE writing a violating value refuses;
+      // the table is untouched (Spark aborts the staged write)
+      val before = TableLog.snapshot(s"$wh/$ns/t").get
+      val e = intercept[Exception](
+        spark.sql(s"UPDATE $t SET v = -5 WHERE k = 3"))
+      assert(e.getMessage.contains("v_pos"), s"$ns: ${e.getMessage}")
+      val after = TableLog.snapshot(s"$wh/$ns/t").get
+      assert(after.version == before.version && after.rows == 20,
+        s"$ns: refused update must not commit")
+      // a violating MERGE insert refuses too; passing values land
+      Seq((3L, -9L)).toDF("k", "v").createOrReplaceTempView(s"ck_m_$ns")
+      intercept[Exception](spark.sql(
+        s"""MERGE INTO $t t USING ck_m_$ns s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v"""))
+      spark.sql(s"UPDATE $t SET v = 7 WHERE k = 3")
+      assert(spark.sql(s"SELECT v FROM $t WHERE k = 3")
+        .as[Long].head() == 7L)
+      // a plain DELETE (certified survivors only) is NOT re-scanned
+      // and still works under the constraint
+      spark.sql(s"DELETE FROM $t WHERE k = 4")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t")
+        .as[Long].head() == 19L)
+    }
+  }
+
   test("runtime group filter narrows a DELETE that static stats " +
       "cannot prune") {
     val wh = warehouse

@@ -2393,6 +2393,43 @@ class TableLogSpec extends SparkSpec {
       TableLog.dropCheckConstraint(t, "nope"))
   }
 
+  test("CHECK constraints fence the STAGED-output faces too: " +
+      "overwrite rewrite and replaceWhere") {
+    val t = tmp("graft_log_checks_staged")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k"),
+      ($"id" % 50).as("v")), statsCols = Seq("k"))
+    TableLog.addCheckConstraint(spark, t, "v_range", "v >= 0 AND v < 50")
+    val filesBefore = TableLog.snapshot(t).get.files.map(_.path).toSet
+    // INSERT OVERWRITE shape: a violating full rewrite refuses and
+    // leaves no staged orphans behind
+    val e1 = intercept[IllegalArgumentException](
+      TableLog.rewrite(spark, t, "overwrite", expectRows = _ => None)(
+        _ => Seq((1L, 99L)).toDF("k", "v")))
+    assert(e1.getMessage.contains("v_range"))
+    assert(TableLog.snapshot(t).get.files.map(_.path).toSet == filesBefore)
+    assert(TableLog.read(spark, t).count() == 100)
+    val dataDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "data")).count()
+    // replaceWhere: a violating NEW slice refuses, table untouched,
+    // staged files dropped
+    val e2 = intercept[IllegalArgumentException](
+      TableLog.replaceWhere(spark, t, $"k" >= 0 && $"k" < 10,
+        Seq((3L, 99L)).toDF("k", "v"), statsCols = Seq("k")))
+    assert(e2.getMessage.contains("v_range"))
+    assert(TableLog.read(spark, t).count() == 100)
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(t, "data")).count() == dataDirs + 1,
+      "the refused slice's staging dir must hold no files (only the " +
+        "empty set dir remains)")
+    // the passing twins land
+    TableLog.replaceWhere(spark, t, $"k" >= 0 && $"k" < 10,
+      Seq((3L, 49L)).toDF("k", "v"), statsCols = Seq("k"))
+    assert(TableLog.read(spark, t).count() == 91)
+    TableLog.rewrite(spark, t, "overwrite", expectRows = _ => None)(
+      _ => Seq((1L, 9L)).toDF("k", "v"))
+    assert(TableLog.read(spark, t).count() == 1)
+  }
+
   test("compactSmall racing an append: both commit, no row lost or doubled") {
     val t = tmp("graft_log_csmall_race")
     TableLog.create(spark, t, spark.range(100000).select($"id".as("k"),
