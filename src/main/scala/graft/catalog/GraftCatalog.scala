@@ -182,6 +182,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(path, snap, GraftCatalog.readProps(path), identName(ident))
   }
 
+  /** The parser accepts constraint syntax only when the catalog
+    * claims it; graft enforces CHECK constraints on every write face,
+    * so the claim is honest (informational kinds refuse — see
+    * [[GraftCatalog.addConstraintChange]]). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with inline `CONSTRAINT … CHECK (…)` clauses: the
+    * table creates first (one commit), then each constraint commits
+    * through the SAME `addCheckConstraint` face ALTER uses — the
+    * table is empty, so existing-data validation is the no-op it
+    * should be, but an unresolvable predicate still refuses at
+    * CREATE (and the half-created table is removed). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema, info.partitions,
+      info.properties)
+    if (info.constraints != null && info.constraints.nonEmpty) {
+      try info.constraints.foreach(c => GraftCatalog.addConstraintChange(
+        SparkSession.active, tablePath(ident), identName(ident), c))
+      catch { case e: Throwable => dropTable(ident); throw e }
+      loadTable(ident)
+    } else t
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -259,6 +283,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     props
   }
 
+  // constraints on CTAS/RTAS would need the staged commit to validate
+  // content it has not produced yet — refuse with the working recipe
+  // instead of the default overloads silently DROPPING the clauses
+  private def refuseStagedConstraints(ident: Identifier,
+      info: TableInfo): Unit =
+    if (info.constraints != null && info.constraints.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"${identName(ident)}: constraints on CTAS/RTAS are not " +
+          "supported — create the table, then ALTER TABLE … ADD " +
+          "CONSTRAINT (which validates the data it covers)")
+
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    refuseStagedConstraints(ident, info)
+    stageCreate(ident, info.schema, info.partitions, info.properties)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    refuseStagedConstraints(ident, info)
+    stageReplace(ident, info.schema, info.partitions, info.properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable = {
+    refuseStagedConstraints(ident, info)
+    stageCreateOrReplace(ident, info.schema, info.partitions,
+      info.properties)
+  }
+
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
@@ -321,11 +375,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "supported")
         TableLog.widenColumnType(SparkSession.active, path,
           ut.fieldNames.head, ut.newDataType())
+      case ac: TableChange.AddConstraint =>
+        // ADD validates existing data inside addCheckConstraint (one
+        // scan) regardless of what the engine believes it validated
+        GraftCatalog.addConstraintChange(SparkSession.active, path,
+          identName(ident), ac.constraint)
+      case dc: TableChange.DropConstraint =>
+        val known = TableLog.snapshot(path)
+          .exists(_.checks.exists(_._1 == dc.name))
+        if (known) TableLog.dropCheckConstraint(path, dc.name)
+        else if (!dc.ifExists) throw new IllegalArgumentException(
+          s"${identName(ident)}: no constraint named '${dc.name}'")
       case other => throw new UnsupportedOperationException(
         s"${identName(ident)}: unsupported ALTER TABLE change $other — " +
           "supported: SET/UNSET TBLPROPERTIES, RENAME COLUMN, " +
           "ADD COLUMNS, DROP COLUMN, ALTER COLUMN TYPE (lossless " +
-          "widening)")
+          "widening), ADD/DROP CONSTRAINT (CHECK)")
     }
     GraftCatalog.writeProps(path, props)
     loadTable(ident)
@@ -432,6 +497,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+
+  /** Route one DSv2 constraint onto the log's CHECK face. Only CHECK
+    * is accepted: PRIMARY KEY / FOREIGN KEY / UNIQUE are informational
+    * in Spark (never enforced), and recording a constraint this engine
+    * does not enforce would certify nothing — refuse loudly. A CHECK
+    * declared NOT ENFORCED is refused for the symmetric reason: graft
+    * enforces every committed constraint on every row-adding face. */
+  private[catalog] def addConstraintChange(spark: SparkSession,
+      path: String, name: String,
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : Unit = c match {
+    case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+      if (!ck.enforced) throw new UnsupportedOperationException(
+        s"$name: CHECK … NOT ENFORCED is not supported — graft " +
+          "enforces every committed constraint; drop NOT ENFORCED")
+      TableLog.addCheckConstraint(spark, path, ck.name, ck.predicateSql)
+    case other => throw new UnsupportedOperationException(
+      s"$name: ${other.getClass.getSimpleName} constraints are " +
+        "informational in Spark (never enforced) — graft refuses to " +
+        "record a constraint it does not enforce; only CHECK is " +
+        "supported")
+  }
 
   private val SIDECAR = "_catalog.properties"
   private[graft] val statColKeys =
@@ -604,6 +691,21 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
+
+  /** The snapshot's CHECK constraints, reported through Spark's own
+    * constraint metadata (DESCRIBE shows them; ADD CONSTRAINT through
+    * the catalog validated existing data, hence VALID). Enforcement
+    * itself is commit-side in TableLog — reporting is metadata. */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snapshot.checks.map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints
+          .Constraint
+    }.toArray
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(GraftTable.VersionCol, GraftTable.FileCol, GraftTable.PosCol,

@@ -61,6 +61,11 @@ object ResolveGraftCatalogReads extends Rule[LogicalPlan] {
       case d: DeleteFromTable => guard(d.table)
       case u: UpdateTable => guard(u.table)
       case m: MergeIntoTable => guard(m.targetTable)
+      // ALTER TABLE ADD CONSTRAINT … CHECK plans its existing-data
+      // validation scan as the command's child; the V2 strategy needs
+      // that shape intact to plan the exec (same reasoning as the
+      // row-level targets)
+      case a: AddCheckConstraint => guard(a.child)
       // metadata columns on a STREAMING read refuse per batch: Spark
       // resolves them against the table (AddMetadataColumns appends
       // the referenced attrs to the relation output) but never prunes

@@ -1950,8 +1950,20 @@ object TableLog {
       val base = snapshotOrFail(table)
       require(!base.checks.exists(_._1 == name),
         s"addCheckConstraint($table): constraint '$name' already exists")
+      // an EMPTY table (e.g. a just-created catalog table adding its
+      // inline CHECK) validates against a zero-row schema-true frame:
+      // nothing to scan, but an unresolvable predicate still refuses
+      // at ADD instead of at the first write
+      val existing =
+        if (base.files.nonEmpty || base.schemaJson.isEmpty)
+          readSnapshot(spark, table, base)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.DataType
+            .fromJson(base.schemaJson.get)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
       enforceChecks(spark, table, Seq(name -> check),
-        readSnapshot(spark, table, base), "addCheckConstraint: existing data")
+        existing, "addCheckConstraint: existing data")
       val version = base.version + 1
       val r = ManifestRec(version, base.version, "check_add", base.rows,
         "delta", Nil, Nil, Nil, Nil, Nil, None, base.schemaJson,

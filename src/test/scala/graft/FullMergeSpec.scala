@@ -85,6 +85,63 @@ class FullMergeSpec extends SparkSpec {
     assert(snap.rows == 9, "manifest row accounting after delta merge")
   }
 
+  test("constraint DDL through the catalog: inline CHECK at CREATE, " +
+      "ALTER ADD/DROP CONSTRAINT, informational kinds refused") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.cd")
+    // inline CHECK at CREATE TABLE (SUPPORT_TABLE_CONSTRAINT)
+    spark.sql(s"CREATE TABLE $CAT.cd.t (k BIGINT, v BIGINT, " +
+      "CONSTRAINT v_pos CHECK (v >= 0)) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    assert(TableLog.snapshot(s"$wh/cd/t").get.checks ==
+      Seq("v_pos" -> "v >= 0"))
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO $CAT.cd.t VALUES (1, -1)"))
+    assert(e1.getMessage.contains("v_pos"))
+    spark.sql(s"INSERT INTO $CAT.cd.t VALUES (1, 1), (2, 49)")
+    // an unresolvable inline predicate refuses and leaves NO table
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $CAT.cd.bad (k BIGINT, " +
+        "CONSTRAINT nope CHECK (no_such_col > 0))"))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $CAT.cd.bad").collect())
+    // ALTER-side refusals surface wrapped (AlterTableExec re-throws
+    // connector exceptions as INTERNAL_ERROR) — match the cause chain
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString(" | ")
+    // ALTER ADD validates existing rows: too-strict refused (Spark's
+    // own validation scan errors first; our addCheckConstraint scan
+    // is the backstop — accept either message, both name the
+    // constraint)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.cd.t ADD CONSTRAINT v_small CHECK (v < 10)"))
+    assert(chain(e2).contains("violated by existing data"), chain(e2))
+    assert(TableLog.snapshot(s"$wh/cd/t").get.checks
+      .forall(_._1 != "v_small"), "refused constraint must not commit")
+    spark.sql(s"ALTER TABLE $CAT.cd.t ADD CONSTRAINT v_cap " +
+      "CHECK (v < 50)")
+    val e3 = intercept[Exception](spark.sql(
+      s"INSERT INTO $CAT.cd.t VALUES (3, 50)"))
+    assert(e3.getMessage.contains("v_cap"))
+    // DROP CONSTRAINT releases it; IF EXISTS tolerates a missing name
+    spark.sql(s"ALTER TABLE $CAT.cd.t DROP CONSTRAINT v_cap")
+    spark.sql(s"INSERT INTO $CAT.cd.t VALUES (3, 50)")
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.cd.t DROP CONSTRAINT nope"))
+    spark.sql(s"ALTER TABLE $CAT.cd.t DROP CONSTRAINT IF EXISTS nope")
+    // informational kinds and NOT ENFORCED refuse loudly
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.cd.t ADD CONSTRAINT pk PRIMARY KEY (k)"))
+    assert(chain(e4).contains("informational"), chain(e4))
+    val e5 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $CAT.cd.t ADD CONSTRAINT ne CHECK (v > -100) " +
+        "NOT ENFORCED"))
+    assert(chain(e5).contains("NOT ENFORCED"), chain(e5))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.cd.t")
+      .as[Long].head() == 3L)
+  }
+
   test("CHECK constraints fence the row-level write paths: COW " +
       "ReplaceData and MOR WriteDelta refuse violating new values") {
     val wh = warehouse
