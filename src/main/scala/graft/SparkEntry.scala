@@ -1439,6 +1439,68 @@ object SparkEntry {
       .orderBy("face", "grp")
   }
 
+  /** Streaming `readChangeFeed` on a VANILLA session under the oracle
+    * (round 19): no GraftExtensions, no GraftSessions sibling — the
+    * table's own scan builder serves the changes stream, and the CDC
+    * columns resolve as METADATA columns of the table
+    * (StreamingRelationV2.metadataOutput), selected explicitly into a
+    * parquet sink. Lifecycle: insert wave → drain 1 → COW range
+    * DELETE (typed capture) + second insert wave → drain 2 from the
+    * SAME checkpoint (exactly the unseen versions) → drain 3 (in-plan
+    * count assert pins zero re-delivery). Oracle = the change log
+    * replayed relationally, grouped by `_change_type`. */
+  private def o91RcfVanillaStream(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh91_$sfx"
+    val ckpt = s"$tmpRoot/rcf91_ck_$sfx"
+    val out = s"$tmpRoot/rcf91_out_$sfx"
+    Seq(wh, ckpt, out).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val cat = s"graft_o91_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rcf")
+    s.sql(s"CREATE TABLE $cat.rcf.bronze (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val bronze = s"$wh/rcf/bronze"
+    tl.enableCdcFeed(bronze)
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 21)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 21),
+      statsCols = Seq("o_orderkey"))                              // v2
+    def drain(): Unit = {
+      val q = s.readStream.option("readChangeFeed", "true")
+        .table(s"$cat.rcf.bronze")
+        .selectExpr("o_orderkey", "price_c", "priority",
+          "_change_type", "_change_version")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "o91: drain must terminate")
+    }
+    drain() // run 1: wave 1 as typed inserts
+    tl.deleteWhere(s, bronze, "o_orderkey", 2000, 9000,
+      statsCols = Seq("o_orderkey"))                              // v3
+    tl.append(s, bronze, base.where(col("o_orderkey") % 60 === 51),
+      statsCols = Seq("o_orderkey"))                              // v4
+    drain() // RESTART from the same checkpoint: only unseen versions
+    val n2 = s.read.parquet(out).count()
+    drain() // nothing new
+    assert(s.read.parquet(out).count() == n2,
+      "o91: a drain with no new commits must deliver nothing")
+    s.read.parquet(out)
+      .groupBy(col("_change_type").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+      .orderBy("grp")
+  }
+
   /** DELTA-BASED row-level DML through Spark's OWN framework
     * (`SupportsDelta`, `rowLevelMode = 'mor'`) under the oracle:
     * DELETE / UPDATE / MERGE on a catalog table run as WriteDelta —
@@ -4812,6 +4874,7 @@ object SparkEntry {
     "o85_delta_dml" -> (o85DeltaDml _),
     "o86_metadata_delete" -> (o86MetadataDelete _),
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
+    "o91_rcf_vanilla_stream" -> (o91RcfVanillaStream _),
     "o88_changes_between" -> (o88ChangesBetween _),
     "o89_replace_where" -> (o89ReplaceWhere _),
     "o90_merge_full" -> (o90MergeFull _),
@@ -6632,6 +6695,25 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM silver GROUP BY priority
         |ORDER BY face, grp""".stripMargin,
+    // the vanilla-session streaming change feed replayed relationally:
+    // two insert waves + one typed-captured range delete
+    "o91_rcf_vanilla_stream" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 21),
+        |w1 AS (SELECT * FROM t WHERE o_orderkey % 60 = 21),
+        |w2 AS (SELECT * FROM t WHERE o_orderkey % 60 = 51),
+        |log AS (
+        |  SELECT 'insert' AS ct, * FROM w1
+        |  UNION ALL SELECT 'insert', * FROM w2
+        |  UNION ALL SELECT 'delete', * FROM w1
+        |    WHERE o_orderkey BETWEEN 2000 AND 9000)
+        |SELECT ct AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM log GROUP BY ct
+        |ORDER BY grp""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base

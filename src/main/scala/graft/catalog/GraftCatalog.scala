@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write,
   Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSource-V2 `TableCatalog` over a warehouse directory of
@@ -741,16 +741,42 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming
               .MicroBatchStream = {
-          // the STREAMING face has no optimizer-substitution path
-          // (micro-batch scans are planned by the execution engine) —
-          // refuse here, where it still fires before any batch runs
-          if (options.getBoolean("readChangeFeed", false))
-            throw new UnsupportedOperationException(
-              s"$name: streaming readChangeFeed requires a session " +
-                "built with GraftExtensions (GraftSessions" +
-                ".withExtensions(spark) bridges a live one), or " +
-                s"readStream.table('${name}__changes') — on this " +
-                "session the option would be silently ignored")
+          // streaming readChangeFeed WITHOUT extensions or a sibling
+          // session (round-19): the scan builder itself is the
+          // substitution point — the option is in hand here, and the
+          // CDC columns are METADATA columns of this table (r18), so
+          // a vanilla session resolves them through
+          // StreamingRelationV2.metadataOutput. Streaming scans get
+          // NO column-pruning negotiation, and the analyzer appends
+          // the relation's WHOLE metadataOutput to the output when
+          // ANY metadata column is referenced — so the relation's
+          // output is one of exactly two shapes: data columns alone,
+          // or data ++ every metadata column in metadataColumns()
+          // order. Serving rows of the second (wider) shape satisfies
+          // BOTH positionally: the narrow plan reads the data-column
+          // prefix of the wider row. `_version` = the change version,
+          // `_file`/`_pos` = the feed link file and row index (the
+          // change row's physical identity). Same stream class as the
+          // __changes face — same offsets, exactly-once, options.
+          if (options.getBoolean("readChangeFeed", false)) {
+            require(TableLog.feedEnabled(path),
+              s"readChangeFeed on $name: the table has no change " +
+                s"feed — TableLog.enableCdcFeed('$path') to capture " +
+                "row changes as typed rows (enableFeed for " +
+                "insert-only), then retry")
+            val data = GraftTable.this.schema()
+            // mirror metadataOutputWithOutConflicts: a data column
+            // claiming a metadata name hides the metadata column
+            val metas = metadataColumns().filterNot(m =>
+              data.fieldNames.contains(m.name))
+            val full = StructType(data.fields ++ metas.map(m =>
+              StructField(m.name, m.dataType(), nullable = true)))
+            def idx(n: String) = full.fieldNames.indexOf(n)
+            return new GraftChangesStream(path, nameStr, full, options,
+              verIdx = idx(GraftTable.VersionCol.name),
+              fileIdx = idx(GraftTable.FileCol.name),
+              posIdx = idx(GraftTable.PosCol.name))
+          }
           new GraftMicroBatchStream(path, nameStr,
             GraftTable.this.schema(), required, options)
         }

@@ -149,7 +149,8 @@ object GraftChangesTable {
 
 /** Offsets = published feed versions; batches = the window's links. */
 final class GraftChangesStream(path: String, tableName: String,
-    readSchema: StructType, options: CaseInsensitiveStringMap)
+    readSchema: StructType, options: CaseInsensitiveStringMap,
+    verIdx: Int = -1, fileIdx: Int = -1, posIdx: Int = -1)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -242,14 +243,24 @@ final class GraftChangesStream(path: String, tableName: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     // parquet decodes the required DATA fields plus `_change_type`
     // (absent in insert links → null → the reader serves 'insert');
-    // `_change_version` is the partition's version constant
-    val dataRequired = StructType(readSchema.fields.filterNot(f =>
-      f.name == TableLog.changeVersionCol))
+    // `_change_version` is the partition's version constant. The
+    // vanilla-session readChangeFeed face (GraftTable's scan builder)
+    // additionally asks for the table METADATA columns by index —
+    // `_version` (= the change version), `_file` (the feed link
+    // file), `_pos` (row index within the link) — all spliced, never
+    // parquet-decoded; the __changes face passes -1s (its schema has
+    // no such fields).
+    val splicedIdx =
+      Set(readSchema.fieldNames.indexOf(TableLog.changeVersionCol),
+        verIdx, fileIdx, posIdx).filter(_ >= 0)
+    val dataRequired = StructType(readSchema.fields.zipWithIndex
+      .filterNot { case (_, i) => splicedIdx(i) }.map(_._1))
     val ctIdx = dataRequired.fieldNames.indexOf(TableLog.changeTypeCol)
     val cvIdx = readSchema.fieldNames.indexOf(TableLog.changeVersionCol)
     new GraftChangesReaderFactory(
       ParquetRead.factory(SparkSession.active, dataRequired),
-      readSchema.fields.map(_.dataType), ctIdx, cvIdx)
+      readSchema.fields.map(_.dataType), ctIdx, cvIdx,
+      verIdx, fileIdx, posIdx)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -261,27 +272,36 @@ final class GraftChangesStream(path: String, tableName: String,
   * coalesced to 'insert' and `_change_version` spliced in. */
 final class GraftChangesReaderFactory(pr: ParquetReadFactory,
     outTypes: Array[org.apache.spark.sql.types.DataType],
-    ctIdx: Int, cvIdx: Int) extends PartitionReaderFactory {
+    ctIdx: Int, cvIdx: Int, verIdx: Int = -1, fileIdx: Int = -1,
+    posIdx: Int = -1) extends PartitionReaderFactory {
 
   private val insertTag = UTF8String.fromString("insert")
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
+    val relName = UTF8String.fromString(p.relPath)
+    var rowPos = -1L
     val it = pr.open(p.absPath, p.length).map { row =>
+      rowPos += 1
       val n = outTypes.length
       val out = new GenericInternalRow(n)
       var i = 0 // parquet ordinal (data fields + _change_type)
       var o = 0 // output ordinal
       val r = row.copy()
       while (o < n) {
-        if (o == cvIdx && cvIdx >= 0) out.update(o, p.version)
+        if (o == cvIdx || o == verIdx) out.update(o, p.version)
+        else if (o == fileIdx) out.update(o, relName.clone())
+        else if (o == posIdx) out.update(o, rowPos)
         else {
+          // ctIdx is a PARQUET ordinal (an index into dataRequired) —
+          // compare against i, not o: with spliced metadata columns
+          // the two no longer align
+          val isCt = i == ctIdx && ctIdx >= 0
           val v =
             if (r.isNullAt(i)) null
-            else r.get(i, if (o == ctIdx) StringType else outTypes(o))
-          out.update(o,
-            if (o == ctIdx && v == null) insertTag.clone() else v)
+            else r.get(i, if (isCt) StringType else outTypes(o))
+          out.update(o, if (isCt && v == null) insertTag.clone() else v)
           i += 1
         }
         o += 1

@@ -445,22 +445,23 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       val files = messages.collect {
         case m: GraftFileMessage if m.rows > 0 => m.relPath }
       // UPDATE/MERGE rewrites carry NEW row values — CHECK constraints
-      // enforce on the staged files before any manifest references
-      // them (a DELETE's output is survivors a prior commit already
-      // certified — skipped, it would re-scan the whole rewrite). A
-      // throw here reaches Spark's abort(), which deletes the staging.
-      if (op.command() != RowLevelOperation.Command.DELETE)
-        TableLog.enforceChecksOnFiles(SparkSession.active, t.path,
-          op.snap.checks, files.toSeq,
-          s"row-level ${op.command().toString.toLowerCase(
-            java.util.Locale.ROOT)}")
+      // ride the commit's staged stats pass as audits (ONE scan of the
+      // staged files certifies stats and checks; a DELETE's output is
+      // survivors a prior commit already certified — skipped). A
+      // throw reaches Spark's abort(), which deletes the staging.
+      val audits =
+        if (op.command() != RowLevelOperation.Command.DELETE)
+          TableLog.checkAudits(t.path, op.snap.checks,
+            s"row-level ${op.command().toString.toLowerCase(
+              java.util.Locale.ROOT)}")
+        else Nil
       TableLog.replaceFilesCommit(SparkSession.active, t.path,
         op.command().toString.toLowerCase(java.util.Locale.ROOT),
         op.plannedFiles.map(_.path), files.toSeq,
         GraftCatalog.colsProp(t.props, "statsCols"),
         GraftCatalog.colsProp(t.props, "strStatsCols"),
         GraftCatalog.colsProp(t.props, "bloomStatsCols"),
-        op.snap.version, op.pendingDv)
+        op.snap.version, op.pendingDv, audits)
       ()
     }
 
@@ -505,11 +506,10 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.collect { case m: GraftDeltaMessage => m }
       // delta UPDATE/MERGE lands new images as data files — CHECK
-      // constraints enforce on exactly those (deletes add no rows);
-      // a throw reaches Spark's abort(), which deletes the staging
-      TableLog.enforceChecksOnFiles(SparkSession.active, t.path,
-        op.snap.checks,
-        ms.filter(_.dataRows > 0).map(_.dataRel).toSeq,
+      // constraints ride the commit's stats pass over exactly those
+      // (deletes add no data files, so the audits see nothing); a
+      // throw reaches Spark's abort(), which deletes the staging
+      val audits = TableLog.checkAudits(t.path, op.snap.checks,
         s"delta ${op.command().toString.toLowerCase(
           java.util.Locale.ROOT)}")
       val dvEntries = ms.filter(_.dvRows > 0).map(m =>
@@ -526,7 +526,7 @@ final class GraftDeltaWrite(op: GraftDeltaOperation, t: GraftTable,
         ms.filter(_.dataRows > 0).map(_.dataRel).toSeq,
         GraftCatalog.colsProp(t.props, "statsCols"),
         GraftCatalog.colsProp(t.props, "strStatsCols"),
-        GraftCatalog.colsProp(t.props, "bloomStatsCols"))
+        GraftCatalog.colsProp(t.props, "bloomStatsCols"), audits)
       ()
     }
 

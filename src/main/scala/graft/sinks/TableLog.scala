@@ -607,11 +607,34 @@ object TableLog {
     positions.forall(bits.get)
   }
 
+  /** A violation-counting aggregate that RIDES the staged-file stats
+    * pass (`statEntriesFor`), so a constrained write costs ONE scan of
+    * the staged files instead of stats + a second enforcement read:
+    * `bad` is TRUE for a violating row; `msg` renders the refusal for
+    * a nonzero count (thrown as the usual require/IllegalArgument).
+    * Used for CHECK constraints on every staged-output face and for
+    * replaceWhere's slice-ownership predicate. */
+  private[graft] final case class StagedAudit(bad: Column,
+      msg: Long => String)
+
+  /** The CHECK-constraint audits for a staged write — same violation
+    * semantics and refusal message as [[enforceChecks]] (violation =
+    * expression FALSE; NULL passes). */
+  private[graft] def checkAudits(table: String,
+      checks: Seq[(String, String)], what: String): Seq[StagedAudit] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    checks.map { case (n, e) => StagedAudit(
+      !coalesce(expr(e), lit(true)),
+      bad => s"$what to $table violates CHECK constraint '$n' ($e): " +
+        s"$bad row(s) — not committing") }
+  }
+
   private def writeDataFiles(spark: SparkSession, table: String,
       df: DataFrame, statsCols: Seq[String],
       strStatsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      derivedStats: Seq[(String, Column)] = Nil): (Seq[FileEntry], Long) = {
+      derivedStats: Seq[(String, Column)] = Nil,
+      audits: Seq[StagedAudit] = Nil): (Seq[FileEntry], Long) = {
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
     df.write.parquet(outDir)
@@ -620,8 +643,18 @@ object TableLog {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"data/$setId/$n")
-    statEntriesFor(spark, table, rels, statsCols, strStatsCols,
-      bloomCols, derivedStats)
+    try statEntriesFor(spark, table, rels, statsCols, strStatsCols,
+      bloomCols, derivedStats, audits)
+    catch { case e: Throwable if audits.nonEmpty =>
+      // a refused audited write must leave no staged orphans — this
+      // call owns the staging dir, so it cleans before rethrowing
+      rels.foreach { rel =>
+        val p = Paths.get(table, rel)
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+      }
+      throw e
+    }
   }
 
   /** The manifest-entry pass over ALREADY-WRITTEN files (table-relative
@@ -636,11 +669,19 @@ object TableLog {
     * footer reads (see the comment inside). Var for test override. */
   private[graft] var footerCountThreshold: Int = 1024
 
+  /** Staged-file DATA scans (stats/audit aggregate passes) — test
+    * observability: with [[StagedAudit]]s riding the stats pass, a
+    * constrained commit must cost exactly ONE scan of its staged
+    * files (pinned as a counter delta, like `morFilesPlanned`). */
+  private[graft] val stagedScanPasses =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def statEntriesFor(spark: SparkSession, table: String,
       relPaths: Seq[String], statsCols: Seq[String],
       strStatsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      derivedStats: Seq[(String, Column)] = Nil): (Seq[FileEntry], Long) = {
+      derivedStats: Seq[(String, Column)] = Nil,
+      audits: Seq[StagedAudit] = Nil): (Seq[FileEntry], Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val relByName = relPaths.map(p => p.split("/").last -> p).toMap
     require(relByName.size == relPaths.size,
@@ -685,7 +726,13 @@ object TableLog {
         min(e.cast("long")).as(s"dmn_$i"),
         max(e.cast("long")).as(s"dmx_$i")) } ++
       statsCols.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.functions.count(col(c)).as(s"cnt_$i") }
+        org.apache.spark.sql.functions.count(col(c)).as(s"cnt_$i") } ++
+      // violation counts per audit, APPENDED so every base offset of
+      // the stat parse stays put; totals are summed across files and
+      // enforced after the pass (one scan certifies stats AND checks)
+      audits.zipWithIndex.map { case (a, i) =>
+        import org.apache.spark.sql.functions.{sum, when, lit}
+        sum(when(a.bad, 1L).otherwise(0L)).as(s"au_$i") }
     // one grouped-agg row parsed into (long stats, string stats,
     // per-column NON-NULL counts); `base` = the ordinal of the first
     // stat column in the row. Null counts can only be derived once the
@@ -723,6 +770,16 @@ object TableLog {
         fileRows: Long): Seq[FileStat] =
       ls.map(st => nonNull.get(st.col)
         .map(nn => st.copy(nulls = fileRows - nn)).getOrElse(st))
+    // audit violation counts live AFTER every stat/count column; summed
+    // across the per-file rows of whichever branch ran the pass
+    val auditTotals = new Array[Long](audits.size)
+    def takeAudits(rs: Iterable[org.apache.spark.sql.Row], base: Int)
+        : Unit = {
+      val off = base + 2 * statsCols.size + 2 * strStatsCols.size +
+        2 * derivedStats.size + statsCols.size
+      rs.foreach(r => audits.indices.foreach(i =>
+        if (!r.isNullAt(off + i)) auditTotals(i) += r.getLong(off + i)))
+    }
     val distributedCount = allNames.size > footerCountThreshold
     def countOf(n: String): Long = {
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -736,11 +793,13 @@ object TableLog {
       if (distributedCount) {
         import org.apache.spark.sql.functions.{count, lit}
         val aggs = (count(lit(1)).as("__n") +: statAggs)
+        stagedScanPasses.incrementAndGet()
         val rs = spark.read.parquet(
           relPaths.map(p => s"$table/$p"): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
+        takeAudits(rs, 2)
         val counted = rs.map(r =>
           r.getString(0).split("/").last -> r.getLong(1)).toMap
         // files with no aggregate group are deleted as empty below, so
@@ -793,12 +852,21 @@ object TableLog {
     val statsByName: Map[String, ParsedStats] =
       if (statAggs.isEmpty || names.isEmpty) Map.empty
       else if (distributedCount) distStats
-      else spark.read.parquet(livePaths: _*)
-        .groupBy(input_file_name().as("__f"))
-        .agg(statAggs.head, statAggs.tail: _*)
-        .collect()
-        .map(r => r.getString(0).split("/").last -> parseStats(r, 1))
-        .toMap
+      else {
+        stagedScanPasses.incrementAndGet()
+        val rs = spark.read.parquet(livePaths: _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(statAggs.head, statAggs.tail: _*)
+          .collect()
+        takeAudits(rs, 1)
+        rs.map(r => r.getString(0).split("/").last -> parseStats(r, 1))
+          .toMap
+      }
+    // enforce the audits BEFORE anything references the entries —
+    // caller-side staging cleanup (writeDataFiles / Spark abort())
+    // runs on the throw, so a violating batch never reaches a manifest
+    audits.zipWithIndex.foreach { case (a, i) =>
+      require(auditTotals(i) == 0L, a.msg(auditTotals(i))) }
     // per-file bloom bitsets: one distributed pass per bloom column,
     // collect_set of ≤ bloomM bit positions per file (bounded driver
     // result: files × bloomM ints per commit's file set)
@@ -1066,7 +1134,19 @@ object TableLog {
           case (df, (k, des)) =>
             val keys = spark.read.parquet(
               des.map(d => s"$table/${d.file.path}"): _*)
-            df.join(keys.select(col(k)).distinct(), Seq(k), "left_anti")
+            // NO .distinct() on the key side: left_anti semantics are
+            // unchanged by duplicate build keys (each sidecar is
+            // already deduped at write — deleteMor/mergeMor distinct
+            // their key set; only cross-sidecar repeats remain), and
+            // the distinct's final HashAggregate would sit between the
+            // anti-join's Sort and its shuffle stage — the exact shape
+            // that stops Spark's OptimizeSkewedJoin from EVER matching
+            // (it requires Sort directly over the shuffle on BOTH
+            // sides), so a skewed delete key could never be split.
+            // Dropping it removes one shuffle+aggregate per cohort read
+            // AND makes the hot-key split possible (pinned by
+            // ScaleShapeSpec's skew test; measured in tools.OptAudit).
+            df.join(keys.select(col(k)), Seq(k), "left_anti")
         }
       }
     (rawCohorts ++ delCohorts).reduce(_ unionByName _)
@@ -1915,19 +1995,11 @@ object TableLog {
     }
   }
 
-  /** [[enforceChecks]] over ALREADY-WRITTEN table-relative files — the
-    * staged-output twin used by the faces whose rows are landed by
-    * executors before the driver can see a frame (the row-level
-    * ReplaceData/WriteDelta commits, replaceWhere's new slice, an
-    * INSERT OVERWRITE's content). One agg scan of exactly the NEW
-    * files, zero when the table has no constraints. */
-  private[graft] def enforceChecksOnFiles(spark: SparkSession,
-      table: String, checks: Seq[(String, String)],
-      relPaths: Seq[String], what: String): Unit = {
-    if (checks.isEmpty || relPaths.isEmpty) return
-    enforceChecks(spark, table, checks,
-      spark.read.parquet(relPaths.map(p => s"$table/$p"): _*), what)
-  }
+  // (the staged-output twin of enforceChecks is gone: the faces whose
+  //  rows are landed before the driver sees a frame — the row-level
+  //  ReplaceData/WriteDelta commits, replaceWhere's slice, an INSERT
+  //  OVERWRITE — now ride their CHECKs on the staged stats pass as
+  //  [[StagedAudit]]s, so a constrained write costs ONE scan)
 
   /** Register a named CHECK constraint — a boolean SQL expression every
     * row of every future row-adding commit (append/appendStream, COW
@@ -3744,25 +3816,19 @@ object TableLog {
         sys.error(s"rewrite of $table: no committed version"))
       txnId.flatMap(committedTxnVersion(table, _)).foreach(return _)
       val out = fn(readSnapshot(spark, table, base))
-      val (files, rows) = writeDataFiles(spark, table, out, statsCols,
-        strStatsCols, bloomStatsCols, derivedStats)
       // an OVERWRITE's content is user-provided and uncertified —
-      // CHECK constraints enforce on the written files before any
-      // manifest references them (other rewrite actions carry rows a
-      // prior commit already certified: compact/zorder re-layout,
-      // "merge" enforced its source at the caller, "delete" keeps
-      // survivors)
-      if (action == "overwrite" && base.checks.nonEmpty)
-        try enforceChecksOnFiles(spark, table, base.checks,
-          files.map(_.path), "overwrite")
-        catch { case e: Throwable =>
-          files.foreach { f =>
-            val p = Paths.get(table, f.path)
-            Files.deleteIfExists(p)
-            Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
-          }
-          throw e
-        }
+      // CHECK constraints ride the staged-file stats pass as audits
+      // (ONE scan certifies stats and checks; a violation throws
+      // before any manifest references the batch and writeDataFiles
+      // drops the staging). Other rewrite actions carry rows a prior
+      // commit already certified: compact/zorder re-layout, "merge"
+      // enforced its source at the caller, "delete" keeps survivors.
+      val audits =
+        if (action == "overwrite")
+          checkAudits(table, base.checks, "overwrite")
+        else Nil
+      val (files, rows) = writeDataFiles(spark, table, out, statsCols,
+        strStatsCols, bloomStatsCols, derivedStats, audits)
       expectRows(base.rows).foreach(exp => require(rows == exp,
         s"rewrite audit failed for $table: $rows rows != expected $exp — not committing"))
       // a rewrite replaces the whole file list, so its delta (remove
@@ -4754,28 +4820,21 @@ object TableLog {
     // (the addCheckConstraint snapshot-isolation contract)
     val checks0 = snapshot(table).map(_.checks).getOrElse(Nil)
     // the NEW slice is written once, outside the CAS loop (append's
-    // contract); a lost race re-plans only the keep-side rewrite
+    // contract); a lost race re-plans only the keep-side rewrite.
+    // Slice-ownership (every new row satisfies the replace predicate
+    // — a NULL evaluation violates, unlike CHECK) and the CHECK
+    // constraints ride the staged stats pass as audits: ONE scan of
+    // the new slice certifies stats, predicate and checks, and a
+    // violation drops the staging inside writeDataFiles.
+    val audits = StagedAudit(
+      !coalesce(cond, org.apache.spark.sql.functions.lit(false)),
+      bad => s"replaceWhere on $table: $bad new rows do NOT " +
+        "satisfy the replace predicate — they would be invisible " +
+        "to the predicate that owns this slice (and to the next " +
+        "replace of it); fix the predicate or the data") +:
+      checkAudits(table, checks0, "replaceWhere")
     val (newFiles, newRows) = writeDataFiles(spark, table, df,
-      statsCols, strStatsCols, bloomStatsCols)
-    if (newRows > 0) {
-      val bad = spark.read.parquet(
-          newFiles.map(f => s"$table/${f.path}"): _*)
-        .where(!coalesce(cond, org.apache.spark.sql.functions.lit(false)))
-        .count()
-      if (bad > 0) {
-        dropStaged(newFiles)
-        sys.error(s"replaceWhere on $table: $bad new rows do NOT " +
-          "satisfy the replace predicate — they would be invisible " +
-          "to the predicate that owns this slice (and to the next " +
-          "replace of it); fix the predicate or the data")
-      }
-      // the new slice is uncertified rows — CHECK constraints enforce
-      // like every other row-adding face (the kept side is survivors
-      // a prior commit certified)
-      try enforceChecksOnFiles(spark, table, checks0,
-        newFiles.map(_.path), "replaceWhere")
-      catch { case e: Throwable => dropStaged(newFiles); throw e }
-    }
+      statsCols, strStatsCols, bloomStatsCols, audits = audits)
     var committed = -1L
     while (committed < 0) {
       val base = snapshotOrFail(table)
@@ -5164,14 +5223,17 @@ object TableLog {
       addedRel: Seq[String], statsCols: Seq[String],
       strStatsCols: Seq[String], bloomStatsCols: Seq[String],
       planVersion: Long = Long.MaxValue,
-      pendingDv: Seq[DeleteEntry] = Nil): Long = {
+      pendingDv: Seq[DeleteEntry] = Nil,
+      audits: Seq[StagedAudit] = Nil): Long = {
     require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"row-level $action on feed-enabled table $table: the " +
         "append-only change feed cannot represent it — " +
         s"enableCdcFeed($table) to capture typed rows, or remove " +
         s"${feedDir(table)} to disable the feed")
+    // CHECK audits ride the stats pass (one scan); a violation throws
+    // out of the caller's commit() and Spark's abort() drops staging
     val (entries, newRows) = statEntriesFor(spark, table, addedRel,
-      statsCols, strStatsCols, bloomStatsCols)
+      statsCols, strStatsCols, bloomStatsCols, audits = audits)
     if (removedPaths.isEmpty && entries.isEmpty)
       return latestVersion(table)
     // MOR-aware removed-row count: the raw footer count of a replaced
@@ -5439,17 +5501,56 @@ object TableLog {
       table: String, action: String, planVersion: Long,
       scannedPaths: Seq[String], dvEntries: Seq[FileEntry],
       deleted: Long, addedRel: Seq[String], statsCols: Seq[String],
-      strStatsCols: Seq[String], bloomStatsCols: Seq[String]): Long = {
+      strStatsCols: Seq[String], bloomStatsCols: Seq[String],
+      audits: Seq[StagedAudit] = Nil): Long = {
     require(!feedEnabled(table) || cdcFeedEnabled(table),
       s"row-level $action on feed-enabled table $table: the " +
         "append-only change feed cannot represent it — " +
         s"enableCdcFeed($table) to capture typed rows, or remove " +
         s"${feedDir(table)} to disable the feed")
+    // CHECK audits ride the stats pass over the new images (one scan);
+    // a violation throws out of commit() and Spark's abort() cleans up
     val (entries, newRows) = statEntriesFor(spark, table, addedRel,
-      statsCols, strStatsCols, bloomStatsCols)
+      statsCols, strStatsCols, bloomStatsCols, audits = audits)
     if (dvEntries.isEmpty && entries.isEmpty)
       return latestVersion(table)
+    // FOLD the per-task deletion-vector shards into ONE sidecar before
+    // the commit (round-19, measured in tools.DeltaShardStats): a wide
+    // statement lands one shard per TASK — 32 shards of ~2 KB each at
+    // local[32] — so committing them raw grows every read by one
+    // file-open per shard per statement AND trips the post-commit
+    // maintain count-gate into a full materializing REWRITE every
+    // ~maxCount/tasks statements (write amplification the statement
+    // didn't ask for). One driver-side coalesce of the position lists
+    // bounds per-statement sidecars at 1. No distinct(): within one
+    // statement the (file, pos) pairs are disjoint across tasks
+    // (morFold distincts because cross-STATEMENT sidecars can repeat).
+    // Byte-gated: position lists are small by construction (the
+    // positional faces cap positions), so past the gate keep the
+    // shards and let the weight policy decide.
+    val foldGate = spark.conf
+      .getOption("spark.graft.rowLevel.foldDvShardBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val dvCommit =
+      if (dvEntries.size > 1 &&
+          dvEntries.map(_.bytes.max(0L)).sum <= foldGate) {
+        import org.apache.spark.sql.functions.col
+        val pairs = spark.read.parquet(
+          dvEntries.map(e => s"$table/${e.path}"): _*)
+          .select(col(DvFileField), col(DvPosField)).coalesce(1)
+        val (fs, _) = writeDataFiles(spark, table, pairs,
+          Seq(DvPosField), Seq(DvFileField), Nil)
+        // the shards are superseded before any manifest saw them —
+        // drop them now (Spark's abort() re-deletes idempotently)
+        dvEntries.foreach { e =>
+          val p = Paths.get(table, e.path)
+          Files.deleteIfExists(p)
+          Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+        }
+        fs
+      } else dvEntries
     var committed = -1L
+    try {
     while (committed < 0) {
       val base = snapshotOrFail(table)
       val live = base.files.map(_.path).toSet
@@ -5467,7 +5568,7 @@ object TableLog {
             "matched set may overlap its deletes; retry the statement")))
       val version = base.version + 1
       val stamped = entries.map(_.copy(ver = version))
-      val newDels = dvEntries.map(f =>
+      val newDels = dvCommit.map(f =>
         DeleteEntry(f.copy(ver = version), DvKeyCol, version))
       val rows = base.rows - deleted + newRows
       val r =
@@ -5480,6 +5581,17 @@ object TableLog {
             Nil, stamped, Nil, Nil, newDels, None, base.schemaJson,
             base.counters)
       if (tryCommit(table, r)) committed = version
+    }
+    } catch { case e: Throwable =>
+      // a failed commit aborts the statement; Spark's abort() deletes
+      // the ORIGINAL staged shards by message path — the folded
+      // sidecar is ours to clean
+      if (dvCommit ne dvEntries) dvCommit.foreach { f =>
+        val p = Paths.get(table, f.path)
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+      }
+      throw e
     }
     if (feedEnabled(table)) publishFeed(spark, table)
     // aggregate-weight guard, POST-commit: a pre-scan materialization

@@ -909,10 +909,13 @@ class CatalogSpec extends SparkSpec {
       spark.range(i * 1000L, (i + 1) * 1000L)
         .select($"id".as("k"), ($"id" % 10).as("v")).coalesce(1),
       statsCols = Seq("k")))
-    // a real delta DML leaves a REFERENCED DV shard under data/rld-*
+    // a real delta DML leaves ONE REFERENCED DV sidecar: the per-task
+    // rld- shards fold into a single data/<set>/ file at commit
+    // (round 19), and vacuum must keep it by reference like any
+    // manifest entry
     spark.sql(s"DELETE FROM $CAT.vrl.t WHERE k % 100 = 7") // 20 rows
     val dvPaths = TableLog.snapshot(path).get.dels.map(_.file.path)
-    assert(dvPaths.nonEmpty && dvPaths.forall(_.startsWith("data/rld-")))
+    assert(dvPaths.size == 1, s"expected the folded sidecar, $dvPaths")
     // a driver crash mid-write leaves unmanifested staging files that
     // abort() never got to delete — both the group-rewrite (rl-) and
     // delta (rld-) shapes
@@ -1017,18 +1020,28 @@ class CatalogSpec extends SparkSpec {
     spark.conf.set("spark.graft.rowLevel.maxPendingDvSidecars", "1")
     try {
       spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 3")  // 10 rows
-      // past the 1-sidecar policy the commit materialized everything:
-      // zero pending sidecars, content identical
-      assert(TableLog.snapshot(path).get.dels.isEmpty,
-        "post-commit maintenance must retire the vectors")
+      // the statement's per-task shards FOLD to one sidecar at commit
+      // (round 19), so a single statement sits AT the 1-sidecar bound
+      // — pending, valid, no forced materialization yet
+      assert(TableLog.snapshot(path).get.dels.size == 1,
+        "one statement = one folded sidecar, at the bound")
       assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
         .as[Long].head() == 490)
       assert(TableLog.snapshot(path).get.rows == 490)
-      // and the next statement runs against the clean table
+      // the SECOND statement pushes pending past the policy and the
+      // post-commit maintenance materializes everything: zero pending
+      // sidecars, content identical
       spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 4")
+      assert(TableLog.snapshot(path).get.dels.isEmpty,
+        "past the policy the commit must retire the vectors")
       assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
         .as[Long].head() == 480)
       assert(TableLog.snapshot(path).get.rows == 480)
+      // and the next statement runs against the clean table
+      spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 5")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
+        .as[Long].head() == 470)
+      assert(TableLog.snapshot(path).get.rows == 470)
     } finally
       spark.conf.unset("spark.graft.rowLevel.maxPendingDvSidecars")
     spark.sql(s"DROP TABLE $CAT.rlm.t")
@@ -1549,9 +1562,11 @@ class CatalogSpec extends SparkSpec {
         .collect())
     assert(msgsOf(eNoOpt).exists(_.contains("readChangeFeed")),
       s"got ${msgsOf(eNoOpt)}")
-    // ...and streaming readChangeFeed still needs GraftExtensions
-    // (micro-batch scans have no substitution path): refusal with the
-    // bridge, not silent table rows
+    // streaming readChangeFeed needs NO extensions since round 19
+    // (the scan builder itself serves the changes stream) — the
+    // vanilla-session streaming face has its own dedicated test; here
+    // just pin that the stream fences on the SAME retention floor as
+    // the __changes face (exactly-once story preserved)
     val ePlainStream = intercept[Exception] {
       val q = spark.readStream.option("readChangeFeed", "true")
         .table(s"$CAT.rcb.t")
@@ -1562,9 +1577,67 @@ class CatalogSpec extends SparkSpec {
         .start()
       q.processAllAvailable()
     }
-    assert(msgsOf(ePlainStream).exists(_.contains("GraftExtensions")),
+    assert(msgsOf(ePlainStream).exists(_.contains("retired links below")),
       s"got ${msgsOf(ePlainStream)}")
     spark.sql(s"DROP TABLE $CAT.rcb.t")
+  }
+
+  test("streaming readChangeFeed on the VANILLA session: the scan " +
+      "builder serves the changes stream — typed rows, exactly-once " +
+      "across restart, no GraftExtensions, no sibling session") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rcv")
+    spark.sql(s"CREATE TABLE $CAT.rcv.b (k BIGINT, v BIGINT)")
+    val path = s"$wh/rcv/b"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.rcv.b VALUES (1, 10), (2, 20)") // v2
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rcv_ck").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_rcv_out").toString
+    def drain(): Unit = {
+      // the CDC columns resolve as METADATA columns of the table
+      // (StreamingRelationV2.metadataOutput) — no analyzer re-point
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"$CAT.rcv.b")
+        .selectExpr("k", "v", "_change_type", "_change_version")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // run 1: the insert wave, typed
+    assert(spark.read.parquet(out).selectExpr("k", "_change_type")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, "insert"), (2L, "insert")))
+    // a typed delete + an insert land mid-stream
+    TableLog.deleteWhere(spark, path, "k", 1L, 1L)          // v3
+    spark.sql(s"INSERT INTO $CAT.rcv.b VALUES (3, 30)")     // v4
+    drain() // RESTART from the checkpoint: exactly the unseen versions
+    val afterTwo = spark.read.parquet(out)
+      .selectExpr("_change_type", "k", "_change_version")
+      .as[(String, Long, Long)].collect().toSeq
+      .sortBy(t => (t._3, t._2)).map(t => (t._1, t._2))
+    assert(afterTwo == Seq(("insert", 1L), ("insert", 2L),
+      ("delete", 1L), ("insert", 3L)), s"got $afterTwo")
+    drain() // run 3: nothing new — exactly-once, no re-delivery
+    assert(spark.read.parquet(out).count() == 4)
+    // no feed → loud refusal with guidance (scan-builder timing)
+    spark.sql(s"CREATE TABLE $CAT.rcv.p (k BIGINT)")
+    val eNoFeed = intercept[Exception] {
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"$CAT.rcv.p")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_rcv_nf").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    }
+    assert(msgsOf(eNoFeed).exists(_.contains("no change feed")),
+      s"got ${msgsOf(eNoFeed)}")
+    Seq("b", "p").foreach(t => spark.sql(s"DROP TABLE $CAT.rcv.$t"))
   }
 
   private def msgsOf(t: Throwable): Seq[String] =

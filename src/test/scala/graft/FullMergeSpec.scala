@@ -85,6 +85,34 @@ class FullMergeSpec extends SparkSpec {
     assert(snap.rows == 9, "manifest row accounting after delta merge")
   }
 
+  test("a delta MERGE commits ONE deletion-vector sidecar however " +
+      "many tasks wrote shards (commit-time fold)") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.fold (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/fm/fold"
+    // 8 range-clustered files; the merge touches keys in every file,
+    // so the delta write lands one DV shard per task pre-fold
+    TableLog.append(spark, path,
+      spark.range(80000).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    spark.range(80).select(($"id" * 1000 + 1).as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("fm_fold_src")
+    val before = TableLog.snapshot(path).get.dels.size
+    spark.sql(s"""MERGE INTO $CAT.fm.fold t USING fm_fold_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val snap = TableLog.snapshot(path).get
+    assert(snap.dels.size - before == 1,
+      s"per-statement sidecars must fold to 1, got " +
+        s"${snap.dels.size - before} — tools.DeltaShardStats measured " +
+        "one shard per TASK without the fold (write amplification via " +
+        "the maintain count-gate, read amplification per statement)")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $CAT.fm.fold " +
+      "WHERE k % 1000 = 1 AND k < 80000").as[Long].head() == -80L)
+  }
+
   test("constraint DDL through the catalog: inline CHECK at CREATE, " +
       "ALTER ADD/DROP CONSTRAINT, informational kinds refused") {
     val wh = warehouse

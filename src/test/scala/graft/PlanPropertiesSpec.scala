@@ -100,4 +100,52 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!finalPlan.contains("SortMergeJoin"),
       s"index-side sort-merge join crept into the probe:\n$finalPlan")
   }
+
+  test("bloom runtime filter (InjectRuntimeFilter) is LIVE over a " +
+      "log-table fact ⨝ filtered-dim join") {
+    import graft.sinks.TableLog
+    import spark.implicits._
+    // Round-19 audit pin: Spark's InjectRuntimeFilter must treat the
+    // GraftLogRelation leaf as a filter-application-side scan (it runs
+    // BEFORE the late PruneLogScan expansion on live sessions), so a
+    // selective dim filter grows a bloom might_contain() on the fact
+    // side. The engine's own planning-time key prune (dynJoin) covers
+    // collectable dims; bloom is the 100 TB fallback for dims past the
+    // collect gate — this pin FAILS if that fallback ever goes dead
+    // (e.g. a nondeterministic expression sneaks into the scan path
+    // and the injected filter is stripped, the round-18 failure mode).
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_bloomrf").toString
+    TableLog.create(spark, s"$tmp/fact",
+      spark.range(200000).select($"id".as("k"), ($"id" % 1000).as("v"))
+        .repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    spark.range(20000).select(($"id" * 10).as("k"), ($"id" % 101).as("tag"))
+      .write.parquet(s"$tmp/dim")
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      graft.plans.PruneLogScan.DYN_KEY -> "false")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = spark.read.parquet(s"$tmp/dim").where($"tag" === 7)
+      val q = TableLog.scan(spark, s"$tmp/fact").join(dim, Seq("k"))
+        .agg(sum($"v").as("s"))
+      assert(q.queryExecution.optimizedPlan.toString
+          .contains("might_contain"),
+        "no bloom runtime filter in the optimized plan:\n" +
+          q.queryExecution.optimizedPlan)
+      q.collect()
+      assert(q.queryExecution.executedPlan.toString
+          .contains("might_contain"),
+        "the bloom runtime filter was stripped before execution:\n" +
+          q.queryExecution.executedPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

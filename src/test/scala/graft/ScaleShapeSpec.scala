@@ -179,6 +179,52 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("MOR anti-join is AQE skew-splittable: no aggregate between the " +
+      "join's sort and its shuffle (the delete-key side must NOT " +
+      "distinct)") {
+    import graft.sinks.TableLog
+    // The round-19 audit found AQE's OptimizeSkewedJoin structurally
+    // DEAD on every MOR key-sidecar read: the key side's .distinct()
+    // planted a HashAggregate between the anti-join's Sort and its
+    // shuffle stage, and the rule only matches Sort DIRECTLY over the
+    // shuffle on BOTH sides. The distinct was redundant (sidecars are
+    // deduped at write; left_anti tolerates duplicate build keys), so
+    // morScan dropped it. This pin FAILS if the aggregate ever comes
+    // back: a skewed hot key must get skew=true in the final plan.
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_scale_skewmor").toString + "/t"
+    TableLog.create(spark, t,
+      spark.range(400000).select(
+        when($"id" % 10 < 7, lit(42L)).otherwise($"id").as("k"),
+        xxhash64($"id").as("v")).repartition(8, ($"id" % 8).cast("int")),
+      statsCols = Seq("k"))
+    // keys ≡ 7 (mod 10) exist (non-hot rows keep k = id, id%10 ∈ 7..9)
+    TableLog.deleteMor(spark, t, "k",
+      spark.range(500).select(($"id" * 700 + 7).as("k")))
+    assert(TableLog.snapshot(t).get.dels.nonEmpty)
+    val tuned = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = TableLog.read(spark, t).groupBy()
+        .agg(count(lit(1)).as("c"), max($"v").as("m"))
+      val c = q.collect()(0).getLong(0)
+      assert(c < 400000, "the MOR delete must have dropped rows")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to split the hot delete-key partition of the " +
+          s"MOR anti-join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val o = spark.read.parquet(sf("0.001") + "/orders.parquet")
     val c = spark.read.parquet(sf("0.001") + "/customer.parquet")

@@ -2393,6 +2393,30 @@ class TableLogSpec extends SparkSpec {
       TableLog.dropCheckConstraint(t, "nope"))
   }
 
+  test("a constrained staged write costs ONE scan of its staged files " +
+      "(checks ride the stats pass, no second enforcement read)") {
+    val t = tmp("graft_log_checks_onepass")
+    TableLog.create(spark, t, spark.range(100).select($"id".as("k"),
+      ($"id" % 50).as("v")), statsCols = Seq("k"))
+    TableLog.addCheckConstraint(spark, t, "v_range", "v >= 0 AND v < 50")
+    // overwrite rewrite: one staged-scan pass certifies stats + CHECK
+    val p0 = TableLog.stagedScanPasses.get()
+    TableLog.rewrite(spark, t, "overwrite", expectRows = _ => None,
+      statsCols = Seq("k"))(
+      _ => spark.range(50).select($"id".as("k"), ($"id" % 50).as("v")))
+    assert(TableLog.stagedScanPasses.get() - p0 == 1,
+      "constrained overwrite must scan its staged files exactly once")
+    // replaceWhere: slice predicate + CHECK + stats in one pass over
+    // the new slice, one pass over the kept-side rewrite
+    val p1 = TableLog.stagedScanPasses.get()
+    TableLog.replaceWhere(spark, t, $"k" >= 0 && $"k" < 10,
+      Seq((3L, 49L)).toDF("k", "v"), statsCols = Seq("k"))
+    assert(TableLog.stagedScanPasses.get() - p1 == 2,
+      "constrained replaceWhere = one pass over the new slice + one " +
+        "over the keep-side rewrite")
+    assert(TableLog.read(spark, t).count() == 41)
+  }
+
   test("CHECK constraints fence the STAGED-output faces too: " +
       "overwrite rewrite and replaceWhere") {
     val t = tmp("graft_log_checks_staged")
