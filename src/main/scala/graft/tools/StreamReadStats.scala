@@ -61,12 +61,12 @@ object StreamReadStats {
     }
 
     // count-only drain; returns (seconds, rows)
-    def drain(name: String): (Double, Long) = {
+    def drainDf(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
       val rows = new java.util.concurrent.atomic.AtomicLong
       val ck = java.nio.file.Files
         .createTempDirectory("graft_srs_ck").toString
       val t0 = System.nanoTime()
-      val q = spark.readStream.table(s"$cat.b.$name")
+      val q = df
         .writeStream.option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -75,6 +75,8 @@ object StreamReadStats {
       assert(q.awaitTermination(600000), "drain must terminate")
       ((System.nanoTime() - t0) / 1e9, rows.get())
     }
+    def drain(name: String): (Double, Long) =
+      drainDf(spark.readStream.table(s"$cat.b.$name"))
 
     def best(name: String, expect: Long): Double =
       (1 to 2).map { _ =>
@@ -120,13 +122,27 @@ object StreamReadStats {
       statsCols = Seq("k"))
     val secCh = best("ch__changes", n)
 
+    // vanilla-session readChangeFeed on the table ITSELF (round 19):
+    // the scan builder serves the changes stream with the
+    // data ++ all-metadata row shape — measures the wider splice
+    // (_version/_file/_pos on top of the CDC pair) vs the __changes
+    // face's flat schema
+    val secRcf = (1 to 2).map { _ =>
+      val (sec, rows) = drainDf(spark.readStream
+        .option("readChangeFeed", "true").table(s"$cat.b.ch"))
+      assert(rows == n, s"rcf drained $rows, expected $n")
+      sec
+    }.min
+
     val mrs = (sec: Double, rows: Long) => (rows / sec / 1e6)
     println(f"""{"metric":"stream_read_mrows_per_sec","n":$n,"files":$files,""" +
       f""""identity":${mrs(secIdent, n)}%.2f,"renamed":${mrs(secRen, n)}%.2f,""" +
       f""""dv_filtered_batch":${mrs(secDv, dvLive)}%.2f,""" +
       f""""changes_feed":${mrs(secCh, n)}%.2f,""" +
+      f""""rcf_vanilla":${mrs(secRcf, n)}%.2f,""" +
       f""""identity_sec":$secIdent%.2f,"renamed_sec":$secRen%.2f,""" +
-      f""""dv_sec":$secDv%.2f,"changes_sec":$secCh%.2f}""")
+      f""""dv_sec":$secDv%.2f,"changes_sec":$secCh%.2f,""" +
+      f""""rcf_sec":$secRcf%.2f}""")
     spark.stop()
   }
 }
