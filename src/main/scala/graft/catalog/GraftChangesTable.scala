@@ -6,7 +6,9 @@ import graft.sinks.TableLog
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+  Coalesce, Expression, GenericInternalRow, JoinedRow, Literal,
+  UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{
   SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{
@@ -269,7 +271,14 @@ final class GraftChangesStream(path: String, tableName: String,
 
 /** Serves rows of the changes schema: parquet row (data fields +
   * possibly-null `_change_type`) → output row with `_change_type`
-  * coalesced to 'insert' and `_change_version` spliced in. */
+  * coalesced to 'insert' and `_change_version` (plus, on the
+  * vanilla readChangeFeed face, `_version`/`_file`/`_pos`) spliced
+  * in — via a codegen'd UnsafeProjection into ONE reused buffer, the
+  * same zero-per-row-allocation contract as the data stream's
+  * non-identity path: constants (the change version, the link file)
+  * fold as literals into the generated code, the row position rides
+  * a 1-field row joined LEFT of the parquet row, and the
+  * coalesce-to-'insert' happens in generated code. */
 final class GraftChangesReaderFactory(pr: ParquetReadFactory,
     outTypes: Array[org.apache.spark.sql.types.DataType],
     ctIdx: Int, cvIdx: Int, verIdx: Int = -1, fileIdx: Int = -1,
@@ -280,33 +289,31 @@ final class GraftChangesReaderFactory(pr: ParquetReadFactory,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val relName = UTF8String.fromString(p.relPath)
+    // ctIdx is a PARQUET ordinal (an index into the decoded fields) —
+    // with spliced metadata columns the output and parquet ordinals
+    // no longer align, so the parquet cursor advances separately
+    var parquetIdx = 0
+    val exprs: Seq[Expression] = outTypes.indices.map { o =>
+      if (o == cvIdx || o == verIdx) Literal(p.version, LongType)
+      else if (o == fileIdx)
+        Literal(UTF8String.fromString(p.relPath), StringType)
+      else if (o == posIdx) BoundReference(0, LongType, nullable = false)
+      else {
+        val i = parquetIdx; parquetIdx += 1
+        if (i == ctIdx) Coalesce(Seq(
+          BoundReference(1 + i, StringType, nullable = true),
+          Literal(insertTag, StringType)))
+        else BoundReference(1 + i, outTypes(o), nullable = true)
+      }
+    }
+    val project = UnsafeProjection.create(exprs)
+    val meta = new GenericInternalRow(1)
+    val joined = new JoinedRow
     var rowPos = -1L
     val it = pr.open(p.absPath, p.length).map { row =>
       rowPos += 1
-      val n = outTypes.length
-      val out = new GenericInternalRow(n)
-      var i = 0 // parquet ordinal (data fields + _change_type)
-      var o = 0 // output ordinal
-      val r = row.copy()
-      while (o < n) {
-        if (o == cvIdx || o == verIdx) out.update(o, p.version)
-        else if (o == fileIdx) out.update(o, relName.clone())
-        else if (o == posIdx) out.update(o, rowPos)
-        else {
-          // ctIdx is a PARQUET ordinal (an index into dataRequired) —
-          // compare against i, not o: with spliced metadata columns
-          // the two no longer align
-          val isCt = i == ctIdx && ctIdx >= 0
-          val v =
-            if (r.isNullAt(i)) null
-            else r.get(i, if (isCt) StringType else outTypes(o))
-          out.update(o, if (isCt && v == null) insertTag.clone() else v)
-          i += 1
-        }
-        o += 1
-      }
-      out: InternalRow
+      meta.setLong(0, rowPos)
+      project(joined(meta, row)): InternalRow
     }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _

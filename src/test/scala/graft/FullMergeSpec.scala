@@ -113,6 +113,45 @@ class FullMergeSpec extends SparkSpec {
       "WHERE k % 1000 = 1 AND k < 80000").as[Long].head() == -80L)
   }
 
+  test("two RACING delta DELETEs on disjoint keys: no lost update — " +
+      "both land, or the fenced one refuses loudly and its RETRY " +
+      "lands (folded sidecars stay statement-local)") {
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $CAT.fm.race (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = 'mor')")
+    val path = s"$wh/fm/race"
+    TableLog.append(spark, path,
+      spark.range(40000).select($"id".as("k"), ($"id" % 7).as("v"))
+        .repartitionByRange(8, $"k"),
+      statsCols = Seq("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // disjoint key residues; same files (every file spans both) — the
+    // conservative file-identity DV fence may refuse the loser with
+    // the retry contract, never silently drop or double-apply
+    def del(res: Long): Future[Unit] = Future {
+      def once(): Unit =
+        spark.sql(s"DELETE FROM $CAT.fm.race WHERE k % 1000 = $res")
+      try once() catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("retry")) ||
+              Option(e.getCause).flatMap(c =>
+                Option(c.getMessage)).exists(_.contains("retry")) =>
+          once() // the documented contract: retry the statement
+      }
+    }
+    Await.result(Future.sequence(Seq(del(3L), del(7L))), 300.seconds)
+    // both deletes fully applied exactly once: 40 rows per residue
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.fm.race")
+      .as[Long].head() == 40000 - 80)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.fm.race " +
+      "WHERE k % 1000 IN (3, 7)").as[Long].head() == 0)
+    assert(TableLog.snapshot(path).get.rows == 40000 - 80,
+      "manifest accounting must survive the race")
+    spark.sql(s"DROP TABLE $CAT.fm.race")
+  }
+
   test("constraint DDL through the catalog: inline CHECK at CREATE, " +
       "ALTER ADD/DROP CONSTRAINT, informational kinds refused") {
     val wh = warehouse
