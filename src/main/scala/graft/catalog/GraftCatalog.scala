@@ -786,15 +786,40 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
-              if (options.getBoolean("readChangeFeed", false))
-                throw new UnsupportedOperationException(
-                  s"$name: readChangeFeed was not honored — install " +
-                    "the substitution rule (graft.plans" +
-                    ".ResolveGraftCatalogReads.install(spark)) or " +
-                    "build the session with GraftExtensions, or read " +
-                    s"the ${name}__changes face directly — otherwise " +
-                    "the option would silently serve current table " +
-                    "rows instead of the typed change feed")
+              if (options.getBoolean("readChangeFeed", false)) {
+                // round 19: the scan itself honors the option — no
+                // installed rule or extensions needed for the BATCH
+                // face either (the install/analyzer paths still win
+                // when present: they substitute before this executes
+                // and serve richer plans). Bounds resolve exactly
+                // like the __changes table; the pruned schema
+                // carries any referenced CDC metadata columns by
+                // name. The other metadata columns have no meaning
+                // on feed rows — refuse, pointing at the richer face.
+                require(TableLog.feedEnabled(path),
+                  s"readChangeFeed on $name: the table has no " +
+                    s"change feed — TableLog.enableCdcFeed('$path') " +
+                    "to capture row changes as typed rows " +
+                    "(enableFeed for insert-only), then retry")
+                val servable = GraftTable.this.schema().fieldNames
+                  .toSet + TableLog.changeTypeCol +
+                  TableLog.changeVersionCol
+                val alien = required.fieldNames.toSeq
+                  .filterNot(servable)
+                if (alien.nonEmpty)
+                  throw new UnsupportedOperationException(
+                    s"$name: ${alien.mkString(", ")} are not " +
+                      "servable on the readChangeFeed batch face — " +
+                      s"read ${name}__changes or install graft.plans" +
+                      ".ResolveGraftCatalogReads")
+                val (lo, hi) =
+                  GraftChangesTable.batchBounds(path, nameStr, options)
+                return TableLog
+                  .readFeedBetween(context.sparkSession, path, lo, hi)
+                  .select(required.fieldNames.toIndexedSeq.map(n =>
+                    org.apache.spark.sql.functions.col(s"`$n`")): _*)
+                  .rdd
+              }
               val dataNames = GraftTable.this.schema().fieldNames.toSet
               val meta = required.fieldNames.toSeq.filterNot(dataNames)
               val cdcCols = meta.filter(n =>

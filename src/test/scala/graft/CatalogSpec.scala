@@ -1623,6 +1623,36 @@ class CatalogSpec extends SparkSpec {
       ("delete", 1L), ("insert", 3L)), s"got $afterTwo")
     drain() // run 3: nothing new — exactly-once, no re-delivery
     assert(spark.read.parquet(out).count() == 4)
+    // BATCH readChangeFeed on a session with NO installed rule (fresh
+    // newSession: empty experimental optimizations): the V1 scan
+    // itself serves the feed — typed rows, window options compose
+    val s3 = spark.newSession()
+    s3.conf.set(s"spark.sql.catalog.$CAT",
+      classOf[GraftCatalog].getName)
+    s3.conf.set(s"spark.sql.catalog.$CAT.warehouse", wh)
+    assert(s3.experimental.extraOptimizations.isEmpty,
+      "the no-install premise must hold")
+    val noInstall = s3.read.option("readChangeFeed", "true")
+      .table(s"$CAT.rcv.b")
+      .selectExpr("_change_type", "k", "_change_version")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      .sorted
+    assert(noInstall == Seq(("delete", 1L), ("insert", 1L),
+      ("insert", 2L), ("insert", 3L)), s"got $noInstall")
+    val noInstallWin = s3.read.option("readChangeFeed", "true")
+      .option("startingVersion", "4").table(s"$CAT.rcv.b")
+      .selectExpr("_change_type", "k")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(noInstallWin == Seq(("insert", 3L)), s"got $noInstallWin")
+    // count without referencing the CDC columns = feed rows
+    assert(s3.read.option("readChangeFeed", "true")
+      .table(s"$CAT.rcv.b").count() == 4L)
+    // the OTHER metadata columns mean nothing on feed rows — refuse
+    val eAlien = intercept[Exception](
+      s3.read.option("readChangeFeed", "true").table(s"$CAT.rcv.b")
+        .selectExpr("_file").collect())
+    assert(msgsOf(eAlien).exists(_.contains("not servable")),
+      s"got ${msgsOf(eAlien)}")
     // no feed → loud refusal with guidance (scan-builder timing)
     spark.sql(s"CREATE TABLE $CAT.rcv.p (k BIGINT)")
     val eNoFeed = intercept[Exception] {
