@@ -119,10 +119,14 @@ object OptAudit {
     // file spans the key domain (no stat prune); delete keys scattered
     val skewRows = 3000000L
     val skewLog = s"$tmp/mor_log"
+    // v must be INCOMPRESSIBLE: partition sizes AQE sees are
+    // compressed map-output bytes, and a run of constant hot-key rows
+    // with a cyclic payload compresses under the skew threshold
     TableLog.create(spark, skewLog,
       spark.range(skewRows).select(
         when($"id" % 10 < 7, lit(42L)).otherwise($"id").as("k"),
-        ($"id" % 97).as("v")).repartition(16, $"v"),
+        xxhash64($"id").as("v")).repartition(16,
+        ($"id" % 16).cast("int")),
       statsCols = Seq("k"))
     // keys ≡ 7 (mod 10) EXIST in the table (non-hot rows keep k = id
     // with id % 10 ∈ {7,8,9}) — deleteMor commits no sidecar when
@@ -135,11 +139,11 @@ object OptAudit {
     withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0") {
       val q = TableLog.read(spark, skewLog).groupBy()
-        .agg(count(lit(1)).as("c"), sum($"k").as("sk"))
+        .agg(count(lit(1)).as("c"), max($"v").as("m"))
       bCount = q.collect()(0).getLong(0)
       require(bCount < skewRows, s"skew probe: anti-join dropped nothing")
       val exec = q.queryExecution.executedPlan.toString
@@ -152,6 +156,31 @@ object OptAudit {
       System.err.println(s"--- skew executed plan (joins) ---\n" +
         exec.linesIterator.filter(l =>
           l.contains("Join") || l.contains("skew")).mkString("\n"))
+    }
+
+    // ── B2. OptimizeShuffleWithLocalRead over a log-table join ─────
+    // static planning keeps the SMJ (autoBroadcast -1 statically is
+    // not set here: static 10MB default sees a small dim and
+    // broadcasts at plan time, so instead force the RUNTIME
+    // conversion shape: static threshold too small for the ESTIMATE,
+    // adaptive threshold large enough for the MEASURED size) — AQE
+    // converts to broadcast and the local-read rule should then turn
+    // the fact side's shuffle read into mapper-local partitions
+    // ("AQEShuffleRead local"), erasing the wasted exchange.
+    var (b2Local, b2Join) = (0, "none")
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64m",
+      graft.plans.PruneLogScan.DYN_KEY -> "false") {
+      val dim = spark.read.parquet(s"$tmp/dim_pq").where(col("tag") === 7)
+      val q = TableLog.scan(spark, factLog).join(dim, Seq("k"))
+        .agg(sum(col("v")).as("s"))
+      q.collect()
+      val exec = q.queryExecution.executedPlan.toString
+      b2Local = "AQEShuffleRead local".r.findAllIn(exec).length
+      b2Join =
+        if (exec.contains("BroadcastHashJoin")) "bhj"
+        else if (exec.contains("SortMergeJoin")) "smj" else "none"
     }
 
     // ── C. MERGE cardinality-check shape + scaling ──────────────────
@@ -197,6 +226,7 @@ object OptAudit {
       s""","bloom_logscan_ext":{"opt":$aExtOpt,"exec":$aExtExec}""" +
       s""","skew_splits":$bSkewed,"skew_join":"$bJoin"""" +
       s""","skew_rows":$bCount""" +
+      s""","local_reads":$b2Local,"local_read_join":"$b2Join"""" +
       s""","merge16":{"sec":${f"$c16%.3f"},"exchanges":$c16Ex,"mergeRows":$c16Mr}""" +
       s""","merge64":{"sec":${f"$c64%.3f"},"exchanges":$c64Ex,"mergeRows":$c64Mr}}""")
     spark.stop()
