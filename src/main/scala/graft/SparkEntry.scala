@@ -1501,6 +1501,58 @@ object SparkEntry {
       .orderBy("grp")
   }
 
+  /** Batch `readChangeFeed` on a session with NO installed rule under
+    * the oracle (round 19): a fresh `newSession()` (provably empty
+    * experimental optimizations — asserted in-plan) reads the typed
+    * feed through the V1 scan's own option handling, full window and
+    * a `startingVersion` window, CDC columns as metadata columns.
+    * Oracle = the change log replayed relationally. */
+  private def o92RcfBatchNoInstall(s0: SparkSession, dir: String)
+      : DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/cat_wh92_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o92_$sfx"
+    // build the table on the REGULAR session…
+    s0.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s0.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tl = graft.sinks.TableLog
+    s0.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rcf")
+    s0.sql(s"CREATE TABLE $cat.rcf.b (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey')")
+    val bronze = s"$wh/rcf/b"
+    tl.enableCdcFeed(bronze)
+    val base = T(s0, dir, "orders").where(col("o_orderkey") % 30 === 27)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    tl.append(s0, bronze, base.where(col("o_orderkey") % 60 === 27),
+      statsCols = Seq("o_orderkey"))                              // v2
+    tl.deleteWhere(s0, bronze, "o_orderkey", 3000, 12000,
+      statsCols = Seq("o_orderkey"))                              // v3
+    tl.append(s0, bronze, base.where(col("o_orderkey") % 60 === 57),
+      statsCols = Seq("o_orderkey"))                              // v4
+    // …and read the feed on a FRESH session with no installed rules
+    val s = s0.newSession()
+    assert(s.experimental.extraOptimizations.isEmpty,
+      "o92: the no-install premise must hold")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val full = s.read.option("readChangeFeed", "true")
+      .table(s"$cat.rcf.b")
+      .groupBy(lit("full").as("face"), col("_change_type").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    val windowed = s.read.option("readChangeFeed", "true")
+      .option("startingVersion", "4").table(s"$cat.rcf.b")
+      .groupBy(lit("from_v4").as("face"), col("_change_type").as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    full.unionByName(windowed).orderBy("face", "grp")
+  }
+
   /** DELTA-BASED row-level DML through Spark's OWN framework
     * (`SupportsDelta`, `rowLevelMode = 'mor'`) under the oracle:
     * DELETE / UPDATE / MERGE on a catalog table run as WriteDelta —
@@ -4875,6 +4927,7 @@ object SparkEntry {
     "o86_metadata_delete" -> (o86MetadataDelete _),
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
     "o91_rcf_vanilla_stream" -> (o91RcfVanillaStream _),
+    "o92_rcf_batch_noinstall" -> (o92RcfBatchNoInstall _),
     "o88_changes_between" -> (o88ChangesBetween _),
     "o89_replace_where" -> (o89ReplaceWhere _),
     "o90_merge_full" -> (o90MergeFull _),
@@ -6714,6 +6767,33 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM log GROUP BY ct
         |ORDER BY grp""".stripMargin,
+    // the no-install batch change feed replayed relationally: full
+    // window (two insert waves + the typed range delete) and the
+    // from-v4 window (the second insert wave alone)
+    "o92_rcf_batch_noinstall" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 27),
+        |w1 AS (SELECT * FROM t WHERE o_orderkey % 60 = 27),
+        |w2 AS (SELECT * FROM t WHERE o_orderkey % 60 = 57),
+        |log AS (
+        |  SELECT 'insert' AS ct, * FROM w1
+        |  UNION ALL SELECT 'delete', * FROM w1
+        |    WHERE o_orderkey BETWEEN 3000 AND 12000
+        |  UNION ALL SELECT 'insert', * FROM w2)
+        |SELECT 'full' AS face, ct AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM log GROUP BY ct
+        |UNION ALL
+        |SELECT 'from_v4' AS face, 'insert' AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM w2
+        |ORDER BY face, grp""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base
