@@ -5625,17 +5625,28 @@ object TableLog {
     val s = snapshot(table).getOrElse(return)
     val dvs = s.dels.filter(_.keyCol == DvKeyCol)
     val pend = dvs.map(d => fileBytes(table, d.file)).sum
-    // count gate next to the bytes gate: delta row-level writes land
-    // one sidecar SHARD per task, so statement-sized deletes can grow
-    // the sidecar count (one parquet open per loadDv miss) long before
-    // the bytes bound trips
-    if (pend > bound || dvs.length > maxCount) {
-      logger.warn(s"positional DML on $table: ${dvs.length} pending " +
-        s"deletion-vector sidecars / $pend bytes exceed the " +
-        s"($maxCount, $bound) policy — materializing all pending MOR " +
-        "sidecars (morMaintain)")
+    // TWO-TIER guard (round 19). The BYTES bound is the real read-side
+    // limit — every DV-bearing read ships the union of pending vectors
+    // with the plan — and crossing it takes the full materializing
+    // rewrite. The COUNT bound only limits file-OPENS per loadDv; with
+    // per-statement shards already folded to one at commit, a count
+    // trip means many small statement-sidecars, and a morFold (one
+    // tiny sidecar concat, ZERO data-file rewrites) restores the bound
+    // at a vanishing fraction of the rewrite's write amplification —
+    // the bytes gate still owns the genuinely-heavy case.
+    if (pend > bound) {
+      logger.warn(s"positional DML on $table: $pend pending " +
+        s"deletion-vector bytes exceed the $bound bound — " +
+        "materializing all pending MOR sidecars (morMaintain)")
       morMaintain(spark, table, maxSidecars = 0, statsCols = statsCols,
         strStatsCols = strStatsCols, bloomStatsCols = bloomStatsCols)
+      ()
+    } else if (dvs.length > maxCount) {
+      logger.warn(s"positional DML on $table: ${dvs.length} pending " +
+        s"deletion-vector sidecars exceed the $maxCount count bound " +
+        s"at only $pend bytes — folding (morFold, zero data-file " +
+        "rewrites) instead of materializing")
+      morFold(spark, table)
       ()
     }
   }

@@ -1022,28 +1022,39 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 3")  // 10 rows
       // the statement's per-task shards FOLD to one sidecar at commit
       // (round 19), so a single statement sits AT the 1-sidecar bound
-      // — pending, valid, no forced materialization yet
+      // — pending, valid, no forced maintenance yet
       assert(TableLog.snapshot(path).get.dels.size == 1,
         "one statement = one folded sidecar, at the bound")
       assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
         .as[Long].head() == 490)
       assert(TableLog.snapshot(path).get.rows == 490)
-      // the SECOND statement pushes pending past the policy and the
-      // post-commit maintenance materializes everything: zero pending
-      // sidecars, content identical
+      // the SECOND statement pushes the COUNT past the policy at tiny
+      // bytes: the post-commit guard FOLDS (one sidecar, zero
+      // data-file rewrites) instead of materializing
+      val filesBefore = TableLog.snapshot(path).get.files
+        .map(_.path).toSet
       spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 4")
-      assert(TableLog.snapshot(path).get.dels.isEmpty,
-        "past the policy the commit must retire the vectors")
+      val afterFold = TableLog.snapshot(path).get
+      assert(afterFold.dels.size == 1,
+        "a count-only trip must FOLD the vectors, not materialize")
+      assert(afterFold.files.map(_.path).toSet == filesBefore,
+        "the fold must rewrite zero data files")
       assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
         .as[Long].head() == 480)
-      assert(TableLog.snapshot(path).get.rows == 480)
-      // and the next statement runs against the clean table
+      assert(afterFold.rows == 480)
+      // the BYTES bound still takes the materializing rewrite: with a
+      // 1-byte budget the next statement's guard retires everything
+      spark.conf.set("spark.graft.rowLevel.maxPendingDvBytes", "1")
       spark.sql(s"DELETE FROM $CAT.rlm.t WHERE k % 50 = 5")
+      assert(TableLog.snapshot(path).get.dels.isEmpty,
+        "past the bytes bound the commit must retire the vectors")
       assert(spark.sql(s"SELECT count(*) AS n FROM $CAT.rlm.t")
         .as[Long].head() == 470)
       assert(TableLog.snapshot(path).get.rows == 470)
-    } finally
+    } finally {
       spark.conf.unset("spark.graft.rowLevel.maxPendingDvSidecars")
+      spark.conf.unset("spark.graft.rowLevel.maxPendingDvBytes")
+    }
     spark.sql(s"DROP TABLE $CAT.rlm.t")
   }
 
