@@ -772,6 +772,25 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
             val full = StructType(data.fields ++ metas.map(m =>
               StructField(m.name, m.dataType(), nullable = true)))
             def idx(n: String) = full.fieldNames.indexOf(n)
+            // The positional-prefix contract is only sound while the
+            // analyzer serves exactly two shapes (data alone, or
+            // data ++ ALL metadata columns in metadataColumns()
+            // order) — if a data column shadows any CDC metadata
+            // column the wider rows this stream serves would
+            // misalign silently (long _version bytes read as
+            // _change_type strings), so refuse loudly here. The
+            // two-shapes analyzer behavior itself is pinned at test
+            // time (VanillaRcfShapeSpec): the resolved plan's schema
+            // never crosses the MicroBatchStream API, so a Spark
+            // version change is caught by the pin, not at runtime.
+            val cdcCols = Seq(GraftTable.VersionCol.name,
+              GraftTable.FileCol.name, GraftTable.PosCol.name)
+            require(cdcCols.forall(idx(_) >= 0),
+              s"streaming readChangeFeed on $name: data column(s) " +
+                cdcCols.filter(idx(_) < 0).mkString("[", ",", "]") +
+                " shadow the CDC metadata columns — the positional " +
+                "change-feed contract cannot hold; rename the data " +
+                "column(s) or read the __changes face instead")
             return new GraftChangesStream(path, nameStr, full, options,
               verIdx = idx(GraftTable.VersionCol.name),
               fileIdx = idx(GraftTable.FileCol.name),

@@ -4150,11 +4150,14 @@ object TableLog {
     * once per key batch) stops paying one file-open per sidecar per
     * read. Soundness is all about the VERSION FENCE: a sidecar at
     * version v deletes only from files with ver < v, so two sidecars
-    * d₁@v₁ < d₂@v₂ of the same key column may merge — at the EARLIER
-    * version v₁ — only when NO current data file has ver in
-    * [v₁, v₂): such a file is fenced by d₂ but not d₁, and a merged
-    * entry at either endpoint would fence it wrongly (at v₂ it would
-    * also re-delete keys re-inserted at v₁…v₂). Update/merge-MOR
+    * d₁@v₁ < d₂@v₂ of the same key column may merge — stamped at the
+    * LATER version v₂ (read-equivalent to v₁ under the run rule, but
+    * v₂ keeps the in-flight statements' `ver > planVersion` commit
+    * fence conservative; see the in-body comment) — only when NO
+    * current data file has ver in [v₁, v₂): such a file is fenced by
+    * d₂ but not d₁, so a merged entry at either endpoint would fence
+    * it wrongly. Files AT exactly v₂ (re-inserted images) stay
+    * unfenced at both endpoints (`f.ver >= d.ver`). Update/merge-MOR
     * commits stamp their new-image files AT the sidecar's own
     * version, so their windows never fold across — exactly right,
     * since those files carry the re-inserted images. Folds are
@@ -4192,11 +4195,24 @@ object TableLog {
             runs.map(_.toSeq).toSeq
         }
       if (!groups.exists(_.size >= 2) && dvD.size < 2) return base.version
+      // Folded entries are stamped at the run's MAX member version,
+      // not the min (round-20 race fix). Read-equivalent under the run
+      // rule: no live file has ver in [vMin, vMax) (`blocked`), files
+      // AT vMax are excluded by the fence's `f.ver >= d.ver` at either
+      // endpoint, and deletion vectors ignore version entirely at
+      // read. But the COMMIT fence is version-keyed: in-flight
+      // positional statements check `dels.filter(_.ver > planVersion)`
+      // (writeDeltaCommit / replaceFilesCommit) — a member committed
+      // AFTER a statement's planVersion, folded and re-stamped at
+      // vMin <= planVersion, would escape that fence and let the
+      // statement commit against positions its scan never saw
+      // (silent row resurrection on COW rewrites). vMax keeps every
+      // member that was fence-visible fence-visible through the fold.
       val folded: Seq[DeleteEntry] = groups.flatMap { g =>
         if (g.size < 2) g
         else {
           val k = g.head.keyCol
-          val vMin = g.map(_.ver).min
+          val vMax = g.map(_.ver).max
           val keys = spark.read.parquet(
             g.map(d => s"$table/${d.file.path}"): _*)
             .select(col(k)).distinct().coalesce(1)
@@ -4205,18 +4221,18 @@ object TableLog {
           val (fs, _) = writeDataFiles(spark, table, keys,
             if (isString) Nil else Seq(k),
             if (isString) Seq(k) else Nil, Nil)
-          fs.map(f => DeleteEntry(f.copy(ver = vMin), k, vMin))
+          fs.map(f => DeleteEntry(f.copy(ver = vMax), k, vMax))
         }
       } ++ (if (dvD.size < 2) dvD
         else {
-          val vMin = dvD.map(_.ver).min
+          val vMax = dvD.map(_.ver).max
           val pairs = spark.read.parquet(
             dvD.map(d => s"$table/${d.file.path}"): _*)
             .select(col(DvFileField), col(DvPosField)).distinct()
             .coalesce(1)
           val (fs, _) = writeDataFiles(spark, table, pairs,
             Seq(DvPosField), Seq(DvFileField), Nil)
-          fs.map(f => DeleteEntry(f.copy(ver = vMin), DvKeyCol, vMin))
+          fs.map(f => DeleteEntry(f.copy(ver = vMax), DvKeyCol, vMax))
         })
       val version = base.version + 1
       // schemaOps/checks stay default-Nil: the commit gate carries the
@@ -5531,9 +5547,12 @@ object TableLog {
     val foldGate = spark.conf
       .getOption("spark.graft.rowLevel.foldDvShardBytes")
       .map(_.toLong).getOrElse(32L << 20)
+    // unknown sizes (bytes < 0) count as OVER-gate, not zero — an
+    // arbitrarily large unsized shard set must not ride the
+    // driver-side coalesce(1)
     val dvCommit =
-      if (dvEntries.size > 1 &&
-          dvEntries.map(_.bytes.max(0L)).sum <= foldGate) {
+      if (dvEntries.size > 1 && dvEntries.forall(_.bytes >= 0L) &&
+          dvEntries.map(_.bytes).sum <= foldGate) {
         import org.apache.spark.sql.functions.col
         val pairs = spark.read.parquet(
           dvEntries.map(e => s"$table/${e.path}"): _*)

@@ -1634,6 +1634,32 @@ class CatalogSpec extends SparkSpec {
       ("delete", 1L), ("insert", 3L)), s"got $afterTwo")
     drain() // run 3: nothing new — exactly-once, no re-delivery
     assert(spark.read.parquet(out).count() == 4)
+    // round-20 SHAPE PIN (ADVICE r19): the vanilla streaming face
+    // serves WIDER rows positionally and relies on the analyzer's
+    // exactly-two-shapes behavior — a plan referencing ANY metadata
+    // column gets data ++ ALL metadata columns appended in
+    // metadataColumns() order (never a referenced-only subset, never
+    // a reorder). The resolved schema never crosses the
+    // MicroBatchStream API, so a Spark version change that broke this
+    // would misalign columns silently at runtime — this pin fails
+    // loudly instead. Reference ONE metadata column; demand the full
+    // appended shape.
+    val narrow = spark.readStream.option("readChangeFeed", "true")
+      .table(s"$CAT.rcv.b").selectExpr("_change_version")
+    val relOut = narrow.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.catalyst.streaming
+          .StreamingRelationV2 => r.metadataOutput.map(_.name)
+    }
+    assert(relOut.isDefined, "analyzed plan must keep the V2 relation")
+    val wideOut = narrow.queryExecution.analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child.output.map(_.name)
+    }
+    assert(wideOut.contains(Seq("k", "v",
+      "_version", "_file", "_pos", "_change_type", "_change_version")),
+      s"the analyzer must append ALL metadata columns in " +
+        s"metadataColumns() order below the projection — the " +
+        s"positional-prefix reader contract depends on it; got $wideOut")
     // BATCH readChangeFeed on a session with NO installed rule (fresh
     // newSession: empty experimental optimizations): the V1 scan
     // itself serves the feed — typed rows, window options compose

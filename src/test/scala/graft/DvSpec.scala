@@ -191,6 +191,19 @@ class DvSpec extends SparkSpec {
     val folded = TableLog.snapshot(t).get
     assert(folded.dels.count(_.keyCol == "__pos__") == 1,
       "both vectors must fold into one")
+    // round-20 race pin: the folded vector carries the MAX member
+    // version (reads ignore DV versions; the writeDeltaCommit /
+    // replaceFilesCommit `ver > planVersion` fence does not — a fold
+    // stamped at vMin would hide a post-plan member from an in-flight
+    // statement's fence)
+    assert(folded.dels.find(_.keyCol == "__pos__").get.ver ==
+      preFold.dels.filter(_.keyCol == "__pos__").map(_.ver).max,
+      "folded DV must be stamped at the max member version")
+    // keyed sidecars (the v2 delete wrote one entry per key file —
+    // same-version entries share a run and fold too) keep the max
+    // member version through the fold
+    assert(folded.dels.filter(_.keyCol != "__pos__").map(_.ver).toSet ==
+      Set(preFold.dels.filter(_.keyCol != "__pos__").map(_.ver).max))
     assert(TableLog.read(spark, t).count() ==
       got.count() - (0 until 50).count(i => i % 10 == 5))
     // morMaintain materializes everything away, results identical

@@ -2036,8 +2036,17 @@ class TableLogSpec extends SparkSpec {
       TableLog.snapshotAt(t, 1).get.files.map(_.path).toSet,
       "a fold rewrites ZERO data files")
     assert(TableLog.read(spark, t).orderBy("k").collect().toSeq == before)
-    // the folded sidecar sits at the EARLIEST version: a key
-    // re-inserted after it is in a newer file and stays visible
+    // round-20 race pin: the folded sidecar is stamped at the LATEST
+    // member version, so an in-flight positional statement whose
+    // planVersion predates any folded member still sees the fold in
+    // its `dels.filter(_.ver > planVersion)` commit fence — at vMin a
+    // member committed after the plan would escape the fence and the
+    // statement would commit against positions its scan never saw
+    assert(folded.dels.head.ver == 7L,
+      s"folded sidecar must carry the run's MAX member version (7), " +
+        s"got ${folded.dels.head.ver}")
+    // a key re-inserted after the fold is in a newer file (ver > vMax)
+    // and stays visible
     TableLog.append(spark, t, Seq((3L, 99L)).toDF("k", "v"))
     assert(TableLog.read(spark, t).where($"k" === 3L).count() == 1)
     // an update-MOR commit stamps its new images AT its own version,
