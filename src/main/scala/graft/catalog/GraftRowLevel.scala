@@ -310,8 +310,29 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     Scan.ColumnarSupportMode.UNSUPPORTED
 
-  override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_file"))
+  /** Columns runtime filters may arrive on. Both routes accept the
+    * group filter's `_file`. The DELTA route (round-20) additionally
+    * exposes every stats column: Spark 4.1's
+    * `RowLevelOperationRuntimeGroupFiltering` matches ReplaceData
+    * ONLY (bytecode-verified — the MOR route structurally never gets
+    * a group filter from it), but `PartitionPruning` serves V2 scans
+    * too (SPARK-35779), so a MERGE's target⨝source join key that
+    * carries manifest stats gets a dynamic-pruning IN-set of the
+    * SOURCE keys at runtime — file-level pruning of the target scan
+    * by actual source content, the delta twin of the COW group
+    * filter. The group-based scan does NOT expose them: the group
+    * filter builds ONE multi-key subquery over ALL filterAttributes,
+    * and a `(_file, k)` struct-IN is a shape [[filter]] would ignore
+    * — strictly worse than the live single-key `_file` prune. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val statCols = op match {
+      case _: GraftDeltaOperation =>
+        GraftCatalog.colsProp(t.props, "statsCols") ++
+          GraftCatalog.colsProp(t.props, "strStatsCols")
+      case _ => Nil
+    }
+    ("_file" +: statCols).map(Expressions.column).toArray
+  }
 
   /** Runtime group filter: Spark hands back the DISTINCT `_file`
     * values of the rows matching the condition — collected by a
@@ -331,17 +352,32 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
     * sidecar self-heal re-pins past the original table pin) are kept
     * unconditionally: the subquery never saw their paths, so its
     * output cannot be evidence they hold no matching rows. */
-  override def filter(predicates: Array[Predicate]): Unit =
+  override def filter(predicates: Array[Predicate]): Unit = {
     predicates.foreach { p =>
-      GraftRowLevelScan.inSetOnFile(p).foreach { raw =>
-        val set = raw.map(TableLog.lastTwo)
-        narrow(_.filter(f => f.ver > op.groupFilterVersion ||
-          set.contains(TableLog.lastTwo(f.path))))
+      GraftRowLevelScan.inSetOn(p) match {
+        case Some(("_file", raw)) =>
+          val set = raw.map(v => TableLog.lastTwo(v.toString)).toSet
+          narrow(_.filter(f => f.ver > op.groupFilterVersion ||
+            set.contains(TableLog.lastTwo(f.path))))
+        case Some((c, vals)) =>
+          // a dynamic-pruning IN-set on a data column (the MERGE
+          // source's join keys, PartitionPruning over the delta
+          // route): manifest-stat prune, same arithmetic as the
+          // pushed-filter path — files without a stat on c are kept,
+          // so partial coverage is always sound. No version guard:
+          // the values come from the SOURCE side of the join, not a
+          // table snapshot, so they bound matched rows in EVERY file.
+          narrow(fs => GraftRowLevelScan.pruneBy(op.snap, fs,
+            sources.In(c, vals)))
+        case None => ()
       }
     }
+    RowLevelDiag.add(s"filter:${files.size}")
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     plannedSet = files
+    RowLevelDiag.add(s"planned:${files.size}")
     files.map(f => GraftFilePartition(s"${t.path}/${f.path}",
       TableLog.fileBytes(t.path, f), f.ver, f.path,
       proj.projFor(f.ver))).toArray
@@ -351,6 +387,28 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
     new GraftStreamReaderFactory(
       ParquetRead.factory(SparkSession.active, proj.expandedSchema),
       required.fields.map(_.dataType), proj.identity, op.scanDv)
+}
+
+/** Diagnostic tap for the V2 row-level read path (round-20: the
+  * OptAudit dead-rule method extended to
+  * `RowLevelOperationRuntimeGroupFiltering`): every
+  * [[GraftRowLevelScan]] appends one event when Spark DELIVERS a
+  * runtime group filter (`filter:<files-after-narrowing>`) and one
+  * when it plans (`planned:<files>`), so a spec/audit can assert the
+  * filter was actually RECEIVED and what it narrowed to — the
+  * oracle-green-while-rule-dead failure mode checked structurally.
+  * Drain-on-read keeps it bounded; two queue appends per scan is the
+  * whole cost. Same pattern as `TableLog.stagedScanPasses`. */
+private[graft] object RowLevelDiag {
+  private val events =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[catalog] def add(e: String): Unit = events.add(e)
+  def drain(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var e = events.poll()
+    while (e != null) { b += e; e = events.poll() }
+    b.result()
+  }
 }
 
 object GraftRowLevelScan {
@@ -403,24 +461,31 @@ object GraftRowLevelScan {
     }
   }
 
-  /** Extract `_file IN (v1, v2, …)` from a V2 predicate; None for any
-    * other shape. */
-  private[catalog] def inSetOnFile(p: Predicate): Option[Set[String]] = {
+  /** Parse a runtime `IN` predicate on ONE top-level column into
+    * `(column, values)` — the shape both runtime-filter producers
+    * emit (the group filter on `_file`, join DPP on a data column).
+    * UTF8String literals convert to String so the stat arithmetic in
+    * [[pruneBy]] sees JVM values. Any other shape → None (ignored:
+    * strictly more files scanned, never fewer). */
+  private[catalog] def inSetOn(p: Predicate): Option[(String, Array[Any])] = {
     if (p.name() != "IN") return None
     val children = p.children()
     if (children.isEmpty) return None
-    val onFile = children.head match {
-      case r: NamedReference =>
-        r.fieldNames().length == 1 && r.fieldNames().head == "_file"
-      case _ => false
+    val colName = children.head match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        r.fieldNames().head
+      case _ => return None
     }
-    if (!onFile) return None
     val vals = children.tail.flatMap {
       case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-        Option(l.value).map(_.toString)
+        Option(l.value).map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case v => v
+        }
       case _ => None
     }
-    if (vals.length == children.length - 1) Some(vals.toSet) else None
+    if (vals.length == children.length - 1) Some((colName, vals.toArray))
+    else None
   }
 }
 

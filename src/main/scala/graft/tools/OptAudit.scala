@@ -220,6 +220,132 @@ object OptAudit {
     val (c16, c16Ex, c16Mr) = mergeAt("m16", 16, 200000L)
     val (c64, c64Ex, c64Mr) = mergeAt("m64", 64, 200000L)
 
+    // ── D. V2 row-level runtime filtering, per route (round 20) ────
+    // Spark 4.1's RowLevelOperationRuntimeGroupFiltering matches
+    // ReplaceData ONLY (bytecode-verified), so the two routes have
+    // DIFFERENT runtime-narrowing paths: COW gets the group-filter
+    // subquery (DISTINCT _file of matching rows), MOR/delta gets join
+    // dynamic pruning (PartitionPruning over SupportsRuntimeV2
+    // Filtering — an IN-set of the MERGE source's join keys, turned
+    // into file pruning by the manifest stats). This section probes
+    // BOTH on real catalog tables and prints what the row-level scan
+    // actually received (RowLevelDiag) plus the plans' dynamic-
+    // pruning/skew markers.
+    def rlProbe(name: String, mode: String, layoutRange: Boolean,
+        stmtOf: String => String): (Seq[String], String) = {
+      spark.sql(s"CREATE TABLE $cat.oa.$name (k BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = '$mode')")
+      val df0 = spark.range(160000L)
+      val df =
+        if (layoutRange)
+          df0.select($"id".as("k"), lit(0L).as("v"))
+            .repartitionByRange(16, $"id")
+        else df0.select($"id".as("k"), ($"id" % 16).as("v"))
+          .repartition(16, ($"id" % 16).cast("int"))
+      TableLog.append(spark, s"$tmp/wh/oa/$name", df,
+        statsCols = Seq("k"))
+      spark.range(100)
+        .select(($"id" + 70000L).as("k"), ($"id" % 50).as("tag"))
+        .write.mode("overwrite").parquet(s"$tmp/rl_src_$name")
+      spark.read.parquet(s"$tmp/rl_src_$name")
+        .where(col("tag") === 0).select(col("k"), lit(9L).as("nv"))
+        .createOrReplaceTempView("oa_rl_src")
+      val stmt = stmtOf(s"$cat.oa.$name")
+      graft.catalog.RowLevelDiag.drain()
+      val plan = spark.sql("EXPLAIN EXTENDED " + stmt)
+        .collect()(0).getString(0)
+      graft.catalog.RowLevelDiag.drain() // EXPLAIN's own scan builds
+      System.err.println(s"--- $name ($mode) optimized+physical ---\n" +
+        plan.linesIterator
+          .dropWhile(!_.contains("Optimized Logical Plan"))
+          .take(40).mkString("\n"))
+      spark.sql(stmt)
+      val ev = graft.catalog.RowLevelDiag.drain()
+      (ev, if (plan.toLowerCase.contains("dynamicpruning"))
+        "dynamicpruning" else "none")
+    }
+    // cow DELETE: the group-filter subquery (positive control)
+    val (dCowEv, dCowMark) = rlProbe("rl_cow", "cow",
+      layoutRange = false,
+      t => s"DELETE FROM $t WHERE v = 7")
+    // mor MERGE: join DPP is structurally STRIPPED in vanilla Spark —
+    // the delta rewrite's cardinality row-id projects
+    // monotonically_increasing_id() between the join and the scan,
+    // and CleanupDynamicPruningFilters keeps DPP only over
+    // NodeWithOnlyDeterministicProjectAndFilter (documented negative)
+    val (dMorMergeEv, dMorMergeMark) = rlProbe("rl_mor_m", "mor",
+      layoutRange = true,
+      t => s"MERGE INTO $t t USING oa_rl_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv")
+    // mor DELETE with an IN-subquery condition: rewrites to a semi
+    // join with a deterministic path to the scan — DPP delivers the
+    // source keys and the manifest stats prune files (positive)
+    val (dMorSemiEv, dMorSemiMark) = rlProbe("rl_mor_d", "mor",
+      layoutRange = true,
+      t => s"DELETE FROM $t WHERE k IN (SELECT k FROM oa_rl_src)")
+
+    // ── E. readChangeFeed faces: version windows bound the I/O ─────
+    // The round-19 faces route through V1 buildScan (batch) and
+    // GraftChangesStream (streaming). Both derive their file set from
+    // the manifest/feed-link VERSION window, so a bounded read must
+    // cost O(window), not O(feed) — this probe counts records READ
+    // (task input metrics), which a read-all-then-filter regression
+    // would inflate ~10x while every oracle stays green.
+    def recordsReadDuring(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    spark.sql(s"CREATE TABLE $cat.oa.rcf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')")
+    val rcfPath = s"$tmp/wh/oa/rcf"
+    TableLog.enableCdcFeed(rcfPath)
+    (0 until 10).foreach { i =>
+      TableLog.append(spark, rcfPath,
+        spark.range(i * 10000L, (i + 1) * 10000L)
+          .select($"id".as("k"), ($"id" % 97).as("v")),
+        statsCols = Seq("k"))
+    }
+    val frontier = TableLog.latestVersion(rcfPath)
+    val eFull = recordsReadDuring {
+      spark.read.option("readChangeFeed", "true")
+        .table(s"$cat.oa.rcf").selectExpr("count(*)").collect()
+    }
+    val eWin = recordsReadDuring {
+      spark.read.option("readChangeFeed", "true")
+        .option("startingVersion", frontier.toString)
+        .table(s"$cat.oa.rcf").selectExpr("count(*)").collect()
+    }
+    // streaming face: drain all 10 versions, append ONE more, drain
+    // again — the second drain must read O(one version)
+    val ck = s"$tmp/rcf_ck"
+    val outP = s"$tmp/rcf_out"
+    def drainOnce(): Unit = {
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"$cat.oa.rcf")
+        .selectExpr("k", "v", "_change_type", "_change_version")
+        .writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "rcf probe drain timed out")
+    }
+    val eStreamFull = recordsReadDuring(drainOnce())
+    TableLog.append(spark, rcfPath,
+      spark.range(100000L, 101000L).select($"id".as("k"),
+        ($"id" % 97).as("v")), statsCols = Seq("k"))
+    val eStreamInc = recordsReadDuring(drainOnce())
+
     println(s"""{"tool":"OptAudit"""" +
       s""","bloom_parquet":{"opt":$aPqOpt,"exec":$aPqExec}""" +
       s""","bloom_logscan":{"opt":$aScanOpt,"exec":$aScanExec}""" +
@@ -228,7 +354,12 @@ object OptAudit {
       s""","skew_rows":$bCount""" +
       s""","local_reads":$b2Local,"local_read_join":"$b2Join"""" +
       s""","merge16":{"sec":${f"$c16%.3f"},"exchanges":$c16Ex,"mergeRows":$c16Mr}""" +
-      s""","merge64":{"sec":${f"$c64%.3f"},"exchanges":$c64Ex,"mergeRows":$c64Mr}}""")
+      s""","merge64":{"sec":${f"$c64%.3f"},"exchanges":$c64Ex,"mergeRows":$c64Mr}""" +
+      s""","rl_cow_delete":{"events":"${dCowEv.mkString(";")}","plan":"$dCowMark"}""" +
+      s""","rl_mor_merge":{"events":"${dMorMergeEv.mkString(";")}","plan":"$dMorMergeMark"}""" +
+      s""","rl_mor_semidelete":{"events":"${dMorSemiEv.mkString(";")}","plan":"$dMorSemiMark"}""" +
+      s""","rcf_batch_rows":{"full":$eFull,"window":$eWin}""" +
+      s""","rcf_stream_rows":{"initial":$eStreamFull,"incremental":$eStreamInc}}""")
     spark.stop()
   }
 }

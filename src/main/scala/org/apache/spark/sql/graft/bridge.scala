@@ -58,6 +58,12 @@ object Bridge {
       sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
 
+  /** Drain the listener bus so a metrics listener has observed every
+    * task of the jobs that already finished (`listenerBus` is
+    * private[spark]). Audit/spec tooling only — never on a hot path. */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** A configured catalog plugin by name (CatalogManager is
     * private[sql]) — how the DML face resolves `catalog.ns.table`
     * identifiers to a GraftCatalog instance. */

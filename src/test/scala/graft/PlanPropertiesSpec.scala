@@ -148,4 +148,119 @@ class PlanPropertiesSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  private def mkRlTable(mode: String, layout: org.apache.spark.sql
+      .DataFrame => org.apache.spark.sql.DataFrame)
+      : (String, String, graft.sinks.TableLog.Snapshot) = {
+    import graft.sinks.TableLog
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft_plan_rlgf_$mode").toString
+    val cat = s"graft_rlgf_$mode"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (k BIGINT, v BIGINT) " +
+      s"TBLPROPERTIES ('statsCols' = 'k', 'rowLevelMode' = '$mode')")
+    TableLog.append(spark, s"$wh/ns/t",
+      layout(spark.range(160000).toDF("id")), statsCols = Seq("k"))
+    (wh, cat, TableLog.snapshot(s"$wh/ns/t").get)
+  }
+
+  /** Round-20 audit pin (COW): Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` must DELIVER its
+    * runtime `_file` filter to `SupportsRuntimeV2Filtering` on the
+    * group-based route and the scan must then plan 1-of-N files. The
+    * DuckDB oracle can't see this (answers are identical with the
+    * rule dead — every file just rewrites), so the pin reads the
+    * [[graft.catalog.RowLevelDiag]] tap: a `filter:` event = the
+    * filter arrived, `planned:1` = it narrowed. The predicate is on
+    * a column with NO manifest stats, so nothing else can prune. */
+  test("runtime group filter is RECEIVED and narrows the COW " +
+      "(ReplaceData) DELETE scan to the one matching file") {
+    import graft.catalog.RowLevelDiag
+    import graft.sinks.TableLog
+    import spark.implicits._
+    // one v value per shuffle partition = v=7 rows live in exactly
+    // ONE file (hash collisions merge values but never split one)
+    val (wh, cat, before) = mkRlTable("cow", df =>
+      df.select($"id".as("k"), ($"id" % 16).as("v"))
+        .repartition(16, ($"id" % 16).cast("int")))
+    val total = before.files.size
+    assert(total > 1)
+    RowLevelDiag.drain() // discard events from unrelated statements
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE v = 7")
+    val ev = RowLevelDiag.drain()
+    assert(ev.exists(_.startsWith("filter:")),
+      s"SupportsRuntimeV2Filtering never received the runtime group " +
+        s"filter on the COW route — " +
+        s"RowLevelOperationRuntimeGroupFiltering is dead; events: $ev")
+    assert(ev.contains("planned:1"),
+      s"the COW scan must plan exactly the 1 matching file of " +
+        s"$total after group filtering; events: $ev")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t")
+      .as[Long].head() == 150000L)
+    val after = TableLog.snapshot(s"$wh/ns/t").get
+    assert(before.files.map(_.path).toSet
+      .intersect(after.files.map(_.path).toSet).size == total - 1,
+      "COW must rewrite only the group-filtered file")
+  }
+
+  /** Round-20 audit pin (MOR): vanilla Spark's group-filter rule
+    * matches ReplaceData ONLY (bytecode-verified), so the delta
+    * route's runtime narrowing comes from join dynamic pruning
+    * instead — `PartitionPruning` over `SupportsRuntimeV2Filtering`
+    * (SPARK-35779) hands the scan an IN-set of the source's join
+    * keys, and the manifest stats turn it into file pruning. The
+    * deliverable shape is a semi-join condition (`WHERE k IN
+    * (subquery)` — GDPR key sweeps, changeset deletes): a delta
+    * MERGE instead projects `monotonically_increasing_id()` for its
+    * cardinality check between the join and the scan, and
+    * `CleanupDynamicPruningFilters` strips DPP over any
+    * nondeterministic projection (documented negative, probed in
+    * tools.OptAudit §D). This pin FAILS if the positive path goes
+    * dead (stats columns out of `filterAttributes`, or the IN-set
+    * shape no longer parsing). */
+  test("join dynamic pruning delivers the IN-subquery source keys " +
+      "to the MOR (WriteDelta) DELETE scan and narrows it to 1 file") {
+    import graft.catalog.RowLevelDiag
+    import graft.sinks.TableLog
+    import spark.implicits._
+    // k-disjoint files (range layout) so a source-key IN-set prunes
+    // exactly; all source keys live inside one file's k-range
+    val (wh, cat, before) = mkRlTable("mor", df =>
+      df.select($"id".as("k"), lit(0L).as("v"))
+        .repartitionByRange(16, $"id"))
+    val total = before.files.size
+    assert(total > 1)
+    // the source must look selective to PartitionPruning (a real
+    // Filter over a scan) and broadcast (the DPP subquery rides a
+    // broadcast under reuseBroadcastOnly)
+    val srcPath = java.nio.file.Files
+      .createTempDirectory("graft_plan_rlgf_src").toString
+    spark.range(100).select(($"id" + 70000L).as("k"),
+      ($"id" % 50).as("tag")).write.mode("overwrite").parquet(srcPath)
+    spark.read.parquet(srcPath).where($"tag" === 0).select($"k")
+      .createOrReplaceTempView("rlgf_mor_src")
+    RowLevelDiag.drain()
+    spark.sql(s"DELETE FROM $cat.ns.t " +
+      "WHERE k IN (SELECT k FROM rlgf_mor_src)")
+    val ev = RowLevelDiag.drain()
+    assert(ev.exists(_.startsWith("filter:")),
+      s"SupportsRuntimeV2Filtering never received the join DPP " +
+        s"IN-set on the MOR route; events: $ev")
+    assert(ev.contains("planned:1"),
+      s"the MOR DELETE scan must plan exactly the 1 file overlapping " +
+        s"the source keys of $total; events: $ev")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t " +
+      "WHERE k >= 70000 AND k < 70100").as[Long].head() == 98L,
+      "the two tag=0 keys must be deleted")
+    val after = TableLog.snapshot(s"$wh/ns/t").get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "MOR delete must rewrite zero data files")
+    assert(after.dels.count(_.keyCol == "__pos__") == 1,
+      "MOR delete must land exactly one folded DV sidecar")
+  }
 }
