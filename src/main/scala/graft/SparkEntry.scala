@@ -1553,6 +1553,79 @@ object SparkEntry {
     full.unionByName(windowed).orderBy("face", "grp")
   }
 
+  /** DELTA-route DELETE with an IN-subquery condition under the
+    * oracle (round 20) — the changeset-delete / key-sweep shape on a
+    * 100 TB MOR table: `DELETE FROM t WHERE k IN (SELECT …)` rewrites
+    * to a semi join, and Spark's own dynamic pruning
+    * (`PartitionPruning` over `SupportsRuntimeV2Filtering`,
+    * SPARK-35779) hands the row-level scan the source keys at
+    * runtime; the manifest stats turn them into file pruning, so the
+    * position scan touches only the files overlapping the deleted
+    * band instead of the whole table. In-plan asserts pin the
+    * mechanism (the runtime filter ARRIVED and narrowed — a
+    * [[graft.catalog.RowLevelDiag]] witness; zero base files
+    * rewritten; pending vectors positional), the oracle replays the
+    * delete relationally. Vanilla Spark never delivers this on a
+    * delta MERGE (its cardinality row-id projection is
+    * nondeterministic and CleanupDynamicPruningFilters strips DPP
+    * over it — probed in tools.OptAudit §D), which makes the
+    * IN-subquery DELETE the scale path for source-driven deletes. */
+  private def o93MorSemiDelete(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = s"$tmpRoot/sdel_wh_$sfx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"graft_o93_$sfx"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tl = graft.sinks.TableLog
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sd")
+    s.sql(s"CREATE TABLE $cat.sd.lake (o_orderkey BIGINT, " +
+      "price_c BIGINT, priority STRING) " +
+      "TBLPROPERTIES ('statsCols' = 'o_orderkey', " +
+      "'rowLevelMode' = 'mor')")
+    val path = s"$wh/sd/lake"
+    val base = T(s, dir, "orders").where(col("o_orderkey") % 30 === 20)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderpriority").as("priority"))
+    // 8 k-disjoint files: the layout where a key-band IN-set prunes
+    tl.append(s, path, base.repartitionByRange(8, col("o_orderkey")),
+      statsCols = Seq("o_orderkey"))
+    val before = tl.snapshot(path).get
+    // the deleted band = the bottom third of the key domain, derived
+    // from the data so every SF prunes (the top range files sit
+    // entirely above it); floor division on both sides of the oracle
+    val hi = base.agg(max(col("o_orderkey"))).head.getLong(0) / 3L
+    T(s, dir, "orders")
+      .where(col("o_orderkey") % 30 === 20 &&
+        col("o_orderkey") <= hi)
+      .select(col("o_orderkey"))
+      .createOrReplaceTempView("src93")
+    graft.catalog.RowLevelDiag.drain()
+    s.sql(s"DELETE FROM $cat.sd.lake " +
+      "WHERE o_orderkey IN (SELECT o_orderkey FROM src93)")
+    val ev = graft.catalog.RowLevelDiag.drain()
+    val planned = ev.collect {
+      case e if e.startsWith("planned:") => e.drop(8).toInt }
+    assert(ev.exists(_.startsWith("filter:")),
+      s"o93: the scan never received the DPP IN-set; events: $ev")
+    assert(planned.nonEmpty && planned.max < before.files.size,
+      s"o93: the position scan must prune below the " +
+        s"${before.files.size}-file table; events: $ev")
+    val after = tl.snapshot(path).get
+    assert(before.files.map(_.path).toSet
+      .subsetOf(after.files.map(_.path).toSet),
+      "o93: a delta delete must rewrite no base data file")
+    assert(after.dels.nonEmpty &&
+      after.dels.forall(_.keyCol == "__pos__"),
+      "o93: the delete must land as pending deletion vectors")
+    s.sql(s"""
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM $cat.sd.lake GROUP BY priority ORDER BY priority""")
+  }
+
   /** DELTA-BASED row-level DML through Spark's OWN framework
     * (`SupportsDelta`, `rowLevelMode = 'mor'`) under the oracle:
     * DELETE / UPDATE / MERGE on a catalog table run as WriteDelta —
@@ -4928,6 +5001,7 @@ object SparkEntry {
     "o87_read_change_feed" -> (o87ReadChangeFeed _),
     "o91_rcf_vanilla_stream" -> (o91RcfVanillaStream _),
     "o92_rcf_batch_noinstall" -> (o92RcfBatchNoInstall _),
+    "o93_mor_semidelete" -> (o93MorSemiDelete _),
     "o88_changes_between" -> (o88ChangesBetween _),
     "o89_replace_where" -> (o89ReplaceWhere _),
     "o90_merge_full" -> (o90MergeFull _),
@@ -6794,6 +6868,20 @@ object SparkEntry {
         |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
         |FROM w2
         |ORDER BY face, grp""".stripMargin,
+    // the IN-subquery delta delete replayed relationally: drop the
+    // bottom third of the key domain (floor division on both sides)
+    "o93_mor_semidelete" ->
+      """WITH base AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 30 = 20),
+        |kept AS (SELECT * FROM base WHERE o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM base
+        |  WHERE o_orderkey <= (SELECT max(o_orderkey) // 3 FROM base)))
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM kept GROUP BY priority ORDER BY priority""".stripMargin,
     // the three-way merge replayed relationally: live = base minus the
     // branch's delete range plus BOTH sides' derived appends; the fork
     // rows = the pristine base
