@@ -34,6 +34,25 @@ import graft.sinks.TableLog
   *      how does wall time scale with table size (the check must ride
   *      the join, not add a pass)?
   *
+  *   D. V2 row-level runtime filtering per route (round 20): does the
+  *      COW route's group filter and the MOR route's join dynamic
+  *      pruning each DELIVER to `SupportsRuntimeV2Filtering` and
+  *      narrow the scan ([[graft.catalog.RowLevelDiag]] witness)?
+  *      Includes the documented negative (delta MERGE: the
+  *      cardinality row-id is nondeterministic and
+  *      CleanupDynamicPruningFilters strips DPP over it) and D3, the
+  *      composition probe — a COW DELETE whose group-filter subquery
+  *      contains a skewed MOR anti-join: the filter must still arrive
+  *      while AQE skew-splits inside the subquery. D3 also encodes a
+  *      hard-won granularity fact: AQE splits a skewed partition by
+  *      MAP-OUTPUT chunks, so a cohort of ONE parquet row group is
+  *      structurally unsplittable regardless of skew — the probe
+  *      fences TWO files (real cohorts at scale span many chunks).
+  *
+  *   E. The readChangeFeed faces (round 19) must read O(version
+  *      window), not O(feed) — task-input-metrics counts on the batch
+  *      `startingVersion` window and the streaming incremental drain.
+  *
   *   sbt "runMain graft.tools.OptAudit"
   *
   * Prints one JSON line (plus per-face plan excerpts on stderr).
@@ -284,6 +303,146 @@ object OptAudit {
       layoutRange = true,
       t => s"DELETE FROM $t WHERE k IN (SELECT k FROM oa_rl_src)")
 
+    // ── D3. group filter × skew-split anti-join (composition) ──────
+    // The r19 directive's open question: when the COW group-filter
+    // subquery's scan itself contains a MOR key-sidecar anti-join
+    // (the relation is pinned PRE-heal, so pending sidecars ride the
+    // subquery's ordinary read path) and AQE skew-splits that
+    // anti-join, does the DISTINCT-_file result still arrive and
+    // narrow the row-level scan? Layout: range files on k so the
+    // sidecar (keys in one file's range) fences ONE file — the
+    // self-heal rewrites only it, and the other 15 stay pruneable;
+    // 70% of rows share one hot key so the forced-SMJ anti-join
+    // skews; the DELETE predicate is on a no-stats marker column
+    // confined to one file.
+    var (d3Ev, d3Skew) = (Seq.empty[String], 0)
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0") {
+      spark.sql(s"CREATE TABLE $cat.oa.rl_skew (k BIGINT, v BIGINT, " +
+        "m BIGINT) TBLPROPERTIES ('statsCols' = 'k', " +
+        "'rowLevelMode' = 'cow')")
+      val n = 8000000L
+      // k: 70% hot key 42; file layout RANGE on k so file 0 holds the
+      // hot key + low keys, files 1.. hold the id tail; m = a 16-way
+      // marker with NO stats, each value confined to one range file
+      // by construction (m = floor over the same ordering column)
+      TableLog.append(spark, s"$tmp/wh/oa/rl_skew",
+        spark.range(n).select(
+          when($"id" % 10 < 7, lit(42L)).otherwise($"id").as("k"),
+          xxhash64($"id").as("v"),
+          ($"id" / (n / 16)).cast("long").as("m"))
+          .repartitionByRange(16, $"id"),
+        statsCols = Seq("k"))
+      // pending KEY sidecar whose keys hit rows and stat-confine to
+      // the TOP TWO range files (ids in [6n/8, n) with id%10>=7 keep
+      // k=id). TWO files matter: AQE splits a skewed reduce partition
+      // by MAP-OUTPUT ranges, and one file = one parquet row group =
+      // one map chunk = structurally unsplittable no matter the skew
+      // (found via the rule's own debug: max 4.2 MB vs median 70 KB
+      // yet "skewed partitions: 0") — a real cohort at scale spans
+      // many chunks, so the probe must too.
+      val delKeys = spark.range(100000)
+        .select((lit(n) - 3L - $"id" * 10L).as("k")) // ≡ 7 (mod 10)
+      TableLog.deleteMor(spark, s"$tmp/wh/oa/rl_skew", "k", delKeys)
+      require(TableLog.snapshot(s"$tmp/wh/oa/rl_skew").get
+        .dels.nonEmpty, "d3: sidecar must exist")
+      // CONTROL: the same cohort anti-join (fenced file ⟕̸ sidecar
+      // keys) as a TOP-LEVEL query — separates subquery-context
+      // effects from volume/threshold effects
+      org.apache.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.adaptive").setLevel(
+        org.apache.log4j.Level.DEBUG)
+      val ctl = TableLog.read(spark, s"$tmp/wh/oa/rl_skew")
+        .where(col("m") >= 14)
+        .groupBy().agg(count(lit(1)).as("c"), max(col("v")).as("x"))
+      ctl.collect()
+      org.apache.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.adaptive").setLevel(
+        org.apache.log4j.Level.WARN)
+      val ctlSkew = "skew=true".r.findAllIn(
+        ctl.queryExecution.executedPlan.toString).length
+      System.err.println(s"--- d3 CONTROL top-level cohort " +
+        s"anti-join: skewSplits=$ctlSkew")
+      System.err.println(ctl.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") ||
+          l.contains("Sort") || l.contains("Exchange") ||
+          l.contains("AQEShuffleRead") || l.contains("Scan"))
+        .mkString("\n"))
+      // PURE-SPARK bisect: same skewed anti-join, with and without a
+      // UNION branch above it in the same stage — isolates whether
+      // the union (morScan's raw+cohort shape) blocks the skew rule
+      val pureL = spark.range(n - n / 16L, n).select(
+        when($"id" % 10 < 7, lit(42L)).otherwise($"id").as("k"),
+        xxhash64($"id").as("v"))
+      val pureR = spark.range(100)
+        .select((lit(n) - 3L - $"id" * 10L).as("k"))
+      val pureJ = pureL.hint("merge")
+        .join(pureR, Seq("k"), "left_anti")
+      val noUnion = pureJ.groupBy()
+        .agg(count(lit(1)).as("c"), max(col("v")).as("x"))
+      noUnion.collect()
+      val noUnionSkew = "skew=true".r.findAllIn(
+        noUnion.queryExecution.executedPlan.toString).length
+      val withUnion = pureJ.select(col("k"), col("v"))
+        .union(spark.range(1000).select($"id".as("k"),
+          xxhash64($"id").as("v")))
+        .groupBy().agg(count(lit(1)).as("c"), max(col("v")).as("x"))
+      withUnion.collect()
+      val withUnionSkew = "skew=true".r.findAllIn(
+        withUnion.queryExecution.executedPlan.toString).length
+      System.err.println(s"--- d3 pure bisect: noUnion=$noUnionSkew " +
+        s"withUnion=$withUnionSkew")
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = plans.add(qe)
+        override def onFailure(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(ql)
+      graft.catalog.RowLevelDiag.drain()
+      try {
+        spark.sql(s"DELETE FROM $cat.oa.rl_skew WHERE m >= 14")
+        org.apache.spark.sql.graft.Bridge.waitListenerBusEmpty(spark)
+      } finally spark.listenerManager.unregister(ql)
+      d3Ev = graft.catalog.RowLevelDiag.drain()
+      import scala.jdk.CollectionConverters._
+      // executedPlan.toString does NOT print nested subquery plans —
+      // the group-filter subquery (where the anti-join and any skew
+      // split live) hides inside InSubqueryExec/ScalarSubquery
+      // expressions; walk them recursively
+      def planDump(p: org.apache.spark.sql.execution.SparkPlan)
+          : String = {
+        val sb = new StringBuilder(p.toString)
+        p.foreach { node =>
+          node.expressions.foreach(_.foreach {
+            case s: org.apache.spark.sql.execution.ScalarSubquery =>
+              sb.append("\n").append(planDump(s.plan))
+            case in: org.apache.spark.sql.execution.InSubqueryExec =>
+              sb.append("\n").append(planDump(in.plan))
+            case _ => ()
+          })
+        }
+        sb.toString
+      }
+      d3Skew = plans.asScala.map(qe =>
+        "skew=true".r.findAllIn(planDump(qe.executedPlan)).length).sum
+      if (sys.env.contains("GRAFT_OPTAUDIT_DUMP"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/optaudit_d3_plans.txt"),
+          plans.asScala.map(qe => planDump(qe.executedPlan))
+            .mkString("\n===== NEXT QE =====\n"))
+      System.err.println(s"--- d3 group-filter x skew: events=$d3Ev " +
+        s"skewSplits=$d3Skew over ${plans.size} captured executions")
+    }
+
     // ── E. readChangeFeed faces: version windows bound the I/O ─────
     // The round-19 faces route through V1 buildScan (batch) and
     // GraftChangesStream (streaming). Both derive their file set from
@@ -358,6 +517,7 @@ object OptAudit {
       s""","rl_cow_delete":{"events":"${dCowEv.mkString(";")}","plan":"$dCowMark"}""" +
       s""","rl_mor_merge":{"events":"${dMorMergeEv.mkString(";")}","plan":"$dMorMergeMark"}""" +
       s""","rl_mor_semidelete":{"events":"${dMorSemiEv.mkString(";")}","plan":"$dMorSemiMark"}""" +
+      s""","rl_groupfilter_x_skew":{"events":"${d3Ev.mkString(";")}","skew_splits":$d3Skew}""" +
       s""","rcf_batch_rows":{"full":$eFull,"window":$eWin}""" +
       s""","rcf_stream_rows":{"initial":$eStreamFull,"incremental":$eStreamInc}}""")
     spark.stop()
