@@ -781,13 +781,87 @@ object TableLog {
         if (!r.isNullAt(off + i)) auditTotals(i) += r.getLong(off + i)))
     }
     val distributedCount = allNames.size > footerCountThreshold
-    def countOf(n: String): Long = {
+    // Footer-harvested stats (small commits): the footer this pass
+    // ALREADY opens for the row count also carries exact per-column
+    // min/max/null-count statistics for plain signed INT32/INT64
+    // columns — the very numbers the distributed stats aggregate
+    // recomputes with a whole Spark job per commit. Below the
+    // footer-count threshold, when every stat column is a plain signed
+    // integer (no DATE/TIMESTAMP/DECIMAL logical annotation — their
+    // cast-to-long semantics differ from the raw physical value) and
+    // the writer recorded null counts, the stats come from the footers
+    // and the aggregate job is SKIPPED — one fewer Spark job (plus its
+    // planning gap) on every small commit, which at sf0.1 is ~half of
+    // a lifecycle query's per-commit cost. Strings, derived stats,
+    // audits (constraint checks) and any ineligible column fall back
+    // to the aggregate pass unchanged; the distributed path past the
+    // threshold is untouched (footer reads there would be the driver
+    // stall the threshold exists to avoid). Parity with the aggregate
+    // pass (same FileStat/null accounting) is spec-pinned.
+    val footerStatsWanted = !distributedCount && statsCols.nonEmpty &&
+      strStatsCols.isEmpty && derivedStats.isEmpty && audits.isEmpty &&
+      bloomCols.isEmpty
+    // per column: (min, max, nonNull); None = some column ineligible
+    type Harvest = (Long, Option[Seq[(String, Long, Long, Long)]])
+    def harvestOf(n: String): Harvest = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import scala.jdk.CollectionConverters._
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(
             s"$table/${relByName(n)}"), hconf))
-      try rdr.getRecordCount finally rdr.close()
+      try {
+        val rows = rdr.getRecordCount
+        if (!footerStatsWanted) return (rows, None)
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        var ok = true
+        val acc = statsCols.map { c =>
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var nonNull = 0L
+          blocks.foreach { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == c) match {
+              case None => ok = false
+              case Some(cc) =>
+                val pt = cc.getPrimitiveType
+                val typeOk = (pt.getPrimitiveTypeName ==
+                    PrimitiveTypeName.INT32 ||
+                  pt.getPrimitiveTypeName == PrimitiveTypeName.INT64) &&
+                  (pt.getLogicalTypeAnnotation match {
+                    case null => true
+                    case i: LogicalTypeAnnotation
+                        .IntLogicalTypeAnnotation => i.isSigned
+                    case _ => false
+                  })
+                val st = cc.getStatistics
+                if (!typeOk || st == null || !st.isNumNullsSet) ok = false
+                else {
+                  nonNull += cc.getValueCount - st.getNumNulls
+                  if (st.hasNonNullValue) st match {
+                    case l: org.apache.parquet.column.statistics
+                        .LongStatistics =>
+                      mn = math.min(mn, l.getMin)
+                      mx = math.max(mx, l.getMax)
+                    case i: org.apache.parquet.column.statistics
+                        .IntStatistics =>
+                      mn = math.min(mn, i.getMin.toLong)
+                      mx = math.max(mx, i.getMax.toLong)
+                    case _ => ok = false
+                  }
+                }
+            }
+          }
+          // claimed non-null values but no recorded range: distrust
+          if (nonNull > 0 && mn > mx) ok = false
+          (c, mn, mx, nonNull)
+        }
+        (rows, if (ok) Some(acc) else None)
+      } finally rdr.close()
     }
+    def countOf(n: String): Long = harvestOf(n)._1
+    var harvests: Map[String, Harvest] = Map.empty
     val (countByName: Map[String, Long],
         distStats: Map[String, ParsedStats]) =
       if (distributedCount) {
@@ -828,18 +902,20 @@ object TableLog {
           else rs.map(r =>
             r.getString(0).split("/").last -> parseStats(r, 2)).toMap)
       } else {
-        val counts =
-          if (allNames.size <= 4) allNames.map(n => n -> countOf(n)).toMap
+        val hs =
+          if (allNames.size <= 4) allNames.map(n => n -> harvestOf(n)).toMap
           else {
             val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
             try allNames.map(n => n -> pool.submit(
-                new java.util.concurrent.Callable[Long] {
-                  override def call(): Long = countOf(n)
+                new java.util.concurrent.Callable[Harvest] {
+                  override def call(): Harvest = harvestOf(n)
                 }))
               .map { case (n, f) => n -> f.get() }.toMap
             finally pool.shutdown()
           }
-        (counts, Map.empty[String, ParsedStats])
+        harvests = hs
+        (hs.map { case (n, (c, _)) => n -> c },
+          Map.empty[String, ParsedStats])
       }
     val names = allNames.filter(n => countByName(n) > 0L)
     allNames.filterNot(countByName(_) > 0L).foreach { n =>
@@ -852,6 +928,20 @@ object TableLog {
     val statsByName: Map[String, ParsedStats] =
       if (statAggs.isEmpty || names.isEmpty) Map.empty
       else if (distributedCount) distStats
+      else if (footerStatsWanted &&
+          names.forall(n => harvests.get(n).exists(_._2.isDefined)))
+        // the footer harvest above covered every live file and column:
+        // the stats aggregate job is skipped outright (same FileStat /
+        // non-null accounting — an all-null column gets NO range stat,
+        // exactly like the aggregate's null min)
+        names.map { n =>
+          val cols = harvests(n)._2.get
+          n -> ((cols.collect { case (c, mn, mx, nn) if nn > 0 =>
+            FileStat(c, mn, mx) },
+            Seq.empty[FileStrStat],
+            cols.map { case (c, _, _, nn) => c -> nn }.toMap)
+            : ParsedStats)
+        }.toMap
       else {
         stagedScanPasses.incrementAndGet()
         val rs = spark.read.parquet(livePaths: _*)
@@ -4709,6 +4799,49 @@ object TableLog {
     * CAS-retry against racing appends like every other writer. Returns
     * the committed version (the CURRENT version unchanged if no file
     * can contain a match — a no-op makes no commit). */
+  /** Live (post-sidecar) row count of `affected` under snapshot
+    * `base`, METADATA-SIDE when provable: the manifest carries each
+    * file's write-time footer count, and a deletion vector's removals
+    * are its recorded (deduped) positions per file — so the count
+    * needs ZERO data reads. At 100 TB an affected slice can be TBs,
+    * and the group-rewrite faces (delete/update/replace) used to pay a
+    * full `morScan().count()` per CAS attempt just to AUDIT a number
+    * the metadata already proves. KEY sidecars remove a DATA-dependent
+    * row count (anti-join), so a key-fenced affected file — or a
+    * legacy entry without a recorded count — falls back to the
+    * counting scan; `spark.graft.mutation.auditScan=true` (or the
+    * legacy `spark.graft.replaceWhere.auditScan`) keeps the two-scan
+    * cross-check for audit runs. */
+  private def liveRowsOf(spark: SparkSession, table: String,
+      base: Snapshot, affected: Seq[FileEntry]): Long = {
+    if (affected.isEmpty) return 0L
+    val keyFenced = affected.exists(f =>
+      base.dels.exists(d => d.keyCol != DvKeyCol &&
+        sidecarFences(base, f, d)))
+    if (keyFenced || affected.exists(_.rows < 0L))
+      return morScan(spark, table, base, affected).count()
+    val dvs = base.dels.filter(d => d.keyCol == DvKeyCol &&
+      affected.exists(f => sidecarFences(base, f, d)))
+    val vectored =
+      if (dvs.isEmpty) 0L
+      else {
+        val dv = loadDv(spark, table, dvs)
+        affected.map(f => dv.positionsFor(lastTwo(f.path))).sum
+      }
+    val derived = affected.map(_.rows).sum - vectored
+    val audit =
+      spark.conf.get("spark.graft.mutation.auditScan", "false").toBoolean ||
+      spark.conf.get("spark.graft.replaceWhere.auditScan", "false").toBoolean
+    if (audit) {
+      val counted = morScan(spark, table, base, affected).count()
+      require(counted == derived,
+        s"liveRowsOf audit scan on $table: manifest-derived " +
+          s"live count $derived != counted $counted over " +
+          s"${affected.size} affected files")
+    }
+    derived
+  }
+
   def deleteWhere(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long, statsCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil, txnId: Option[String] = None,
@@ -4757,7 +4890,7 @@ object TableLog {
       // MOR-aware: pending delete sidecars apply to the scan, so a
       // rewrite can never resurrect a merge-on-read-deleted row
       val scan = morScan(spark, table, base, affected)
-      val scanRows = scan.count()
+      val scanRows = liveRowsOf(spark, table, base, affected)
       val (newFiles, newRows) = writeDataFiles(spark, table, keep(scan),
         statsCols, strStatsCols, bloomStatsCols)
       require(newRows <= scanRows,
@@ -4870,43 +5003,9 @@ object TableLog {
               org.apache.spark.sql.functions.lit(true))),
             statsCols, strStatsCols, bloomStatsCols)
         }
-      // live row count of the affected slice, METADATA-SIDE: the
-      // manifest already carries each file's write-time footer count,
-      // and a deletion vector's removals are its recorded positions
-      // per file — so `scanRows` needs ZERO data reads (at 100 TB the
-      // affected slice can be TBs, and the old second morScan().count()
-      // repeated per CAS attempt). KEY sidecars remove a DATA-dependent
-      // row count (anti-join), so a KEY-fenced affected file — or a
-      // legacy entry without a recorded count — falls back to the
-      // counting scan; spark.graft.replaceWhere.auditScan=true keeps
-      // the two-scan cross-check for audit runs.
-      val dvs = base.dels.filter(d => d.keyCol == DvKeyCol &&
-        affected.exists(f => sidecarFences(base, f, d)))
-      val keyFenced = affected.exists(f =>
-        base.dels.exists(d => d.keyCol != DvKeyCol &&
-          sidecarFences(base, f, d)))
-      val scanRows =
-        if (affected.isEmpty) 0L
-        else if (keyFenced || affected.exists(_.rows < 0L))
-          morScan(spark, table, base, affected).count()
-        else {
-          val vectored =
-            if (dvs.isEmpty) 0L
-            else {
-              val dv = loadDv(spark, table, dvs)
-              affected.map(f => dv.positionsFor(lastTwo(f.path))).sum
-            }
-          val derived = affected.map(_.rows).sum - vectored
-          if (spark.conf.get("spark.graft.replaceWhere.auditScan",
-              "false").toBoolean) {
-            val counted = morScan(spark, table, base, affected).count()
-            require(counted == derived,
-              s"replaceWhere audit scan on $table: manifest-derived " +
-                s"live count $derived != counted $counted over " +
-                s"${affected.size} affected files")
-          }
-          derived
-        }
+      // live row count of the affected slice, metadata-side where
+      // provable (see liveRowsOf)
+      val scanRows = liveRowsOf(spark, table, base, affected)
       if (keptRows > scanRows) {
         dropStaged(keptFiles); dropStaged(newFiles)
         sys.error(s"replaceWhere audit failed for $table: keep-side " +
@@ -5962,7 +6061,7 @@ object TableLog {
       val scan = morScan(spark, table, base, affected)
       set.keys.foreach(k => require(scan.columns.contains(k),
         s"updateWhere: set column $k not in $table's schema"))
-      val scanRows = scan.count()
+      val scanRows = liveRowsOf(spark, table, base, affected)
       // ONE projection off the unmodified scan: every set RHS reads the
       // pre-update row (a foldLeft of withColumn would feed each later
       // expression the PREVIOUS expression's output — the a/b swap

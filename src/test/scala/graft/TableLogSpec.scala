@@ -1161,6 +1161,52 @@ class TableLogSpec extends SparkSpec {
     } finally TableLog.footerCountThreshold = saved
   }
 
+  test("footer-harvested commit stats (small commits): FileStat " +
+      "ranges, null counts and rows identical to the aggregate pass; " +
+      "ineligible shapes still take the aggregate") {
+    val mk = () => spark.range(1000).selectExpr(
+      "id AS k",
+      "CAST(id % 7 AS int) AS vi",
+      "CAST(id % 3 AS short) AS vs",
+      "IF(id % 2 = 0, id, NULL) AS maybe",
+      "CAST(NULL AS long) AS allnull").repartitionByRange(4, $"k")
+    val cols = Seq("k", "vi", "vs", "maybe", "allnull")
+    // eligible small commit: stats come from the footers, ZERO staged
+    // data scans (the whole point — one fewer Spark job per commit)
+    val tF = tmp("graft_log_fstats_f")
+    val p0 = TableLog.stagedScanPasses.get()
+    TableLog.create(spark, tF, mk(), statsCols = cols)
+    assert(TableLog.stagedScanPasses.get() - p0 == 0,
+      "an eligible small commit must not run the stats aggregate job")
+    // same data through the DISTRIBUTED aggregate pass
+    val saved = TableLog.footerCountThreshold
+    TableLog.footerCountThreshold = 0
+    val tA = tmp("graft_log_fstats_a")
+    try TableLog.create(spark, tA, mk(), statsCols = cols)
+    finally TableLog.footerCountThreshold = saved
+    def shape(t: String) = TableLog.snapshot(t).get.files
+      .map(f => (f.rows,
+        f.stats.map(s => (s.col, s.min, s.max, s.nulls)).sortBy(_._1)))
+      .sortBy(_._2.headOption.map(_._2).getOrElse(Long.MaxValue))
+    assert(shape(tF) == shape(tA),
+      "footer-harvested stats must equal the aggregate pass exactly")
+    assert(TableLog.snapshot(tF).get.rows == 1000L)
+    // the all-null column records NO range stat on either path
+    assert(TableLog.snapshot(tF).get.files
+      .forall(!_.stats.exists(_.col == "allnull")))
+    // string stat columns are footer-ineligible: the aggregate pass
+    // still runs (once) and string stats land as before
+    val tS = tmp("graft_log_fstats_s")
+    val p1 = TableLog.stagedScanPasses.get()
+    TableLog.create(spark, tS,
+      spark.range(10).selectExpr("id AS k", "CAST(id AS string) AS s"),
+      statsCols = Seq("k"), strStatsCols = Seq("s"))
+    assert(TableLog.stagedScanPasses.get() - p1 == 1,
+      "a string-stat commit keeps the single aggregate pass")
+    assert(TableLog.snapshot(tS).get.files.forall(f =>
+      f.stats.exists(_.col == "k") && f.strStats.exists(_.col == "s")))
+  }
+
   test("morMaintain: bounded sidecars — no-op within bounds, targeted materialization past them, byte-identical reads") {
     val t = tmp("graft_log_mormaint")
     TableLog.create(spark, t,
@@ -2416,13 +2462,15 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.stagedScanPasses.get() - p0 == 1,
       "constrained overwrite must scan its staged files exactly once")
     // replaceWhere: slice predicate + CHECK + stats in one pass over
-    // the new slice, one pass over the kept-side rewrite
+    // the new slice; the keep-side rewrite carries NO audits and its
+    // integer stats come from the just-written footers (zero staged
+    // data scans — the footer-harvest fast path)
     val p1 = TableLog.stagedScanPasses.get()
     TableLog.replaceWhere(spark, t, $"k" >= 0 && $"k" < 10,
       Seq((3L, 49L)).toDF("k", "v"), statsCols = Seq("k"))
-    assert(TableLog.stagedScanPasses.get() - p1 == 2,
-      "constrained replaceWhere = one pass over the new slice + one " +
-        "over the keep-side rewrite")
+    assert(TableLog.stagedScanPasses.get() - p1 == 1,
+      "constrained replaceWhere = one audited pass over the new " +
+        "slice; the keep-side rewrite's stats are footer-harvested")
     assert(TableLog.read(spark, t).count() == 41)
   }
 
