@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
 object SessionProfile {
   val configs: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64m",
+    // Generated-class cache sized to the engine's query surface: the
+    // default 100 entries thrashes under the ~190-query registry (and
+    // any long-running application with a comparable number of
+    // distinct plan shapes), so every re-run of a query pays Janino
+    // compilation AND a cold HotSpot profile for code that was
+    // already compiled once. Entries are compiled classes keyed by
+    // source — driver-memory-bounded metadata, not data; 1000 entries
+    // is a few tens of MB. (Static conf: must be set at session
+    // build, which every owned builder does through this profile.)
+    "spark.sql.codegen.cache.maxEntries" -> "1000",
     // Pinned UTC: EventTime's TIMESTAMP_NTZ→LTZ rewrite and every epoch
     // extraction must agree with the DuckDB oracle's naive-timestamp
     // convention regardless of host timezone.

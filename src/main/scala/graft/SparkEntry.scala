@@ -25,6 +25,16 @@ import scala.collection.immutable.ListMap
   */
 object SparkEntry {
 
+  /** Inferred schema per immutable testdata file, memoized: without
+    * it EVERY query invocation pays a parquet schema-inference Spark
+    * job (~30-80 ms) before its first real stage — pure metadata, the
+    * role a catalog plays in production (guide §1.2: don't pay a pass
+    * for what metadata already knows). Data is still read fresh from
+    * parquet on every call; only the StructType is remembered. */
+  private val tSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata's events.ts physical type has changed between rounds
     // (TIMESTAMP(NANOS)-as-int64 vs timestamp[us]); the legacy flag makes the
@@ -32,7 +42,10 @@ object SparkEntry {
     // whichever type arrives into the canonical LongType-nanos shape every
     // downstream ts expression assumes. See core/EventTime.scala.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.core.EventTime.toNanos(s.read.parquet(s"$dir/$name.parquet"))
+    val path = s"$dir/$name.parquet"
+    val sch = tSchemas.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    graft.core.EventTime.toNanos(s.read.schema(sch).parquet(path))
   }
 
   /** events.ts (canonical long nanoseconds, see T) → microsecond TIMESTAMP

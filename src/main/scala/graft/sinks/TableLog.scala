@@ -1222,8 +1222,8 @@ object TableLog {
           .filter(d => fs.exists(f => sidecarFences(s, f, d)))
         active.groupBy(_.keyCol).foldLeft(base) {
           case (df, (k, des)) =>
-            val keys = spark.read.parquet(
-              des.map(d => s"$table/${d.file.path}"): _*)
+            val keys = readSidecars(spark,
+              des.map(d => s"$table/${d.file.path}"))
             // NO .distinct() on the key side: left_anti semantics are
             // unchanged by duplicate build keys (each sidecar is
             // already deduped at write — deleteMor/mergeMor distinct
@@ -4005,7 +4005,7 @@ object TableLog {
       val (files, newRows) = writeDataFiles(spark, table,
         morScan(spark, table, base, subset).coalesce(nOut),
         statsCols, strStatsCols, bloomStatsCols)
-      val scanRows = morScan(spark, table, base, subset).count()
+      val scanRows = liveRowsOf(spark, table, base, subset)
       require(newRows == scanRows,
         s"compactSmall audit failed for $table: packed $newRows rows " +
           s"from $scanRows — not committing")
@@ -4071,6 +4071,25 @@ object TableLog {
   // reads of a DV-bearing table pay zero load after the first plan
   private val dvCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.functions.DvSet]()
+
+  /** Key-sidecar scan with the inferred schema MEMOIZED per file set:
+    * sidecar files are immutable, but a bare `spark.read.parquet`
+    * re-runs a schema-inference Spark job on every MOR read that
+    * applies the sidecar — pure metadata recomputation ahead of the
+    * real scan. Bounded like dvCache. */
+  private val sidecarSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readSidecars(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val key = paths.sorted.mkString("\n")
+    val sch = sidecarSchemas.get(key)
+    if (sch != null) return spark.read.schema(sch).parquet(paths: _*)
+    val df = spark.read.parquet(paths: _*)
+    if (sidecarSchemas.size > 256) sidecarSchemas.clear()
+    sidecarSchemas.put(key, df.schema)
+    df
+  }
 
   private[graft] def loadDv(spark: SparkSession, table: String,
       dvs: Seq[DeleteEntry]): graft.functions.DvSet = {
@@ -4656,7 +4675,7 @@ object TableLog {
           .drop("__z"),
         (statsCols ++ logicalNames).distinct, strStatsCols,
         bloomStatsCols, derivedStats = Seq(newSpec -> z))
-      val scanRows = morScan(spark, table, base, unclustered).count()
+      val scanRows = liveRowsOf(spark, table, base, unclustered)
       require(newRows == scanRows,
         s"zOrderMaintain audit failed for $table: clustered $newRows " +
           s"rows from $scanRows — not committing")
@@ -5359,8 +5378,18 @@ object TableLog {
     val removedRows =
       if (removedPaths.isEmpty) 0L
       else {
-        val raw = spark.read.parquet(
-          removedPaths.map(p => s"$table/$p"): _*).count()
+        // raw footer counts come from the manifest when every removed
+        // path carries one (write-time recorded; data files are
+        // immutable, so any snapshot listing the path is authoritative)
+        // — a legacy entry without a count pays the counting scan
+        val byPath = snapshot(table).map(_.files
+          .map(f => f.path -> f.rows).toMap)
+          .getOrElse(Map.empty[String, Long])
+        val raw =
+          if (removedPaths.forall(p => byPath.getOrElse(p, -1L) >= 0L))
+            removedPaths.map(byPath).sum
+          else spark.read.parquet(
+            removedPaths.map(p => s"$table/$p"): _*).count()
         val vectored =
           if (pendingDv.isEmpty) 0L
           else {
@@ -6265,26 +6294,31 @@ object TableLog {
       ch.columns.contains(changeVersionCol),
       s"$what: changes must carry $changeTypeCol and $changeVersionCol " +
         "— read the feed with withVersion = true")
-    // one metadata job for emptiness + null-keys (count(col) skips
-    // nulls) — per-batch latency is job-count-bound at high trigger
-    // rates, so the audits share passes where they can
-    val chSt = ch.agg(count(lit(1)), count(col(keyCol))).head()
-    if (chSt.getLong(0) == 0) return None
-    require(chSt.getLong(1) == chSt.getLong(0),
+    // ONE audit job for the whole batch — per-batch latency is
+    // job-count-bound at high trigger rates. The per-key winning
+    // version is a window max over the cached batch (one shuffle,
+    // where the old groupBy+self-join paid the aggregate AND the
+    // join), and emptiness, null keys, the winning-insert count and
+    // the tied-insert ambiguity check all ride a single aggregate
+    // over it instead of two separate .head() jobs.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val topped = ch.withColumn("__vmax",
+      max(col(changeVersionCol)).over(w))
+    val winIns = col(changeVersionCol) === col("__vmax") &&
+      col(changeTypeCol) === "insert"
+    import org.apache.spark.sql.functions.{countDistinct, when}
+    val st = topped.agg(count(lit(1)), count(col(keyCol)),
+      count(when(winIns, lit(1))),
+      countDistinct(when(winIns, col(keyCol)))).head()
+    if (st.getLong(0) == 0) return None
+    require(st.getLong(1) == st.getLong(0),
       s"$what: NULL keys in changes ($keyCol)")
-    // latest-wins resolution: rows at each key's max change version
-    val vmax = ch.groupBy(col(keyCol)).agg(max(col(changeVersionCol))
-      .as("__vmax"))
-    val top = ch.join(vmax, Seq(keyCol))
-      .where(col(changeVersionCol) === col("__vmax"))
-    val ins = top.where(col(changeTypeCol) === "insert")
-      .drop(changeTypeCol, changeVersionCol, "__vmax")
-    val insSt = ins.agg(count(lit(1)),
-      countDistinct(col(keyCol))).head()
-    val insRows = insSt.getLong(0)
-    require(insSt.getLong(1) == insRows,
+    val insRows = st.getLong(2)
+    require(st.getLong(3) == insRows,
       s"$what: a key has multiple surviving insert rows at its " +
         "winning version — ambiguous upsert")
+    val ins = topped.where(winIns)
+      .drop(changeTypeCol, changeVersionCol, "__vmax")
     Some((ins, insRows, ch.select(col(keyCol)).distinct()))
   }
 
@@ -6538,7 +6572,7 @@ object TableLog {
           (nf, nr, 0L, 0L)
         } else {
           val scan = morScan(spark, table, base, affected)
-          val sRows = scan.count()
+          val sRows = liveRowsOf(spark, table, base, affected)
           val m = scan.join(touchedKeys, Seq(keyCol), "left_semi").count()
           val remainder = scan.join(touchedKeys, Seq(keyCol), "left_anti")
           val (nf, nr) = writeDataFiles(spark, table,

@@ -36,7 +36,7 @@ object QueryProfile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("")
+          .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse(""))
         jobs.put(js.jobId, (js.time, desc, js.stageIds.size))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
