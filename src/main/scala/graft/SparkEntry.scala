@@ -1617,9 +1617,12 @@ object SparkEntry {
     graft.catalog.RowLevelDiag.drain()
     s.sql(s"DELETE FROM $cat.sd.lake " +
       "WHERE o_orderkey IN (SELECT o_orderkey FROM src93)")
+    // events are path-tagged (filter:<n>:<path>): keep only this
+    // statement's table so a concurrent row-level scan cannot flake it
     val ev = graft.catalog.RowLevelDiag.drain()
+      .filter(e => e.split(":", 3).lift(2).contains(path))
     val planned = ev.collect {
-      case e if e.startsWith("planned:") => e.drop(8).toInt }
+      case e if e.startsWith("planned:") => e.split(":", 3)(1).toInt }
     assert(ev.exists(_.startsWith("filter:")),
       s"o93: the scan never received the DPP IN-set; events: $ev")
     assert(planned.nonEmpty && planned.max < before.files.size,

@@ -778,16 +778,27 @@ final case class GraftTable(path: String, snapshot: TableLog.Snapshot,
             // order) — if a data column shadows any CDC metadata
             // column the wider rows this stream serves would
             // misalign silently (long _version bytes read as
-            // _change_type strings), so refuse loudly here. The
-            // two-shapes analyzer behavior itself is pinned at test
-            // time (VanillaRcfShapeSpec): the resolved plan's schema
-            // never crosses the MicroBatchStream API, so a Spark
-            // version change is caught by the pin, not at runtime.
-            val cdcCols = Seq(GraftTable.VersionCol.name,
+            // _change_type strings), so refuse loudly here. Checked
+            // against the DATA field names directly: `full` always
+            // contains each name (the shadowing data column itself
+            // satisfies an indexOf), so an index-existence check can
+            // never fire — and verIdx/fileIdx/posIdx would resolve to
+            // the DATA ordinal and the reader would overwrite that
+            // slot with spliced literals. `_change_type` /
+            // `_change_version` shadowing corrupts ctIdx/cvIdx
+            // resolution in createReaderFactory the same way, so all
+            // FIVE names refuse. The two-shapes analyzer behavior
+            // itself is pinned at test time (CatalogSpec's vanilla-rcf
+            // shape pin): the resolved plan's schema never crosses the
+            // MicroBatchStream API, so a Spark version change is
+            // caught by the pin, not at runtime.
+            val cdcCols = Seq(TableLog.changeTypeCol,
+              TableLog.changeVersionCol, GraftTable.VersionCol.name,
               GraftTable.FileCol.name, GraftTable.PosCol.name)
-            require(cdcCols.forall(idx(_) >= 0),
+            val shadowed = cdcCols.filter(data.fieldNames.contains)
+            require(shadowed.isEmpty,
               s"streaming readChangeFeed on $name: data column(s) " +
-                cdcCols.filter(idx(_) < 0).mkString("[", ",", "]") +
+                shadowed.mkString("[", ",", "]") +
                 " shadow the CDC metadata columns — the positional " +
                 "change-feed contract cannot hold; rename the data " +
                 "column(s) or read the __changes face instead")

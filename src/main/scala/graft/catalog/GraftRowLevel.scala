@@ -372,12 +372,17 @@ final class GraftRowLevelScan(op: GraftRlOpBase,
         case None => ()
       }
     }
-    RowLevelDiag.add(s"filter:${files.size}")
+    // events carry the scan's table path (count first — paths may
+    // contain ':'): the queue is process-global, so an assert draining
+    // it around one statement must be able to drop events an unrelated
+    // concurrent row-level scan interleaved (parallel suites, AQE
+    // re-planning) instead of flaking on them
+    RowLevelDiag.add(s"filter:${files.size}:${t.path}")
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     plannedSet = files
-    RowLevelDiag.add(s"planned:${files.size}")
+    RowLevelDiag.add(s"planned:${files.size}:${t.path}")
     files.map(f => GraftFilePartition(s"${t.path}/${f.path}",
       TableLog.fileBytes(t.path, f), f.ver, f.path,
       proj.projFor(f.ver))).toArray

@@ -1711,6 +1711,35 @@ class CatalogSpec extends SparkSpec {
     if (t == null) Nil
     else Option(t.getMessage).toSeq ++ msgsOf(t.getCause)
 
+  test("streaming readChangeFeed REFUSES when a data column shadows a " +
+      "CDC metadata column (the positional wide-row contract cannot " +
+      "hold; the reader would overwrite the data slot)") {
+    val wh = warehouse
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $CAT.rcsh")
+    spark.sql(s"CREATE TABLE $CAT.rcsh.shadow (k BIGINT, _version BIGINT)")
+    val path = s"$wh/rcsh/shadow"
+    TableLog.enableCdcFeed(path)
+    spark.sql(s"INSERT INTO $CAT.rcsh.shadow VALUES (1, 10)")
+    val eShadow = intercept[Exception] {
+      val q = spark.readStream.option("readChangeFeed", "true")
+        .table(s"$CAT.rcsh.shadow")
+        .selectExpr("k", "_change_type")
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_rcsh_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+    }
+    assert(msgsOf(eShadow).exists(
+      _.contains("shadow the CDC metadata columns")),
+      s"got ${msgsOf(eShadow)}")
+    assert(msgsOf(eShadow).exists(_.contains("[_version]")),
+      s"the refusal must name the shadowing column; got " +
+        s"${msgsOf(eShadow)}")
+    spark.sql(s"DROP TABLE $CAT.rcsh.shadow")
+  }
+
   test("readStream.table with Trigger.AvailableNow: drain-and-stop, " +
       "exactly-once across separate runs") {
     val wh = warehouse

@@ -191,12 +191,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(total > 1)
     RowLevelDiag.drain() // discard events from unrelated statements
     spark.sql(s"DELETE FROM $cat.ns.t WHERE v = 7")
+    // events are path-tagged (kind:<n>:<path>): keep this table's only
     val ev = RowLevelDiag.drain()
+      .filter(e => e.split(":", 3).lift(2).contains(s"$wh/ns/t"))
     assert(ev.exists(_.startsWith("filter:")),
       s"SupportsRuntimeV2Filtering never received the runtime group " +
         s"filter on the COW route — " +
         s"RowLevelOperationRuntimeGroupFiltering is dead; events: $ev")
-    assert(ev.contains("planned:1"),
+    assert(ev.exists(_.startsWith("planned:1:")),
       s"the COW scan must plan exactly the 1 matching file of " +
         s"$total after group filtering; events: $ev")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t")
@@ -239,22 +241,31 @@ class PlanPropertiesSpec extends SparkSpec {
     // broadcast under reuseBroadcastOnly)
     val srcPath = java.nio.file.Files
       .createTempDirectory("graft_plan_rlgf_src").toString
-    spark.range(100).select(($"id" + 70000L).as("k"),
+    // source keys sit MID-file (75000/75050, expected boundaries at
+    // multiples of 10000): the write's range boundaries come from
+    // RangePartitioner sampling seeded by rdd.id — a JVM-global
+    // counter — so in a long-running suite a boundary near 70000
+    // could wobble into (70000, 70050] and the two keys would
+    // legitimately straddle two files (observed once at 356 tests);
+    // 5000 keys from any boundary is far outside sampling error
+    spark.range(100).select(($"id" + 75000L).as("k"),
       ($"id" % 50).as("tag")).write.mode("overwrite").parquet(srcPath)
     spark.read.parquet(srcPath).where($"tag" === 0).select($"k")
       .createOrReplaceTempView("rlgf_mor_src")
     RowLevelDiag.drain()
     spark.sql(s"DELETE FROM $cat.ns.t " +
       "WHERE k IN (SELECT k FROM rlgf_mor_src)")
+    // events are path-tagged (kind:<n>:<path>): keep this table's only
     val ev = RowLevelDiag.drain()
+      .filter(e => e.split(":", 3).lift(2).contains(s"$wh/ns/t"))
     assert(ev.exists(_.startsWith("filter:")),
       s"SupportsRuntimeV2Filtering never received the join DPP " +
         s"IN-set on the MOR route; events: $ev")
-    assert(ev.contains("planned:1"),
+    assert(ev.exists(_.startsWith("planned:1:")),
       s"the MOR DELETE scan must plan exactly the 1 file overlapping " +
         s"the source keys of $total; events: $ev")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t " +
-      "WHERE k >= 70000 AND k < 70100").as[Long].head() == 98L,
+      "WHERE k >= 75000 AND k < 75100").as[Long].head() == 98L,
       "the two tag=0 keys must be deleted")
     val after = TableLog.snapshot(s"$wh/ns/t").get
     assert(before.files.map(_.path).toSet
