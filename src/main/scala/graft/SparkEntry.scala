@@ -43,6 +43,13 @@ object SparkEntry {
     // downstream ts expression assumes. See core/EventTime.scala.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
+    // bounded for symmetry with TableLog's schema memos (a handful of
+    // testdata files in practice; the bound only matters if a caller
+    // loops over many dirs)
+    if (tSchemas.size > 256) {
+      val it = tSchemas.keySet.iterator()
+      if (it.hasNext) { tSchemas.remove(it.next()); () }
+    }
     val sch = tSchemas.computeIfAbsent(path,
       p => s.read.parquet(p).schema)
     graft.core.EventTime.toNanos(s.read.schema(sch).parquet(path))

@@ -814,6 +814,12 @@ object TableLog {
       try {
         val rows = rdr.getRecordCount
         if (!footerStatsWanted) return (rows, None)
+        // explicit zero-row guard: an empty file has no blocks, so the
+        // fold below would yield ok=true with nonNull=0 — harmless only
+        // because zero-row files are dropped from `names` before
+        // statsByName consults harvests. Returning None here makes the
+        // footer-stats skip independent of that upstream filter.
+        if (rows == 0L) return (rows, None)
         val blocks = rdr.getFooter.getBlocks.asScala.toSeq
         var ok = true
         val acc = statsCols.map { c =>
@@ -4080,13 +4086,25 @@ object TableLog {
   private val sidecarSchemas = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+  /** Evict ONE arbitrary entry when a bounded memo overflows — a
+    * wholesale clear() under concurrent readers can wipe entries other
+    * threads just paid to compute (racing clears degrade the memo to
+    * nothing under table churn); dropping a single key keeps the map
+    * bounded with no such window. */
+  private def evictOne[V](m: java.util.concurrent.ConcurrentHashMap[
+      String, V], bound: Int): Unit =
+    if (m.size > bound) {
+      val it = m.keySet.iterator()
+      if (it.hasNext) { m.remove(it.next()); () }
+    }
+
   private def readSidecars(spark: SparkSession,
       paths: Seq[String]): DataFrame = {
     val key = paths.sorted.mkString("\n")
     val sch = sidecarSchemas.get(key)
     if (sch != null) return spark.read.schema(sch).parquet(paths: _*)
     val df = spark.read.parquet(paths: _*)
-    if (sidecarSchemas.size > 256) sidecarSchemas.clear()
+    evictOne(sidecarSchemas, 256)
     sidecarSchemas.put(key, df.schema)
     df
   }
@@ -4103,7 +4121,7 @@ object TableLog {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
     val set = graft.functions.DvSet(rows)
-    if (dvCache.size > 256) dvCache.clear()
+    evictOne(dvCache, 256)
     dvCache.put(key, set)
     set
   }
@@ -6150,13 +6168,18 @@ object TableLog {
     * instead of committing. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keyCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
     val src = source.cache()
     try {
-      val srcRows = src.count()
-      require(src.groupBy(keyCols.map(col): _*)
-        .count().where(col("count") > 1)
-        .isEmpty, s"mergeUpsert: duplicate keys in source")
+      // ONE aggregate over the keyed groups yields the source count AND
+      // the duplicate check (sum of group counts = count(*), including
+      // null-key groups; max > 1 = a duplicate) — was two jobs
+      val st = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")), max(col("__n"))).head()
+      val srcRows = if (st.isNullAt(0)) 0L else st.getLong(0)
+      require(st.isNullAt(1) || st.getLong(1) <= 1L,
+        s"mergeUpsert: duplicate keys in source")
       snapshot(table).foreach(b =>
         enforceChecks(spark, table, b.checks, src, "mergeUpsert"))
       val srcKeys = src.select(keyCols.map(col): _*)

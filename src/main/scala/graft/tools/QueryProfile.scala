@@ -28,8 +28,10 @@ object QueryProfile {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     val done = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, String, Int)]()
-    var stages = 0
-    var taskTotal = 0L
+    // listener-bus thread writes, main thread reads after the bus
+    // drains — atomics so the totals are never stale or torn
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskTotal = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -45,12 +47,14 @@ object QueryProfile {
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        stages += 1
-        taskTotal += sc.stageInfo.taskMetrics.executorRunTime
+        stages.incrementAndGet()
+        taskTotal.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+        ()
       }
     }
     (1 to runs).foreach { r =>
-      done.synchronized(done.clear()); jobs.clear(); stages = 0; taskTotal = 0
+      done.synchronized(done.clear()); jobs.clear()
+      stages.set(0); taskTotal.set(0)
       spark.sparkContext.addSparkListener(listener)
       val w0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -59,7 +63,7 @@ object QueryProfile {
       spark.sparkContext.removeSparkListener(listener)
       val snap = done.synchronized(done.sortBy(_._1).toVector)
       val jobMs = snap.map(j => j._3 - j._2).sum
-      println(f"== $name run $r: wall ${wallMs}ms, jobs ${snap.size} (sum ${jobMs}ms), stages $stages, task-run-time ${taskTotal}ms, driver-gap ${wallMs - jobMs}ms")
+      println(f"== $name run $r: wall ${wallMs}ms, jobs ${snap.size} (sum ${jobMs}ms), stages ${stages.get}, task-run-time ${taskTotal.get}ms, driver-gap ${wallMs - jobMs}ms")
       if (r == runs) {
         // gap analysis: time between consecutive job ends and starts
         var prevEnd = 0L

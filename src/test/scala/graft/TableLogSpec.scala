@@ -3425,4 +3425,62 @@ class TableLogSpec extends SparkSpec {
     assert(TableLog.read(spark, t).count() == 3150 - 50 + 10)
     assert(TableLog.read(spark, t).where($"v" === 60).count() == 10)
   }
+
+  test("mutation.auditScan=true cross-checks liveRowsOf against the " +
+      "counting scan on every group-rewrite face (plain, DV-fenced, " +
+      "key-fenced)") {
+    // the metadata-derived audit count (liveRowsOf) replaced a real
+    // scan on six mutation faces; this pin keeps the derivation honest
+    // by running each face with the cross-check scan enabled — the
+    // require inside liveRowsOf fires on any drift between manifest
+    // arithmetic and counted rows
+    spark.conf.set("spark.graft.mutation.auditScan", "true")
+    try {
+      def mk(name: String): String = {
+        val t = tmp(name)
+        TableLog.create(spark, t,
+          spark.range(2000L).select($"id", ($"id" % 7).as("v"))
+            .repartition(4), statsCols = Seq("id"))
+        TableLog.append(spark, t,
+          spark.range(2000L, 4000L).select($"id", ($"id" % 7).as("v"))
+            .repartition(4), statsCols = Seq("id"))
+        t
+      }
+      // plain table, every face in sequence
+      val t = mk("graft_auditscan_plain")
+      TableLog.deleteWhere(spark, t, "id", 100, 300,
+        statsCols = Seq("id"))                        // −201
+      TableLog.updateWhere(spark, t, "id", 500, 700,
+        Map("v" -> ($"v" + 100L)), statsCols = Seq("id"))
+      TableLog.mergeCow(spark, t,
+        spark.range(900L, 1100L).select($"id", ($"id" % 5).as("v")),
+        "id", statsCols = Seq("id"))                  // all matched
+      TableLog.replaceWhere(spark, t, $"id".between(1500, 1600),
+        spark.range(1500L, 1601L).select($"id", lit(0L).as("v"))
+          .coalesce(1), statsCols = Seq("id"))        // −101 +101
+      TableLog.compactSmall(spark, t, smallBytes = 1L << 20,
+        statsCols = Seq("id"))
+      TableLog.zOrder(spark, t, 4, "id", (0L, 4000L), "v", (0L, 110L),
+        statsCols = Seq("id"))
+      TableLog.zOrderMaintain(spark, t, statsCols = Seq("id"))
+      assert(TableLog.read(spark, t).count() == 4000 - 201)
+      assert(TableLog.read(spark, t)
+        .where($"id".between(500, 700) && $"v" >= 100L).count() == 201)
+      // DV-fenced: the derivation must subtract the vectored positions
+      val t2 = mk("graft_auditscan_dv")
+      TableLog.deleteDv(spark, t2, $"id".between(50, 60),
+        statsCols = Seq("id"))                        // −11, pending DV
+      assert(TableLog.snapshot(t2).get.dels.nonEmpty, "DV must be pending")
+      TableLog.deleteWhere(spark, t2, "id", 0, 200,
+        statsCols = Seq("id"))                        // −190 live
+      assert(TableLog.read(spark, t2).count() == 4000 - 201)
+      // key-fenced: falls back to the counting scan, still exact
+      val t3 = mk("graft_auditscan_key")
+      TableLog.deleteMor(spark, t3, "id",
+        spark.range(10L, 20L).toDF("id"))             // −10, key sidecar
+      TableLog.deleteWhere(spark, t3, "id", 0, 100,
+        statsCols = Seq("id"))                        // −91 live
+      assert(TableLog.read(spark, t3).count() == 4000 - 101)
+    } finally spark.conf.unset("spark.graft.mutation.auditScan")
+  }
 }
