@@ -54,7 +54,8 @@ final class GraftStreamingWrite(path: String, props: Map[String, String],
       txnId = s"$queryId#$epochId",
       statsCols = GraftCatalog.colsProp(props, "statsCols"),
       strStatsCols = GraftCatalog.colsProp(props, "strStatsCols"),
-      bloomStatsCols = GraftCatalog.colsProp(props, "bloomStatsCols"))
+      bloomStatsCols = GraftCatalog.colsProp(props, "bloomStatsCols"),
+      writeSchema = Some(schema))
     ()
   }
 

@@ -637,14 +637,10 @@ object TableLog {
       audits: Seq[StagedAudit] = Nil): (Seq[FileEntry], Long) = {
     val setId = java.util.UUID.randomUUID().toString
     val outDir = s"$table/data/$setId"
-    df.write.parquet(outDir)
-    val rels = listDir(Paths.get(outDir))
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet"))
-      .sorted
+    val rels = writeStagedFiles(spark, outDir, df)
       .map(n => s"data/$setId/$n")
     try statEntriesFor(spark, table, rels, statsCols, strStatsCols,
-      bloomCols, derivedStats, audits)
+      bloomCols, derivedStats, audits, writeSchema = Some(df.schema))
     catch { case e: Throwable if audits.nonEmpty =>
       // a refused audited write must leave no staged orphans — this
       // call owns the staging dir, so it cleans before rethrowing
@@ -655,6 +651,68 @@ object TableLog {
       }
       throw e
     }
+  }
+
+  /** Direct single-pass staged write (guide §1.2/§5, the batch twin of
+    * the streaming sink's DataWriters): each task writes ONE parquet
+    * file straight into the commit's private `data/<setId>/` dir
+    * through the same writer stack a batch `df.write` uses
+    * (ParquetWrite bridge — bytes identical), opened LAZILY on the
+    * first row so empty tasks leave no file. This skips the
+    * FileOutputCommitter protocol entirely — no `_temporary` staging,
+    * no task/job-commit renames, no `_SUCCESS`, no write-command
+    * re-planning — a fixed 50–150 ms of driver time per commit on the
+    * lifecycle faces, and on an object store a rename-storm per
+    * commit. Atomicity is unchanged because the set dir is INVISIBLE
+    * until the manifest CAS publishes it, and only files reported by
+    * WINNING task attempts are returned (a failed attempt deletes its
+    * partial file in its finally; a killed speculative loser's file
+    * stays unmanifested garbage — the same class as a CAS loser's
+    * write). `spark.graft.write.direct=false` restores the committer
+    * path; parity of the two paths is spec-pinned. */
+  private def writeStagedFiles(spark: SparkSession, outDir: String,
+      df: DataFrame): Seq[String] = {
+    if (!spark.conf.get("spark.graft.write.direct", "true").toBoolean) {
+      df.write.parquet(outDir)
+      return listDir(Paths.get(outDir))
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet"))
+        .sorted
+    }
+    val pw = org.apache.spark.sql.graft.ParquetWrite.factory(spark, df.schema)
+    Files.createDirectories(Paths.get(outDir))
+    val rdd = df.queryExecution.toRdd
+    // a provably-empty write (0 partitions after AQE finalization, e.g.
+    // an empty-source commit) stages nothing — skip the job dispatch
+    if (rdd.getNumPartitions == 0) return Nil
+    val written = spark.sparkContext.runJob(
+      rdd,
+      (ctx: org.apache.spark.TaskContext,
+          it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        if (!it.hasNext) null
+        else {
+          // attempt ids make retried/speculative attempts collision-free;
+          // only the winner's name is returned to the driver
+          val name = f"part-${ctx.partitionId()}%05d-" +
+            s"a${ctx.attemptNumber()}-t${ctx.taskAttemptId()}.parquet"
+          val abs = s"$outDir/$name"
+          var ok = false
+          val w = pw.open(abs, ctx.partitionId(), ctx.attemptNumber())
+          try {
+            while (it.hasNext) w.write(it.next())
+            w.close()
+            ok = true
+          } finally if (!ok) {
+            try w.close() catch { case _: Throwable => () }
+            val p = Paths.get(abs)
+            Files.deleteIfExists(p)
+            Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+            ()
+          }
+          name
+        }
+      })
+    written.filter(_ != null).sorted.toSeq
   }
 
   /** The manifest-entry pass over ALREADY-WRITTEN files (table-relative
@@ -681,8 +739,16 @@ object TableLog {
       strStatsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       derivedStats: Seq[(String, Column)] = Nil,
-      audits: Seq[StagedAudit] = Nil): (Seq[FileEntry], Long) = {
+      audits: Seq[StagedAudit] = Nil,
+      writeSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Seq[FileEntry], Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    // the just-written files' schema is the writer's schema — reading
+    // with it skips a per-commit parquet schema-inference Spark job
+    // (pure metadata recomputation ahead of each stats/audit pass)
+    def readStaged(paths: Seq[String]): DataFrame =
+      writeSchema.map(s => spark.read.schema(s))
+        .getOrElse(spark.read).parquet(paths: _*)
     val relByName = relPaths.map(p => p.split("/").last -> p).toMap
     require(relByName.size == relPaths.size,
       s"statEntriesFor($table): duplicate file leaf names in $relPaths")
@@ -786,23 +852,49 @@ object TableLog {
     // min/max/null-count statistics for plain signed INT32/INT64
     // columns — the very numbers the distributed stats aggregate
     // recomputes with a whole Spark job per commit. Below the
-    // footer-count threshold, when every stat column is a plain signed
-    // integer (no DATE/TIMESTAMP/DECIMAL logical annotation — their
-    // cast-to-long semantics differ from the raw physical value) and
-    // the writer recorded null counts, the stats come from the footers
-    // and the aggregate job is SKIPPED — one fewer Spark job (plus its
-    // planning gap) on every small commit, which at sf0.1 is ~half of
-    // a lifecycle query's per-commit cost. Strings, derived stats,
-    // audits (constraint checks) and any ineligible column fall back
-    // to the aggregate pass unchanged; the distributed path past the
-    // threshold is untouched (footer reads there would be the driver
-    // stall the threshold exists to avoid). Parity with the aggregate
-    // pass (same FileStat/null accounting) is spec-pinned.
-    val footerStatsWanted = !distributedCount && statsCols.nonEmpty &&
-      strStatsCols.isEmpty && derivedStats.isEmpty && audits.isEmpty &&
-      bloomCols.isEmpty
-    // per column: (min, max, nonNull); None = some column ineligible
-    type Harvest = (Long, Option[Seq[(String, Long, Long, Long)]])
+    // footer-count threshold, when every long stat column is a plain
+    // signed integer (no DATE/TIMESTAMP/DECIMAL logical annotation —
+    // their cast-to-long semantics differ from the raw physical value),
+    // every string stat column is BINARY/UTF8 (whose footer min/max
+    // comparator is the same unsigned-lexicographic order Spark's
+    // StringType min/max uses), and the writer recorded null counts,
+    // the stats come from the footers and the aggregate job is
+    // SKIPPED — one fewer Spark job (plus its planning gap) on every
+    // small commit, which at sf0.1 is ~half of a lifecycle query's
+    // per-commit cost. Derived stats, audits (constraint checks) and
+    // any ineligible column fall back to the aggregate pass unchanged;
+    // the distributed path past the threshold is untouched (footer
+    // reads there would be the driver stall the threshold exists to
+    // avoid). Parity with the aggregate pass (same FileStat/FileStrStat
+    // and null accounting) is spec-pinned.
+    // String caveat: parquet-mr OMITS binary chunk stats outright when
+    // min+max exceed its 4 KB cap (absence → the usual distrust
+    // fallback below), but a configured `parquet.statistics.truncate
+    // .length` would record valid-bound PREFIXES instead — pruning-safe
+    // but not value-exact — so string harvesting is disabled whenever
+    // that key is set.
+    val strTruncConfigured =
+      hconf.get("parquet.statistics.truncate.length") != null
+    val footerStatsWanted = !distributedCount &&
+      (statsCols.nonEmpty || strStatsCols.nonEmpty) &&
+      (strStatsCols.isEmpty || !strTruncConfigured) &&
+      derivedStats.isEmpty && audits.isEmpty && bloomCols.isEmpty
+    // per long column (col, min, max, nonNull) and per string column
+    // (col, min, max, nonNull); None = some column ineligible
+    type Harvest = (Long, Option[(Seq[(String, Long, Long, Long)],
+      Seq[(String, String, String, Long)])])
+    // UTF8String.compareTo semantics: unsigned byte-wise, then length —
+    // identical to parquet's UNSIGNED lexicographic BINARY comparator
+    def utf8Cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     def harvestOf(n: String): Harvest = {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -863,7 +955,50 @@ object TableLog {
           if (nonNull > 0 && mn > mx) ok = false
           (c, mn, mx, nonNull)
         }
-        (rows, if (ok) Some(acc) else None)
+        val sacc = strStatsCols.map { c =>
+          var mn: Array[Byte] = null
+          var mx: Array[Byte] = null
+          var nonNull = 0L
+          blocks.foreach { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == c) match {
+              case None => ok = false
+              case Some(cc) =>
+                val pt = cc.getPrimitiveType
+                val typeOk = pt.getPrimitiveTypeName ==
+                    PrimitiveTypeName.BINARY &&
+                  (pt.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation
+                        .StringLogicalTypeAnnotation => true
+                    case _ => false
+                  })
+                val st = cc.getStatistics
+                if (!typeOk || st == null || !st.isNumNullsSet) ok = false
+                else {
+                  nonNull += cc.getValueCount - st.getNumNulls
+                  if (st.hasNonNullValue) st match {
+                    case bs: org.apache.parquet.column.statistics
+                        .BinaryStatistics =>
+                      val lo = bs.genericGetMin.getBytes
+                      val hi = bs.genericGetMax.getBytes
+                      if (mn == null || utf8Cmp(lo, mn) < 0) mn = lo
+                      if (mx == null || utf8Cmp(hi, mx) > 0) mx = hi
+                    case _ => ok = false
+                  }
+                }
+            }
+          }
+          // claimed non-null values but no recorded range: distrust
+          // (also the oversized-value case — parquet omits the stats)
+          if (nonNull > 0 && mn == null) ok = false
+          (c,
+            if (mn == null) null
+            else new String(mn, java.nio.charset.StandardCharsets.UTF_8),
+            if (mx == null) null
+            else new String(mx, java.nio.charset.StandardCharsets.UTF_8),
+            nonNull)
+        }
+        (rows, if (ok) Some((acc, sacc)) else None)
       } finally rdr.close()
     }
     def countOf(n: String): Long = harvestOf(n)._1
@@ -874,8 +1009,7 @@ object TableLog {
         import org.apache.spark.sql.functions.{count, lit}
         val aggs = (count(lit(1)).as("__n") +: statAggs)
         stagedScanPasses.incrementAndGet()
-        val rs = spark.read.parquet(
-          relPaths.map(p => s"$table/$p"): _*)
+        val rs = readStaged(relPaths.map(p => s"$table/$p"))
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -938,19 +1072,20 @@ object TableLog {
           names.forall(n => harvests.get(n).exists(_._2.isDefined)))
         // the footer harvest above covered every live file and column:
         // the stats aggregate job is skipped outright (same FileStat /
-        // non-null accounting — an all-null column gets NO range stat,
-        // exactly like the aggregate's null min)
+        // FileStrStat / non-null accounting — an all-null column gets
+        // NO range stat, exactly like the aggregate's null min)
         names.map { n =>
-          val cols = harvests(n)._2.get
+          val (cols, scols) = harvests(n)._2.get
           n -> ((cols.collect { case (c, mn, mx, nn) if nn > 0 =>
             FileStat(c, mn, mx) },
-            Seq.empty[FileStrStat],
+            scols.collect { case (c, mn, mx, nn) if nn > 0 =>
+              FileStrStat(c, mn, mx) },
             cols.map { case (c, _, _, nn) => c -> nn }.toMap)
             : ParsedStats)
         }.toMap
       else {
         stagedScanPasses.incrementAndGet()
-        val rs = spark.read.parquet(livePaths: _*)
+        val rs = readStaged(livePaths)
           .groupBy(input_file_name().as("__f"))
           .agg(statAggs.head, statAggs.tail: _*)
           .collect()
@@ -970,7 +1105,7 @@ object TableLog {
       if (bloomCols.isEmpty || names.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{collect_set, lit, pmod, xxhash64}
-        val scan = spark.read.parquet(livePaths: _*)
+        val scan = readStaged(livePaths)
         bloomCols.flatMap { c =>
           val aggs = (0 until bloomK).map(i =>
             collect_set(pmod(xxhash64(lit(i), col(c)), lit(bloomM.toLong))
@@ -1229,7 +1364,8 @@ object TableLog {
         active.groupBy(_.keyCol).foldLeft(base) {
           case (df, (k, des)) =>
             val keys = readSidecars(spark,
-              des.map(d => s"$table/${d.file.path}"))
+              des.map(d => s"$table/${d.file.path}"),
+              sidecarHint(s.schemaJson, k))
             // NO .distinct() on the key side: left_anti semantics are
             // unchanged by duplicate build keys (each sidecar is
             // already deduped at write — deleteMor/mergeMor distinct
@@ -2992,7 +3128,9 @@ object TableLog {
   private[graft] def commitStreamEpoch(spark: SparkSession, table: String,
       relPaths: Seq[String], txnId: String, statsCols: Seq[String],
       strStatsCols: Seq[String] = Nil,
-      bloomStatsCols: Seq[String] = Nil): Long = {
+      bloomStatsCols: Seq[String] = Nil,
+      writeSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     committedTxnVersion(table, txnId).foreach { v =>
       relPaths.foreach { p =>
         val ap = Paths.get(table, p)
@@ -3004,10 +3142,15 @@ object TableLog {
     }
     if (relPaths.isEmpty) return latestVersion(table)
     val (entries, newRows) = statEntriesFor(spark, table, relPaths,
-      statsCols, strStatsCols, bloomStatsCols)
+      statsCols, strStatsCols, bloomStatsCols,
+      writeSchema = writeSchema)
     if (entries.isEmpty) return latestVersion(table)
-    val written = spark.read.parquet(
-      entries.map(f => s"$table/${f.path}"): _*)
+    // the writer declared its schema: reading with it keeps this
+    // DataFrame job-free until a CHECK constraint actually scans it
+    // (was: an eager schema-inference Spark job on EVERY epoch commit)
+    val written = writeSchema.map(s => spark.read.schema(s))
+      .getOrElse(spark.read)
+      .parquet(entries.map(f => s"$table/${f.path}"): _*)
     snapshot(table).foreach(b =>
       enforceChecks(spark, table, b.checks, written, "streaming append"))
     var committed = -1L
@@ -3542,8 +3685,11 @@ object TableLog {
           }
           longOk && strOk
         }
-        val keys = spark.read.parquet(
-          des.map(d => s"$table/${d.file.path}"): _*)
+        // key sidecars are immutable and their schema derives from the
+        // manifest: no per-capture schema-inference job
+        val keys = readSidecars(spark,
+          des.map(d => s"$table/${d.file.path}"),
+          sidecarHint(schemaJson, k))
         morScan(spark, table, prevSnap.copy(schemaJson = schemaJson), cand)
           .join(keys.select(col(k)), Seq(k), "left_semi")
       }.reduce(_ unionByName _)
@@ -3574,7 +3720,16 @@ object TableLog {
     if (!Files.exists(stage)) {
       val tmp = stage.getParent.resolve(
         s".tmp-${stage.getFileName}-${java.util.UUID.randomUUID()}")
-      captured.write.parquet(tmp.toString)
+      val winners = writeStagedFiles(spark, tmp.toString, captured)
+      // the stage becomes immutable at the rename and the LINK step
+      // lists it, so a non-winning attempt's leftover must go now (the
+      // committer path used to exclude those for us); winners only
+      listDir(tmp).map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !winners.contains(n))
+        .foreach { n =>
+          Files.deleteIfExists(tmp.resolve(n))
+          Files.deleteIfExists(tmp.resolve(s".$n.crc"))
+        }
       try Files.move(tmp, stage, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
@@ -4063,6 +4218,15 @@ object TableLog {
   private[graft] val DvKeyCol = "__pos__"
   private[graft] val DvFileField = "_dv_file"
   private[graft] val DvPosField = "_dv_pos"
+
+  /** DV sidecars always carry exactly (_dv_file string, _dv_pos long),
+    * written by this engine — reading them with the static schema
+    * skips a parquet schema-inference Spark job per load/fold. */
+  private val dvPairSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileField,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(DvPosField,
+      org.apache.spark.sql.types.LongType)))
   // scan-internal columns positional faces read back; never user-visible
   private[graft] val GraftFileCol = "__graft_file"
   private[graft] val GraftPosCol = "__graft_pos"
@@ -4098,16 +4262,44 @@ object TableLog {
       if (it.hasNext) { m.remove(it.next()); () }
     }
 
-  private def readSidecars(spark: SparkSession,
-      paths: Seq[String]): DataFrame = {
+  private def readSidecars(spark: SparkSession, paths: Seq[String],
+      hint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val key = paths.sorted.mkString("\n")
     val sch = sidecarSchemas.get(key)
     if (sch != null) return spark.read.schema(sch).parquet(paths: _*)
-    val df = spark.read.parquet(paths: _*)
-    evictOne(sidecarSchemas, 256)
-    sidecarSchemas.put(key, df.schema)
-    df
+    hint match {
+      case Some(h) =>
+        // the caller derived the sidecar schema from the manifest (key
+        // column + snapshot type): no inference job even on the FIRST
+        // read of a fresh file set. A narrower physical type in an
+        // old sidecar upcasts at scan under the widen lattice, exactly
+        // like data files read under the recorded table schema.
+        evictOne(sidecarSchemas, 256)
+        sidecarSchemas.put(key, h)
+        spark.read.schema(h).parquet(paths: _*)
+      case None =>
+        val df = spark.read.parquet(paths: _*)
+        evictOne(sidecarSchemas, 256)
+        sidecarSchemas.put(key, df.schema)
+        df
+    }
   }
+
+  /** Manifest-derived schema of a KEY sidecar set: one column `k`
+    * typed as the snapshot's recorded table schema types it. None on
+    * legacy tables (no recorded schema) — the caller falls back to
+    * footer inference. */
+  private def sidecarHint(schemaJson: Option[String], k: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaJson.flatMap { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.find(_.name == k)
+        .map(f => org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(k, f.dataType,
+            nullable = true))))
+    }
 
   private[graft] def loadDv(spark: SparkSession, table: String,
       dvs: Seq[DeleteEntry]): graft.functions.DvSet = {
@@ -4115,7 +4307,7 @@ object TableLog {
     val key = paths.mkString("\n")
     val hit = dvCache.get(key)
     if (hit != null) return hit
-    val rows = spark.read.parquet(paths: _*)
+    val rows = spark.read.schema(dvPairSchema).parquet(paths: _*)
       .select(org.apache.spark.sql.functions.col(DvFileField),
         org.apache.spark.sql.functions.col(DvPosField))
       .collect()
@@ -4340,8 +4532,9 @@ object TableLog {
         else {
           val k = g.head.keyCol
           val vMax = g.map(_.ver).max
-          val keys = spark.read.parquet(
-            g.map(d => s"$table/${d.file.path}"): _*)
+          val keys = readSidecars(spark,
+            g.map(d => s"$table/${d.file.path}"),
+            sidecarHint(base.schemaJson, k))
             .select(col(k)).distinct().coalesce(1)
           val isString = keys.schema(k).dataType ==
             org.apache.spark.sql.types.StringType
@@ -4353,7 +4546,7 @@ object TableLog {
       } ++ (if (dvD.size < 2) dvD
         else {
           val vMax = dvD.map(_.ver).max
-          val pairs = spark.read.parquet(
+          val pairs = spark.read.schema(dvPairSchema).parquet(
             dvD.map(d => s"$table/${d.file.path}"): _*)
             .select(col(DvFileField), col(DvPosField)).distinct()
             .coalesce(1)
@@ -5700,7 +5893,7 @@ object TableLog {
       if (dvEntries.size > 1 && dvEntries.forall(_.bytes >= 0L) &&
           dvEntries.map(_.bytes).sum <= foldGate) {
         import org.apache.spark.sql.functions.col
-        val pairs = spark.read.parquet(
+        val pairs = spark.read.schema(dvPairSchema).parquet(
           dvEntries.map(e => s"$table/${e.path}"): _*)
           .select(col(DvFileField), col(DvPosField)).coalesce(1)
         val (fs, _) = writeDataFiles(spark, table, pairs,

@@ -1194,17 +1194,105 @@ class TableLogSpec extends SparkSpec {
     // the all-null column records NO range stat on either path
     assert(TableLog.snapshot(tF).get.files
       .forall(!_.stats.exists(_.col == "allnull")))
-    // string stat columns are footer-ineligible: the aggregate pass
-    // still runs (once) and string stats land as before
+    // string stat columns are footer-harvested too (BINARY/UTF8 footer
+    // min/max use the same unsigned-lexicographic order as Spark's
+    // StringType min/max): zero staged scans, value-exact parity with
+    // the aggregate pass — including empty strings, multi-byte UTF-8,
+    // a nullable column and an all-null column
+    val mkS = () => spark.range(100).selectExpr(
+      "id AS k",
+      "CASE WHEN id % 11 = 0 THEN '' WHEN id % 7 = 0 " +
+        "THEN concat('é→', id) ELSE concat('s', id) END AS s",
+      "IF(id % 2 = 0, concat('m', id), NULL) AS smaybe",
+      "CAST(NULL AS string) AS snull").repartitionByRange(4, $"k")
+    val strCols = Seq("s", "smaybe", "snull")
     val tS = tmp("graft_log_fstats_s")
     val p1 = TableLog.stagedScanPasses.get()
-    TableLog.create(spark, tS,
-      spark.range(10).selectExpr("id AS k", "CAST(id AS string) AS s"),
-      statsCols = Seq("k"), strStatsCols = Seq("s"))
-    assert(TableLog.stagedScanPasses.get() - p1 == 1,
-      "a string-stat commit keeps the single aggregate pass")
+    TableLog.create(spark, tS, mkS(),
+      statsCols = Seq("k"), strStatsCols = strCols)
+    assert(TableLog.stagedScanPasses.get() - p1 == 0,
+      "an eligible string-stat commit must not run the stats aggregate")
+    TableLog.footerCountThreshold = 0
+    val tSA = tmp("graft_log_fstats_sa")
+    try TableLog.create(spark, tSA, mkS(),
+      statsCols = Seq("k"), strStatsCols = strCols)
+    finally TableLog.footerCountThreshold = saved
+    def strShape(t: String) = TableLog.snapshot(t).get.files
+      .map(f => (f.rows,
+        f.stats.map(s => (s.col, s.min, s.max, s.nulls)).sortBy(_._1),
+        f.strStats.map(s => (s.col, s.min, s.max)).sortBy(_._1)))
+      .sortBy(_._2.headOption.map(_._2).getOrElse(Long.MaxValue))
+    assert(strShape(tS) == strShape(tSA),
+      "footer-harvested string stats must equal the aggregate pass")
     assert(TableLog.snapshot(tS).get.files.forall(f =>
-      f.stats.exists(_.col == "k") && f.strStats.exists(_.col == "s")))
+      f.stats.exists(_.col == "k") && f.strStats.exists(_.col == "s") &&
+        !f.strStats.exists(_.col == "snull")))
+  }
+
+  test("direct staged write: manifest shape and read-back identical " +
+      "to the committer path; empty writes and zero-row tasks leave " +
+      "no manifested file") {
+    // deterministic HASH partitioning for the cross-table comparison:
+    // repartitionByRange boundaries are sample-seeded by rdd.id, so
+    // two separate executions split rows differently near boundaries
+    // (see the replaceWhere meta test's comment) — that would flake
+    // this parity pin on either write path
+    val mk = () => spark.range(5000).selectExpr(
+      "id AS k", "CAST(id % 9 AS int) AS v",
+      "concat('p', id % 4) AS s").repartition(4, $"k")
+    val tD = tmp("graft_log_direct")
+    TableLog.create(spark, tD, mk(),
+      statsCols = Seq("k", "v"), strStatsCols = Seq("s"))
+    val tC = tmp("graft_log_committer")
+    spark.conf.set("spark.graft.write.direct", "false")
+    try TableLog.create(spark, tC, mk(),
+      statsCols = Seq("k", "v"), strStatsCols = Seq("s"))
+    finally spark.conf.unset("spark.graft.write.direct")
+    def shape(t: String) = TableLog.snapshot(t).get.files
+      .map(f => (f.rows,
+        f.stats.map(s => (s.col, s.min, s.max, s.nulls)).sortBy(_._1),
+        f.strStats.map(s => (s.col, s.min, s.max)).sortBy(_._1)))
+      .sortBy(r => (r._1, r._2.headOption.map(_._2).getOrElse(0L)))
+    assert(shape(tD) == shape(tC),
+      "direct-write manifests must match the committer path")
+    assert(TableLog.read(spark, tD).orderBy("k").collect().toSeq ==
+      TableLog.read(spark, tC).orderBy("k").collect().toSeq)
+    // an EMPTY append behaves identically on both paths: no new files,
+    // rows unchanged (lazy open = no file at all; the committer path's
+    // eager empty part files were deleted as zero-row)
+    TableLog.append(spark, tD, mk().where("k < 0"),
+      statsCols = Seq("k", "v"), strStatsCols = Seq("s"))
+    assert(TableLog.snapshot(tD).get.rows == 5000L)
+    assert(TableLog.snapshot(tD).get.files.forall(_.rows > 0L))
+    // a group rewrite whose tasks filter everything away (delete of a
+    // whole range-clustered file's span) manifests no zero-row file —
+    // range-partitioned table, delete WELL past the ~2500 boundary so
+    // at least the low files empty entirely whatever the sampled split
+    val tR = tmp("graft_log_direct_r")
+    TableLog.create(spark, tR, spark.range(5000).selectExpr(
+      "id AS k", "CAST(id % 9 AS int) AS v")
+      .repartitionByRange(4, $"k"), statsCols = Seq("k", "v"))
+    TableLog.deleteWhere(spark, tR, "k", 0, 2999,
+      statsCols = Seq("k", "v"))
+    assert(TableLog.read(spark, tR).count() == 2000L)
+    assert(TableLog.snapshot(tR).get.files.forall(_.rows > 0L))
+    // no unmanifested garbage beyond CAS-loser class: every on-disk
+    // parquet under data/ is referenced by some version's manifest
+    import scala.jdk.CollectionConverters._
+    Seq(tD, tR).foreach { t =>
+      val referenced = (1L to TableLog.latestVersion(t)).flatMap(v =>
+        TableLog.snapshotAt(t, v).toSeq.flatMap(s =>
+          s.files.map(_.path) ++ s.dels.map(_.file.path))).toSet
+      val onDisk = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(t, "data")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Paths.get(t).relativize(p).toString)
+        .toSet
+      assert(onDisk == referenced,
+        s"direct-write leak/loss at $t: onDisk-only=${(onDisk --
+          referenced).take(4)}, referenced-only=${(referenced --
+          onDisk).take(4)}")
+    }
   }
 
   test("morMaintain: bounded sidecars — no-op within bounds, targeted materialization past them, byte-identical reads") {
